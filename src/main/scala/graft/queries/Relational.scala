@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.core.OptionalFilters._
+
+/** Reference-parity relational operators (SURVEY §2.3–§2.6, §3.1, §3.3)
+  * demonstrated over the driver test tables. Each entry in [[all]] has a
+  * DuckDB oracle in [[oracles]] with identical column names/ordering.
+  *
+  * Determinism rules (SURVEY §7.4): every query ends in a total-order
+  * `orderBy`; double aggregates go through exact DECIMAL(18,2) arithmetic
+  * and are cast back to DOUBLE so Spark and DuckDB agree bit-for-bit.
+  */
+object Relational {
+
+  /** Exact money arithmetic: cast through decimal so parallel summation
+    * order can't change the result (floating-point sums are
+    * order-dependent; decimal sums aren't). At 100 TB the same trick keeps
+    * partial (map-side) aggregation results stable across retries. */
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  // --- q_f1_flagship_page -------------------------------------------------
+  // SURVEY §3.1 /v2/data: optional-filter fold (F1) + broadcast dim join
+  // (J1) + total-order sort + OFFSET/LIMIT pagination (O1).
+  // Reference: app/api/v2/queries.py:3-26, routes.py:11-38.
+  def flagshipPage(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    // Optional params as the API would receive them; None params add no
+    // conjunct at all (unlike the reference's non-sargable `:p IS NULL OR`).
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    apply(
+      joined,
+      eqOpt(col("c_mktsegment"), Some("BUILDING")),
+      geOpt(col("o_orderdate"), Some(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+      leOpt(col("o_totalprice"), Some(300000.0)),
+      eqOpt(col("o_orderstatus"), None) // absent param → no predicate
+    )
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "c_name", "c_mktsegment")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .offset(100)
+      .limit(1000)
+  }
+
+  val flagshipPageSql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_totalprice <= 300000.0
+      |ORDER BY o_orderdate, o_orderkey
+      |LIMIT 1000 OFFSET 100""".stripMargin
+
+  // --- q_a0_agg_pricing ---------------------------------------------------
+  // Grouped aggregation with exact-decimal sums (the generalized form of
+  // the reference's per-series reductions; TPC-H Q1 shape).
+  def aggPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q_j2_star_join -----------------------------------------------------
+  // SURVEY §2.4 J2: multi-way fact ⋈ dim ⋈ dim join; dims broadcast so the
+  // only shuffle is the final aggregation (at 100 TB the fact side never
+  // moves for the join itself).
+  def starJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val starJoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  // --- q_a1_distinct ------------------------------------------------------
+  // SURVEY §2.5 A1: DISTINCT scan + sort (discovery.py:11-13 analog).
+  def distinctScan(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select("event_type").distinct().orderBy("event_type")
+
+  val distinctScanSql: String =
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+  // --- q_a2_distinct_multi ------------------------------------------------
+  // SURVEY §2.5 A2: multi-column distinct after null-drop
+  // (series_autoregister.py:69-74 analog).
+  def distinctMulti(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select("lang", "source").na.drop().dropDuplicates()
+      .orderBy("lang", "source")
+
+  val distinctMultiSql: String =
+    """SELECT DISTINCT lang, source FROM documents
+      |WHERE lang IS NOT NULL AND source IS NOT NULL
+      |ORDER BY lang, source""".stripMargin
+
+  // --- q_o2_topk_recent ---------------------------------------------------
+  // SURVEY §2.6 O2: top-k by recency. Spark plans TakeOrderedAndProject —
+  // a per-partition heap + driver merge, no global sort, which is exactly
+  // what survives a 100 TB scan. event_id breaks ts ties for determinism.
+  def topkRecent(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(100)
+
+  val topkRecentSql: String =
+    """SELECT event_id, ts, user_id, event_type, value FROM events
+      |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin
+
+  // --- q_f1_get_history ---------------------------------------------------
+  // SURVEY §3.3 gas_client.get_history: single-series time slice. With the
+  // fact table partitioned/sorted on (series, time) this is a pruned range
+  // scan, the 100 TB-safe access path the reference got from its B-tree PK.
+  def getHistory(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") === 7 &&
+        col("ts").between(
+          java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy("ts", "event_id")
+
+  val getHistorySql: String =
+    """SELECT event_id, ts, event_type, value FROM events
+      |WHERE user_id = 7
+      |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
+      |ORDER BY ts, event_id""".stripMargin
+
+  // --- q_w4_delete_refresh ------------------------------------------------
+  // SURVEY §2.2 W4 / §2.4 J3: DELETE-via-join as a left-anti keep-set
+  // (gie/service.py:40-48). The anti-join is broadcastable because the
+  // delete key set is small relative to the fact table.
+  def deleteRefresh(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(building), o("o_custkey") === building("c_custkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val deleteRefreshSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer
+      |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- q_w3_catalog_antijoin ----------------------------------------------
+  // SURVEY §2.2 W3 / §2.4 J4: INSERT-on-conflict-do-nothing as a left-anti
+  // join of candidate keys against the existing catalog — set-oriented,
+  // replacing the reference's per-row SELECT-then-INSERT loop
+  // (gie/series_builder.py:5-61).
+  def catalogAntijoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val existing = ev.filter(col("ts") < cutoff).select("user_id", "event_type").distinct()
+    val candidates = ev.filter(col("ts") >= cutoff).select("user_id", "event_type").distinct()
+    candidates.join(existing, Seq("user_id", "event_type"), "left_anti")
+      .orderBy("user_id", "event_type")
+  }
+
+  val catalogAntijoinSql: String =
+    """WITH existing AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+      |candidates AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-02 00:00:00')
+      |SELECT user_id, event_type FROM candidates
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM existing e
+      |  WHERE e.user_id = candidates.user_id
+      |    AND e.event_type = candidates.event_type)
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // --- q_a6_lww_dedup -----------------------------------------------------
+  // SURVEY §2.5 A6 / §2.2 W2: last-write-wins dedup (loader.py:13-18) —
+  // keep the most recent event per (user_id, event_type) key via a
+  // row_number window; ties broken by event_id for determinism.
+  def lwwDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  val lwwDedupSql: String =
+    """SELECT user_id, event_type, ts, value FROM (
+      |  SELECT user_id, event_type, ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // --- q_o1_window_rank ---------------------------------------------------
+  // Generalized windowed ranking (SURVEY §2.5 note): top-3 orders per
+  // customer by price. One shuffle on the partition key, then a local sort.
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  // --- q_a7_unpivot -------------------------------------------------------
+  // SURVEY §2.5 A7: wide→long unpivot of the lineitem measures — the
+  // set-oriented replacement for the reference's per-metric Python loop
+  // (transformer.py:14-39). Narrow slice keeps the verified output small.
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "metric_value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  val unpivotMeasuresSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, metric_value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value
+      |  FROM lineitem WHERE l_orderkey < 200
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey < 200
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 200
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey < 200) t
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // --- q_set_ops ----------------------------------------------------------
+  // SURVEY §2.7: set operations (free from Spark, demonstrated anyway).
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val early = Tables.events(s, d)
+      .filter(col("ts") < java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      .select("user_id").distinct()
+    val late = Tables.events(s, d)
+      .filter(col("ts") >= java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      .select("user_id").distinct()
+    early.intersect(late).union(early.except(late)).orderBy("user_id")
+  }
+
+  val setOpsSql: String =
+    """WITH early AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+      |late AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+      |SELECT user_id FROM (
+      |  (SELECT user_id FROM early INTERSECT SELECT user_id FROM late)
+      |  UNION ALL
+      |  (SELECT user_id FROM early EXCEPT SELECT user_id FROM late)) t
+      |ORDER BY user_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_f1_flagship_page" -> (flagshipPage _),
+    "q_a0_agg_pricing" -> (aggPricing _),
+    "q_j2_star_join" -> (starJoin _),
+    "q_a1_distinct" -> (distinctScan _),
+    "q_a2_distinct_multi" -> (distinctMulti _),
+    "q_o2_topk_recent" -> (topkRecent _),
+    "q_f1_get_history" -> (getHistory _),
+    "q_w4_delete_refresh" -> (deleteRefresh _),
+    "q_w3_catalog_antijoin" -> (catalogAntijoin _),
+    "q_a6_lww_dedup" -> (lwwDedup _),
+    "q_o1_window_rank" -> (windowRank _),
+    "q_a7_unpivot" -> (unpivotMeasures _),
+    "q_set_ops" -> (setOps _))
+
+  val oracles: Map[String, String] = Map(
+    "q_f1_flagship_page" -> flagshipPageSql,
+    "q_a0_agg_pricing" -> aggPricingSql,
+    "q_j2_star_join" -> starJoinSql,
+    "q_a1_distinct" -> distinctScanSql,
+    "q_a2_distinct_multi" -> distinctMultiSql,
+    "q_o2_topk_recent" -> topkRecentSql,
+    "q_f1_get_history" -> getHistorySql,
+    "q_w4_delete_refresh" -> deleteRefreshSql,
+    "q_w3_catalog_antijoin" -> catalogAntijoinSql,
+    "q_a6_lww_dedup" -> lwwDedupSql,
+    "q_o1_window_rank" -> windowRankSql,
+    "q_a7_unpivot" -> unpivotMeasuresSql,
+    "q_set_ops" -> setOpsSql)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import graft.queries.Relational
+
+  test("every registered query runs and has an oracle or is exempt") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(SparkEntry.oracleSql.contains(name) || name.endsWith("_noracle"),
+        s"$name has no oracle entry")
+    }
+  }
+
+  test("flagship page respects filters, ordering and pagination") {
+    val df = Relational.flagshipPage(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("c_mktsegment") == "BUILDING"))
+    // o_orderdate is TIMESTAMP_NTZ → LocalDateTime; compare as Comparable
+    val dates = rows.map(_.getAs[java.time.LocalDateTime]("o_orderdate"))
+    assert(dates.sliding(2).forall(p => !p(0).isAfter(p(1))), "sorted by date")
+  }
+
+  test("agg pricing groups are complete and exact") {
+    val rows = Relational.aggPricing(spark, sf).collect()
+    assert(rows.length >= 4) // R/A/N flag combos
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("star join aggregates by nation with positive revenue") {
+    val rows = Relational.starJoin(spark, sf).collect()
+    assert(rows.length == 25) // 25 nations in TPC-H
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("lww dedup keeps exactly one row per key") {
+    val df = Relational.lwwDedup(spark, sf)
+    val dups = df.groupBy("user_id", "event_type").count().filter(col("count") > 1)
+    assert(dups.isEmpty)
+  }
+
+  test("window rank keeps at most 3 per customer") {
+    val df = Relational.windowRank(spark, sf)
+    assert(df.filter(col("rnk") > 3).isEmpty)
+    val max = df.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(max <= 3)
+  }
+
+  test("unpivot produces 4 metric rows per input row") {
+    val in = Tables.lineitem(spark, sf).filter(col("l_orderkey") < 200).count()
+    val out = Relational.unpivotMeasures(spark, sf).count()
+    assert(out == in * 4)
+  }
+
+  test("set ops partition early users exactly") {
+    // intersect(early,late) ∪ except(early,late) ≡ early
+    val early = Tables.events(spark, sf)
+      .filter(col("ts") < java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      .select("user_id").distinct().count()
+    assert(Relational.setOps(spark, sf).count() == early)
+  }
+
+  test("delete-refresh drops exactly the BUILDING customers' orders") {
+    val o = Tables.orders(spark, sf)
+    val kept = Relational.deleteRefresh(spark, sf).count()
+    val dropped = o.join(
+      Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING"),
+      o("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(kept + dropped == o.count())
+  }
+
+  test("get_history returns rows at this SF and is time-ordered") {
+    val rows = Relational.getHistory(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ts = rows.map(r => String.valueOf(r.getAs[Any]("ts")))
+    assert(ts.sliding(2).forall(p => p(0) <= p(1)))
+  }
+}
