@@ -16,10 +16,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    _root_.graft.queries.Relational.all
+    _root_.graft.queries.Relational.all ++
+      _root_.graft.queries.TextAnalysis.all ++
+      _root_.graft.queries.Dedup.all ++
+      _root_.graft.queries.Similarity.all ++
+      _root_.graft.queries.Discovery.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    _root_.graft.queries.Relational.oracles
+    _root_.graft.queries.Relational.oracles ++
+      _root_.graft.queries.TextAnalysis.oracles ++
+      _root_.graft.queries.Dedup.oracles ++
+      _root_.graft.queries.Similarity.oracles ++
+      _root_.graft.queries.Discovery.oracles
 }

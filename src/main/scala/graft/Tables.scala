@@ -21,9 +21,14 @@ object Tables {
     */
   val broadcastableDims: Set[String] = Set("region", "nation", "supplier")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Engine functions ride along with the tables: every query path goes
+    // through a load, so vec_dot etc. are always resolvable (sessions
+    // built with GraftExtensions get them at construction instead).
+    graft.functions.VectorFunctions.register(spark)
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** Native Catalyst expression for the vector hot path.
+  *
+  * Spark's array higher-order functions (`aggregate`/`zip_with`) are
+  * interpreted per element — fine for correctness, a 10-100× cliff on a
+  * 64-dim dot product evaluated millions of times (observed in profiles:
+  * tasks pinned in `CaseWhen.eval`/`nullSafeEval`). This expression
+  * participates in whole-stage codegen: the generated Java is the same
+  * tight sequential loop the DuckDB oracle's `list_reduce` fold runs, so
+  * results stay bit-identical while the evaluation is JIT-compiled.
+  *
+  * Accumulation order is left-to-right, exactly like
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — required for cross-engine
+  * double determinism. Null elements are treated as 0.0 (embeddings are
+  * dense; nulls cannot occur in the supported input).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects (array<double>, array<double>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += x.getDouble(i) * y.getDouble(i)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL surface for the vector expressions. Uses only the
+  * public `call_function` bridge: [[register]] installs the expression
+  * builder in the session's function registry (idempotent), and the
+  * Column helpers resolve through it at analysis time.
+  */
+object VectorFunctions {
+
+  val info = new ExpressionInfo(classOf[DotProduct].getName, "vec_dot")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProduct(a, b)
+    case other => throw new IllegalArgumentException(
+      s"vec_dot takes 2 arguments, got ${other.length}")
+  }
+
+  /** Install vec_dot into the session registry (safe to call per query). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("vec_dot"), info, builder)
+
+  /** Codegen'd sequential dot product of two array<double> columns.
+    * Requires [[register]] on the session (Tables.load does it). */
+  def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+
+  def vecNorm(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(vecDot(a, a))
+  }
+
+  def vecCosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+}
+
+/** `SparkSessionExtensions` hook: makes `vec_dot` callable from SQL
+  * (`SELECT vec_dot(a, b)`) when the session is built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"), VectorFunctions.info, VectorFunctions.builder))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: images/audio/video ride through the
+  * engine as opaque `binary` columns with a typed metadata struct, and
+  * decode / feature-extraction runs as a partition-wise batch operator.
+  *
+  * The Spark-side plumbing is real — schema, partitioning, batch shape,
+  * and the mapPartitions pipeline are exactly what a production decode
+  * would use (in PySpark the same stage is `mapInPandas` feeding the
+  * decoder in Arrow batches). The *codec* itself is stubbed with a
+  * deterministic fake (`fakeDecode`) because no image/audio libraries
+  * exist in this container; swapping in a real decoder changes only the
+  * body of that one function.
+  *
+  * Scale notes: media blobs dominate bytes, so the layout keeps them in
+  * their own column (parquet column pruning means metadata-only queries
+  * never touch the bytes), and decode repartitions by blob size budget —
+  * partitions are bounded by decoded-bytes, not row count, so a skewed
+  * mix of thumbnails and 4K frames can't OOM an executor.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every blob. */
+  val mediaMeta: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false), // image/audio/video
+    StructField("format", StringType),                       // png/wav/mp4...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Media table schema: id + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", mediaMeta, nullable = false)))
+
+  /** Build a media table from the documents corpus (payload = UTF-8 bytes
+    * standing in for an encoded image; deterministic, no synthetic data
+    * sources). Demonstrates the ingest path: blob + metadata assembly. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          lit("image").as("media_type"),
+          lit("fake").as("format"),
+          (col("n_chars") % 640).cast("int").as("width"),
+          (col("n_chars") % 480).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** Output schema of the decode/feature stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** STUB — deterministic fake decoder. A real implementation would
+    * decode the blob (image decode / audio PCM / frame sample) and emit a
+    * feature vector; this fake derives an 8-dim feature from the bytes so
+    * the pipeline shape, schema and determinism are testable without
+    * codec libraries. Replace the body to go live: the operator contract
+    * (bytes in → fixed-dim float feature out) is unchanged. */
+  def fakeDecode(payload: Array[Byte]): (Long, Array[Float]) = {
+    var checksum = 17L
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      checksum = checksum * 31 + b
+      feat(i % 8) += b / 255.0f
+      i += 1
+    }
+    (checksum, feat)
+  }
+
+  /** Partition-wise decode: one pass per partition, rows streamed through
+    * the decoder (the mapPartitions batch shape `mapInPandas` gives you
+    * in PySpark). `bytesPerPartition` bounds decoded volume per task. */
+  def decodeFeatures(media: DataFrame, bytesPerPartition: Long = 64L << 20): DataFrame = {
+    val spark = media.sparkSession
+    val totalBytes = media
+      .agg(sum(length(col("payload")))).head.getLong(0)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / bytesPerPartition).toInt)
+    val enc = ExpressionEncoder(featureSchema)
+    media
+      .repartition(parts, col("media_id")) // size-budgeted, key-spread
+      .select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (checksum, feat) = fakeDecode(payload)
+          Row(id, payload.length.toLong, checksum, feat.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Metadata-only projection — must not read payload bytes (parquet
+    * column pruning; asserted in the spec via the physical plan). */
+  def metaOnly(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("meta.media_type"), col("meta.width"),
+      col("meta.height"))
+}

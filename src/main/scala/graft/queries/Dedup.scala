@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline: exact hash dedup, n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-shuffle on a 32-byte digest — the minimum
+  *    possible movement (never shuffle the document bodies; project to
+  *    (digest, doc_id) first).
+  *  - Candidate generation (LSH bands / shared shingles) turns the O(n²)
+  *    all-pairs problem into an equi-join on band keys — a shuffle join
+  *    whose fan-out is bounded by bucket sizes, the standard web-scale
+  *    minhash layout (one row per (band, key)).
+  *  - Verification joins fetch shingle sets only for candidate pairs
+  *    (semi-join pruning), never for the full corpus cross product.
+  *  - The only all-pairs operator is embedding near-dup, kept as the
+  *    correctness baseline; its scale path is Similarity.ivfTopK's
+  *    bucketed variant.
+  *
+  * All hashes derive from md5 (see [[Hashes]]) so DuckDB replays them
+  * exactly; divisions are int→double with identical operands, and
+  * therefore bit-identical.
+  */
+object Dedup {
+
+  import Text._
+
+  // --- q_dd_exact ---------------------------------------------------------
+  // Exact content dedup: group by md5(text); keeper = min doc_id (the
+  // reference's last-write-wins analog for immutable corpora).
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .orderBy("content_hash")
+
+  val exactSql: String =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin
+
+  // --- q_dd_ngram_jaccard -------------------------------------------------
+  // 3-word-shingle Jaccard near-dup: explode distinct shingles, self-join
+  // on shingle (candidate pairs share >=1), count shared = |A∩B|, then
+  // |A∪B| = |A|+|B|-|A∩B|. One shuffle on shingle + one on pair key.
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val a = ex.toDF("da", "s")
+    val b = ex.toDF("db", "s")
+    val common = a.join(b, Seq("s")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    common
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .select(
+        col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS ($shingleSetsSql),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) a
+       |  JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) b
+       |    ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  common::DOUBLE / (sa.n + sb.n - common) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON da = sa.doc_id
+       |JOIN sizes sb ON db = sb.doc_id
+       |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- q_dd_minhash_lsh ---------------------------------------------------
+  // MinHash (16 permutations via seeded md5) + LSH (4 bands × 4 rows):
+  // docs colliding in any band become candidates; true Jaccard >= 0.5
+  // verifies. At scale only the band join shuffles; signatures are one
+  // scan-side projection.
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d).filter(size(col("shingles")) > 0)
+    val sig = sh.withColumn("sig",
+      transform(sequence(lit(0), lit(NumHashes - 1)),
+        i => array_min(transform(col("shingles"),
+          t => Hashes.md5Int32(concat(i.cast("string"), lit("_"), t))))))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .toDF("doc_id", "band_id", "band_key")
+    val cand = bands.toDF("da", "band_id", "band_key")
+      .join(bands.toDF("db", "band_id", "band_key"), Seq("band_id", "band_key"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+    withSets
+      .select(
+        col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("common").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String = {
+    val h = Hashes.md5Int32Sql("i::VARCHAR || '_' || s")
+    s"""WITH sh0 AS ($shingleSetsSql),
+       |sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(generate_series(0, ${NumHashes - 1}),
+       |      i -> list_min(list_transform(shingles, s -> $h))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, b AS band_id,
+       |    array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], ',') AS band_key
+       |  FROM sig, unnest(generate_series(0, ${Bands - 1})) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |    / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+       |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+       |WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |    / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- q_dd_simhash -------------------------------------------------------
+  // 32-bit frequency-weighted SimHash: per (doc, bit), vote +1/-1 by the
+  // token hash's bit; sign of the sum sets the bit. Near-dups = pairs with
+  // hamming <= 2 (planted dups land at 0-2 on this corpus). The bit
+  // explosion (tokens × 32) is a scan-side flatMap; only the compact
+  // (doc, simhash) rows join all-pairs — at 100 TB the pair join would be
+  // LSH-bucketed on simhash prefixes instead (same trick as minhash).
+  private val SimBits = 32
+
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), Hashes.md5Int32(col("t")).as("h"))
+    val bits = tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(SimBits - 1))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1)
+        .otherwise(-1)).as("vote"))
+    val sh = bits
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)"))
+        .otherwise(0L)).as("simhash"))
+    val a = sh.toDF("doc_a", "ha")
+    val b = sh.toDF("doc_b", "hb")
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($tokensSqlExpr) AS t FROM documents),
+       |th AS (SELECT doc_id, ${Hashes.md5Int32Sql("t")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, unnest(generate_series(0, ${SimBits - 1})) g(b)
+       |  GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- q_dd_embed_neardup -------------------------------------------------
+  // Embedding-cosine near-dup, brute force (the exact baseline; the ANN
+  // path is Similarity.ivfTopK). Sequential-fold dot products keep the
+  // double math bit-identical across engines.
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    // Bounded key range: the all-pairs scan is the exact baseline, so its
+    // cost must not grow quadratically with SF. The ANN path (IVF/LSH)
+    // is the unbounded-scale variant.
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.toDF("doc_a", "va")
+    val b = e.toDF("doc_b", "vb")
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Vectors.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val embedNearDupSql: String =
+    s"""SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |  ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cosine
+       |FROM (SELECT * FROM embeddings WHERE vec_id < 1000) a
+       |JOIN (SELECT * FROM embeddings WHERE vec_id < 1000) b ON a.vec_id < b.vec_id
+       |WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")} >= 0.45
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dd_exact" -> (exact _),
+    "q_dd_ngram_jaccard" -> (ngramJaccard _),
+    "q_dd_minhash_lsh" -> (minhashLsh _),
+    "q_dd_simhash" -> (simhash _),
+    "q_dd_embed_neardup" -> (embedNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dd_exact" -> exactSql,
+    "q_dd_ngram_jaccard" -> ngramJaccardSql,
+    "q_dd_minhash_lsh" -> minhashLshSql,
+    "q_dd_simhash" -> simhashSql,
+    "q_dd_embed_neardup" -> embedNearDupSql)
+}
+
+/** Shared text primitives with exact DuckDB twins. */
+object Text {
+  /** Whitespace tokenizer; empty text → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  val tokensSqlExpr: String =
+    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
+
+  /** n-word shingles over the token stream. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** doc_id + distinct 3-shingle set for the documents table. */
+  def shingleSets(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("shingles"))
+
+  val shingleSetsSql: String =
+    s"""SELECT doc_id, list_distinct(
+       |    CASE WHEN len(t) < 3 THEN []
+       |         ELSE list_transform(generate_series(1, len(t)-2),
+       |                i -> array_to_string(t[i:i+2], ' '))
+       |    END) AS shingles
+       |  FROM (SELECT doc_id, $tokensSqlExpr AS t FROM documents)""".stripMargin
+}
+
+/** Vector math with sequential folds so Spark and DuckDB produce
+  * bit-identical doubles (both fold left-to-right; parallel SUM would
+  * not be order-stable).
+  */
+object Vectors {
+  /** Sequential dot product of two array<double> columns — the codegen'd
+    * [[graft.functions.DotProduct]] expression (same left-to-right
+    * accumulation as the HOF fold `aggregate(zip_with(a,b,_*_),0.0,_+_)`,
+    * which stays in [[dotHof]] as the reference implementation and is
+    * property-tested equal). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** Interpreted HOF fold — reference semantics for [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB twin: fold over an index list; FLOAT[] inputs are cast to
+    * double elementwise before multiplication, matching the Spark cast. */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(generate_series(1, len($a)),
+       |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Schema-discovery and JSON-payload operators (SURVEY §2.3 F3, §2.5 A4/A5):
+  * the reference's dynamic field catalog and nested-response serving,
+  * re-expressed over the `events` table's JSON `props` column.
+  *
+  * At scale these are scan-side projections (get_json_object /
+  * from_json are codegen'd) followed by one aggregation shuffle on the
+  * discovery key — the reference's O(history) per-ingest full rescans
+  * (`field_discovery.py:21-28`) become a single incremental pass.
+  */
+object Discovery {
+
+  // --- q_ds_json_pred -----------------------------------------------------
+  // JSON-path predicate with cast (reference `discovery.py:73`:
+  // `(raw_payload ->> 'siteId')::int = :site_id`).
+  def jsonPred(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(get_json_object(col("props"), "$.k").cast("int") >= 90)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  val jsonPredSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  // --- q_ds_field_discovery -----------------------------------------------
+  // The reference's schema-inference aggregate (`field_discovery.py:19-64`):
+  // per (dataset, field): union of observed types, null count, row count,
+  // deterministic example (min value). Dataset ≈ event_type here.
+  def fieldDiscovery(s: SparkSession, d: String): DataFrame = {
+    val kv = Tables.events(s, d)
+      .select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))).as(Seq("field_name", "v")))
+    kv.withColumn("vtype",
+        when(col("v").isNull, "null")
+          .when(col("v").rlike("^-?[0-9]+$"), "integer")
+          .when(col("v").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+          .when(col("v").isin("true", "false"), "boolean")
+          .otherwise("string"))
+      .groupBy("event_type", "field_name")
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("vtype")))).as("inferred_types"),
+        count(when(col("v").isNull, 1)).as("n_null"),
+        count(lit(1)).as("n_rows"),
+        min(col("v")).as("example_value"))
+      .orderBy("event_type", "field_name")
+  }
+
+  val fieldDiscoverySql: String =
+    """WITH kv AS (
+      |  SELECT event_type, k.key AS field_name,
+      |    json_extract_string(props, '$.' || k.key) AS v
+      |  FROM events, unnest(json_keys(props)) k(key)),
+      |typed AS (
+      |  SELECT event_type, field_name, v,
+      |    CASE WHEN v IS NULL THEN 'null'
+      |         WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'integer'
+      |         WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'float'
+      |         WHEN v IN ('true', 'false') THEN 'boolean'
+      |         ELSE 'string' END AS vtype
+      |  FROM kv)
+      |SELECT event_type, field_name,
+      |  array_to_string(list_sort(list_distinct(list(vtype))), ',') AS inferred_types,
+      |  count(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+      |  count(*) AS n_rows,
+      |  min(v) AS example_value
+      |FROM typed
+      |GROUP BY event_type, field_name
+      |ORDER BY event_type, field_name""".stripMargin
+
+  // --- q_ds_group_collect -------------------------------------------------
+  // The reference's nest-points-under-series serving shape
+  // (`routes.py:40-61`): group, collect the time-ordered point list, and
+  // project stable scalars out of it (head element + size) so the result
+  // is hash-comparable while still exercising collect_list/sort_array.
+  def groupCollect(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("points"))
+    pts.select(
+      col("user_id"),
+      size(col("points")).as("n_points"),
+      element_at(col("points"), 1).getField("ts").as("first_ts"),
+      element_at(col("points"), 1).getField("value").as("first_value"),
+      element_at(col("points"), -1).getField("ts").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  val groupCollectSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_points,
+      |    max(ts) OVER (PARTITION BY user_id) AS last_ts
+      |  FROM events)
+      |SELECT user_id, n_points, ts AS first_ts, value AS first_value, last_ts
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_json_pred" -> (jsonPred _),
+    "q_ds_field_discovery" -> (fieldDiscovery _),
+    "q_ds_group_collect" -> (groupCollect _))
+
+  val oracles: Map[String, String] = Map(
+    "q_ds_json_pred" -> jsonPredSql,
+    "q_ds_field_discovery" -> fieldDiscoverySql,
+    "q_ds_group_collect" -> groupCollectSql)
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the per-document
+  * scoring a training-data pipeline runs before filtering/dedup: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs), so at
+  * 100 TB they run as a single scan projection: no shuffle at all until
+  * an aggregation/sort asks for one. Every query has an exact DuckDB
+  * oracle; hash-sensitive arithmetic uses sequential `aggregate` folds
+  * which both engines evaluate in identical order.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer shared by the operators. Empty text → empty
+    * array (a bare split would yield `[""]`). */
+  private def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  private val tokensSql =
+    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
+
+  // --- q_tx_token_count ---------------------------------------------------
+  // Whitespace + BPE-ish subword counting. The BPE-ish estimate is
+  // ceil(chars/4) per token summed — the standard "~4 chars per token"
+  // proxy, computed without a tokenizer model.
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        aggregate(
+          tokens(col("text")),
+          lit(0L),
+          (acc, t) => acc + ceil(length(t).cast("double") / 4).cast("long")
+        ).as("n_subwords"),
+        length(col("text")).as("len_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len($tokensSql) AS n_tokens,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform($tokensSql,
+       |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), (acc, x) -> acc + x) AS n_subwords,
+       |  length(text) AS len_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // --- q_tx_quality -------------------------------------------------------
+  // Length / punctuation / stopword-ratio quality scoring. Ratios are
+  // double divisions of integer counts — deterministic across engines.
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(toks).as("n_tokens"),
+        (length(col("text")).cast("double") / greatest(size(toks), lit(1)))
+          .as("avg_token_len"),
+        (size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+          greatest(size(toks), lit(1))).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+          greatest(length(col("text")), lit(1))).as("punct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang,
+       |  len($tokensSql) AS n_tokens,
+       |  length(text) / greatest(len($tokensSql), 1)::DOUBLE AS avg_token_len,
+       |  len(list_filter($tokensSql, t -> list_contains($stopList, t)))
+       |    / greatest(len($tokensSql), 1)::DOUBLE AS stopword_ratio,
+       |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+       |    / greatest(length(text), 1)::DOUBLE AS punct_ratio
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q_tx_langid --------------------------------------------------------
+  // Character-n-gram language ID: score = occurrence count of marker
+  // n-grams per language; argmax wins, ties broken by language name.
+  // Occurrence counting via length-difference (needs no regex engine
+  // agreement between Spark and DuckDB).
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "er"),
+    "de" -> Seq("sch", "ein"),
+    "es" -> Seq("ción", "que"),
+    "fr" -> Seq("eau", "oux"),
+    "zh" -> Seq("的", "是"))
+
+  private def occurrences(text: Column, pat: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) /
+      lit(pat.length)).cast("long")
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val scores = markers.map { case (lang, pats) =>
+      struct(
+        pats.map(p => occurrences(col("text"), p)).reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang) = argmax with lexicographic
+    // tie-break on the language code — same rule the oracle applies.
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang").as("true_lang"),
+        array_max(array(scores: _*)).getField("lang").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def occ(p: String) =
+      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
+    val structs = markers.map { case (lang, pats) =>
+      s"{'score': ${pats.map(occ).mkString(" + ")}, 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang AS true_lang,
+       |  list_max($structs).lang AS pred_lang
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q_tx_fingerprint ---------------------------------------------------
+  // Polynomial rolling hash over token stream (content-defined document
+  // fingerprint): h = fold(h*31 + md5_32(token) mod p). Token-level, so
+  // whitespace-normalization-invariant; sequential fold in both engines.
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        aggregate(
+          tokens(col("text")),
+          lit(0L),
+          (acc, t) => pmod(acc * 31 + Hashes.md5Int32(t), lit(2147483647L)))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform($tokensSql,
+       |      t -> ${Hashes.md5Int32Sql("t")})),
+       |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_token_count" -> (tokenCount _),
+    "q_tx_quality" -> (qualityScore _),
+    "q_tx_langid" -> (langId _),
+    "q_tx_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q_tx_token_count" -> tokenCountSql,
+    "q_tx_quality" -> qualityScoreSql,
+    "q_tx_langid" -> langIdSql,
+    "q_tx_fingerprint" -> fingerprintSql)
+}
+
+/** Cross-engine deterministic hashing: both Spark and DuckDB expose md5
+  * over strings with identical output, so a 32-bit integer hash derived
+  * from the first 8 hex chars is reproducible in both engines — the
+  * foundation for MinHash/SimHash oracles. (Spark's native hash/xxhash64
+  * would be faster but has no DuckDB twin; swap in xxhash64 for
+  * production once oracle parity is no longer needed.)
+  */
+object Hashes {
+  /** 32-bit unsigned int from md5, as a non-negative long column. */
+  def md5Int32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Same hash in DuckDB SQL, for oracle queries. */
+  def md5Int32Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
+
+  /** Seeded variant: hash of (seed ++ value). */
+  def md5Int32Seeded(c: Column, seed: Int): Column =
+    md5Int32(concat(lit(seed.toString), lit("_"), c))
+
+  def md5Int32SeededSql(expr: String, seed: Int): String =
+    md5Int32Sql(s"'${seed}_' || $expr")
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.warehouse.Upsert
+
+/** Streaming ingestion semantics (SURVEY §2.9): the reference is
+  * micro-batch by scheduler — hourly APScheduler runs with
+  * `max_instances=1, coalesce=True` (`scheduler.py:10-18`), late and
+  * duplicate data handled by idempotent upsert (`loader.py:20-30`).
+  *
+  * Structured-Streaming mapping:
+  *  - scheduler tick        → `Trigger.AvailableNow` (drain what exists,
+  *    stop; re-run per cron). `coalesce=True` comes free: a missed tick
+  *    just means the next run drains a bigger backlog.
+  *  - duplicate suppression → `withWatermark` +
+  *    `dropDuplicatesWithinWatermark` keyed like the upsert PK — state
+  *    stays bounded by the watermark horizon instead of growing forever.
+  *  - idempotent sink       → `foreachBatch` + [[Upsert.upsert]]: each
+  *    micro-batch merges last-write-wins on the key, so replays (which
+  *    AvailableNow restarts can produce) cannot double-write.
+  *
+  * At scale the source is a stream of landed files (or Kafka); state and
+  * sink merges shard on the upsert key, so 1000 executors each hold
+  * 1/1000th of the watermark window — no single-node state bottleneck.
+  */
+object MicroBatch {
+
+  /** File-source stream over a parquet directory of events. */
+  def readEvents(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(dir)
+
+  /** Dedup + normalize transform on the stream: drop events that
+    * duplicate an already-seen (user_id, event_type, ts) key within the
+    * watermark horizon.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "ts"))
+
+  /** Run one AvailableNow drain: read → dedup → foreachBatch upsert into
+    * the parquet table at `sinkPath`. Returns after the backlog is fully
+    * processed (awaitTermination), like one scheduler tick.
+    */
+  def drainOnce(spark: SparkSession, sourceDir: String, checkpoint: String,
+                sinkPath: String, schemaFrom: DataFrame): Unit = {
+    val q: StreamingQuery = dedupWithinWatermark(readEvents(spark, sourceDir, schemaFrom))
+      .withColumn("ingestion_time", current_timestamp())
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.upsert(spark, sinkPath, batch,
+          keys = Seq("user_id", "event_type", "ts"),
+          versionCol = "ingestion_time")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Windowed streaming aggregation (the serving-side rollup): per
+    * 10-minute tumbling window × event_type counts and sums, emitted
+    * append-mode once the watermark passes the window end. */
+  def windowedCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+}

@@ -24,4 +24,7 @@ object SparkSpec {
 abstract class SparkSpec extends AnyFunSuite {
   def spark: SparkSession = SparkSpec.spark
   def sf: String = SparkSpec.sf
+
+  /** Stable session identifier so specs can `import ss.implicits._`. */
+  protected lazy val ss: SparkSession = SparkSpec.spark
 }

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.MicroBatch
+
+class StreamingSpec extends SparkSpec {
+
+  private def dir(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("AvailableNow drain upserts the backlog idempotently") {
+    val src = dir("stream-src")
+    val sink = dir("stream-sink") + "/obs"
+    val cp1 = dir("stream-cp1")
+
+    val events = Tables.events(spark, sf).limit(200).cache()
+    events.write.mode("overwrite").parquet(src)
+    val expected = events.dropDuplicates(Seq("user_id", "event_type", "ts")).count()
+
+    MicroBatch.drainOnce(spark, src, cp1, sink, events)
+    assert(spark.read.parquet(sink).count() == expected)
+
+    // replay the same backlog through a fresh checkpoint (simulates a
+    // re-ingestion / recovery replay) — upsert keeps it a no-op
+    MicroBatch.drainOnce(spark, src, dir("stream-cp2"), sink, events)
+    assert(spark.read.parquet(sink).count() == expected)
+  }
+
+  test("windowed aggregation matches the batch rollup") {
+    val src = dir("w-src")
+    val events = Tables.events(spark, sf).limit(500).cache()
+    events.write.mode("overwrite").parquet(src)
+
+    val stream = MicroBatch.windowedCounts(
+      MicroBatch.readEvents(spark, src, events))
+    val q = stream.writeStream
+      .format("memory").queryName("wc")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // batch equivalent over the same data (windows whose end precedes the
+    // final watermark are emitted; with AvailableNow the last windows may
+    // be withheld, so compare only emitted windows)
+    val emitted = spark.table("wc")
+    val batch = events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    val joined = emitted.alias("s").join(batch.alias("b"),
+      Seq("window_start", "event_type"))
+    // every emitted row must agree with the batch rollup
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events")).isEmpty)
+  }
+}
