@@ -1,0 +1,104 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.JsonIngest
+
+/** The flagship write pipeline (SURVEY §3.2, `POST /v2/ingest/gas`) as a
+  * single DataFrame DAG — the reference's per-series Python loops and
+  * full-history rescans (`run_all.py:74-120`) become five set-oriented
+  * stages over one cached wide batch:
+  *
+  *   wide batch → (1) land raw zero-loss → (2) incremental field
+  *   discovery → (3) series auto-register (anti-join, insert-if-absent)
+  *   → (4) unpivot + safe-cast + slug → (5) last-write-wins upsert.
+  *
+  * Everything is keyed work: raw append is a scan-side projection;
+  * discovery is one aggregation on (dataset, field); registration and
+  * upsert shuffle only on their catalog/PK keys. Re-running the same
+  * batch is a no-op end to end (upsert idempotence), which is the
+  * reference's crash-recovery contract.
+  */
+object Ingest {
+
+  /** Warehouse table paths under one root. */
+  case class Warehouse(root: String) {
+    val rawEvents: String = s"$root/raw_events"
+    val fieldCatalog: String = s"$root/field_catalog"
+    val metaSeries: String = s"$root/meta_series"
+    val observations: String = s"$root/data_observations"
+  }
+
+  /** Ingest one wide API batch (e.g. gas-quality rows: time column +
+    * site column + N numeric metric columns).
+    *
+    * @param wide      the fetched batch (already parsed from JSON)
+    * @param dataset   dataset id, e.g. "GAS_QUALITY"
+    * @param timeCol   event-time column name
+    * @param keyCols   identity columns (site, point, ...) that become
+    *                  series-id parts
+    */
+  def ingestWide(spark: SparkSession, wh: Warehouse, wide: DataFrame,
+                 dataset: String, timeCol: String, keyCols: Seq[String]): Unit = {
+    val batch = wide.cache()
+    try {
+      // (1) zero-loss raw landing (W1)
+      JsonIngest.landRaw(batch, dataset, keyCols.headOption)
+        .write.mode("append").parquet(wh.rawEvents)
+
+      // (2) field discovery — on THIS batch only, merged incrementally
+      // (the reference rescans all history per ingest, field_discovery.py:21)
+      val increment = FieldDiscovery.discover(
+        JsonIngest.landRaw(batch, dataset).select("dataset_id", "raw_payload"))
+      val merged =
+        if (exists(spark, wh.fieldCatalog))
+          FieldDiscovery.merge(spark.read.parquet(wh.fieldCatalog), increment)
+        else increment
+      writeSwap(spark, wh.fieldCatalog, merged)
+
+      // (3) series auto-register: distinct (keys × numeric metric) not yet
+      // in the catalog (series_autoregister.py as one anti-join append)
+      val unpivoted = Normalize.unpivotNumeric(batch, idCols = timeCol +: keyCols)
+      val series = unpivoted
+        .select((keyCols.map(col) :+ col("metric")): _*).distinct()
+        .withColumn("series_id",
+          Normalize.makeSeriesId(lit(dataset), (keyCols.map(col) :+ col("metric")): _*))
+        .select(col("series_id"), lit(dataset).as("dataset_id"),
+          col("metric").as("description"), lit(true).as("is_active"))
+      Upsert.insertIfAbsent(spark, wh.metaSeries, series, Seq("series_id"))
+
+      // (4)+(5) normalize to observations and upsert on the composite PK
+      val obs = Normalize.toObservations(unpivoted, dataset, timeCol, keyCols)
+        .withColumn("quality_flag", lit(null).cast("string"))
+        .withColumn("ingestion_time", current_timestamp())
+      Upsert.upsert(spark, wh.observations, obs,
+        keys = Seq("series_id", "observation_time"), versionCol = "ingestion_time")
+    } finally batch.unpersist()
+  }
+
+  /** Serving read: the reference client's `get_history` (SURVEY §3.3). */
+  def getHistory(spark: SparkSession, wh: Warehouse, seriesId: String,
+                 start: String, end: String): DataFrame =
+    spark.read.parquet(wh.observations)
+      .filter(col("series_id") === seriesId &&
+        col("observation_time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+      .orderBy("observation_time")
+      .select("observation_time", "value")
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path))
+  }
+
+  private def writeSwap(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val staging = path + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+  }
+}
