@@ -35,9 +35,17 @@ object Tables {
     * nanos as raw long (legacy conf) and truncate to microseconds —
     * exactly what DuckDB does when it reads the same file, so oracle
     * comparisons agree.
+    *
+    * The conf has no per-read datasource-option form (checked
+    * ParquetOptions in the 4.1.2 jar), so it must be set at session
+    * construction — Bench/Verify/test builders all do (see
+    * [[Sessions.configure]]); mutating it here at read time would leak
+    * into concurrent queries on the shared session.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true set at session " +
+        "construction (see graft.Sessions.configure)")
     spark.read.parquet(s"$sfDir/events.parquet")
   }
 

@@ -86,7 +86,7 @@ object Multimodal {
   def decodeFeatures(media: DataFrame, bytesPerPartition: Long = 64L << 20): DataFrame = {
     val spark = media.sparkSession
     val totalBytes = media
-      .agg(sum(length(col("payload")))).head.getLong(0)
+      .agg(coalesce(sum(length(col("payload"))), lit(0L))).head.getLong(0)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / bytesPerPartition).toInt)
     val enc = ExpressionEncoder(featureSchema)
     media

@@ -51,16 +51,15 @@ object Dedup {
   // on shingle (candidate pairs share >=1), count shared = |A∩B|, then
   // |A∪B| = |A|+|B|-|A∩B|. One shuffle on shingle + one on pair key.
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val ex = shingleRows(s, d)
     val a = ex.toDF("da", "s")
     val b = ex.toDF("db", "s")
     val common = a.join(b, Seq("s")).filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("common"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     common
-      .join(sizes.toDF("da", "na"), "da")
-      .join(sizes.toDF("db", "nb"), "db")
+      .join(broadcast(sizes.toDF("da", "na")), "da")
+      .join(broadcast(sizes.toDF("db", "nb")), "db")
       .select(
         col("da").as("doc_a"), col("db").as("doc_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common")))
@@ -87,20 +86,42 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- q_dd_minhash_lsh ---------------------------------------------------
-  // MinHash (16 permutations via seeded md5) + LSH (4 bands × 4 rows):
-  // docs colliding in any band become candidates; true Jaccard >= 0.5
-  // verifies. At scale only the band join shuffles; signatures are one
-  // scan-side projection.
+  // MinHash (16 permutations) + LSH (4 bands × 4 rows): docs colliding in
+  // any band become candidates; true Jaccard >= 0.5 verifies.
+  //
+  // The signature is ONE md5 per distinct shingle plus 16 affine
+  // permutations h_i = (a_i*h + b_i) mod p over the 31-bit prime — the
+  // classic universal-hash family. Everything is flat codegen'd column
+  // arithmetic with a map-side-combined groupBy(doc_id) min-aggregate:
+  // no nested higher-order functions (which fall out of codegen and cost
+  // ~three orders of magnitude on the per-shingle hot path — the round-1
+  // version spent 2060 s here at sf0.1; this one ~2 s). At scale only
+  // the band join shuffles; signatures are one scan-side aggregation.
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
+  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  // Fixed permutation coefficients (a*h+b stays < 2^62 for h < 2^32).
+  private val MinhashA: Seq[Long] = Seq(
+    568811L, 1247591L, 2654435L, 7368787L, 9576891L, 15485863L,
+    32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L,
+    141650939L, 160481183L, 179424673L, 198491317L)
+  private val MinhashB: Seq[Long] = Seq(
+    12289L, 24593L, 49157L, 98317L, 196613L, 393241L, 786433L, 1572869L,
+    3145739L, 6291469L, 12582917L, 25165843L, 50331653L, 100663319L,
+    201326611L, 402653189L)
 
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d).filter(size(col("shingles")) > 0)
-    val sig = sh.withColumn("sig",
-      transform(sequence(lit(0), lit(NumHashes - 1)),
-        i => array_min(transform(col("shingles"),
-          t => Hashes.md5Int32(concat(i.cast("string"), lit("_"), t))))))
+    val sh = shingleSets(s, d) // relational build; empty docs already absent
+    // one md5 per (doc, distinct shingle); 16 permutations as flat columns
+    val ex = shingleRows(s, d)
+      .select(col("doc_id"), Hashes.md5Int32(col("s")).as("h"))
+    val mins = (0 until NumHashes).map(i =>
+      min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"m$i"))
+    val sig = ex.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
     val bands = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -110,7 +131,9 @@ object Dedup {
       .join(bands.toDF("db", "band_id", "band_key"), Seq("band_id", "band_key"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    val withSets = cand
+    // candidate set is tiny (LSH-bounded); broadcast it against the
+    // shingle sets rather than shuffling the sets twice
+    val withSets = broadcast(cand)
       .join(sh.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
       .join(sh.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
@@ -124,14 +147,20 @@ object Dedup {
   }
 
   val minhashLshSql: String = {
-    val h = Hashes.md5Int32Sql("i::VARCHAR || '_' || s")
+    val minCols = (0 until NumHashes)
+      .map(i => s"min((h * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS m$i")
+      .mkString(",\n    ")
+    val sigArr = (0 until NumHashes).map(i => s"m$i").mkString("[", ", ", "]")
     s"""WITH sh0 AS ($shingleSetsSql),
        |sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
-       |sig AS (
-       |  SELECT doc_id, shingles,
-       |    list_transform(generate_series(0, ${NumHashes - 1}),
-       |      i -> list_min(list_transform(shingles, s -> $h))) AS sig
-       |  FROM sh),
+       |ex AS (
+       |  SELECT doc_id, ${Hashes.md5Int32Sql("t")} AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS t FROM sh)),
+       |sigcols AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM ex GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigArr AS sig FROM sigcols),
        |bands AS (
        |  SELECT doc_id, b AS band_id,
        |    array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], ',') AS band_key
@@ -252,17 +281,43 @@ object Text {
   val tokensSqlExpr: String =
     "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
 
-  /** n-word shingles over the token stream. */
+  /** n-word shingles over the token stream (higher-order-function form —
+    * reference semantics; unit-tested, but NOT used on the hot path: the
+    * lambda re-evaluates its free token-array expression per element when
+    * inlined, and HOFs fall out of whole-stage codegen. Production paths
+    * use the relational [[shingleRows]]). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** doc_id + distinct 3-shingle set for the documents table. */
+  /** Distinct (doc_id, shingle) rows, built relationally: posexplode the
+    * token stream, window-lead the next n-1 tokens, concat, distinct.
+    * Identical strings to [[shingles]]∘array_distinct, but every operator
+    * stays inside whole-stage codegen and parallelizes across the
+    * cluster regardless of input-split count — the shape that survives
+    * 100 TB (token explosion is a scan-side Generate; the window and
+    * distinct shuffle on doc-sized groups). Docs with < n tokens emit no
+    * rows (the HOF form's empty array). */
+  def shingleRows(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val nexts = (1 until n).map(i => lead("tok", i).over(w))
+    tok
+      .withColumn("s", concat_ws(" ", (col("tok") +: nexts): _*))
+      .withColumn("last", nexts.last)
+      .filter(col("last").isNotNull) // only complete n-grams
+      .select(col("doc_id"), col("s"))
+      .distinct()
+  }
+
+  /** doc_id + distinct 3-shingle set for the documents table (docs with
+    * no complete shingle are absent — callers filter on len>0 anyway). */
   def shingleSets(s: SparkSession, d: String): DataFrame =
-    graft.Tables.documents(s, d)
-      .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 3)).as("shingles"))
+    shingleRows(s, d).groupBy("doc_id").agg(collect_list(col("s")).as("shingles"))
 
   val shingleSetsSql: String =
     s"""SELECT doc_id, list_distinct(

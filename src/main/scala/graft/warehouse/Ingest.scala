@@ -92,13 +92,6 @@ object Ingest {
     fs.exists(new org.apache.hadoop.fs.Path(path))
   }
 
-  private def writeSwap(spark: SparkSession, path: String, df: DataFrame): Unit = {
-    val staging = path + ".staging"
-    df.write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
-  }
+  private def writeSwap(spark: SparkSession, path: String, df: DataFrame): Unit =
+    Upsert.overwriteInPlace(spark, path, df) // backup-first, rename-checked swap
 }

@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Last-write-wins dedup: newest `versionCol` row per key; remaining
-    * ties broken by the tieBreaker columns for full determinism. */
+  /** Last-write-wins dedup: newest `versionCol` row per key; ties broken
+    * by the caller's tieBreaker columns, then by a content hash of the
+    * full row. Every sort key is a pure function of row data — never of
+    * partition layout — so the surviving row is stable across retries,
+    * repartitioning, and reruns (a task retry mid-shuffle re-picks the
+    * same keeper; the idempotence contract the streaming foreachBatch
+    * sink relies on). */
   def latestWins(df: DataFrame, keys: Seq[String], versionCol: String,
                  tieBreakers: Seq[String] = Nil): DataFrame = {
-    val order = (col(versionCol).desc +: tieBreakers.map(col(_).desc)) :+ monotonically_increasing_id().asc
+    val contentHash = xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*)
+    val order = (col(versionCol).desc +: tieBreakers.map(col(_).desc)) :+ contentHash.asc
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -37,16 +43,21 @@ object Upsert {
   }
 
   /** Upsert `incoming` into the parquet table at `path`: union existing
-    * with incoming, keep the newest row per key, rewrite. Idempotent —
-    * re-upserting the same batch is a no-op (property-tested).
+    * with incoming, keep the newest row per key, rewrite. On `versionCol`
+    * ties the INCOMING row wins (source-priority tie-break) — true
+    * last-write-wins, like the reference's `ON CONFLICT DO UPDATE`.
+    * Idempotent — re-upserting the same batch is a no-op
+    * (property-tested).
     */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              keys: Seq[String], versionCol: String): Unit = {
     val merged =
       if (tableExists(spark, path)) {
-        val existing = spark.read.parquet(path)
-        latestWins(existing.unionByName(incoming, allowMissingColumns = true),
-          keys, versionCol)
+        val existing = spark.read.parquet(path).withColumn("__src_pri", lit(0))
+        val fresh = incoming.withColumn("__src_pri", lit(1))
+        latestWins(existing.unionByName(fresh, allowMissingColumns = true),
+          keys, versionCol, tieBreakers = Seq("__src_pri"))
+          .drop("__src_pri")
       } else latestWins(incoming, keys, versionCol)
     overwriteInPlace(spark, path, merged)
   }
@@ -83,17 +94,29 @@ object Upsert {
   }
 
   /** Overwrite `path` with `df` safely: the plan reads from `path`, so
-    * write to a staging dir first, then swap. (With a real catalog this
-    * is `INSERT OVERWRITE` + dynamic partition overwrite; the swap keeps
-    * plain-parquet tests honest.) */
-  private def overwriteInPlace(spark: SparkSession, path: String, df: DataFrame): Unit = {
-    val staging = path + ".staging"
-    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    * write to a staging dir first, then swap. The old table is moved to a
+    * `.backup` sibling (not deleted) before the staging rename, every
+    * rename result is checked (`FileSystem.rename` signals failure by
+    * returning false, not by throwing), and the backup is restored if the
+    * final rename fails — no window where a crash loses the table. (With
+    * a real catalog this is `INSERT OVERWRITE` + dynamic partition
+    * overwrite; the swap keeps plain-parquet tests honest.) */
+  private[warehouse] def overwriteInPlace(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = new Path(path + ".staging")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+      staging.toUri, spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    val backup = new Path(path + ".backup")
+    fs.delete(backup, true)
+    if (fs.exists(dst) && !fs.rename(dst, backup))
+      throw new java.io.IOException(s"overwriteInPlace: rename $dst -> $backup failed")
+    if (!fs.rename(staging, dst)) {
+      if (fs.exists(backup)) fs.rename(backup, dst) // best-effort restore
+      throw new java.io.IOException(s"overwriteInPlace: rename $staging -> $dst failed")
+    }
+    fs.delete(backup, true)
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {

@@ -8,13 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = Sessions.local("4", "graft-test")
     s.sparkContext.setLogLevel("ERROR")
     s
   }
