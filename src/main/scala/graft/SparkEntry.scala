@@ -20,7 +20,9 @@ object SparkEntry {
       _root_.graft.queries.TextAnalysis.all ++
       _root_.graft.queries.Dedup.all ++
       _root_.graft.queries.Similarity.all ++
-      _root_.graft.queries.Discovery.all
+      _root_.graft.queries.Discovery.all ++
+      _root_.graft.queries.Temporal.all ++
+      _root_.graft.queries.Analytics.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +31,7 @@ object SparkEntry {
       _root_.graft.queries.TextAnalysis.oracles ++
       _root_.graft.queries.Dedup.oracles ++
       _root_.graft.queries.Similarity.oracles ++
-      _root_.graft.queries.Discovery.oracles
+      _root_.graft.queries.Discovery.oracles ++
+      _root_.graft.queries.Temporal.oracles ++
+      _root_.graft.queries.Analytics.oracles
 }

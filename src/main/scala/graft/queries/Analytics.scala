@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** OLAP analytics beyond the reference surface: multi-dimensional
+  * aggregation (ROLLUP / CUBE / GROUPING SETS), exact percentiles, pivot
+  * (wide conditional aggregation), sketch cardinality, and semi-join.
+  *
+  * Scale notes: rollup/cube expand each input row into its grouping-set
+  * combinations before one hash aggregation — same single shuffle as a
+  * plain groupBy (cost × #sets, bounded here at 3–4). Percentiles use
+  * Spark's exact `percentile` (sort-based within groups); at 100 TB the
+  * swap is `approx_percentile` (t-digest) — demonstrated without an
+  * oracle in [[approxDistinct]]'s sketch family. Money sums go through
+  * DECIMAL(18,2) like Relational's, so parallel summation order can't
+  * move bits.
+  */
+object Analytics {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  // --- q_ag_rollup --------------------------------------------------------
+  // ROLLUP (flag, status): detail + per-flag subtotal + grand total in
+  // one pass. NULLS FIRST everywhere: Spark's asc default and DuckDB's
+  // explicit, so subtotal rows sort identically.
+  def rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // --- q_ag_cube ----------------------------------------------------------
+  // CUBE (priority, status) over orders: all 4 grouping sets in one pass.
+  def cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        sum(dec("o_totalprice")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val cubeSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  // --- q_ag_grouping_sets -------------------------------------------------
+  // Explicit GROUPING SETS via SQL (the Dataset API exposes only
+  // rollup/cube; arbitrary sets go through the SQL front end).
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_gs_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // --- q_ag_percentiles ---------------------------------------------------
+  // Exact quartiles of quantity per return flag. Integer-valued doubles
+  // and quarter fractions keep the linear interpolation exact in both
+  // engines (Spark `percentile` and DuckDB `quantile_cont` use the same
+  // p·(n−1) definition).
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.50) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --- q_ag_pivot ---------------------------------------------------------
+  // Long→wide pivot: per-user event-type counts as columns. Pivot values
+  // are an explicit list (deterministic schema — never scan-inferred at
+  // scale); missing cells coalesce to 0 like the oracle's FILTER form.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
+  val pivotCountsSql: String = {
+    val cols = EventTypes
+      .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  // --- q_ag_approx_distinct -----------------------------------------------
+  // Sketch cardinality (HLL++) next to the exact count. No DuckDB oracle
+  // (different HLL implementations can't hash-match) → the driver records
+  // the weaker rows-only check, which is the right contract for an
+  // approximate operator. At 100 TB the sketch is the only affordable
+  // distinct; the exact column is here to make the demo self-validating.
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  // --- q_j6_semijoin ------------------------------------------------------
+  // LEFT SEMI: orders with at least one late-shipped line — the membership
+  // probe pattern (EXISTS) as a real semi-join, no row duplication.
+  def semijoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val late = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00")))
+    o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val semijoinSql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ag_rollup" -> (rollup _),
+    "q_ag_cube" -> (cube _),
+    "q_ag_grouping_sets" -> (groupingSets _),
+    "q_ag_percentiles" -> (percentiles _),
+    "q_ag_pivot" -> (pivotCounts _),
+    "q_ag_approx_distinct" -> (approxDistinct _),
+    "q_j6_semijoin" -> (semijoin _))
+
+  /** q_ag_approx_distinct intentionally absent: sketches have no exact
+    * cross-engine oracle. */
+  val oracles: Map[String, String] = Map(
+    "q_ag_rollup" -> rollupSql,
+    "q_ag_cube" -> cubeSql,
+    "q_ag_grouping_sets" -> groupingSetsSql,
+    "q_ag_percentiles" -> percentilesSql,
+    "q_ag_pivot" -> pivotCountsSql,
+    "q_j6_semijoin" -> semijoinSql)
+}

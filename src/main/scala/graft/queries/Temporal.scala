@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series operators beyond the reference's own surface (SURVEY §2.4
+  * note: the reference has no as-of/range join — a time-series serving
+  * engine should): as-of join, bucketed range join, gap-fill/resample
+  * with forward fill, sessionization, and ordered moving aggregates.
+  *
+  * Scale design (100 TB):
+  *  - The as-of join is the union+ordered-window formulation: one shuffle
+  *    on the join key, one local sort — never a per-probe lookup or a
+  *    range cross product. This is the standard formulation that survives
+  *    arbitrarily large build/probe sides (both stream through a sort).
+  *  - The range join bins time into fixed buckets and equi-joins on
+  *    (key, bucket) — candidate pairs are bounded by bucket width, the
+  *    classic interval-bin trick; the exact predicate filters after.
+  *  - Gap-fill generates per-key grids with `sequence` (scan-side, no
+  *    driver loop) and forward-fills with an ordered window.
+  *  - Sessionization is lag + prefix-sum — two window passes over one
+  *    shuffle on the session key.
+  *  - All event-time comparisons are integer micros (`unix_micros`) so
+  *    the DuckDB oracles (`epoch_us`) are bit-identical.
+  */
+object Temporal {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  // --- q_t1_asof_join -----------------------------------------------------
+  // For each click, the most recent error of the same user at-or-before
+  // the click (ties on error ts broken by highest event_id). Implemented
+  // as union + last(ignoreNulls) over an ordered window — no range
+  // explosion; the only shuffle is on user_id.
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val probe = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(1).as("is_probe"),
+        lit(null).cast("timestamp").as("b_ts"),
+        lit(null).cast("long").as("b_id"),
+        lit(null).cast("double").as("b_value"))
+    val build = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"), lit(0).as("is_probe"),
+        col("ts").as("b_ts"), col("event_id").as("b_id"), col("value").as("b_value"))
+    // Build rows sort before probes at equal ts (inclusive <=); among
+    // equal-ts builds, higher event_id sorts later so last() picks it.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_probe"), col("b_id"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.unionByName(build)
+      .withColumn("err_ts", last(col("b_ts"), ignoreNulls = true).over(w))
+      .withColumn("err_value", last(col("b_value"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select("event_id", "user_id", "ts", "value", "err_ts", "err_value")
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id, p.user_id, p.ts, p.value, l.err_ts, l.err_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') p
+      |LEFT JOIN LATERAL (
+      |  SELECT b.ts AS err_ts, b.value AS err_value
+      |  FROM events b
+      |  WHERE b.event_type = 'error' AND b.user_id = p.user_id AND b.ts <= p.ts
+      |  ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) l ON true
+      |ORDER BY event_id""".stripMargin
+
+  // --- q_t2_range_join ----------------------------------------------------
+  // For each error, how many clicks the same user made in the preceding
+  // 10 minutes. Time is binned into 10-minute buckets; each click lands
+  // in its bucket and the next, errors equi-join on (user_id, bucket) and
+  // the exact range predicate filters — every candidate pair shares a
+  // bucket, so the O(n·m) interval cross product never materializes.
+  private val RangeSecs = 600L
+
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        floor(unix_micros(col("ts")) / (RangeSecs * 1000000L)).as("bucket"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        floor(unix_micros(col("ts")) / (RangeSecs * 1000000L)).as("b0"))
+      .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+    err.join(clk, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        when(col("c_ts").isNotNull &&
+          unix_micros(col("c_ts")) >= unix_micros(col("ts")) - RangeSecs * 1000000L &&
+          col("c_ts") < col("ts"), 1L).otherwise(0L))
+      .groupBy("event_id", "user_id", "ts")
+      .agg(sum(col("hit")).as("n_recent_clicks"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinSql: String =
+    s"""SELECT e.event_id, e.user_id, e.ts,
+       |  (SELECT count(*) FROM events c
+       |   WHERE c.event_type = 'click' AND c.user_id = e.user_id
+       |     AND epoch_us(c.ts) >= epoch_us(e.ts) - ${RangeSecs * 1000000L}
+       |     AND c.ts < e.ts) AS n_recent_clicks
+       |FROM events e WHERE e.event_type = 'error'
+       |ORDER BY e.event_id""".stripMargin
+
+  // --- q_t3_gapfill -------------------------------------------------------
+  // Resample each user's stream to an hourly grid (min..max hour of that
+  // user) and forward-fill the per-hour max value — the reference's
+  // lookback/refresh reads served gap-free series this way. The grid is
+  // sequence+explode per key (scan-side); the fill is one ordered window.
+  def gapfill(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val bounds = e.groupBy("user_id").agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val hourly = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max(col("value")).as("v")) // max: summation-order-free
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+      .select("user_id", "hour", "v_fill")
+      .orderBy("user_id", "hour")
+  }
+
+  val gapfillSql: String =
+    """WITH bounds AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+      |         date_trunc('hour', max(ts)) AS h1
+      |  FROM events GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds),
+      |hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, max(value) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT g.user_id, g.hour,
+      |  last_value(h.v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+      |ORDER BY g.user_id, g.hour""".stripMargin
+
+  // --- q_t4_sessionize ----------------------------------------------------
+  // Split each user's stream into sessions separated by >30 min of
+  // silence; emit per-session start/end/size. lag + prefix-sum over one
+  // user_id shuffle (the batch formulation of the streaming
+  // session-window operator in streaming/MicroBatch).
+  private val GapMicros = 30L * 60 * 1000000L
+
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = ev(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapMicros, 1L).otherwise(0L))
+    flagged
+      .withColumn("session_n", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_n")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_n")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $GapMicros
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+       |  FROM flagged)
+       |SELECT user_id, session_n, min(ts) AS session_start,
+       |  max(ts) AS session_end, count(*) AS n_events
+       |FROM sess GROUP BY user_id, session_n
+       |ORDER BY user_id, session_n""".stripMargin
+
+  // --- q_t5_moving --------------------------------------------------------
+  // Ordered lag/lead + explicit 3-point moving sum per user. The sum is
+  // written as v + lag1 + lag2 (not a frame aggregate) so both engines
+  // add in the same order and the doubles match bit-for-bit.
+  def moving(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, d)
+      .withColumn("prev1", lag(col("value"), 1).over(w))
+      .withColumn("prev2", lag(col("value"), 2).over(w))
+      .withColumn("next1", lead(col("value"), 1).over(w))
+      .withColumn("sum3",
+        col("value") + coalesce(col("prev1"), lit(0.0)) + coalesce(col("prev2"), lit(0.0)))
+      .select("event_id", "user_id", "ts", "value", "prev1", "prev2", "next1", "sum3")
+      .orderBy("event_id")
+  }
+
+  val movingSql: String =
+    """SELECT event_id, user_id, ts, value,
+      |  lag(value, 1) OVER w AS prev1,
+      |  lag(value, 2) OVER w AS prev2,
+      |  lead(value, 1) OVER w AS next1,
+      |  value + coalesce(lag(value, 1) OVER w, 0.0)
+      |        + coalesce(lag(value, 2) OVER w, 0.0) AS sum3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t1_asof_join" -> (asofJoin _),
+    "q_t2_range_join" -> (rangeJoin _),
+    "q_t3_gapfill" -> (gapfill _),
+    "q_t4_sessionize" -> (sessionize _),
+    "q_t5_moving" -> (moving _))
+
+  val oracles: Map[String, String] = Map(
+    "q_t1_asof_join" -> asofJoinSql,
+    "q_t2_range_join" -> rangeJoinSql,
+    "q_t3_gapfill" -> gapfillSql,
+    "q_t4_sessionize" -> sessionizeSql,
+    "q_t5_moving" -> movingSql)
+}

@@ -6,8 +6,11 @@ class RelationalSpec extends SparkSpec {
   import graft.queries.Relational
 
   test("every registered query runs and has an oracle or is exempt") {
+    // Exempt = approximate/sketch operators: no exact cross-engine oracle
+    // exists by construction; the driver records a rows-only check.
+    val exempt = Set("q_ag_approx_distinct")
     SparkEntry.queries.keys.foreach { name =>
-      assert(SparkEntry.oracleSql.contains(name) || name.endsWith("_noracle"),
+      assert(SparkEntry.oracleSql.contains(name) || exempt.contains(name),
         s"$name has no oracle entry")
     }
   }

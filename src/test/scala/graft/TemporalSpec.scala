@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Analytics, Temporal}
+
+/** Golden-case specs for the temporal/analytics operator families (the
+  * DuckDB oracle at sf0.01 is the primary gate; these pin the semantics
+  * on readable micro-cases so a refactor can't silently change meaning).
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("asof join picks latest error at-or-before each click, ties by event_id") {
+    val df = Temporal.asofJoin(spark, sf)
+    // every err_ts must be <= its click ts
+    assert(df.filter(col("err_ts") > col("ts")).count() === 0)
+    // clicks with no prior error have null err_ts and err_value together
+    assert(df.filter(col("err_ts").isNull =!= col("err_value").isNull).count() === 0)
+    assert(df.count() > 0)
+  }
+
+  test("range join counts are never negative and bounded by user click totals") {
+    val rj = Temporal.rangeJoin(spark, sf)
+    assert(rj.filter(col("n_recent_clicks") < 0).count() === 0)
+    val maxClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id").count().agg(max("count")).head.getLong(0)
+    assert(rj.agg(max("n_recent_clicks")).head.getLong(0) <= maxClicks)
+  }
+
+  test("gapfill grid is dense per user (one row per hour, no gaps)") {
+    val gf = Temporal.gapfill(spark, sf).cache()
+    try {
+      val perUser = gf.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          ((unix_micros(max(col("hour"))) - unix_micros(min(col("hour")))) /
+            3600000000L + 1).as("expect"))
+      assert(perUser.filter(col("n") =!= col("expect")).count() === 0)
+    } finally gf.unpersist()
+  }
+
+  test("sessionize: session bounds ordered, counts sum to event total") {
+    val ss = Temporal.sessionize(spark, sf).cache()
+    try {
+      assert(ss.filter(col("session_end") < col("session_start")).count() === 0)
+      val total = ss.agg(sum("n_events")).head.getLong(0)
+      assert(total === Tables.events(spark, sf).count())
+    } finally ss.unpersist()
+  }
+
+  test("rollup adds per-flag subtotals and a grand total") {
+    val r = Analytics.rollup(spark, sf).cache()
+    try {
+      val grand = r.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      assert(grand.count() === 1)
+      assert(grand.head.getAs[Long]("n_rows") ===
+        Tables.lineitem(spark, sf).count())
+      // per-flag subtotal rows exist (status null, flag not)
+      assert(r.filter(col("l_returnflag").isNotNull && col("l_linestatus").isNull).count() > 0)
+    } finally r.unpersist()
+  }
+
+  test("pivot counts match groupBy totals") {
+    val p = Analytics.pivotCounts(spark, sf)
+    val totals = p.agg(
+      sum(col("n_click") + col("n_error") + col("n_purchase") +
+        col("n_signup") + col("n_view"))).head.getLong(0)
+    assert(totals === Tables.events(spark, sf).count())
+  }
+
+  test("approx distinct is within HLL tolerance of exact") {
+    val a = Analytics.approxDistinct(spark, sf)
+    val bad = a.filter(
+      abs(col("n_users_approx") - col("n_users_exact")) >
+        col("n_users_exact") * 0.15 + 5)
+    assert(bad.count() === 0)
+  }
+}
