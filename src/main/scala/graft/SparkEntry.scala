@@ -22,7 +22,8 @@ object SparkEntry {
       _root_.graft.queries.Similarity.all ++
       _root_.graft.queries.Discovery.all ++
       _root_.graft.queries.Temporal.all ++
-      _root_.graft.queries.Analytics.all
+      _root_.graft.queries.Analytics.all ++
+      _root_.graft.queries.Subqueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       _root_.graft.queries.Similarity.oracles ++
       _root_.graft.queries.Discovery.oracles ++
       _root_.graft.queries.Temporal.oracles ++
-      _root_.graft.queries.Analytics.oracles
+      _root_.graft.queries.Analytics.oracles ++
+      _root_.graft.queries.Subqueries.oracles
 }

@@ -111,13 +111,36 @@ object Discovery {
       |FROM ranked WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  // --- q_ds_variant -------------------------------------------------------
+  // Spark 4 VariantType over the JSON payload (SURVEY §1.3's JSONB
+  // mapping): parse once into the binary Variant encoding, then typed
+  // path extraction — the shredded-scan layout that replaces the
+  // reference's JSONB+GIN at scale (no re-parse per predicate).
+  def variantGet(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_id"), col("user_id"),
+        variant_get(col("v"), "$.k", "int").as("k"))
+      .filter(col("k") % 7 === 0)
+      .orderBy("event_id")
+
+  val variantGetSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_json_pred" -> (jsonPred _),
     "q_ds_field_discovery" -> (fieldDiscovery _),
-    "q_ds_group_collect" -> (groupCollect _))
+    "q_ds_group_collect" -> (groupCollect _),
+    "q_ds_variant" -> (variantGet _))
 
   val oracles: Map[String, String] = Map(
     "q_ds_json_pred" -> jsonPredSql,
     "q_ds_field_discovery" -> fieldDiscoverySql,
-    "q_ds_group_collect" -> groupCollectSql)
+    "q_ds_group_collect" -> groupCollectSql,
+    "q_ds_variant" -> variantGetSql)
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Subquery surface (correlated scalar, IN, NOT IN) plus a TPC-H-Q3-shaped
+  * join-planning query. The subquery entries register the test tables as
+  * temp views and execute the SAME SQL text Spark-side as the DuckDB
+  * oracle — one source of truth, two engines.
+  *
+  * What Catalyst does with each (visible in explain, asserted in spec):
+  *  - correlated scalar subquery → decorrelated left outer aggregate join
+  *  - IN subquery → left semi join
+  *  - NOT IN → null-aware anti join (the planner's hardest rewrite; keys
+  *    here are non-null so it degenerates to a plain anti join at exec)
+  * At 100 TB all three become ordinary shuffles on the correlation key —
+  * no per-row re-execution, which is exactly why engines decorrelate.
+  */
+object Subqueries {
+
+  private def withViews(s: SparkSession, d: String): Unit =
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.load(s, d, t).createOrReplaceTempView(t)
+    }
+
+  private def sqlBoth(sql: String): ((SparkSession, String) => DataFrame, String) =
+    ((s: SparkSession, d: String) => { withViews(s, d); s.sql(sql) }, sql)
+
+  // --- q_sq_scalar: correlated scalar subquery in the projection ----------
+  private val (scalarFn, scalarSql) = sqlBoth(
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty,
+      |  (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
+      |FROM orders
+      |WHERE o_orderkey < 1000
+      |ORDER BY o_orderkey""".stripMargin)
+
+  // --- q_sq_in: IN subquery → left semi join ------------------------------
+  private val (inFn, inSql) = sqlBoth(
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin)
+
+  // --- q_sq_not_in: NOT IN → null-aware anti join -------------------------
+  private val (notInFn, notInSql) = sqlBoth(
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin)
+
+  // --- q_tpch_q3: shipping-priority join-planning query -------------------
+  // customer(seg) ⋈ orders(early) ⋈ lineitem(late-ship): the dim filter
+  // broadcasts, the fact-fact join shuffles on orderkey, then one
+  // aggregation and a true top-k (TakeOrderedAndProject). The revenue sum
+  // goes through DECIMAL(18,2) for bit-stable parallel aggregation.
+  def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sq_scalar" -> scalarFn,
+    "q_sq_in" -> inFn,
+    "q_sq_not_in" -> notInFn,
+    "q_tpch_q3" -> (tpchQ3 _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sq_scalar" -> scalarSql,
+    "q_sq_in" -> inSql,
+    "q_sq_not_in" -> notInSql,
+    "q_tpch_q3" -> tpchQ3Sql)
+}

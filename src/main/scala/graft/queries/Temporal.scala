@@ -214,17 +214,54 @@ object Temporal {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  // --- q_t6_session_window ------------------------------------------------
+  // The same sessionization through Spark's NATIVE session_window
+  // aggregation (the streaming-capable operator — identical code under
+  // readStream). Semantics differ from q_t4 only at the exact-gap
+  // boundary: session_window is half-open, so a gap of exactly 30:00
+  // starts a NEW session (diff >= gap), and session_end = last ts + gap.
+  // The oracle replicates that rule precisely.
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("max_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= $GapMicros
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+       |  FROM flagged)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  count(*) AS n_events, max(value) AS max_value
+       |FROM sess GROUP BY user_id, session_n
+       |ORDER BY user_id, session_start""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_t1_asof_join" -> (asofJoin _),
     "q_t2_range_join" -> (rangeJoin _),
     "q_t3_gapfill" -> (gapfill _),
     "q_t4_sessionize" -> (sessionize _),
-    "q_t5_moving" -> (moving _))
+    "q_t5_moving" -> (moving _),
+    "q_t6_session_window" -> (sessionWindow _))
 
   val oracles: Map[String, String] = Map(
     "q_t1_asof_join" -> asofJoinSql,
     "q_t2_range_join" -> rangeJoinSql,
     "q_t3_gapfill" -> gapfillSql,
     "q_t4_sessionize" -> sessionizeSql,
-    "q_t5_moving" -> movingSql)
+    "q_t5_moving" -> movingSql,
+    "q_t6_session_window" -> sessionWindowSql)
 }
