@@ -1,0 +1,166 @@
+package graft.sources.v2
+
+import java.time.LocalDate
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector modeling the reference's chunked REST scan
+  * (`national_gas_client.py:61-120`: POST per 2-day window, serial Python
+  * loop with throttle/retry). As a Spark source the chunk loop becomes
+  * PARTITION PLANNING: one `InputPartition` per date chunk, so a
+  * 1000-executor cluster fetches 1000 chunks concurrently and a failed
+  * chunk retries alone (task retry = the reference's per-request retry,
+  * but free and partition-scoped).
+  *
+  * The HTTP POST itself is stubbed with a deterministic generator (this
+  * container has no egress): `fetchChunk` is the one function a live
+  * deployment replaces, exactly like the reference's `requests.post`.
+  * Everything around it — schema declaration, chunk partitioning, column
+  * pruning pushdown (`SupportsPushDownRequiredColumns`) — is the real
+  * Spark surface and is spec-tested.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.v2.ChunkedRestSource")
+  *   .option("from", "2024-01-01").option("to", "2024-01-31")
+  *   .option("chunkDays", "2")
+  *   .load()
+  * }}}
+  */
+class ChunkedRestSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChunkedRestSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChunkedRestTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ChunkedRestSource {
+  /** Wide gas-quality-like record: one row per (day, site, metric). */
+  val schema: StructType = StructType(Seq(
+    StructField("obs_time", TimestampType, nullable = false),
+    StructField("site", StringType, nullable = false),
+    StructField("metric", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val Sites: Seq[String] = Seq("STFERGUS", "BACTON", "EASINGTON")
+  val Metrics: Seq[String] = Seq("WOBBE", "CV", "SG")
+
+  /** The stub for the per-chunk HTTP fetch: deterministic rows for every
+    * (day in chunk, site, metric). Replace the body with the real POST +
+    * JSON flatten to go live; the contract (chunk in → rows out) and the
+    * partition-planning around it do not change. */
+  def fetchChunk(start: LocalDate, endExclusive: LocalDate): Iterator[(Long, String, String, Double)] = {
+    Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(_.isBefore(endExclusive))
+      .flatMap { day =>
+        val midnightMicros = day.toEpochDay * 86400L * 1000000L
+        for (site <- Sites.iterator; metric <- Metrics.iterator) yield {
+          // deterministic pseudo-measurement derived from (day, site, metric)
+          val h = (day.toEpochDay * 31 + site.hashCode.toLong) * 31 + metric.hashCode
+          val v = 40.0 + (Math.floorMod(h, 1000) / 100.0)
+          (midnightMicros, site, metric, v)
+        }
+      }
+  }
+}
+
+private class ChunkedRestTable(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String = "chunked_rest"
+  override def schema(): StructType = ChunkedRestSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new ChunkedRestScanBuilder(options)
+}
+
+private class ChunkedRestScanBuilder(options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ChunkedRestSource.schema
+
+  // Column pruning pushdown: a `select(site)` never materializes the
+  // other fields — the reader emits only what the scan asked for.
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ChunkedRestScan(
+    LocalDate.parse(options.get("from")),
+    LocalDate.parse(options.get("to")),
+    math.max(1, options.getInt("chunkDays", 2)),
+    required)
+}
+
+private class ChunkedRestScan(from: LocalDate, to: LocalDate, chunkDays: Int,
+                              required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** One InputPartition per date chunk — the reference's serial loop,
+    * parallelized. [from, to] inclusive like the reference's API params. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val endExclusive = to.plusDays(1)
+    Iterator.iterate(from)(_.plusDays(chunkDays.toLong))
+      .takeWhile(_.isBefore(endExclusive))
+      .map { s =>
+        val e = if (s.plusDays(chunkDays.toLong).isAfter(endExclusive)) endExclusive
+                else s.plusDays(chunkDays.toLong)
+        ChunkPartition(s.toEpochDay, e.toEpochDay): InputPartition
+      }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChunkReaderFactory(required)
+}
+
+private case class ChunkPartition(startDay: Long, endDay: Long) extends InputPartition
+
+private class ChunkReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[ChunkPartition]
+    new ChunkReader(cp, required)
+  }
+}
+
+private class ChunkReader(p: ChunkPartition, required: StructType)
+  extends PartitionReader[InternalRow] {
+  private val it = ChunkedRestSource.fetchChunk(
+    LocalDate.ofEpochDay(p.startDay), LocalDate.ofEpochDay(p.endDay))
+  // precompute projection indices once per partition, not per row
+  private val fieldOrds: Array[Int] =
+    required.fields.map(f => ChunkedRestSource.schema.fieldIndex(f.name))
+  private var current: (Long, String, String, Double) = _
+
+  override def next(): Boolean = {
+    if (it.hasNext) { current = it.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val row = new Array[Any](fieldOrds.length)
+    var i = 0
+    while (i < fieldOrds.length) {
+      row(i) = fieldOrds(i) match {
+        case 0 => current._1
+        case 1 => UTF8String.fromString(current._2)
+        case 2 => UTF8String.fromString(current._3)
+        case 3 => current._4
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(row.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}

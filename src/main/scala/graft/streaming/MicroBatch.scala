@@ -74,4 +74,21 @@ object MicroBatch {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming sessionization: the same `session_window` aggregate as the
+    * batch `q_t6_session_window` query, run incrementally — sessions
+    * close (and emit, in append mode) once the watermark passes
+    * last-event-time + gap. State per key is one open session, bounded by
+    * the watermark horizon; merging of late-but-in-horizon events is
+    * handled by the session-merge state operator, which is exactly the
+    * semantics a custom flatMapGroupsWithState would re-implement by
+    * hand. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
 }
