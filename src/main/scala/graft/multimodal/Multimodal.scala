@@ -107,4 +107,51 @@ object Multimodal {
   def metaOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.media_type"), col("meta.width"),
       col("meta.height"))
+
+  /** STUB — deterministic fake resize: keep every `factor`-th byte,
+    * halving metadata dims accordingly. A real implementation decodes,
+    * scales, re-encodes; the operator contract (blob in → smaller blob +
+    * adjusted meta out) and the partition-wise shape are unchanged. */
+  def fakeResize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Partition-wise resize: same mapPartitions batch shape as
+    * [[decodeFeatures]]; metadata dims scale with the factor so
+    * downstream metadata-only queries stay correct without touching
+    * bytes. */
+  def resize(media: DataFrame, factor: Int = 2): DataFrame = {
+    val enc = ExpressionEncoder(mediaSchema)
+    media.select("media_id", "payload", "meta")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val meta = r.getStruct(2)
+          def scaled(i: Int) = if (meta.isNullAt(i)) null
+            else Int.box(meta.getInt(i) / factor)
+          Row(r.getLong(0), fakeResize(r.getAs[Array[Byte]](1), factor),
+            Row(meta.getString(0), meta.getString(1), scaled(2), scaled(3),
+              if (meta.isNullAt(4)) null else Long.box(meta.getLong(4))))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling, fully relational (no UDF): treat the payload as
+    * fixed-size frames, keep every `stride`-th, emit one row per kept
+    * frame. `substring` on binary + a bounded sequence-explode — stays
+    * inside codegen, parallelizes on the scan, and at 100 TB never
+    * materializes the dropped frames. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    media
+      .select(col("media_id"), col("payload"),
+        ((length(col("payload")) + frameBytes - 1) / frameBytes).cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("media_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
 }

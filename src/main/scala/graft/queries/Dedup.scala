@@ -256,19 +256,99 @@ object Dedup {
        |WHERE ${Vectors.cosineSql("a.embedding", "b.embedding")} >= 0.45
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- q_dd_embed_lsh -----------------------------------------------------
+  // Random-hyperplane LSH over the embedding column — the SCALE path for
+  // embedding near-dup (embedNearDup's all-pairs scan is the bounded
+  // correctness baseline). 16 sign bits from fixed ±1 hyperplanes, banded
+  // 2×8: vectors sharing any band become candidates; exact cosine >= 0.45
+  // verifies. The hyperplane weights are computed ONCE in Scala (md5
+  // parity per (plane, dim)) and embedded as literals in BOTH engines'
+  // plans, and every dot product is the codegen'd sequential-fold
+  // expression — bit-identical signatures, no per-row hashing at all.
+  // 4 bands × 4 bits measured on this corpus: recall 8/14 true pairs at
+  // ~23% candidate rate (2×8 found 0/14 — too selective for these random
+  // clusters). The bands/rows knob trades verify cost for recall exactly
+  // like the minhash geometry.
+  private val NumPlanes = 16
+  private val PlaneBands = 4
+  private val PlaneBits = NumPlanes / PlaneBands
+  private val EmbedDim = 64
+
+  /** ±1.0 weight vector of hyperplane `p`, derived from md5 parity —
+    * deterministic, engine-independent (computed in the JVM, embedded as
+    * literals). */
+  private[queries] def planeWeights(p: Int): IndexedSeq[Double] =
+    (0 until EmbedDim).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${p}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  def embedLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bits = (0 until NumPlanes).map { p =>
+      val w = array(planeWeights(p).map(lit): _*)
+      when(Vectors.dot(col("v"), w) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val sig = e.select(col("vec_id"), concat(bits: _*).as("sig"))
+    val bands = sig.select(
+      col("vec_id"),
+      posexplode(array((0 until PlaneBands).map(b =>
+        substring(col("sig"), b * PlaneBits + 1, PlaneBits)): _*)))
+      .toDF("vec_id", "band_id", "band_key")
+    val cand = bands.toDF("da", "band_id", "band_key")
+      .join(bands.toDF("db", "band_id", "band_key"), Seq("band_id", "band_key"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    broadcast(cand)
+      .join(e.select(col("vec_id").as("da"), col("v").as("va")), "da")
+      .join(e.select(col("vec_id").as("db"), col("v").as("vb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        Vectors.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val embedLshSql: String = {
+    def wLit(p: Int): String =
+      planeWeights(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val bitExprs = (0 until NumPlanes).map { p =>
+      s"(CASE WHEN ${Vectors.dotSql("embedding", wLit(p))} >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |sig AS (SELECT vec_id, $bitExprs AS sig FROM e),
+       |bands AS (
+       |  SELECT vec_id, b AS band_id,
+       |    sig[b*$PlaneBits+1 : b*$PlaneBits+$PlaneBits] AS band_key
+       |  FROM sig, unnest(generate_series(0, ${PlaneBands - 1})) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  ${Vectors.cosineSql("x.embedding", "y.embedding")} AS cosine
+       |FROM cand JOIN e x ON da = x.vec_id JOIN e y ON db = y.vec_id
+       |WHERE ${Vectors.cosineSql("x.embedding", "y.embedding")} >= 0.45
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dd_exact" -> (exact _),
     "q_dd_ngram_jaccard" -> (ngramJaccard _),
     "q_dd_minhash_lsh" -> (minhashLsh _),
     "q_dd_simhash" -> (simhash _),
-    "q_dd_embed_neardup" -> (embedNearDup _))
+    "q_dd_embed_neardup" -> (embedNearDup _),
+    "q_dd_embed_lsh" -> (embedLsh _))
 
   val oracles: Map[String, String] = Map(
     "q_dd_exact" -> exactSql,
     "q_dd_ngram_jaccard" -> ngramJaccardSql,
     "q_dd_minhash_lsh" -> minhashLshSql,
     "q_dd_simhash" -> simhashSql,
-    "q_dd_embed_neardup" -> embedNearDupSql)
+    "q_dd_embed_neardup" -> embedNearDupSql,
+    "q_dd_embed_lsh" -> embedLshSql)
 }
 
 /** Shared text primitives with exact DuckDB twins. */

@@ -37,4 +37,35 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("media_id"))
     assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
   }
+
+  test("resize shrinks payload and scales metadata dims consistently") {
+    val media = Multimodal.mediaFromDocuments(spark, sf).limit(50)
+    val out = Multimodal.resize(media, factor = 2).orderBy("media_id").collect()
+    val in = media.orderBy("media_id").collect()
+    assert(out.length == in.length)
+    in.zip(out).foreach { case (a, b) =>
+      val la = a.getAs[Array[Byte]]("payload").length
+      val lb = b.getAs[Array[Byte]]("payload").length
+      assert(lb == (la + 1) / 2)
+      val wa = a.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width")
+      val wb = b.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width")
+      assert(wb == wa / 2)
+    }
+  }
+
+  test("frame sampling keeps every stride-th frame with exact byte slices") {
+    val media = Multimodal.mediaFromDocuments(spark, sf).limit(20)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 2 == 0))
+    val byId = media.orderBy("media_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    frames.foreach { f =>
+      val full = byId(f.getAs[Long]("media_id"))
+      val idx = f.getAs[Int]("frame_idx")
+      val expected = full.slice(idx * 64, math.min(idx * 64 + 64, full.length))
+      assert(f.getAs[Array[Byte]]("frame").toSeq == expected.toSeq)
+    }
+  }
 }
