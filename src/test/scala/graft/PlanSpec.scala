@@ -1,0 +1,83 @@
+package graft
+
+import graft.queries.{Dedup, Relational, Subqueries}
+
+/** Physical-plan assertions for the headline queries — the properties
+  * that make these plans survive 100 TB must hold structurally, not by
+  * luck: filters reach the parquet scan, dimension joins broadcast,
+  * top-k never global-sorts, and IN/NOT IN decorrelate to semi/anti
+  * joins. A regression here is a scale regression even when results stay
+  * correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship page: predicates push into the parquet scans, dim join broadcasts") {
+    val p = plan(Relational.flagshipPage(spark, sf))
+    assert(p.contains("PushedFilters"), p.take(500))
+    // the rendered PushedFilters list is truncated, so assert on the
+    // filters that appear within the printed prefix
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order filters not pushed:\n${p.take(2000)}")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"dim filter not pushed:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "dim join should broadcast")
+  }
+
+  test("top-k by recency plans TakeOrderedAndProject, never a global sort") {
+    val p = plan(Relational.topkRecent(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+  }
+
+  test("get_history: composite key + time range push down to the scan") {
+    val p = plan(Relational.getHistory(spark, sf))
+    assert(p.contains("EqualTo(user_id,7)"), s"key filter not pushed:\n${p.take(1500)}")
+  }
+
+  test("TPC-H Q3: dims broadcast, filters push to every scan, top-k at the end") {
+    val p = plan(Subqueries.tpchQ3(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "customer join should broadcast")
+    // at this tiny SF the filtered orders side is below the broadcast
+    // threshold, so Catalyst (rightly) broadcasts it too; what must NEVER
+    // happen is broadcasting the lineitem fact side
+    assert(!p.contains("BroadcastExchange HashedRelationBroadcastMode") ||
+      !p.linesIterator.exists(l => l.contains("BroadcastExchange") &&
+        l.contains("lineitem")),
+      "the lineitem fact table must not be broadcast")
+    assert(p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate"),
+      "date filters must push into both fact scans")
+    assert(p.contains("TakeOrderedAndProject"), "final top-10 must be a top-k")
+  }
+
+  test("IN / NOT IN subqueries decorrelate to semi / anti joins") {
+    val pin = plan(spark.sql("SELECT 1").sparkSession.let(_ => Subqueries.all("q_sq_in")(spark, sf)))
+    assert(pin.contains("LeftSemi"), s"IN should plan a semi join:\n${pin.take(1500)}")
+    val pnotin = plan(Subqueries.all("q_sq_not_in")(spark, sf))
+    assert(pnotin.contains("LeftAnti"), s"NOT IN should plan an anti join:\n${pnotin.take(1500)}")
+  }
+
+  test("minhash signature aggregation is map-side combined (partial min)") {
+    val p = plan(Dedup.minhashLsh(spark, sf))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"signature build should partial-aggregate:\n${p.take(1500)}")
+  }
+
+  test("whole-stage codegen covers the HOF-free text-analysis projections") {
+    // langId is pure regexp/string arithmetic → must stay in codegen.
+    // (tokenCount/fingerprint use `aggregate` HOFs, which are
+    // CodegenFallback by design — bounded per-row cost, documented in
+    // SCALE.md; they are intentionally NOT asserted here.)
+    // AQE only materializes codegen stages at execution, so run first.
+    val df = graft.queries.TextAnalysis.langId(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n)" in the final-plan toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(1000))
+  }
+
+  private implicit class Let[A](a: A) {
+    def let[B](f: A => B): B = f(a)
+  }
+}
