@@ -15,6 +15,11 @@ object Sessions {
     // refuses it unless nanos are surfaced as raw longs (Tables.events
     // truncates them to micros, matching DuckDB's read of the same file).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // keep catalog artifacts (bucketed-table demos) out of the repo tree
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+    .config("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=${sys.props("java.io.tmpdir")}/graft-metastore;create=true")
     .config("spark.ui.enabled", "false")
 
   /** Standard local session: `local[cpus]`, shuffle.partitions = cpus. */

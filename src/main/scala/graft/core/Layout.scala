@@ -1,0 +1,71 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout tools for the two shuffle killers at 100 TB:
+  *
+  *  - **Bucketing**: persist both sides of a recurring fact⋈fact join
+  *    bucketed (and sorted) on the join key; Spark then plans the join
+  *    with NO exchange on either side — the shuffle happened once at
+  *    write time and is amortized over every subsequent join. This is
+  *    the parquet-table analog of the reference's composite B-tree PK
+  *    access path (`db_queries.sql:76-80`).
+  *
+  *  - **Salting**: a skewed key (one user with 10% of all events) makes
+  *    one reducer the straggler. Salted two-phase aggregation spreads
+  *    each key over `salts` sub-keys (partial agg) and re-combines;
+  *    salted broadcast-side replication does the same for joins. AQE's
+  *    skew-join handles sort-merge spills automatically — salting is for
+  *    the aggregation path AQE does not rewrite.
+  *
+  * Salts derive from a content hash, never from partition position, so
+  * retries redistribute identically (same determinism rule as
+  * `Upsert.latestWins`).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted managed table on `key` — pay the
+    * shuffle once at write, join shuffle-free forever after. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Deterministic per-row salt in [0, salts): content hash of the full
+    * row, stable across retries/repartitioning. */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*), lit(salts.toLong))
+
+  /** Skew-safe two-phase aggregation: per-(key, salt) partial count/sum,
+    * then per-key final combine. Sums route through DECIMAL(18,2) so the
+    * extra combine step cannot drift doubles. Result ≡ plain
+    * groupBy(key).agg(count, sum) (property-tested). */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+                     salts: Int = 16): DataFrame = {
+    val partial = df
+      .withColumn("__salt", rowSalt(df, salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
+    partial
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("sum_value"))
+  }
+
+  /** Skew-safe equi-join of a skewed big side against a broadcastable
+    * small side: the big side gets a content-hash salt, the small side is
+    * replicated `salts` times, and the join key becomes (key, salt) — no
+    * single reducer sees a whole hot key. Result ≡ plain inner join. */
+  def saltedBroadcastJoin(big: DataFrame, small: DataFrame, key: String,
+                          salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt", rowSalt(big, salts))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedBig.join(broadcast(replicated), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}

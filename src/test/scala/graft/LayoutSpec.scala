@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Layout
+
+/** Bucketed co-located joins and skew salting: equivalence to the plain
+  * operators plus the plan property that makes bucketing worth it (no
+  * exchange on either join side). */
+class LayoutSpec extends SparkSpec {
+
+  test("bucketed tables join with no exchange on either side") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    Layout.writeBucketed(o, "graft_b_orders", "o_orderkey", 8)
+    Layout.writeBucketed(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "graft_b_lineitem", "o_orderkey", 8)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(2000)}")
+      // result parity with the unbucketed join
+      assert(joined.count() ===
+        o.join(l, o("o_orderkey") === l("l_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+    }
+  }
+
+  test("salted two-phase aggregation equals the plain aggregation") {
+    val ev = Tables.events(spark, sf)
+    val salted = Layout.saltedCountSum(ev, "user_id", "value", salts = 8)
+      .orderBy("user_id").collect()
+    val plain = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id").collect()
+    assert(salted.length === plain.length)
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getLong(0) === p.getLong(0))
+      assert(s.getLong(1) === p.getLong(1))
+      assert(s.getDouble(2) === p.getDouble(2)) // decimal combine = bit-equal
+    }
+  }
+
+  test("salted broadcast join equals the plain join") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val dim = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("user_tag", concat(lit("u"), col("user_id")))
+    val salted = Layout.saltedBroadcastJoin(ev, dim, "user_id", salts = 4)
+    val plain = ev.join(dim, "user_id")
+    assert(salted.count() === plain.count())
+    assert(salted.select("event_id", "user_tag").except(
+      plain.select("event_id", "user_tag")).isEmpty)
+  }
+}
