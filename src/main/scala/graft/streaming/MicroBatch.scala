@@ -91,4 +91,44 @@ object MicroBatch {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Per-user running state carried across micro-batches. */
+  case class RunningStats(n: Long, sum: Double)
+
+  /** One emitted anomaly: value exceeded `factor` × the running mean of
+    * the user's PRIOR events (with at least `minN` priors). */
+  case class Anomaly(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                     mean_before: Double)
+
+  /** Custom keyed state via `flatMapGroupsWithState` — the operator for
+    * state no built-in aggregate expresses (here: running-mean anomaly
+    * flagging, where the DECISION depends on state *before* each row,
+    * so a plain windowed agg can't emit mid-group). State per key is two
+    * numbers; rows within a batch are processed in (ts, value) order so
+    * replays are deterministic. At scale state shards on user_id across
+    * executors exactly like the dedup/session state stores.
+    */
+  def anomalies(events: DataFrame, factor: Double = 3.0, minN: Long = 10)
+  : org.apache.spark.sql.Dataset[Anomaly] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[RunningStats]) => {
+          var st = state.getOption.getOrElse(RunningStats(0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
+          // batch-internal order is not guaranteed — sort for determinism
+          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, v) =>
+            if (st.n >= minN && v > factor * (st.sum / st.n))
+              out += Anomaly(uid, ts, v, st.sum / st.n)
+            st = RunningStats(st.n + 1, st.sum + v)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

@@ -81,4 +81,35 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).isEmpty)
     assert(spark.table("sc").count() > 0)
   }
+
+  test("flatMapGroupsWithState anomalies match the batch prefix-mean rule") {
+    val src = dir("an-src")
+    val events = Tables.events(spark, sf).cache()
+    events.write.mode("overwrite").parquet(src)
+
+    val q = MicroBatch.anomalies(MicroBatch.readEvents(spark, src, events))
+      .writeStream
+      .format("memory").queryName("anom")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // batch twin: anomaly iff value > 3 × mean of the user's >=10 PRIOR
+    // events in (ts, value) order — the exact rule the state op applies
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "value")
+    val expected = events
+      .withColumn("n_before", count(lit(1)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("mean_before", avg(col("value")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .filter(col("n_before") >= 10 && col("value") > col("mean_before") * 3)
+    val got = spark.table("anom")
+    assert(got.count() === expected.count())
+    assert(got.count() > 0, "corpus should contain at least one anomaly")
+    // exact row set agreement on the key fields
+    assert(got.select("user_id", "ts", "value")
+      .except(expected.select("user_id", "ts", "value")).isEmpty)
+  }
 }
