@@ -17,21 +17,24 @@ class StreamingSpec extends SparkSpec {
     val cp1 = dir("stream-cp1")
 
     val events = Tables.events(spark, sf).limit(200).cache()
-    events.write.mode("overwrite").parquet(src)
-    val expected = events.dropDuplicates(Seq("user_id", "event_type", "ts")).count()
+    try {
+      events.write.mode("overwrite").parquet(src)
+      val expected = events.dropDuplicates(Seq("user_id", "event_type", "ts")).count()
 
-    MicroBatch.drainOnce(spark, src, cp1, sink, events)
-    assert(spark.read.parquet(sink).count() == expected)
+      MicroBatch.drainOnce(spark, src, cp1, sink, events)
+      assert(spark.read.parquet(sink).count() == expected)
 
-    // replay the same backlog through a fresh checkpoint (simulates a
-    // re-ingestion / recovery replay) — upsert keeps it a no-op
-    MicroBatch.drainOnce(spark, src, dir("stream-cp2"), sink, events)
-    assert(spark.read.parquet(sink).count() == expected)
+      // replay the same backlog through a fresh checkpoint (simulates a
+      // re-ingestion / recovery replay) — upsert keeps it a no-op
+      MicroBatch.drainOnce(spark, src, dir("stream-cp2"), sink, events)
+      assert(spark.read.parquet(sink).count() == expected)
+    } finally events.unpersist() // don't leak the cache into later specs
   }
 
   test("windowed aggregation matches the batch rollup") {
     val src = dir("w-src")
     val events = Tables.events(spark, sf).limit(500).cache()
+    try {
     events.write.mode("overwrite").parquet(src)
 
     val stream = MicroBatch.windowedCounts(
@@ -55,11 +58,13 @@ class StreamingSpec extends SparkSpec {
       Seq("window_start", "event_type"))
     // every emitted row must agree with the batch rollup
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).isEmpty)
+    } finally events.unpersist()
   }
 
   test("streaming session windows agree with the batch session_window query") {
     val src = dir("sess-src")
     val events = Tables.events(spark, sf).limit(500).cache()
+    try {
     events.write.mode("overwrite").parquet(src)
 
     val q = MicroBatch.sessionCounts(MicroBatch.readEvents(spark, src, events))
@@ -80,11 +85,13 @@ class StreamingSpec extends SparkSpec {
       .join(batch.alias("b"), Seq("user_id", "session_start"))
     assert(joined.filter(col("s.n_events") =!= col("b.n_events")).isEmpty)
     assert(spark.table("sc").count() > 0)
+    } finally events.unpersist()
   }
 
   test("flatMapGroupsWithState anomalies match the batch prefix-mean rule") {
     val src = dir("an-src")
     val events = Tables.events(spark, sf).cache()
+    try {
     events.write.mode("overwrite").parquet(src)
 
     val q = MicroBatch.anomalies(MicroBatch.readEvents(spark, src, events))
@@ -111,5 +118,6 @@ class StreamingSpec extends SparkSpec {
     // exact row set agreement on the key fields
     assert(got.select("user_id", "ts", "value")
       .except(expected.select("user_id", "ts", "value")).isEmpty)
+    } finally events.unpersist()
   }
 }
