@@ -31,6 +31,15 @@ object Dedup {
 
   import Text._
 
+  /** All ordered pairs (da < db) from a bucket's member list — the
+    * group-collect-explode replacement for LSH candidate self-joins. The
+    * nested transform is fine here: bucket lists are small by LSH design
+    * and every free reference in the lambdas is a bound attribute. */
+  private[queries] def pairsOf(ds: Column): Column =
+    filter(
+      flatten(transform(ds, a => transform(ds, b => struct(a.as("da"), b.as("db"))))),
+      p => p.getField("da") < p.getField("db"))
+
   // --- q_dd_exact ---------------------------------------------------------
   // Exact content dedup: group by md5(text); keeper = min doc_id (the
   // reference's last-write-wins analog for immutable corpora).
@@ -52,10 +61,16 @@ object Dedup {
   // |A∪B| = |A|+|B|-|A∩B|. One shuffle on shingle + one on pair key.
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val ex = shingleRows(s, d)
-    val a = ex.toDF("da", "s")
-    val b = ex.toDF("db", "s")
-    val common = a.join(b, Seq("s")).filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    // Pair generation via group-collect-explode, not a self-join: the
+    // shingle pipeline is built ONCE (a self-join re-executes the whole
+    // upstream per side — Spark has no automatic CTE materialization),
+    // and per-shingle doc lists are small by construction (hottest
+    // shingle ≈ 25 docs here), so the pair blow-up is bounded per group.
+    val pairs = ex.groupBy("s").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+    val common = pairs.groupBy("da", "db").agg(count(lit(1)).as("common"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     common
       .join(broadcast(sizes.toDF("da", "na")), "da")
@@ -127,10 +142,14 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .toDF("doc_id", "band_id", "band_key")
-    val cand = bands.toDF("da", "band_id", "band_key")
-      .join(bands.toDF("db", "band_id", "band_key"), Seq("band_id", "band_key"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    // group-collect-explode instead of a band self-join: one signature
+    // build instead of two, bucket lists bounded by LSH collision design
+    val cand = bands.groupBy("band_id", "band_key")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
     // candidate set is tiny (LSH-bounded); broadcast it against the
     // shingle sets rather than shuffling the sets twice
     val withSets = broadcast(cand)
@@ -298,10 +317,12 @@ object Dedup {
       posexplode(array((0 until PlaneBands).map(b =>
         substring(col("sig"), b * PlaneBits + 1, PlaneBits)): _*)))
       .toDF("vec_id", "band_id", "band_key")
-    val cand = bands.toDF("da", "band_id", "band_key")
-      .join(bands.toDF("db", "band_id", "band_key"), Seq("band_id", "band_key"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    val cand = bands.groupBy("band_id", "band_key")
+      .agg(collect_list(col("vec_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
     broadcast(cand)
       .join(e.select(col("vec_id").as("da"), col("v").as("va")), "da")
       .join(e.select(col("vec_id").as("db"), col("v").as("vb")), "db")
