@@ -34,7 +34,12 @@ object Upsert {
     * sink relies on). */
   def latestWins(df: DataFrame, keys: Seq[String], versionCol: String,
                  tieBreakers: Seq[String] = Nil): DataFrame = {
-    val contentHash = xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*)
+    // hash CONTENT columns only — tie-breakers are ordering metadata
+    // (e.g. upsert's source-priority tag); including them would make the
+    // within-batch duplicate pick depend on which pass added the tag and
+    // break re-upsert idempotence (caught by PropertySpec)
+    val contentCols = df.columns.filterNot(tieBreakers.contains).sorted
+    val contentHash = xxhash64(contentCols.map(col).toIndexedSeq: _*)
     val order = (col(versionCol).desc +: tieBreakers.map(col(_).desc)) :+ contentHash.asc
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.warehouse.{Normalize, Upsert}
+
+/** Randomized property tests (SURVEY §5.3): the contracts that must hold
+  * for EVERY input, not just the golden cases — upsert idempotence and
+  * last-write-wins, dedup key-uniqueness, pagination
+  * disjointness/coverage, and slug determinism.
+  *
+  * ScalaCheck generators are driven directly (fixed seed → reproducible
+  * failures) because the scalatest-scalacheck bridge artifact is not in
+  * the offline dependency cache.
+  */
+class PropertySpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  /** n reproducible samples from a generator. */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A](gen: Gen[A], n: Int = 12)(body: A => Unit): Unit = {
+    val xs = samples(gen, n)
+    assert(xs.nonEmpty, "generator produced no samples")
+    xs.foreach(body)
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val obsSchema = StructType(Seq(
+    StructField("series_id", StringType),
+    StructField("observation_time", IntegerType), // key stand-in
+    StructField("value", DoubleType),
+    StructField("ingestion_time", IntegerType)))
+
+  private def obsDf(rows: Seq[(String, Int, Double, Int)]) =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, obsSchema)
+
+  private val genRows: Gen[List[(String, Int, Double, Int)]] =
+    Gen.listOfN(40, for {
+      sid <- Gen.oneOf("NG_A", "NG_B", "NG_C")
+      t <- Gen.choose(0, 5)
+      v <- Gen.choose(-1000, 1000).map(_ / 10.0)
+      ver <- Gen.choose(0, 3)
+    } yield (sid, t, v, ver))
+
+  test("latestWins: one row per key, and it carries the max version (any input)") {
+    forAll(genRows) { rows =>
+      whenever(rows.nonEmpty) {
+        val out = Upsert.latestWins(obsDf(rows),
+          keys = Seq("series_id", "observation_time"),
+          versionCol = "ingestion_time").collect()
+        val byKey = rows.groupBy(r => (r._1, r._2))
+        assert(out.length === byKey.size)
+        out.foreach { r =>
+          val key = (r.getString(0), r.getInt(1))
+          assert(r.getInt(3) === byKey(key).map(_._4).max)
+        }
+      }
+    }
+  }
+
+  test("latestWins is deterministic under any input row order and partitioning") {
+    forAll(genRows) { rows =>
+      whenever(rows.nonEmpty) {
+        def run(df: org.apache.spark.sql.DataFrame) =
+          Upsert.latestWins(df, Seq("series_id", "observation_time"), "ingestion_time")
+            .orderBy("series_id", "observation_time")
+            .collect().toSeq
+        val a = run(obsDf(rows))
+        val b = run(obsDf(rows.reverse).repartition(7))
+        assert(a === b)
+      }
+    }
+  }
+
+  test("upsert to disk is idempotent: applying the same batch twice ≡ once") {
+    forAll(Gen.listOfN(20, for {
+      sid <- Gen.oneOf("NG_A", "NG_B")
+      t <- Gen.choose(0, 3)
+      v <- Gen.choose(0, 100).map(_.toDouble)
+    } yield (sid, t, v, 1)), n = 4) { rows =>
+      whenever(rows.nonEmpty) {
+        val path = Files.createTempDirectory("graft-prop").resolve("t").toString
+        val batch = obsDf(rows)
+        Upsert.upsert(spark, path, batch, Seq("series_id", "observation_time"), "ingestion_time")
+        val once = spark.read.parquet(path).orderBy("series_id", "observation_time").collect().toSeq
+        Upsert.upsert(spark, path, batch, Seq("series_id", "observation_time"), "ingestion_time")
+        val twice = spark.read.parquet(path).orderBy("series_id", "observation_time").collect().toSeq
+        assert(once === twice)
+      }
+    }
+  }
+
+  test("pagination: pages are disjoint and cover the whole ordered result") {
+    val df = Tables.orders(spark, sf)
+      .select("o_orderkey").orderBy("o_orderkey")
+    val total = df.count().toInt
+    val pageSize = 500
+    val pages = (0 until total by pageSize).map(off =>
+      df.offset(off).limit(pageSize).collect().map(_.getLong(0)).toSeq)
+    val all = pages.flatten
+    assert(all.length === total, "pages must cover every row")
+    assert(all.distinct.length === all.length, "pages must be disjoint")
+    assert(all === all.sorted, "concatenated pages must preserve the order")
+  }
+
+  test("makeSeriesId is deterministic and case/whitespace-normalizing") {
+    val genPair = for {
+      a <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+      b <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+    } yield (a, b)
+    forAll(genPair) { case (a, b) =>
+      val df = spark.range(1).select(
+        Normalize.makeSeriesId(lit("DS"), lit(s"  $a  "), lit(b)).as("s1"),
+        Normalize.makeSeriesId(lit("DS"), lit(a.toLowerCase), lit(b)).as("s2"))
+      val r = df.head
+      assert(r.getString(0) === r.getString(1),
+        "padding and case must not change the slug")
+      assert(r.getString(0).startsWith("NG_DS_"))
+    }
+  }
+}
