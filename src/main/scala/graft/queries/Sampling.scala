@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling and dataset splitting — the selection verbs a
+  * training-data pipeline runs after scoring/dedup. Everything derives
+  * from a content hash of the row KEY (never `rand()`), so samples are
+  * reproducible across runs, engines, retries and scale-ups, and a row's
+  * split assignment never changes when the corpus grows — the property
+  * that keeps eval sets uncontaminated as data accretes. Pure scan-side
+  * projections/filters: no shuffle until the final demo sort/agg.
+  */
+object Sampling {
+
+  private def bucket(c: org.apache.spark.sql.Column, mod: Int) =
+    Hashes.md5Int32(c.cast("string")) % mod
+
+  // --- q_sm_hash_sample ---------------------------------------------------
+  // Uniform 10% sample by key hash: stable under re-runs and corpus
+  // growth (a kept doc stays kept), unlike rand()-based sampling.
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(bucket(col("doc_id"), 100) < 10)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val hashSampleSql: String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE ${Hashes.md5Int32Sql("doc_id::VARCHAR")} % 100 < 10
+       |ORDER BY doc_id""".stripMargin
+
+  // --- q_sm_stratified ----------------------------------------------------
+  // Per-stratum rates (upsample the rare class, downsample the common
+  // one): 50% of English docs, 10% of everything else. The hash salts
+  // with the stratum so per-stratum buckets are independent.
+  def stratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        Hashes.md5Int32(concat(col("doc_id").cast("string"), lit("_"), col("lang"))) % 100)
+      .filter(when(col("lang") === "en", col("bucket") < 50)
+        .otherwise(col("bucket") < 10))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val stratifiedSql: String = {
+    val h = Hashes.md5Int32Sql("doc_id::VARCHAR || '_' || lang")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE CASE WHEN lang = 'en' THEN $h % 100 < 50
+       |           ELSE $h % 100 < 10 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q_sm_split ---------------------------------------------------------
+  // Stable train/val/test assignment (80/10/10) + per-(lang, split)
+  // counts: the audit query run before training to confirm split sizes
+  // and stratum balance.
+  def split(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket(col("doc_id"), 100) < 80, "train")
+          .when(bucket(col("doc_id"), 100) < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+
+  val splitSql: String = {
+    val h = s"${Hashes.md5Int32Sql("doc_id::VARCHAR")} % 100"
+    s"""SELECT lang,
+       |  CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY lang, split""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sm_hash_sample" -> (hashSample _),
+    "q_sm_stratified" -> (stratified _),
+    "q_sm_split" -> (split _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sm_hash_sample" -> hashSampleSql,
+    "q_sm_stratified" -> stratifiedSql,
+    "q_sm_split" -> splitSql)
+}
