@@ -154,17 +154,78 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_tx_clean ---------------------------------------------------------
+  // Canonical text normalization before dedup/tokenization: lowercase,
+  // strip non-alphanumerics to spaces, collapse runs, trim. Regexes use
+  // only character classes that Java (Spark) and RE2 (DuckDB) interpret
+  // identically. Pure projection — at 100 TB this is IO-bound.
+  def clean(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")))
+      .orderBy("doc_id")
+
+  val cleanSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |       ' +', ' ', 'g')) AS clean_text,
+      |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |       ' +', ' ', 'g'))) AS clean_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q_tx_redact --------------------------------------------------------
+  // PII scrubbing: mask email-like and long-digit-run (phone/account)
+  // patterns, and count what was masked per doc — the audit metric a
+  // redaction stage must emit. Patterns stick to RE2-safe syntax (no
+  // backrefs/lookaround) so both engines match identical spans.
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val DigitsRe = "[0-9]{7,}"
+
+  def redact(s: SparkSession, d: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), DigitsRe, "<NUM>")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        redacted.as("redacted_text"),
+        (size(split(col("text"), EmailRe, -1)) - 1).as("n_emails"),
+        (size(split(regexp_replace(col("text"), EmailRe, "<EMAIL>"), DigitsRe, -1)) - 1)
+          .as("n_numbers"))
+      .orderBy("doc_id")
+  }
+
+  val redactSql: String = {
+    val email = EmailRe // RE2-safe; same literal works in both dialects
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |    '$DigitsRe', '<NUM>', 'g') AS redacted_text,
+       |  len(string_split_regex(text, '$email')) - 1 AS n_emails,
+       |  len(string_split_regex(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |    '$DigitsRe')) - 1 AS n_numbers
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_token_count" -> (tokenCount _),
     "q_tx_quality" -> (qualityScore _),
     "q_tx_langid" -> (langId _),
-    "q_tx_fingerprint" -> (fingerprint _))
+    "q_tx_fingerprint" -> (fingerprint _),
+    "q_tx_clean" -> (clean _),
+    "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
     "q_tx_token_count" -> tokenCountSql,
     "q_tx_quality" -> qualityScoreSql,
     "q_tx_langid" -> langIdSql,
-    "q_tx_fingerprint" -> fingerprintSql)
+    "q_tx_fingerprint" -> fingerprintSql,
+    "q_tx_clean" -> cleanSql,
+    "q_tx_redact" -> redactSql)
 }
 
 /** Cross-engine deterministic hashing: both Spark and DuckDB expose md5
