@@ -169,6 +169,53 @@ object Analytics {
       |    AND l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- q_j7_outer_join ----------------------------------------------------
+  // LEFT OUTER with aggregation-side null handling: every customer with
+  // their high-value-order count, INCLUDING customers with none (the rows
+  // an inner join silently drops). The dim side drives, the fact side is
+  // pre-filtered then right-joined — no full-fact scan survives the
+  // filter at scale.
+  def outerJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 250000.0)
+    c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_big_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val outerJoinSql: String =
+    """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_big_orders
+      |FROM customer
+      |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+      |  ON c_custkey = o.o_custkey
+      |GROUP BY c_custkey, c_mktsegment
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- q_o4_range_frame ---------------------------------------------------
+  // RANGE window frame over event time (micros): how many events the same
+  // user produced in the trailing hour, per event. The frame operator the
+  // bucketed range-join (q_t2) trades against: one shuffle+sort on the
+  // key, then an O(n) sliding frame — no candidate pairs at all. Count is
+  // integer-exact, so the oracle matches bit-for-bit.
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select("event_id", "user_id", "ts", "n_last_hour")
+      .orderBy("event_id")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT event_id, user_id, ts,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ag_rollup" -> (rollup _),
     "q_ag_cube" -> (cube _),
@@ -176,7 +223,9 @@ object Analytics {
     "q_ag_percentiles" -> (percentiles _),
     "q_ag_pivot" -> (pivotCounts _),
     "q_ag_approx_distinct" -> (approxDistinct _),
-    "q_j6_semijoin" -> (semijoin _))
+    "q_j6_semijoin" -> (semijoin _),
+    "q_j7_outer_join" -> (outerJoin _),
+    "q_o4_range_frame" -> (rangeFrame _))
 
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
@@ -186,5 +235,7 @@ object Analytics {
     "q_ag_grouping_sets" -> groupingSetsSql,
     "q_ag_percentiles" -> percentilesSql,
     "q_ag_pivot" -> pivotCountsSql,
-    "q_j6_semijoin" -> semijoinSql)
+    "q_j6_semijoin" -> semijoinSql,
+    "q_j7_outer_join" -> outerJoinSql,
+    "q_o4_range_frame" -> rangeFrameSql)
 }
