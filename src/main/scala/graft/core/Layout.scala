@@ -68,4 +68,34 @@ object Layout {
     saltedBig.join(broadcast(replicated), Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Small-file compaction — the maintenance job every streaming/upsert
+    * parquet table needs: micro-batch appends accrete thousands of tiny
+    * files, and at 100 TB the scan's task count (and NameNode/listing
+    * pressure) is set by file count, not bytes. Rewrites the table into
+    * `ceil(bytes / targetBytes)` files; with `sortCols` the rewrite also
+    * range-partitions and sorts within files, so parquet row-group
+    * min/max stats prune key-range scans — the layout the reference got
+    * from its composite B-tree PK. Swap is backup-first via
+    * [[graft.warehouse.Upsert.overwriteInPlace]]. Returns the file count
+    * written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new Path(path))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val laidOut =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    graft.warehouse.Upsert.overwriteInPlace(spark, path, laidOut)
+    nFiles
+  }
 }

@@ -106,7 +106,7 @@ object Upsert {
     * final rename fails — no window where a crash loses the table. (With
     * a real catalog this is `INSERT OVERWRITE` + dynamic partition
     * overwrite; the swap keeps plain-parquet tests honest.) */
-  private[warehouse] def overwriteInPlace(spark: SparkSession, path: String, df: DataFrame): Unit = {
+  private[graft] def overwriteInPlace(spark: SparkSession, path: String, df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val staging = new Path(path + ".staging")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)

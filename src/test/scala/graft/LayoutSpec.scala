@@ -50,6 +50,24 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compaction shrinks file count, preserves data, and sorts the layout") {
+    val path = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("t").toString
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
+    ev.repartition(40).write.parquet(path) // simulate micro-batch fragmentation
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 20, "setup should fragment the table")
+
+    val before = spark.read.parquet(path).orderBy("event_id").collect().toSeq
+    val n = graft.core.Layout.compact(spark, path,
+      targetBytes = 512L << 20, sortCols = Seq("user_id", "ts"))
+    assert(n === 1)
+    assert(parquetFiles === 1, "compaction should hit the target file count")
+    val after = spark.read.parquet(path).orderBy("event_id").collect().toSeq
+    assert(after === before, "compaction must not change the data")
+  }
+
   test("salted broadcast join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sf).select("user_id").distinct()
