@@ -85,9 +85,10 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new Path(path))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // recursive byte count, so date/key-partitioned tables size correctly
+    // (the rewrite output itself is unpartitioned — compact leaf
+    // partition directories individually to preserve partition layout)
+    val totalBytes = fs.getContentSummary(new Path(path)).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
     val laidOut =
