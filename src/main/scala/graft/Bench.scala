@@ -31,8 +31,11 @@ object Bench {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+        // a query that failed one pass but succeeded another is healthy:
+        // keep its timing, drop the stale error (error ⇒ zero passes ran)
+        errors.remove(name)
       } catch { case t: Throwable =>
-        errors.getOrElseUpdate(name,
+        if (!times.contains(name)) errors.getOrElseUpdate(name,
           s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(120)}")
       }
     }

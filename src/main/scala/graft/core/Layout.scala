@@ -85,9 +85,19 @@ object Layout {
     import org.apache.hadoop.fs.Path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    // recursive byte count, so date/key-partitioned tables size correctly
-    // (the rewrite output itself is unpartitioned — compact leaf
-    // partition directories individually to preserve partition layout)
+    // The rewrite output is unpartitioned, so compacting a Hive-partitioned
+    // ROOT would silently flatten the layout (partition columns become data
+    // columns, pruning is lost). Reject it: compact leaf partition
+    // directories individually instead.
+    val partitionDirs = fs.listStatus(new Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n.contains("=") && !n.startsWith("."))
+    require(partitionDirs.isEmpty,
+      s"$path looks Hive-partitioned (${partitionDirs.take(3).mkString(", ")}…): " +
+        "compact each leaf partition directory, not the root, or the " +
+        "partition layout is flattened and pruning lost")
+    // recursive byte count, so multi-directory unpartitioned tables size
+    // correctly
     val totalBytes = fs.getContentSummary(new Path(path)).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)

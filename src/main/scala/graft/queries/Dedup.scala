@@ -56,48 +56,62 @@ object Dedup {
       |ORDER BY content_hash""".stripMargin
 
   // --- q_dd_ngram_jaccard -------------------------------------------------
-  // 3-word-shingle Jaccard near-dup: explode distinct shingles, self-join
-  // on shingle (candidate pairs share >=1), count shared = |A∩B|, then
-  // |A∪B| = |A|+|B|-|A∩B|. One shuffle on shingle + one on pair key.
+  // 3-word-shingle Jaccard near-dup: candidate pairs share >=1 RARE
+  // shingle (doc-freq <= MaxShingleDf), verified with the exact
+  // intersection over the full shingle sets. One shuffle on shingle for
+  // candidates + a broadcast verify join.
+  //
+  // The doc-freq cap is the 100 TB guard: a web corpus has stop-shingles
+  // ("of the and" …) with 10^6+ doc-freq — one uncapped group OOMs its
+  // executor and contributes O(df²) garbage pairs. Shingles above the cap
+  // carry ~zero near-dup signal (they are corpus-wide), so dropping them
+  // for CANDIDATE GENERATION only costs pairs whose every shared shingle
+  // is a stop-shingle — which a jaccard >= 0.5 pair essentially cannot
+  // be. Verification still uses the full sets, so surviving pairs keep
+  // their exact jaccard. (Property-tested: a planted 150-doc stop-shingle
+  // generates zero pairs; rare-shingle dups are still found.)
+  private[queries] val MaxShingleDf = 100
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(s, d)
+    val sh = shingleSets(s, d)
     // Pair generation via group-collect-explode, not a self-join: the
     // shingle pipeline is built ONCE (a self-join re-executes the whole
-    // upstream per side — Spark has no automatic CTE materialization),
-    // and per-shingle doc lists are small by construction (hottest
-    // shingle ≈ 25 docs here), so the pair blow-up is bounded per group.
-    val pairs = ex.groupBy("s").agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+    // upstream per side — Spark has no automatic CTE materialization);
+    // the df cap bounds every group's collect_list and pair fan-out.
+    val cand = shingleRows(s, d)
+      .groupBy("s").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
-    val common = pairs.groupBy("da", "db").agg(count(lit(1)).as("common"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    common
-      .join(broadcast(sizes.toDF("da", "na")), "da")
-      .join(broadcast(sizes.toDF("db", "nb")), "db")
+      .distinct()
+    broadcast(cand)
+      .join(sh.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
       .select(
         col("da").as("doc_a"), col("db").as("doc_b"),
-        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
-          .as("jaccard"))
+        (col("common").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
   val ngramJaccardSql: String =
     s"""WITH sh AS ($shingleSetsSql),
-       |pairs AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) a
-       |  JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) b
-       |    ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |grp AS (
+       |  SELECT s FROM ex GROUP BY s
+       |  HAVING count(*) > 1 AND count(*) <= $MaxShingleDf),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN grp ON grp.s = a.s)
        |SELECT da AS doc_a, db AS doc_b,
-       |  common::DOUBLE / (sa.n + sb.n - common) AS jaccard
-       |FROM pairs
-       |JOIN sizes sa ON da = sa.doc_id
-       |JOIN sizes sb ON db = sb.doc_id
-       |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+       |  len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |    / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+       |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+       |WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |    / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- q_dd_minhash_lsh ---------------------------------------------------
@@ -144,9 +158,13 @@ object Dedup {
       .toDF("doc_id", "band_id", "band_key")
     // group-collect-explode instead of a band self-join: one signature
     // build instead of two, bucket lists bounded by LSH collision design
+    // PLUS the hard MaxShingleDf cap — a degenerate band key (e.g. the
+    // all-identical signature of millions of boilerplate docs) would
+    // otherwise collect one giant bucket and explode O(df²) pairs; docs
+    // colliding with >cap others get their near-dups from OTHER bands.
     val cand = bands.groupBy("band_id", "band_key")
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
@@ -184,10 +202,14 @@ object Dedup {
        |  SELECT doc_id, b AS band_id,
        |    array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], ',') AS band_key
        |  FROM sig, unnest(generate_series(0, ${Bands - 1})) t(b)),
+       |bsz AS (
+       |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
+       |  HAVING count(*) > 1 AND count(*) <= $MaxShingleDf),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN bsz ON bsz.band_id = a.band_id AND bsz.band_key = a.band_key)
        |SELECT da AS doc_a, db AS doc_b,
        |  len(list_intersect(x.shingles, y.shingles))::DOUBLE
        |    / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard
@@ -201,31 +223,72 @@ object Dedup {
   // 32-bit frequency-weighted SimHash: per (doc, bit), vote +1/-1 by the
   // token hash's bit; sign of the sum sets the bit. Near-dups = pairs with
   // hamming <= 2 (planted dups land at 0-2 on this corpus). The bit
-  // explosion (tokens × 32) is a scan-side flatMap; only the compact
-  // (doc, simhash) rows join all-pairs — at 100 TB the pair join would be
-  // LSH-bucketed on simhash prefixes instead (same trick as minhash).
+  // explosion (tokens × 32) is a scan-side flatMap.
+  //
+  // Candidate pairs come from LSH-banding the signature into 4×8-bit
+  // prefixes (same trick as minhash): two signatures at hamming <= 2
+  // differ in at most 2 of the 4 bands, so they COLLIDE in at least two —
+  // banding is exact (recall 1.0) for this threshold, by pigeonhole,
+  // which is why the all-pairs DuckDB oracle still hash-matches. At
+  // 100 TB only the banded equi-grouping shuffles; the all-pairs
+  // cartesian (kept below as [[simhashAllPairs]], spec-only) would be
+  // O(n²). Degenerate bands (a prefix shared by millions of near-empty
+  // docs) are capped like every other bucket; a doc's true near-dups
+  // still collide in the remaining bands.
   private val SimBits = 32
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands
 
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, simhash BIGINT) signatures. */
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), Hashes.md5Int32(col("t")).as("h"))
-    val bits = tok
+    tok
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(SimBits - 1))).as("b"))
       .groupBy("doc_id", "b")
       .agg(sum(when(expr("(h >> b) & 1") === 1, 1)
         .otherwise(-1)).as("vote"))
-    val sh = bits
       .groupBy("doc_id")
       .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)"))
         .otherwise(0L)).as("simhash"))
-    val a = sh.toDF("doc_a", "ha")
-    val b = sh.toDF("doc_b", "hb")
-    a.join(b, col("doc_a") < col("doc_b"))
+  }
+
+  private def hammingPairs(cand: DataFrame, sh: DataFrame): DataFrame =
+    broadcast(cand)
+      .join(sh.toDF("doc_a", "ha"), "doc_a")
+      .join(sh.toDF("doc_b", "hb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 2)
       .orderBy("doc_a", "doc_b")
+
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashSignatures(s, d)
+    val bands = sh.select(
+      col("doc_id"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1))): _*)))
+      .toDF("doc_id", "band_id", "band_key")
+    val cand = bands.groupBy("band_id", "band_key")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
+      .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
+      .select(col("p.da").as("doc_a"), col("p.db").as("doc_b"))
+      .distinct()
+    hammingPairs(cand, sh)
+  }
+
+  /** All-pairs baseline (cartesian on the compact signature rows) — the
+    * exact reference for [[simhash]]'s banded candidates, spec-asserted
+    * equal; never driver-run (quadratic at scale). */
+  private[graft] def simhashAllPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashSignatures(s, d)
+    val cand = sh.toDF("doc_a", "ha").crossJoin(sh.toDF("doc_b", "hb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    hammingPairs(cand, sh)
   }
 
   val simhashSql: String =
@@ -279,7 +342,7 @@ object Dedup {
   // Random-hyperplane LSH over the embedding column — the SCALE path for
   // embedding near-dup (embedNearDup's all-pairs scan is the bounded
   // correctness baseline). 16 sign bits from fixed ±1 hyperplanes, banded
-  // 2×8: vectors sharing any band become candidates; exact cosine >= 0.45
+  // 4 bands × 4 bits: vectors sharing any band become candidates; exact cosine >= 0.45
   // verifies. The hyperplane weights are computed ONCE in Scala (md5
   // parity per (plane, dim)) and embedded as literals in BOTH engines'
   // plans, and every dot product is the codegen'd sequential-fold

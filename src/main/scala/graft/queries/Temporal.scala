@@ -179,8 +179,11 @@ object Temporal {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sess AS (
        |  SELECT user_id, ts,
-       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+       |    -- BIGINT cast: DuckDB's windowed sum returns HUGEINT, which
+       |    -- materializes as float64 in the driver compare while Spark
+       |    -- emits BIGINT — equal values, mismatched hash (round-2 red row)
+       |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
        |  FROM flagged)
        |SELECT user_id, session_n, min(ts) AS session_start,
        |  max(ts) AS session_end, count(*) AS n_events

@@ -36,16 +36,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(user_id,7)"), s"key filter not pushed:\n${p.take(1500)}")
   }
 
+  /** Every node of the physical plan, descending through AQE wrappers
+    * (whose children list is empty until reoptimization). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case _ => Nil
+    }
+    p +: (p.children ++ inner).flatMap(allNodes)
+  }
+
   test("TPC-H Q3: dims broadcast, filters push to every scan, top-k at the end") {
-    val p = plan(Subqueries.tpchQ3(spark, sf))
+    val df = Subqueries.tpchQ3(spark, sf)
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), "customer join should broadcast")
     // at this tiny SF the filtered orders side is below the broadcast
     // threshold, so Catalyst (rightly) broadcasts it too; what must NEVER
-    // happen is broadcasting the lineitem fact side
-    assert(!p.contains("BroadcastExchange HashedRelationBroadcastMode") ||
-      !p.linesIterator.exists(l => l.contains("BroadcastExchange") &&
-        l.contains("lineitem")),
-      "the lineitem fact table must not be broadcast")
+    // happen is broadcasting the lineitem fact side. Walk the tree: a
+    // BroadcastExchange whose SUBTREE scans lineitem is the regression
+    // (single rendered lines never carry the table name — a line match
+    // here would be vacuously true).
+    val broadcastSubtrees = allNodes(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcastSubtrees.nonEmpty, "expected at least one broadcast exchange")
+    broadcastSubtrees.foreach(b =>
+      assert(!b.toString.contains("lineitem"),
+        s"the lineitem fact table must not be broadcast:\n${b.toString.take(1500)}"))
     assert(p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate"),
       "date filters must push into both fact scans")
     assert(p.contains("TakeOrderedAndProject"), "final top-10 must be a top-k")
@@ -56,6 +75,16 @@ class PlanSpec extends SparkSpec {
     assert(pin.contains("LeftSemi"), s"IN should plan a semi join:\n${pin.take(1500)}")
     val pnotin = plan(Subqueries.all("q_sq_not_in")(spark, sf))
     assert(pnotin.contains("LeftAnti"), s"NOT IN should plan an anti join:\n${pnotin.take(1500)}")
+  }
+
+  test("no dedup/ANN query plans a cartesian or nested-loop join") {
+    // q_dd_embed_neardup is the one documented exception: the bounded
+    // (vec_id < 1000) exact baseline whose scale path is q_dd_embed_lsh.
+    for ((name, fn) <- Dedup.all if name != "q_dd_embed_neardup") {
+      val p = plan(fn(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an all-pairs join — quadratic at scale:\n${p.take(1500)}")
+    }
   }
 
   test("minhash signature aggregation is map-side combined (partial min)") {
