@@ -24,7 +24,8 @@ object SparkEntry {
       _root_.graft.queries.Temporal.all ++
       _root_.graft.queries.Analytics.all ++
       _root_.graft.queries.Subqueries.all ++
-      _root_.graft.queries.Sampling.all
+      _root_.graft.queries.Sampling.all ++
+      _root_.graft.queries.Parity.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       _root_.graft.queries.Temporal.oracles ++
       _root_.graft.queries.Analytics.oracles ++
       _root_.graft.queries.Subqueries.oracles ++
-      _root_.graft.queries.Sampling.oracles
+      _root_.graft.queries.Sampling.oracles ++
+      _root_.graft.queries.Parity.oracles
 }

@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.{Exports, JsonIngest}
+import graft.warehouse.Normalize
+
+/** Driver-verified entries for the SURVEY §2 operators that round 2 left
+  * scalatest-only (VERDICT r2 "What's missing" #1): the DSv2 chunked REST
+  * source (S1), JSON landing + json_normalize + multi-level unnest
+  * (W1/S2–S6), CSV/JSON export round-trips (W5/W6), the normalize /
+  * safe-cast filter family (F5–F8), conditional column suppression (F10),
+  * schema-driven numeric unpivot (F11), the series-id slug round-trip
+  * (J5), per-series timezone application (§1.3), and the streaming
+  * windowed aggregation (§2.9) drained via AvailableNow.
+  *
+  * Round-trip queries verify the WRITE path by construction: the data
+  * goes through the real sink format (JSON payload / CSV files / JSON
+  * files) and back, and must hash-match a DuckDB oracle that reads only
+  * the original table — any serialization loss breaks the hash.
+  * Timestamps travel as epoch micros (lossless in every format);
+  * doubles rely on Java's round-trip `Double.toString`.
+  */
+object Parity {
+
+  // --- q_s1_chunked_rest ----------------------------------------------------
+  // SURVEY §2.1 S1 as a DataSource V2 scan: one InputPartition per 2-day
+  // chunk (the reference's serial POST loop parallelized,
+  // national_gas_client.py:61-120). The deterministic stub fetch is
+  // closed-form arithmetic, so a DuckDB generate_series twin reproduces
+  // it exactly — the driver-verifiable form of the connector.
+  private val S1From = "2024-01-01"
+  private val S1To = "2024-01-31"
+
+  def chunkedRest(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.v2.ChunkedRestSource")
+      .option("from", S1From).option("to", S1To).option("chunkDays", "2")
+      .load()
+      .orderBy("obs_time", "site", "metric")
+
+  val chunkedRestSql: String = {
+    import graft.sources.v2.ChunkedRestSource.{Metrics, Sites}
+    // Java String.hashCode constants, precomputed here and embedded as
+    // literals — the same values the stub derives per (day, site, metric)
+    val siteVals = Sites.map(x => s"('$x', ${x.hashCode}::BIGINT)").mkString(", ")
+    val metricVals = Metrics.map(x => s"('$x', ${x.hashCode}::BIGINT)").mkString(", ")
+    s"""WITH days AS (
+       |  SELECT (unnest(generate_series(DATE '$S1From', DATE '$S1To', INTERVAL 1 DAY)))::DATE AS day),
+       |sites(site, sh) AS (VALUES $siteVals),
+       |metrics(metric, mh) AS (VALUES $metricVals),
+       |rows AS (
+       |  SELECT
+       |    make_timestamp((day - DATE '1970-01-01')::BIGINT * 86400 * 1000000) AS obs_time,
+       |    site, metric,
+       |    40.0 + (((((day - DATE '1970-01-01')::BIGINT * 31 + sh) * 31 + mh) % 1000 + 1000) % 1000) / 100.0 AS value
+       |  FROM days, sites, metrics)
+       |SELECT obs_time, site, metric, value FROM rows
+       |ORDER BY obs_time, site, metric""".stripMargin
+  }
+
+  // --- q_s3_nested_unnest ---------------------------------------------------
+  // SURVEY §2.1 S3/S4/S5: 3-level nested JSON → json_normalize →
+  // multi-level unnest. The nesting is BUILT (group-collect twice), the
+  // JSON is real (`to_json` → `spark.read.json` with schema inference),
+  // and the unnest is the declarative explode chain
+  // (JsonIngest.explodePath) — the reference's Python row loops
+  // (national_gas_client.py:193-222), set-oriented. Hash-matching the
+  // flat oracle proves the nest→serialize→parse→unnest cycle is lossless.
+  def nestedUnnest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    val nested = ev.groupBy("user_id", "event_type")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("value")))).as("rows"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("event_type"), col("rows")))).as("types"))
+    val docs = nested.select(to_json(struct(col("user_id"), col("types"))).as("j")).as[String]
+    val parsed = JsonIngest.readJson(s, docs)
+    JsonIngest.explodePath(parsed, "types.rows")
+      .select(col("user_id"), col("types.event_type").as("event_type"),
+        col("rows.event_id").as("event_id"), col("rows.value").as("value"))
+      .orderBy("event_id")
+  }
+
+  val nestedUnnestSql: String =
+    """SELECT user_id, event_type, event_id, value
+      |FROM events WHERE user_id < 20
+      |ORDER BY event_id""".stripMargin
+
+  // --- q_w1_raw_roundtrip ---------------------------------------------------
+  // SURVEY §2.2 W1 (zero-loss raw landing) + §2.1 S2/S6 (read.json):
+  // every row serialized whole into a JSON payload (JsonIngest.landRaw's
+  // to_json(struct(*))) and parsed back with schema inference. The
+  // uuid/ingested_at lineage columns are intentionally absent — they are
+  // nondeterministic by design; zero-loss-ness of the PAYLOAD is the
+  // verified contract (raw_ingestor.py:8-54).
+  def rawRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val landed = JsonIngest.landRaw(src, "EVENTS")
+    JsonIngest.readJson(s, landed.select(col("raw_payload")).as[String])
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val rawRoundtripSql: String =
+    "SELECT event_id, user_id, event_type, ts, value FROM events ORDER BY event_id"
+
+  // --- q_w5_csv_roundtrip / q_w6_json_roundtrip ----------------------------
+  // SURVEY §2.2 W5/W6: the export sinks, verified end-to-end — write
+  // through Exports.csv/json (cap-bounded coalesce(1), the reference's
+  // single-attachment semantics, export.py:35-62), read the files back,
+  // hash-match the source-table oracle. Timestamps as epoch micros and
+  // schema-on-read make both formats lossless.
+  private def exportDir(d: String, kind: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_export_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = exportDir(d, "csv")
+    val src = Tables.events(s, d).filter(col("user_id") < 10)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("event_id")
+    Exports.csv(src, out, limit = Exports.MaxExportRows)
+    s.read.option("header", "true")
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts_us LONG, value DOUBLE")
+      .csv(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT event_id, user_id, event_type, ts, value
+      |FROM events WHERE user_id < 10 ORDER BY event_id""".stripMargin
+
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = exportDir(d, "json")
+    val src = Tables.events(s, d).filter(col("user_id") >= 10 && col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("event_id")
+    Exports.json(src, out, limit = Exports.MaxExportRows)
+    s.read.json(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_id, user_id, event_type, ts, value
+      |FROM events WHERE user_id >= 10 AND user_id < 20 ORDER BY event_id""".stripMargin
+
+  // --- q_f5_normalized_match ------------------------------------------------
+  // SURVEY §2.3 F5: multi-column lower/trim normalized equality
+  // (transformer.py:58-67). The columns are deterministically dirtied
+  // (case flips, padding) so the normalization is load-bearing, not a
+  // no-op.
+  def normalizedMatch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("lang_raw",
+        when(col("doc_id") % 2 === 0, upper(col("lang")))
+          .otherwise(concat(lit("  "), col("lang"), lit(" "))))
+      .withColumn("source_raw",
+        when(col("doc_id") % 3 === 0, concat(upper(col("source")), lit("   ")))
+          .otherwise(col("source")))
+      .filter(lower(trim(col("lang_raw"))) === "en" &&
+        lower(trim(col("source_raw"))) === "src3")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  val normalizedMatchSql: String =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN doc_id % 2 = 0 THEN upper(lang)
+      |         ELSE '  ' || lang || ' ' END AS lang_raw,
+      |    CASE WHEN doc_id % 3 = 0 THEN upper(source) || '   '
+      |         ELSE source END AS source_raw
+      |  FROM documents) t
+      |WHERE lower(trim(lang_raw)) = 'en' AND lower(trim(source_raw)) = 'src3'
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q_f8_safe_cast -------------------------------------------------------
+  // SURVEY §2.3 F6/F8: lenient parse + null/blank/unparseable rejection.
+  // A deterministically dirty value column goes through
+  // Normalize.nullIfBlank/safeDouble (the reference's
+  // try/except-continue, transformer.py:70-86) and a dirty timestamp
+  // column through try_to_timestamp (errors="coerce"); unparseable
+  // values are REJECTED (F8) while unparseable timestamps surface as
+  // null (F6's coerce) — both visible in the verified output.
+  def safeCast(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .when(col("doc_id") % 5 === 1, lit("  "))
+          .when(col("doc_id") % 5 === 2, lit("not-a-number"))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("3."), (col("doc_id") % 100).cast("string")))
+          .otherwise((col("doc_id") % 1000).cast("string")).as("raw_value"),
+        when(col("doc_id") % 4 === 0, lit("2024-02-30 00:00:00")) // no Feb 30
+          .when(col("doc_id") % 4 === 1, lit("garbage"))
+          .otherwise(concat(lit("2024-01-"),
+            lpad((col("doc_id") % 27 + 1).cast("string"), 2, "0"),
+            lit(" 12:00:00"))).as("raw_ts"))
+      .select(col("doc_id"),
+        Normalize.safeDouble(col("raw_value")).as("value"),
+        try_to_timestamp(col("raw_ts")).as("parsed_ts"))
+      .filter(col("value").isNotNull)
+      .orderBy("doc_id")
+
+  val safeCastSql: String =
+    """SELECT doc_id,
+      |  TRY_CAST(NULLIF(trim(raw_value), '') AS DOUBLE) AS value,
+      |  TRY_CAST(raw_ts AS TIMESTAMP) AS parsed_ts
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN ''
+      |         WHEN doc_id % 5 = 1 THEN '  '
+      |         WHEN doc_id % 5 = 2 THEN 'not-a-number'
+      |         WHEN doc_id % 5 = 3 THEN '3.' || CAST(doc_id % 100 AS VARCHAR)
+      |         ELSE CAST(doc_id % 1000 AS VARCHAR) END AS raw_value,
+      |    CASE WHEN doc_id % 4 = 0 THEN '2024-02-30 00:00:00'
+      |         WHEN doc_id % 4 = 1 THEN 'garbage'
+      |         ELSE '2024-01-' || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') || ' 12:00:00'
+      |         END AS raw_ts
+      |  FROM documents) t
+      |WHERE TRY_CAST(NULLIF(trim(raw_value), '') AS DOUBLE) IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q_f10_conditional ----------------------------------------------------
+  // SURVEY §2.3 F10: conditional column suppression (routes.py:57's
+  // `raw_payload if include_raw else None`) — the include_raw=false path
+  // nulls the payload while the flag-true column passes through.
+  def conditionalColumn(s: SparkSession, d: String): DataFrame = {
+    val includeRaw = false // the API's default include_raw=false
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"),
+        when(lit(includeRaw), col("text")).otherwise(lit(null).cast("string"))
+          .as("raw_payload"),
+        when(lit(true), col("source")).otherwise(lit(null).cast("string"))
+          .as("source_shown"))
+      .orderBy("doc_id")
+  }
+
+  val conditionalColumnSql: String =
+    """SELECT doc_id, lang,
+      |  CASE WHEN FALSE THEN text ELSE NULL END AS raw_payload,
+      |  CASE WHEN TRUE THEN source ELSE NULL END AS source_shown
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY doc_id""".stripMargin
+
+  // --- q_f11_unpivot_numeric ------------------------------------------------
+  // SURVEY §2.3 F11 + §2.5 A7: schema-driven numeric-dtype column
+  // selection feeding the generic unpivot (series_autoregister.py:26-30 —
+  // metric columns are whatever is numeric and not an id). l_returnflag
+  // rides in as proof the dtype filter excludes non-numerics.
+  def unpivotNumericQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag")
+    Normalize.unpivotNumeric(li, Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
+  val unpivotNumericSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 100
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey < 100) t
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // --- q_j5_slug_roundtrip --------------------------------------------------
+  // SURVEY §2.4 J5 + §2.8: the series-id slug (make_series_id,
+  // series_autoregister.py:7-16) built as a pure column expression, then
+  // PARSED BACK the way the reference's transformers do
+  // (series_id.split("_"), parts[-2]/parts[-1], transformer.py:17-24) —
+  // the round trip the reference never tests. The injected " v,(1)"
+  // suffix forces the `,()`-strip and space→_ rules to fire.
+  def slugRoundtrip(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("lang"), col("source")).na.drop().distinct()
+      .select(Normalize.makeSeriesId(lit("DOCS"),
+        concat(col("source"), lit(" v,(1)")), col("lang")).as("series_id"))
+      .withColumn("parts", split(col("series_id"), "_"))
+      .select(col("series_id"),
+        element_at(col("parts"), -2).as("site_part"),
+        element_at(col("parts"), -1).as("metric_part"))
+      .orderBy("series_id")
+
+  val slugRoundtripSql: String =
+    """WITH series AS (
+      |  SELECT DISTINCT lang, source FROM documents
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+      |sid AS (
+      |  SELECT 'NG' || '_' || 'DOCS' || '_'
+      |    || regexp_replace(regexp_replace(upper(trim(source || ' v,(1)')), '[,()]', '', 'g'), '\s+', '_', 'g')
+      |    || '_'
+      |    || regexp_replace(regexp_replace(upper(trim(lang)), '[,()]', '', 'g'), '\s+', '_', 'g')
+      |    AS series_id
+      |  FROM series)
+      |SELECT series_id, parts[-2] AS site_part, parts[-1] AS metric_part
+      |FROM (SELECT series_id, string_split(series_id, '_') AS parts FROM sid) t
+      |ORDER BY series_id""".stripMargin
+
+  // --- q_tz_per_series ------------------------------------------------------
+  // SURVEY §1.3: per-series timezone labels (UTC / Europe/Brussels /
+  // Europe/London, series_autoregister.py:51,90,121) applied on demand
+  // with from_utc_timestamp — UTC storage, local-wall-clock serving.
+  // DuckDB twin: timezone(tz, timezone('UTC', ts)) — the inner call pins
+  // the naive→instant interpretation to UTC regardless of the oracle
+  // session's timezone.
+  def tzPerSeries(s: SparkSession, d: String): DataFrame = {
+    val tz = when(col("user_id") % 3 === 0, lit("UTC"))
+      .when(col("user_id") % 3 === 1, lit("Europe/Brussels"))
+      .otherwise(lit("Europe/London"))
+    Tables.events(s, d).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        tz.as("source_timezone"),
+        from_utc_timestamp(col("ts"), tz).as("local_ts"))
+      .orderBy("event_id")
+  }
+
+  val tzPerSeriesSql: String =
+    """SELECT event_id, user_id, ts,
+      |  CASE WHEN user_id % 3 = 0 THEN 'UTC'
+      |       WHEN user_id % 3 = 1 THEN 'Europe/Brussels'
+      |       ELSE 'Europe/London' END AS source_timezone,
+      |  timezone(CASE WHEN user_id % 3 = 0 THEN 'UTC'
+      |                WHEN user_id % 3 = 1 THEN 'Europe/Brussels'
+      |                ELSE 'Europe/London' END,
+      |           timezone('UTC', ts)) AS local_ts
+      |FROM events WHERE event_id < 2000
+      |ORDER BY event_id""".stripMargin
+
+  // --- q_st_windowed --------------------------------------------------------
+  // SURVEY §2.9: the streaming windowed aggregation, driver-verified.
+  // The batch table is landed as a file-source directory, drained with
+  // Trigger.AvailableNow through MicroBatch.windowedCounts (watermark +
+  // tumbling window, append mode), and the EMITTED rows are returned.
+  // Append mode emits exactly the windows whose end <= final watermark
+  // (max event time minus the 30-minute delay, millisecond precision) —
+  // the oracle applies the same closure rule, so the hash verifies both
+  // the aggregation AND the watermark semantics.
+  def streamingWindowed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    ev.write.mode("overwrite").parquet(s"$root/src")
+    // fresh checkpoint + sink name per call: replays must recompute, not
+    // resume (the DATA is deterministic; the run id is not)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_wc_$runId"
+    val q = graft.streaming.MicroBatch.windowedCounts(
+      graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/cp_$runId")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .orderBy("window_start", "event_type")
+  }
+
+  val streamingWindowedSql: String =
+    """WITH agg AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+      |         event_type, count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |wm AS (SELECT epoch_ms(max(ts)) - 30*60*1000 AS w_ms FROM events)
+      |SELECT window_start, event_type, n_events, sum_value
+      |FROM agg, wm
+      |WHERE epoch_ms(window_start) + 600000 <= w_ms
+      |ORDER BY window_start, event_type""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_s1_chunked_rest" -> (chunkedRest _),
+    "q_s3_nested_unnest" -> (nestedUnnest _),
+    "q_w1_raw_roundtrip" -> (rawRoundtrip _),
+    "q_w5_csv_roundtrip" -> (csvRoundtrip _),
+    "q_w6_json_roundtrip" -> (jsonRoundtrip _),
+    "q_f5_normalized_match" -> (normalizedMatch _),
+    "q_f8_safe_cast" -> (safeCast _),
+    "q_f10_conditional" -> (conditionalColumn _),
+    "q_f11_unpivot_numeric" -> (unpivotNumericQ _),
+    "q_j5_slug_roundtrip" -> (slugRoundtrip _),
+    "q_tz_per_series" -> (tzPerSeries _),
+    "q_st_windowed" -> (streamingWindowed _))
+
+  val oracles: Map[String, String] = Map(
+    "q_s1_chunked_rest" -> chunkedRestSql,
+    "q_s3_nested_unnest" -> nestedUnnestSql,
+    "q_w1_raw_roundtrip" -> rawRoundtripSql,
+    "q_w5_csv_roundtrip" -> csvRoundtripSql,
+    "q_w6_json_roundtrip" -> jsonRoundtripSql,
+    "q_f5_normalized_match" -> normalizedMatchSql,
+    "q_f8_safe_cast" -> safeCastSql,
+    "q_f10_conditional" -> conditionalColumnSql,
+    "q_f11_unpivot_numeric" -> unpivotNumericSql,
+    "q_j5_slug_roundtrip" -> slugRoundtripSql,
+    "q_tz_per_series" -> tzPerSeriesSql,
+    "q_st_windowed" -> streamingWindowedSql)
+}
