@@ -69,6 +69,21 @@ object Layout {
       .drop("__salt")
   }
 
+  /** Date-partitioned, sorted-within-files layout — the serving-side
+    * access path for time-ranged per-key reads (the parquet analog of the
+    * reference's composite B-tree PK, `db_queries.sql:76-83`): a `day=`
+    * Hive partition per calendar day gives PARTITION PRUNING on the time
+    * range (whole days never listed, let alone read), and sorting within
+    * files on (key, time) gives row-group min/max skipping inside the
+    * surviving days. At 100 TB this turns a get_history call from a full
+    * scan into a handful of row groups. Plan-asserted in LayoutSpec. */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String,
+                           sortCols: Seq[String]): Unit =
+    df.withColumn("day", to_date(col(tsCol)))
+      .repartition(col("day"))
+      .sortWithinPartitions(("day" +: sortCols).map(col): _*)
+      .write.partitionBy("day").mode(SaveMode.Overwrite).parquet(path)
+
   /** Small-file compaction — the maintenance job every streaming/upsert
     * parquet table needs: micro-batch appends accrete thousands of tiny
     * files, and at 100 TB the scan's task count (and NameNode/listing

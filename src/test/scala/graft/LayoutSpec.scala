@@ -68,6 +68,38 @@ class LayoutSpec extends SparkSpec {
     assert(after === before, "compaction must not change the data")
   }
 
+  test("date-partitioned layout prunes partitions for time-ranged history reads") {
+    val path = java.nio.file.Files.createTempDirectory("graft-datepart")
+      .resolve("events").toString
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
+    Layout.writeDatePartitioned(ev, path, "ts", Seq("user_id", "ts"))
+
+    val totalDays = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("day="))
+    assert(totalDays >= 25, s"events span a month; got $totalDays day partitions")
+
+    // the get_history access path over the partitioned layout
+    val slice = spark.read.parquet(path)
+      .filter(col("user_id") === 7 &&
+        col("day").between(lit("2024-01-05").cast("date"), lit("2024-01-08").cast("date")))
+    val scans = slice.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // partition pruning is real: only the 4 requested days are listed/read
+    assert(scans.head.selectedPartitions.partitionCount === 4,
+      s"expected 4 pruned partitions, got ${scans.head.selectedPartitions.partitionCount}")
+    val p = slice.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("day"),
+      s"day range must land in PartitionFilters:\n${p.take(1500)}")
+    // and the non-partition key predicate still pushes to the scan
+    assert(p.contains("EqualTo(user_id,7)"), p.take(1500))
+    // correctness of the pruned read vs the unpartitioned table
+    val expected = ev.filter(col("user_id") === 7 &&
+      to_date(col("ts")).between(lit("2024-01-05").cast("date"), lit("2024-01-08").cast("date")))
+    assert(slice.count() === expected.count())
+  }
+
   test("salted broadcast join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sf).select("user_id").distinct()
