@@ -16,6 +16,14 @@ object Sessions {
     // truncates them to micros, matching DuckDB's read of the same file).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // keep catalog artifacts (bucketed-table demos) out of the repo tree
+    // Spark 4 routes upper/lower through ICU case mappings even for
+    // UTF8_BINARY; the first executor call pays a CollationAwareUTF8String
+    // static init that enumerates every Unicode codepoint (minutes of CPU
+    // under load — observed stalling a bench pass), and per-row ICU casing
+    // is slower than JVM casing thereafter. JVM casing matches DuckDB
+    // exactly on this corpus (ASCII) and on any ASCII slug/key data; the
+    // engine's normalize operators only target such keys.
+    .config("spark.sql.icu.caseMappings.enabled", "false")
     .config("spark.sql.warehouse.dir",
       s"${sys.props("java.io.tmpdir")}/graft-warehouse")
     .config("javax.jdo.option.ConnectionURL",

@@ -73,25 +73,42 @@ object Dedup {
   private[queries] val MaxShingleDf = 100
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d)
-    // Pair generation via group-collect-explode, not a self-join: the
-    // shingle pipeline is built ONCE (a self-join re-executes the whole
-    // upstream per side — Spark has no automatic CTE materialization);
-    // the df cap bounds every group's collect_list and pair fan-out.
-    val cand = shingleRows(s, d)
+    // Materialize the (doc_id, shingle) rows once: candidate generation,
+    // both verify sides, and the per-doc sizes all reuse them, and Spark
+    // has no automatic CTE materialization — without this the
+    // explode+window+distinct pipeline would execute four times. On a
+    // cluster this is persist-to-storage of the shingle table (what a
+    // real pipeline stages anyway); locally localCheckpoint pins it.
+    val ex = shingleRows(s, d).localCheckpoint()
+    // Pair generation via group-collect-explode, not a self-join; the
+    // df cap bounds every group's collect_list and pair fan-out.
+    val cand = ex
       .groupBy("s").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
-    broadcast(cand)
-      .join(sh.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+    // Count-based verify over the FULL shingle rows (hot shingles count
+    // again — the df cap only gates candidate generation): |A∩B| is a
+    // codegen'd equi-join + count, never an interpreted array_intersect
+    // over collected sets (that variant ground at sf0.1 — the candidate
+    // set here is not LSH-bounded, so per-pair interpreted set math is a
+    // hot path).
+    val common = ex.toDF("da", "s").join(broadcast(cand), "da")
+      .join(ex.toDF("db", "s"), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // common (candidate-bounded) is the small side everywhere: broadcast
+    // it against the per-doc sizes — a billion-doc corpus can never
+    // broadcast `sizes`.
+    val withNa = broadcast(common)
+      .join(sizes.toDF("da", "na"), "da")
+    broadcast(withNa)
+      .join(sizes.toDF("db", "nb"), "db")
       .select(
         col("da").as("doc_a"), col("db").as("doc_b"),
         (col("common").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("common"))).as("jaccard"))
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -418,8 +435,61 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --- q_dd_cluster_keeper --------------------------------------------------
+  // The FINAL step of a real dedup pipeline: near-dup PAIRS (minhash-LSH
+  // verified, jaccard >= 0.5) are only half the job — the corpus needs
+  // one KEEPER per connected component of the near-dup graph (A~B, B~C
+  // must drop two of {A,B,C}, not one of each pair). Connected components
+  // via iterative min-label propagation: each round every node takes the
+  // min label among itself and its neighbors; converges in O(component
+  // diameter) rounds — near-dup clusters are cliques-ish, so 2-3 rounds
+  // in practice. Each round is one equi-join + one min-aggregate, fully
+  // distributed (this is GraphX's connected components without the
+  // dependency); `localCheckpoint` truncates the growing lineage so round
+  // N's plan does not replay rounds 1..N-1. The driver loop carries only
+  // a scalar convergence count, never data.
+  def clusterKeeper(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 20, "label propagation failed to converge in 20 rounds")
+      val neigh = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val upd = labels.unionByName(neigh)
+        .groupBy("id").agg(min(col("label")).as("new_label"))
+      val joined = labels.join(upd, "id").localCheckpoint()
+      changed = joined.filter(col("new_label") < col("label")).count()
+      labels = joined.select(col("id"), col("new_label").as("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
+  }
+
+  val clusterKeeperSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($minhashLshSql) q),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u FROM edges),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM nodes
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+       |SELECT u AS doc_id, min(v) AS cluster, u = min(v) AS is_keeper
+       |FROM reach GROUP BY u
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dd_exact" -> (exact _),
+    "q_dd_cluster_keeper" -> (clusterKeeper _),
     "q_dd_ngram_jaccard" -> (ngramJaccard _),
     "q_dd_minhash_lsh" -> (minhashLsh _),
     "q_dd_simhash" -> (simhash _),
@@ -428,6 +498,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_dd_exact" -> exactSql,
+    "q_dd_cluster_keeper" -> clusterKeeperSql,
     "q_dd_ngram_jaccard" -> ngramJaccardSql,
     "q_dd_minhash_lsh" -> minhashLshSql,
     "q_dd_simhash" -> simhashSql,

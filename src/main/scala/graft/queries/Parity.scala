@@ -385,6 +385,35 @@ object Parity {
       |WHERE epoch_ms(window_start) + 600000 <= w_ms
       |ORDER BY window_start, event_type""".stripMargin
 
+  // --- q_mm_frame_sample ----------------------------------------------------
+  // Multimodal frame sampling, driver-verified: the documents corpus
+  // stands in as media payloads (UTF-8 bytes — ASCII here, so byte
+  // offsets == char offsets and DuckDB's substring is an exact twin),
+  // and Multimodal.sampleFrames slices every 2nd 64-byte frame with
+  // binary substr + bounded explode — the relational no-UDF path that
+  // never materializes dropped frames. The codec-dependent stages
+  // (decode/resize) stay spec-only by necessity; the frame plumbing is
+  // the oracle-able part.
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.mediaFromDocuments(s, d),
+      frameBytes = 64, stride = 2)
+      .select(col("media_id"), col("frame_idx"),
+        col("frame").cast("string").as("frame_text"))
+      .orderBy("media_id", "frame_idx")
+
+  val frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text,
+      |         CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, text, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+      |  FROM m WHERE n_frames > 0)
+      |SELECT media_id, frame_idx, substring(text, frame_idx * 64 + 1, 64) AS frame_text
+      |FROM f WHERE frame_idx % 2 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_chunked_rest" -> (chunkedRest _),
     "q_s3_nested_unnest" -> (nestedUnnest _),
@@ -397,7 +426,8 @@ object Parity {
     "q_f11_unpivot_numeric" -> (unpivotNumericQ _),
     "q_j5_slug_roundtrip" -> (slugRoundtrip _),
     "q_tz_per_series" -> (tzPerSeries _),
-    "q_st_windowed" -> (streamingWindowed _))
+    "q_st_windowed" -> (streamingWindowed _),
+    "q_mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "q_s1_chunked_rest" -> chunkedRestSql,
@@ -411,5 +441,6 @@ object Parity {
     "q_f11_unpivot_numeric" -> unpivotNumericSql,
     "q_j5_slug_roundtrip" -> slugRoundtripSql,
     "q_tz_per_series" -> tzPerSeriesSql,
-    "q_st_windowed" -> streamingWindowedSql)
+    "q_st_windowed" -> streamingWindowedSql,
+    "q_mm_frame_sample" -> frameSampleSql)
 }
