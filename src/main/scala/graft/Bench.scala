@@ -23,7 +23,12 @@ object Bench {
     // over the whole suite decorrelate, and min-of-passes estimates the
     // repeatable cost (the noise is strictly additive).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Optional comma-separated allowlist for targeted re-measurement of
+    // individual queries (regression triage); absent → full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to runs; (name, fn) <- queries) {
       val t0 = System.nanoTime()

@@ -216,7 +216,62 @@ object Analytics {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // --- q_ev_funnel --------------------------------------------------------
+  // Sequential funnel (view → click ≤1h → purchase ≤1h): the canonical
+  // product-analytics conversion query, and a genuinely order-dependent
+  // operator (each stage's window anchors on the PREVIOUS stage's first
+  // event, so no single aggregation expresses it). Per user: first view,
+  // first click within an hour of it, first purchase within an hour of
+  // that; stage = how deep the user got.
+  //
+  // Scale shape: three hash aggregations and two inner joins, ALL keyed
+  // on user_id — one shuffle partitioning reused across every step (no
+  // windows, no collected event lists; a hot user costs O(its events)).
+  // The left joins assembling the output rows join per-user singletons.
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("view_ts") &&
+        col("ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("click_ts") &&
+        col("ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+        (lit(1L) + when(col("click_ts").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_ts").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts > v.view_ts AND e.ts <= v.view_ts + INTERVAL 1 HOUR
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL 1 HOUR
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id AS user_id, view_ts, click_ts, purchase_ts,
+      |  (1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END)::BIGINT AS stage
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_funnel" -> (funnel _),
     "q_ag_rollup" -> (rollup _),
     "q_ag_cube" -> (cube _),
     "q_ag_grouping_sets" -> (groupingSets _),
@@ -230,6 +285,7 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ev_funnel" -> funnelSql,
     "q_ag_rollup" -> rollupSql,
     "q_ag_cube" -> cubeSql,
     "q_ag_grouping_sets" -> groupingSetsSql,

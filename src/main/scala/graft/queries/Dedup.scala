@@ -435,6 +435,51 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --- q_dd_contamination ---------------------------------------------------
+  // Benchmark-contamination screen — the dedup family's sibling every
+  // LLM-data pipeline runs before training: for each training doc, the
+  // fraction of its distinct 3-shingles that also appear in a held-out
+  // eval set; frac >= 0.5 flags the doc. Here the eval set is the
+  // deterministic doc_id % EvalMod == 0 slice standing in for the real
+  // benchmark corpus (an external, SMALL artifact by nature).
+  //
+  // 100 TB shape: the eval shingle universe is broadcast (benchmarks are
+  // MBs, corpora are TBs — the asymmetry is structural, not luck), so
+  // the training corpus is never shuffled for the membership test; the
+  // only shuffle is the per-doc count aggregation, which map-side
+  // combines. Contrast with joining on shingle: that would shuffle the
+  // full corpus' shingle stream.
+  private[queries] val EvalMod = 25
+
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val ex = shingleRows(s, d).localCheckpoint() // built once, used twice
+    val evalShingles = ex.filter(col("doc_id") % EvalMod === 0)
+      .select(col("s")).distinct()
+      .withColumn("hit", lit(1L))
+    ex.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalShingles), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_frac"))
+      .withColumn("contaminated", col("overlap_frac") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val contaminationSql: String =
+    s"""WITH sh AS ($shingleSetsSql),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % $EvalMod = 0)
+       |SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+       |  count(ev.s)::BIGINT AS n_overlap,
+       |  count(ev.s) / count(*)::DOUBLE AS overlap_frac,
+       |  (count(ev.s) / count(*)::DOUBLE) >= 0.5 AS contaminated
+       |FROM (SELECT * FROM ex WHERE doc_id % $EvalMod <> 0) e
+       |LEFT JOIN ev ON e.s = ev.s
+       |GROUP BY e.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // --- q_dd_cluster_keeper --------------------------------------------------
   // The FINAL step of a real dedup pipeline: near-dup PAIRS (minhash-LSH
   // verified, jaccard >= 0.5) are only half the job — the corpus needs
@@ -489,6 +534,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dd_exact" -> (exact _),
+    "q_dd_contamination" -> (contamination _),
     "q_dd_cluster_keeper" -> (clusterKeeper _),
     "q_dd_ngram_jaccard" -> (ngramJaccard _),
     "q_dd_minhash_lsh" -> (minhashLsh _),
@@ -498,6 +544,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_dd_exact" -> exactSql,
+    "q_dd_contamination" -> contaminationSql,
     "q_dd_cluster_keeper" -> clusterKeeperSql,
     "q_dd_ngram_jaccard" -> ngramJaccardSql,
     "q_dd_minhash_lsh" -> minhashLshSql,

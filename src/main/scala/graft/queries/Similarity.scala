@@ -74,11 +74,64 @@ object Similarity {
        |ORDER BY cosine DESC, vec_id
        |LIMIT $K""".stripMargin
 
+  // --- q_sim_kmeans_assign ------------------------------------------------
+  // Semantic-cluster assignment (the k-means E-step) — how a curation
+  // pipeline balances or stratifies a corpus by topic: every vector is
+  // assigned to its nearest centroid. Centroids are a small external
+  // model artifact by nature; here they are deterministic ±1 vectors
+  // (md5-parity, like the LSH hyperplanes) embedded as plan literals in
+  // BOTH engines. Equal-norm centroids make argmax-dot ≡ nearest-cosine.
+  //
+  // 100 TB shape: a pure scan projection — K×dim literal dot products
+  // per row inside whole-stage codegen, zero shuffle. The M-step
+  // (recompute centroids) would be one map-side-combinable aggregation
+  // per dimension, decimal-routed for retry-stable double sums.
+  // Ties (practically impossible on real-valued scores) break to the
+  // lowest centroid id via the struct max over (score, -cid).
+  private val NumCentroids = 8
+
+  private def centroidWeights(c: Int): IndexedSeq[Double] =
+    (0 until 64).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"c${c}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val scored = (0 until NumCentroids).map { cid =>
+      val w = array(centroidWeights(cid).map(lit): _*)
+      struct(Vectors.dot(col("v"), w).as("score"), lit(-cid).as("ncid"))
+    }
+    e.select(col("vec_id"), col("label"), array_max(array(scored: _*)).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.ncid")).cast("long").as("cluster_id"),
+        col("best.score").as("score"))
+      .orderBy("vec_id")
+  }
+
+  val kmeansAssignSql: String = {
+    def wLit(c: Int): String =
+      centroidWeights(c).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val structs = (0 until NumCentroids).map { cid =>
+      s"{'score': ${Vectors.dotSql("embedding", wLit(cid))}, 'ncid': ${-cid}}"
+    }.mkString("[", ", ", "]")
+    s"""SELECT vec_id, label,
+       |  (-(list_max($structs).ncid))::BIGINT AS cluster_id,
+       |  list_max($structs).score AS score
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> (bruteTopK _),
-    "q_sim_ivf_topk" -> (ivfTopK _))
+    "q_sim_ivf_topk" -> (ivfTopK _),
+    "q_sim_kmeans_assign" -> (kmeansAssign _))
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" -> bruteTopKSql,
-    "q_sim_ivf_topk" -> ivfTopKSql)
+    "q_sim_ivf_topk" -> ivfTopKSql,
+    "q_sim_kmeans_assign" -> kmeansAssignSql)
 }

@@ -211,7 +211,54 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- q_tx_repetition ----------------------------------------------------
+  // Repetition-based quality signals (the Gopher/MassiveText family):
+  // fraction of bigram OCCURRENCES that are repeats of an earlier bigram
+  // in the same doc, and the share of the single most frequent bigram.
+  // Templated/boilerplate/spam docs score high on both; a filter stage
+  // thresholds them. Docs with < 2 tokens have no bigrams and drop out.
+  //
+  // Fully relational: posexplode + one per-doc window builds the bigram
+  // stream (same shape as the shingle pipeline), then two nested
+  // map-side-combinable aggregations — no collected lists, no HOFs on
+  // the hot path, so the shape survives arbitrarily large corpora.
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = tok
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("s"))
+    bi.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"),
+        col("total").as("n_bigrams"),
+        ((col("total") - col("n_distinct")).cast("double") / col("total"))
+          .as("dup_bigram_frac"),
+        (col("top_c").cast("double") / col("total")).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |bi AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS s
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)),
+       |pg AS (SELECT doc_id, s, count(*) AS c FROM bi GROUP BY doc_id, s)
+       |SELECT doc_id,
+       |  sum(c)::BIGINT AS n_bigrams,
+       |  (sum(c) - count(*)) / sum(c)::DOUBLE AS dup_bigram_frac,
+       |  max(c) / sum(c)::DOUBLE AS top_bigram_frac
+       |FROM pg GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_repetition" -> (repetition _),
     "q_tx_token_count" -> (tokenCount _),
     "q_tx_quality" -> (qualityScore _),
     "q_tx_langid" -> (langId _),
@@ -220,6 +267,7 @@ object TextAnalysis {
     "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
+    "q_tx_repetition" -> repetitionSql,
     "q_tx_token_count" -> tokenCountSql,
     "q_tx_quality" -> qualityScoreSql,
     "q_tx_langid" -> langIdSql,

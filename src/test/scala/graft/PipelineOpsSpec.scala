@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Analytics, Dedup, Similarity, TextAnalysis}
+
+/** Semantic guarantees for the curation/analytics operators added on top
+  * of the oracle hash checks: funnel stage anchoring, repetition
+  * fractions, contamination flagging, and cluster-assignment totality.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def writeEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    // ts as raw nanos long — the on-disk shape Tables.events expects
+    rows.map { case (id, ns, uid, et) => (id, ns, uid, et, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel stages anchor each window on the previous stage's first event") {
+    val min = 60L * 1000 * 1000 * 1000 // one minute in nanos
+    val dir = writeEvents(Seq(
+      // user 1: full funnel; purchase lands exactly on the 1h boundary
+      (1L, 0L, 1L, "view"), (2L, 10 * min, 1L, "click"), (3L, 70 * min, 1L, "purchase"),
+      // user 2: view only
+      (4L, 0L, 2L, "view"),
+      // user 3: click arrives 61min after the view — outside the window
+      (5L, 0L, 3L, "view"), (6L, 61 * min, 3L, "click"),
+      // user 4: no view at all — not in the funnel
+      (7L, 0L, 4L, "click"), (8L, 5 * min, 4L, "purchase"),
+      // user 5: click ok, purchase 65min after the click — outside
+      (9L, 0L, 5L, "view"), (10L, 30 * min, 5L, "click"), (11L, 95 * min, 5L, "purchase")))
+    import ss.implicits._
+    val out = Analytics.funnel(spark, dir)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 5L -> 2L), s"got $out")
+  }
+
+  test("repetition fractions count duplicate and top bigram occurrences") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-rep").toString
+    Seq((1L, "a a a a"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.repetition(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    // doc 1: bigram "a a" ×3 → dup 2/3, top 3/3; doc 2: two distinct
+    // bigrams → dup 0, top 1/2; doc 3: <2 tokens → no row.
+    assert(out == Seq(
+      (1L, 3L, 2.0 / 3.0, 1.0),
+      (2L, 2L, 0.0, 0.5)), s"got $out")
+  }
+
+  test("contamination flags eval-overlapping docs and excludes the eval slice") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-contam").toString
+    Seq(
+      (25L, "alpha beta gamma delta epsilon zeta"), // eval doc (25 % 25 == 0)
+      (26L, "alpha beta gamma delta epsilon zeta"), // full copy → contaminated
+      (27L, "one two three four five six"))         // disjoint → clean
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.contamination(spark, dir)
+      .select("doc_id", "overlap_frac", "contaminated")
+      .as[(Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(rows == Seq((26L, 1.0, true), (27L, 0.0, false)), s"got $rows")
+  }
+
+  test("kmeans assignment is total, in-range, and deterministic") {
+    val a = Similarity.kmeansAssign(spark, sf).collect()
+    val b = Similarity.kmeansAssign(spark, sf).collect()
+    assert(a.sameElements(b), "assignment must be deterministic")
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(a.length == n, s"every vector assigned: ${a.length} vs $n")
+    val clusters = a.map(_.getLong(2)).toSet
+    assert(clusters.forall(c => c >= 0 && c < 8), s"cluster ids $clusters")
+  }
+}

@@ -87,6 +87,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("contamination probes eval membership via broadcast, never a shuffled join") {
+    // The eval shingle universe must broadcast (benchmarks are MBs,
+    // corpora TBs); a sort-merge/shuffled-hash join here would shuffle
+    // the whole corpus' shingle stream at 100 TB.
+    val p = plan(Dedup.contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval probe should broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"contamination must not shuffle-join the corpus:\n${p.take(1500)}")
+  }
+
+  test("kmeans assignment is a zero-shuffle scan projection") {
+    val p = plan(graft.queries.Similarity.kmeansAssign(spark, sf))
+    // the only exchange allowed is the final presentation sort
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"E-step must not shuffle:\n${p.take(1500)}")
+  }
+
   test("minhash signature aggregation is map-side combined (partial min)") {
     val p = plan(Dedup.minhashLsh(spark, sf))
     assert(p.contains("partial_min") || p.contains("HashAggregate"),
