@@ -43,6 +43,11 @@ object Bench {
         if (!times.contains(name)) errors.getOrElseUpdate(name,
           s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(120)}")
       }
+      // Drop blocks pinned by finished queries (localCheckpoint stages in
+      // the dedup family persist until GC otherwise): 134 query runs of
+      // leaked blocks create memory pressure that skews later timings.
+      // Safe here — a completed query's plan is never re-executed.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     val results = queries.map { case (name, _) =>
       name -> times.getOrElse(name, -1.0)

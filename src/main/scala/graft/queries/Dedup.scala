@@ -57,9 +57,12 @@ object Dedup {
 
   // --- q_dd_ngram_jaccard -------------------------------------------------
   // 3-word-shingle Jaccard near-dup: candidate pairs share >=1 RARE
-  // shingle (doc-freq <= MaxShingleDf), verified with the exact
-  // intersection over the full shingle sets. One shuffle on shingle for
-  // candidates + a broadcast verify join.
+  // shingle (doc-freq <= MaxShingleDf); the exact intersection is
+  // assembled as common_rare + common_hot, both as codegen'd counting
+  // aggregates — never per-pair set math, never a candidate fan-out over
+  // full shingle sets (an earlier verify join multiplied every candidate
+  // pair by ALL of its left doc's shingles: ~59M intermediate rows and
+  // 12+ s at sf0.1 for the same answer this shape gets in ~1 s).
   //
   // The doc-freq cap is the 100 TB guard: a web corpus has stop-shingles
   // ("of the and" …) with 10^6+ doc-freq — one uncapped group OOMs its
@@ -67,43 +70,57 @@ object Dedup {
   // carry ~zero near-dup signal (they are corpus-wide), so dropping them
   // for CANDIDATE GENERATION only costs pairs whose every shared shingle
   // is a stop-shingle — which a jaccard >= 0.5 pair essentially cannot
-  // be. Verification still uses the full sets, so surviving pairs keep
-  // their exact jaccard. (Property-tested: a planted 150-doc stop-shingle
-  // generates zero pairs; rare-shingle dups are still found.)
+  // be. Hot shingles still count toward surviving pairs' exact jaccard
+  // via the bounded common_hot join. (Property-tested: a planted 150-doc
+  // stop-shingle generates zero pairs; rare-shingle dups are still
+  // found.)
   private[queries] val MaxShingleDf = 100
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Materialize the (doc_id, shingle) rows once: candidate generation,
-    // both verify sides, and the per-doc sizes all reuse them, and Spark
+    // Materialize the (doc_id, shingle) rows once: the doc-freq pass,
+    // both pair paths, and the per-doc sizes all reuse them, and Spark
     // has no automatic CTE materialization — without this the
     // explode+window+distinct pipeline would execute four times. On a
     // cluster this is persist-to-storage of the shingle table (what a
     // real pipeline stages anyway); locally localCheckpoint pins it.
     val ex = shingleRows(s, d).localCheckpoint()
-    // Pair generation via group-collect-explode, not a self-join; the
-    // df cap bounds every group's collect_list and pair fan-out.
-    val cand = ex
+    // Split shingles at the df cap with a count-only aggregate (never
+    // collect doc lists before knowing the group is small — an uncapped
+    // collect_list on a web-scale stop-shingle is the OOM). The HOT side
+    // (df > cap) is a handful of DISTINCT values by definition, so it
+    // broadcasts; the corpus-sized `ex` never shuffles for the split.
+    val hotS = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("s")
+    // |A∩B| over RARE shingles, straight off the pair stream: every
+    // group's collect_list is bounded by the cap (hot shingles are gone),
+    // and counting pair occurrences IS the rare-intersection size — no
+    // distinct, no re-join, no per-pair set math. The keys of this
+    // aggregate are exactly the candidate pairs (share >= 1 rare
+    // shingle); work is <= (cap-1) rows out per shingle row in.
+    val commonRare = ex.join(broadcast(hotS), Seq("s"), "left_anti")
       .groupBy("s").agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
+      .filter(size(col("ds")) > 1)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"))
-      .distinct()
-    // Count-based verify over the FULL shingle rows (hot shingles count
-    // again — the df cap only gates candidate generation): |A∩B| is a
-    // codegen'd equi-join + count, never an interpreted array_intersect
-    // over collected sets (that variant ground at sf0.1 — the candidate
-    // set here is not LSH-bounded, so per-pair interpreted set math is a
-    // hot path).
-    val common = ex.toDF("da", "s").join(broadcast(cand), "da")
-      .join(ex.toDF("db", "s"), Seq("db", "s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("common_rare"))
+    // Hot shingles still count toward the EXACT jaccard of surviving
+    // pairs: join candidates to the hot rows only (per-doc hot-shingle
+    // count is small — a doc holds at most its-length stop-shingles),
+    // so the fan-out is |candidates| x hot-per-doc, never df².
+    val hotEx = ex.join(broadcast(hotS), Seq("s"))
+    val commonHot = commonRare.select("da", "db")
+      .join(hotEx.toDF("s", "da"), "da")
+      .join(hotEx.toDF("s", "db"), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common_hot"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // common (candidate-bounded) is the small side everywhere: broadcast
-    // it against the per-doc sizes — a billion-doc corpus can never
-    // broadcast `sizes`.
-    val withNa = broadcast(common)
+    // Candidate-keyed joins on da/db: unhinted — AQE broadcasts the tiny
+    // local sides; at corpus scale both sides are too big to broadcast
+    // and these become bounded shuffle joins on the candidate set.
+    commonRare
+      .join(commonHot, Seq("da", "db"), "left")
+      .select(col("da"), col("db"),
+        (col("common_rare") + coalesce(col("common_hot"), lit(0L))).as("common"))
       .join(sizes.toDF("da", "na"), "da")
-    broadcast(withNa)
       .join(sizes.toDF("db", "nb"), "db")
       .select(
         col("da").as("doc_a"), col("db").as("doc_b"),
