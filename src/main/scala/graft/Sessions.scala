@@ -39,6 +39,7 @@ object Sessions {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     graft.functions.VectorFunctions.register(s)
+    graft.functions.BoundedCollectFunctions.register(s)
     s
   }
 }

@@ -26,6 +26,7 @@ object Tables {
     // through a load, so vec_dot etc. are always resolvable (sessions
     // built with GraftExtensions get them at construction instead).
     graft.functions.VectorFunctions.register(spark)
+    graft.functions.BoundedCollectFunctions.register(spark)
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }

@@ -121,5 +121,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"), VectorFunctions.info, VectorFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_collect"),
+      BoundedCollectFunctions.info, BoundedCollectFunctions.builder))
   }
 }

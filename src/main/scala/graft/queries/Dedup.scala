@@ -84,22 +84,27 @@ object Dedup {
     // cluster this is persist-to-storage of the shingle table (what a
     // real pipeline stages anyway); locally localCheckpoint pins it.
     val ex = shingleRows(s, d).localCheckpoint()
-    // Split shingles at the df cap with a count-only aggregate (never
-    // collect doc lists before knowing the group is small — an uncapped
-    // collect_list on a web-scale stop-shingle is the OOM). The HOT side
-    // (df > cap) is a handful of DISTINCT values by definition, so it
-    // broadcasts; the corpus-sized `ex` never shuffles for the split.
-    val hotS = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select("s")
-    // |A∩B| over RARE shingles, straight off the pair stream: every
-    // group's collect_list is bounded by the cap (hot shingles are gone),
-    // and counting pair occurrences IS the rare-intersection size — no
-    // distinct, no re-join, no per-pair set math. The keys of this
-    // aggregate are exactly the candidate pairs (share >= 1 rare
-    // shingle); work is <= (cap-1) rows out per shingle row in.
-    val commonRare = ex.join(broadcast(hotS), Seq("s"), "left_anti")
-      .groupBy("s").agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+    // ONE bounded-collect pass classifies every shingle: groups of size
+    // <= cap are COMPLETE doc lists (rare), size cap+1 is the overflow
+    // marker (hot). The custom aggregate keeps at most cap+1 elements at
+    // every stage, so a web-scale stop-shingle costs O(cap) memory
+    // instead of OOMing the collect (checkpointed: both the rare and hot
+    // consumers read this one materialization).
+    val groups = ex.groupBy("s")
+      .agg(graft.functions.BoundedCollectFunctions
+        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
+      .localCheckpoint()
+    // The HOT side (df > cap) is a handful of DISTINCT values by
+    // definition, so it broadcasts; `ex` never shuffles for the split.
+    val hotS = groups.filter(size(col("ds")) > MaxShingleDf).select("s")
+    // |A∩B| over RARE shingles, straight off the pair stream: every rare
+    // group is complete and cap-bounded, and counting pair occurrences
+    // IS the rare-intersection size — no distinct, no re-join, no
+    // per-pair set math. The keys of this aggregate are exactly the
+    // candidate pairs (share >= 1 rare shingle); work is <= (cap-1) rows
+    // out per shingle row in.
+    val commonRare = groups
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("common_rare"))
@@ -194,10 +199,13 @@ object Dedup {
     // build instead of two, bucket lists bounded by LSH collision design
     // PLUS the hard MaxShingleDf cap — a degenerate band key (e.g. the
     // all-identical signature of millions of boilerplate docs) would
-    // otherwise collect one giant bucket and explode O(df²) pairs; docs
-    // colliding with >cap others get their near-dups from OTHER bands.
+    // otherwise explode O(df²) pairs; docs colliding with >cap others get
+    // their near-dups from OTHER bands. bounded_collect enforces the cap
+    // INSIDE the aggregate (O(cap) memory even for the degenerate
+    // bucket); the filter then reads complete-vs-overflowed sizes.
     val cand = bands.groupBy("band_id", "band_key")
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(graft.functions.BoundedCollectFunctions
+        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
@@ -306,7 +314,8 @@ object Dedup {
           .bitwiseAND(lit((1L << SimBandBits) - 1))): _*)))
       .toDF("doc_id", "band_id", "band_key")
     val cand = bands.groupBy("band_id", "band_key")
-      .agg(collect_list(col("doc_id")).as("ds"))
+      .agg(graft.functions.BoundedCollectFunctions
+        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("doc_a"), col("p.db").as("doc_b"))

@@ -112,26 +112,77 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val kmeansAssignSql: String = {
+  private def clusterStructsSql: String = {
     def wLit(c: Int): String =
       centroidWeights(c).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-    val structs = (0 until NumCentroids).map { cid =>
+    (0 until NumCentroids).map { cid =>
       s"{'score': ${Vectors.dotSql("embedding", wLit(cid))}, 'ncid': ${-cid}}"
     }.mkString("[", ", ", "]")
+  }
+
+  val kmeansAssignSql: String =
     s"""SELECT vec_id, label,
-       |  (-(list_max($structs).ncid))::BIGINT AS cluster_id,
-       |  list_max($structs).score AS score
+       |  (-(list_max($clusterStructsSql).ncid))::BIGINT AS cluster_id,
+       |  list_max($clusterStructsSql).score AS score
        |FROM embeddings
        |ORDER BY vec_id""".stripMargin
+
+  // --- q_sim_kmeans_update ------------------------------------------------
+  // The k-means M-step completing the E-step above: per-cluster member
+  // counts and per-dimension centroid means. Parallel double summation is
+  // order-unstable, so components route through 1e-6 fixed point: every
+  // element becomes round(v * 1e6) as an exact BIGINT, sums are exact
+  // integer arithmetic in any order (retry- and partitioning-stable), and
+  // the mean divides two exact integers in double space — bit-identical
+  // across engines and runs. Same rationale as the DECIMAL-routed money
+  // sums, chosen over DECIMAL here because embeddings are unit-scale.
+  //
+  // 100 TB shape: posexplode to a (cluster, dim) stream, then ONE
+  // map-side-combinable aggregation — 8x64 groups regardless of corpus
+  // size. The E-step scan fuses into the same stage (zero extra passes).
+  def kmeansUpdate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val scored = (0 until NumCentroids).map { cid =>
+      val w = array(centroidWeights(cid).map(lit): _*)
+      struct(Vectors.dot(col("v"), w).as("score"), lit(-cid).as("ncid"))
+    }
+    e.select((-array_max(array(scored: _*)).getField("ncid")).cast("long")
+        .as("cluster_id"), posexplode(col("v")))
+      .toDF("cluster_id", "dim", "v")
+      .groupBy("cluster_id", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v") * 1000000.0).cast("long")).as("sum_fixed"))
+      .select(col("cluster_id"), col("dim").cast("long").as("dim"), col("n"),
+        (col("sum_fixed").cast("double") / 1000000.0 / col("n").cast("double"))
+          .as("mean_val"))
+      .orderBy("cluster_id", "dim")
   }
+
+  val kmeansUpdateSql: String =
+    s"""WITH a AS (
+       |  SELECT (-(list_max($clusterStructsSql).ncid))::BIGINT AS cluster_id,
+       |    embedding
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT cluster_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+       |  FROM a, unnest(generate_series(1, len(embedding))) g(i))
+       |SELECT cluster_id, dim::BIGINT AS dim, count(*) AS n,
+       |  sum(CAST(round(v * 1000000.0) AS BIGINT))::DOUBLE / 1000000.0
+       |    / count(*)::DOUBLE AS mean_val
+       |FROM ex
+       |GROUP BY cluster_id, dim
+       |ORDER BY cluster_id, dim""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> (bruteTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
-    "q_sim_kmeans_assign" -> (kmeansAssign _))
+    "q_sim_kmeans_assign" -> (kmeansAssign _),
+    "q_sim_kmeans_update" -> (kmeansUpdate _))
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" -> bruteTopKSql,
     "q_sim_ivf_topk" -> ivfTopKSql,
-    "q_sim_kmeans_assign" -> kmeansAssignSql)
+    "q_sim_kmeans_assign" -> kmeansAssignSql,
+    "q_sim_kmeans_update" -> kmeansUpdateSql)
 }

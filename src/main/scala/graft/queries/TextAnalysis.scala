@@ -257,8 +257,83 @@ object TextAnalysis {
        |FROM pg GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_tx_corpus_stats --------------------------------------------------
+  // Dataset-card rollup per (lang, source) slice: doc and distinct-text
+  // counts (the exact-dup rate), token and char totals, mean doc size.
+  // Every published corpus ships this table; at 100 TB it is one
+  // map-side-combinable aggregation pass — the only heavyweight column
+  // is the exact distinct-text count, which shuffles 16-byte digests
+  // (never the texts); swap approx_count_distinct for its sketch when an
+  // estimate is acceptable. Ratios are double divisions of exact BIGINTs
+  // — deterministic across engines.
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum(size(tokens(col("text")))).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+          .as("dup_frac"),
+        col("total_tokens"), col("total_chars"),
+        (col("total_chars").cast("double") / col("n_docs")).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  val corpusStatsSql: String =
+    s"""SELECT lang, source,
+       |  count(*) AS n_docs,
+       |  count(DISTINCT md5(text)) AS n_distinct,
+       |  1.0 - count(DISTINCT md5(text)) / count(*)::DOUBLE AS dup_frac,
+       |  sum(len($tokensSql))::BIGINT AS total_tokens,
+       |  sum(length(text))::BIGINT AS total_chars,
+       |  sum(length(text)) / count(*)::DOUBLE AS avg_chars
+       |FROM documents
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+
+  // --- q_tx_quality_trim --------------------------------------------------
+  // Percentile-threshold curation: drop the worst decile per language by
+  // punctuation ratio — the standard "trim the tail of the quality
+  // distribution" step, expressed with percent_rank so the cut adapts to
+  // each language's own distribution instead of a global magic constant.
+  // The (ratio, doc_id) ordering makes ranks tie-free and the cut
+  // deterministic in both engines (percent_rank = (rank-1)/(n-1) in
+  // each). One window over a lang-keyed shuffle; at 100 TB this is the
+  // same shape as any per-key ranking — no global sort, no collect.
+  def qualityTrim(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val punct =
+      (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+        greatest(length(col("text")), lit(1))).as("punct_ratio")
+    val w = Window.partitionBy("lang").orderBy(col("punct_ratio"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), punct)
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= 0.9)
+      .select(col("doc_id"), col("lang"), col("punct_ratio"), col("pr"))
+      .orderBy("doc_id")
+  }
+
+  val qualityTrimSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+      |      / greatest(length(text), 1)::DOUBLE AS punct_ratio
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, lang, punct_ratio,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY punct_ratio, doc_id) AS pr
+      |  FROM scored)
+      |SELECT doc_id, lang, punct_ratio, pr
+      |FROM ranked WHERE pr <= 0.9
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_repetition" -> (repetition _),
+    "q_tx_corpus_stats" -> (corpusStats _),
+    "q_tx_quality_trim" -> (qualityTrim _),
     "q_tx_token_count" -> (tokenCount _),
     "q_tx_quality" -> (qualityScore _),
     "q_tx_langid" -> (langId _),
@@ -268,6 +343,8 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_tx_repetition" -> repetitionSql,
+    "q_tx_corpus_stats" -> corpusStatsSql,
+    "q_tx_quality_trim" -> qualityTrimSql,
     "q_tx_token_count" -> tokenCountSql,
     "q_tx_quality" -> qualityScoreSql,
     "q_tx_langid" -> langIdSql,

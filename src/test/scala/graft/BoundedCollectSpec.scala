@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BoundedCollectFunctions.boundedCollect
+
+/** Semantics of the bounded_collect aggregate: completeness below the
+  * cap, hard truncation above it, and behavioral equality with the
+  * collect_list + size-filter idiom it replaces on the dedup hot paths.
+  */
+class BoundedCollectSpec extends SparkSpec {
+
+  test("groups at or below the cap are collected completely") {
+    import ss.implicits._
+    val df = (1 to 50).flatMap(k => (0 until k % 7 + 1).map(i => (k, i.toLong)))
+      .toDF("k", "v")
+    val got = df.groupBy("k").agg(sort_array(boundedCollect(col("v"), 10)).as("vs"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val want = df.groupBy("k").agg(sort_array(collect_list(col("v"))).as("vs"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got == want)
+  }
+
+  test("an oversized group truncates at cap elements, never materializes more") {
+    import ss.implicits._
+    // one hot key with 100k members next to a small one — the degenerate
+    // LSH bucket / stop-shingle shape
+    val df = ((1 to 100000).map(i => ("hot", i.toLong)) ++
+      Seq(("cold", 1L), ("cold", 2L))).toDF("k", "v")
+    val out = df.groupBy("k").agg(boundedCollect(col("v"), 101).as("vs"))
+      .select(col("k"), size(col("vs")).as("n")).as[(String, Int)].collect().toMap
+    assert(out == Map("hot" -> 101, "cold" -> 2))
+  }
+
+  test("cap classification matches the collect_list + filter idiom") {
+    import ss.implicits._
+    val cap = 5
+    val df = (1 to 30).flatMap(k => (0 until k).map(i => (k, i.toLong))).toDF("k", "v")
+    // keys kept by bounded_collect(cap+1) with size <= cap must be
+    // exactly the keys collect_list keeps under the same filter, with the
+    // same complete contents
+    val bounded = df.groupBy("k")
+      .agg(sort_array(boundedCollect(col("v"), cap + 1)).as("vs"))
+      .filter(size(col("vs")) > 1 && size(col("vs")) <= cap)
+      .as[(Int, Seq[Long])].collect().toMap
+    val reference = df.groupBy("k")
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .filter(size(col("vs")) > 1 && size(col("vs")) <= cap)
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(bounded == reference)
+  }
+
+  test("bounded_collect is callable from SQL via the registry") {
+    import ss.implicits._
+    Seq((1, 10L), (1, 20L), (2, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("bc_input")
+    val rows = ss.sql(
+      "SELECT k, sort_array(bounded_collect(v, 5)) AS vs FROM bc_input GROUP BY k ORDER BY k")
+      .as[(Int, Seq[Long])].collect().toSeq
+    assert(rows == Seq((1, Seq(10L, 20L)), (2, Seq(30L))))
+  }
+}
