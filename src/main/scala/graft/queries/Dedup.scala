@@ -513,30 +513,42 @@ object Dedup {
   // must drop two of {A,B,C}, not one of each pair). Connected components
   // via iterative min-label propagation: each round every node takes the
   // min label among itself and its neighbors; converges in O(component
-  // diameter) rounds — near-dup clusters are cliques-ish, so 2-3 rounds
-  // in practice. Each round is one equi-join + one min-aggregate, fully
-  // distributed (this is GraphX's connected components without the
-  // dependency); `localCheckpoint` truncates the growing lineage so round
-  // N's plan does not replay rounds 1..N-1. The driver loop carries only
-  // a scalar convergence count, never data.
+  // diameter) rounds — near-dup clusters are clique-ish, so 2-3 rounds
+  // in practice (this is GraphX's connected components without the
+  // dependency). Per round: ONE equi-join + ONE min-aggregate + a scalar
+  // sum — no label-vs-label comparison join. Convergence reads the SUM
+  // of labels: min-propagation is monotone non-increasing per node, so
+  // the exact integer sum strictly decreases until the fixed point and
+  // equal consecutive sums ⇔ no label moved. `localCheckpoint` truncates
+  // the growing lineage so round N's plan does not replay rounds 1..N-1;
+  // the driver loop carries only the scalar checksum, never data.
   def clusterKeeper(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashLsh(s, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
+    // seed with the first propagation round fused in: label(0) =
+    // min(id, neighbors) — one round fewer to converge
+    var labels = edges.select(col("src").as("id"), col("dst").as("label"))
+      .unionByName(edges.select(col("src").as("id"), col("src").as("label")))
+      .groupBy("id").agg(min(col("label")).as("label"))
+      .localCheckpoint()
+    // exact decimal sum: billions of int64 ids would overflow an int64
+    // accumulator, and the strict-decrease argument needs exact integers
+    def checksum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev: java.math.BigDecimal = null
+    var curr = checksum(labels)
     var rounds = 0
-    while (changed > 0) {
+    while (prev == null || curr.compareTo(prev) != 0) {
       rounds += 1
       require(rounds <= 20, "label propagation failed to converge in 20 rounds")
       val neigh = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      val upd = labels.unionByName(neigh)
-        .groupBy("id").agg(min(col("label")).as("new_label"))
-      val joined = labels.join(upd, "id").localCheckpoint()
-      changed = joined.filter(col("new_label") < col("label")).count()
-      labels = joined.select(col("id"), col("new_label").as("label"))
+      labels = labels.unionByName(neigh)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      prev = curr
+      curr = checksum(labels)
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
       .withColumn("is_keeper", col("doc_id") === col("cluster"))

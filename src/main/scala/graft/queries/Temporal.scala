@@ -252,13 +252,49 @@ object Temporal {
        |FROM sess GROUP BY user_id, session_n
        |ORDER BY user_id, session_start""".stripMargin
 
+  // --- q_t7_resample ------------------------------------------------------
+  // Time-series resampling to 5-minute OHLC bars per event_type — the
+  // downsampling operator behind every metrics/market rollup. Open and
+  // close are min/max over the struct (ts, event_id, value): (ts,
+  // event_id) is a unique composite, so lexicographic struct ordering
+  // picks a deterministic first/last row in BOTH engines — never
+  // first()/last(), whose result depends on partition arrival order.
+  // One map-side-combinable aggregation; the bar arithmetic is exact
+  // integer epoch math (micros div/mul), no interval rounding.
+  def resample(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(
+        expr("timestamp_micros(unix_micros(ts) div 300000000 * 300000000)")
+          .as("bar_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"))
+      .orderBy("bar_start", "event_type")
+
+  val resampleSql: String =
+    """SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bar_start,
+      |  event_type, count(*) AS n,
+      |  min({'t': ts, 'e': event_id, 'v': value}).v AS open,
+      |  max({'t': ts, 'e': event_id, 'v': value}).v AS close,
+      |  min(value) AS low, max(value) AS high
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bar_start, event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_t1_asof_join" -> (asofJoin _),
     "q_t2_range_join" -> (rangeJoin _),
     "q_t3_gapfill" -> (gapfill _),
     "q_t4_sessionize" -> (sessionize _),
     "q_t5_moving" -> (moving _),
-    "q_t6_session_window" -> (sessionWindow _))
+    "q_t6_session_window" -> (sessionWindow _),
+    "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
     "q_t1_asof_join" -> asofJoinSql,
@@ -266,5 +302,6 @@ object Temporal {
     "q_t3_gapfill" -> gapfillSql,
     "q_t4_sessionize" -> sessionizeSql,
     "q_t5_moving" -> movingSql,
-    "q_t6_session_window" -> sessionWindowSql)
+    "q_t6_session_window" -> sessionWindowSql,
+    "q_t7_resample" -> resampleSql)
 }
