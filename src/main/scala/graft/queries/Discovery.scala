@@ -132,15 +132,49 @@ object Discovery {
       |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
       |ORDER BY event_id""".stripMargin
 
+  // --- q_ds_profile -------------------------------------------------------
+  // Per-column data-quality profile of the orders table — null counts
+  // and exact distinct cardinalities, the audit table every ingest run
+  // emits. ONE scan computes every column's statistics as parallel
+  // aggregates; the wide single row is then unpivoted to the long audit
+  // shape driver-side-free via stack(). Exact distincts shuffle each
+  // column's values once; at 100 TB swap approx_count_distinct sketches
+  // per column (same plan shape, one scan).
+  private val profileCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val aggs = profileCols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    val stackExpr = profileCols
+      .map(c => s"'$c', ${c}__nulls, ${c}__distinct")
+      .mkString(s"stack(${profileCols.length}, ", ", ", ")")
+    Tables.orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"$stackExpr AS (column_name, n_nulls, n_distinct)"))
+      .orderBy("column_name")
+  }
+
+  val profileSql: String =
+    profileCols.map(c =>
+      s"""SELECT '$c' AS column_name,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_json_pred" -> (jsonPred _),
     "q_ds_field_discovery" -> (fieldDiscovery _),
     "q_ds_group_collect" -> (groupCollect _),
+    "q_ds_profile" -> (profile _),
     "q_ds_variant" -> (variantGet _))
 
   val oracles: Map[String, String] = Map(
     "q_ds_json_pred" -> jsonPredSql,
     "q_ds_field_discovery" -> fieldDiscoverySql,
     "q_ds_group_collect" -> groupCollectSql,
+    "q_ds_profile" -> profileSql,
     "q_ds_variant" -> variantGetSql)
 }

@@ -45,16 +45,25 @@ object LayoutQueries {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val ord = s"ly_orders_$tag"
     val li = s"ly_lineitem_$tag"
-    // idempotent per SF dir: the bucketed copies are immutable once
-    // written (saveAsTable(Overwrite) would also work, at 2x the cost)
-    if (!s.catalog.tableExists(ord))
-      Layout.writeBucketed(
-        Tables.orders(s, d).select("o_orderkey", "o_orderdate"), ord,
-        "o_orderkey", 16)
-    if (!s.catalog.tableExists(li))
-      Layout.writeBucketed(
-        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"), li,
-        "l_orderkey", 16)
+    // Idempotent per SF dir within a session: the bucketed copies are
+    // immutable once written. The default in-memory catalog does NOT
+    // outlive the JVM while the warehouse directory does, so a fresh
+    // session must clear any orphaned location before saveAsTable (a
+    // lakehouse metastore would make the existence check durable).
+    def ensure(table: String, build: => Unit): Unit =
+      if (!s.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.conf.warehousePath, table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        build
+      }
+    ensure(ord, Layout.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderdate"), ord,
+      "o_orderkey", 16))
+    ensure(li, Layout.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity"), li,
+      "l_orderkey", 16))
     s.table(ord)
       .join(s.table(li), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))

@@ -417,9 +417,36 @@ object Parity {
       |FROM f WHERE frame_idx % 2 = 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // --- q_mm_meta_stats ------------------------------------------------------
+  // Metadata-only rollup over the media table: dimension-bucketed counts
+  // and size totals computed WITHOUT touching the payload column. This is
+  // the query `MultimodalSpec` plan-asserts payload pruning for — at
+  // 100 TB the scan reads the few-byte metadata struct, never the blobs,
+  // so catalog-style audits run at metadata speed on a petabyte of media.
+  def mediaMetaStats(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+      .groupBy(col("meta.media_type").as("media_type"),
+        (col("meta.width") / 100).cast("long").as("width_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("meta.width")).as("min_w"), max(col("meta.width")).as("max_w"),
+        sum(col("meta.height").cast("long")).as("sum_h"))
+      .orderBy("media_type", "width_bucket")
+
+  val mediaMetaStatsSql: String =
+    """SELECT 'image' AS media_type,
+      |  ((n_chars % 640) // 100)::BIGINT AS width_bucket,
+      |  count(*) AS n,
+      |  min(n_chars % 640)::INT AS min_w,
+      |  max(n_chars % 640)::INT AS max_w,
+      |  sum(n_chars % 480)::BIGINT AS sum_h
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY media_type, width_bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_chunked_rest" -> (chunkedRest _),
     "q_s3_nested_unnest" -> (nestedUnnest _),
+    "q_mm_meta_stats" -> (mediaMetaStats _),
     "q_w1_raw_roundtrip" -> (rawRoundtrip _),
     "q_w5_csv_roundtrip" -> (csvRoundtrip _),
     "q_w6_json_roundtrip" -> (jsonRoundtrip _),
@@ -435,6 +462,7 @@ object Parity {
   val oracles: Map[String, String] = Map(
     "q_s1_chunked_rest" -> chunkedRestSql,
     "q_s3_nested_unnest" -> nestedUnnestSql,
+    "q_mm_meta_stats" -> mediaMetaStatsSql,
     "q_w1_raw_roundtrip" -> rawRoundtripSql,
     "q_w5_csv_roundtrip" -> csvRoundtripSql,
     "q_w6_json_roundtrip" -> jsonRoundtripSql,

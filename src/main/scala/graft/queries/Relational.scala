@@ -256,6 +256,72 @@ object Relational {
       |WHERE rnk <= 3
       |ORDER BY o_custkey, rnk""".stripMargin
 
+  // --- q_o5_ntile ---------------------------------------------------------
+  // Distribution-position window functions over the per-customer order
+  // history: quartile (ntile), cumulative distribution, and the previous
+  // price (lag) — the analytic trio behind spend-percentile features.
+  // The (price desc, orderkey) ordering is tie-free, so ntile/cume_dist
+  // are engine-exact. Same single-shuffle shape as any per-key window.
+  def ntileProfile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cdist"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy("o_custkey", "quartile", "o_orderkey")
+  }
+
+  val ntileProfileSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  NTILE(4) OVER w AS quartile,
+      |  CUME_DIST() OVER w AS cdist,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price
+      |FROM orders
+      |WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, quartile, o_orderkey""".stripMargin
+
+  // --- q_j11_fuzzy --------------------------------------------------------
+  // Fuzzy dictionary lookup (record linkage): dirty external names are
+  // matched to a reference dictionary by minimum edit distance, with a
+  // deterministic (distance, name) struct-min tie-break. The probes here
+  // are nation names with the tail chopped — a deterministic stand-in
+  // for misspelled feeds, built identically in both engines.
+  //
+  // 100 TB shape: the DICTIONARY side broadcasts (reference vocabularies
+  // are catalog-sized by nature); dirty records stream past it at
+  // |records| x |dictionary| levenshtein comparisons per partition. For
+  // dictionaries beyond broadcast size the standard step-up is trigram
+  // blocking (join on shared 3-grams first, exactly the shingle
+  // machinery in Dedup) before the per-candidate edit distance.
+  def fuzzyDictionary(s: SparkSession, d: String): DataFrame = {
+    val dict = Tables.nation(s, d).select(col("n_name").as("name"))
+    val probes = dict.select(
+      expr("substring(name, 1, length(name) - 2)").as("probe"))
+    probes.crossJoin(broadcast(dict))
+      .select(col("probe"),
+        struct(levenshtein(col("probe"), col("name")).as("dist"),
+          col("name").as("name")).as("cand"))
+      .groupBy("probe")
+      .agg(min(col("cand")).as("best"))
+      .select(col("probe"), col("best.name").as("matched"),
+        col("best.dist").cast("long").as("distance"))
+      .orderBy("probe")
+  }
+
+  val fuzzyDictionarySql: String =
+    """WITH dict AS (SELECT n_name AS name FROM nation),
+      |probes AS (SELECT substring(name, 1, length(name) - 2) AS probe FROM dict)
+      |SELECT probe,
+      |  min({'dist': levenshtein(probe, name), 'name': name}).name AS matched,
+      |  min({'dist': levenshtein(probe, name), 'name': name}).dist::BIGINT AS distance
+      |FROM probes, dict
+      |GROUP BY probe
+      |ORDER BY probe""".stripMargin
+
   // --- q_a7_unpivot -------------------------------------------------------
   // SURVEY §2.5 A7: wide→long unpivot of the lineitem measures — the
   // set-oriented replacement for the reference's per-metric Python loop
@@ -318,6 +384,8 @@ object Relational {
     "q_w3_catalog_antijoin" -> (catalogAntijoin _),
     "q_a6_lww_dedup" -> (lwwDedup _),
     "q_o1_window_rank" -> (windowRank _),
+    "q_o5_ntile" -> (ntileProfile _),
+    "q_j11_fuzzy" -> (fuzzyDictionary _),
     "q_a7_unpivot" -> (unpivotMeasures _),
     "q_set_ops" -> (setOps _))
 
@@ -333,6 +401,8 @@ object Relational {
     "q_w3_catalog_antijoin" -> catalogAntijoinSql,
     "q_a6_lww_dedup" -> lwwDedupSql,
     "q_o1_window_rank" -> windowRankSql,
+    "q_o5_ntile" -> ntileProfileSql,
+    "q_j11_fuzzy" -> fuzzyDictionarySql,
     "q_a7_unpivot" -> unpivotMeasuresSql,
     "q_set_ops" -> setOpsSql)
 }
