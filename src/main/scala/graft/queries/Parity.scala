@@ -417,6 +417,41 @@ object Parity {
       |FROM f WHERE frame_idx % 2 = 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // --- q_st_dedup -----------------------------------------------------------
+  // SURVEY §2.9: streaming dedup, driver-verified. The events backlog is
+  // drained with Trigger.AvailableNow through
+  // MicroBatch.dedupWithinWatermark and the surviving DISTINCT KEY SET is
+  // returned. WHICH physical row survives per key depends on arrival
+  // order (non-deterministic under parallel file reads), but the key set
+  // itself is exactly the batch DISTINCT — so projecting to the keys
+  // gives a hash-exact oracle that still exercises the streaming state
+  // store, watermark eviction, and AvailableNow drain end to end.
+  def streamingDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
+      ev.write.mode("overwrite").parquet(s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_dd_$runId"
+    val q = graft.streaming.MicroBatch.dedupWithinWatermark(
+      graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev))
+      .select("user_id", "event_type", "ts")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/cp_$runId")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .distinct() // watermark eviction may re-admit a key across batches
+      .orderBy("user_id", "event_type", "ts")
+  }
+
+  val streamingDedupSql: String =
+    """SELECT DISTINCT user_id, event_type, ts
+      |FROM events
+      |ORDER BY user_id, event_type, ts""".stripMargin
+
   // --- q_mm_meta_stats ------------------------------------------------------
   // Metadata-only rollup over the media table: dimension-bucketed counts
   // and size totals computed WITHOUT touching the payload column. This is
@@ -457,6 +492,7 @@ object Parity {
     "q_j5_slug_roundtrip" -> (slugRoundtrip _),
     "q_tz_per_series" -> (tzPerSeries _),
     "q_st_windowed" -> (streamingWindowed _),
+    "q_st_dedup" -> (streamingDedup _),
     "q_mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
@@ -473,5 +509,6 @@ object Parity {
     "q_j5_slug_roundtrip" -> slugRoundtripSql,
     "q_tz_per_series" -> tzPerSeriesSql,
     "q_st_windowed" -> streamingWindowedSql,
+    "q_st_dedup" -> streamingDedupSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }
