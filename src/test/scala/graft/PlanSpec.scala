@@ -104,6 +104,41 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"E-step must not shuffle:\n${p.take(1500)}")
   }
 
+  test("kmeans M-step is one aggregation pass fused with the E-step scan") {
+    // E-step scoring + posexplode + partial aggregation must fuse into
+    // the scan stage; the only exchanges are the 512-group final agg and
+    // the presentation sort.
+    val p = plan(graft.queries.Similarity.kmeansUpdate(spark, sf))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"M-step should shuffle only 512 groups + sort:\n${p.take(1500)}")
+    assert(p.contains("partial"), s"M-step must map-side combine:\n${p.take(1500)}")
+  }
+
+  test("bucketed fact join plans with no shuffle on either side") {
+    // The write-time bucketing must carry through to the join: in the
+    // rendered tree a node's INPUTS print below it, so no shuffle
+    // Exchange may appear at or below the SortMergeJoin line (the range
+    // exchange above it belongs to the presentation sort). Broadcast is
+    // disabled so the tiny test SF exercises the SMJ path a real fact
+    // pair would take.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val lines = plan(graft.queries.LayoutQueries.bucketedJoin(spark, sf))
+        .linesIterator.toList
+      val joinIdx = lines.indexWhere(_.contains("SortMergeJoin"))
+      assert(joinIdx >= 0, s"expected a SortMergeJoin:\n${lines.take(40).mkString("\n")}")
+      assert(!lines.drop(joinIdx).exists(_.contains("Exchange")),
+        s"bucketed join must not re-shuffle its inputs:\n${lines.drop(joinIdx).take(20).mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("data profile computes every column's stats in a single scan") {
+    val p = plan(graft.queries.Discovery.profile(spark, sf))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profile must be one scan, found $scans:\n${p.take(1500)}")
+  }
+
   test("minhash signature aggregation is map-side combined (partial min)") {
     val p = plan(Dedup.minhashLsh(spark, sf))
     assert(p.contains("partial_min") || p.contains("HashAggregate"),
