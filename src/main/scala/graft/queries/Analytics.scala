@@ -22,6 +22,59 @@ object Analytics {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  // --- q_ag_histogram -----------------------------------------------------
+  // Fixed-width numeric histogram of lineitem extended prices — the
+  // distribution profile behind pricing dashboards and outlier screens.
+  // Buckets are explicit floor() divisions — a bare double->BIGINT cast
+  // TRUNCATES in Spark but ROUNDS in DuckDB, so the cast form silently
+  // shifts bucket boundaries between engines (caught by the oracle);
+  // one map-side-combinable aggregation, bucket count
+  // bounded by the value range regardless of corpus size.
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / 10000).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("bucket")
+
+  val histogramSql: String =
+    """SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket,
+      |  count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // --- q_w7_scd2 ----------------------------------------------------------
+  // Change-stream → slowly-changing-dimension type 2: each user's event
+  // value history becomes validity-interval rows (valid_from, valid_to,
+  // is_current) via one per-key ordered window — the warehouse pattern
+  // the reference's last-write-wins upsert cannot express (LWW keeps one
+  // row per key; SCD2 keeps the full change history queryable by
+  // interval). The (ts, event_id) ordering is tie-free. One shuffle on
+  // the business key, identical at any scale.
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val scd2Sql: String =
+    """SELECT user_id, event_id, value, ts AS valid_from,
+      |  LEAD(ts, 1) OVER w AS valid_to,
+      |  LEAD(ts, 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   // --- q_ag_rollup --------------------------------------------------------
   // ROLLUP (flag, status): detail + per-flag subtotal + grand total in
   // one pass. NULLS FIRST everywhere: Spark's asc default and DuckDB's
@@ -272,6 +325,8 @@ object Analytics {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_funnel" -> (funnel _),
+    "q_ag_histogram" -> (histogram _),
+    "q_w7_scd2" -> (scd2 _),
     "q_ag_rollup" -> (rollup _),
     "q_ag_cube" -> (cube _),
     "q_ag_grouping_sets" -> (groupingSets _),
@@ -286,6 +341,8 @@ object Analytics {
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
     "q_ev_funnel" -> funnelSql,
+    "q_ag_histogram" -> histogramSql,
+    "q_w7_scd2" -> scd2Sql,
     "q_ag_rollup" -> rollupSql,
     "q_ag_cube" -> cubeSql,
     "q_ag_grouping_sets" -> groupingSetsSql,
