@@ -75,6 +75,37 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // --- q_ev_retention -----------------------------------------------------
+  // Cohort retention: users grouped by first-active week, counted per
+  // week offset they return in — the companion table to the funnel in
+  // every product-analytics suite. Week indexes are exact integer
+  // epoch-day divisions (no calendar/timezone arithmetic to disagree
+  // on). Two aggregations, both keyed on user/cohort — the same shuffle
+  // discipline as the funnel; distinct-user counts shuffle (cohort,
+  // offset, user) triples, never event rows.
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        floor(col("ts").cast("long") / (7L * 86400)).as("week"))
+    val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    FLOOR((epoch_us(ts) // 1000000) / (7 * 86400))::BIGINT AS week
+      |  FROM events),
+      |first AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |  count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN first ON ev.user_id = first.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   // --- q_ag_rollup --------------------------------------------------------
   // ROLLUP (flag, status): detail + per-flag subtotal + grand total in
   // one pass. NULLS FIRST everywhere: Spark's asc default and DuckDB's
@@ -325,6 +356,7 @@ object Analytics {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_funnel" -> (funnel _),
+    "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
     "q_ag_rollup" -> (rollup _),
@@ -341,6 +373,7 @@ object Analytics {
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
     "q_ev_funnel" -> funnelSql,
+    "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,
     "q_ag_rollup" -> rollupSql,

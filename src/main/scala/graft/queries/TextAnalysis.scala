@@ -330,8 +330,47 @@ object TextAnalysis {
       |FROM ranked WHERE pr <= 0.9
       |ORDER BY doc_id""".stripMargin
 
+  // --- q_tx_ngram_top -----------------------------------------------------
+  // Corpus-wide top-k vocabulary extraction: the 100 most frequent word
+  // bigrams with document frequencies — the table behind tokenizer
+  // audits and boilerplate detection. The bigram stream is the same
+  // relational posexplode+lead shape as the shingle pipeline; both
+  // counts map-side combine, and the final top-k is a
+  // TakeOrderedAndProject heap over the aggregated vocabulary (never a
+  // global sort of all n-grams). Ordering (count desc, bigram) is
+  // tie-free per bigram.
+  def ngramTop(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tok
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(100)
+  }
+
+  val ngramTopSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |bi AS (
+       |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) g(i))
+       |SELECT bigram, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM bi
+       |GROUP BY bigram
+       |ORDER BY n_occurrences DESC, bigram
+       |LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_repetition" -> (repetition _),
+    "q_tx_ngram_top" -> (ngramTop _),
     "q_tx_corpus_stats" -> (corpusStats _),
     "q_tx_quality_trim" -> (qualityTrim _),
     "q_tx_token_count" -> (tokenCount _),
@@ -343,6 +382,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_tx_repetition" -> repetitionSql,
+    "q_tx_ngram_top" -> ngramTopSql,
     "q_tx_corpus_stats" -> corpusStatsSql,
     "q_tx_quality_trim" -> qualityTrimSql,
     "q_tx_token_count" -> tokenCountSql,
