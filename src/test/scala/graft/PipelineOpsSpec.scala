@@ -71,6 +71,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows == Seq((26L, 1.0, true), (27L, 0.0, false)), s"got $rows")
   }
 
+  test("scd2 intervals partition each user's history with one current row") {
+    val rows = Analytics.scd2(spark, sf)
+      .select("user_id", "valid_from", "valid_to", "is_current").collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (user, history) =>
+      val sorted = history.sortBy(_.getTimestamp(1).getTime)
+      // exactly one open interval, and it is the last
+      assert(sorted.count(_.getBoolean(3)) == 1, s"user $user current rows")
+      assert(sorted.last.getBoolean(3), s"user $user: last row must be current")
+      // each interval closes exactly where the next opens (no gaps/overlap)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(2) == b.getTimestamp(1),
+            s"user $user: interval gap between ${a.getTimestamp(2)} and ${b.getTimestamp(1)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("retention week-0 counts equal cohort sizes and offsets are nonnegative") {
+    import ss.implicits._
+    val r = Analytics.retention(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r.forall(_._2 >= 0), "week offsets must be >= 0")
+    // every cohort has a week-0 row, and summing distinct users at
+    // offset 0 over all cohorts = total distinct users
+    val week0 = r.filter(_._2 == 0L).map(x => x._1 -> x._3).toMap
+    assert(r.map(_._1).toSet == week0.keySet, "every cohort appears at offset 0")
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(week0.values.sum == totalUsers,
+      s"cohorts must partition the user base: ${week0.values.sum} vs $totalUsers")
+  }
+
+  test("histogram buckets partition the rows and bound their min/max") {
+    import ss.implicits._
+    val h = Analytics.histogram(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val total = graft.Tables.lineitem(spark, sf).count()
+    assert(h.map(_._2).sum == total, "bucket counts must partition the table")
+    h.foreach { case (bucket, _, lo, hi) =>
+      assert(lo <= hi && math.floor(lo / 10000).toLong == bucket &&
+        math.floor(hi / 10000).toLong == bucket,
+        s"bucket $bucket bounds [$lo, $hi] outside its range")
+    }
+  }
+
   test("kmeans assignment is total, in-range, and deterministic") {
     val a = Similarity.kmeansAssign(spark, sf).collect()
     val b = Similarity.kmeansAssign(spark, sf).collect()
