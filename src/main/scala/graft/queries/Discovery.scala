@@ -21,7 +21,14 @@ object Discovery {
   // `(raw_payload ->> 'siteId')::int = :site_id`).
   def jsonPred(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .filter(get_json_object(col("props"), "$.k").cast("int") >= 90)
+      // explicit null rejection first: the JSON-path predicate itself is
+      // an expression (scan-side DataFilter, not pushable), but
+      // IsNotNull(props) IS an attribute filter — it reaches the parquet
+      // reader and skips all-null row groups via column stats
+      // (plan-asserted in PlanSpec). Semantically a no-op: the >= 90
+      // predicate already rejects null payloads.
+      .filter(col("props").isNotNull &&
+        get_json_object(col("props"), "$.k").cast("int") >= 90)
       .select(col("event_id"), col("user_id"), col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
@@ -132,6 +139,51 @@ object Discovery {
       |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
       |ORDER BY event_id""".stripMargin
 
+  // --- q_ds_variant_schema --------------------------------------------------
+  // Variant-NATIVE field discovery (SURVEY §2.10's schema_of_variant
+  // mapping) — the typed twin of q_ds_field_discovery. Payloads with
+  // deterministically varying shapes (extra string field / boolean /
+  // array, branched on event_id so the typing is load-bearing) are parsed
+  // ONCE into the binary Variant encoding; schema_of_variant types each
+  // row in the scan stage and schema_of_variant_agg merges the observed
+  // schemas per dataset — the reference's union-of-observed-types loop
+  // (field_discovery.py:19-64) with the type walk pushed into codegen
+  // instead of a Python dict traversal. Conflicting k types (BIGINT vs
+  // ARRAY<BIGINT>) merge to VARIANT, Spark's documented top type. The
+  // expected schema strings follow Spark's documented Variant typing for
+  // the three constructed branches, so the oracle derives them with the
+  // same branch CASE.
+  def variantSchema(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k")
+    val payload = when(col("event_id") % 3 === 0,
+        concat(lit("{\"k\": "), k, lit(", \"tag\": \"t\"}")))
+      .when(col("event_id") % 3 === 1,
+        concat(lit("{\"flag\": true, \"k\": "), k, lit("}")))
+      .otherwise(concat(lit("{\"k\": ["), k, lit(", "), k, lit("]}")))
+    val typed = Tables.events(s, d)
+      .select(col("event_type"), parse_json(payload).as("v"))
+      .select(col("event_type"), schema_of_variant(col("v")).as("variant_schema"),
+        col("v"))
+    val perSchema = typed.groupBy("event_type", "variant_schema")
+      .agg(count(lit(1)).as("n_rows"))
+    val merged = typed.groupBy("event_type")
+      .agg(schema_of_variant_agg(col("v")).as("merged_schema"))
+    perSchema.join(merged, "event_type")
+      .select("event_type", "variant_schema", "n_rows", "merged_schema")
+      .orderBy("event_type", "variant_schema")
+  }
+
+  val variantSchemaSql: String =
+    """SELECT event_type,
+      |  CASE WHEN event_id % 3 = 0 THEN 'OBJECT<k: BIGINT, tag: STRING>'
+      |       WHEN event_id % 3 = 1 THEN 'OBJECT<flag: BOOLEAN, k: BIGINT>'
+      |       ELSE 'OBJECT<k: ARRAY<BIGINT>>' END AS variant_schema,
+      |  count(*) AS n_rows,
+      |  'OBJECT<flag: BOOLEAN, k: VARIANT, tag: STRING>' AS merged_schema
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, variant_schema""".stripMargin
+
   // --- q_ds_profile -------------------------------------------------------
   // Per-column data-quality profile of the orders table — null counts
   // and exact distinct cardinalities, the audit table every ingest run
@@ -169,12 +221,14 @@ object Discovery {
     "q_ds_field_discovery" -> (fieldDiscovery _),
     "q_ds_group_collect" -> (groupCollect _),
     "q_ds_profile" -> (profile _),
-    "q_ds_variant" -> (variantGet _))
+    "q_ds_variant" -> (variantGet _),
+    "q_ds_variant_schema" -> (variantSchema _))
 
   val oracles: Map[String, String] = Map(
     "q_ds_json_pred" -> jsonPredSql,
     "q_ds_field_discovery" -> fieldDiscoverySql,
     "q_ds_group_collect" -> groupCollectSql,
     "q_ds_profile" -> profileSql,
-    "q_ds_variant" -> variantGetSql)
+    "q_ds_variant" -> variantGetSql,
+    "q_ds_variant_schema" -> variantSchemaSql)
 }

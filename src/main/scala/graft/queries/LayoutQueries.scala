@@ -80,11 +80,45 @@ object LayoutQueries {
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // --- q_ly_pruned_history --------------------------------------------------
+  // The date-partitioned serving layout as a driver row: events written
+  // once through Layout.writeDatePartitioned (a day= Hive partition per
+  // calendar day, sorted within files on (user_id, ts) — the parquet
+  // analog of the reference's composite B-tree PK, db_queries.sql:76-83),
+  // then the get_history slice read back through the partitioned path.
+  // Only the 4 requested day partitions are listed or read (partition
+  // count plan-asserted in LayoutSpec); the oracle runs the same slice
+  // off the FLAT table — identical output proves the layout changes the
+  // plan, never the data.
+  def prunedHistory(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_by_day"
+    // idempotent per SF dir: the layout is immutable once fully written
+    // (_SUCCESS lands at the root after the last partition commits)
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      Layout.writeDatePartitioned(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "event_type", "value"),
+        root, "ts", Seq("user_id", "ts"))
+    s.read.parquet(root)
+      .filter(col("user_id") === 7 &&
+        col("day").between(lit("2024-01-05").cast("date"), lit("2024-01-08").cast("date")))
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy("ts", "event_id")
+  }
+
+  val prunedHistorySql: String =
+    """SELECT event_id, ts, event_type, value FROM events
+      |WHERE user_id = 7
+      |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-08'
+      |ORDER BY ts, event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ly_salted_agg" -> (saltedAgg _),
-    "q_ly_bucketed_join" -> (bucketedJoin _))
+    "q_ly_bucketed_join" -> (bucketedJoin _),
+    "q_ly_pruned_history" -> (prunedHistory _))
 
   val oracles: Map[String, String] = Map(
     "q_ly_salted_agg" -> saltedAggSql,
-    "q_ly_bucketed_join" -> bucketedJoinSql)
+    "q_ly_bucketed_join" -> bucketedJoinSql,
+    "q_ly_pruned_history" -> prunedHistorySql)
 }

@@ -452,6 +452,66 @@ object Parity {
       |FROM events
       |ORDER BY user_id, event_type, ts""".stripMargin
 
+  // --- q_st_upsert ----------------------------------------------------------
+  // SURVEY §2.9: the foreachBatch → idempotent-upsert sink (the streaming
+  // form of loader.py:20-30), driver-verified end-to-end. The backlog is
+  // landed once, drained with Trigger.AvailableNow through
+  // MicroBatch.drainOnce (watermark dedup → foreachBatch →
+  // Upsert.upsert into a parquet table via the staged atomic swap), and
+  // the SINK table is returned minus the per-batch ingestion_time
+  // (nondeterministic by design). The event key is unique in the corpus,
+  // so last-write-wins is the identity map and the sink must hash-match
+  // the source exactly — a row lost or duplicated by the stream dedup,
+  // the batch boundaries, or the staging/rename swap breaks the hash.
+  // (LWW itself is oracle-verified by q_a6_lww_dedup; re-upsert
+  // idempotence by PropertySpec.)
+  def streamingUpsert(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
+      ev.write.mode("overwrite").parquet(s"$root/src")
+    // fresh checkpoint + sink per call: replays must recompute (the DATA
+    // is deterministic; the run id is not), and upsert idempotence makes
+    // any AvailableNow-internal batch replay a no-op
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.MicroBatch.drainOnce(s, s"$root/src", s"$root/cp_up_$runId",
+      s"$root/sink_up_$runId", ev)
+    s.read.parquet(s"$root/sink_up_$runId")
+      .drop("ingestion_time")
+      .orderBy("event_id")
+  }
+
+  val streamingUpsertSql: String =
+    "SELECT event_id, user_id, event_type, ts, value, props FROM events ORDER BY event_id"
+
+  // --- q_st_anomaly ---------------------------------------------------------
+  // SURVEY §2.9: the custom flatMapGroupsWithState operator
+  // (MicroBatch.anomalies), driver-verified through its batch twin — the
+  // SAME operator code run in batch mode (Spark executes
+  // flatMapGroupsWithState over whole batch groups with empty initial
+  // state), where the per-user prefix in (ts, value) order is exactly a
+  // running-mean window. Integer-cents state makes the emitted mean
+  // bit-reproducible across engines: DuckDB's exact DECIMAL(18,2) prefix
+  // sum cast to DOUBLE then divided once by n lands on the identical
+  // IEEE value. StreamingSpec separately holds the streaming path equal
+  // to this batch twin, so the green row covers both execution modes.
+  def anomalyBatch(s: SparkSession, d: String): DataFrame =
+    graft.streaming.MicroBatch.anomalies(Tables.events(s, d))
+      .toDF()
+      .orderBy("user_id", "ts", "value")
+
+  val anomalyBatchSql: String =
+    """WITH w AS (
+      |  SELECT user_id, ts, value,
+      |    count(*) OVER prior AS n_prior,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER prior AS DOUBLE) AS sum_prior
+      |  FROM events
+      |  WINDOW prior AS (PARTITION BY user_id ORDER BY ts, value
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, ts, value, sum_prior / n_prior AS mean_before
+      |FROM w WHERE n_prior >= 10 AND value > 3 * (sum_prior / n_prior)
+      |ORDER BY user_id, ts, value""".stripMargin
+
   // --- q_mm_meta_stats ------------------------------------------------------
   // Metadata-only rollup over the media table: dimension-bucketed counts
   // and size totals computed WITHOUT touching the payload column. This is
@@ -493,6 +553,8 @@ object Parity {
     "q_tz_per_series" -> (tzPerSeries _),
     "q_st_windowed" -> (streamingWindowed _),
     "q_st_dedup" -> (streamingDedup _),
+    "q_st_upsert" -> (streamingUpsert _),
+    "q_st_anomaly" -> (anomalyBatch _),
     "q_mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
@@ -510,5 +572,7 @@ object Parity {
     "q_tz_per_series" -> tzPerSeriesSql,
     "q_st_windowed" -> streamingWindowedSql,
     "q_st_dedup" -> streamingDedupSql,
+    "q_st_upsert" -> streamingUpsertSql,
+    "q_st_anomaly" -> anomalyBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }

@@ -92,8 +92,12 @@ object MicroBatch {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
-  /** Per-user running state carried across micro-batches. */
-  case class RunningStats(n: Long, sum: Double)
+  /** Per-user running state carried across micro-batches. The sum is
+    * integer CENTS (values carry 2 decimals): exact accumulation makes
+    * the emitted mean bit-reproducible across engines — a DuckDB
+    * DECIMAL(18,2) window sum followed by one double division lands on
+    * the identical IEEE value, so the operator is hash-oracle-able. */
+  case class RunningStats(n: Long, sumCents: Long)
 
   /** One emitted anomaly: value exceeded `factor` × the running mean of
     * the user's PRIOR events (with at least `minN` priors). */
@@ -119,13 +123,16 @@ object MicroBatch {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
          state: GroupState[RunningStats]) => {
-          var st = state.getOption.getOrElse(RunningStats(0L, 0.0))
+          var st = state.getOption.getOrElse(RunningStats(0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
           // batch-internal order is not guaranteed — sort for determinism
           rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, v) =>
-            if (st.n >= minN && v > factor * (st.sum / st.n))
-              out += Anomaly(uid, ts, v, st.sum / st.n)
-            st = RunningStats(st.n + 1, st.sum + v)
+            // exact mean of the priors: one correctly-rounded division of
+            // an exact rational — reproducible, unlike a running double sum
+            def mean = st.sumCents.toDouble / 100.0 / st.n
+            if (st.n >= minN && v > factor * mean)
+              out += Anomaly(uid, ts, v, mean)
+            st = RunningStats(st.n + 1, st.sumCents + math.round(v * 100))
           }
           state.update(st)
           out.iterator

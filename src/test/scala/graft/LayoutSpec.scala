@@ -100,6 +100,28 @@ class LayoutSpec extends SparkSpec {
     assert(slice.count() === expected.count())
   }
 
+  test("q_ly_pruned_history's scan prunes to exactly the 4 requested days") {
+    // the DRIVER query path (not just the raw layout): the partitioned
+    // read must list/read only the 4 day= partitions in the slice
+    val df = graft.queries.LayoutQueries.prunedHistory(spark, sf)
+    // the presentation sort makes this an AQE plan — descend the wrapper
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(nodes)
+    }
+    val scans = nodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 4,
+      s"expected 4 pruned partitions, got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("salted broadcast join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sf).select("user_id").distinct()

@@ -133,6 +133,34 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("json-path predicate still pushes scan-level filters") {
+    // The get_json_object predicate itself can't reach parquet (it's an
+    // expression over props, not an attribute), but the scan must still
+    // carry a PushedFilters list with the derivable residue — a scan
+    // that pushes nothing re-reads every row group at 100 TB.
+    val p = plan(graft.queries.Discovery.jsonPred(spark, sf))
+    assert(p.contains("PushedFilters: ["), s"scan lost its pushdown list:\n${p.take(1500)}")
+    assert(p.contains("IsNotNull(props)"),
+      s"null-rejection should push to the props scan:\n${p.take(1500)}")
+  }
+
+  test("salted aggregation's partial stage runs shuffle-free on (key, salt)") {
+    // The whole point of the salt is that the FIRST aggregate fans a hot
+    // key across (key, salt) sub-groups map-side, BEFORE any exchange —
+    // a shuffle below it would re-concentrate the skew it exists to
+    // spread. In the rendered tree inputs print below their parent, so
+    // the deepest HashAggregate must mention the salt column and no
+    // Exchange may appear below it.
+    val lines = plan(graft.queries.LayoutQueries.saltedAgg(spark, sf))
+      .linesIterator.toList
+    val deepestAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(deepestAgg >= 0, s"expected a HashAggregate:\n${lines.take(30).mkString("\n")}")
+    assert(lines(deepestAgg).contains("__salt"),
+      s"deepest aggregate must key on (key, salt):\n${lines(deepestAgg)}")
+    assert(!lines.drop(deepestAgg + 1).exists(_.contains("Exchange")),
+      s"no shuffle below the salted partial agg:\n${lines.drop(deepestAgg).take(15).mkString("\n")}")
+  }
+
   test("data profile computes every column's stats in a single scan") {
     val p = plan(graft.queries.Discovery.profile(spark, sf))
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
