@@ -25,6 +25,7 @@ object SparkEntry {
       _root_.graft.queries.Analytics.all ++
       _root_.graft.queries.Subqueries.all ++
       _root_.graft.queries.Sampling.all ++
+      _root_.graft.queries.TrainPrep.all ++
       _root_.graft.queries.LayoutQueries.all ++
       _root_.graft.queries.Parity.all
 
@@ -40,6 +41,7 @@ object SparkEntry {
       _root_.graft.queries.Analytics.oracles ++
       _root_.graft.queries.Subqueries.oracles ++
       _root_.graft.queries.Sampling.oracles ++
+      _root_.graft.queries.TrainPrep.oracles ++
       _root_.graft.queries.LayoutQueries.oracles ++
       _root_.graft.queries.Parity.oracles
 }

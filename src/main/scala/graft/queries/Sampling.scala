@@ -77,13 +77,61 @@ object Sampling {
        |ORDER BY lang, split""".stripMargin
   }
 
+  // --- q_sm_mixture ---------------------------------------------------------
+  // Balanced domain mixture: downsample every source to (approximately)
+  // the size of the SMALLEST source — the data-dependent cousin of
+  // q_sm_stratified, where the rates come from the corpus instead of a
+  // config. The keep threshold is exact integer arithmetic
+  // ((min_n * 10000) div n_total — integer division, because
+  // floor-of-double-division can round across the boundary in one
+  // engine and not the other), and the keep decision is the usual
+  // salted content hash. At 100 TB the source histogram is a digest-
+  // only aggregate and the per-source thresholds broadcast back — the
+  // corpus itself is filtered scan-side and never shuffled.
+  def mixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val rates = counts
+      .crossJoin(counts.agg(min(col("n_total")).as("min_n")))
+      .withColumn("threshold", expr("(min_n * 10000) div n_total"))
+      .select("source", "n_total", "threshold")
+    val kept = docs.join(broadcast(rates), "source")
+      .filter(Hashes.md5Int32(
+        concat(col("doc_id").cast("string"), lit("_mix_"), col("source"))) % 10000
+        < col("threshold"))
+    kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .join(rates, "source")
+      .select("source", "n_total", "threshold", "n_kept")
+      .orderBy("source")
+  }
+
+  val mixtureSql: String = {
+    val h = Hashes.md5Int32Sql("d.doc_id::VARCHAR || '_mix_' || d.source")
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+       |rates AS (
+       |  SELECT source, n_total,
+       |    (min(n_total) OVER () * 10000) // n_total AS threshold
+       |  FROM counts),
+       |kept AS (
+       |  SELECT d.source, count(*) AS n_kept
+       |  FROM documents d JOIN rates r USING (source)
+       |  WHERE $h % 10000 < r.threshold
+       |  GROUP BY d.source)
+       |SELECT r.source, r.n_total, r.threshold, k.n_kept
+       |FROM rates r JOIN kept k ON r.source = k.source
+       |ORDER BY r.source""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sm_hash_sample" -> (hashSample _),
     "q_sm_stratified" -> (stratified _),
-    "q_sm_split" -> (split _))
+    "q_sm_split" -> (split _),
+    "q_sm_mixture" -> (mixture _))
 
   val oracles: Map[String, String] = Map(
     "q_sm_hash_sample" -> hashSampleSql,
     "q_sm_stratified" -> stratifiedSql,
-    "q_sm_split" -> splitSql)
+    "q_sm_split" -> splitSql,
+    "q_sm_mixture" -> mixtureSql)
 }

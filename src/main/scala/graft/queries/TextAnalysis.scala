@@ -19,11 +19,11 @@ object TextAnalysis {
 
   /** Whitespace tokenizer shared by the operators. Empty text → empty
     * array (a bare split would yield `[""]`). */
-  private def tokens(c: Column): Column =
+  private[queries] def tokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))
 
-  private val tokensSql =
+  private[queries] val tokensSql =
     "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
 
   // --- q_tx_token_count ---------------------------------------------------

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-set preparation operators — the steps between a cleaned
+  * corpus and a token stream: packing documents into fixed context
+  * windows and surfacing the corpus-weighted keywords that drive
+  * curriculum/quality decisions. Both are shard-parallel by
+  * construction: nothing here ever orders, windows, or collects the
+  * corpus globally, because a global anything is the first casualty of
+  * a 100 TB scale-up.
+  */
+object TrainPrep {
+
+  // --- q_tp_pack ------------------------------------------------------------
+  // Concat-and-chunk sequence packing: documents are concatenated in a
+  // stable order and cut into fixed token-budget chunks (the layout GPT
+  //-style pretraining actually feeds; a straddling doc continues in the
+  // next chunk). Packing is PER SHARD (source) — the window cumsum
+  // partitions on the shard key, so 1000 shards pack on 1000 executors
+  // and no global sort exists. The projection keeps only (doc_id,
+  // source, n_tokens) before the window: the shuffle moves 24-byte
+  // digests, never text. Chunk ids are exact integer arithmetic —
+  // exclusive prefix sum of token counts, integer-divided by the
+  // budget — so the DuckDB window twin agrees bit-for-bit.
+  private val ChunkBudget = 512L
+
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val slim = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    slim
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"tok_offset div $ChunkBudget"))
+      .select("source", "doc_id", "n_tokens", "tok_offset", "chunk_id")
+      .orderBy("source", "doc_id")
+  }
+
+  val packSql: String =
+    s"""WITH slim AS (
+       |  SELECT source, doc_id, len(${TextAnalysis.tokensSql})::BIGINT AS n_tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       |  FROM slim)
+       |SELECT source, doc_id, n_tokens, tok_offset,
+       |  tok_offset // $ChunkBudget AS chunk_id
+       |FROM packed
+       |ORDER BY source, doc_id""".stripMargin
+
+  // --- q_tp_tfidf -----------------------------------------------------------
+  // Corpus-weighted keyword extraction: per-document top-3 terms by
+  // TF-IDF. The score is the RATIONAL form tf * N / df — rank-equivalent
+  // to the log form per document (log(N/df) is monotone in N/df and tf
+  // scales it positively) without a transcendental: one exact integer
+  // product and one correctly-rounded division are bit-identical across
+  // engines, where libm log() is not. Two aggregation passes, both over
+  // (doc_id, term) digests: tf = count per (doc, term), df = count of
+  // docs per term derived FROM the tf table (one scan of the exploded
+  // terms, no second corpus read). The per-doc top-3 is a bounded
+  // window; ties break on the term so the cut is total-ordered.
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(nDocs)
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.tokensSql.replace("text", "lower(text)")}) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    (tf.tf * n.n_docs)::DOUBLE / df.df::DOUBLE AS score
+       |  FROM tf JOIN df USING (term), n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tf, df, score
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tp_pack" -> (pack _),
+    "q_tp_tfidf" -> (tfidf _))
+
+  val oracles: Map[String, String] = Map(
+    "q_tp_pack" -> packSql,
+    "q_tp_tfidf" -> tfidfSql)
+}

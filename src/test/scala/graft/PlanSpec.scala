@@ -161,6 +161,31 @@ class PlanSpec extends SparkSpec {
       s"no shuffle below the salted partial agg:\n${lines.drop(deepestAgg).take(15).mkString("\n")}")
   }
 
+  private def shuffleOutputs(df: org.apache.spark.sql.DataFrame) =
+    allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
+  test("pack and tfidf shuffle digests — the text column never moves") {
+    // Token counting / term explosion must happen scan-side so the
+    // window / aggregation shuffles carry (key, count) digests; a text
+    // column in any exchange means the corpus itself crosses the wire.
+    for (fn <- Seq(graft.queries.TrainPrep.pack _, graft.queries.TrainPrep.tfidf _)) {
+      val ex = shuffleOutputs(fn(spark, sf))
+      assert(ex.nonEmpty, "expected at least one exchange")
+      ex.foreach(e => assert(!e.output.exists(_.name == "text"),
+        s"text must not shuffle: ${e.output.map(_.name).mkString(", ")}"))
+    }
+  }
+
+  test("mixture sampling broadcasts the rate table, never shuffle-joins the corpus") {
+    val p = plan(graft.queries.Sampling.mixture(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"rates should broadcast:\n${p.take(1500)}")
+    val ex = shuffleOutputs(graft.queries.Sampling.mixture(spark, sf))
+    ex.foreach(e => assert(!e.output.exists(_.name == "text"),
+      s"corpus must not shuffle: ${e.output.map(_.name).mkString(", ")}"))
+  }
+
   test("data profile computes every column's stats in a single scan") {
     val p = plan(graft.queries.Discovery.profile(spark, sf))
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
