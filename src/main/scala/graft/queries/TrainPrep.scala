@@ -29,18 +29,23 @@ object TrainPrep {
   // budget — so the DuckDB window twin agrees bit-for-bit.
   private val ChunkBudget = 512L
 
-  def pack(s: SparkSession, d: String): DataFrame = {
-    val slim = Tables.documents(s, d)
+  /** Core packing over any (doc_id, source, text) frame — split out so
+    * specs can drive it with constructed corpora and budgets. */
+  def packDocs(docs: DataFrame, budget: Long = ChunkBudget): DataFrame = {
+    val slim = docs
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     slim
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("chunk_id", expr(s"tok_offset div $ChunkBudget"))
+      .withColumn("chunk_id", expr(s"tok_offset div $budget"))
       .select("source", "doc_id", "n_tokens", "tok_offset", "chunk_id")
       .orderBy("source", "doc_id")
   }
+
+  def pack(s: SparkSession, d: String): DataFrame =
+    packDocs(Tables.documents(s, d))
 
   val packSql: String =
     s"""WITH slim AS (
