@@ -174,15 +174,79 @@ object Similarity {
        |GROUP BY cluster_id, dim
        |ORDER BY cluster_id, dim""".stripMargin
 
+  // --- q_sim_quantize -------------------------------------------------------
+  // Int8 scalar quantization of the embedding store — the compression
+  // step that makes a 100 TB float32 vector corpus a 25 TB int8 one
+  // (the standard SQ8 ANN layout). Per-dimension min/max come from ONE
+  // map-side-combined aggregate (64 groups regardless of corpus size)
+  // and broadcast back; the quantize + reconstruction-error pass is then
+  // scan-side — the corpus explodes to (vec_id, dim, v) but never
+  // shuffles (the only exchanges carry the 64-row stats and the 64-row
+  // audit). Two scans total, which beats the one-scan window alternative
+  // that would shuffle the entire exploded stream on dim. Every
+  // arithmetic step is a fixed shape of correctly-rounded IEEE ops
+  // ((v-min)/(max-min)*255, floored; reconstruction at the bucket
+  // midpoint), so the DuckDB twin reproduces the doubles bit-for-bit;
+  // the error sum routes through 1e-6 fixed point like the k-means
+  // M-step. Output: the per-dimension audit a quantization job emits —
+  // range, code span actually used, mean |reconstruction error|.
+  def quantize(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dim", "v")
+    val stats = ex.groupBy("dim")
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    ex.join(broadcast(stats), "dim")
+      .withColumn("q",
+        floor(((col("v") - col("vmin")) / (col("vmax") - col("vmin"))) * 255))
+      .withColumn("vp",
+        col("vmin") + ((col("q").cast("double") + 0.5) / 255.0)
+          * (col("vmax") - col("vmin")))
+      .withColumn("err_fp", round(abs(col("v") - col("vp")) * 1000000.0).cast("long"))
+      .groupBy("dim", "vmin", "vmax")
+      .agg(min(col("q")).as("q_min"), max(col("q")).as("q_max"),
+        count(lit(1)).as("n"), sum(col("err_fp")).as("sum_err_fp"))
+      .select(col("dim").cast("long").as("dim"), col("vmin"), col("vmax"),
+        col("q_min"), col("q_max"), col("n"),
+        (col("sum_err_fp").cast("double") / 1000000.0 / col("n").cast("double"))
+          .as("mean_abs_err"))
+      .orderBy("dim")
+  }
+
+  val quantizeSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)),
+      |st AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM ex GROUP BY dim),
+      |qz AS (
+      |  SELECT ex.dim, st.vmin, st.vmax,
+      |    floor(((ex.v - st.vmin) / (st.vmax - st.vmin)) * 255) AS q,
+      |    ex.v
+      |  FROM ex JOIN st USING (dim)),
+      |re AS (
+      |  SELECT dim, vmin, vmax, q,
+      |    CAST(round(abs(v - (vmin + ((q::DOUBLE + 0.5) / 255.0) * (vmax - vmin)))
+      |      * 1000000.0) AS BIGINT) AS err_fp
+      |  FROM qz)
+      |SELECT dim::BIGINT AS dim, vmin, vmax,
+      |  CAST(min(q) AS BIGINT) AS q_min, CAST(max(q) AS BIGINT) AS q_max,
+      |  count(*) AS n,
+      |  sum(err_fp)::DOUBLE / 1000000.0 / count(*)::DOUBLE AS mean_abs_err
+      |FROM re
+      |GROUP BY dim, vmin, vmax
+      |ORDER BY dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> (bruteTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
-    "q_sim_kmeans_update" -> (kmeansUpdate _))
+    "q_sim_kmeans_update" -> (kmeansUpdate _),
+    "q_sim_quantize" -> (quantize _))
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" -> bruteTopKSql,
     "q_sim_ivf_topk" -> ivfTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,
-    "q_sim_kmeans_update" -> kmeansUpdateSql)
+    "q_sim_kmeans_update" -> kmeansUpdateSql,
+    "q_sim_quantize" -> quantizeSql)
 }

@@ -186,6 +186,17 @@ class PlanSpec extends SparkSpec {
       s"corpus must not shuffle: ${e.output.map(_.name).mkString(", ")}"))
   }
 
+  test("quantize shuffles only dim-grain stats — the exploded vectors stay put") {
+    // Both exchanges (the per-dim min/max partials and the final audit)
+    // must be dim-grain: an exchange carrying v or vec_id means the
+    // corpus×64 exploded stream crossed the wire, which is the plan that
+    // dies first at 100 TB.
+    val ex = shuffleOutputs(graft.queries.Similarity.quantize(spark, sf))
+    assert(ex.nonEmpty, "expected the stats/audit exchanges")
+    ex.foreach(e => assert(!e.output.exists(a => a.name == "v" || a.name == "vec_id"),
+      s"exploded vectors must not shuffle: ${e.output.map(_.name).mkString(", ")}"))
+  }
+
   test("data profile computes every column's stats in a single scan") {
     val p = plan(graft.queries.Discovery.profile(spark, sf))
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
