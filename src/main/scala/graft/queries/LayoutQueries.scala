@@ -112,13 +112,52 @@ object LayoutQueries {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-08'
       |ORDER BY ts, event_id""".stripMargin
 
+  // --- q_ly_compacted_scan ----------------------------------------------------
+  // Small-file compaction as a driver row: the events fact is first
+  // written DELIBERATELY fragmented (40 small files — the shape a
+  // micro-batch upsert table accretes), then rewritten by
+  // Layout.compact with a sorted (user_id, ts) layout through the
+  // backup-first staged swap. The get_history slice off the compacted
+  // table must hash-match the same slice off the original flat table —
+  // proving the fragment→compact→swap cycle is a pure layout change.
+  // (File-count shrink and row-group-pruning properties are separately
+  // asserted in LayoutSpec; the oracle here pins data preservation.)
+  def compactedScan(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_compacted"
+    val done = new java.io.File(s"$root.compacted") // marker AFTER the swap
+    if (!done.exists()) {
+      Tables.events(s, d).select("event_id", "user_id", "ts", "event_type", "value")
+        .repartition(40)
+        .write.mode("overwrite").parquet(root)
+      Layout.compact(s, root, targetBytes = 512L << 20,
+        sortCols = Seq("user_id", "ts"))
+      done.createNewFile()
+    }
+    s.read.parquet(root)
+      .filter(col("user_id") === 7 &&
+        col("ts").between(
+          java.sql.Timestamp.valueOf("2024-01-05 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy("ts", "event_id")
+  }
+
+  val compactedScanSql: String =
+    """SELECT event_id, ts, event_type, value FROM events
+      |WHERE user_id = 7
+      |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
+      |ORDER BY ts, event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ly_salted_agg" -> (saltedAgg _),
     "q_ly_bucketed_join" -> (bucketedJoin _),
-    "q_ly_pruned_history" -> (prunedHistory _))
+    "q_ly_pruned_history" -> (prunedHistory _),
+    "q_ly_compacted_scan" -> (compactedScan _))
 
   val oracles: Map[String, String] = Map(
     "q_ly_salted_agg" -> saltedAggSql,
     "q_ly_bucketed_join" -> bucketedJoinSql,
-    "q_ly_pruned_history" -> prunedHistorySql)
+    "q_ly_pruned_history" -> prunedHistorySql,
+    "q_ly_compacted_scan" -> compactedScanSql)
 }

@@ -31,6 +31,39 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist() // don't leak the cache into later specs
   }
 
+  test("two scheduler ticks with a shared checkpoint drain incrementally") {
+    // The reference's hourly tick = one AvailableNow drain; the SECOND
+    // tick must resume from the checkpoint (processing only files landed
+    // since tick 1) and the sink must converge to the full key set via
+    // the upsert merge against the now-nonempty table. This is the
+    // cross-run state path a single-drain test never exercises.
+    val src = dir("tick-src")
+    val sink = dir("tick-sink") + "/obs"
+    val cp = dir("tick-cp")
+    val events = Tables.events(spark, sf).cache()
+    try {
+      // waves split by TIME: the checkpoint carries the watermark across
+      // ticks, so a second wave that interleaved with the first would be
+      // (correctly) dropped as late — ticks ingest newer data, like the
+      // reference's hourly pulls
+      val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      val wave1 = events.filter(col("ts") < cut)
+      val wave2 = events.filter(col("ts") >= cut)
+      wave1.write.mode("append").parquet(src)
+      MicroBatch.drainOnce(spark, src, cp, sink, events)
+      val afterTick1 = spark.read.parquet(sink).count()
+      assert(afterTick1 ===
+        wave1.dropDuplicates(Seq("user_id", "event_type", "ts")).count())
+
+      wave2.write.mode("append").parquet(src) // new files land between ticks
+      MicroBatch.drainOnce(spark, src, cp, sink, events)
+      val afterTick2 = spark.read.parquet(sink)
+      assert(afterTick2.count() ===
+        events.dropDuplicates(Seq("user_id", "event_type", "ts")).count())
+      assert(afterTick2.count() > afterTick1, "tick 2 must add the new wave")
+    } finally events.unpersist()
+  }
+
   test("windowed aggregation matches the batch rollup") {
     val src = dir("w-src")
     val events = Tables.events(spark, sf).limit(500).cache()
