@@ -73,9 +73,13 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), fullLine + "\n")
     catch { case _: Throwable => () } // detail file is best-effort
-    val errCompact = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(40))}" }
+    // cap the compact line's error payload (first 2 names, 40-char
+    // messages) so the ≤200-byte always-fits guarantee holds exactly
+    // when errors exist — n_errors carries the true count
+    val errCompact = errors.take(2)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(40))}" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errCompact,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -10,6 +10,12 @@ object Verify {
     // targeted re-verification (same triage contract as Bench's
     // SPARK_GRAFT_BENCH_ONLY); absent → full suite
     val only = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    // a typo'd name would otherwise verify NOTHING and the oracle
+    // checker would report a vacuous pass — fail loudly instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")

@@ -78,49 +78,55 @@ object Sampling {
   }
 
   // --- q_sm_mixture ---------------------------------------------------------
-  // Balanced domain mixture: downsample every source to (approximately)
-  // the size of the SMALLEST source — the data-dependent cousin of
+  // Balanced domain mixture: downsample every domain to (approximately)
+  // the size of the SMALLEST domain — the data-dependent cousin of
   // q_sm_stratified, where the rates come from the corpus instead of a
   // config. The keep threshold is exact integer arithmetic
   // ((min_n * 10000) div n_total — integer division, because
   // floor-of-double-division can round across the boundary in one
   // engine and not the other), and the keep decision is the usual
-  // salted content hash. At 100 TB the source histogram is a digest-
-  // only aggregate and the per-source thresholds broadcast back — the
-  // corpus itself is filtered scan-side and never shuffled.
-  def mixture(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "source")
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+  // salted content hash. At 100 TB the domain histogram is a digest-
+  // only aggregate and the per-domain thresholds broadcast back — the
+  // corpus itself is filtered scan-side and never shuffled. The query
+  // keys on `lang`, the corpus's genuinely SKEWED dimension (en ≈ 3×
+  // fr), so sub-10000 thresholds and the hash filter are load-bearing
+  // in the driver row — `source` is uniform and would verify nothing.
+  def mixtureOf(docs: DataFrame, keyCol: String): DataFrame = {
+    val slim = docs.select(col("doc_id"), col(keyCol).as("domain"))
+    val counts = slim.groupBy("domain").agg(count(lit(1)).as("n_total"))
     val rates = counts
       .crossJoin(counts.agg(min(col("n_total")).as("min_n")))
       .withColumn("threshold", expr("(min_n * 10000) div n_total"))
-      .select("source", "n_total", "threshold")
-    val kept = docs.join(broadcast(rates), "source")
+      .select("domain", "n_total", "threshold")
+    val kept = slim.join(broadcast(rates), "domain")
       .filter(Hashes.md5Int32(
-        concat(col("doc_id").cast("string"), lit("_mix_"), col("source"))) % 10000
+        concat(col("doc_id").cast("string"), lit("_mix_"), col("domain"))) % 10000
         < col("threshold"))
-    kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
-      .join(rates, "source")
-      .select("source", "n_total", "threshold", "n_kept")
-      .orderBy("source")
+    kept.groupBy("domain").agg(count(lit(1)).as("n_kept"))
+      .join(rates, "domain")
+      .select("domain", "n_total", "threshold", "n_kept")
+      .orderBy("domain")
   }
 
+  def mixture(s: SparkSession, d: String): DataFrame =
+    mixtureOf(Tables.documents(s, d), "lang")
+
   val mixtureSql: String = {
-    val h = Hashes.md5Int32Sql("d.doc_id::VARCHAR || '_mix_' || d.source")
+    val h = Hashes.md5Int32Sql("d.doc_id::VARCHAR || '_mix_' || d.lang")
     s"""WITH counts AS (
-       |  SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+       |  SELECT lang AS domain, count(*) AS n_total FROM documents GROUP BY lang),
        |rates AS (
-       |  SELECT source, n_total,
-       |    (min(n_total) OVER () * 10000) // n_total AS threshold
+       |  SELECT domain, n_total,
+       |    CAST((min(n_total) OVER () * 10000) // n_total AS BIGINT) AS threshold
        |  FROM counts),
        |kept AS (
-       |  SELECT d.source, count(*) AS n_kept
-       |  FROM documents d JOIN rates r USING (source)
+       |  SELECT d.lang AS domain, count(*) AS n_kept
+       |  FROM documents d JOIN rates r ON d.lang = r.domain
        |  WHERE $h % 10000 < r.threshold
-       |  GROUP BY d.source)
-       |SELECT r.source, r.n_total, r.threshold, k.n_kept
-       |FROM rates r JOIN kept k ON r.source = k.source
-       |ORDER BY r.source""".stripMargin
+       |  GROUP BY d.lang)
+       |SELECT r.domain, r.n_total, r.threshold, k.n_kept
+       |FROM rates r JOIN kept k ON r.domain = k.domain
+       |ORDER BY r.domain""".stripMargin
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

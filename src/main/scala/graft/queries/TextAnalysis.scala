@@ -23,8 +23,13 @@ object TextAnalysis {
     when(length(trim(c)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))
 
-  private[queries] val tokensSql =
-    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\\s+') END"
+  /** The DuckDB twin parameterized by the column expression — callers
+    * must never rewrite the constant via string replace (a future 'text'
+    * substring elsewhere in the SQL would get silently mangled). */
+  private[queries] def tokensSqlOf(colExpr: String): String =
+    s"CASE WHEN length(trim($colExpr)) = 0 THEN [] ELSE string_split_regex(trim($colExpr), '\\s+') END"
+
+  private[queries] val tokensSql = tokensSqlOf("text")
 
   // --- q_tx_token_count ---------------------------------------------------
   // Whitespace + BPE-ish subword counting. The BPE-ish estimate is

@@ -47,18 +47,21 @@ object TrainPrep {
   def pack(s: SparkSession, d: String): DataFrame =
     packDocs(Tables.documents(s, d))
 
+  // DuckDB's windowed sum over BIGINT returns HUGEINT (float64 once it
+  // reaches the driver compare) — cast back to BIGINT or the hash
+  // mismatches on equal values, the q_t4 red-row mechanism.
   val packSql: String =
     s"""WITH slim AS (
        |  SELECT source, doc_id, len(${TextAnalysis.tokensSql})::BIGINT AS n_tokens
        |  FROM documents),
        |packed AS (
        |  SELECT source, doc_id, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (
+       |    CAST(coalesce(sum(n_tokens) OVER (
        |      PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
        |  FROM slim)
        |SELECT source, doc_id, n_tokens, tok_offset,
-       |  tok_offset // $ChunkBudget AS chunk_id
+       |  CAST(tok_offset // $ChunkBudget AS BIGINT) AS chunk_id
        |FROM packed
        |ORDER BY source, doc_id""".stripMargin
 
@@ -93,7 +96,7 @@ object TrainPrep {
 
   val tfidfSql: String =
     s"""WITH terms AS (
-       |  SELECT doc_id, unnest(${TextAnalysis.tokensSql.replace("text", "lower(text)")}) AS term
+       |  SELECT doc_id, unnest(${TextAnalysis.tokensSqlOf("lower(text)")}) AS term
        |  FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),

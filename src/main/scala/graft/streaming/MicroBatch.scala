@@ -125,8 +125,12 @@ object MicroBatch {
          state: GroupState[RunningStats]) => {
           var st = state.getOption.getOrElse(RunningStats(0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
-          // batch-internal order is not guaranteed — sort for determinism
-          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, v) =>
+          // batch-internal order is not guaranteed — sort for determinism.
+          // getTime alone truncates to milliseconds: two micro-spaced
+          // events in one millisecond would order by value here but by
+          // full ts in the DuckDB oracle — getNanos carries the
+          // sub-millisecond fraction.
+          rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).foreach { case (_, ts, v) =>
             // exact mean of the priors: one correctly-rounded division of
             // an exact rational — reproducible, unlike a running double sum
             def mean = st.sumCents.toDouble / 100.0 / st.n

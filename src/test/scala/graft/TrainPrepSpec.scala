@@ -44,18 +44,39 @@ class TrainPrepSpec extends SparkSpec {
       "growing the corpus must not reassign existing docs")
   }
 
-  test("mixture: thresholds bounded, smallest source kept whole, kept <= total") {
+  test("mixture: a skewed corpus is actually downsampled toward balance") {
+    import ss.implicits._
+    // constructed 10:1 skew so the sub-10000 threshold path is
+    // load-bearing (not just bounds-checked): 500 docs in domain "big",
+    // 50 in domain "small"
+    val docs = ((1L to 500L).map(i => (i, "big")) ++
+      (1001L to 1050L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val rows = Sampling.mixtureOf(docs, "lang").collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("threshold"), r.getAs[Long]("n_kept"))).sortBy(_._1)
+    val Seq(big, small) = rows.toSeq
+    assert(small === (("small", 50L, 10000L, 50L)), "smallest domain kept whole")
+    assert(big._3 === 1000L, "10:1 skew → threshold 1000 (10%)")
+    assert(big._4 < big._2, "the hot domain must actually shrink")
+    // hash-uniformity sanity: kept count lands near the 10% target
+    assert(big._4 > 20 && big._4 < 80, s"kept ${big._4} of 500 at 10% target")
+  }
+
+  test("mixture: driver-grain invariants hold on the real corpus (lang skew)") {
     val rows = Sampling.mixture(spark, sf).collect()
     assert(rows.nonEmpty)
-    val byThreshold = rows.map(r => (r.getAs[Long]("n_total"),
+    val parsed = rows.map(r => (r.getAs[Long]("n_total"),
       r.getAs[Long]("threshold"), r.getAs[Long]("n_kept")))
-    byThreshold.foreach { case (total, thr, kept) =>
+    parsed.foreach { case (total, thr, kept) =>
       assert(thr > 0 && thr <= 10000, s"threshold $thr out of range")
       assert(kept <= total, "cannot keep more than exists")
     }
-    // the smallest source's threshold is exactly 10000 → it keeps all
-    val smallest = byThreshold.minBy(_._1)
+    val smallest = parsed.minBy(_._1)
     assert(smallest._2 === 10000L)
-    assert(smallest._3 === smallest._1, "smallest source must be kept whole")
+    assert(smallest._3 === smallest._1, "smallest domain must be kept whole")
+    // the corpus's lang dimension is genuinely skewed — at least one
+    // domain must be in the downsampled regime or the oracle row isn't
+    // exercising the hash filter at all
+    assert(parsed.exists(_._2 < 10000L), "expected a sub-10000 threshold")
   }
 }
