@@ -39,6 +39,17 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"{name}: ROWS {len(s)} vs {len(o)}"); fails += 1; continue
         ok = True
         for c in s.columns:
+            # The driver's hash is value-representation-sensitive: an
+            # int64 Spark column vs a float64 oracle column (DuckDB
+            # HUGEINT from a windowed/plain sum over BIGINT) red-rows
+            # even when values are equal. Flag the kind mismatch here so
+            # the local check fails exactly where the driver would.
+            sk, ok_ = s[c].dtype.kind, o[c].dtype.kind
+            if {sk, ok_} == {"i", "f"}:
+                print(f"{name}: COL {c}: int/float dtype mismatch "
+                      f"({s[c].dtype} vs {o[c].dtype}) — cast the oracle "
+                      f"(DuckDB HUGEINT sums) to BIGINT")
+                ok = False; fails += 1; break
             try:
                 pd.testing.assert_series_equal(
                     s[c].reset_index(drop=True), o[c].reset_index(drop=True),
