@@ -506,6 +506,78 @@ object Dedup {
        |GROUP BY e.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_dd_semdedup --------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+  // first k-means-clusters the embedding space and then looks for
+  // cosine-near pairs ONLY within a cluster — the pruning that turns
+  // O(n²) semantic dedup into k independent O((n/k)²) problems. Per doc
+  // the emitted DECISION is keep/drop: a doc is dropped when ANY
+  // earlier (lower-id) doc in its cluster sits within the cosine
+  // threshold. That is the order-free parallel relaxation of the
+  // paper's greedy keep-one-per-ε-ball sweep (which tests only against
+  // already-KEPT docs and is inherently serial per cluster): the
+  // relaxed rule may drop a chain member the greedy sweep would keep
+  // (each dropped doc is within ε of its earlier neighbor; the
+  // neighbor chain has strictly decreasing ids so it ends at a kept
+  // doc, at distance ≤ chain-length × ε), and in exchange the rule is
+  // one self-join + one aggregate — no sequential dependence at all.
+  //
+  // 100 TB shape: the cluster id is computed scan-side (literal
+  // centroids, codegen'd dots — same E-step as q_sim_kmeans_assign) and
+  // becomes the ONE shuffle key; at scale the corpus is written
+  // partitioned by cluster (the IVF layout q_sim_ivf_topk reads), so
+  // the within-cluster self-join is partition-local and its cost is
+  // capped by cluster size — real deployments size k so clusters hold
+  // ~10³-10⁴ vectors (k here is 8 for parity with the k-means family;
+  // the vec_id < 1000 slice keeps the exact baseline sub-quadratic,
+  // like q_dd_embed_neardup). A degenerate mega-cluster is handled the
+  // same way as a hot LSH bucket: cap membership (bounded_collect) or
+  // re-split on a second k-means level.
+  private val SemThreshold = 0.45
+
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cluster_id", Similarity.clusterOf(col("v")))
+      // norms once per vector (not per pair): cosine(a,b) = dot/(na*nb)
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val a = e.select(col("vec_id").as("da"), col("cluster_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("db"), col("cluster_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cluster_id"))
+      .filter(col("da") < col("db"))
+      .filter(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= SemThreshold)
+      .groupBy(col("db").as("vec_id"))
+      .agg(count(lit(1)).as("n_earlier_dups"))
+    e.select("vec_id", "cluster_id")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"))
+      .withColumn("is_kept", col("n_earlier_dups") === 0)
+      .orderBy("vec_id")
+  }
+
+  val semDedupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    ${Similarity.clusterOfSql("embedding")} AS cluster_id,
+       |    sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings WHERE vec_id < 1000),
+       |dups AS (
+       |  SELECT b.vec_id, count(*) AS n_earlier_dups
+       |  FROM e a JOIN e b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE ${Vectors.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |    >= $SemThreshold
+       |  GROUP BY b.vec_id)
+       |SELECT e.vec_id, e.cluster_id,
+       |  coalesce(d.n_earlier_dups, 0)::BIGINT AS n_earlier_dups,
+       |  coalesce(d.n_earlier_dups, 0) = 0 AS is_kept
+       |FROM e LEFT JOIN dups d ON e.vec_id = d.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
   // --- q_dd_cluster_keeper --------------------------------------------------
   // The FINAL step of a real dedup pipeline: near-dup PAIRS (minhash-LSH
   // verified, jaccard >= 0.5) are only half the job — the corpus needs
@@ -578,7 +650,8 @@ object Dedup {
     "q_dd_minhash_lsh" -> (minhashLsh _),
     "q_dd_simhash" -> (simhash _),
     "q_dd_embed_neardup" -> (embedNearDup _),
-    "q_dd_embed_lsh" -> (embedLsh _))
+    "q_dd_embed_lsh" -> (embedLsh _),
+    "q_dd_semdedup" -> (semDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_dd_exact" -> exactSql,
@@ -588,7 +661,8 @@ object Dedup {
     "q_dd_minhash_lsh" -> minhashLshSql,
     "q_dd_simhash" -> simhashSql,
     "q_dd_embed_neardup" -> embedNearDupSql,
-    "q_dd_embed_lsh" -> embedLshSql)
+    "q_dd_embed_lsh" -> embedLshSql,
+    "q_dd_semdedup" -> semDedupSql)
 }
 
 /** Shared text primitives with exact DuckDB twins. */

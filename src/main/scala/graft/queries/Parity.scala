@@ -485,6 +485,45 @@ object Parity {
   val streamingUpsertSql: String =
     "SELECT event_id, user_id, event_type, ts, value, props FROM events ORDER BY event_id"
 
+  // --- q_st_stream_join -----------------------------------------------------
+  // SURVEY §2.9: the stream-stream interval join (view → click within 6
+  // hours per user), driver-verified. Both sides stream from the same
+  // landed directory, filtered to their event type; the drain is one
+  // AvailableNow tick into a memory sink. The landing writes ≤32 files
+  // (well under the file source's 1000-files-per-trigger default), so
+  // the backlog drains as ONE micro-batch: no input can be late against
+  // the watermark and the emitted inner-join rows are exactly the batch
+  // interval join — the oracle. The watermark + range condition still
+  // exercise the state-eviction machinery end to end.
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
+      ev.write.mode("overwrite").parquet(s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_sj_$runId"
+    def side(t: String) = graft.streaming.MicroBatch
+      .readEvents(s, s"$root/src", ev).filter(col("event_type") === t)
+    val q = graft.streaming.MicroBatch.intervalJoin(side("view"), side("click"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/cp_$runId")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .orderBy("view_id", "click_id")
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+      |  v.ts AS view_ts, c.ts AS click_ts
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+      |ORDER BY view_id, click_id""".stripMargin
+
   // --- q_st_anomaly ---------------------------------------------------------
   // SURVEY §2.9: the custom flatMapGroupsWithState operator
   // (MicroBatch.anomalies), driver-verified through its batch twin — the
@@ -555,6 +594,7 @@ object Parity {
     "q_st_windowed" -> (streamingWindowed _),
     "q_st_dedup" -> (streamingDedup _),
     "q_st_upsert" -> (streamingUpsert _),
+    "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_mm_frame_sample" -> (frameSample _))
 
@@ -574,6 +614,7 @@ object Parity {
     "q_st_windowed" -> streamingWindowedSql,
     "q_st_dedup" -> streamingDedupSql,
     "q_st_upsert" -> streamingUpsertSql,
+    "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }

@@ -112,13 +112,30 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  private def clusterStructsSql: String = {
-    def wLit(c: Int): String =
-      centroidWeights(c).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+  private def clusterStructsSqlOf(c: String): String = {
+    def wLit(cid: Int): String =
+      centroidWeights(cid).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     (0 until NumCentroids).map { cid =>
-      s"{'score': ${Vectors.dotSql("embedding", wLit(cid))}, 'ncid': ${-cid}}"
+      s"{'score': ${Vectors.dotSql(c, wLit(cid))}, 'ncid': ${-cid}}"
     }.mkString("[", ", ", "]")
   }
+
+  private def clusterStructsSql: String = clusterStructsSqlOf("embedding")
+
+  /** Cluster id of an `array<double>` embedding column — the E-step
+    * argmax shared by the k-means queries and [[Dedup.semDedup]]'s
+    * semantic bucketing (same centroids, same lowest-id tie-break). */
+  private[graft] def clusterOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = (0 until NumCentroids).map { cid =>
+      val w = array(centroidWeights(cid).map(lit): _*)
+      struct(Vectors.dot(v, w).as("score"), lit(-cid).as("ncid"))
+    }
+    (-array_max(array(scored: _*)).getField("ncid")).cast("long")
+  }
+
+  /** DuckDB twin of [[clusterOf]] over a named vector column. */
+  private[graft] def clusterOfSql(c: String): String =
+    s"(-(list_max(${clusterStructsSqlOf(c)}).ncid))::BIGINT"
 
   val kmeansAssignSql: String =
     s"""SELECT vec_id, label,

@@ -113,11 +113,59 @@ object TrainPrep {
        |FROM ranked WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  // --- q_tp_shard_manifest --------------------------------------------------
+  // Training-export sharding + manifest: every doc lands in one of
+  // NumShards output shards by CONTENT-HASH of its id (md5-derived, like
+  // every sample/salt in this repo — never rand(), so the assignment is
+  // identical across runs, engines, retries, and corpus growth), and the
+  // manifest row per shard carries what a downstream trainer reads
+  // before opening any file: doc count, token/char totals, source
+  // spread, id range. One scan + one map-side-combined aggregate over
+  // NumShards groups — manifest cost is O(corpus) scan and O(shards)
+  // output regardless of scale, and the same shard expression is the
+  // write-time partition key (partitionBy("shard")), so the manifest
+  // provably describes the physical files.
+  private val NumShards = 16
+
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("shard",
+        (Hashes.md5Int32(col("doc_id").cast("string")) % NumShards).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("shard")
+
+  val shardManifestSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    len(${TextAnalysis.tokensSql})::BIGINT AS n_tokens,
+       |    length(text)::BIGINT AS n_chars,
+       |    (${Hashes.md5Int32Sql("doc_id::VARCHAR")} % $NumShards)::BIGINT AS shard
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |  count(DISTINCT source) AS n_sources,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM docs
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_pack" -> (pack _),
-    "q_tp_tfidf" -> (tfidf _))
+    "q_tp_tfidf" -> (tfidf _),
+    "q_tp_shard_manifest" -> (shardManifest _))
 
   val oracles: Map[String, String] = Map(
     "q_tp_pack" -> packSql,
-    "q_tp_tfidf" -> tfidfSql)
+    "q_tp_tfidf" -> tfidfSql,
+    "q_tp_shard_manifest" -> shardManifestSql)
 }

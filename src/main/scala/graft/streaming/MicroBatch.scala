@@ -92,6 +92,37 @@ object MicroBatch {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join — the last Structured-Streaming join
+    * class: two unbounded sides matched on an equi-key plus a time-range
+    * predicate. Both sides are watermarked and the range condition bounds
+    * how long a row can still find partners, so the join STATE is
+    * evictable: a buffered view older than `watermark + within` can never
+    * match a future click and is dropped. At scale state shards on the
+    * join key across executors like every other stateful operator.
+    *
+    * Inner-join emission itself does not depend on the watermark (only
+    * state cleanup and late-input dropping do), so over a fully-available
+    * backlog the emitted set equals the batch interval join — which is
+    * exactly what the driver oracle checks.
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   within: String = "6 hours",
+                   watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+  }
+
   /** Per-user running state carried across micro-batches. The sum is
     * integer CENTS (values carry 2 decimals): exact accumulation makes
     * the emitted mean bit-reproducible across engines — a DuckDB

@@ -21,6 +21,35 @@ class DedupSpec extends SparkSpec {
     assert(allPairs.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("semdedup decisions agree with an interpreted-HOF brute-force recompute") {
+    // Independent recompute of the drop rule on a different code path:
+    // interpreted HOF dot products (dotHof) and a raw groupBy — if the
+    // codegen'd vec_dot, the cluster argmax, or the join/aggregate shape
+    // in semDedup drifted, the decisions would diverge.
+    import graft.queries.{Similarity, Vectors}
+    val got = Dedup.semDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("n_earlier_dups"), r.getAs[Boolean]("is_kept")))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, n, kept) => assert(kept === (n == 0L)) }
+    val e = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cluster_id", Similarity.clusterOf(col("v")))
+    val brute = e.toDF("da", "va", "ca")
+      .join(e.toDF("db", "vb", "cb"), col("ca") === col("cb") && col("da") < col("db"))
+      .filter(Vectors.dotHof(col("va"), col("vb")) /
+        (sqrt(Vectors.dotHof(col("va"), col("va"))) *
+          sqrt(Vectors.dotHof(col("vb"), col("vb")))) >= 0.45)
+      .groupBy("db").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("db") -> r.getAs[Long]("n")).toMap
+    got.foreach { case (id, _, n, _) =>
+      assert(brute.getOrElse(id, 0L) === n, s"vec $id: dup count mismatch")
+    }
+    // the corpus plants embedding near-dups, so some doc must be dropped
+    assert(got.exists(!_._4), "expected at least one semantic dup dropped")
+  }
+
   test("a 150-doc stop-shingle cannot blow up a bucket; rare-shingle dups survive") {
     import ss.implicits._
     val dir = Files.createTempDirectory("graft-hotshingle").toString

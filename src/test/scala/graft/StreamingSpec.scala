@@ -121,6 +121,39 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("stream-stream interval join emits exactly the batch join incl. boundaries") {
+    import ss.implicits._
+    val src = dir("sj-src")
+    // constructed corpus with the edge cases the oracle row can't isolate:
+    // a click exactly AT view_ts + 6h (inclusive upper bound), one just
+    // past it, one before the view, and a cross-user non-match
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 10L, "view", t("2024-01-01 00:00:00"), 1.0),
+      (2L, 10L, "click", t("2024-01-01 06:00:00"), 1.0), // = +6h → match
+      (3L, 10L, "click", t("2024-01-01 06:00:00.000001"), 1.0), // past 1 → no; within 7
+      (4L, 10L, "click", t("2023-12-31 23:59:59"), 1.0), // before → no
+      (5L, 11L, "click", t("2024-01-01 00:30:00"), 1.0), // other user → no
+      (6L, 11L, "view", t("2024-01-01 00:00:01"), 1.0), // → matches 5
+      (7L, 10L, "view", t("2024-01-01 05:00:00"), 1.0)) // → matches 2 and 3
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    events.write.mode("overwrite").parquet(src)
+
+    val q = MicroBatch.intervalJoin(
+      MicroBatch.readEvents(spark, src, events).filter(col("event_type") === "view"),
+      MicroBatch.readEvents(spark, src, events).filter(col("event_type") === "click"))
+      .writeStream
+      .format("memory").queryName("sj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("sj").select("view_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (6L, 5L), (7L, 2L), (7L, 3L)))
+  }
+
   test("flatMapGroupsWithState anomalies match the batch prefix-mean rule") {
     val src = dir("an-src")
     val events = Tables.events(spark, sf).cache()

@@ -44,6 +44,23 @@ class TrainPrepSpec extends SparkSpec {
       "growing the corpus must not reassign existing docs")
   }
 
+  test("shard manifest: shards exactly partition the corpus and are hash-stable") {
+    val docs = Tables.documents(spark, sf)
+    val m = TrainPrep.shardManifest(spark, sf).collect()
+    assert(m.nonEmpty && m.length <= 16)
+    assert(m.map(_.getAs[Long]("shard")).forall(s => s >= 0 && s < 16))
+    // the manifest must account for every doc and token exactly once
+    // (token counts recomputed through the packing path — same tokenizer)
+    val total = TrainPrep.packDocs(docs)
+      .agg(count(lit(1)), sum(col("n_tokens"))).head()
+    assert(m.map(_.getAs[Long]("n_docs")).sum === total.getLong(0))
+    assert(m.map(_.getAs[Long]("sum_tokens")).sum === total.getLong(1))
+    // content-hash assignment: unchanged under arbitrary repartitioning
+    // (what rand()-based sharding cannot promise across retries)
+    val again = TrainPrep.shardManifest(spark, sf).collect()
+    assert(m.toSeq === again.toSeq)
+  }
+
   test("mixture: a skewed corpus is actually downsampled toward balance") {
     import ss.implicits._
     // constructed 10:1 skew so the sub-10000 threshold path is
