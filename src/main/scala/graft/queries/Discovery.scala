@@ -184,6 +184,49 @@ object Discovery {
       |GROUP BY 1, 2
       |ORDER BY event_type, variant_schema""".stripMargin
 
+  // --- q_ds_variant_unpivot -------------------------------------------------
+  // The reference's record-iterate unpivot (`gie/transformer.py:17-62`:
+  // `entry.items()` with the EXCLUDED_KEYS skip) as the Variant GENERATOR
+  // path — SURVEY §2.10's "variant → (key, value) rows". The wide record
+  // is built once, parsed to binary Variant, LATERAL `variant_explode`d
+  // to rows, and the identity key is dropped exactly like EXCLUDED_KEYS.
+  // Spark 4 ships the generator natively (VariantExplode), so the one
+  // Catalyst extension SURVEY §7.3 kept in reserve turns out to be a
+  // built-in: the plan is scan → project → Generate, zero shuffles
+  // before the presentation sort, and the Generate sits inside the scan
+  // stage at any corpus size.
+  def variantUnpivot(s: SparkSession, d: String): DataFrame = {
+    val view = s"graft_variant_unpivot_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Tables.events(s, d)
+      .select(col("event_id"),
+        parse_json(to_json(struct(
+          col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("event_type")))).as("v"))
+      .createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT event_id, ve.key AS field_name,
+         |  CAST(ve.value AS STRING) AS field_value
+         |FROM $view, LATERAL variant_explode(v) AS ve
+         |WHERE ve.key <> 'event_type'
+         |ORDER BY event_id, field_name""".stripMargin)
+  }
+
+  val variantUnpivotSql: String =
+    """WITH payload AS (
+      |  SELECT event_id,
+      |    json_object('user_id', user_id,
+      |                'k', CAST(json_extract_string(props, '$.k') AS INT),
+      |                'event_type', event_type) AS p
+      |  FROM events),
+      |kv AS (
+      |  SELECT event_id, k.key AS field_name,
+      |    json_extract_string(p, '$.' || k.key) AS field_value
+      |  FROM payload, unnest(json_keys(p)) k(key))
+      |SELECT event_id, field_name, field_value
+      |FROM kv WHERE field_name <> 'event_type'
+      |ORDER BY event_id, field_name""".stripMargin
+
   // --- q_ds_profile -------------------------------------------------------
   // Per-column data-quality profile of the orders table — null counts
   // and exact distinct cardinalities, the audit table every ingest run
@@ -222,7 +265,8 @@ object Discovery {
     "q_ds_group_collect" -> (groupCollect _),
     "q_ds_profile" -> (profile _),
     "q_ds_variant" -> (variantGet _),
-    "q_ds_variant_schema" -> (variantSchema _))
+    "q_ds_variant_schema" -> (variantSchema _),
+    "q_ds_variant_unpivot" -> (variantUnpivot _))
 
   val oracles: Map[String, String] = Map(
     "q_ds_json_pred" -> jsonPredSql,
@@ -230,5 +274,6 @@ object Discovery {
     "q_ds_group_collect" -> groupCollectSql,
     "q_ds_profile" -> profileSql,
     "q_ds_variant" -> variantGetSql,
-    "q_ds_variant_schema" -> variantSchemaSql)
+    "q_ds_variant_schema" -> variantSchemaSql,
+    "q_ds_variant_unpivot" -> variantUnpivotSql)
 }

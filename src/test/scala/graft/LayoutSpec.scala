@@ -100,6 +100,42 @@ class LayoutSpec extends SparkSpec {
     assert(slice.count() === expected.count())
   }
 
+  test("joining the partitioned fact to a filtered day dim triggers dynamic partition pruning") {
+    // Static pruning (above) covers literal ranges; at 100 TB the common
+    // shape is a JOIN against a dim whose filter decides the days (a
+    // calendar/campaign table) — the days are unknowable at plan time,
+    // so only DYNAMIC partition pruning keeps the fact scan from listing
+    // every partition. The dim must be a real relation (DPP's
+    // reuse-broadcast path), so it is written to parquet first.
+    val root = java.nio.file.Files.createTempDirectory("graft-dpp")
+    val path = root.resolve("events").toString
+    val dimPath = root.resolve("daydim").toString
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
+    Layout.writeDatePartitioned(ev, path, "ts", Seq("user_id", "ts"))
+    ev.select(to_date(col("ts")).as("day")).distinct()
+      .withColumn("tag",
+        when(col("day").between(
+          lit("2024-01-05").cast("date"), lit("2024-01-08").cast("date")), "keep")
+          .otherwise("skip"))
+      .write.parquet(dimPath)
+
+    val fact = spark.read.parquet(path)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = fact.join(dim, "day")
+      .groupBy("day").agg(count(lit(1)).as("n"))
+
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan should carry a dynamic pruning filter on day:\n${p.take(2000)}")
+    // the pruned join must agree with the flat-table formulation
+    val expected = ev.withColumn("day", to_date(col("ts")))
+      .filter(col("day").between(
+        lit("2024-01-05").cast("date"), lit("2024-01-08").cast("date")))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    assert(joined.orderBy("day").collect().toSeq ===
+      expected.orderBy("day").collect().toSeq)
+  }
+
   test("q_ly_pruned_history's scan prunes to exactly the 4 requested days") {
     // the DRIVER query path (not just the raw layout): the partitioned
     // read must list/read only the 4 day= partitions in the slice
