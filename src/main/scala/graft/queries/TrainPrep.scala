@@ -159,13 +159,67 @@ object TrainPrep {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // --- q_tp_chunk_overlap ---------------------------------------------------
+  // Overlapping token-window chunking — the other window layout next to
+  // pack's concat-and-chunk: each doc is cut into fixed windows with a
+  // stride smaller than the window (128/96 → 32-token overlap), the
+  // shape RAG indexing and long-doc pretraining use so no boundary
+  // context is lost. Window enumeration is a scan-side Generate
+  // (sequence + explode) per doc — embarrassingly parallel, zero
+  // shuffles before the presentation sort, and the token ARRAY is
+  // dropped before that sort so no exchange ever carries doc content.
+  // Window count/offsets are exact integer arithmetic (div, greatest,
+  // least) — bit-identical across engines. Docs with zero tokens emit
+  // no windows; a doc shorter than one window emits exactly one.
+  private val WinTokens = 128L
+  private val WinStride = 96L
+
+  def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_windows", expr(
+        s"1L + (greatest(n_tokens - $WinTokens, 0L) + ${WinStride - 1}) div $WinStride"))
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        explode(sequence(lit(0L), col("n_windows") - 1)).as("window_idx"))
+      .withColumn("tok_start", col("window_idx") * WinStride)
+      .select(col("doc_id"), col("window_idx"), col("tok_start"),
+        least(lit(WinTokens), col("n_tokens") - col("tok_start")).as("win_len"),
+        element_at(col("toks"), (col("tok_start") + 1).cast("int")).as("first_tok"))
+      .orderBy("doc_id", "window_idx")
+
+  val chunkOverlapSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens
+       |  FROM t WHERE len(toks) > 0),
+       |w AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    1 + (greatest(n_tokens - $WinTokens, 0) + ${WinStride - 1}) // $WinStride
+       |      AS n_windows
+       |  FROM n),
+       |ex AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    unnest(generate_series(0, n_windows - 1)) AS window_idx
+       |  FROM w)
+       |SELECT doc_id, window_idx::BIGINT AS window_idx,
+       |  (window_idx * $WinStride)::BIGINT AS tok_start,
+       |  least($WinTokens, n_tokens - window_idx * $WinStride)::BIGINT AS win_len,
+       |  toks[(window_idx * $WinStride + 1)::INT] AS first_tok
+       |FROM ex
+       |ORDER BY doc_id, window_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
-    "q_tp_shard_manifest" -> (shardManifest _))
+    "q_tp_shard_manifest" -> (shardManifest _),
+    "q_tp_chunk_overlap" -> (chunkOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q_tp_pack" -> packSql,
     "q_tp_tfidf" -> tfidfSql,
-    "q_tp_shard_manifest" -> shardManifestSql)
+    "q_tp_shard_manifest" -> shardManifestSql,
+    "q_tp_chunk_overlap" -> chunkOverlapSql)
 }

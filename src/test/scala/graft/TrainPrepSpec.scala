@@ -61,6 +61,36 @@ class TrainPrepSpec extends SparkSpec {
     assert(m.toSeq === again.toSeq)
   }
 
+  test("chunk windows tile every doc: stride steps, full coverage, bounded overlap") {
+    val wins = TrainPrep.chunkOverlap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("window_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("win_len")))
+      .groupBy(_._1).values
+    val nDocs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(wins.size.toLong === nDocs, "every nonempty doc gets windows")
+    wins.foreach { ws =>
+      val sorted = ws.sortBy(_._2)
+      // indices are 0..n-1, starts step by the stride
+      sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
+        assert(idx === i.toLong)
+        assert(start === i * 96L)
+        assert(len >= 1 && len <= 128)
+      }
+      // full coverage: consecutive windows overlap (stride < window) and
+      // the last window ends exactly at the doc's token count boundary
+      sorted.init.foreach { case (_, _, start, len) =>
+        assert(len === 128L, "only the last window may be short")
+        assert(start + len > start + 96, "windows must overlap by w - s")
+      }
+      val (_, _, lastStart, lastLen) = sorted.last
+      val end = lastStart + lastLen
+      // every token index < end is covered by some window
+      assert(sorted.flatMap(w => w._3 until (w._3 + w._4))
+        .toSet.size.toLong === end, "windows must cover [0, n) with no gap")
+    }
+  }
+
   test("mixture: a skewed corpus is actually downsampled toward balance") {
     import ss.implicits._
     // constructed 10:1 skew so the sub-10000 threshold path is
