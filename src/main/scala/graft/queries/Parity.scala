@@ -25,6 +25,24 @@ import graft.warehouse.Normalize
   */
 object Parity {
 
+  /** Run `body` (a streaming drain) with `spark.sql.shuffle.partitions`
+    * scoped to `n`, restoring the session default afterwards. A stream's
+    * STATE partition count is captured from this conf at first start and
+    * recorded in the checkpoint — it should match the stream's keyed
+    * throughput, not the batch default: these drains carry kilobytes of
+    * state per batch, and each state partition costs per-batch store
+    * init + commit files (measured: the windowed drain is ~2.2× slower
+    * at 32 state partitions than at 8 on identical data). At production
+    * scale the same knob goes UP with key cardinality; it is per-query,
+    * so batch plans in the same session are untouched. Results are
+    * partitioning-independent either way — the oracle hash pins that.
+    */
+  private def withStreamShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // --- q_s1_chunked_rest ----------------------------------------------------
   // SURVEY §2.1 S1 as a DataSource V2 scan: one InputPartition per 2-day
   // chunk (the reference's serial POST loop parallelized,
@@ -364,14 +382,16 @@ object Parity {
     // resume (the DATA is deterministic; the run id is not)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_wc_$runId"
-    val q = graft.streaming.MicroBatch.windowedCounts(
-      graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", s"$root/cp_$runId")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = graft.streaming.MicroBatch.windowedCounts(
+        graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .orderBy("window_start", "event_type")
   }
@@ -433,15 +453,17 @@ object Parity {
       ev.write.mode("overwrite").parquet(s"$root/src")
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_dd_$runId"
-    val q = graft.streaming.MicroBatch.dedupWithinWatermark(
-      graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev))
-      .select("user_id", "event_type", "ts")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", s"$root/cp_$runId")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = graft.streaming.MicroBatch.dedupWithinWatermark(
+        graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev))
+        .select("user_id", "event_type", "ts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .distinct() // watermark eviction may re-admit a key across batches
       .orderBy("user_id", "event_type", "ts")
@@ -504,13 +526,15 @@ object Parity {
     val name = s"graft_stream_sj_$runId"
     def side(t: String) = graft.streaming.MicroBatch
       .readEvents(s, s"$root/src", ev).filter(col("event_type") === t)
-    val q = graft.streaming.MicroBatch.intervalJoin(side("view"), side("click"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", s"$root/cp_$runId")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = graft.streaming.MicroBatch.intervalJoin(side("view"), side("click"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
       .orderBy("view_id", "click_id")
   }

@@ -36,6 +36,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(user_id,7)"), s"key filter not pushed:\n${p.take(1500)}")
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // Spark's InjectRuntimeFilter: when a shuffle join's small side is
+    // selectively filtered, a bloom filter built from its join keys is
+    // pushed in front of the big side's scan, cutting shuffle input by
+    // the filter's selectivity. The size thresholds exist because this
+    // only pays when the application side is huge — at 100 TB the
+    // DEFAULTS (10 GB application side) trigger it unaided; at test SF
+    // they are lowered to exercise the same plan shape. Broadcast is
+    // disabled so the join is the shuffle join a fact⋈fact pair plans.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val p = plan(j)
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact side:\n${p.take(2000)}")
+      // the filter is a pure pruning optimization — results are identical
+      val expected = li.join(ord.hint("broadcast"),
+        li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      assert(j.collect().toSeq === expected.collect().toSeq)
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   /** Every node of the physical plan, descending through AQE wrappers
     * (whose children list is empty until reoptimization). */
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
