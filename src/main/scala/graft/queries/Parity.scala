@@ -548,6 +548,45 @@ object Parity {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
       |ORDER BY view_id, click_id""".stripMargin
 
+  // --- q_st_static_join -----------------------------------------------------
+  // SURVEY §2.9: the stream-STATIC enrichment join, driver-verified —
+  // the third streaming join class next to the stateful stream-stream
+  // join and the foreachBatch upsert. The dim is a deterministic
+  // user-tier snapshot derived from the batch table (tier = user_id % 5)
+  // FILTERED to admitted tiers, so the join is load-bearing: every event
+  // of a non-admitted user must drop out, which the oracle's WHERE
+  // reproduces. Stateless per batch — no watermark, no state store; the
+  // dim broadcasts under each micro-batch's plan.
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
+      ev.write.mode("overwrite").parquet(s"$root/src")
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("tier", col("user_id") % 5)
+      .filter(col("tier") =!= 4)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_en_$runId"
+    withStreamShufflePartitions(s, 8) {
+      val q = graft.streaming.MicroBatch.enrich(
+        graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev), dim, "user_id")
+        .select("event_id", "user_id", "event_type", "tier")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("event_id")
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT event_id, user_id, event_type, user_id % 5 AS tier
+      |FROM events
+      |WHERE user_id % 5 <> 4
+      |ORDER BY event_id""".stripMargin
+
   // --- q_st_anomaly ---------------------------------------------------------
   // SURVEY §2.9: the custom flatMapGroupsWithState operator
   // (MicroBatch.anomalies), driver-verified through its batch twin — the
@@ -619,6 +658,7 @@ object Parity {
     "q_st_dedup" -> (streamingDedup _),
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_stream_join" -> (streamStreamJoin _),
+    "q_st_static_join" -> (streamStaticJoin _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_mm_frame_sample" -> (frameSample _))
 
@@ -639,6 +679,7 @@ object Parity {
     "q_st_dedup" -> streamingDedupSql,
     "q_st_upsert" -> streamingUpsertSql,
     "q_st_stream_join" -> streamStreamJoinSql,
+    "q_st_static_join" -> streamStaticJoinSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }

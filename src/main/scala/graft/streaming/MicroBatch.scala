@@ -92,6 +92,18 @@ object MicroBatch {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-static enrichment join — the stateless lookup against a
+    * dimension snapshot that every ingestion pipeline runs per batch
+    * (the reference resolves series metadata exactly this way on each
+    * scheduler tick). The static side re-resolves every micro-batch, so
+    * a slowly-changing dim is picked up at batch granularity; broadcast
+    * keeps the stream side local — no state store, no stream shuffle.
+    * An inner join against a filtered dim doubles as the catalog gate:
+    * events without an admitted dim row drop out.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   /** Stream-stream interval join — the last Structured-Streaming join
     * class: two unbounded sides matched on an equi-key plus a time-range
     * predicate. Both sides are watermarked and the range condition bounds
