@@ -74,12 +74,18 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"), fullLine + "\n")
     catch { case _: Throwable => () } // detail file is best-effort
     // cap the compact line's error payload (first 2 names, 40-char
-    // messages) so the ≤200-byte always-fits guarantee holds exactly
-    // when errors exist — n_errors carries the true count
+    // messages) and ENFORCE the byte bound: escaping happens after the
+    // take, so a quote/backslash-heavy message can still double in
+    // size — if the assembled line exceeds the tail-window budget, drop
+    // the error payload entirely (n_errors always carries the truth and
+    // the full messages live in the detail line + bench_detail.json).
+    def compactLine(errJson: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     val errCompact = errors.take(2)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(40))}" }
+      .map { case (k, v) => s"${jstr(k.take(24))}:${jstr(v.take(40))}" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"sf":"$sfDir"}""")
+    val withErrs = compactLine(errCompact)
+    println(if (withErrs.length <= 200) withErrs else compactLine("{}"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

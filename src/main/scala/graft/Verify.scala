@@ -40,8 +40,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full oracle map, even for targeted runs: a subset
+    // oracle file would let the checker report a vacuous green over an
+    // outDir holding 100 other unchecked results. With the full map, a
+    // targeted run into a fresh dir fails loudly (NO SPARK OUTPUT) for
+    // everything it didn't produce, and a targeted run into a previous
+    // full outDir re-checks the whole suite with the refreshed subset.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

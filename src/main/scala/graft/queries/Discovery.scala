@@ -204,12 +204,16 @@ object Discovery {
           get_json_object(col("props"), "$.k").cast("int").as("k"),
           col("event_type")))).as("v"))
       .createOrReplaceTempView(view)
-    s.sql(
+    val df = s.sql(
       s"""SELECT event_id, ve.key AS field_name,
          |  CAST(ve.value AS STRING) AS field_value
          |FROM $view, LATERAL variant_explode(v) AS ve
          |WHERE ve.key <> 'event_type'
          |ORDER BY event_id, field_name""".stripMargin)
+    // sql() resolves the view eagerly into df's analyzed plan — drop it
+    // so repeat calls don't accrete catalog entries for the session life
+    s.catalog.dropTempView(view)
+    df
   }
 
   val variantUnpivotSql: String =

@@ -98,14 +98,18 @@ object Similarity {
       if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
     }
 
+  /** (score, -cid) struct whose array_max is the E-step argmax — the
+    * single construction behind kmeansAssign/kmeansUpdate/clusterOf. */
+  private def bestCentroid(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_max(array((0 until NumCentroids).map { cid =>
+      val w = array(centroidWeights(cid).map(lit): _*)
+      struct(Vectors.dot(v, w).as("score"), lit(-cid).as("ncid"))
+    }: _*))
+
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val scored = (0 until NumCentroids).map { cid =>
-      val w = array(centroidWeights(cid).map(lit): _*)
-      struct(Vectors.dot(col("v"), w).as("score"), lit(-cid).as("ncid"))
-    }
-    e.select(col("vec_id"), col("label"), array_max(array(scored: _*)).as("best"))
+    e.select(col("vec_id"), col("label"), bestCentroid(col("v")).as("best"))
       .select(col("vec_id"), col("label"),
         (-col("best.ncid")).cast("long").as("cluster_id"),
         col("best.score").as("score"))
@@ -125,13 +129,8 @@ object Similarity {
   /** Cluster id of an `array<double>` embedding column — the E-step
     * argmax shared by the k-means queries and [[Dedup.semDedup]]'s
     * semantic bucketing (same centroids, same lowest-id tie-break). */
-  private[graft] def clusterOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scored = (0 until NumCentroids).map { cid =>
-      val w = array(centroidWeights(cid).map(lit): _*)
-      struct(Vectors.dot(v, w).as("score"), lit(-cid).as("ncid"))
-    }
-    (-array_max(array(scored: _*)).getField("ncid")).cast("long")
-  }
+  private[graft] def clusterOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (-bestCentroid(v).getField("ncid")).cast("long")
 
   /** DuckDB twin of [[clusterOf]] over a named vector column. */
   private[graft] def clusterOfSql(c: String): String =
@@ -160,12 +159,7 @@ object Similarity {
   def kmeansUpdate(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val scored = (0 until NumCentroids).map { cid =>
-      val w = array(centroidWeights(cid).map(lit): _*)
-      struct(Vectors.dot(col("v"), w).as("score"), lit(-cid).as("ncid"))
-    }
-    e.select((-array_max(array(scored: _*)).getField("ncid")).cast("long")
-        .as("cluster_id"), posexplode(col("v")))
+    e.select(clusterOf(col("v")).as("cluster_id"), posexplode(col("v")))
       .toDF("cluster_id", "dim", "v")
       .groupBy("cluster_id", "dim")
       .agg(count(lit(1)).as("n"),

@@ -162,32 +162,44 @@ object TrainPrep {
   // --- q_tp_chunk_overlap ---------------------------------------------------
   // Overlapping token-window chunking — the other window layout next to
   // pack's concat-and-chunk: each doc is cut into fixed windows with a
-  // stride smaller than the window (128/96 → 32-token overlap), the
-  // shape RAG indexing and long-doc pretraining use so no boundary
-  // context is lost. Window enumeration is a scan-side Generate
-  // (sequence + explode) per doc — embarrassingly parallel, zero
-  // shuffles before the presentation sort, and the token ARRAY is
-  // dropped before that sort so no exchange ever carries doc content.
-  // Window count/offsets are exact integer arithmetic (div, greatest,
-  // least) — bit-identical across engines. Docs with zero tokens emit
-  // no windows; a doc shorter than one window emits exactly one.
-  private val WinTokens = 128L
-  private val WinStride = 96L
+  // stride smaller than the window, the shape RAG indexing and long-doc
+  // pretraining use so no boundary context is lost. Window enumeration
+  // is a scan-side Generate (sequence + explode) per doc —
+  // embarrassingly parallel, zero shuffles before the presentation
+  // sort, and the token ARRAY is dropped before that sort so no
+  // exchange ever carries doc content. Window count/offsets are exact
+  // integer arithmetic (div, greatest, least) — bit-identical across
+  // engines. Docs with zero tokens emit no windows; a doc shorter than
+  // one window emits exactly one. The driver row runs 32/24 because the
+  // test corpus tops out near 100 tokens/doc — that exercises 3-4
+  // overlapping windows and the short tail PER DOC in both engines
+  // (128/96-style production geometry is the same formula; the golden
+  // spec pins the straddle/boundary cases on a constructed corpus).
+  private val WinTokens = 32L
+  private val WinStride = 24L
 
-  def chunkOverlap(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Core windowing over any (doc_id, text) frame — split out so specs
+    * can drive constructed corpora and geometries. */
+  def chunkDocs(docs: DataFrame, win: Long = WinTokens,
+                stride: Long = WinStride): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win, s"bad geometry $win/$stride")
+    docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .filter(col("n_tokens") > 0)
       .withColumn("n_windows", expr(
-        s"1L + (greatest(n_tokens - $WinTokens, 0L) + ${WinStride - 1}) div $WinStride"))
+        s"1L + (greatest(n_tokens - $win, 0L) + ${stride - 1}) div $stride"))
       .select(col("doc_id"), col("n_tokens"), col("toks"),
         explode(sequence(lit(0L), col("n_windows") - 1)).as("window_idx"))
-      .withColumn("tok_start", col("window_idx") * WinStride)
+      .withColumn("tok_start", col("window_idx") * stride)
       .select(col("doc_id"), col("window_idx"), col("tok_start"),
-        least(lit(WinTokens), col("n_tokens") - col("tok_start")).as("win_len"),
+        least(lit(win), col("n_tokens") - col("tok_start")).as("win_len"),
         element_at(col("toks"), (col("tok_start") + 1).cast("int")).as("first_tok"))
       .orderBy("doc_id", "window_idx")
+  }
+
+  def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    chunkDocs(Tables.documents(s, d))
 
   val chunkOverlapSql: String =
     s"""WITH t AS (

@@ -61,6 +61,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(m.toSeq === again.toSeq)
   }
 
+  test("chunk windows: golden boundary cases on a constructed corpus") {
+    import ss.implicits._
+    // win=4 / stride=3: the exact boundary grid — shorter-than-window,
+    // exactly-one-window, straddle-by-one, exact-two-window tiling,
+    // short tail, and the empty doc (no rows)
+    val docs = Seq(
+      (1L, "a b c"),             // 3 < win           → one short window
+      (2L, "a b c d"),           // == win            → exactly one
+      (3L, "a b c d e"),         // win+1             → tail of 2
+      (4L, "a b c d e f g"),     // win+stride        → two full windows
+      (5L, "a b c d e f g h"),   // win+stride+1      → three, tail of 2
+      (6L, ""))                  // empty             → no windows
+      .toDF("doc_id", "text")
+    val got = TrainPrep.chunkDocs(docs, win = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("window_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("win_len"),
+        r.getAs[String]("first_tok")))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 3L, "a"),
+      (2L, 0L, 0L, 4L, "a"),
+      (3L, 0L, 0L, 4L, "a"), (3L, 1L, 3L, 2L, "d"),
+      (4L, 0L, 0L, 4L, "a"), (4L, 1L, 3L, 4L, "d"),
+      (5L, 0L, 0L, 4L, "a"), (5L, 1L, 3L, 4L, "d"), (5L, 2L, 6L, 2L, "g")))
+  }
+
   test("chunk windows tile every doc: stride steps, full coverage, bounded overlap") {
     val wins = TrainPrep.chunkOverlap(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("window_idx"),
@@ -69,19 +94,21 @@ class TrainPrepSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sf)
       .filter(length(trim(col("text"))) > 0).count()
     assert(wins.size.toLong === nDocs, "every nonempty doc gets windows")
+    // the driver geometry (32/24) must actually multi-window this
+    // corpus, or the overlap assertions below are vacuous
+    assert(wins.exists(_.size > 1), "corpus should produce multi-window docs")
     wins.foreach { ws =>
       val sorted = ws.sortBy(_._2)
       // indices are 0..n-1, starts step by the stride
       sorted.zipWithIndex.foreach { case ((_, idx, start, len), i) =>
         assert(idx === i.toLong)
-        assert(start === i * 96L)
-        assert(len >= 1 && len <= 128)
+        assert(start === i * 24L)
+        assert(len >= 1 && len <= 32)
       }
-      // full coverage: consecutive windows overlap (stride < window) and
-      // the last window ends exactly at the doc's token count boundary
-      sorted.init.foreach { case (_, _, start, len) =>
-        assert(len === 128L, "only the last window may be short")
-        assert(start + len > start + 96, "windows must overlap by w - s")
+      // only the last window may be short (full coverage has no gaps:
+      // stride < window means consecutive windows overlap by w - s)
+      sorted.init.foreach { case (_, _, _, len) =>
+        assert(len === 32L, "only the last window may be short")
       }
       val (_, _, lastStart, lastLen) = sorted.last
       val end = lastStart + lastLen
