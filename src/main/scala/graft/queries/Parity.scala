@@ -548,6 +548,40 @@ object Parity {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
       |ORDER BY view_id, click_id""".stripMargin
 
+  // --- q_w8_schema_evolution ------------------------------------------------
+  // Schema evolution across landing generations — the warehouse-side
+  // counterpart of the inferred field catalog (A5): a new column starts
+  // appearing in later payload generations, and readers need ONE merged
+  // schema with NULLs for the old files. Generation 1 lands without
+  // o_orderstatus, generation 2 with it, as gen= directories; the read
+  // is parquet mergeSchema + partition discovery, so the result carries
+  // the merged column set plus the discovered gen column — a column
+  // lost, reordered, or misfilled on either generation breaks the hash.
+  // At scale mergeSchema reads footers only (no data pass), and the
+  // gen=/day= layout doubles as the retention/pruning boundary.
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_schemaevo_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val o = Tables.orders(s, d)
+    if (!new java.io.File(s"$root/gen=2/_SUCCESS").exists()) {
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+    }
+    s.read.option("mergeSchema", "true").parquet(root)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "gen")
+      .orderBy("o_orderkey")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- q_st_static_join -----------------------------------------------------
   // SURVEY §2.9: the stream-STATIC enrichment join, driver-verified —
   // the third streaming join class next to the stateful stream-stream
@@ -659,6 +693,7 @@ object Parity {
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_static_join" -> (streamStaticJoin _),
+    "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_mm_frame_sample" -> (frameSample _))
 
@@ -680,6 +715,7 @@ object Parity {
     "q_st_upsert" -> streamingUpsertSql,
     "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_static_join" -> streamStaticJoinSql,
+    "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }
