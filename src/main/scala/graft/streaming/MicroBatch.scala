@@ -93,13 +93,16 @@ object MicroBatch {
         col("w.end").as("session_end"), col("n_events"))
 
   /** Stream-static enrichment join — the stateless lookup against a
-    * dimension snapshot that every ingestion pipeline runs per batch
+    * dimension snapshot that every ingestion pipeline runs per tick
     * (the reference resolves series metadata exactly this way on each
-    * scheduler tick). The static side re-resolves every micro-batch, so
-    * a slowly-changing dim is picked up at batch granularity; broadcast
-    * keeps the stream side local — no state store, no stream shuffle.
-    * An inner join against a filtered dim doubles as the catalog gate:
-    * events without an admitted dim row drop out.
+    * scheduler run). The dim snapshot is pinned when the dim DataFrame
+    * is built (its file index resolves then), so a slowly-changing dim
+    * is picked up at TICK granularity — each AvailableNow drain
+    * constructs a fresh plan, like the reference's hourly runs
+    * (spec-pinned: a dim rewrite between ticks re-tiers wave 2 only).
+    * Broadcast keeps the stream side local — no state store, no stream
+    * shuffle. An inner join against a filtered dim doubles as the
+    * catalog gate: events without an admitted dim row drop out.
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))

@@ -121,6 +121,55 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("stream-static enrichment picks up a dim change at the next tick") {
+    import ss.implicits._
+    // the claim in MicroBatch.enrich: the static side re-resolves per
+    // micro-batch, so a slowly-changing dim is honored at tick
+    // granularity — wave 2 must see the UPDATED dim (user 20 admitted,
+    // user 10 demoted) while wave 1's emitted rows keep the old tiers
+    val src = dir("en-src")
+    val dimPath = dir("en-dim") + "/dim"
+    val cp = dir("en-cp")
+    val out = dir("en-out") + "/enriched"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val wave1 = Seq((1L, 10L, "view", t("2024-01-01 00:00:00"), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val wave2 = Seq(
+      (2L, 10L, "view", t("2024-01-02 00:00:00"), 1.0),
+      (3L, 20L, "view", t("2024-01-02 00:00:01"), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+
+    Seq((10L, "gold")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    def tick(wave: org.apache.spark.sql.DataFrame): Unit = {
+      wave.write.mode("append").parquet(src)
+      // the dim snapshot is taken when the per-tick query is BUILT (its
+      // file index pins then), exactly like the per-tick drains rebuild
+      // their plans; a parquet-append sink because memory sinks cannot
+      // resume a checkpoint across ticks, which is the whole point here
+      val dim = spark.read.parquet(dimPath)
+      val q = MicroBatch.enrich(
+        MicroBatch.readEvents(spark, src, wave), dim, "user_id")
+        .select("event_id", "user_id", "tier")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    tick(wave1)
+    // dim changes BETWEEN ticks: user 10 demoted, user 20 admitted
+    Seq((10L, "silver"), (20L, "gold")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    tick(wave2)
+
+    val got = spark.read.parquet(out).as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 10L, "gold"), (2L, 10L, "silver"), (3L, 20L, "gold")))
+  }
+
   test("stream-stream interval join emits exactly the batch join incl. boundaries") {
     import ss.implicits._
     val src = dir("sj-src")
