@@ -135,8 +135,20 @@ object Parity {
   // single-attachment semantics, export.py:35-62), read the files back,
   // hash-match the source-table oracle. Timestamps as epoch micros and
   // schema-on-read make both formats lossless.
+  /** Session-stable scratch root under java.io.tmpdir for `kind` × SF
+    * dir — the single sanitization rule for every landing/sink below. */
+  private def tmpRoot(kind: String, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Land `df` at `dir` once per tmp lifetime: _SUCCESS marks a complete
+    * landing (immutable input data), so repeat verify/bench calls skip
+    * the write. */
+  private def landOnce(df: DataFrame, dir: String): Unit =
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      df.write.mode("overwrite").parquet(dir)
+
   private def exportDir(d: String, kind: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_export_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    tmpRoot(s"export_$kind", d)
 
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val out = exportDir(d, "csv")
@@ -373,11 +385,8 @@ object Parity {
   // the aggregation AND the watermark semantics.
   def streamingWindowed(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    // land the file-source copy once per SF dir (immutable input data):
-    // _SUCCESS marks a complete landing, so repeat calls skip the write
-    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
-      ev.write.mode("overwrite").parquet(s"$root/src")
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
     // fresh checkpoint + sink name per call: replays must recompute, not
     // resume (the DATA is deterministic; the run id is not)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -448,9 +457,8 @@ object Parity {
   // store, watermark eviction, and AvailableNow drain end to end.
   def streamingDedup(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
-      ev.write.mode("overwrite").parquet(s"$root/src")
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_dd_$runId"
     withStreamShufflePartitions(s, 8) {
@@ -489,16 +497,17 @@ object Parity {
   // idempotence by PropertySpec.)
   def streamingUpsert(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
-      ev.write.mode("overwrite").parquet(s"$root/src")
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
     // FIXED checkpoint + sink (unlike the memory-sink drains): the sink
     // is durable, so a repeat call is a second scheduler tick — the
     // checkpoint finds zero new files and the sink is already correct.
     // This is the real resume semantics, and it keeps repeat bench/
     // verify runs from accreting full-corpus copies under /tmp.
-    graft.streaming.MicroBatch.drainOnce(s, s"$root/src", s"$root/cp_up",
-      s"$root/sink_up", ev)
+    withStreamShufflePartitions(s, 8) {
+      graft.streaming.MicroBatch.drainOnce(s, s"$root/src", s"$root/cp_up",
+        s"$root/sink_up", ev)
+    }
     s.read.parquet(s"$root/sink_up")
       .drop("ingestion_time")
       .orderBy("event_id")
@@ -519,9 +528,8 @@ object Parity {
   // exercise the state-eviction machinery end to end.
   def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
-      ev.write.mode("overwrite").parquet(s"$root/src")
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_sj_$runId"
     def side(t: String) = graft.streaming.MicroBatch
@@ -560,7 +568,7 @@ object Parity {
   // At scale mergeSchema reads footers only (no data pass), and the
   // gen=/day= layout doubles as the retention/pruning boundary.
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_schemaevo_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val root = tmpRoot("schemaevo", d)
     val o = Tables.orders(s, d)
     if (!new java.io.File(s"$root/gen=2/_SUCCESS").exists()) {
       o.filter(col("o_orderkey") % 2 === 0)
@@ -593,9 +601,8 @@ object Parity {
   // dim broadcasts under each micro-batch's plan.
   def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!new java.io.File(s"$root/src/_SUCCESS").exists())
-      ev.write.mode("overwrite").parquet(s"$root/src")
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
     val dim = ev.select(col("user_id")).distinct()
       .withColumn("tier", col("user_id") % 5)
       .filter(col("tier") =!= 4)
