@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real — schema, partitioning, batch shape,
   * and the mapPartitions pipeline are exactly what a production decode
   * would use (in PySpark the same stage is `mapInPandas` feeding the
-  * decoder in Arrow batches). The *codec* itself is stubbed with a
-  * deterministic fake (`fakeDecode`) because no image/audio libraries
-  * exist in this container; swapping in a real decoder changes only the
-  * body of that one function.
+  * decoder in Arrow batches). The codec boundary dispatches: binary
+  * PPM/PGM payloads run a REAL zero-dependency codec ([[Pnm]] — header
+  * parse, pixel statistics, nearest-neighbor resample); compressed
+  * formats (JPEG/PNG/audio), whose libraries this container lacks, fall
+  * back to a deterministic fake (`fakeDecode`) with the same contract —
+  * going live for another format adds one dispatch arm.
   *
   * Scale notes: media blobs dominate bytes, so the layout keeps them in
   * their own column (parquet column pruning means metadata-only queries
@@ -61,12 +63,32 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
-  /** STUB — deterministic fake decoder. A real implementation would
-    * decode the blob (image decode / audio PCM / frame sample) and emit a
-    * feature vector; this fake derives an 8-dim feature from the bytes so
-    * the pipeline shape, schema and determinism are testable without
-    * codec libraries. Replace the body to go live: the operator contract
-    * (bytes in → fixed-dim float feature out) is unchanged. */
+  /** Decode dispatch: binary PPM/PGM payloads get the REAL codec
+    * ([[Pnm]] — header parse, pixel stats as the 8-dim feature); other
+    * formats fall back to [[fakeDecode]], the honest stand-in for codecs
+    * this container lacks (JPEG/PNG/audio). The feature contract (bytes
+    * in → 8 floats out) is identical on both paths. */
+  def decode(payload: Array[Byte]): (Long, Array[Float]) =
+    Pnm.decode(payload) match {
+      case Some(img) =>
+        var checksum = 17L
+        var i = 0
+        while (i < img.pixels.length) {
+          checksum = checksum * 31 + (img.pixels(i) & 0xff)
+          i += 1
+        }
+        val Array(r, g, b) = Pnm.meanChannels(img)
+        val lum = 0.299f * r + 0.587f * g + 0.114f * b
+        (checksum, Array(r, g, b, lum,
+          img.channels.toFloat, img.width / 4096.0f, img.height / 4096.0f,
+          img.pixels.length / (64.0f * 1024 * 1024)))
+      case None => fakeDecode(payload)
+    }
+
+  /** STUB — deterministic fake decoder for formats without an in-container
+    * codec. Derives an 8-dim feature from the raw bytes so the pipeline
+    * shape, schema and determinism stay testable; replace the body (or
+    * add a [[decode]] dispatch arm) to go live with another format. */
   def fakeDecode(payload: Array[Byte]): (Long, Array[Float]) = {
     var checksum = 17L
     val feat = new Array[Float](8)
@@ -96,7 +118,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (checksum, feat) = fakeDecode(payload)
+          val (checksum, feat) = decode(payload)
           Row(id, payload.length.toLong, checksum, feat.toSeq)
         }
       }(enc)
@@ -108,10 +130,20 @@ object Multimodal {
     media.select(col("media_id"), col("meta.media_type"), col("meta.width"),
       col("meta.height"))
 
-  /** STUB — deterministic fake resize: keep every `factor`-th byte,
-    * halving metadata dims accordingly. A real implementation decodes,
-    * scales, re-encodes; the operator contract (blob in → smaller blob +
-    * adjusted meta out) and the partition-wise shape are unchanged. */
+  /** Resize dispatch: PPM/PGM payloads are REALLY resized (decode →
+    * nearest-neighbor downsample on the pixel grid → re-encode); other
+    * formats fall back to [[fakeResize]]. */
+  def resizePayload(payload: Array[Byte], factor: Int): Array[Byte] =
+    Pnm.decode(payload) match {
+      case Some(img) => Pnm.encode(Pnm.resizeNearest(img, factor))
+      case None => fakeResize(payload, factor)
+    }
+
+  /** STUB — deterministic fake resize for formats without an
+    * in-container codec: keep every `factor`-th byte, scaling metadata
+    * dims accordingly. The operator contract (blob in → smaller blob +
+    * adjusted meta out) and the partition-wise shape match the real
+    * path. */
   def fakeResize(payload: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((payload.length + factor - 1) / factor)
     var i = 0
@@ -131,7 +163,7 @@ object Multimodal {
           val meta = r.getStruct(2)
           def scaled(i: Int) = if (meta.isNullAt(i)) null
             else Int.box(meta.getInt(i) / factor)
-          Row(r.getLong(0), fakeResize(r.getAs[Array[Byte]](1), factor),
+          Row(r.getLong(0), resizePayload(r.getAs[Array[Byte]](1), factor),
             Row(meta.getString(0), meta.getString(1), scaled(2), scaled(3),
               if (meta.isNullAt(4)) null else Long.box(meta.getLong(4))))
         }

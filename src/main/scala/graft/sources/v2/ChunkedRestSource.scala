@@ -56,10 +56,25 @@ object ChunkedRestSource {
   val Sites: Seq[String] = Seq("STFERGUS", "BACTON", "EASINGTON")
   val Metrics: Seq[String] = Seq("WOBBE", "CV", "SG")
 
-  /** The stub for the per-chunk HTTP fetch: deterministic rows for every
-    * (day in chunk, site, metric). Replace the body with the real POST +
-    * JSON flatten to go live; the contract (chunk in → rows out) and the
-    * partition-planning around it do not change. */
+  /** The per-chunk transport: returns Left(httpStatus) on a failed
+    * request, Right(rows) on success. This is the ONE function a live
+    * deployment replaces (the real POST + JSON flatten, returning
+    * Left(response.status) on 4xx/5xx); the stub below cannot fail —
+    * this container has no egress — but the retry/backoff policy around
+    * it ([[graft.sources.HttpRetry]], the reference's 5×-backoff/429
+    * schedule) is real, spec-tested, and already in the reader path. */
+  def fetchTransport(start: LocalDate, endExclusive: LocalDate)
+  : Either[Int, Iterator[(Long, String, String, Double)]] =
+    Right(fetchChunk(start, endExclusive))
+
+  /** [[fetchTransport]] under the reference's retry policy — what the
+    * partition reader actually calls. */
+  def fetchChunkWithRetry(start: LocalDate, endExclusive: LocalDate)
+  : Iterator[(Long, String, String, Double)] =
+    graft.sources.HttpRetry.withRetries()(_ => fetchTransport(start, endExclusive))
+
+  /** Deterministic generator standing in for the remote payload: rows
+    * for every (day in chunk, site, metric). */
   def fetchChunk(start: LocalDate, endExclusive: LocalDate): Iterator[(Long, String, String, Double)] = {
     Iterator.iterate(start)(_.plusDays(1))
       .takeWhile(_.isBefore(endExclusive))
@@ -136,7 +151,7 @@ private class ChunkReaderFactory(required: StructType)
 
 private class ChunkReader(p: ChunkPartition, required: StructType)
   extends PartitionReader[InternalRow] {
-  private val it = ChunkedRestSource.fetchChunk(
+  private val it = ChunkedRestSource.fetchChunkWithRetry(
     LocalDate.ofEpochDay(p.startDay), LocalDate.ofEpochDay(p.endDay))
   // precompute projection indices once per partition, not per row
   private val fieldOrds: Array[Int] =

@@ -53,6 +53,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNM codec: encode/decode round-trips, comments parse, non-PNM rejected") {
+    import graft.multimodal.Pnm
+    // 2x2 RGB gradient
+    val img = Pnm.Image(3, 2, 2, Array[Byte](
+      0, 0, 0,   127, 0, 0,
+      0, 127, 0, -1, -1, -1)) // -1 == 0xff unsigned
+    val decoded = Pnm.decode(Pnm.encode(img)).get
+    assert(decoded === img.copy(pixels = decoded.pixels))
+    assert(decoded.pixels.toSeq === img.pixels.toSeq)
+    // header with comments and multi-whitespace, P5 grayscale
+    val withComments = ("P5\n# a comment\n 3 # dims\n1\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30)
+    val gray = Pnm.decode(withComments).get
+    assert((gray.channels, gray.width, gray.height) === ((1, 3, 1)))
+    assert(gray.pixels.toSeq === Seq[Byte](10, 20, 30))
+    // rejects: wrong magic, truncated data, 16-bit maxval
+    assert(Pnm.decode("not an image".getBytes).isEmpty)
+    assert(Pnm.decode("P6\n2 2\n255\n12".getBytes).isEmpty)
+    assert(Pnm.decode(("P5\n1 1\n65535\n" + "xx").getBytes).isEmpty)
+  }
+
+  test("PNM resize is real pixel resampling; decode dispatch picks the real codec") {
+    import graft.multimodal.Pnm
+    // 4x2 grayscale with distinct values: nearest-neighbor factor 2
+    // keeps pixels at even (x, y) → [a, c] from the first row
+    val img = Pnm.Image(1, 4, 2, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    val half = Pnm.resizeNearest(img, 2)
+    assert((half.width, half.height) === ((2, 1)))
+    assert(half.pixels.toSeq === Seq[Byte](1, 3))
+    // dispatch: a PPM payload decodes via the real codec (channel means
+    // reflect actual pixels), a text payload falls back to the fake
+    val white = Pnm.Image(3, 2, 2, Array.fill[Byte](12)(-1))
+    val (_, feat) = Multimodal.decode(Pnm.encode(white))
+    assert(feat(0) === 1.0f && feat(1) === 1.0f && feat(2) === 1.0f)
+    assert(feat(4) === 3.0f) // channels
+    val (ck, fallback) = Multimodal.decode("plain text".getBytes)
+    assert((ck, fallback.toSeq) ===
+      ((Multimodal.fakeDecode("plain text".getBytes)._1,
+        Multimodal.fakeDecode("plain text".getBytes)._2.toSeq)))
+    // resize dispatch: PPM shrinks on the pixel grid and re-encodes
+    val resized = Pnm.decode(Multimodal.resizePayload(Pnm.encode(img), 2)).get
+    assert(resized.pixels.toSeq === Seq[Byte](1, 3))
+  }
+
   test("frame sampling keeps every stride-th frame with exact byte slices") {
     val media = Multimodal.mediaFromDocuments(spark, sf).limit(20)
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
