@@ -556,6 +556,57 @@ object Parity {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
       |ORDER BY view_id, click_id""".stripMargin
 
+  // --- q_mm_pnm_decode ------------------------------------------------------
+  // The REAL image codec, driver-verified by construction: each doc's
+  // first 96 bytes become the pixel data of an 8×4 binary PPM (header
+  // prepended as literal bytes), and the Spark side runs the full
+  // Pnm.decode path — magic/dimension/maxval parsing, payload slicing —
+  // then reports exact per-channel byte sums. The DuckDB oracle never
+  // sees a header: it computes the same sums straight from the text's
+  // character codes (ASCII corpus ⇒ byte == ord), so a codec bug in
+  // header length, channel interleave, or sample extraction breaks the
+  // hash. Exact integer sums, no floats — engine-independent by
+  // construction. The decode runs per-row inside mapPartitions, the
+  // same batch shape as Multimodal.decodeFeatures.
+  private val PnmW = 8
+  private val PnmH = 4
+
+  def pnmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = PnmW * PnmH * 3
+    val header = s"P6\n$PnmW $PnmH\n255\n".getBytes("US-ASCII")
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= n)
+      .select(col("doc_id"),
+        concat(lit(header), substring(col("text"), 1, n).cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val img = graft.multimodal.Pnm.decode(bytes)
+          .getOrElse(sys.error(s"payload of doc $id failed to decode"))
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < img.pixels.length) { sums(i % 3) += img.pixels(i) & 0xff; i += 1 }
+        (id, img.width, img.height, img.channels, sums(0), sums(1), sums(2))
+      }
+      .toDF("media_id", "width", "height", "channels", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
+  val pnmDecodeSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, ${PnmW * PnmH * 3}) AS s
+       |  FROM documents WHERE length(text) >= ${PnmW * PnmH * 3}),
+       |ex AS (
+       |  SELECT media_id, i, ord(substring(s, i, 1)) AS b
+       |  FROM d, unnest(generate_series(1, ${PnmW * PnmH * 3})) g(i))
+       |SELECT media_id, $PnmW AS width, $PnmH AS height, 3 AS channels,
+       |  CAST(sum(CASE WHEN (i - 1) % 3 = 0 THEN b END) AS BIGINT) AS sum_r,
+       |  CAST(sum(CASE WHEN (i - 1) % 3 = 1 THEN b END) AS BIGINT) AS sum_g,
+       |  CAST(sum(CASE WHEN (i - 1) % 3 = 2 THEN b END) AS BIGINT) AS sum_b
+       |FROM ex
+       |GROUP BY media_id
+       |ORDER BY media_id""".stripMargin
+
   // --- q_w8_schema_evolution ------------------------------------------------
   // Schema evolution across landing generations — the warehouse-side
   // counterpart of the inferred field catalog (A5): a new column starts
@@ -701,6 +752,7 @@ object Parity {
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_static_join" -> (streamStaticJoin _),
     "q_w8_schema_evolution" -> (schemaEvolution _),
+    "q_mm_pnm_decode" -> (pnmDecode _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_mm_frame_sample" -> (frameSample _))
 
@@ -723,6 +775,7 @@ object Parity {
     "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_static_join" -> streamStaticJoinSql,
     "q_w8_schema_evolution" -> schemaEvolutionSql,
+    "q_mm_pnm_decode" -> pnmDecodeSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }
