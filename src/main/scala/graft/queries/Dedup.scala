@@ -269,14 +269,19 @@ object Dedup {
   //
   // Candidate pairs come from LSH-banding the signature into 4×8-bit
   // prefixes (same trick as minhash): two signatures at hamming <= 2
-  // differ in at most 2 of the 4 bands, so they COLLIDE in at least two —
-  // banding is exact (recall 1.0) for this threshold, by pigeonhole,
-  // which is why the all-pairs DuckDB oracle still hash-matches. At
-  // 100 TB only the banded equi-grouping shuffles; the all-pairs
-  // cartesian (kept below as [[simhashAllPairs]], spec-only) would be
-  // O(n²). Degenerate bands (a prefix shared by millions of near-empty
-  // docs) are capped like every other bucket; a doc's true near-dups
-  // still collide in the remaining bands.
+  // differ in at most 2 of the 4 bands, so they COLLIDE in at least
+  // two — banding alone is exact (recall 1.0) for this threshold, by
+  // pigeonhole. At 100 TB only the banded equi-grouping shuffles; the
+  // all-pairs cartesian (kept below as [[simhashAllPairs]], spec-only)
+  // would be O(n²). Degenerate bands (a prefix shared by many docs)
+  // are capped like every other bucket, and the CAP is part of the
+  // operator's semantics: a pair whose only collisions land in
+  // overflowed buckets is dropped (the recall/cost trade-off every
+  // capped LSH makes), so the DuckDB oracle reproduces banding + cap
+  // exactly rather than comparing against all-pairs — which diverges
+  // once the corpus is big enough to overflow a bucket (seen at
+  // sf0.1). DedupSpec pins banded == all-pairs on the cap-free small
+  // corpus, where pigeonhole is the whole story.
   private val SimBits = 32
   private val SimBands = 4
   private val SimBandBits = SimBits / SimBands
@@ -334,6 +339,15 @@ object Dedup {
     hammingPairs(cand, sh)
   }
 
+  // The oracle reproduces the banded-capped candidate generation
+  // EXACTLY (band keys, bucket cap, distinct pairs) like the minhash
+  // oracle does — an all-pairs oracle only agrees while no band bucket
+  // exceeds the cap (true at sf0.01, false at sf0.1 where popular
+  // 8-bit prefixes overflow 100 members and drop their pairs): the cap
+  // is part of the operator's scale semantics, so it is part of the
+  // verified contract. DedupSpec still pins banded == all-pairs on the
+  // cap-free small corpus, which is where the pigeonhole argument is
+  // the whole story.
   val simhashSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($tokensSqlExpr) AS t FROM documents),
@@ -346,11 +360,23 @@ object Dedup {
        |sh AS (
        |  SELECT doc_id,
        |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-       |  FROM bits GROUP BY doc_id)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b AS band_id,
+       |    (simhash >> (b * $SimBandBits)) & ${(1L << SimBandBits) - 1} AS band_key
+       |  FROM sh, unnest(generate_series(0, ${SimBands - 1})) t(b)),
+       |bsz AS (
+       |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
+       |  HAVING count(*) > 1 AND count(*) <= $MaxShingleDf),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN bsz ON bsz.band_id = a.band_id AND bsz.band_key = a.band_key)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+       |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- q_dd_embed_neardup -------------------------------------------------
