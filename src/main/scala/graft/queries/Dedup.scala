@@ -424,6 +424,7 @@ object Dedup {
   private val PlaneBands = 4
   private val PlaneBits = NumPlanes / PlaneBands
   private val EmbedDim = 64
+  private val MaxEmbedBucket = 1000
 
   /** ±1.0 weight vector of hyperplane `p`, derived from md5 parity —
     * deterministic, engine-independent (computed in the JVM, embedded as
@@ -449,9 +450,17 @@ object Dedup {
       posexplode(array((0 until PlaneBands).map(b =>
         substring(col("sig"), b * PlaneBits + 1, PlaneBits)): _*)))
       .toDF("vec_id", "band_id", "band_key")
+    // bucket cap like every other LSH path — generous (1000 vs the
+    // shingle paths' 100) because 4-bit band keys make buckets ~n/16
+    // by design and the verify cosine is cheap; the structural point is
+    // that a degenerate bucket (all-identical embeddings) costs O(cap)
+    // memory and O(cap²) pairs, never O(n²). The oracle models the cap
+    // identically. At larger corpora the geometry knob (more planes,
+    // wider bands) moves before the cap does.
     val cand = bands.groupBy("band_id", "band_key")
-      .agg(collect_list(col("vec_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .agg(graft.functions.BoundedCollectFunctions
+        .boundedCollect(col("vec_id"), MaxEmbedBucket + 1).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxEmbedBucket)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
       .distinct()
@@ -476,10 +485,14 @@ object Dedup {
        |  SELECT vec_id, b AS band_id,
        |    sig[b*$PlaneBits+1 : b*$PlaneBits+$PlaneBits] AS band_key
        |  FROM sig, unnest(generate_series(0, ${PlaneBands - 1})) t(b)),
+       |bsz AS (
+       |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
+       |  HAVING count(*) > 1 AND count(*) <= $MaxEmbedBucket),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
        |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id)
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+       |  JOIN bsz ON bsz.band_id = a.band_id AND bsz.band_key = a.band_key)
        |SELECT da AS doc_a, db AS doc_b,
        |  ${Vectors.cosineSql("x.embedding", "y.embedding")} AS cosine
        |FROM cand JOIN e x ON da = x.vec_id JOIN e y ON db = y.vec_id
