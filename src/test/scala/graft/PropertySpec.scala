@@ -114,6 +114,41 @@ class PropertySpec extends SparkSpec {
     assert(all === all.sorted, "concatenated pages must preserve the order")
   }
 
+  test("chunk windows tile exactly for ANY geometry and token counts") {
+    import ss.implicits._
+    // the contract that must hold for every (win, stride <= win, n):
+    // indices dense from 0, starts step by stride, all-but-last windows
+    // full, coverage of [0, n) with no gap, never an empty window
+    val gen = for {
+      win <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, win)
+      sizes <- Gen.listOfN(6, Gen.choose(0, 40))
+    } yield (win, stride, sizes)
+    forAll(gen, n = 10) { case (win, stride, sizes) =>
+      val docs = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val wins = graft.queries.TrainPrep.chunkDocs(docs, win.toLong, stride.toLong)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("window_idx"),
+          r.getAs[Long]("tok_start"), r.getAs[Long]("win_len")))
+        .groupBy(_._1)
+      sizes.zipWithIndex.foreach { case (n, i) =>
+        val ws = wins.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+        if (n == 0) assert(ws.isEmpty, "empty doc emits no windows")
+        else {
+          ws.zipWithIndex.foreach { case ((_, idx, start, len), j) =>
+            assert(idx === j.toLong && start === j.toLong * stride)
+            assert(len >= 1 && len <= win)
+          }
+          ws.init.foreach { case (_, _, _, len) => assert(len === win.toLong) }
+          assert(ws.flatMap(w => w._3 until (w._3 + w._4)).toSet ===
+            (0L until n.toLong).toSet, s"win=$win stride=$stride n=$n must tile")
+        }
+      }
+    }
+  }
+
   test("makeSeriesId is deterministic and case/whitespace-normalizing") {
     val genPair = for {
       a <- Gen.alphaNumStr.suchThat(_.nonEmpty)
