@@ -120,9 +120,12 @@ object TrainPrep {
   // identical across runs, engines, retries, and corpus growth), and the
   // manifest row per shard carries what a downstream trainer reads
   // before opening any file: doc count, token/char totals, source
-  // spread, id range. One scan + one map-side-combined aggregate over
-  // NumShards groups — manifest cost is O(corpus) scan and O(shards)
-  // output regardless of scale, and the same shard expression is the
+  // spread, id range. One scan feeding aggregation at digest grain:
+  // the exact distinct-source count makes it a two-phase aggregate
+  // ((shard, source) expansion, then shard) — both at key-cardinality
+  // grain, never corpus grain — plus the NumShards-row presentation
+  // sort. Manifest cost is O(corpus) scan and O(shards) output
+  // regardless of scale, and the same shard expression is the
   // write-time partition key (partitionBy("shard")), so the manifest
   // provably describes the physical files.
   private val NumShards = 16
