@@ -621,22 +621,30 @@ object Dedup {
   // The FINAL step of a real dedup pipeline: near-dup PAIRS (minhash-LSH
   // verified, jaccard >= 0.5) are only half the job — the corpus needs
   // one KEEPER per connected component of the near-dup graph (A~B, B~C
-  // must drop two of {A,B,C}, not one of each pair). Connected components
-  // via iterative min-label propagation: each round every node takes the
-  // min label among itself and its neighbors; converges in O(component
-  // diameter) rounds — near-dup clusters are clique-ish, so 2-3 rounds
-  // in practice (this is GraphX's connected components without the
-  // dependency). Per round: ONE equi-join + ONE min-aggregate + a scalar
-  // sum — no label-vs-label comparison join. Convergence reads the SUM
-  // of labels: min-propagation is monotone non-increasing per node, so
-  // the exact integer sum strictly decreases until the fixed point and
-  // equal consecutive sums ⇔ no label moved. `localCheckpoint` truncates
-  // the growing lineage so round N's plan does not replay rounds 1..N-1;
-  // the driver loop carries only the scalar checksum, never data.
-  def clusterKeeper(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
+  // must drop two of {A,B,C}, not one of each pair).
+
+  /** Connected components over an undirected edge list (`src`,`dst`, both
+    * directions present) via min-label propagation WITH pointer jumping.
+    * Each round does two monotone steps:
+    *   1. neighbor min:   label(x) ← min(label(x), min over neighbors y of label(y))
+    *   2. pointer jump:   label(x) ← label(label(x))
+    * Neighbor-min alone converges in O(component diameter) rounds — fine
+    * for clique-ish near-dup clusters, O(n) for a chain (transitive
+    * near-dups at scale produce exactly those). The pointer jump doubles
+    * the distance a label has travelled each round, so the combination
+    * converges in O(log n) rounds on ANY component shape (a 1000-node
+    * chain needs ~9 rounds instead of ~1000 — see DedupSpec). Label
+    * values are always node ids of the same component, so the jump join
+    * (labels ⋈ labels on label = id) is a plain equi-join; per round the
+    * total cost is TWO equi-joins + ONE min-aggregate + a scalar sum.
+    * Convergence reads the SUM of labels: both steps are monotone
+    * non-increasing per node, so the exact integer sum strictly decreases
+    * until the fixed point and equal consecutive sums ⇔ no label moved
+    * (and the neighbor-min fixed point forces labels constant = min per
+    * component). `localCheckpoint` truncates the growing lineage so round
+    * N's plan does not replay rounds 1..N-1; the driver loop carries only
+    * the scalar checksum, never data. Returns (labels, rounds). */
+  private[graft] def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
     // seed with the first propagation round fused in: label(0) =
     // min(id, neighbors) — one round fewer to converge
     var labels = edges.select(col("src").as("id"), col("dst").as("label"))
@@ -645,22 +653,35 @@ object Dedup {
       .localCheckpoint()
     // exact decimal sum: billions of int64 ids would overflow an int64
     // accumulator, and the strict-decrease argument needs exact integers
-    def checksum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+    def checksum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    def jump(l: DataFrame): DataFrame = {
+      val tgt = l.select(col("id").as("jid"), col("label").as("jlabel"))
+      l.join(tgt, l("label") === tgt("jid"), "left")
+        .select(l("id"), coalesce(col("jlabel"), l("label")).as("label"))
+    }
     var prev: java.math.BigDecimal = null
     var curr = checksum(labels)
     var rounds = 0
     while (prev == null || curr.compareTo(prev) != 0) {
       rounds += 1
-      require(rounds <= 20, "label propagation failed to converge in 20 rounds")
+      require(rounds <= 64, "label propagation failed to converge in 64 rounds")
       val neigh = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      labels = labels.unionByName(neigh)
+      val propagated = labels.unionByName(neigh)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      labels = jump(propagated).localCheckpoint()
       prev = curr
       curr = checksum(labels)
     }
+    (labels, rounds)
+  }
+
+  def clusterKeeper(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val (labels, _) = connectedComponents(edges)
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
       .withColumn("is_keeper", col("doc_id") === col("cluster"))
       .orderBy("doc_id")

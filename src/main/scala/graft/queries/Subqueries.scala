@@ -85,15 +85,70 @@ object Subqueries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  // --- q_tpch_q1: pricing-summary wide aggregate --------------------------
+  // The canonical whole-stage-codegen benchmark: one scan, one hash
+  // aggregate, 8 aggregate expressions over 4 tiny groups — pure map-side
+  // combine (the shuffle moves 4 rows × 8 cells per partition). All money
+  // sums run in integer cents (`round(x*100)` recovers the exact cent
+  // value; products of cents are exact ints) summed as DECIMAL(38,0) so
+  // neither engine can overflow or drift: SUM(BIGINT) is BIGINT in Spark
+  // (overflowable at extreme SF) but HUGEINT in DuckDB — the DECIMAL(38,0)
+  // accumulator gives ONE exact type on both. Averages divide exact ints
+  // in double space with identical operand order (IEEE-deterministic).
+  private val (tpchQ1Fn, tpchQ1SqlText) = sqlBoth(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_qty,
+      |  CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |      * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS sum_charge,
+      |  CAST(SUM(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  // --- q_tpch_q18: large-volume-customer group-by-having ------------------
+  // The group-by-HAVING over the largest join: the IN subquery is itself a
+  // full lineitem aggregation (Catalyst: left semi join on orderkey), then
+  // customer ⋈ orders ⋈ lineitem re-aggregates only the surviving orders.
+  // At 100 TB the semi-join build side is the HAVING survivors (rare by
+  // construction — threshold in the distribution tail), so the big join's
+  // probe side is pruned before the expensive aggregation. Quantities are
+  // integer-valued doubles; `round → BIGINT` makes the sums exact, and the
+  // outer CAST pins the one result type both engines share.
+  private val (tpchQ18Fn, tpchQ18SqlText) = sqlBoth(
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sq_scalar" -> scalarFn,
     "q_sq_in" -> inFn,
     "q_sq_not_in" -> notInFn,
-    "q_tpch_q3" -> (tpchQ3 _))
+    "q_tpch_q3" -> (tpchQ3 _),
+    "q_tpch_q1" -> tpchQ1Fn,
+    "q_tpch_q18" -> tpchQ18Fn)
 
   val oracles: Map[String, String] = Map(
     "q_sq_scalar" -> scalarSql,
     "q_sq_in" -> inSql,
     "q_sq_not_in" -> notInSql,
-    "q_tpch_q3" -> tpchQ3Sql)
+    "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q1" -> tpchQ1SqlText,
+    "q_tpch_q18" -> tpchQ18SqlText)
 }

@@ -68,4 +68,35 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(out == Set((1001L, 1002L)), s"got ${out.size} pairs: ${out.take(5)}")
   }
+
+  test("connected components converge in O(log n) rounds on a 1000-node chain") {
+    import ss.implicits._
+    // Worst case for plain min-label propagation: a path graph
+    // 0-1-2-...-999 (diameter 999 would need ~1000 neighbor-min rounds).
+    // The pointer-jumping step must bring this to ~log2(1000) ≈ 10.
+    val n = 1000
+    val fwd = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.connectedComponents(edges)
+    assert(rounds <= 12, s"chain took $rounds rounds; pointer jumping broken?")
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("connected components keep disjoint clusters disjoint") {
+    import ss.implicits._
+    // Two triangles + one isolated edge: labels must be the per-component
+    // mins {10, 20, 30}, never bleed across components.
+    val und = Seq((10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.connectedComponents(edges)
+    assert(rounds <= 4, s"clique-ish graph took $rounds rounds")
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
 }
