@@ -62,8 +62,14 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Streaming drains (q_st_*) pay a fixed AvailableNow cost (fresh
+    // checkpoint + state store per run) that is real verification work but
+    // not relational plan cost — reported separately so a relational
+    // regression can't hide under it (and vice versa).
+    val streamingTotal =
+      results.collect { case (n, v) if n.startsWith("q_st_") && v >= 0 => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The per-query line grew past the driver's stdout tail window at 79
     // queries (round 3's BENCH parsed:null), so the LAST line is a compact
@@ -80,7 +86,7 @@ object Bench {
     // the error payload entirely (n_errors always carries the truth and
     // the full messages live in the detail line + bench_detail.json).
     def compactLine(errJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     val errCompact = errors.take(2)
       .map { case (k, v) => s"${jstr(k.take(24))}:${jstr(v.take(40))}" }
       .mkString("{", ",", "}")

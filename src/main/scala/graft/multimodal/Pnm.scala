@@ -38,7 +38,10 @@ object Pnm {
       case '5' => 1
       case _ => return None
     }
-    // header tokenizer: whitespace-separated ints, '#' comments run to EOL
+    // header tokenizer: whitespace-separated ints, '#' comments run to EOL.
+    // Accumulates in a guarded Long: an adversarial digit run (or huge
+    // declared dims) must yield None — never NumberFormatException — so a
+    // corrupt P6/P5-magic payload falls back to the caller's stub path.
     var pos = 2
     def nextInt(): Option[Int] = {
       while (pos < bytes.length &&
@@ -48,19 +51,26 @@ object Pnm {
         else pos += 1
       }
       val start = pos
-      while (pos < bytes.length && bytes(pos).toChar.isDigit) pos += 1
-      if (pos == start) None
-      else Some(new String(bytes, start, pos - start, "US-ASCII").toInt)
+      var v = 0L
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+        // stop growing past the bound but keep consuming the digit run
+        if (v <= Int.MaxValue) v = v * 10 + (bytes(pos) - '0')
+        pos += 1
+      }
+      if (pos == start || v > Int.MaxValue) None else Some(v.toInt)
     }
     for {
       w <- nextInt(); h <- nextInt(); maxval <- nextInt()
       if maxval > 0 && maxval <= 255 && w > 0 && h > 0
       // exactly ONE whitespace byte separates the header from raw data
       if pos < bytes.length && bytes(pos).toChar.isWhitespace
-      n = channels * w * h
-      if bytes.length - (pos + 1) >= n
+      // payload size in Long: channels*w*h overflows Int for large
+      // declared dims, and a truncation check on an overflowed Int would
+      // pass spuriously
+      n = channels.toLong * w * h
+      if bytes.length.toLong - (pos + 1) >= n
     } yield Image(channels, w, h,
-      java.util.Arrays.copyOfRange(bytes, pos + 1, pos + 1 + n))
+      java.util.Arrays.copyOfRange(bytes, pos + 1, pos + 1 + n.toInt))
   }
 
   /** Nearest-neighbor downscale by integer `factor` (dims floor-divide,

@@ -179,8 +179,10 @@ object Dedup {
     3145739L, 6291469L, 12582917L, 25165843L, 50331653L, 100663319L,
     201326611L, 402653189L)
 
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d) // relational build; empty docs already absent
+  /** (doc_id, band_id, band_key) rows of the minhash banding — shared by
+    * [[minhashLsh]] and the cap audit so the audited buckets are BY
+    * CONSTRUCTION the buckets the operator builds. */
+  private def minhashBands(s: SparkSession, d: String): DataFrame = {
     // one md5 per (doc, distinct shingle); 16 permutations as flat columns
     val ex = shingleRows(s, d)
       .select(col("doc_id"), Hashes.md5Int32(col("s")).as("h"))
@@ -190,11 +192,16 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
-    val bands = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .toDF("doc_id", "band_id", "band_key")
+  }
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d) // relational build; empty docs already absent
+    val bands = minhashBands(s, d)
     // group-collect-explode instead of a band self-join: one signature
     // build instead of two, bucket lists bounded by LSH collision design
     // PLUS the hard MaxShingleDf cap — a degenerate band key (e.g. the
@@ -225,12 +232,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val minhashLshSql: String = {
+  /** CTE chain ending in `bands(doc_id, band_id, band_key)` — the oracle
+    * twin of [[minhashBands]], shared by the LSH oracle and the cap-audit
+    * oracle (one source of truth for the banding on the DuckDB side too). */
+  private val minhashBandsCte: String = {
     val minCols = (0 until NumHashes)
       .map(i => s"min((h * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS m$i")
       .mkString(",\n    ")
     val sigArr = (0 until NumHashes).map(i => s"m$i").mkString("[", ", ", "]")
-    s"""WITH sh0 AS ($shingleSetsSql),
+    s"""sh0 AS ($shingleSetsSql),
        |sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0),
        |ex AS (
        |  SELECT doc_id, ${Hashes.md5Int32Sql("t")} AS h
@@ -243,7 +253,11 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, b AS band_id,
        |    array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], ',') AS band_key
-       |  FROM sig, unnest(generate_series(0, ${Bands - 1})) t(b)),
+       |  FROM sig, unnest(generate_series(0, ${Bands - 1})) t(b))""".stripMargin
+  }
+
+  val minhashLshSql: String = {
+    s"""WITH $minhashBandsCte,
        |bsz AS (
        |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
        |  HAVING count(*) > 1 AND count(*) <= $MaxShingleDf),
@@ -310,14 +324,19 @@ object Dedup {
       .filter(col("hamming") <= 2)
       .orderBy("doc_a", "doc_b")
 
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val sh = simhashSignatures(s, d)
-    val bands = sh.select(
+  /** (doc_id, band_id, band_key) rows of the simhash prefix banding —
+    * shared by [[simhash]] and the cap audit. */
+  private def simhashBands(sh: DataFrame): DataFrame =
+    sh.select(
       col("doc_id"),
       posexplode(array((0 until SimBands).map(b =>
         shiftright(col("simhash"), b * SimBandBits)
           .bitwiseAND(lit((1L << SimBandBits) - 1))): _*)))
       .toDF("doc_id", "band_id", "band_key")
+
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashSignatures(s, d)
+    val bands = simhashBands(sh)
     val cand = bands.groupBy("band_id", "band_key")
       .agg(graft.functions.BoundedCollectFunctions
         .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
@@ -348,8 +367,10 @@ object Dedup {
   // verified contract. DedupSpec still pins banded == all-pairs on the
   // cap-free small corpus, which is where the pigeonhole argument is
   // the whole story.
-  val simhashSql: String =
-    s"""WITH tok AS (
+  /** CTE chain ending in `bands(doc_id, band_id, band_key)` — the oracle
+    * twin of [[simhashBands]] (also defines `sh(doc_id, simhash)`). */
+  private val simhashBandsCte: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest($tokensSqlExpr) AS t FROM documents),
        |th AS (SELECT doc_id, ${Hashes.md5Int32Sql("t")} AS h FROM tok),
        |bits AS (
@@ -364,7 +385,10 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, b AS band_id,
        |    (simhash >> (b * $SimBandBits)) & ${(1L << SimBandBits) - 1} AS band_key
-       |  FROM sh, unnest(generate_series(0, ${SimBands - 1})) t(b)),
+       |  FROM sh, unnest(generate_series(0, ${SimBands - 1})) t(b))""".stripMargin
+
+  val simhashSql: String =
+    s"""WITH $simhashBandsCte,
        |bsz AS (
        |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
        |  HAVING count(*) > 1 AND count(*) <= $MaxShingleDf),
@@ -437,7 +461,9 @@ object Dedup {
       if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
     }
 
-  def embedLsh(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, band_id, band_key) rows of the hyperplane sign-bit banding
+    * — shared by [[embedLsh]] and the cap audit. */
+  private def embedBands(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bits = (0 until NumPlanes).map { p =>
@@ -445,11 +471,17 @@ object Dedup {
       when(Vectors.dot(col("v"), w) >= 0, lit("1")).otherwise(lit("0"))
     }
     val sig = e.select(col("vec_id"), concat(bits: _*).as("sig"))
-    val bands = sig.select(
+    sig.select(
       col("vec_id"),
       posexplode(array((0 until PlaneBands).map(b =>
         substring(col("sig"), b * PlaneBits + 1, PlaneBits)): _*)))
       .toDF("vec_id", "band_id", "band_key")
+  }
+
+  def embedLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bands = embedBands(s, d)
     // bucket cap like every other LSH path — generous (1000 vs the
     // shingle paths' 100) because 4-bit band keys make buckets ~n/16
     // by design and the verify cosine is cheap; the structural point is
@@ -473,18 +505,24 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val embedLshSql: String = {
+  /** CTE chain ending in `bands(vec_id, band_id, band_key)` — the oracle
+    * twin of [[embedBands]] (also defines `e(vec_id, embedding)`). */
+  private val embedBandsCte: String = {
     def wLit(p: Int): String =
       planeWeights(p).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     val bitExprs = (0 until NumPlanes).map { p =>
       s"(CASE WHEN ${Vectors.dotSql("embedding", wLit(p))} >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |sig AS (SELECT vec_id, $bitExprs AS sig FROM e),
        |bands AS (
        |  SELECT vec_id, b AS band_id,
        |    sig[b*$PlaneBits+1 : b*$PlaneBits+$PlaneBits] AS band_key
-       |  FROM sig, unnest(generate_series(0, ${PlaneBands - 1})) t(b)),
+       |  FROM sig, unnest(generate_series(0, ${PlaneBands - 1})) t(b))""".stripMargin
+  }
+
+  val embedLshSql: String = {
+    s"""WITH $embedBandsCte,
        |bsz AS (
        |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
        |  HAVING count(*) > 1 AND count(*) <= $MaxEmbedBucket),
@@ -569,10 +607,18 @@ object Dedup {
   // capped by cluster size — real deployments size k so clusters hold
   // ~10³-10⁴ vectors (k here is 8 for parity with the k-means family;
   // the vec_id < 1000 slice keeps the exact baseline sub-quadratic,
-  // like q_dd_embed_neardup). A degenerate mega-cluster is handled the
-  // same way as a hot LSH bucket: cap membership (bounded_collect) or
-  // re-split on a second k-means level.
+  // like q_dd_embed_neardup). A degenerate mega-cluster gets the SAME
+  // enforced contract as a hot LSH bucket: clusters over MaxSemCluster
+  // members generate NO within-cluster pairs (all members kept) — the
+  // O((n/k)²) bound is then a hard guarantee, not a hope about the
+  // k-means balance. The gate is a counting aggregate (O(1) state per
+  // cluster — even cheaper than the LSH paths' bounded_collect, which
+  // is only needed where the collected list feeds pair explosion), the
+  // oracle models it identically, q_dd_cap_audit measures what it
+  // drops, and the production answer to a firing cap is a second
+  // k-means split level.
   private val SemThreshold = 0.45
+  private[queries] val MaxSemCluster = 600
 
   def semDedup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -581,9 +627,14 @@ object Dedup {
       .withColumn("cluster_id", Similarity.clusterOf(col("v")))
       // norms once per vector (not per pair): cosine(a,b) = dot/(na*nb)
       .withColumn("nrm", Vectors.norm(col("v")))
-    val a = e.select(col("vec_id").as("da"), col("cluster_id"),
+    // mega-cluster cap: the overflow list is tiny by construction (each
+    // entry absorbs >cap members), so it broadcasts as an anti-join
+    val big = e.groupBy("cluster_id").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") > MaxSemCluster).select("cluster_id")
+    val eok = e.join(broadcast(big), Seq("cluster_id"), "left_anti")
+    val a = eok.select(col("vec_id").as("da"), col("cluster_id"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("db"), col("cluster_id"),
+    val b = eok.select(col("vec_id").as("db"), col("cluster_id"),
       col("v").as("vb"), col("nrm").as("nb"))
     val dups = a.join(b, Seq("cluster_id"))
       .filter(col("da") < col("db"))
@@ -605,11 +656,15 @@ object Dedup {
        |    ${Similarity.clusterOfSql("embedding")} AS cluster_id,
        |    sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings WHERE vec_id < 1000),
+       |big AS (
+       |  SELECT cluster_id FROM e GROUP BY cluster_id
+       |  HAVING count(*) > $MaxSemCluster),
        |dups AS (
        |  SELECT b.vec_id, count(*) AS n_earlier_dups
        |  FROM e a JOIN e b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
        |  WHERE ${Vectors.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
        |    >= $SemThreshold
+       |    AND a.cluster_id NOT IN (SELECT cluster_id FROM big)
        |  GROUP BY b.vec_id)
        |SELECT e.vec_id, e.cluster_id,
        |  coalesce(d.n_earlier_dups, 0)::BIGINT AS n_earlier_dups,
@@ -702,6 +757,103 @@ object Dedup {
        |FROM reach GROUP BY u
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_dd_cap_audit -------------------------------------------------------
+  // Cap-overflow OBSERVABILITY for every capped LSH/bucket path: the caps
+  // (MaxShingleDf, MaxEmbedBucket) are correct, oracle-verified scale
+  // semantics — but they silently drop pairs past the bucket limit, so a
+  // production run cannot see its recall loss. This row makes the loss
+  // measurable: per path, the bucket histogram summary (total buckets,
+  // overflowed buckets, entries inside overflowed buckets, DISTINCT docs
+  // whose candidates are affected, max bucket size). Built from the SAME
+  // band/bucket builders the operators use (minhashBands/simhashBands/
+  // embedBands/shingleRows), so the audit cannot drift from the audited
+  // code. Cost shape: counting aggregates only — per-bucket state is one
+  // int (never a collect), the histogram is tiny, and the one join
+  // (members ⋈ overflowed keys) broadcasts the overflow side, which is
+  // small BY CONSTRUCTION (each overflowed bucket absorbs >cap entries
+  // of a finite stream). At 100 TB this runs as a side-channel of the
+  // dedup job at a fraction of its cost and answers "how much recall did
+  // the caps cost, and where" — the number you tune band geometry with.
+  def capAudit(s: SparkSession, d: String): DataFrame = {
+    def one(members: DataFrame, cap: Int, path: String): DataFrame = {
+      val m = members.toDF("bucket", "member")
+      val sizes = m.groupBy("bucket").agg(count(lit(1)).as("n")).localCheckpoint()
+      val ovfKeys = sizes.filter(col("n") > cap).select("bucket")
+      val affected = m.join(broadcast(ovfKeys), Seq("bucket"))
+        .agg(countDistinct(col("member")).as("docs_affected"))
+      val hist = sizes.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_overflow"),
+        coalesce(sum(when(col("n") > cap, col("n"))), lit(0L)).as("entries_in_overflow"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket"))
+      hist.crossJoin(affected) // two 1-row scalars
+        .select(lit(path).as("path"), col("n_buckets"), col("n_overflow"),
+          col("entries_in_overflow"), col("docs_affected"), col("max_bucket"))
+    }
+    val key = concat_ws("|", col("band_id"), col("band_key"))
+    one(shingleRows(s, d).select(col("s"), col("doc_id")),
+      MaxShingleDf, "ngram_shingle")
+      .unionByName(one(minhashBands(s, d).select(key, col("doc_id")),
+        MaxShingleDf, "minhash_band"))
+      .unionByName(one(simhashBands(simhashSignatures(s, d)).select(key, col("doc_id")),
+        MaxShingleDf, "simhash_band"))
+      .unionByName(one(embedBands(s, d).select(key, col("vec_id")),
+        MaxEmbedBucket, "embed_band"))
+      .unionByName(one(
+        Tables.embeddings(s, d).filter(col("vec_id") < 1000)
+          .select(Similarity.clusterOf(col("embedding").cast("array<double>")),
+            col("vec_id")),
+        MaxSemCluster, "sem_cluster"))
+      .orderBy("path")
+  }
+
+  val capAuditSql: String = {
+    def summary(path: String, cap: Int, memberCol: String): String =
+      s"""m AS (SELECT band_id::VARCHAR || '|' || band_key::VARCHAR AS bucket,
+         |         $memberCol AS member FROM bands),
+         |sz AS (SELECT bucket, count(*) AS n FROM m GROUP BY bucket),
+         |ovf AS (SELECT bucket, n FROM sz WHERE n > $cap)
+         |SELECT '$path' AS path,
+         |  (SELECT count(*) FROM sz)::BIGINT AS n_buckets,
+         |  (SELECT count(*) FROM ovf)::BIGINT AS n_overflow,
+         |  (SELECT coalesce(sum(n), 0) FROM ovf)::BIGINT AS entries_in_overflow,
+         |  (SELECT count(DISTINCT m.member) FROM m JOIN ovf ON m.bucket = ovf.bucket)::BIGINT AS docs_affected,
+         |  (SELECT coalesce(max(n), 0) FROM sz)::BIGINT AS max_bucket""".stripMargin
+    s"""(WITH sh AS ($shingleSetsSql),
+       |m AS (SELECT s AS bucket, doc_id AS member
+       |      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |sz AS (SELECT bucket, count(*) AS n FROM m GROUP BY bucket),
+       |ovf AS (SELECT bucket, n FROM sz WHERE n > $MaxShingleDf)
+       |SELECT 'ngram_shingle' AS path,
+       |  (SELECT count(*) FROM sz)::BIGINT AS n_buckets,
+       |  (SELECT count(*) FROM ovf)::BIGINT AS n_overflow,
+       |  (SELECT coalesce(sum(n), 0) FROM ovf)::BIGINT AS entries_in_overflow,
+       |  (SELECT count(DISTINCT m.member) FROM m JOIN ovf ON m.bucket = ovf.bucket)::BIGINT AS docs_affected,
+       |  (SELECT coalesce(max(n), 0) FROM sz)::BIGINT AS max_bucket)
+       |UNION ALL
+       |(WITH $minhashBandsCte,
+       |${summary("minhash_band", MaxShingleDf, "doc_id")})
+       |UNION ALL
+       |(WITH $simhashBandsCte,
+       |${summary("simhash_band", MaxShingleDf, "doc_id")})
+       |UNION ALL
+       |(WITH $embedBandsCte,
+       |${summary("embed_band", MaxEmbedBucket, "vec_id")})
+       |UNION ALL
+       |(WITH m AS (
+       |  SELECT ${Similarity.clusterOfSql("embedding")} AS bucket, vec_id AS member
+       |  FROM embeddings WHERE vec_id < 1000),
+       |sz AS (SELECT bucket, count(*) AS n FROM m GROUP BY bucket),
+       |ovf AS (SELECT bucket, n FROM sz WHERE n > $MaxSemCluster)
+       |SELECT 'sem_cluster' AS path,
+       |  (SELECT count(*) FROM sz)::BIGINT AS n_buckets,
+       |  (SELECT count(*) FROM ovf)::BIGINT AS n_overflow,
+       |  (SELECT coalesce(sum(n), 0) FROM ovf)::BIGINT AS entries_in_overflow,
+       |  (SELECT count(DISTINCT m.member) FROM m JOIN ovf ON m.bucket = ovf.bucket)::BIGINT AS docs_affected,
+       |  (SELECT coalesce(max(n), 0) FROM sz)::BIGINT AS max_bucket)
+       |ORDER BY path""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dd_exact" -> (exact _),
     "q_dd_contamination" -> (contamination _),
@@ -711,7 +863,8 @@ object Dedup {
     "q_dd_simhash" -> (simhash _),
     "q_dd_embed_neardup" -> (embedNearDup _),
     "q_dd_embed_lsh" -> (embedLsh _),
-    "q_dd_semdedup" -> (semDedup _))
+    "q_dd_semdedup" -> (semDedup _),
+    "q_dd_cap_audit" -> (capAudit _))
 
   val oracles: Map[String, String] = Map(
     "q_dd_exact" -> exactSql,
@@ -722,7 +875,8 @@ object Dedup {
     "q_dd_simhash" -> simhashSql,
     "q_dd_embed_neardup" -> embedNearDupSql,
     "q_dd_embed_lsh" -> embedLshSql,
-    "q_dd_semdedup" -> semDedupSql)
+    "q_dd_semdedup" -> semDedupSql,
+    "q_dd_cap_audit" -> capAuditSql)
 }
 
 /** Shared text primitives with exact DuckDB twins. */

@@ -577,6 +577,11 @@ object Parity {
     val header = s"P6\n$PnmW $PnmH\n255\n".getBytes("US-ASCII")
     Tables.documents(s, d)
       .filter(length(col("text")) >= n)
+      // ASCII guard, regex-free and engine-identical: the parity maps
+      // characters (oracle ord()) onto bytes (UTF-8 cast), which only
+      // agree when every char is single-byte — octet_length == char count
+      // pins exactly that, instead of assuming it of the corpus
+      .filter(octet_length(substring(col("text"), 1, n)) === n)
       .select(col("doc_id"),
         concat(lit(header), substring(col("text"), 1, n).cast("binary")).as("payload"))
       .as[(Long, Array[Byte])]
@@ -595,7 +600,8 @@ object Parity {
   val pnmDecodeSql: String =
     s"""WITH d AS (
        |  SELECT doc_id AS media_id, substring(text, 1, ${PnmW * PnmH * 3}) AS s
-       |  FROM documents WHERE length(text) >= ${PnmW * PnmH * 3}),
+       |  FROM documents WHERE length(text) >= ${PnmW * PnmH * 3}
+       |    AND octet_length(encode(substring(text, 1, ${PnmW * PnmH * 3}))) = ${PnmW * PnmH * 3}),
        |ex AS (
        |  SELECT media_id, i, ord(substring(s, i, 1)) AS b
        |  FROM d, unnest(generate_series(1, ${PnmW * PnmH * 3})) g(i))
@@ -606,6 +612,59 @@ object Parity {
        |FROM ex
        |GROUP BY media_id
        |ORDER BY media_id""".stripMargin
+
+  // --- q_mm_pnm_featurize ---------------------------------------------------
+  // The PRODUCTION decode path end-to-end: q_mm_pnm_decode proves the
+  // codec in isolation; this row proves [[Multimodal.decodeFeatures]] —
+  // size-budgeted repartition, mapPartitions batch shape, and the format
+  // dispatch routing PNM payloads through the REAL codec (not the fake) —
+  // by exposing the feature vector's exactly-reproducible entries. The
+  // channel means are integer byte-sums divided in double space and
+  // narrowed to float, both IEEE-deterministic, so the header-blind
+  // DuckDB oracle reproduces them bit-for-bit; if meanChannels (or the
+  // dispatch, or the batch plumbing) breaks, the hash breaks.
+  def pnmFeaturize(s: SparkSession, d: String): DataFrame = {
+    val n = PnmW * PnmH * 3
+    val header = s"P6\n$PnmW $PnmH\n255\n".getBytes("US-ASCII")
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= n)
+      .filter(octet_length(substring(col("text"), 1, n)) === n)
+      .select(col("doc_id").as("media_id"),
+        concat(lit(header), substring(col("text"), 1, n).cast("binary")).as("payload"))
+    graft.multimodal.Multimodal.decodeFeatures(media)
+      .select(col("media_id"), col("n_bytes"),
+        element_at(col("feature"), 1).as("mean_r"),
+        element_at(col("feature"), 2).as("mean_g"),
+        element_at(col("feature"), 3).as("mean_b"),
+        element_at(col("feature"), 5).as("n_channels"))
+      .orderBy("media_id")
+  }
+
+  val pnmFeaturizeSql: String = {
+    val n = PnmW * PnmH * 3
+    val headerLen = s"P6\n$PnmW $PnmH\n255\n".length
+    val denom = s"(${PnmW * PnmH} * 255.0)"
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $n) AS s
+       |  FROM documents WHERE length(text) >= $n
+       |    AND octet_length(encode(substring(text, 1, $n))) = $n),
+       |ex AS (
+       |  SELECT media_id, i, ord(substring(s, i, 1)) AS b
+       |  FROM d, unnest(generate_series(1, $n)) g(i)),
+       |sums AS (
+       |  SELECT media_id,
+       |    sum(CASE WHEN (i - 1) % 3 = 0 THEN b END) AS sr,
+       |    sum(CASE WHEN (i - 1) % 3 = 1 THEN b END) AS sg,
+       |    sum(CASE WHEN (i - 1) % 3 = 2 THEN b END) AS sb
+       |  FROM ex GROUP BY media_id)
+       |SELECT media_id, CAST(${headerLen + n} AS BIGINT) AS n_bytes,
+       |  CAST(sr / $denom AS REAL) AS mean_r,
+       |  CAST(sg / $denom AS REAL) AS mean_g,
+       |  CAST(sb / $denom AS REAL) AS mean_b,
+       |  CAST(3 AS REAL) AS n_channels
+       |FROM sums
+       |ORDER BY media_id""".stripMargin
+  }
 
   // --- q_w8_schema_evolution ------------------------------------------------
   // Schema evolution across landing generations — the warehouse-side
@@ -753,6 +812,7 @@ object Parity {
     "q_st_static_join" -> (streamStaticJoin _),
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
+    "q_mm_pnm_featurize" -> (pnmFeaturize _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_mm_frame_sample" -> (frameSample _))
 
@@ -776,6 +836,7 @@ object Parity {
     "q_st_static_join" -> streamStaticJoinSql,
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,
+    "q_mm_pnm_featurize" -> pnmFeaturizeSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }

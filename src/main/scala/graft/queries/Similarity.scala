@@ -90,7 +90,7 @@ object Similarity {
   // lowest centroid id via the struct max over (score, -cid).
   private val NumCentroids = 8
 
-  private def centroidWeights(c: Int): IndexedSeq[Double] =
+  private[graft] def centroidWeights(c: Int): IndexedSeq[Double] =
     (0 until 64).map { i =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"c${c}_$i".getBytes("UTF-8"))

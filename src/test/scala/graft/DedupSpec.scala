@@ -69,6 +69,36 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1001L, 1002L)), s"got ${out.size} pairs: ${out.take(5)}")
   }
 
+  test("a mega-cluster past MaxSemCluster generates no semdedup drops; small clusters still dedup") {
+    import ss.implicits._
+    import graft.queries.Similarity
+    val dir = Files.createTempDirectory("graft-megacluster").toString
+    // 700 identical vectors along centroid 0's own direction (all land in
+    // cluster 0, pairwise cosine 1.0): uncapped they'd drop 699; the
+    // cluster cap (700 > 600) must keep ALL of them. Two identical
+    // vectors along centroid 1's direction form a small cluster whose
+    // near-dup must STILL be dropped — the cap is per-cluster, not global.
+    val w0 = Similarity.centroidWeights(0).toArray
+    val w1 = Similarity.centroidWeights(1).toArray
+    val rows = (0 until 700).map(i => (i.toLong, w0)) ++
+      Seq((700L, w1), (701L, w1))
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = graft.queries.Dedup.semDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_kept"))).toSeq
+    assert(got.size == 702)
+    val (mega, small) = got.partition(_._1 < 700)
+    assert(mega.forall(_._3), "capped mega-cluster must keep every member")
+    assert(small.map(t => t._1 -> t._3).toMap == Map(700L -> true, 701L -> false),
+      s"small cluster must still dedup: $small")
+    // the two groups really did land in different clusters (else the test
+    // would not exercise the per-cluster boundary)
+    assert(mega.map(_._2).toSet.size == 1 && small.map(_._2).toSet.size == 1)
+    assert(mega.head._2 != small.head._2)
+  }
+
   test("connected components converge in O(log n) rounds on a 1000-node chain") {
     import ss.implicits._
     // Worst case for plain min-label propagation: a path graph
