@@ -776,17 +776,21 @@ object Dedup {
   // the caps cost, and where" — the number you tune band geometry with.
   def capAudit(s: SparkSession, d: String): DataFrame = {
     def one(members: DataFrame, cap: Int, path: String): DataFrame = {
-      val m = members.toDF("bucket", "member")
-      val sizes = m.groupBy("bucket").agg(count(lit(1)).as("n")).localCheckpoint()
-      val ovfKeys = sizes.filter(col("n") > cap).select("bucket")
-      val affected = m.join(broadcast(ovfKeys), Seq("bucket"))
-        .agg(countDistinct(col("member")).as("docs_affected"))
-      val hist = sizes.agg(
-        count(lit(1)).as("n_buckets"),
-        sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_overflow"),
-        coalesce(sum(when(col("n") > cap, col("n"))), lit(0L)).as("entries_in_overflow"),
-        coalesce(max(col("n")), lit(0L)).as("max_bucket"))
-      hist.crossJoin(affected) // two 1-row scalars
+      val m = members.toDF("bucket", "member").localCheckpoint()
+      val sizes = m.groupBy("bucket").agg(count(lit(1)).as("n"))
+      // attach each bucket's size back to its member rows: an equi-join
+      // co-partitioned with the aggregation that produced it (never a
+      // cartesian, never a broadcast of the bucket table — at corpus
+      // scale there is one bucket per shingle), then ONE global
+      // aggregate computes the whole summary including distinct-doc
+      // impact — no scalar-combine join at all.
+      m.join(sizes, Seq("bucket"))
+        .agg(
+          countDistinct(col("bucket")).as("n_buckets"),
+          countDistinct(when(col("n") > cap, col("bucket"))).as("n_overflow"),
+          count(when(col("n") > cap, lit(1))).as("entries_in_overflow"),
+          countDistinct(when(col("n") > cap, col("member"))).as("docs_affected"),
+          coalesce(max(col("n")), lit(0L)).as("max_bucket"))
         .select(lit(path).as("path"), col("n_buckets"), col("n_overflow"),
           col("entries_in_overflow"), col("docs_affected"), col("max_bucket"))
     }

@@ -372,7 +372,109 @@ object Relational {
       |  (SELECT user_id FROM early EXCEPT SELECT user_id FROM late)) t
       |ORDER BY user_id""".stripMargin
 
+  // --- q_j12_skew_join ------------------------------------------------------
+  // AQE skew-join: the COMPLEMENT of Layout.saltedCountSum's manual
+  // salting — a 100 TB cluster leans on the runtime split for sort-merge
+  // joins on skewed keys (salting is for the shapes AQE can't see,
+  // aggregations and broadcast-side replication). The join key is
+  // 5-valued with a 60% hot key on the fact side (the textbook hot-key
+  // distribution): OptimizeSkewedJoin sees one shuffle partition several
+  // times the median non-empty partition, splits it into
+  // advisory-sized slices and replicates the matching probe partition.
+  // The probe side is the per-type event histogram (pre-aggregated — the
+  // standard trick that keeps join output linear in the fact), so the
+  // aggregate over the join is provably identical to the unaggregated
+  // pair join. The byte thresholds are tuned down so the split fires at
+  // test SF (defaults are 256 MB — sized for clusters); production keeps
+  // defaults and gets the same plan when a genuinely hot key appears.
+  // The tuned confs are scoped to THIS query's execution (localCheckpoint
+  // forces the run inside the window, then restores) so they cannot leak
+  // into other queries' plans — and the split is a pure execution
+  // optimization: results are oracle-identical to the plain join.
+  // PlanSpec asserts `skew=true` on the SMJ node after execution.
+  private[graft] def skewTunedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    // no broadcast: the point is the shuffled sort-merge join shape
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    // skew detection compares against the MEDIAN non-empty partition, so
+    // the 4 cold keys must not share partitions with the hot one — 32
+    // partitions keep the 5 keys spread (a 4-partition test session
+    // would fold keys together and flatten the skew)
+    "spark.sql.shuffle.partitions" -> "32")
+
+  private[graft] def withSkewTuning[T](s: SparkSession)(f: => T): T = {
+    val restore = skewTunedConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    skewTunedConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally restore.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The raw join+agg plan (un-executed) — shared by the driver row and
+    * PlanSpec's skew=true assertion. */
+  private[graft] def skewJoinAgg(s: SparkSession, d: String): DataFrame = {
+    // probe side: the per-type event histogram (5 rows), typed to the
+    // 5-valued join key
+    val e = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("bucket",
+        when(col("event_type") === "click", 0L)
+          .when(col("event_type") === "error", 1L)
+          .when(col("event_type") === "purchase", 2L)
+          .when(col("event_type") === "signup", 3L)
+          .otherwise(4L))
+    // fact side: hot-key distribution — orderkeys ending 0-5 (60%) land
+    // on bucket 0, the rest spread over 1-4 (10% each). The repartition
+    // gives the join's shuffle a REAL map side: skew splits are
+    // map-index ranges, and the toy single-file parquet scans as one map
+    // task (one row group), which is unsplittable — a production
+    // multi-file fact scan has thousands of mappers and needs no such
+    // step.
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(16, col("l_orderkey"))
+      .select(
+        when(col("l_orderkey") % 10 < 6, 0L)
+          .otherwise(col("l_orderkey") % 10 - 5).as("bucket"),
+        col("l_quantity"))
+    e.hint("merge").join(l, Seq("bucket"))
+      .groupBy("event_type")
+      .agg(sum(col("n_events")).cast("long").as("n_pairs"),
+        sum(round(col("l_quantity")).cast("long") * col("n_events"))
+          .cast("long").as("sum_qty"))
+  }
+
+  def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val agg = skewJoinAgg(s, d)
+    // execute inside the tuned-conf window (AQE reads skew confs at run
+    // time); the checkpointed result is 5 rows
+    val out = withSkewTuning(s) { agg.localCheckpoint() }
+    out.orderBy("event_type")
+  }
+
+  val skewJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |    CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS bucket
+      |  FROM events GROUP BY event_type),
+      |l AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+      |              ELSE l_orderkey % 10 - 5 END AS bucket, l_quantity
+      |  FROM lineitem)
+      |SELECT e.event_type, CAST(SUM(e.n_events) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CAST(round(l.l_quantity) AS BIGINT) * e.n_events) AS BIGINT) AS sum_qty
+      |FROM e JOIN l ON e.bucket = l.bucket
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_j12_skew_join" -> (skewJoin _),
     "q_f1_flagship_page" -> (flagshipPage _),
     "q_a0_agg_pricing" -> (aggPricing _),
     "q_j2_star_join" -> (starJoin _),
@@ -390,6 +492,7 @@ object Relational {
     "q_set_ops" -> (setOps _))
 
   val oracles: Map[String, String] = Map(
+    "q_j12_skew_join" -> skewJoinSql,
     "q_f1_flagship_page" -> flagshipPageSql,
     "q_a0_agg_pricing" -> aggPricingSql,
     "q_j2_star_join" -> starJoinSql,

@@ -259,6 +259,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(1000))
   }
 
+  test("AQE splits the 5-key skewed sort-merge join (skew=true in the SMJ)") {
+    // OptimizeSkewedJoin decides from RUNTIME shuffle stats, so the plan
+    // must execute before the final adaptive plan can be inspected.
+    val df = Relational.skewJoinAgg(spark, sf)
+    Relational.withSkewTuning(spark) {
+      // collect() (not count()) — count() builds a SEPARATE query, and
+      // the final adaptive plan lives on the executed Dataset itself
+      val n = df.collect().length
+      assert(n == 5, s"expected the 5 event types, got $n")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"skew split did not fire:\n${p.take(3000)}")
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+    }
+  }
+
   private implicit class Let[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }
