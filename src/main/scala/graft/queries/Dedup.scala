@@ -199,6 +199,30 @@ object Dedup {
       .toDF("doc_id", "band_id", "band_key")
   }
 
+  /** Scan-side minhash signature of a text column — the SAME 16
+    * permutations as [[minhashLsh]], computed as a pure HOF projection
+    * (array_distinct ∘ shingles ∘ tokens → per-permutation array_min) so
+    * a STREAM can attach it per row with zero shuffle and zero state
+    * before the dedup operator (the relational explode+groupBy form
+    * would be a stateful streaming aggregation). NULL when the doc has
+    * no complete 3-shingle — callers filter those out, matching the
+    * batch pipelines' empty-doc exclusion. */
+  private[graft] def minhashSigCol(text: Column): Column = {
+    val sh = array_distinct(shingles(tokens(text), 3))
+    val hs = transform(sh, t => Hashes.md5Int32(t))
+    val ms = (0 until NumHashes).map(i =>
+      array_min(transform(hs, h => (h * MinhashA(i) + MinhashB(i)) % MinhashP)))
+    when(size(sh) > 0, concat_ws(",", ms.map(_.cast("string")): _*))
+  }
+
+  /** DuckDB twin of [[minhashSigCol]] over a list-of-hashes column named
+    * `hs` (the caller's CTE computes `hs` from the shingle list). */
+  private[graft] val minhashSigSqlOverHs: String = {
+    val ms = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(hs, h -> (h * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP))::VARCHAR")
+    s"array_to_string([${ms.mkString(",\n      ")}], ',')"
+  }
+
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSets(s, d) // relational build; empty docs already absent
     val bands = minhashBands(s, d)

@@ -482,6 +482,57 @@ object Parity {
       |FROM events
       |ORDER BY user_id, event_type, ts""".stripMargin
 
+  // --- q_st_neardup ---------------------------------------------------------
+  // SURVEY §2.9 × the dedup family: streaming CONTENT near-dup dedup,
+  // driver-verified. Real ingest pipelines dedup incrementally — each
+  // tick drops documents whose minhash signature was already admitted
+  // inside the watermark horizon, instead of re-deduping the corpus. The
+  // signature is computed SCAN-SIDE (Dedup.minhashSigCol — a pure HOF
+  // projection, zero shuffle/state before the dedup operator), the drain
+  // is dropDuplicatesWithinWatermark on the signature, and the state
+  // store holds one entry per distinct signature in the horizon. WHICH
+  // doc survives per signature depends on arrival order (parallel file
+  // reads), but the surviving SIGNATURE SET is exactly the batch
+  // distinct — the q_st_dedup projection trick — so the DuckDB twin
+  // recomputes the identical 16-permutation signature with list HOFs and
+  // takes DISTINCT. Event time derives deterministically from doc_id
+  // (one doc per second from a fixed epoch).
+  def streamingNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = tmpRoot("stream_nd", d)
+    landOnce(docs, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_nd_$runId"
+    withStreamShufflePartitions(s, 8) {
+      val stream = graft.streaming.MicroBatch.readEvents(s, s"$root/src", docs)
+        .select(col("doc_id"),
+          graft.queries.Dedup.minhashSigCol(col("text")).as("sig"),
+          timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
+        .filter(col("sig").isNotNull) // docs with no complete 3-shingle
+      val q = graft.streaming.MicroBatch.neardupWithinWatermark(stream)
+        .select("sig")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name)
+      .distinct() // watermark eviction may re-admit a signature across batches
+      .orderBy("sig")
+  }
+
+  val streamingNeardupSql: String =
+    s"""WITH sh AS (${graft.queries.Text.shingleSetsSql}),
+       |s2 AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |h AS (SELECT doc_id,
+       |  list_transform(shingles, t -> ${graft.queries.Hashes.md5Int32Sql("t")}) AS hs
+       |  FROM s2),
+       |sig AS (SELECT ${graft.queries.Dedup.minhashSigSqlOverHs} AS sig FROM h)
+       |SELECT DISTINCT sig FROM sig
+       |ORDER BY sig""".stripMargin
+
   // --- q_st_upsert ----------------------------------------------------------
   // SURVEY §2.9: the foreachBatch → idempotent-upsert sink (the streaming
   // form of loader.py:20-30), driver-verified end-to-end. The backlog is
@@ -807,6 +858,7 @@ object Parity {
     "q_tz_per_series" -> (tzPerSeries _),
     "q_st_windowed" -> (streamingWindowed _),
     "q_st_dedup" -> (streamingDedup _),
+    "q_st_neardup" -> (streamingNeardup _),
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_static_join" -> (streamStaticJoin _),
@@ -831,6 +883,7 @@ object Parity {
     "q_tz_per_series" -> tzPerSeriesSql,
     "q_st_windowed" -> streamingWindowedSql,
     "q_st_dedup" -> streamingDedupSql,
+    "q_st_neardup" -> streamingNeardupSql,
     "q_st_upsert" -> streamingUpsertSql,
     "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_static_join" -> streamStaticJoinSql,

@@ -43,6 +43,19 @@ object MicroBatch {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "ts"))
 
+  /** CONTENT near-dup dedup on the stream: drop documents whose minhash
+    * signature duplicates an already-seen signature within the watermark
+    * horizon — the incremental form of the batch minhash dedup a real
+    * ingest pipeline runs per tick instead of re-deduping the corpus.
+    * Expects a `sig` column computed SCAN-SIDE (a pure projection, e.g.
+    * [[graft.queries.Dedup.minhashSigCol]]) and an event-time `ts`; the
+    * state store then holds one entry per distinct signature inside the
+    * horizon — bytes proportional to the dedup window, not the corpus. */
+  def neardupWithinWatermark(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+
   /** Run one AvailableNow drain: read → dedup → foreachBatch upsert into
     * the parquet table at `sinkPath`. Returns after the backlog is fully
     * processed (awaitTermination), like one scheduler tick.

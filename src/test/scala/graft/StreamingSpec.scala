@@ -64,6 +64,53 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("near-dup drain dedups by signature across two checkpointed ticks") {
+    // Tick 1 admits a corpus wave; tick 2 lands a wave that REPEATS one
+    // document's content verbatim (new doc_id, same text ⇒ same minhash
+    // signature) plus one genuinely new document, both with LATER event
+    // times. The shared checkpoint must carry the signature state across
+    // ticks: the repeat is dropped, the new content admitted.
+    import ss.implicits._
+    val src = dir("nd-src")
+    val cp = dir("nd-cp")
+    val sink = dir("nd-sink")
+    // a FILE sink, not memory: memory sinks cannot recover from a
+    // checkpoint, and cross-tick signature state is the point here
+    def drain(): Unit = {
+      val docs = Seq((0L, "")).toDF("doc_id", "text")
+      val stream = MicroBatch.readEvents(spark, src, docs)
+        .select(col("doc_id"),
+          graft.queries.Dedup.minhashSigCol(col("text")).as("sig"),
+          timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
+        .filter(col("sig").isNotNull)
+      val q = MicroBatch.neardupWithinWatermark(stream)
+        .select("doc_id", "sig")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def admitted(): Set[Long] =
+      spark.read.parquet(sink).collect().map(_.getLong(0)).toSet
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six seven"
+    val textC = "red orange yellow green blue indigo violet"
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    drain()
+    assert(admitted() == Set(1L, 2L), s"tick 1 must admit both docs: ${admitted()}")
+
+    // tick 2: doc 3 repeats textA's content verbatim; doc 4 is new content
+    Seq((3L, textA), (4L, textC)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    drain()
+    assert(admitted() == Set(1L, 2L, 4L),
+      s"tick 2 must drop the repeat and admit the new content: ${admitted()}")
+  }
+
   test("windowed aggregation matches the batch rollup") {
     val src = dir("w-src")
     val events = Tables.events(spark, sf).limit(500).cache()
