@@ -199,10 +199,16 @@ object Discovery {
     val view = s"graft_variant_unpivot_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     Tables.events(s, d)
       .select(col("event_id"),
+        // ignoreNullFields=false: to_json otherwise DROPS null struct
+        // fields while the oracle's json_object keeps the key with NULL —
+        // a props payload whose $.k isn't int-castable would silently
+        // diverge (row missing vs row-with-NULL). Emitting nulls
+        // symmetrically makes the parity hold by construction instead of
+        // by corpus invariant.
         parse_json(to_json(struct(
           col("user_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
-          col("event_type")))).as("v"))
+          col("event_type")), Map("ignoreNullFields" -> "false"))).as("v"))
       .createOrReplaceTempView(view)
     val df = s.sql(
       s"""SELECT event_id, ve.key AS field_name,

@@ -36,6 +36,13 @@ object Parity {
     * scale the same knob goes UP with key cardinality; it is per-query,
     * so batch plans in the same session are untouched. Results are
     * partitioning-independent either way — the oracle hash pins that.
+    *
+    * CONSTRAINT: this mutates the session-global conf and restores it
+    * after the drain, which is only safe because the driver runs queries
+    * SEQUENTIALLY on one session (Verify/Bench both do). If concurrent
+    * query execution is ever added, scope the conf per-query via a
+    * cloned session (`SparkSession.newSession`) instead — a concurrent
+    * batch plan could otherwise observe n=8 or a stale restore.
     */
   private def withStreamShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
