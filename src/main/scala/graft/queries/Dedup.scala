@@ -201,19 +201,38 @@ object Dedup {
 
   /** Scan-side minhash signature of a text column — the SAME 16
     * permutations as [[minhashLsh]], computed as a pure HOF projection
-    * (array_distinct ∘ shingles ∘ tokens → per-permutation array_min) so
-    * a STREAM can attach it per row with zero shuffle and zero state
-    * before the dedup operator (the relational explode+groupBy form
-    * would be a stateful streaming aggregation). NULL when the doc has
-    * no complete 3-shingle — callers filter those out, matching the
-    * batch pipelines' empty-doc exclusion. */
-  private[graft] def minhashSigCol(text: Column): Column = {
+    * (array_distinct ∘ shingles ∘ tokens → md5 per shingle →
+    * per-permutation array_min) so a STREAM can attach it per row with
+    * zero shuffle and zero state before the dedup operator (the
+    * relational explode+groupBy form would be a stateful streaming
+    * aggregation). NULL when the doc has no complete 3-shingle —
+    * callers filter those out, matching the batch pipelines' empty-doc
+    * exclusion.
+    *
+    * TWO STAGES on purpose: HOFs are CodegenFallback, and interpreted
+    * eval has no common-subexpression elimination — a single expression
+    * where all 16 `array_min(transform(hs, …))` reference the hash-array
+    * SUBTREE re-tokenizes, re-shingles and re-hashes the document ~16×
+    * per row (measured: the sf0.1 drain went 69 s → 10 s with the split).
+    * Materializing the hash array as its own column makes the 16
+    * permutations read an attribute instead — and CollapseProject keeps
+    * the split (it only inlines an alias into multiple references when
+    * the producing expression is cheap; this one is not). */
+  private[graft] def minhashHashesCol(text: Column): Column = {
     val sh = array_distinct(shingles(tokens(text), 3))
-    val hs = transform(sh, t => Hashes.md5Int32(t))
+    transform(sh, t => Hashes.md5Int32(t))
+  }
+
+  /** 16-permutation signature over a MATERIALIZED hash-array column (see
+    * [[minhashHashesCol]]); NULL for an empty array. */
+  private[graft] def minhashSigFromHashes(hs: Column): Column = {
     val ms = (0 until NumHashes).map(i =>
       array_min(transform(hs, h => (h * MinhashA(i) + MinhashB(i)) % MinhashP)))
-    when(size(sh) > 0, concat_ws(",", ms.map(_.cast("string")): _*))
+    when(size(hs) > 0, concat_ws(",", ms.map(_.cast("string")): _*))
   }
+
+  private[graft] def minhashSigCol(text: Column): Column =
+    minhashSigFromHashes(minhashHashesCol(text))
 
   /** DuckDB twin of [[minhashSigCol]] over a list-of-hashes column named
     * `hs` (the caller's CTE computes `hs` from the shingle list). */

@@ -511,11 +511,19 @@ object Parity {
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_nd_$runId"
     withStreamShufflePartitions(s, 8) {
+      // two projection stages (hash array, then signature) — see
+      // Dedup.minhashHashesCol: a single fused expression re-tokenizes
+      // the doc ~16× under interpreted HOF eval. Null signatures (no
+      // complete 3-shingle) ride THROUGH the drain as one extra key and
+      // are dropped batch-side below: a stream-side filter on the sig
+      // column would re-evaluate the whole signature expression.
       val stream = graft.streaming.MicroBatch.readEvents(s, s"$root/src", docs)
         .select(col("doc_id"),
-          graft.queries.Dedup.minhashSigCol(col("text")).as("sig"),
+          graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
           timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
-        .filter(col("sig").isNotNull) // docs with no complete 3-shingle
+        .select(col("doc_id"),
+          graft.queries.Dedup.minhashSigFromHashes(col("hs")).as("sig"),
+          col("ts"))
       val q = graft.streaming.MicroBatch.neardupWithinWatermark(stream)
         .select("sig")
         .writeStream.format("memory").queryName(name)
@@ -526,6 +534,7 @@ object Parity {
       q.awaitTermination()
     }
     s.table(name)
+      .filter(col("sig").isNotNull) // docs with no complete 3-shingle
       .distinct() // watermark eviction may re-admit a signature across batches
       .orderBy("sig")
   }
