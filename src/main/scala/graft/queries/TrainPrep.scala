@@ -226,15 +226,57 @@ object TrainPrep {
        |FROM ex
        |ORDER BY doc_id, window_idx""".stripMargin
 
+  // --- q_tp_shuffle ---------------------------------------------------------
+  // Deterministic global training-order shuffle — the step every trainer
+  // runs between curation and consumption, and a classic scale trap: the
+  // naive form is ORDER BY random() (non-reproducible AND a global sort).
+  // The scale-correct shape: (1) shard by content hash (the SAME shard
+  // expression as q_tp_shard_manifest — the write partition key), (2)
+  // order WITHIN each shard by a second, independent content hash
+  // (seeded md5 — decorrelated from the shard hash, so no stripe
+  // patterns), (3) readers consume shards in shard order. Result: a
+  // reproducible permutation with NO global sort — the only exchange is
+  // the shard hash-partitioning, the sort is partition-local, and
+  // epoch reshuffles just bump the seed. Ties cannot happen (doc_id is
+  // the final key), so the permutation is total and engine-exact.
+  private val ShuffleSeed = 1
+
+  def shuffleOrder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("ord_hash", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (Hashes.md5Int32(col("doc_id").cast("string")) % NumShards)
+          .cast("long").as("shard"),
+        Hashes.md5Int32Seeded(col("doc_id").cast("string"), ShuffleSeed)
+          .as("ord_hash"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val shuffleOrderSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    (${Hashes.md5Int32Sql("doc_id::VARCHAR")} % $NumShards)::BIGINT AS shard,
+       |    ${Hashes.md5Int32SeededSql("doc_id::VARCHAR", ShuffleSeed)} AS ord_hash
+       |  FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_hash, doc_id) AS BIGINT) AS pos
+       |FROM h
+       |ORDER BY shard, pos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
     "q_tp_shard_manifest" -> (shardManifest _),
-    "q_tp_chunk_overlap" -> (chunkOverlap _))
+    "q_tp_chunk_overlap" -> (chunkOverlap _),
+    "q_tp_shuffle" -> (shuffleOrder _))
 
   val oracles: Map[String, String] = Map(
     "q_tp_pack" -> packSql,
     "q_tp_tfidf" -> tfidfSql,
     "q_tp_shard_manifest" -> shardManifestSql,
-    "q_tp_chunk_overlap" -> chunkOverlapSql)
+    "q_tp_chunk_overlap" -> chunkOverlapSql,
+    "q_tp_shuffle" -> shuffleOrderSql)
 }

@@ -164,4 +164,41 @@ class PropertySpec extends SparkSpec {
       assert(r.getString(0).startsWith("NG_DS_"))
     }
   }
+
+  test("connected components equal a union-find oracle on random graphs") {
+    import ss.implicits._
+    // The pointer-jumping rewrite must stay EXACT for every graph shape,
+    // not just chains and cliques — random sparse graphs exercise merged
+    // components, self-contained stars and multi-hop bridges. Oracle: a
+    // plain Scala union-find over the same edges.
+    val genGraph = for {
+      n <- Gen.choose(2, 60)
+      m <- Gen.choose(1, 90)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (a.toLong, b.toLong))
+      if edges.nonEmpty
+    } yield edges
+    forAll(genGraph, n = 10) { edges =>
+      val df = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+      val (labels, rounds) = graft.queries.Dedup.connectedComponents(df)
+      val got = labels.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      // union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id per component from the oracle
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map { v => v -> nodes.filter(u => find(u) == find(v)).min }.toMap
+      assert(got == expected, s"labels diverged from union-find on ${edges.take(8)}…")
+      assert(rounds <= 16, s"$rounds rounds for a ≤60-node graph")
+    }
+  }
 }
