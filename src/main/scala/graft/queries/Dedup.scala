@@ -179,25 +179,30 @@ object Dedup {
     3145739L, 6291469L, 12582917L, 25165843L, 50331653L, 100663319L,
     201326611L, 402653189L)
 
-  /** (doc_id, band_id, band_key) rows of the minhash banding — shared by
-    * [[minhashLsh]] and the cap audit so the audited buckets are BY
-    * CONSTRUCTION the buckets the operator builds. */
-  private def minhashBands(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, sig array<long>) — the relational (codegen'd, explode +
+    * groupBy-min) signature build shared by the banding, the cap audit
+    * and the incremental dedup's staged index. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     // one md5 per (doc, distinct shingle); 16 permutations as flat columns
     val ex = shingleRows(s, d)
       .select(col("doc_id"), Hashes.md5Int32(col("s")).as("h"))
     val mins = (0 until NumHashes).map(i =>
       min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"m$i"))
-    val sig = ex.groupBy("doc_id")
+    ex.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
-    sig.select(
+  }
+
+  /** (doc_id, band_id, band_key) rows of the minhash banding — shared by
+    * [[minhashLsh]] and the cap audit so the audited buckets are BY
+    * CONSTRUCTION the buckets the operator builds. */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    minhashSignatures(s, d).select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .toDF("doc_id", "band_id", "band_key")
-  }
 
   /** Scan-side minhash signature of a text column — the SAME 16
     * permutations as [[minhashLsh]], computed as a pure HOF projection
@@ -275,10 +280,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** CTE chain ending in `bands(doc_id, band_id, band_key)` — the oracle
-    * twin of [[minhashBands]], shared by the LSH oracle and the cap-audit
-    * oracle (one source of truth for the banding on the DuckDB side too). */
-  private val minhashBandsCte: String = {
+  /** CTE chain ending in `sig(doc_id, sig LIST(BIGINT))` — the oracle
+    * twin of [[minhashSignatures]]. */
+  private val minhashSigCte: String = {
     val minCols = (0 until NumHashes)
       .map(i => s"min((h * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS m$i")
       .mkString(",\n    ")
@@ -292,12 +296,18 @@ object Dedup {
        |  SELECT doc_id,
        |    $minCols
        |  FROM ex GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sigArr AS sig FROM sigcols),
+       |sig AS (SELECT doc_id, $sigArr AS sig FROM sigcols)""".stripMargin
+  }
+
+  /** CTE chain ending in `bands(doc_id, band_id, band_key)` — the oracle
+    * twin of [[minhashBands]], shared by the LSH oracle and the cap-audit
+    * oracle (one source of truth for the banding on the DuckDB side too). */
+  private val minhashBandsCte: String =
+    s"""$minhashSigCte,
        |bands AS (
        |  SELECT doc_id, b AS band_id,
        |    array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], ',') AS band_key
        |  FROM sig, unnest(generate_series(0, ${Bands - 1})) t(b))""".stripMargin
-  }
 
   val minhashLshSql: String = {
     s"""WITH $minhashBandsCte,
@@ -800,6 +810,64 @@ object Dedup {
        |FROM reach GROUP BY u
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_dd_incremental -----------------------------------------------------
+  // INCREMENTAL batch dedup — the deployment shape most production
+  // pipelines actually run: dedup TODAY'S batch against the staged
+  // corpus index, never re-dedup the corpus. The staged index is two
+  // keyed sets computed by the same relational (codegen'd) builds the
+  // batch operators use: content digests (md5) for exact dups and
+  // 16-permutation minhash signature strings for signature-identical
+  // near-dups (the streaming drain's q_st_neardup key, batch form). A
+  // batch doc is admitted iff neither key collides. Both probes are
+  // plain equi-joins on the index key — at 100 TB the index is a
+  // bucketed table on (digest | sig) and the daily batch streams past
+  // it with one shuffle each, cost O(|batch| + touched buckets), never
+  // O(|corpus|). The deterministic batch slice (doc_id % 7 = 3) stands
+  // in for "today's files"; docs with no complete shingle have a NULL
+  // signature and can only collide exactly (NULL never equi-matches —
+  // identical semantics in both engines, pinned by the oracle).
+  private val IncrementalMod = 7
+  private val IncrementalSlice = 3
+
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(s, d).select(col("doc_id"),
+      array_join(transform(col("sig"), h => h.cast("string")), ",").as("sig"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(sigs, Seq("doc_id"), "left")
+    val isBatch = col("doc_id") % IncrementalMod === IncrementalSlice
+    val batch = docs.filter(isBatch)
+    val corpus = docs.filter(!isBatch)
+    val idxH = corpus.select("h").distinct().withColumn("exact_hit", lit(true))
+    val idxS = corpus.filter(col("sig").isNotNull)
+      .select("sig").distinct().withColumn("sig_hit", lit(true))
+    batch
+      .join(idxH, Seq("h"), "left")
+      .join(idxS, Seq("sig"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
+        coalesce(col("sig_hit"), lit(false)).as("sig_dup"),
+        (coalesce(col("exact_hit"), lit(false)) ||
+          coalesce(col("sig_hit"), lit(false))).unary_!.as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalSql: String =
+    s"""WITH $minhashSigCte,
+       |sigstr AS (SELECT doc_id, array_to_string(sig, ',') AS sig FROM sig),
+       |alldocs AS (
+       |  SELECT d.doc_id, md5(d.text) AS h, s.sig
+       |  FROM documents d LEFT JOIN sigstr s USING (doc_id)),
+       |batch AS (SELECT * FROM alldocs WHERE doc_id % $IncrementalMod = $IncrementalSlice),
+       |corpus AS (SELECT * FROM alldocs WHERE doc_id % $IncrementalMod <> $IncrementalSlice)
+       |SELECT b.doc_id,
+       |  b.h IN (SELECT h FROM corpus) AS exact_dup,
+       |  coalesce(b.sig IN (SELECT sig FROM corpus WHERE sig IS NOT NULL), FALSE) AS sig_dup,
+       |  NOT (b.h IN (SELECT h FROM corpus)
+       |    OR coalesce(b.sig IN (SELECT sig FROM corpus WHERE sig IS NOT NULL), FALSE)) AS admitted
+       |FROM batch b
+       |ORDER BY b.doc_id""".stripMargin
+
   // --- q_dd_cap_audit -------------------------------------------------------
   // Cap-overflow OBSERVABILITY for every capped LSH/bucket path: the caps
   // (MaxShingleDf, MaxEmbedBucket) are correct, oracle-verified scale
@@ -911,7 +979,8 @@ object Dedup {
     "q_dd_embed_neardup" -> (embedNearDup _),
     "q_dd_embed_lsh" -> (embedLsh _),
     "q_dd_semdedup" -> (semDedup _),
-    "q_dd_cap_audit" -> (capAudit _))
+    "q_dd_cap_audit" -> (capAudit _),
+    "q_dd_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
     "q_dd_exact" -> exactSql,
@@ -923,7 +992,8 @@ object Dedup {
     "q_dd_embed_neardup" -> embedNearDupSql,
     "q_dd_embed_lsh" -> embedLshSql,
     "q_dd_semdedup" -> semDedupSql,
-    "q_dd_cap_audit" -> capAuditSql)
+    "q_dd_cap_audit" -> capAuditSql,
+    "q_dd_incremental" -> incrementalSql)
 }
 
 /** Shared text primitives with exact DuckDB twins. */
