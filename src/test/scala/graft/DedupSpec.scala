@@ -99,6 +99,39 @@ class DedupSpec extends SparkSpec {
     assert(mega.head._2 != small.head._2)
   }
 
+  test("cap audit detects a planted hot-shingle overflow and reports its impact") {
+    import ss.implicits._
+    // The audit row's whole purpose is visibility of what the caps drop —
+    // so prove it SEES a planted overflow: 150 identical docs make one
+    // shingle bucket (df=150 > cap=100) and identical minhash/simhash
+    // signatures (every band bucket 150 > 100); two rare-shingle docs
+    // stay under every cap. A tiny embeddings table covers the embed/sem
+    // paths (far below their caps — zero overflow expected there).
+    val dir = Files.createTempDirectory("graft-capaudit").toString
+    val hot = (1 to 150).map(i => (i.toLong, "hot hot hot hot hot"))
+    val planted = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1002L, "alpha beta gamma delta epsilon zeta eta iota"))
+    (hot ++ planted).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w0 = graft.queries.Similarity.centroidWeights(0).toArray
+    (0 until 3).map(i => (i.toLong, w0)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val audit = Dedup.capAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("n_overflow"), r.getAs[Long]("docs_affected"),
+          r.getAs[Long]("max_bucket"))).toMap
+    val (shOvf, shDocs, shMax) = audit("ngram_shingle")
+    assert(shOvf == 1 && shDocs == 150 && shMax == 150,
+      s"hot shingle must surface as 1 overflowed df-150 bucket: ${audit("ngram_shingle")}")
+    val (mhOvf, mhDocs, _) = audit("minhash_band")
+    assert(mhOvf >= 1 && mhDocs == 150,
+      s"identical signatures must overflow minhash band buckets: ${audit("minhash_band")}")
+    val (emOvf, emDocs, _) = audit("embed_band")
+    assert(emOvf == 0 && emDocs == 0, s"3 vectors cannot overflow: ${audit("embed_band")}")
+  }
+
   test("connected components converge in O(log n) rounds on a 1000-node chain") {
     import ss.implicits._
     // Worst case for plain min-label propagation: a path graph
