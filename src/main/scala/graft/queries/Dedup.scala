@@ -182,9 +182,15 @@ object Dedup {
   /** (doc_id, sig array<long>) — the relational (codegen'd, explode +
     * groupBy-min) signature build shared by the banding, the cap audit
     * and the incremental dedup's staged index. */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesFrom(shingleRows(s, d))
+
+  /** Signature build over an existing (doc_id, s) shingle stream — lets
+    * callers that already staged the stream (the cap audit) reuse it
+    * instead of re-scanning. */
+  private def minhashSignaturesFrom(shingleStream: DataFrame): DataFrame = {
     // one md5 per (doc, distinct shingle); 16 permutations as flat columns
-    val ex = shingleRows(s, d)
+    val ex = shingleStream
       .select(col("doc_id"), Hashes.md5Int32(col("s")).as("h"))
     val mins = (0 until NumHashes).map(i =>
       min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"m$i"))
@@ -198,7 +204,10 @@ object Dedup {
     * [[minhashLsh]] and the cap audit so the audited buckets are BY
     * CONSTRUCTION the buckets the operator builds. */
   private def minhashBands(s: SparkSession, d: String): DataFrame =
-    minhashSignatures(s, d).select(
+    minhashBandsFrom(minhashSignatures(s, d))
+
+  private def minhashBandsFrom(sig: DataFrame): DataFrame =
+    sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
@@ -906,9 +915,13 @@ object Dedup {
           col("entries_in_overflow"), col("docs_affected"), col("max_bucket"))
     }
     val key = concat_ws("|", col("band_id"), col("band_key"))
-    one(shingleRows(s, d).select(col("s"), col("doc_id")),
+    // one shingle scan serves both the df audit and the minhash banding
+    val shingleStream = shingleRows(s, d).localCheckpoint()
+    one(shingleStream.select(col("s"), col("doc_id")),
       MaxShingleDf, "ngram_shingle")
-      .unionByName(one(minhashBands(s, d).select(key, col("doc_id")),
+      .unionByName(one(
+        minhashBandsFrom(minhashSignaturesFrom(shingleStream))
+          .select(key, col("doc_id")),
         MaxShingleDf, "minhash_band"))
       .unionByName(one(simhashBands(simhashSignatures(s, d)).select(key, col("doc_id")),
         MaxShingleDf, "simhash_band"))
