@@ -282,4 +282,48 @@ class StreamingSpec extends SparkSpec {
       .except(expected.select("user_id", "ts", "value")).isEmpty)
     } finally events.unpersist()
   }
+
+  test("anomaly state continues across two checkpointed ticks") {
+    // The RUNNING-MEAN state must survive an AvailableNow restart: a
+    // user's priors from tick 1 must count toward tick 2's decisions.
+    // Emitted(tick1) ∪ emitted(tick2) must equal the batch prefix-mean
+    // rule over ALL events — which only holds if RunningStats was
+    // carried through the checkpoint, not rebuilt from scratch.
+    val src = dir("an2-src")
+    val cp = dir("an2-cp")
+    val sink = dir("an2-sink")
+    val events = Tables.events(spark, sf).cache()
+    try {
+      val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      def drain(): Unit = {
+        val q = MicroBatch.anomalies(MicroBatch.readEvents(spark, src, events))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      events.filter(col("ts") < cut).write.mode("append").parquet(src)
+      drain()
+      val afterTick1 = spark.read.parquet(sink).count()
+      events.filter(col("ts") >= cut).write.mode("append").parquet(src)
+      drain()
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "value")
+      val expected = events
+        .withColumn("n_before", count(lit(1)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .withColumn("mean_before", avg(col("value")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+        .filter(col("n_before") >= 10 && col("value") > col("mean_before") * 3)
+      val got = spark.read.parquet(sink)
+      assert(got.count() === expected.count(),
+        s"tick1=$afterTick1 total=${got.count()} expected=${expected.count()}")
+      assert(got.count() > afterTick1, "tick 2 must add anomalies using tick-1 priors")
+      assert(got.select("user_id", "ts", "value")
+        .except(expected.select("user_id", "ts", "value")).isEmpty)
+    } finally events.unpersist()
+  }
 }
