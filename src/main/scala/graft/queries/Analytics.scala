@@ -354,6 +354,54 @@ object Analytics {
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  // --- q_ag_incr_merge ------------------------------------------------------
+  // INCREMENTAL aggregate maintenance — the rollup counterpart of
+  // q_dd_incremental's staged dedup index: a daily per-(user_id, day)
+  // summary table is maintained by MERGING a new batch's partial
+  // aggregates into the staged base, never by rescanning history. The
+  // base partials (events with event_id % 5 != 0) are staged to parquet
+  // once; the "late-arriving" batch (event_id % 5 = 0) is aggregated to
+  // the same grain and combined with one more groupBy — count merges as
+  // sum-of-counts, the money sum as sum-of-partials through the shared
+  // DECIMAL accumulator. The late-data split (vs a clean time split)
+  // makes the merge load-bearing: most (user_id, day) groups exist on
+  // BOTH sides, so a partial that failed to combine would break the
+  // hash, not just add rows. At 100 TB the base is a day-partitioned
+  // agg table and the merge is a partition-overwrite of touched days:
+  // cost O(|batch| + touched groups), never O(|history|). The oracle is
+  // the full recompute over all events — equal output is the algebraic
+  // point (these aggregates are mergeable; percentile-like ones are not
+  // and would need a sketch).
+  def incrMerge(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_incr_$tag/daily_base"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("date").as("day"), col("value"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"), sum(dec("value")).as("sum_partial"))
+    // staged once per SF dir; immutable after _SUCCESS (cf. LayoutQueries)
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      partials(ev.filter(col("event_id") % 5 =!= 0))
+        .write.mode("overwrite").parquet(root)
+    val base = s.read.parquet(root)
+    val delta = partials(ev.filter(col("event_id") % 5 === 0))
+    base.unionByName(delta)
+      .groupBy("user_id", "day")
+      .agg(sum(col("n")).as("n"), sum(col("sum_partial")).as("sum_cents"))
+      .select(col("user_id"), col("day"), col("n"),
+        col("sum_cents").cast("double").as("sum_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val incrMergeSql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY user_id, CAST(ts AS DATE)
+      |ORDER BY user_id, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_funnel" -> (funnel _),
     "q_ev_retention" -> (retention _),
@@ -365,6 +413,7 @@ object Analytics {
     "q_ag_percentiles" -> (percentiles _),
     "q_ag_pivot" -> (pivotCounts _),
     "q_ag_approx_distinct" -> (approxDistinct _),
+    "q_ag_incr_merge" -> (incrMerge _),
     "q_j6_semijoin" -> (semijoin _),
     "q_j7_outer_join" -> (outerJoin _),
     "q_o4_range_frame" -> (rangeFrame _))
@@ -381,6 +430,7 @@ object Analytics {
     "q_ag_grouping_sets" -> groupingSetsSql,
     "q_ag_percentiles" -> percentilesSql,
     "q_ag_pivot" -> pivotCountsSql,
+    "q_ag_incr_merge" -> incrMergeSql,
     "q_j6_semijoin" -> semijoinSql,
     "q_j7_outer_join" -> outerJoinSql,
     "q_o4_range_frame" -> rangeFrameSql)

@@ -118,6 +118,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge equals full recompute, with both slices contributing") {
+    import ss.implicits._
+    val merged = Analytics.incrMerge(spark, sf)
+      .as[(Long, java.sql.Date, Long, Double)].collect().toSeq
+    val full = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "day")
+      .as[(Long, java.sql.Date, Long, Double)].collect().toSeq
+    assert(merged == full, "merged partials must equal the full recompute")
+    // the late-data split must actually overlap: some (user, day) group
+    // needs rows from BOTH the staged base and the delta batch, or the
+    // combine step is vacuously untested
+    val overlap = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(countDistinct(when(col("event_id") % 5 === 0, 1).otherwise(0)).as("sides"))
+      .filter(col("sides") === 2).count()
+    assert(overlap > 0, "no (user, day) group spans both slices")
+  }
+
   test("kmeans assignment is total, in-range, and deterministic") {
     val a = Similarity.kmeansAssign(spark, sf).collect()
     val b = Similarity.kmeansAssign(spark, sf).collect()
