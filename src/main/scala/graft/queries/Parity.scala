@@ -193,6 +193,33 @@ object Parity {
     """SELECT event_id, user_id, event_type, ts, value
       |FROM events WHERE user_id >= 10 AND user_id < 20 ORDER BY event_id""".stripMargin
 
+  // --- q_w9_orc_roundtrip ---------------------------------------------------
+  // Beyond-reference: ORC as a warehouse interchange format. Parquet is
+  // this engine's native layout, but 100 TB estates are rarely
+  // single-format — ORC is the other columnar standard, and Spark's
+  // native reader/writer gives it the same scan machinery (column
+  // pruning, predicate pushdown, vectorized read — pushdown
+  // plan-asserted in PlanSpec). Timestamps survive natively (no
+  // epoch-micros detour like the text formats), so the round trip is
+  // schema-lossless by construction; the oracle reads the same slice
+  // off the parquet source, pinning value-level fidelity cross-format.
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = exportDir(d, "orc")
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      Tables.events(s, d).filter(col("user_id") >= 20 && col("user_id") < 30)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+        .write.mode("overwrite").option("compression", "zlib").orc(out)
+    s.read.orc(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT event_id, user_id, event_type, ts, value
+      |FROM events WHERE user_id >= 20 AND user_id < 30 ORDER BY event_id""".stripMargin
+
   // --- q_f5_normalized_match ------------------------------------------------
   // SURVEY §2.3 F5: multi-column lower/trim normalized equality
   // (transformer.py:58-67). The columns are deterministically dirtied
@@ -866,6 +893,7 @@ object Parity {
     "q_w1_raw_roundtrip" -> (rawRoundtrip _),
     "q_w5_csv_roundtrip" -> (csvRoundtrip _),
     "q_w6_json_roundtrip" -> (jsonRoundtrip _),
+    "q_w9_orc_roundtrip" -> (orcRoundtrip _),
     "q_f5_normalized_match" -> (normalizedMatch _),
     "q_f8_safe_cast" -> (safeCast _),
     "q_f10_conditional" -> (conditionalColumn _),
@@ -891,6 +919,7 @@ object Parity {
     "q_w1_raw_roundtrip" -> rawRoundtripSql,
     "q_w5_csv_roundtrip" -> csvRoundtripSql,
     "q_w6_json_roundtrip" -> jsonRoundtripSql,
+    "q_w9_orc_roundtrip" -> orcRoundtripSql,
     "q_f5_normalized_match" -> normalizedMatchSql,
     "q_f8_safe_cast" -> safeCastSql,
     "q_f10_conditional" -> conditionalColumnSql,

@@ -36,6 +36,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(user_id,7)"), s"key filter not pushed:\n${p.take(1500)}")
   }
 
+  test("ORC scans get the same pushdown + column pruning as parquet") {
+    // the cross-format contract behind q_w9_orc_roundtrip: switching the
+    // warehouse interchange format must not forfeit scan-level pruning
+    val out = s"${sys.props("java.io.tmpdir")}/graft_planspec_orc"
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      Tables.events(spark, sf)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .write.mode("overwrite").orc(out)
+    val q = spark.read.orc(out)
+      .filter(org.apache.spark.sql.functions.col("user_id") === 7)
+      .select("event_id", "ts")
+    val p = plan(q)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(user_id,7)"),
+      s"filter not pushed into the ORC scan:\n${p.take(1500)}")
+    // user_id stays in the read schema (the exact filter re-evaluates
+    // it); the pruning claim is that untouched columns never leave disk
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(sys.error(s"no ReadSchema in plan:\n${p.take(1500)}"))
+    assert(!readSchema.contains("event_type") && !readSchema.contains("value"),
+      s"projection not pruned at the ORC scan: $readSchema")
+  }
+
   test("a selective dim filter injects a runtime bloom filter into the fact scan") {
     // Spark's InjectRuntimeFilter: when a shuffle join's small side is
     // selectively filtered, a bloom filter built from its join keys is
