@@ -233,6 +233,24 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  // --- q_ag_approx_percentile ---------------------------------------------
+  // The OTHER workhorse sketch: approx_percentile (a t-digest-style
+  // quantile summary) next to the exact sort-based percentile. Same
+  // contract as the HLL row — sketches have no cross-engine oracle, so
+  // the driver records rows-only and the spec bounds the error against
+  // the exact column. This is the 100 TB replacement for q_ag_percentiles
+  // (exact per-group sorts) and the incremental form of any holistic
+  // aggregate in the q_ag_incr_merge merge (sketches merge; sorts don't).
+  def approxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // --- q_j6_semijoin ------------------------------------------------------
   // LEFT SEMI: orders with at least one late-shipped line — the membership
   // probe pattern (EXISTS) as a real semi-join, no row duplication.
@@ -413,6 +431,7 @@ object Analytics {
     "q_ag_percentiles" -> (percentiles _),
     "q_ag_pivot" -> (pivotCounts _),
     "q_ag_approx_distinct" -> (approxDistinct _),
+    "q_ag_approx_percentile" -> (approxPercentile _),
     "q_ag_incr_merge" -> (incrMerge _),
     "q_j6_semijoin" -> (semijoin _),
     "q_j7_outer_join" -> (outerJoin _),

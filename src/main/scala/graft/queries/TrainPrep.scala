@@ -266,17 +266,68 @@ object TrainPrep {
        |FROM h
        |ORDER BY shard, pos""".stripMargin
 
+  // --- q_tp_row_ids ---------------------------------------------------------
+  // Contiguous global example ids over the training order — samplers and
+  // resume-from-step logic want `global_id IN [a, b)`, and the naive
+  // row_number() OVER (ORDER BY ...) is a single-partition global sort.
+  // Scale shape: per-shard positions are partition-local (the q_tp_shuffle
+  // window), per-shard counts are one map-side-combined aggregate, and
+  // the exclusive prefix sum over counts runs on a SHARD-GRAIN table
+  // (NumShards rows — the one place a single-partition window is correct
+  // by construction). global_id = shard offset + local pos, attached by
+  // a broadcast join; no row ever moves for the numbering itself. The
+  // oracle computes the same ids with a flat global row_number(), so the
+  // hash pins offset+pos == global numbering exactly.
+  def rowIds(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("ord_hash", "doc_id")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (Hashes.md5Int32(col("doc_id").cast("string")) % NumShards)
+          .cast("long").as("shard"),
+        Hashes.md5Int32Seeded(col("doc_id").cast("string"), ShuffleSeed)
+          .as("ord_hash"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+    val offsets = base.groupBy("shard").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("shard", "offset")
+    base.join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("shard"), col("pos"),
+        (col("offset") + col("pos")).as("global_id"))
+      .orderBy("global_id")
+  }
+
+  val rowIdsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    (${Hashes.md5Int32Sql("doc_id::VARCHAR")} % $NumShards)::BIGINT AS shard,
+       |    ${Hashes.md5Int32SeededSql("doc_id::VARCHAR", ShuffleSeed)} AS ord_hash
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_hash, doc_id) AS BIGINT) AS pos
+       |  FROM h)
+       |SELECT doc_id, shard, pos,
+       |  CAST(row_number() OVER (ORDER BY shard, pos) AS BIGINT) AS global_id
+       |FROM p
+       |ORDER BY global_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
     "q_tp_shard_manifest" -> (shardManifest _),
     "q_tp_chunk_overlap" -> (chunkOverlap _),
-    "q_tp_shuffle" -> (shuffleOrder _))
+    "q_tp_shuffle" -> (shuffleOrder _),
+    "q_tp_row_ids" -> (rowIds _))
 
   val oracles: Map[String, String] = Map(
     "q_tp_pack" -> packSql,
     "q_tp_tfidf" -> tfidfSql,
     "q_tp_shard_manifest" -> shardManifestSql,
     "q_tp_chunk_overlap" -> chunkOverlapSql,
-    "q_tp_shuffle" -> shuffleOrderSql)
+    "q_tp_shuffle" -> shuffleOrderSql,
+    "q_tp_row_ids" -> rowIdsSql)
 }

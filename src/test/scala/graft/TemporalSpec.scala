@@ -74,4 +74,12 @@ class TemporalSpec extends SparkSpec {
         col("n_users_exact") * 0.15 + 5)
     assert(bad.count() === 0)
   }
+
+  test("approx percentile is within sketch tolerance of exact") {
+    val a = Analytics.approxPercentile(spark, sf)
+    assert(a.count() > 0)
+    val bad = a.filter(
+      abs(col("p50_approx") - col("p50_exact")) > col("p50_exact") * 0.05)
+    assert(bad.count() === 0)
+  }
 }

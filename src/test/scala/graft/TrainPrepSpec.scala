@@ -118,6 +118,19 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("row ids are a contiguous 1..N numbering of the shuffle order") {
+    import ss.implicits._
+    val ids = TrainPrep.rowIds(spark, sf)
+    val n = graft.Tables.documents(spark, sf).count()
+    val got = ids.select("global_id").as[Long].collect()
+    assert(got.toSeq == (1L to n).toSeq,
+      "global ids must be exactly 1..N in output order")
+    // and the numbering respects the shard-major training order
+    val shards = ids.select("shard").as[Long].collect()
+    assert(shards.toSeq == shards.sorted.toSeq,
+      "global ids must be shard-major")
+  }
+
   test("mixture: a skewed corpus is actually downsampled toward balance") {
     import ss.implicits._
     // constructed 10:1 skew so the sub-10000 threshold path is
