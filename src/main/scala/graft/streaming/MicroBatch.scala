@@ -29,10 +29,16 @@ import graft.warehouse.Upsert
 object MicroBatch {
 
   /** File-source stream over a parquet directory of events. */
-  def readEvents(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
-    spark.readStream
-      .schema(schemaFrom.schema)
-      .parquet(dir)
+  /** `maxFilesPerTrigger` bounds each micro-batch to n source files —
+    * the backpressure lever that keeps a week-long backlog from
+    * becoming ONE unbounded micro-batch: under AvailableNow the drain
+    * still consumes everything, but in bounded slices whose state and
+    * shuffle fit executor memory regardless of backlog size. */
+  def readEvents(spark: SparkSession, dir: String, schemaFrom: DataFrame,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schemaFrom.schema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).parquet(dir)
+  }
 
   /** Dedup + normalize transform on the stream: drop events that
     * duplicate an already-seen (user_id, event_type, ts) key within the
@@ -61,8 +67,10 @@ object MicroBatch {
     * processed (awaitTermination), like one scheduler tick.
     */
   def drainOnce(spark: SparkSession, sourceDir: String, checkpoint: String,
-                sinkPath: String, schemaFrom: DataFrame): Unit = {
-    val q: StreamingQuery = dedupWithinWatermark(readEvents(spark, sourceDir, schemaFrom))
+                sinkPath: String, schemaFrom: DataFrame,
+                maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q: StreamingQuery = dedupWithinWatermark(
+      readEvents(spark, sourceDir, schemaFrom, maxFilesPerTrigger))
       .withColumn("ingestion_time", current_timestamp())
       .writeStream
       .trigger(Trigger.AvailableNow())

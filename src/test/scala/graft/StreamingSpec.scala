@@ -31,6 +31,38 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist() // don't leak the cache into later specs
   }
 
+  test("bounded drain: maxFilesPerTrigger slices one backlog into many micro-batches") {
+    // the backpressure lever: a multi-file backlog drains completely
+    // under AvailableNow, but in file-bounded micro-batches — state and
+    // shuffle per batch stay bounded no matter how large the backlog.
+    // Waves land time-ascending (like real ingest) so the dedup
+    // watermark never sees out-of-order batches.
+    val src = dir("bounded-src")
+    val sink = dir("bounded-sink") + "/obs"
+    val cp = dir("bounded-cp")
+    val events = Tables.events(spark, sf).cache()
+    try {
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(d => java.sql.Timestamp.valueOf(s"$d 00:00:00"))
+      val waves = Seq(
+        events.filter(col("ts") < cuts(0)),
+        events.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        events.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+        events.filter(col("ts") >= cuts(2)))
+      waves.foreach(_.coalesce(1).write.mode("append").parquet(src))
+
+      MicroBatch.drainOnce(spark, src, cp, sink, events,
+        maxFilesPerTrigger = Some(1))
+      assert(spark.read.parquet(sink).count() ===
+        events.dropDuplicates(Seq("user_id", "event_type", "ts")).count(),
+        "the bounded drain must still consume the whole backlog")
+      val batches = new java.io.File(s"$cp/offsets")
+        .listFiles().count(_.getName.forall(_.isDigit))
+      assert(batches >= 4,
+        s"expected >=4 file-bounded micro-batches, got $batches")
+    } finally events.unpersist()
+  }
+
   test("two scheduler ticks with a shared checkpoint drain incrementally") {
     // The reference's hourly tick = one AvailableNow drain; the SECOND
     // tick must resume from the checkpoint (processing only files landed
