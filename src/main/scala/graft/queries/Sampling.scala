@@ -129,15 +129,103 @@ object Sampling {
        |ORDER BY r.domain""".stripMargin
   }
 
+  // --- q_sm_token_budget ----------------------------------------------------
+  // Token-BUDGETED quality selection — "give me the best ~40% of the
+  // corpus by token count": the subset-selection step between scoring
+  // and training. The naive form sorts the corpus by quality and takes
+  // a running-cumsum prefix — a global sort plus a global scan-order
+  // dependency, both non-starters at 100 TB. The scale shape: (1) an
+  // integer quality bucket per doc (stopword density percent — integer
+  // division; any scored signal plugs in), (2) a BUCKET-GRAIN histogram
+  // of token mass (≤101 rows — the only thing that ever leaves the
+  // scan), (3) an exclusive prefix walk over that tiny table (the same
+  // sanctioned single-partition window as q_tp_row_ids' offsets) finds
+  // the boundary bucket where the budget runs out, (4) full buckets
+  // above the boundary admit wholesale; the boundary bucket admits by
+  // salted content hash at an integer threshold sized to the remaining
+  // budget. Realized tokens land within the boundary bucket's mass of
+  // the budget (spec-bounded); admission is deterministic, reproducible
+  // across runs/engines, and stable for already-admitted docs as the
+  // corpus grows ONLY above the boundary — the histogram shifts with
+  // the corpus, which is the honest semantics of a fixed-fraction
+  // budget. The oracle replays the identical integer walk in DuckDB.
+  private val BudgetNum = 2L
+  private val BudgetDen = 5L
+  private val BudgetSeed = 7
+
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col("text"))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .withColumn("qb", expr("(n_stop * 100) div greatest(n_tokens, 1)"))
+    val hist = scored.groupBy("qb").agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val budgetDf = scored.agg(
+      expr(s"(sum(n_tokens) * $BudgetNum) div $BudgetDen").as("budget"))
+    val w = Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val cutoff = hist
+      .withColumn("cum_before", coalesce(sum(col("bucket_tokens")).over(w), lit(0L)))
+      .crossJoin(budgetDf)
+      .filter(col("cum_before") <= col("budget") &&
+        col("cum_before") + col("bucket_tokens") > col("budget"))
+      .select(col("qb").as("cut_qb"),
+        expr("((budget - cum_before) * 10000) div bucket_tokens").as("cut_threshold"))
+    scored.join(broadcast(cutoff), lit(true), "left")
+      .select(col("doc_id"), col("qb"), col("n_tokens"),
+        (col("cut_qb").isNull || col("qb") > col("cut_qb") ||
+          (col("qb") === col("cut_qb") &&
+            Hashes.md5Int32Seeded(col("doc_id").cast("string"), BudgetSeed) % 10000
+              < col("cut_threshold"))).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetSql: String = {
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val t = TextAnalysis.tokensSql
+    val h = Hashes.md5Int32SeededSql("q.doc_id::VARCHAR", BudgetSeed)
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    len($t)::BIGINT AS n_tokens,
+       |    len(list_filter($t, t -> list_contains($stopList, t)))::BIGINT AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |    (n_stop * 100) // greatest(n_tokens, 1) AS qb
+       |  FROM scored),
+       |hist AS (SELECT qb, sum(n_tokens) AS bucket_tokens FROM q GROUP BY qb),
+       |b AS (SELECT (sum(n_tokens) * $BudgetNum) // $BudgetDen AS budget FROM q),
+       |walk AS (
+       |  SELECT qb, bucket_tokens,
+       |    coalesce(sum(bucket_tokens) OVER (
+       |      ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cum_before
+       |  FROM hist),
+       |cutoff AS (
+       |  SELECT qb AS cut_qb,
+       |    ((budget - cum_before) * 10000) // bucket_tokens AS cut_threshold
+       |  FROM walk, b
+       |  WHERE cum_before <= budget AND cum_before + bucket_tokens > budget)
+       |SELECT q.doc_id, q.qb, q.n_tokens,
+       |  (c.cut_qb IS NULL OR q.qb > c.cut_qb
+       |    OR (q.qb = c.cut_qb AND $h % 10000 < c.cut_threshold)) AS admitted
+       |FROM q LEFT JOIN cutoff c ON TRUE
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sm_hash_sample" -> (hashSample _),
     "q_sm_stratified" -> (stratified _),
     "q_sm_split" -> (split _),
-    "q_sm_mixture" -> (mixture _))
+    "q_sm_mixture" -> (mixture _),
+    "q_sm_token_budget" -> (tokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "q_sm_hash_sample" -> hashSampleSql,
     "q_sm_stratified" -> stratifiedSql,
     "q_sm_split" -> splitSql,
-    "q_sm_mixture" -> mixtureSql)
+    "q_sm_mixture" -> mixtureSql,
+    "q_sm_token_budget" -> tokenBudgetSql)
 }

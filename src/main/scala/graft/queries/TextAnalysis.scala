@@ -60,7 +60,7 @@ object TextAnalysis {
   // --- q_tx_quality -------------------------------------------------------
   // Length / punctuation / stopword-ratio quality scoring. Ratios are
   // double divisions of integer counts — deterministic across engines.
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private[queries] val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
   def qualityScore(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))

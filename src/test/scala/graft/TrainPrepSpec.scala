@@ -131,6 +131,29 @@ class TrainPrepSpec extends SparkSpec {
       "global ids must be shard-major")
   }
 
+  test("token budget: quality-monotone admission lands within a bucket of the budget") {
+    import ss.implicits._
+    val r = Sampling.tokenBudget(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq // (doc_id, qb, n_tokens, admitted)
+    val total = r.map(_._3).sum
+    val budget = total * 2 / 5
+    val admittedTokens = r.filter(_._4).map(_._3).sum
+    // quality monotonicity: per bucket either all-in, all-out, or the ONE
+    // hash-split boundary bucket; everything above a non-full bucket is
+    // fully admitted and everything below a non-empty one fully rejected
+    val byBucket = r.groupBy(_._2).view.mapValues(_.map(_._4)).toMap
+    val mixed = byBucket.filter { case (_, fs) => fs.exists(identity) && fs.exists(!_) }
+    assert(mixed.size <= 1, s"more than one hash-split bucket: ${mixed.keys}")
+    val fullyAdmitted = byBucket.filter(_._2.forall(identity)).keySet
+    val fullyRejected = byBucket.filter(_._2.forall(!_)).keySet
+    for (a <- fullyRejected; b <- fullyAdmitted)
+      assert(a < b, s"rejected bucket $a above admitted bucket $b")
+    // budget proximity: worst-case deviation is the boundary bucket's mass
+    val maxBucketTokens = r.groupBy(_._2).values.map(_.map(_._3).sum).max
+    assert(math.abs(admittedTokens - budget) <= maxBucketTokens,
+      s"admitted $admittedTokens vs budget $budget (slack $maxBucketTokens)")
+  }
+
   test("mixture: a skewed corpus is actually downsampled toward balance") {
     import ss.implicits._
     // constructed 10:1 skew so the sub-10000 threshold path is
