@@ -27,6 +27,7 @@ object Tables {
     // built with GraftExtensions get them at construction instead).
     graft.functions.VectorFunctions.register(spark)
     graft.functions.BoundedCollectFunctions.register(spark)
+    graft.functions.TextFunctions.register(spark)
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }

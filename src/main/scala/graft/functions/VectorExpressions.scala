@@ -124,5 +124,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("bounded_collect"),
       BoundedCollectFunctions.info, BoundedCollectFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"), TextFunctions.info, TextFunctions.builder))
   }
 }

@@ -373,7 +373,50 @@ object TextAnalysis {
        |ORDER BY n_occurrences DESC, bigram
        |LIMIT 100""".stripMargin
 
+  // --- q_tx_nfc -------------------------------------------------------------
+  // Unicode NFC normalization through the custom codegen expression
+  // (`functions/TextExpressions.NfcNormalize` — the §2.10 answer to a
+  // scalar op Spark lacks: a native Expression, not a boxing UDF). The
+  // corpus is ASCII, where NFC is the identity, so the row DIRTIES a
+  // deterministic third of the docs with decomposed sequences
+  // (e + U+0301 combining acute) before normalizing; NFC composes them
+  // back to precomposed é, shrinking char length by one per mark. The
+  // oracle runs DuckDB's nfc_normalize over the identically-dirtied
+  // text — both engines implement the same Unicode canonical
+  // composition, so prefix strings and char counts hash-match exactly;
+  // a pass-through (or over-eager) implementation breaks pre/post
+  // lengths, a wrong composition breaks the prefix bytes.
+  def nfc(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val dirty = when(col("doc_id") % 3 === 0,
+      regexp_replace(col("text"), "e", "e\u0301"))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .withColumn("dirty", dirty)
+      .withColumn("norm", TextFunctions.nfcNormalize(col("dirty")))
+      .select(col("doc_id"),
+        length(col("dirty")).as("pre_chars"),
+        length(col("norm")).as("post_chars"),
+        substring(col("norm"), 1, 40).as("norm_prefix"))
+      .orderBy("doc_id")
+  }
+
+  val nfcSql: String =
+    """WITH dirtied AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
+      |      ELSE text END AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |  length(dirty)::INT AS pre_chars,
+      |  length(nfc_normalize(dirty))::INT AS post_chars,
+      |  substr(nfc_normalize(dirty), 1, 40) AS norm_prefix
+      |FROM dirtied
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_nfc" -> (nfc _),
     "q_tx_repetition" -> (repetition _),
     "q_tx_ngram_top" -> (ngramTop _),
     "q_tx_corpus_stats" -> (corpusStats _),
@@ -395,7 +438,8 @@ object TextAnalysis {
     "q_tx_langid" -> langIdSql,
     "q_tx_fingerprint" -> fingerprintSql,
     "q_tx_clean" -> cleanSql,
-    "q_tx_redact" -> redactSql)
+    "q_tx_redact" -> redactSql,
+    "q_tx_nfc" -> nfcSql)
 }
 
 /** Cross-engine deterministic hashing: both Spark and DuckDB expose md5
