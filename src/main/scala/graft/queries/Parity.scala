@@ -204,9 +204,13 @@ object Parity {
   // schema-lossless by construction; the oracle reads the same slice
   // off the parquet source, pinning value-level fidelity cross-format.
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = exportDir(d, "orc")
+    // dir name carries the slice: the landing is immutable once marked,
+    // so a slice change MUST move the landing or stale data wins
+    val out = exportDir(d, "orc_m3")
+    // modulo slice: non-empty at EVERY SF (user_id tops out at 14 at
+    // sf0.001, so a range slice would round-trip zero rows there)
     if (!new java.io.File(s"$out/_SUCCESS").exists())
-      Tables.events(s, d).filter(col("user_id") >= 20 && col("user_id") < 30)
+      Tables.events(s, d).filter(col("user_id") % 3 === 2)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"), col("value"))
         .write.mode("overwrite").option("compression", "zlib").orc(out)
@@ -218,7 +222,7 @@ object Parity {
 
   val orcRoundtripSql: String =
     """SELECT event_id, user_id, event_type, ts, value
-      |FROM events WHERE user_id >= 20 AND user_id < 30 ORDER BY event_id""".stripMargin
+      |FROM events WHERE user_id % 3 = 2 ORDER BY event_id""".stripMargin
 
   // --- q_f5_normalized_match ------------------------------------------------
   // SURVEY §2.3 F5: multi-column lower/trim normalized equality
