@@ -45,10 +45,17 @@ object Subqueries {
       |ORDER BY c_custkey""".stripMargin)
 
   // --- q_sq_not_in: NOT IN → null-aware anti join -------------------------
+  // The subquery is filtered to urgent orders: every customer has SOME
+  // order in the synthetic data, so the unfiltered form returned zero
+  // rows at every SF — a trivially-matching (and thus worthless) oracle
+  // row. Customers without an urgent order survive at all SFs (18 /
+  // 203 / 1986), so the null-aware anti join's survivors are what the
+  // hash actually pins.
   private val (notInFn, notInSql) = sqlBoth(
     """SELECT c_custkey, c_name
       |FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin)
 
   // --- q_tpch_q3: shipping-priority join-planning query -------------------
