@@ -269,6 +269,66 @@ object Discovery {
          |  count(DISTINCT $c)::BIGINT AS n_distinct FROM orders""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
+  // --- q_ds_dq_audit ----------------------------------------------------
+  // Data-quality audit — the gate every warehouse runs between landing
+  // and publishing: null-rate, range-violation and referential-
+  // integrity counts in ONE pass plus one anti-join. The synthetic
+  // corpus is pristine (every check would read 0 and the oracle would
+  // pin nothing), so the input is deterministically dirtied first —
+  // the q_f5_normalized_match precedent: NULL values on the %11 slice,
+  // sign flips on %13, orphaned user ids on %17 — making each counter
+  // load-bearing. Scale shape: the null/range checks are ONE aggregate
+  // over the scan (no shuffle beyond the 1-row combine); the orphan
+  // check is a left-anti probe against the distinct user dim (broadcast
+  // at dim scale); the long-form output is a 3-row stack of the 1-row
+  // summary. At 100 TB this is the cheap pre-publish pass whose
+  // counters page someone before a bad batch goes live.
+  def dqAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val dirty = ev.select(
+      col("event_id"),
+      when(col("event_id") % 17 === 0, col("user_id") + 1000000L)
+        .otherwise(col("user_id")).as("user_id"),
+      when(col("event_id") % 11 === 0, lit(null).cast("double"))
+        .when(col("event_id") % 13 === 0, -col("value"))
+        .otherwise(col("value")).as("value"))
+    val users = ev.select("user_id").distinct()
+    val scanChecks = dirty.agg(
+      count(lit(1)).as("n_total"),
+      (count(lit(1)) - count(col("value"))).as("null_value"),
+      count(when(col("value") < 0, 1)).as("neg_value"))
+    val orphans = dirty.join(users, Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("orphan_user"))
+    scanChecks.crossJoin(orphans) // two 1-row summaries
+      .selectExpr(
+        "stack(3, 'null_value', null_value, 'neg_value', neg_value, " +
+          "'orphan_user', orphan_user) AS (check, n_bad)",
+        "n_total")
+      .orderBy("check")
+  }
+
+  val dqAuditSql: String =
+    """WITH dirty AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 17 = 0 THEN user_id + 1000000 ELSE user_id END AS user_id,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |         WHEN event_id % 13 = 0 THEN -value ELSE value END AS value
+      |  FROM events),
+      |users AS (SELECT DISTINCT user_id FROM events),
+      |scanc AS (
+      |  SELECT count(*) AS n_total,
+      |    count(*) - count(value) AS null_value,
+      |    count(*) FILTER (value < 0) AS neg_value
+      |  FROM dirty),
+      |orph AS (
+      |  SELECT count(*) AS orphan_user FROM dirty
+      |  WHERE user_id NOT IN (SELECT user_id FROM users))
+      |SELECT "check", n_bad, n_total FROM (
+      |  SELECT 'null_value' AS "check", null_value AS n_bad, n_total FROM scanc
+      |  UNION ALL SELECT 'neg_value', neg_value, n_total FROM scanc
+      |  UNION ALL SELECT 'orphan_user', o.orphan_user, s.n_total FROM orph o, scanc s)
+      |ORDER BY "check"""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_json_pred" -> (jsonPred _),
     "q_ds_field_discovery" -> (fieldDiscovery _),
@@ -276,7 +336,8 @@ object Discovery {
     "q_ds_profile" -> (profile _),
     "q_ds_variant" -> (variantGet _),
     "q_ds_variant_schema" -> (variantSchema _),
-    "q_ds_variant_unpivot" -> (variantUnpivot _))
+    "q_ds_variant_unpivot" -> (variantUnpivot _),
+    "q_ds_dq_audit" -> (dqAudit _))
 
   val oracles: Map[String, String] = Map(
     "q_ds_json_pred" -> jsonPredSql,
@@ -285,5 +346,6 @@ object Discovery {
     "q_ds_profile" -> profileSql,
     "q_ds_variant" -> variantGetSql,
     "q_ds_variant_schema" -> variantSchemaSql,
-    "q_ds_variant_unpivot" -> variantUnpivotSql)
+    "q_ds_variant_unpivot" -> variantUnpivotSql,
+    "q_ds_dq_audit" -> dqAuditSql)
 }

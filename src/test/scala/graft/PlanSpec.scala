@@ -107,6 +107,31 @@ class PlanSpec extends SparkSpec {
     p +: (p.children ++ inner).flatMap(allNodes)
   }
 
+  test("the shuffle-hash hint swaps sort-merge for ShuffledHashJoin, same result") {
+    // the third join strategy a 100 TB planner leans on: when one side
+    // is too big to broadcast but modest enough to hash per partition,
+    // SHUFFLE_HASH avoids BOTH sort passes of the default sort-merge
+    // join. The hint is the per-query lever; the test pins that it is
+    // honored and result-preserving.
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+      def agg(j: org.apache.spark.sql.DataFrame) =
+        j.groupBy("o_orderpriority")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      val smj = agg(li.join(ord, li("l_orderkey") === ord("o_orderkey")))
+      val shj = agg(li.join(ord.hint("shuffle_hash"),
+        li("l_orderkey") === ord("o_orderkey")))
+      assert(plan(smj).contains("SortMergeJoin"), plan(smj).take(800))
+      assert(plan(shj).contains("ShuffledHashJoin"), plan(shj).take(800))
+      assert(shj.collect().toSeq === smj.collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
   test("TPC-H Q3: dims broadcast, filters push to every scan, top-k at the end") {
     val df = Subqueries.tpchQ3(spark, sf)
     val p = plan(df)
