@@ -90,27 +90,67 @@ object LayoutQueries {
   // count plan-asserted in LayoutSpec); the oracle runs the same slice
   // off the FLAT table — identical output proves the layout changes the
   // plan, never the data.
-  def prunedHistory(s: SparkSession, d: String): DataFrame = {
+  /** The staged day-partitioned events layout, written once per SF dir
+    * and shared by every query that reads through it (`q_ly_pruned_history`,
+    * `q_ly_dpp`). Idempotent: the layout is immutable once fully written
+    * (_SUCCESS lands at the root after the last partition commits). */
+  private[graft] def eventsByDay(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_by_day"
-    // idempotent per SF dir: the layout is immutable once fully written
-    // (_SUCCESS lands at the root after the last partition commits)
     if (!new java.io.File(s"$root/_SUCCESS").exists())
       Layout.writeDatePartitioned(
         Tables.events(s, d).select("event_id", "user_id", "ts", "event_type", "value"),
         root, "ts", Seq("user_id", "ts"))
     s.read.parquet(root)
+  }
+
+  def prunedHistory(s: SparkSession, d: String): DataFrame =
+    eventsByDay(s, d)
       .filter(col("user_id") === 7 &&
         col("day").between(lit("2024-01-05").cast("date"), lit("2024-01-08").cast("date")))
       .select("event_id", "ts", "event_type", "value")
       .orderBy("ts", "event_id")
-  }
 
   val prunedHistorySql: String =
     """SELECT event_id, ts, event_type, value FROM events
       |WHERE user_id = 7
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-08'
       |ORDER BY ts, event_id""".stripMargin
+
+  // --- q_ly_dpp -------------------------------------------------------------
+  // DYNAMIC partition pruning as a driver row: q_ly_pruned_history covers
+  // the literal-range case (days known at plan time), but the common
+  // 100 TB shape is a join against a dim whose FILTER decides the days —
+  // a campaign/calendar table — where the surviving days are unknowable
+  // until runtime. Spark broadcasts the filtered dim, reuses that
+  // broadcast as a subquery filter on the fact scan's `day=` partition
+  // column, and only the matching partitions are ever listed or read
+  // (plan-asserted in LayoutSpec: `dynamicpruning` on the executed scan).
+  // The dim here is the purchase-days of one user (8-13 of 30 days at
+  // every SF, so the prune is real and non-degenerate at each scale);
+  // the oracle replays the identical join off the FLAT table — equal
+  // output proves DPP is a pure access-path optimization.
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("user_id") === 3)
+      .select(to_date(col("ts")).as("day")).distinct()
+    eventsByDay(s, d)
+      .join(dim, Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("day")
+  }
+
+  val dppJoinSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+      |  WHERE event_type = 'purchase' AND user_id = 3)
+      |SELECT CAST(e.ts AS DATE) AS day, count(*) AS n_events,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.day
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   // --- q_ly_compacted_scan ----------------------------------------------------
   // Small-file compaction as a driver row: the events fact is first
@@ -153,11 +193,13 @@ object LayoutQueries {
     "q_ly_salted_agg" -> (saltedAgg _),
     "q_ly_bucketed_join" -> (bucketedJoin _),
     "q_ly_pruned_history" -> (prunedHistory _),
+    "q_ly_dpp" -> (dppJoin _),
     "q_ly_compacted_scan" -> (compactedScan _))
 
   val oracles: Map[String, String] = Map(
     "q_ly_salted_agg" -> saltedAggSql,
     "q_ly_bucketed_join" -> bucketedJoinSql,
     "q_ly_pruned_history" -> prunedHistorySql,
+    "q_ly_dpp" -> dppJoinSql,
     "q_ly_compacted_scan" -> compactedScanSql)
 }

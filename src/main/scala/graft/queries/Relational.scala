@@ -405,14 +405,21 @@ object Relational {
     // would fold keys together and flatten the skew)
     "spark.sql.shuffle.partitions" -> "32")
 
-  private[graft] def withSkewTuning[T](s: SparkSession)(f: => T): T = {
-    val restore = skewTunedConfs.map { case (k, _) => k -> s.conf.getOption(k) }
-    skewTunedConfs.foreach { case (k, v) => s.conf.set(k, v) }
+  /** Run `f` with `confs` set, restoring prior values after — same
+    * sequential-driver scoping contract as
+    * `Parity.withStreamShufflePartitions` (documented there). */
+  private[graft] def withScopedConfs[T](s: SparkSession,
+                                        confs: Seq[(String, String)])(f: => T): T = {
+    val restore = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
     try f finally restore.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  private[graft] def withSkewTuning[T](s: SparkSession)(f: => T): T =
+    withScopedConfs(s, skewTunedConfs)(f)
 
   /** The raw join+agg plan (un-executed) — shared by the driver row and
     * PlanSpec's skew=true assertion. */
@@ -473,8 +480,70 @@ object Relational {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin
 
+  // --- q_j13_bloom_join -----------------------------------------------------
+  // Runtime bloom-filter join pruning — the third runtime-filtering
+  // mechanism next to AQE skew splitting (q_j12) and dynamic partition
+  // pruning (q_ly_dpp). When a SHUFFLED fact⋈fact join has a selective
+  // filter on one side, Spark builds a bloom filter over that side's
+  // join keys and pushes `might_contain(...)` onto the other side's
+  // scan: non-matching fact rows die before the exchange instead of
+  // being shuffled. At 100 TB that is the difference between shuffling
+  // all of lineitem and shuffling only the ~20% that can match the
+  // urgent orders. The injection thresholds are cluster-sized
+  // (application side ≥ 10 GB by default), so — exactly like q_j12's
+  // skew thresholds — the row scopes them down to fire at test SF;
+  // production keeps defaults and gets the same plan on a real fact.
+  // The bloom filter is a pure execution optimization (false positives
+  // are re-checked by the join itself), so the oracle is the PLAIN
+  // join; PlanSpec asserts `might_contain` reached the lineitem side.
+  private[graft] def bloomTunedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    // default 10 GB is sized for clusters; 0 makes the injection
+    // decision purely structural at test SF
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    // the mechanism targets shuffled joins (a broadcast join already
+    // prunes at the probe): force the shuffle shape at test SF
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def withBloomTuning[T](s: SparkSession)(f: => T): T =
+    withScopedConfs(s, bloomTunedConfs)(f)
+
+  /** The raw join+agg plan (un-executed) — shared by the driver row and
+    * PlanSpec's might_contain assertion. */
+  private[graft] def bloomJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+  }
+
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val agg = bloomJoinAgg(s, d)
+    // execute inside the tuned-conf window (the injection rule reads its
+    // confs at optimization time, which happens on the first action)
+    val out = withBloomTuning(s) { agg.localCheckpoint() }
+    out.orderBy("o_year", "o_month")
+  }
+
+  val bloomJoinSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(month(o_orderdate) AS INT) AS o_month,
+      |  count(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_j12_skew_join" -> (skewJoin _),
+    "q_j13_bloom_join" -> (bloomJoin _),
     "q_f1_flagship_page" -> (flagshipPage _),
     "q_a0_agg_pricing" -> (aggPricing _),
     "q_j2_star_join" -> (starJoin _),
@@ -493,6 +562,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_j12_skew_join" -> skewJoinSql,
+    "q_j13_bloom_join" -> bloomJoinSql,
     "q_f1_flagship_page" -> flagshipPageSql,
     "q_a0_agg_pricing" -> aggPricingSql,
     "q_j2_star_join" -> starJoinSql,

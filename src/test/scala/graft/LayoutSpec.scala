@@ -158,6 +158,47 @@ class LayoutSpec extends SparkSpec {
       s"expected 4 pruned partitions, got ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("q_ly_dpp's fact scan carries a dynamic pruning filter and reads only matching days") {
+    // the DRIVER row path (the raw-layout DPP property is asserted
+    // above): the staged day-partitioned fact joined to the
+    // purchase-days dim must plan a dynamicpruning subquery on the
+    // partition column, and after execution the scan must have listed
+    // only the dim's days — not all ~30.
+    val df = graft.queries.LayoutQueries.dppJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "dpp row must be non-degenerate at every SF")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan should carry a dynamic pruning filter on day:\n${p.take(2000)}")
+    // the pruned partition count equals the dim's day count (= output
+    // rows, since every dim day has events at every SF). The executed
+    // AQE plan nests scans inside query stages (not `children`), and a
+    // dynamically pruned scan reports its runtime selection through the
+    // numPartitions metric — `selectedPartitions` only reflects STATIC
+    // filters.
+    def nodes(pl: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = pl match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => Nil
+      }
+      pl +: (pl.children ++ inner).flatMap(nodes)
+    }
+    val pruned = nodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("events_by_day")) => f
+    }
+    assert(pruned.nonEmpty, "expected the partitioned events scan in the plan")
+    assert(pruned.head.metrics("numPartitions").value === rows.length.toLong,
+      s"expected ${rows.length} pruned day partitions, got " +
+        s"${pruned.head.metrics("numPartitions").value}")
+  }
+
   test("salted broadcast join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sf).select("user_id").distinct()

@@ -322,6 +322,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the lineitem side of the urgent-orders join") {
+    // InjectRuntimeFilter decides at optimization time from the scoped
+    // confs; execute inside the window and assert the filter landed on
+    // the application (lineitem) side as a might_contain predicate over
+    // a shuffled join — the shape a 100 TB fact⋈fact join relies on.
+    val df = Relational.bloomJoinAgg(spark, sf)
+    Relational.withBloomTuning(spark) {
+      assert(df.collect().nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"bloom filter was not injected:\n${p.take(3000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(1500))
+    }
+  }
+
   private implicit class Let[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }
