@@ -143,13 +143,36 @@ object Subqueries {
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
       |LIMIT 100""".stripMargin)
 
+  // --- q_tpch_q13: customer order-count distribution ----------------------
+  // The two-level aggregation shape none of the other TPC-H rows cover:
+  // customers LEFT OUTER joined to (filtered) orders so zero-order
+  // customers stay in with c_count = 0 — count(o_orderkey) counts only
+  // non-null matches, the outer-join edge both engines must agree on —
+  // then the per-customer counts re-aggregate into a histogram. The join
+  // and the first group-by share c_custkey, so one shuffle partitioning
+  // serves both (Catalyst reuses the join's hash partitioning; no extra
+  // exchange before the first aggregate). The second aggregate's input
+  // is customer-grain counts — tiny at any SF — so the heavy work is
+  // exactly one shuffle of each input. ORDER BY (custdist, c_count) DESC
+  // is total: c_count is unique per output row.
+  private val (tpchQ13Fn, tpchQ13SqlText) = sqlBoth(
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sq_scalar" -> scalarFn,
     "q_sq_in" -> inFn,
     "q_sq_not_in" -> notInFn,
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q1" -> tpchQ1Fn,
-    "q_tpch_q18" -> tpchQ18Fn)
+    "q_tpch_q18" -> tpchQ18Fn,
+    "q_tpch_q13" -> tpchQ13Fn)
 
   val oracles: Map[String, String] = Map(
     "q_sq_scalar" -> scalarSql,
@@ -157,5 +180,6 @@ object Subqueries {
     "q_sq_not_in" -> notInSql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q1" -> tpchQ1SqlText,
-    "q_tpch_q18" -> tpchQ18SqlText)
+    "q_tpch_q18" -> tpchQ18SqlText,
+    "q_tpch_q13" -> tpchQ13SqlText)
 }

@@ -322,6 +322,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H Q13: the outer join's partitioning is reused by the per-customer aggregate") {
+    // At scale the join runs shuffled (broadcast disabled here to pin
+    // that shape): both inputs exchange on c_custkey, and the
+    // per-customer count reuses the join's partitioning — exactly two
+    // c_custkey exchanges in the executed plan, none above the join.
+    Relational.withScopedConfs(spark,
+      Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+      val df = graft.queries.Subqueries.all("q_tpch_q13")(spark, sf)
+      assert(df.collect().nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      val n = "hashpartitioning\\(c_custkey".r.findAllIn(p).size
+      assert(n == 2,
+        s"expected exactly the two join-input exchanges on c_custkey, got $n:\n${p.take(2500)}")
+    }
+  }
+
   test("runtime bloom filter prunes the lineitem side of the urgent-orders join") {
     // InjectRuntimeFilter decides at optimization time from the scoped
     // confs; execute inside the window and assert the filter landed on
