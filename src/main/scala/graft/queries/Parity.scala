@@ -654,6 +654,64 @@ object Parity {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
       |ORDER BY view_id, click_id""".stripMargin
 
+  // --- q_st_outer_join ------------------------------------------------------
+  // The stream-stream LEFT OUTER interval join: the semantics q_st_
+  // stream_join cannot show — an unmatched view emits its null-padded
+  // row only when the global watermark passes the end of its join
+  // window (view_ts + 6h), i.e. when no future click can ever match it.
+  // The AvailableNow drain processes the backlog, then runs the
+  // trailing no-data batch that advances the watermark to
+  // min(max view_ts, max click_ts) - delay and flushes expired state;
+  // views whose window end is still inside the watermark horizon stay
+  // buffered and never emit — the tail the oracle must model. The
+  // oracle replays exactly that cutoff: inner matches unconditionally
+  // (single-data-batch drain), null rows only where
+  // view_ts + 6h < min(max view, max click) - 1h.
+  def streamOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_oj_$runId"
+    def side(t: String) = graft.streaming.MicroBatch
+      .readEvents(s, s"$root/src", ev).filter(col("event_type") === t)
+    withStreamShufflePartitions(s, 8) {
+      val q = graft.streaming.MicroBatch
+        .intervalJoin(side("view"), side("click"), joinType = "left_outer")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // explicit NULLS FIRST: Spark's default ASC null ordering, pinned in
+    // the oracle too (DuckDB defaults to NULLS LAST)
+    s.table(name)
+      .orderBy(col("view_id"), col("click_id").asc_nulls_first)
+  }
+
+  val streamOuterJoinSql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT least((SELECT max(view_ts) FROM v),
+      |               (SELECT max(click_ts) FROM c)) - INTERVAL 1 HOUR AS w),
+      |j AS (
+      |  SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
+      |  FROM v LEFT JOIN c
+      |    ON v.user_id = c.click_user
+      |    AND c.click_ts >= v.view_ts
+      |    AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR)
+      |SELECT user_id, view_id, click_id, view_ts, click_ts
+      |FROM j, wm
+      |WHERE click_id IS NOT NULL OR view_ts + INTERVAL 6 HOUR < wm.w
+      |ORDER BY view_id, click_id NULLS FIRST""".stripMargin
+
   // --- q_mm_pnm_decode ------------------------------------------------------
   // The REAL image codec, driver-verified by construction: each doc's
   // first 96 bytes become the pixel data of an 8×4 binary PPM (header
@@ -909,6 +967,7 @@ object Parity {
     "q_st_neardup" -> (streamingNeardup _),
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_stream_join" -> (streamStreamJoin _),
+    "q_st_outer_join" -> (streamOuterJoin _),
     "q_st_static_join" -> (streamStaticJoin _),
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
@@ -935,6 +994,7 @@ object Parity {
     "q_st_neardup" -> streamingNeardupSql,
     "q_st_upsert" -> streamingUpsertSql,
     "q_st_stream_join" -> streamStreamJoinSql,
+    "q_st_outer_join" -> streamOuterJoinSql,
     "q_st_static_join" -> streamStaticJoinSql,
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,

@@ -143,7 +143,8 @@ object MicroBatch {
     */
   def intervalJoin(views: DataFrame, clicks: DataFrame,
                    within: String = "6 hours",
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"),
         col("ts").as("view_ts"))
@@ -155,7 +156,8 @@ object MicroBatch {
     v.join(c,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"),
+      joinType)
       .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
   }
 

@@ -282,6 +282,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (6L, 5L), (7L, 2L), (7L, 3L)))
   }
 
+  test("left-outer interval join null-pads expired views and withholds the tail") {
+    import ss.implicits._
+    val src = dir("oj-src")
+    // constructed corpus isolating the watermark-expiry rule: the final
+    // watermark is min(max view_ts, max click_ts) - 1h = 2024-01-02
+    // 23:00. View 1 (window ends 06:00 Jan 1) is far below it → its
+    // unmatched row must emit null-padded. View 6 (window ends 23:30
+    // Jan 2) is INSIDE the horizon → still buffered, must NOT emit.
+    // View 7 matches click 2 → emits regardless of the watermark.
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 10L, "view", t("2024-01-01 00:00:00"), 1.0), // unmatched, expired → null row
+      (2L, 10L, "click", t("2024-01-01 11:00:00"), 1.0), // matches 7 only
+      (6L, 10L, "view", t("2024-01-02 17:30:00"), 1.0), // unmatched, tail → withheld
+      (7L, 10L, "view", t("2024-01-01 05:30:00"), 1.0), // → matches 2
+      (8L, 10L, "click", t("2024-01-03 00:00:00"), 1.0)) // advances click watermark
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    events.write.mode("overwrite").parquet(src)
+
+    val q = MicroBatch.intervalJoin(
+      MicroBatch.readEvents(spark, src, events).filter(col("event_type") === "view"),
+      MicroBatch.readEvents(spark, src, events).filter(col("event_type") === "click"),
+      joinType = "left_outer")
+      .writeStream
+      .format("memory").queryName("oj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("oj").select("view_id", "click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, None), (7L, Some(2L))),
+      s"expected the expired null row and the match only, got $got")
+  }
+
   test("flatMapGroupsWithState anomalies match the batch prefix-mean rule") {
     val src = dir("an-src")
     val events = Tables.events(spark, sf).cache()
