@@ -84,6 +84,29 @@ object Layout {
       .sortWithinPartitions(("day" +: sortCols).map(col): _*)
       .write.partitionBy("day").mode(SaveMode.Overwrite).parquet(path)
 
+  /** 16-bit Morton spread: insert a zero bit between each of the low 16
+    * bits of `x` (magic-mask doubling). All arithmetic in long space;
+    * plain codegen'd bit ops, no UDF. */
+  private def spread16(x: Column): Column = {
+    val a = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) value of two dimensions, each taken mod 2^16: the
+    * interleaved-bits sort key that clusters BOTH dims at once. Sorting
+    * a table by z and cutting it into range-partitioned files bounds
+    * every file's span in each dimension to ~sqrt of what a single-dim sort
+    * leaves, so parquet min/max stats prune scans filtered on EITHER
+    * dim — the multi-dimensional generalization of the (key, ts) sorted
+    * layout, and the technique lakehouse table formats ship as OPTIMIZE
+    * ZORDER. Deterministic closed-form bit arithmetic: a DuckDB oracle
+    * reproduces z exactly. */
+  def zValue(a: Column, b: Column): Column =
+    spread16(pmod(a.cast("long"), lit(65536L)))
+      .bitwiseOR(shiftleft(spread16(pmod(b.cast("long"), lit(65536L))), 1))
+
   /** Small-file compaction — the maintenance job every streaming/upsert
     * parquet table needs: micro-batch appends accrete thousands of tiny
     * files, and at 100 TB the scan's task count (and NameNode/listing

@@ -152,6 +152,60 @@ object LayoutQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // --- q_ly_zorder ----------------------------------------------------------
+  // Z-order (Morton) clustering as a driver row: events staged once
+  // sorted by the interleaved-bits z of (user_id, day index) and cut
+  // into z-range files, so BOTH dimensions are clustered at once —
+  // every file's user span AND day span is bounded (per-file dual-span
+  // property asserted in LayoutSpec), and parquet min/max stats prune a
+  // scan filtered on either dim. The row reads a genuine 2-D slice
+  // (user range × day range) back through the z-ordered layout and
+  // exposes each row's z value; the oracle recomputes z bit-for-bit
+  // with the same magic-mask arithmetic off the FLAT table — pinning
+  // both the slice (layout is a pure access-path change) and the
+  // Morton math itself.
+  private val ZEpoch = "2024-01-01"
+
+  def zorderScan(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_zorder"
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("day_idx",
+          datediff(to_date(col("ts")), lit(ZEpoch).cast("date")))
+        .withColumn("z", Layout.zValue(col("user_id"), col("day_idx")))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(root)
+    s.read.parquet(root)
+      .filter(col("user_id").between(3, 9) && col("day_idx").between(10, 19))
+      .select("event_id", "user_id", "day_idx", "z", "value")
+      .orderBy("event_id")
+  }
+
+  val zorderScanSql: String = {
+    def spread(x: String): String = {
+      val a = s"((($x) | (($x) << 8)) & 16711935)"
+      val b = s"((($a) | (($a) << 4)) & 252645135)"
+      val c = s"((($b) | (($b) << 2)) & 858993459)"
+      s"((($c) | (($c) << 1)) & 1431655765)"
+    }
+    val z = s"(${spread("u16")} | (${spread("d16")} << 1))"
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |    CAST(date_diff('day', DATE '$ZEpoch', CAST(ts AS DATE)) AS INT) AS day_idx, value
+       |  FROM events),
+       |m AS (
+       |  SELECT event_id, user_id, day_idx, value,
+       |    user_id % 65536 AS u16, day_idx % 65536 AS d16
+       |  FROM e
+       |  WHERE user_id BETWEEN 3 AND 9 AND day_idx BETWEEN 10 AND 19)
+       |SELECT event_id, user_id, day_idx, CAST($z AS BIGINT) AS z, value
+       |FROM m
+       |ORDER BY event_id""".stripMargin
+  }
+
   // --- q_ly_compacted_scan ----------------------------------------------------
   // Small-file compaction as a driver row: the events fact is first
   // written DELIBERATELY fragmented (40 small files — the shape a
@@ -194,6 +248,7 @@ object LayoutQueries {
     "q_ly_bucketed_join" -> (bucketedJoin _),
     "q_ly_pruned_history" -> (prunedHistory _),
     "q_ly_dpp" -> (dppJoin _),
+    "q_ly_zorder" -> (zorderScan _),
     "q_ly_compacted_scan" -> (compactedScan _))
 
   val oracles: Map[String, String] = Map(
@@ -201,5 +256,6 @@ object LayoutQueries {
     "q_ly_bucketed_join" -> bucketedJoinSql,
     "q_ly_pruned_history" -> prunedHistorySql,
     "q_ly_dpp" -> dppJoinSql,
+    "q_ly_zorder" -> zorderScanSql,
     "q_ly_compacted_scan" -> compactedScanSql)
 }

@@ -199,6 +199,52 @@ class LayoutSpec extends SparkSpec {
         s"${pruned.head.metrics("numPartitions").value}")
   }
 
+  test("z-ordered layout bounds BOTH dimension spans per file") {
+    // The property that makes z-order worth it: a single-dim sort gives
+    // tight files on that dim but full-range spans on the other; the
+    // Morton layout bounds both, so min/max stats prune either
+    // predicate. Assert every file's user span AND day span is well
+    // under the full range (a user-sorted layout would leave day spans
+    // at ~full range in every file, and vice versa).
+    graft.queries.LayoutQueries.zorderScan(spark, sf).collect() // stage
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_zorder"
+    val files = new java.io.File(root).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 8, s"expected a multi-file z layout, got ${files.length}")
+    val full = Tables.events(spark, sf)
+      .agg(max("user_id").cast("double").as("u"),
+        (datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))).cast("double").as("d"))
+      .head()
+    val (fullU, fullD) = (full.getDouble(0), full.getDouble(1))
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .withColumn("day_idx", datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")))
+        .agg((max("user_id") - min("user_id")).cast("double"),
+          (max("day_idx") - min("day_idx")).cast("double"))
+        .head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val avgU = spans.map(_._1).sum / spans.length
+    val avgD = spans.map(_._2).sum / spans.length
+    // each dim individually bounded (a day-sorted layout leaves user at
+    // ~full span, and vice versa) ...
+    assert(avgU < 0.8 * fullU,
+      s"avg per-file user span $avgU not clustered vs full $fullU")
+    assert(avgD < 0.8 * fullD,
+      s"avg per-file day span $avgD not clustered vs full $fullD")
+    // ... and the honest 2-D metric: the average (user × day) rectangle a
+    // file covers is a small fraction of the full plane — min/max stats
+    // prune most files for a point/range predicate on either dim. A
+    // single-dim sort cannot get below ~1/nFiles of the plane times the
+    // FULL other dim; the Morton layout shrinks the area multiplicatively.
+    val areaRatio = (avgU * avgD) / (fullU * fullD)
+    assert(areaRatio < 0.25,
+      s"avg per-file 2-D area ratio $areaRatio not clustered " +
+        s"(avgU=$avgU avgD=$avgD full=$fullU×$fullD)")
+  }
+
   test("salted broadcast join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sf).select("user_id").distinct()
