@@ -329,6 +329,45 @@ object Discovery {
       |  UNION ALL SELECT 'orphan_user', o.orphan_user, s.n_total FROM orph o, scanc s)
       |ORDER BY "check"""".stripMargin
 
+  // --- q_ds_observe ---------------------------------------------------------
+  // In-flight pipeline metrics via Dataset.observe: the audit counters a
+  // production export job needs (row count, exact value mass, null rate)
+  // collected DURING the write action itself — a CollectMetrics node on
+  // the pipeline's own plan, accumulator-backed, so there is NO second
+  // scan of the fact. The row runs a filtered export to parquet with an
+  // Observation attached, then returns the observed metrics as the
+  // result; the oracle recomputes the same aggregates relationally. A
+  // mismatch means the observe path (not the export) lost or double-
+  // counted rows — exactly the failure a 100 TB pipeline needs surfaced,
+  // where "scan it again to check" costs as much as the job. The value
+  // mass accumulates in integer cents (exact), divided once at the end.
+  def observeAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val out = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), col("props"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        count(when(col("props").isNull, 1)).as("null_props"))
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    out.write.mode("overwrite")
+      .parquet(s"${sys.props("java.io.tmpdir")}/graft_observe_$tag")
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("cents").asInstanceOf[Long].toDouble / 100.0,
+      m("null_props").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_value", "null_props")
+  }
+
+  val observeAuditSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+      |  count(*) FILTER (props IS NULL) AS null_props
+      |FROM events
+      |WHERE event_type = 'purchase'""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_json_pred" -> (jsonPred _),
     "q_ds_field_discovery" -> (fieldDiscovery _),
@@ -337,7 +376,8 @@ object Discovery {
     "q_ds_variant" -> (variantGet _),
     "q_ds_variant_schema" -> (variantSchema _),
     "q_ds_variant_unpivot" -> (variantUnpivot _),
-    "q_ds_dq_audit" -> (dqAudit _))
+    "q_ds_dq_audit" -> (dqAudit _),
+    "q_ds_observe" -> (observeAudit _))
 
   val oracles: Map[String, String] = Map(
     "q_ds_json_pred" -> jsonPredSql,
@@ -347,5 +387,6 @@ object Discovery {
     "q_ds_variant" -> variantGetSql,
     "q_ds_variant_schema" -> variantSchemaSql,
     "q_ds_variant_unpivot" -> variantUnpivotSql,
-    "q_ds_dq_audit" -> dqAuditSql)
+    "q_ds_dq_audit" -> dqAuditSql,
+    "q_ds_observe" -> observeAuditSql)
 }

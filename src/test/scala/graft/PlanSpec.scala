@@ -338,6 +338,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces the post-shuffle partitions of a small aggregate") {
+    // The static conf says 32 reducers; the runtime stats say a handful
+    // of tiny partitions — AQE's coalesce rule merges them so reducer
+    // count follows DATA size, not the conf. At 100 TB the same rule
+    // keeps the last stage of a heavily-filtered query from scheduling
+    // thousands of empty tasks. (Executed plan required: AQEShuffleRead
+    // exists only after runtime stats are in.)
+    import org.apache.spark.sql.functions.{count, lit}
+    val df = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(df.collect().length == 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("coalesced"),
+      s"expected an AQEShuffleRead coalesced node:\n${p.take(2000)}")
+  }
+
   test("runtime bloom filter prunes the lineitem side of the urgent-orders join") {
     // InjectRuntimeFilter decides at optimization time from the scoped
     // confs; execute inside the window and assert the filter landed on
