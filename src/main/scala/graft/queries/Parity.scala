@@ -822,6 +822,69 @@ object Parity {
        |ORDER BY media_id""".stripMargin
   }
 
+  // --- q_mm_resize ----------------------------------------------------------
+  // The resize operator end-to-end through the REAL codec: the same
+  // header-prepended 8×4 PPM payloads run Multimodal.resize(factor=2) —
+  // decode → nearest-neighbor downsample → re-encode inside
+  // mapPartitions, metadata dims scaled without touching bytes — and the
+  // row decodes the RESIZED payload back, reporting both the scaled
+  // meta dims and the decoded dims plus per-channel sums of the 4×2
+  // survivor grid. Nearest-neighbor at factor 2 keeps exactly pixels
+  // (2y, 2x), so the header-blind oracle sums the character codes at
+  // those positions of the original text: a bug in the index math, the
+  // re-encode, or the meta scaling breaks the hash.
+  def pnmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = PnmW * PnmH * 3
+    val header = s"P6\n$PnmW $PnmH\n255\n".getBytes("US-ASCII")
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= n)
+      .filter(octet_length(substring(col("text"), 1, n)) === n)
+      .select(col("doc_id").as("media_id"),
+        concat(lit(header), substring(col("text"), 1, n).cast("binary")).as("payload"),
+        struct(lit("image").as("media_type"), lit("ppm").as("format"),
+          lit(PnmW).as("width"), lit(PnmH).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+    graft.multimodal.Multimodal.resize(media, 2)
+      .select(col("media_id"), col("payload"),
+        col("meta.width").as("mw"), col("meta.height").as("mh"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .map { case (id, bytes, mw, mh) =>
+        val img = graft.multimodal.Pnm.decode(bytes)
+          .getOrElse(sys.error(s"resized payload of media $id failed to decode"))
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < img.pixels.length) { sums(i % 3) += img.pixels(i) & 0xff; i += 1 }
+        (id, mw, mh, img.width, img.height, sums(0), sums(1), sums(2))
+      }
+      .toDF("media_id", "meta_w", "meta_h", "width", "height",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
+  val pnmResizeSql: String = {
+    val n = PnmW * PnmH * 3
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $n) AS s
+       |  FROM documents WHERE length(text) >= $n
+       |    AND octet_length(encode(substring(text, 1, $n))) = $n),
+       |px AS (
+       |  SELECT media_id, c.c AS c,
+       |    ord(substring(s, (y.y * 2 * $PnmW + x.x * 2) * 3 + c.c + 1, 1)) AS b
+       |  FROM d,
+       |    unnest(generate_series(0, ${PnmH / 2 - 1})) y(y),
+       |    unnest(generate_series(0, ${PnmW / 2 - 1})) x(x),
+       |    unnest(generate_series(0, 2)) c(c))
+       |SELECT media_id, ${PnmW / 2} AS meta_w, ${PnmH / 2} AS meta_h,
+       |  ${PnmW / 2} AS width, ${PnmH / 2} AS height,
+       |  CAST(sum(CASE WHEN c = 0 THEN b END) AS BIGINT) AS sum_r,
+       |  CAST(sum(CASE WHEN c = 1 THEN b END) AS BIGINT) AS sum_g,
+       |  CAST(sum(CASE WHEN c = 2 THEN b END) AS BIGINT) AS sum_b
+       |FROM px
+       |GROUP BY media_id
+       |ORDER BY media_id""".stripMargin
+  }
+
   // --- q_w8_schema_evolution ------------------------------------------------
   // Schema evolution across landing generations — the warehouse-side
   // counterpart of the inferred field catalog (A5): a new column starts
@@ -971,6 +1034,7 @@ object Parity {
     "q_st_static_join" -> (streamStaticJoin _),
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
+    "q_mm_resize" -> (pnmResize _),
     "q_mm_pnm_featurize" -> (pnmFeaturize _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_mm_frame_sample" -> (frameSample _))
@@ -998,6 +1062,7 @@ object Parity {
     "q_st_static_join" -> streamStaticJoinSql,
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,
+    "q_mm_resize" -> pnmResizeSql,
     "q_mm_pnm_featurize" -> pnmFeaturizeSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)
