@@ -170,6 +170,40 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio-window features over raw PCM16: payload bytes as little-endian
+    * signed 16-bit samples, one row per fixed-size window with EXACT
+    * integer energy (sum of squares) and peak amplitude — the loudness/
+    * silence screen an audio pipeline runs before expensive transcription,
+    * with RMS recoverable as sqrt(sum_sq/n) downstream. Integer outputs
+    * keep the operator hash-oracle-able; the decode runs in the same
+    * typed per-partition batch shape as [[decodeFeatures]]. A trailing
+    * partial window is dropped (windows are the unit of comparison). */
+  def pcm16Windows(media: DataFrame, windowSamples: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val bytesPerWin = windowSamples * 2
+        val nWin = b.length / bytesPerWin
+        (0 until nWin).map { w =>
+          var i = w * bytesPerWin
+          var ss = 0L
+          var peak = 0L
+          while (i < (w + 1) * bytesPerWin) {
+            val lo = b(i) & 0xff
+            val hi = b(i + 1) & 0xff
+            var v = lo | (hi << 8)
+            if (v >= 32768) v -= 65536
+            ss += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v).toLong
+            i += 2
+          }
+          (id, w, windowSamples, ss, peak)
+        }
+      }
+      .toDF("media_id", "win_idx", "n_samples", "sum_sq", "peak")
+  }
+
   /** Frame sampling, fully relational (no UDF): treat the payload as
     * fixed-size frames, keep every `stride`-th, emit one row per kept
     * frame. `substring` on binary + a bounded sequence-explode — stays

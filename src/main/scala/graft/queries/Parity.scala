@@ -885,6 +885,47 @@ object Parity {
        |ORDER BY media_id""".stripMargin
   }
 
+  // --- q_mm_pcm_windows -----------------------------------------------------
+  // The AUDIO feature path: doc text bytes stand in for raw PCM16 —
+  // little-endian signed 16-bit samples, 16-sample windows, exact
+  // integer energy + peak per window (Multimodal.pcm16Windows). The
+  // header-blind oracle reassembles each sample from character-code
+  // pairs (lo + 256·hi; the sign branch is a no-op on ASCII and is
+  // exercised by a constructed negative sample in MultimodalSpec) and
+  // reproduces the integer sums exactly — an endianness, window-stride,
+  // or accumulation bug breaks the hash.
+  private val PcmBytes = 96 // 48 samples → 3 windows of 16
+
+  def pcmWindows(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= PcmBytes)
+      .filter(octet_length(substring(col("text"), 1, PcmBytes)) === PcmBytes)
+      .select(col("doc_id").as("media_id"),
+        substring(col("text"), 1, PcmBytes).cast("binary").as("payload"))
+    graft.multimodal.Multimodal.pcm16Windows(media)
+      .orderBy("media_id", "win_idx")
+  }
+
+  val pcmWindowsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $PcmBytes) AS s
+       |  FROM documents WHERE length(text) >= $PcmBytes
+       |    AND octet_length(encode(substring(text, 1, $PcmBytes))) = $PcmBytes),
+       |sm AS (
+       |  SELECT media_id, CAST((i - 1) // 16 AS INT) AS win_idx,
+       |    ord(substring(s, 2 * i - 1, 1)) + 256 * ord(substring(s, 2 * i, 1)) AS raw
+       |  FROM d, unnest(generate_series(1, ${PcmBytes / 2})) g(i)),
+       |sv AS (
+       |  SELECT media_id, win_idx,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+       |  FROM sm)
+       |SELECT media_id, win_idx, 16 AS n_samples,
+       |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak
+       |FROM sv
+       |GROUP BY media_id, win_idx
+       |ORDER BY media_id, win_idx""".stripMargin
+
   // --- q_w8_schema_evolution ------------------------------------------------
   // Schema evolution across landing generations — the warehouse-side
   // counterpart of the inferred field catalog (A5): a new column starts
@@ -1035,6 +1076,7 @@ object Parity {
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
     "q_mm_resize" -> (pnmResize _),
+    "q_mm_pcm_windows" -> (pcmWindows _),
     "q_mm_pnm_featurize" -> (pnmFeaturize _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_mm_frame_sample" -> (frameSample _))
@@ -1063,6 +1105,7 @@ object Parity {
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,
     "q_mm_resize" -> pnmResizeSql,
+    "q_mm_pcm_windows" -> pcmWindowsSql,
     "q_mm_pnm_featurize" -> pnmFeaturizeSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)

@@ -112,4 +112,25 @@ class MultimodalSpec extends SparkSpec {
       assert(f.getAs[Array[Byte]]("frame").toSeq == expected.toSeq)
     }
   }
+
+  test("PCM16 windows: little-endian sign handling, exact energy, partial tail dropped") {
+    import ss.implicits._
+    // constructed samples incl. negatives (the driver corpus is ASCII so
+    // its samples are always positive — the sign branch must be pinned
+    // here): window = [1000, -1000, -32768, 32767], one trailing byte
+    // dropped
+    def le(v: Int): Seq[Byte] = {
+      val u = if (v < 0) v + 65536 else v
+      Seq((u & 0xff).toByte, ((u >> 8) & 0xff).toByte)
+    }
+    val payload = (le(1000) ++ le(-1000) ++ le(-32768) ++ le(32767) ++ Seq(7.toByte)).toArray
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val rows = Multimodal.pcm16Windows(media, windowSamples = 4).collect()
+    assert(rows.length == 1, "partial tail must not produce a window")
+    val r = rows.head
+    assert(r.getAs[Int]("win_idx") == 0)
+    val expectedSs = 1000L * 1000 + 1000L * 1000 + 32768L * 32768 + 32767L * 32767
+    assert(r.getAs[Long]("sum_sq") == expectedSs)
+    assert(r.getAs[Long]("peak") == 32768L)
+  }
 }
