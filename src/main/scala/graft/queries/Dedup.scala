@@ -337,6 +337,50 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --- q_dd_split_leakage ---------------------------------------------------
+  // Train/eval SPLIT LEAKAGE screen — the composition a training pipeline
+  // actually runs: the deterministic content-hash split (the same
+  // bucket rule as q_sm_split) crossed with the verified minhash
+  // near-dup pairs. A near-dup pair straddling the train/val/test
+  // boundary is leakage: the eval member is effectively in the training
+  // set, and no per-split dedup can see it — only this cross-split
+  // probe can. Reuses minhashLsh's pair generation verbatim (bands,
+  // caps, jaccard >= 0.5), so the leakage report inherits the exact
+  // semantics the dedup operator was verified under; the oracle reuses
+  // the minhash SQL as a subquery and applies the identical split rule.
+  // At 100 TB the added cost over the dedup itself is two broadcast-
+  // size probes into the (tiny) verified-pair set.
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val splitOf =
+      when(Hashes.md5Int32(col("doc_id").cast("string")) % 100 < 80, "train")
+        .when(Hashes.md5Int32(col("doc_id").cast("string")) % 100 < 90, "val")
+        .otherwise("test")
+    val splits = Tables.documents(s, d).select(col("doc_id"), splitOf.as("split"))
+    minhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "split_a", "doc_b", "split_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val splitLeakageSql: String = {
+    val h = s"${Hashes.md5Int32Sql("doc_id::VARCHAR")} % 100"
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($minhashLshSql) q),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $h < 80 THEN 'train'
+       |         WHEN $h < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT p.doc_a, a.split AS split_a, p.doc_b, b.split AS split_b
+       |FROM pairs p
+       |JOIN sp a ON p.doc_a = a.doc_id
+       |JOIN sp b ON p.doc_b = b.doc_id
+       |WHERE a.split <> b.split
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // --- q_dd_simhash -------------------------------------------------------
   // 32-bit frequency-weighted SimHash: per (doc, bit), vote +1/-1 by the
   // token hash's bit; sign of the sum sets the bit. Near-dups = pairs with
@@ -984,6 +1028,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dd_exact" -> (exact _),
+    "q_dd_split_leakage" -> (splitLeakage _),
     "q_dd_contamination" -> (contamination _),
     "q_dd_cluster_keeper" -> (clusterKeeper _),
     "q_dd_ngram_jaccard" -> (ngramJaccard _),
@@ -997,6 +1042,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_dd_exact" -> exactSql,
+    "q_dd_split_leakage" -> splitLeakageSql,
     "q_dd_contamination" -> contaminationSql,
     "q_dd_cluster_keeper" -> clusterKeeperSql,
     "q_dd_ngram_jaccard" -> ngramJaccardSql,
