@@ -21,13 +21,19 @@ object Tables {
     */
   val broadcastableDims: Set[String] = Set("region", "nation", "supplier")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Engine functions ride along with the tables: every query path goes
-    // through a load, so vec_dot etc. are always resolvable (sessions
-    // built with GraftExtensions get them at construction instead).
+  /** Engine functions ride along with the tables: every query path goes
+    * through a table accessor, so vec_dot etc. are always resolvable
+    * (sessions built with GraftExtensions get them at construction
+    * instead). Idempotent. */
+  private def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.BoundedCollectFunctions.register(spark)
+    graft.functions.TopKByFunctions.register(spark)
     graft.functions.TextFunctions.register(spark)
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    registerFunctions(spark)
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
@@ -60,6 +66,7 @@ object Tables {
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def events(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
+    registerFunctions(spark)
     eventsRaw(spark, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")

@@ -125,6 +125,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bounded_collect"),
       BoundedCollectFunctions.info, BoundedCollectFunctions.builder))
     ext.injectFunction((
+      FunctionIdentifier("top_k_by"), TopKByFunctions.info, TopKByFunctions.builder))
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"), TextFunctions.info, TextFunctions.builder))
   }
 }

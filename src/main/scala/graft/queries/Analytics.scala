@@ -420,7 +420,41 @@ object Analytics {
       |GROUP BY user_id, CAST(ts AS DATE)
       |ORDER BY user_id, day""".stripMargin
 
+  // --- q_ag_topk_group ------------------------------------------------------
+  // Per-group top-k AS AN AGGREGATE (the custom `top_k_by`
+  // TypedImperativeAggregate) instead of the window formulation: the
+  // window must fully sort every group to keep 3 rows; the aggregate
+  // keeps a bounded min-heap of 3 per group — map-side combined, O(k)
+  // state, only (group, 3-array) digests reach the shuffle. The struct
+  // carries (value, event_id): the unique id both breaks ties
+  // deterministically under any partition order AND rides along as the
+  // payload. The oracle IS the window formulation — identical output is
+  // the point, and PlanSpec asserts the aggregate plan has no Window
+  // and no sort below the aggregation.
+  private[graft] def topkGroupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKByFunctions
+        .topKBy(struct(col("value"), col("event_id")), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("event_type"), (col("i") + 1).as("rnk"),
+        col("t.value").as("value"), col("t.event_id").as("event_id"))
+
+  def topkGroup(s: SparkSession, d: String): DataFrame =
+    topkGroupAgg(s, d).orderBy("event_type", "rnk")
+
+  val topkGroupSql: String =
+    """SELECT event_type, CAST(rnk AS INT) AS rnk, value, event_id
+      |FROM (
+      |  SELECT event_type, value, event_id,
+      |    row_number() OVER (
+      |      PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rnk
+      |  FROM events)
+      |WHERE rnk <= 3
+      |ORDER BY event_type, rnk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ag_topk_group" -> (topkGroup _),
     "q_ev_funnel" -> (funnel _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
@@ -440,6 +474,7 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ag_topk_group" -> topkGroupSql,
     "q_ev_funnel" -> funnelSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,

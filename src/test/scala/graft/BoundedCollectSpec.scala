@@ -21,6 +21,28 @@ class BoundedCollectSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("top_k_by keeps exactly the k largest with deterministic tie-breaks") {
+    import ss.implicits._
+    import graft.functions.TopKByFunctions.topKBy
+    // duplicate sort keys + a hot group larger than k: the heap must
+    // evict below the floor, keep ties by the unique id, and agree with
+    // the full-sort answer under any partition order
+    val df = (1 to 10000).map(i => (i % 4, (i % 50).toDouble, i.toLong))
+      .toDF("g", "v", "id").repartition(13)
+    val got = df.groupBy("g")
+      .agg(topKBy(struct(col("v"), col("id")), 5).as("top"))
+      .select(col("g"), col("top"))
+      .as[(Int, Seq[(Double, Long)])].collect().toMap
+    val want = df.as[(Int, Double, Long)].collect()
+      .groupBy(_._1)
+      .map { case (g, rows) =>
+        g -> rows.map(r => (r._2, r._3)).sorted(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long).reverse)
+          .take(5).toSeq
+      }
+    assert(got == want)
+  }
+
   test("an oversized group truncates at cap elements, never materializes more") {
     import ss.implicits._
     // one hot key with 100k members next to a small one — the degenerate

@@ -338,6 +338,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("top-k per group runs as a bounded aggregate: no Window, no sort below the agg") {
+    // the window formulation sorts every group in full; the top_k_by
+    // aggregate keeps a bounded heap and combines map-side — the plan
+    // must show an (Object)HashAggregate pair and no Window node (the
+    // only Sort allowed is the presentation orderBy ABOVE the agg)
+    val df = graft.queries.Analytics.topkGroupAgg(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(2000))
+    assert(!p.contains("Window"), s"top_k_by plan must not window:\n${p.take(2000)}")
+    assert(p.contains("partial_top_k_by") || p.contains("top_k_by"),
+      p.take(2000))
+  }
+
   test("AQE coalesces the post-shuffle partitions of a small aggregate") {
     // The static conf says 32 reducers; the runtime stats say a handful
     // of tiny partitions — AQE's coalesce rule merges them so reducer
