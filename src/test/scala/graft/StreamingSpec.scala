@@ -318,6 +318,62 @@ class StreamingSpec extends SparkSpec {
       s"expected the expired null row and the match only, got $got")
   }
 
+  test("outer-join buffered state survives a checkpoint restart and flushes later") {
+    import ss.implicits._
+    // Tick 1: view A (unmatched) and view C (matched by click X) — the
+    // tick-1 watermark cannot expire A (view-side max is still A/C's
+    // hour), so A sits in join STATE at the checkpoint. Tick 2 lands a
+    // much later view+click: the watermark jumps past A's window end,
+    // and A's null-padded row must emit from RESTORED state — the
+    // cross-restart path a single drain never exercises. View B (tick 2)
+    // matches the tick-2 click inner-style; the tail-withholding case is
+    // pinned by the single-drain spec above.
+    val src = dir("oj2-src")
+    val sink = dir("oj2-sink") + "/pairs"
+    val cp = dir("oj2-cp")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def drain(): Unit = {
+      val q = MicroBatch.intervalJoin(
+        MicroBatch.readEvents(spark, src, spark.read.parquet(src))
+          .filter(col("event_type") === "view"),
+        MicroBatch.readEvents(spark, src, spark.read.parquet(src))
+          .filter(col("event_type") === "click"),
+        joinType = "left_outer")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val wave1 = Seq(
+      // A's join window [19:00, 01:00] closes BEFORE click X (02:00), so
+      // A is genuinely unmatched; the tick-1 watermark
+      // (min(00:30, 02:00) − 1h = Dec 31 23:30) is still below A's
+      // window end (01:00), so A cannot expire in tick 1
+      (1L, 10L, "view", t("2023-12-31 19:00:00"), 1.0), // A: unmatched (window ends 01:00)
+      (2L, 10L, "view", t("2024-01-01 00:30:00"), 1.0), // C: matched by X
+      (3L, 10L, "click", t("2024-01-01 02:00:00"), 1.0)) // X
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    wave1.write.mode("append").parquet(src)
+    drain()
+    val tick1 = spark.read.parquet(sink)
+      .select("view_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    assert(tick1 === Set((2L, Some(3L))),
+      s"tick 1 must emit only the inner match (A still buffered), got $tick1")
+
+    val wave2 = Seq(
+      (4L, 10L, "view", t("2024-01-02 17:00:00"), 1.0), // B: tail, withheld
+      (5L, 10L, "click", t("2024-01-02 18:00:00"), 1.0)) // advances watermark
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    wave2.write.mode("append").parquet(src)
+    drain()
+    val tick2 = spark.read.parquet(sink)
+      .select("view_id", "click_id").as[(Long, Option[Long])].collect().toSet
+    assert(tick2 === Set((2L, Some(3L)), (4L, Some(5L)), (1L, None)),
+      s"tick 2 must flush A's null row from restored state, got $tick2")
+  }
+
   test("flatMapGroupsWithState anomalies match the batch prefix-mean rule") {
     val src = dir("an-src")
     val events = Tables.events(spark, sf).cache()
