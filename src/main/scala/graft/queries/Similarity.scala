@@ -247,7 +247,74 @@ object Similarity {
       |GROUP BY dim, vmin, vmax
       |ORDER BY dim""".stripMargin
 
+  // --- q_sim_pq -------------------------------------------------------------
+  // Product quantization ENCODE — the compression half of IVF-PQ, the
+  // standard billion-vector ANN layout: the 64-dim embedding splits into
+  // 4 subspaces of 16 dims, and each subvector is assigned to its
+  // nearest codeword in a per-subspace codebook (8 codewords here), so
+  // the vector is stored as 4 small codes instead of 64 floats — at
+  // 100 TB that is the difference between the index fitting in executor
+  // memory and not. Codebooks are a small external model artifact by
+  // nature; like the k-means centroids they are deterministic ±1
+  // vectors embedded as plan literals in BOTH engines, and equal-norm
+  // codewords make argmax-dot ≡ nearest-L2. The whole encode is a
+  // zero-shuffle scan projection (M×K literal dot products per row);
+  // ties break to the lowest code via the (score, -k) struct max.
+  private val PqM = 4 // subspaces
+  private val PqK = 8 // codewords per subspace
+  private val PqSub = 16 // dims per subspace (64 / PqM)
+
+  private[graft] def pqWeights(m: Int, k: Int): IndexedSeq[Double] =
+    (0 until PqSub).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pq${m}_${k}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cols = (0 until PqM).flatMap { m =>
+      val sub = slice(col("v"), m * PqSub + 1, PqSub)
+      val best = array_max(array((0 until PqK).map { k =>
+        struct(
+          Vectors.dot(sub, array(pqWeights(m, k).map(lit): _*)).as("score"),
+          lit(-k).as("nk"))
+      }: _*))
+      Seq((-best.getField("nk")).cast("long").as(s"code_$m"),
+        best.getField("score").as(s"score_$m"))
+    }
+    e.select(col("vec_id") +: cols: _*).orderBy("vec_id")
+  }
+
+  val pqEncodeSql: String = {
+    def wLit(m: Int, k: Int): String =
+      pqWeights(m, k).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val subDefs = (0 until PqM)
+      .map(m => s"embedding[${m * PqSub + 1}:${(m + 1) * PqSub}] AS s$m")
+      .mkString(", ")
+    val bestDefs = (0 until PqM).map { m =>
+      val structs = (0 until PqK)
+        .map(k => s"{'score': ${Vectors.dotSql(s"s$m", wLit(m, k))}, 'nk': ${-k}}")
+        .mkString("[", ", ", "]")
+      s"list_max($structs) AS b$m"
+    }.mkString(",\n  ")
+    val outs = (0 until PqM)
+      .map(m => s"CAST(-(b$m.nk) AS BIGINT) AS code_$m, b$m.score AS score_$m")
+      .mkString(",\n  ")
+    s"""WITH sub AS (SELECT vec_id, $subDefs FROM embeddings),
+       |best AS (SELECT vec_id,
+       |  $bestDefs
+       |FROM sub)
+       |SELECT vec_id,
+       |  $outs
+       |FROM best
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_pq" -> (pqEncode _),
     "q_sim_topk_brute" -> (bruteTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
@@ -255,6 +322,7 @@ object Similarity {
     "q_sim_quantize" -> (quantize _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_pq" -> pqEncodeSql,
     "q_sim_topk_brute" -> bruteTopKSql,
     "q_sim_ivf_topk" -> ivfTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,
