@@ -313,8 +313,70 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --- q_sim_pq_adc ---------------------------------------------------------
+  // The SEARCH half of PQ: asymmetric distance computation. The query
+  // stays exact; every candidate is represented only by its 4 codes, and
+  // its score is the sum over subspaces of dot(query_sub, codeword[code])
+  // — a 4-entry lookup into per-subspace LUTs of the query against the
+  // codebook. At scale the LUT is M×K doubles computed ONCE per query
+  // and broadcast; candidates never touch their float vectors again,
+  // which is what makes billion-vector search memory-feasible. Here the
+  // LUT build and the lookup are both in-plan (the query vector joins by
+  // broadcast, the codebooks are literals), so the DuckDB twin
+  // reproduces ADC scores bit-for-bit; the exact cosine rides along to
+  // expose approximation quality. Top-k by (adc, vec_id) is total.
+  def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    def wArr(m: Int, k: Int) = array(pqWeights(m, k).map(lit): _*)
+    val adc = (0 until PqM).map { m =>
+      val subV = slice(col("v"), m * PqSub + 1, PqSub)
+      val subQ = slice(col("qv"), m * PqSub + 1, PqSub)
+      val best = array_max(array((0 until PqK).map { k =>
+        struct(Vectors.dot(subV, wArr(m, k)).as("score"), lit(-k).as("nk"))
+      }: _*))
+      val lut = array((0 until PqK).map(k => Vectors.dot(subQ, wArr(m, k))): _*)
+      element_at(lut, (-best.getField("nk") + 1).cast("int"))
+    }.reduce(_ + _)
+    e.filter(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), adc.as("adc"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(K)
+  }
+
+  val pqAdcTopKSql: String = {
+    def wLit(m: Int, k: Int): String =
+      pqWeights(m, k).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val subDefs = (0 until PqM).flatMap(m => Seq(
+      s"v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v$m",
+      s"qv[${m * PqSub + 1}:${(m + 1) * PqSub}] AS q$m")).mkString(", ")
+    val adcTerms = (0 until PqM).map { m =>
+      val structs = (0 until PqK)
+        .map(k => s"{'score': ${Vectors.dotSql(s"v$m", wLit(m, k))}, 'nk': ${-k}}")
+        .mkString("[", ", ", "]")
+      val lut = (0 until PqK)
+        .map(k => Vectors.dotSql(s"q$m", wLit(m, k)))
+        .mkString("[", ", ", "]")
+      s"($lut)[CAST(-(list_max($structs).nk) + 1 AS INT)]"
+    }.mkString(" + ")
+    s"""WITH j AS (
+       |  SELECT b.vec_id, b.embedding AS v, q.embedding AS qv
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> $QueryId) b,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = $QueryId) q),
+       |sub AS (SELECT vec_id, v, qv, $subDefs FROM j)
+       |SELECT vec_id, $adcTerms AS adc,
+       |  ${Vectors.cosineSql("v", "qv")} AS cosine
+       |FROM sub
+       |ORDER BY adc DESC, vec_id
+       |LIMIT $K""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pq" -> (pqEncode _),
+    "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
@@ -323,6 +385,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_pq" -> pqEncodeSql,
+    "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,
     "q_sim_ivf_topk" -> ivfTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,
