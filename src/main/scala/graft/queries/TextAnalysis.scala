@@ -415,7 +415,78 @@ object TextAnalysis {
       |FROM dirtied
       |ORDER BY doc_id""".stripMargin
 
+  // --- q_tx_cdc_chunks ------------------------------------------------------
+  // Content-defined chunking + cross-doc shared-passage detection: a
+  // token closes a chunk when its hash lands in 1/16 of the hash space
+  // (avg ~16-token chunks), so chunk boundaries depend only on CONTENT —
+  // insert a sentence at the front and every later boundary re-aligns,
+  // which fixed-size windows cannot do. The passage-level complement of
+  // whole-doc dedup: a copy-pasted paragraph inside otherwise-different
+  // docs shows up as a shared chunk digest. Chunking is per-document
+  // LOCAL and runs as one scan-side HOF fold (struct accumulator:
+  // completed chunks + current run) — no window, no token shuffle; only
+  // (doc, chunk_fp) digests reach the exchange, and the final aggregate
+  // is digest-grain. The oracle replays the identical boundary rule via
+  // a windowed cumulative boundary count — different formulation, same
+  // semantics, which is the point of the cross-engine check.
+  private val CdcMod = 16
+
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    val zero = struct(
+      array().cast("array<string>").as("done"),
+      array().cast("array<string>").as("cur"))
+    val chunksOf = aggregate(
+      tokens(col("text")),
+      zero,
+      (acc, t) => {
+        val cur2 = concat(acc.getField("cur"), array(t))
+        when(Hashes.md5Int32(t) % CdcMod === 0,
+          struct(
+            concat(acc.getField("done"), array(concat_ws(" ", cur2))).as("done"),
+            array().cast("array<string>").as("cur")))
+          .otherwise(struct(acc.getField("done").as("done"), cur2.as("cur")))
+      },
+      acc => when(size(acc.getField("cur")) > 0,
+        concat(acc.getField("done"), array(concat_ws(" ", acc.getField("cur")))))
+        .otherwise(acc.getField("done")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(chunksOf).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"))
+      .groupBy("chunk_fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_fp")
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, i, toks[i] AS t
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |       unnest(generate_series(1, len(toks))) g(i)),
+       |marked AS (
+       |  SELECT doc_id, i, t,
+       |    CASE WHEN ${Hashes.md5Int32Sql("t")} % $CdcMod = 0 THEN 1 ELSE 0 END AS b
+       |  FROM tok),
+       |chunked AS (
+       |  SELECT doc_id, i, t,
+       |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM marked),
+       |chunks AS (
+       |  SELECT doc_id, md5(string_agg(t, ' ' ORDER BY i)) AS chunk_fp
+       |  FROM chunked GROUP BY doc_id, chunk_id)
+       |SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM chunks
+       |GROUP BY chunk_fp
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_fp""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_cdc_chunks" -> (cdcChunks _),
     "q_tx_nfc" -> (nfc _),
     "q_tx_repetition" -> (repetition _),
     "q_tx_ngram_top" -> (ngramTop _),
@@ -429,6 +500,7 @@ object TextAnalysis {
     "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
+    "q_tx_cdc_chunks" -> cdcChunksSql,
     "q_tx_repetition" -> repetitionSql,
     "q_tx_ngram_top" -> ngramTopSql,
     "q_tx_corpus_stats" -> corpusStatsSql,
