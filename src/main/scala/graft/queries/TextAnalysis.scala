@@ -431,12 +431,14 @@ object TextAnalysis {
   // semantics, which is the point of the cross-engine check.
   private val CdcMod = 16
 
-  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+  /** The per-document chunk array (scan-side HOF fold) — shared by the
+    * driver row and the insertion-stability property spec. */
+  private[graft] def cdcChunkArray(text: Column): Column = {
     val zero = struct(
       array().cast("array<string>").as("done"),
       array().cast("array<string>").as("cur"))
-    val chunksOf = aggregate(
-      tokens(col("text")),
+    aggregate(
+      tokens(text),
       zero,
       (acc, t) => {
         val cur2 = concat(acc.getField("cur"), array(t))
@@ -449,8 +451,11 @@ object TextAnalysis {
       acc => when(size(acc.getField("cur")) > 0,
         concat(acc.getField("done"), array(concat_ws(" ", acc.getField("cur")))))
         .otherwise(acc.getField("done")))
+  }
+
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(chunksOf).as("chunk"))
+      .select(col("doc_id"), explode(cdcChunkArray(col("text"))).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("chunk_fp"))
       .groupBy("chunk_fp")
       .agg(countDistinct(col("doc_id")).as("n_docs"),

@@ -165,6 +165,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CDC chunking is insertion-stable: a shifted document re-aligns past one chunk") {
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    // The property fixed-size windows lack: prepend an arbitrary prefix
+    // and every chunk after the first boundary reproduces identically,
+    // because boundaries depend only on content. Deterministic "docs"
+    // built from the corpus vocabulary; for each prefix, the original's
+    // chunks minus at most its FIRST (which may merge into the prefix
+    // region) must all reappear in the shifted doc's chunk set.
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "line", "sort", "window")
+    val base = (0 until 400).map(i => vocab((i * 7 + 3) % vocab.length)).mkString(" ")
+    val prefixes = Seq("zzz", "alpha beta", "one two three four five six seven")
+    val docs = (("base", base) +: prefixes.zipWithIndex.map { case (p, i) =>
+      (s"shift$i", s"$p $base")
+    }).toDF("id", "text")
+    val chunkSets = docs
+      .select(col("id"), graft.queries.TextAnalysis.cdcChunkArray(col("text")).as("cs"))
+      .as[(String, Seq[String])].collect().toMap
+    val baseChunks = chunkSets("base")
+    assert(baseChunks.length >= 5, s"need several chunks, got ${baseChunks.length}")
+    prefixes.indices.foreach { i =>
+      val shifted = chunkSets(s"shift$i").toSet
+      val missing = baseChunks.drop(1).filterNot(shifted)
+      assert(missing.isEmpty,
+        s"prefix $i broke ${missing.length} content-defined chunks: ${missing.take(2)}")
+    }
+  }
+
   test("connected components equal a union-find oracle on random graphs") {
     import ss.implicits._
     // The pointer-jumping rewrite must stay EXACT for every graph shape,
