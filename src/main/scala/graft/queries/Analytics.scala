@@ -420,6 +420,56 @@ object Analytics {
       |GROUP BY user_id, CAST(ts AS DATE)
       |ORDER BY user_id, day""".stripMargin
 
+  // --- q_ag_incr_join -------------------------------------------------------
+  // Incremental JOIN maintenance — the join-side counterpart of
+  // q_ag_incr_merge: a materialized per-order summary of
+  // orders ⋈ lineitem is maintained under deltas on BOTH sides by the
+  // classic delta-join expansion
+  //   ΔM = Δo ⋈ l_base  ∪  o_base ⋈ Δl  ∪  Δo ⋈ Δl
+  // aggregated to the view grain and MERGED into the staged base —
+  // base ⋈ base is never recomputed. The splits are key-independent on
+  // the lineitem side, so most delta contributions land in groups that
+  // already exist in the base: a partial that failed to combine breaks
+  // the hash, not just the row count. At 100 TB both base tables are
+  // bucketed on the join key (see q_ly_bucketed_join), so each delta
+  // term is a shuffle-free probe of O(|Δ|) — the maintenance cost is
+  // O(|Δ| + touched groups), never O(|history|²). The oracle is the
+  // full join recomputed from scratch.
+  def incrJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft_incr_$tag/join_base"
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val oBase = o.filter(col("o_orderkey") % 7 =!= 0)
+    val oDelta = o.filter(col("o_orderkey") % 7 === 0)
+    val lBase = l.filter((col("l_orderkey") + col("l_linenumber")) % 5 =!= 0)
+    val lDelta = l.filter((col("l_orderkey") + col("l_linenumber")) % 5 === 0)
+    def joinAgg(or: DataFrame, li: DataFrame): DataFrame =
+      or.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(count(lit(1)).as("n_lines"), sum(dec("l_quantity")).as("qty_partial"))
+    // staged once per SF dir; immutable after _SUCCESS (cf. incrMerge)
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      joinAgg(oBase, lBase).write.mode("overwrite").parquet(root)
+    val base = s.read.parquet(root)
+    val delta = joinAgg(oDelta, lBase)
+      .unionByName(joinAgg(oBase, lDelta))
+      .unionByName(joinAgg(oDelta, lDelta))
+    base.unionByName(delta)
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(col("n_lines")).as("n_lines"),
+        sum(col("qty_partial")).cast("double").as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val incrJoinSql: String =
+    """SELECT o_orderkey, o_orderdate, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- q_ag_topk_group ------------------------------------------------------
   // Per-group top-k AS AN AGGREGATE (the custom `top_k_by`
   // TypedImperativeAggregate) instead of the window formulation: the
@@ -467,6 +517,7 @@ object Analytics {
     "q_ag_approx_distinct" -> (approxDistinct _),
     "q_ag_approx_percentile" -> (approxPercentile _),
     "q_ag_incr_merge" -> (incrMerge _),
+    "q_ag_incr_join" -> (incrJoin _),
     "q_j6_semijoin" -> (semijoin _),
     "q_j7_outer_join" -> (outerJoin _),
     "q_o4_range_frame" -> (rangeFrame _))
@@ -485,6 +536,7 @@ object Analytics {
     "q_ag_percentiles" -> percentilesSql,
     "q_ag_pivot" -> pivotCountsSql,
     "q_ag_incr_merge" -> incrMergeSql,
+    "q_ag_incr_join" -> incrJoinSql,
     "q_j6_semijoin" -> semijoinSql,
     "q_j7_outer_join" -> outerJoinSql,
     "q_o4_range_frame" -> rangeFrameSql)
