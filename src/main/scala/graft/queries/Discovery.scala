@@ -368,7 +368,41 @@ object Discovery {
       |FROM events
       |WHERE event_type = 'purchase'""".stripMargin
 
+  // --- q_ds_sample_preview --------------------------------------------------
+  // The reference's capped discovery sample (`discovery.py:42`: N-row
+  // preview per dataset, cap 50) as a BOUNDED aggregate: the earliest 3
+  // events per dataset via `top_k_by` over the negated (ts, id) struct —
+  // largest-of-negated ≡ earliest, the id making ties deterministic.
+  // The naive preview ORDER BY ts LIMIT N per dataset sorts each
+  // dataset's full history; the heap keeps 3 rows per group with
+  // map-side combine, so a preview of a 100 TB dataset costs one scan
+  // and a digest-size shuffle. Epoch micros negate losslessly
+  // (timestamp_micros round-trips), so the oracle — the window
+  // formulation — matches bit-for-bit.
+  def samplePreview(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKByFunctions.topKBy(
+        struct((-unix_micros(col("ts"))).as("nts"),
+          (-col("event_id")).as("nid")), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("event_type"), (col("i") + 1).as("rnk"),
+        timestamp_micros(-col("t.nts")).as("ts"),
+        (-col("t.nid")).cast("long").as("event_id"))
+      .orderBy("event_type", "rnk")
+
+  val samplePreviewSql: String =
+    """SELECT event_type, CAST(rnk AS INT) AS rnk, ts, event_id
+      |FROM (
+      |  SELECT event_type, ts, event_id,
+      |    row_number() OVER (
+      |      PARTITION BY event_type ORDER BY ts, event_id) AS rnk
+      |  FROM events)
+      |WHERE rnk <= 3
+      |ORDER BY event_type, rnk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_sample_preview" -> (samplePreview _),
     "q_ds_json_pred" -> (jsonPred _),
     "q_ds_field_discovery" -> (fieldDiscovery _),
     "q_ds_group_collect" -> (groupCollect _),
@@ -380,6 +414,7 @@ object Discovery {
     "q_ds_observe" -> (observeAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_ds_sample_preview" -> samplePreviewSql,
     "q_ds_json_pred" -> jsonPredSql,
     "q_ds_field_discovery" -> fieldDiscoverySql,
     "q_ds_group_collect" -> groupCollectSql,
