@@ -62,12 +62,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // Streaming drains (q_st_*) pay a fixed AvailableNow cost (fresh
-    // checkpoint + state store per run) that is real verification work but
-    // not relational plan cost — reported separately so a relational
-    // regression can't hide under it (and vice versa).
+    // Streaming drains pay a fixed AvailableNow cost (fresh checkpoint +
+    // state store per run) that is real verification work but not
+    // relational plan cost — reported separately so a relational
+    // regression can't hide under it (and vice versa). Membership is the
+    // explicit drain-backed set, not the q_st_ name prefix: q_st_anomaly
+    // is the batch twin and belongs in the relational side.
+    val drains = graft.queries.Parity.drainBackedQueries
     val streamingTotal =
-      results.collect { case (n, v) if n.startsWith("q_st_") && v >= 0 => v }.sum
+      results.collect { case (n, v) if drains.contains(n) && v >= 0 => v }.sum
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(fullLine)

@@ -25,12 +25,32 @@ object Tables {
     * through a table accessor, so vec_dot etc. are always resolvable
     * (sessions built with GraftExtensions get them at construction
     * instead). Idempotent. */
-  private def registerFunctions(spark: SparkSession): Unit = {
+  private[graft] def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.BoundedCollectFunctions.register(spark)
     graft.functions.TopKByFunctions.register(spark)
     graft.functions.TextFunctions.register(spark)
   }
+
+  /** Staged-artifact tag for SF dir `d`: the sanitized path plus a
+    * 12-hex content fingerprint (MD5 over the sorted recursive file
+    * listing — path, size, mtime; no data read, O(#files)). Every
+    * derived artifact staged under java.io.tmpdir keys its path on this,
+    * so a regenerated dataset under the same path — or two distinct dirs
+    * whose sanitized names collide (`sf0.1` vs `sf0_1`) — can never
+    * silently reuse a stale base and fail its oracle confusingly. */
+  def stageTag(d: String): String = stageTagCache.computeIfAbsent(d, { dir =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      else md.update(s"${f.getPath}|${f.length}|${f.lastModified}\n".getBytes("UTF-8"))
+    walk(new java.io.File(dir))
+    val fp = md.digest().map("%02x".format(_)).mkString.take(12)
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp
+  })
+  private val stageTagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     registerFunctions(spark)

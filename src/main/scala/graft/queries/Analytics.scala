@@ -391,7 +391,7 @@ object Analytics {
   // point (these aggregates are mergeable; percentile-like ones are not
   // and would need a sketch).
   def incrMerge(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_incr_$tag/daily_base"
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
@@ -436,7 +436,7 @@ object Analytics {
   // O(|Δ| + touched groups), never O(|history|²). The oracle is the
   // full join recomputed from scratch.
   def incrJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_incr_$tag/join_base"
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
     val l = Tables.lineitem(s, d)

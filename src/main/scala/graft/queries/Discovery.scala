@@ -355,8 +355,12 @@ object Discovery {
     out.write.mode("overwrite")
       .parquet(s"${sys.props("java.io.tmpdir")}/graft_observe_$tag")
     val m = obs.get
+    // SUM over zero rows is SQL NULL; a bare asInstanceOf[Long] would
+    // unbox that null to 0 while the oracle's SUM stays NULL — Option
+    // keeps the degenerate empty-slice case defined identically in both
+    // engines (counts are never null)
     Seq((m("n_rows").asInstanceOf[Long],
-      m("cents").asInstanceOf[Long].toDouble / 100.0,
+      Option(m("cents")).map(_.asInstanceOf[Long].toDouble / 100.0),
       m("null_props").asInstanceOf[Long]))
       .toDF("n_rows", "sum_value", "null_props")
   }

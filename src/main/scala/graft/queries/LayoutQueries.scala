@@ -42,7 +42,7 @@ object LayoutQueries {
   // runs on). The oracle joins the raw tables directly: identical output
   // proves the bucketed path is a pure layout change.
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Tables.stageTag(d)
     val ord = s"ly_orders_$tag"
     val li = s"ly_lineitem_$tag"
     // Idempotent per SF dir within a session: the bucketed copies are
@@ -95,7 +95,7 @@ object LayoutQueries {
     * `q_ly_dpp`). Idempotent: the layout is immutable once fully written
     * (_SUCCESS lands at the root after the last partition commits). */
   private[graft] def eventsByDay(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_by_day"
     if (!new java.io.File(s"$root/_SUCCESS").exists())
       Layout.writeDatePartitioned(
@@ -167,7 +167,7 @@ object LayoutQueries {
   private val ZEpoch = "2024-01-01"
 
   def zorderScan(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_zorder"
     if (!new java.io.File(s"$root/_SUCCESS").exists())
       Tables.events(s, d)
@@ -217,7 +217,7 @@ object LayoutQueries {
   // (File-count shrink and row-group-pruning properties are separately
   // asserted in LayoutSpec; the oracle here pins data preservation.)
   def compactedScan(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_compacted"
     val done = new java.io.File(s"$root.compacted") // marker AFTER the swap
     if (!done.exists()) {

@@ -25,29 +25,30 @@ import graft.warehouse.Normalize
   */
 object Parity {
 
-  /** Run `body` (a streaming drain) with `spark.sql.shuffle.partitions`
-    * scoped to `n`, restoring the session default afterwards. A stream's
-    * STATE partition count is captured from this conf at first start and
-    * recorded in the checkpoint — it should match the stream's keyed
-    * throughput, not the batch default: these drains carry kilobytes of
-    * state per batch, and each state partition costs per-batch store
-    * init + commit files (measured: the windowed drain is ~2.2× slower
-    * at 32 state partitions than at 8 on identical data). At production
-    * scale the same knob goes UP with key cardinality; it is per-query,
-    * so batch plans in the same session are untouched. Results are
-    * partitioning-independent either way — the oracle hash pins that.
-    *
-    * CONSTRAINT: this mutates the session-global conf and restores it
-    * after the drain, which is only safe because the driver runs queries
-    * SEQUENTIALLY on one session (Verify/Bench both do). If concurrent
-    * query execution is ever added, scope the conf per-query via a
-    * cloned session (`SparkSession.newSession`) instead — a concurrent
-    * batch plan could otherwise observe n=8 or a stale restore.
+  /** Run `body` (a streaming drain) on a CLONED session —
+    * `SparkSession.newSession()`: isolated SQLConf + temp catalog over
+    * the same SparkContext — with `spark.sql.shuffle.partitions` set to
+    * `n` on the clone only. A stream's STATE partition count is captured
+    * from this conf at first start and recorded in the checkpoint — it
+    * should match the stream's keyed throughput, not the batch default:
+    * these drains carry kilobytes of state per batch, and each state
+    * partition costs per-batch store init + commit files (measured: the
+    * windowed drain is ~2.2× slower at 32 state partitions than at 8 on
+    * identical data). At production scale the same knob goes UP with key
+    * cardinality. The clone makes the scoping airtight even under
+    * concurrent query execution — nothing session-global is ever
+    * mutated, so a parallel batch plan can't observe n=8 or a stale
+    * restore. Builder-set session options (UTC, nanosAsLong) carry into
+    * the clone via initialSessionOptions; engine function registrations
+    * do NOT (per-session registry), so the helper re-registers them.
+    * Memory-sink tables land in the CLONE's temp catalog — the body
+    * must read them off the clone and return the result.
     */
-  private def withStreamShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withStreamSession[T](s: SparkSession, n: Int)(body: SparkSession => T): T = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    Tables.registerFunctions(ss)
+    body(ss)
   }
 
   // --- q_s1_chunked_rest ----------------------------------------------------
@@ -145,7 +146,7 @@ object Parity {
   /** Session-stable scratch root under java.io.tmpdir for `kind` × SF
     * dir — the single sanitization rule for every landing/sink below. */
   private def tmpRoot(kind: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${Tables.stageTag(d)}"
 
   /** Land `df` at `dir` once per tmp lifetime: _SUCCESS marks a complete
     * landing (immutable input data), so repeat verify/bench calls skip
@@ -429,18 +430,17 @@ object Parity {
     // resume (the DATA is deterministic; the run id is not)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_wc_$runId"
-    withStreamShufflePartitions(s, 8) {
+    withStreamSession(s, 8) { ss =>
       val q = graft.streaming.MicroBatch.windowedCounts(
-        graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev))
+        graft.streaming.MicroBatch.readEvents(ss, s"$root/src", ev))
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation", s"$root/cp_$runId")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
-    s.table(name)
-      .orderBy("window_start", "event_type")
+      ss.table(name)
+    }.orderBy("window_start", "event_type")
   }
 
   val streamingWindowedSql: String =
@@ -499,9 +499,9 @@ object Parity {
     landOnce(ev, s"$root/src")
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_dd_$runId"
-    withStreamShufflePartitions(s, 8) {
+    withStreamSession(s, 8) { ss =>
       val q = graft.streaming.MicroBatch.dedupWithinWatermark(
-        graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev))
+        graft.streaming.MicroBatch.readEvents(ss, s"$root/src", ev))
         .select("user_id", "event_type", "ts")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
@@ -509,8 +509,8 @@ object Parity {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(name)
     }
-    s.table(name)
       .distinct() // watermark eviction may re-admit a key across batches
       .orderBy("user_id", "event_type", "ts")
   }
@@ -541,14 +541,14 @@ object Parity {
     landOnce(docs, s"$root/src")
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_nd_$runId"
-    withStreamShufflePartitions(s, 8) {
+    withStreamSession(s, 8) { ss =>
       // two projection stages (hash array, then signature) — see
       // Dedup.minhashHashesCol: a single fused expression re-tokenizes
       // the doc ~16× under interpreted HOF eval. Null signatures (no
       // complete 3-shingle) ride THROUGH the drain as one extra key and
       // are dropped batch-side below: a stream-side filter on the sig
       // column would re-evaluate the whole signature expression.
-      val stream = graft.streaming.MicroBatch.readEvents(s, s"$root/src", docs)
+      val stream = graft.streaming.MicroBatch.readEvents(ss, s"$root/src", docs)
         .select(col("doc_id"),
           graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
           timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
@@ -563,8 +563,8 @@ object Parity {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(name)
     }
-    s.table(name)
       .filter(col("sig").isNotNull) // docs with no complete 3-shingle
       .distinct() // watermark eviction may re-admit a signature across batches
       .orderBy("sig")
@@ -602,8 +602,8 @@ object Parity {
     // checkpoint finds zero new files and the sink is already correct.
     // This is the real resume semantics, and it keeps repeat bench/
     // verify runs from accreting full-corpus copies under /tmp.
-    withStreamShufflePartitions(s, 8) {
-      graft.streaming.MicroBatch.drainOnce(s, s"$root/src", s"$root/cp_up",
+    withStreamSession(s, 8) { ss =>
+      graft.streaming.MicroBatch.drainOnce(ss, s"$root/src", s"$root/cp_up",
         s"$root/sink_up", ev)
     }
     s.read.parquet(s"$root/sink_up")
@@ -630,9 +630,9 @@ object Parity {
     landOnce(ev, s"$root/src")
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_sj_$runId"
-    def side(t: String) = graft.streaming.MicroBatch
-      .readEvents(s, s"$root/src", ev).filter(col("event_type") === t)
-    withStreamShufflePartitions(s, 8) {
+    withStreamSession(s, 8) { ss =>
+      def side(t: String) = graft.streaming.MicroBatch
+        .readEvents(ss, s"$root/src", ev).filter(col("event_type") === t)
       val q = graft.streaming.MicroBatch.intervalJoin(side("view"), side("click"))
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
@@ -640,9 +640,8 @@ object Parity {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
-    s.table(name)
-      .orderBy("view_id", "click_id")
+      ss.table(name)
+    }.orderBy("view_id", "click_id")
   }
 
   val streamStreamJoinSql: String =
@@ -673,9 +672,9 @@ object Parity {
     landOnce(ev, s"$root/src")
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_oj_$runId"
-    def side(t: String) = graft.streaming.MicroBatch
-      .readEvents(s, s"$root/src", ev).filter(col("event_type") === t)
-    withStreamShufflePartitions(s, 8) {
+    withStreamSession(s, 8) { ss =>
+      def side(t: String) = graft.streaming.MicroBatch
+        .readEvents(ss, s"$root/src", ev).filter(col("event_type") === t)
       val q = graft.streaming.MicroBatch
         .intervalJoin(side("view"), side("click"), joinType = "left_outer")
         .writeStream.format("memory").queryName(name)
@@ -684,10 +683,10 @@ object Parity {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(name)
     }
-    // explicit NULLS FIRST: Spark's default ASC null ordering, pinned in
-    // the oracle too (DuckDB defaults to NULLS LAST)
-    s.table(name)
+      // explicit NULLS FIRST: Spark's default ASC null ordering, pinned in
+      // the oracle too (DuckDB defaults to NULLS LAST)
       .orderBy(col("view_id"), col("click_id").asc_nulls_first)
   }
 
@@ -978,9 +977,9 @@ object Parity {
       .filter(col("tier") =!= 4)
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_en_$runId"
-    withStreamShufflePartitions(s, 8) {
+    withStreamSession(s, 8) { ss =>
       val q = graft.streaming.MicroBatch.enrich(
-        graft.streaming.MicroBatch.readEvents(s, s"$root/src", ev), dim, "user_id")
+        graft.streaming.MicroBatch.readEvents(ss, s"$root/src", ev), dim, "user_id")
         .select("event_id", "user_id", "event_type", "tier")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
@@ -988,8 +987,8 @@ object Parity {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    }
-    s.table(name).orderBy("event_id")
+      ss.table(name)
+    }.orderBy("event_id")
   }
 
   val streamStaticJoinSql: String =
@@ -1051,6 +1050,16 @@ object Parity {
       |FROM documents
       |GROUP BY 1, 2
       |ORDER BY media_type, width_bucket""".stripMargin
+
+  /** Query names whose execution is an AvailableNow streaming DRAIN
+    * (fresh checkpoint + state store per run) — the set Bench uses to
+    * split streaming fixed cost out of the relational total. Explicit
+    * rather than name-prefixed because `q_st_anomaly` is the BATCH twin
+    * of the stateful anomaly drain (no drain cost): a relational
+    * regression there must not be misattributed to streaming. */
+  val drainBackedQueries: Set[String] = Set(
+    "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_upsert",
+    "q_st_stream_join", "q_st_outer_join", "q_st_static_join")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_chunked_rest" -> (chunkedRest _),

@@ -405,9 +405,14 @@ object Relational {
     // would fold keys together and flatten the skew)
     "spark.sql.shuffle.partitions" -> "32")
 
-  /** Run `f` with `confs` set, restoring prior values after — same
-    * sequential-driver scoping contract as
-    * `Parity.withStreamShufflePartitions` (documented there). */
+  /** Run `f` with `confs` set, restoring prior values after. Mutate-
+    * restore is safe only under the driver's SEQUENTIAL execution; it
+    * survives here (unlike the streaming drains, which run on a cloned
+    * session — `Parity.withStreamSession`) because AQE reads these confs
+    * at EXECUTION time on the session the plan was built against, so the
+    * execute-inside-window call sites would otherwise have to rebuild
+    * their plans on a clone. If concurrent execution is ever added, do
+    * exactly that: build + execute on `s.newSession()` per query. */
   private[graft] def withScopedConfs[T](s: SparkSession,
                                         confs: Seq[(String, String)])(f: => T): T = {
     val restore = confs.map { case (k, _) => k -> s.conf.getOption(k) }
@@ -449,11 +454,15 @@ object Relational {
         when(col("l_orderkey") % 10 < 6, 0L)
           .otherwise(col("l_orderkey") % 10 - 5).as("bucket"),
         col("l_quantity"))
+    // sums accumulate in DECIMAL(38,0) (the q_tpch_q1 convention):
+    // Spark's SUM(BIGINT) is BIGINT (silently overflowable at extreme SF)
+    // while DuckDB's is HUGEINT — the decimal accumulator is ONE exact
+    // type on both engines before the final BIGINT cast
     e.hint("merge").join(l, Seq("bucket"))
       .groupBy("event_type")
-      .agg(sum(col("n_events")).cast("long").as("n_pairs"),
-        sum(round(col("l_quantity")).cast("long") * col("n_events"))
-          .cast("long").as("sum_qty"))
+      .agg(sum(col("n_events").cast("decimal(38,0)")).cast("long").as("n_pairs"),
+        sum((round(col("l_quantity")).cast("long") * col("n_events"))
+          .cast("decimal(38,0)")).cast("long").as("sum_qty"))
   }
 
   def skewJoin(s: SparkSession, d: String): DataFrame = {

@@ -207,7 +207,7 @@ class LayoutSpec extends SparkSpec {
     // under the full range (a user-sorted layout would leave day spans
     // at ~full range in every file, and vice versa).
     graft.queries.LayoutQueries.zorderScan(spark, sf).collect() // stage
-    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = Tables.stageTag(sf)
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_zorder"
     val files = new java.io.File(root).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
