@@ -1051,6 +1051,130 @@ object Parity {
       |GROUP BY 1, 2
       |ORDER BY media_type, width_bucket""".stripMargin
 
+  // --- q_wp_ingest_e2e ------------------------------------------------------
+  // The §3.2 flagship ingest DAG driver-verified END TO END (SURVEY §8
+  // row "§3.2" previously cited IngestSpec only): two wide API batches —
+  // derived deterministically from events — run through the full
+  // composed pipeline (land raw → incremental field discovery → series
+  // auto-register → unpivot → lenient-parse/safe-cast → LWW upsert)
+  // into a fresh run-scoped warehouse, and the FINAL observations table
+  // joined to the registered series catalog (a lost registration loses
+  // rows) is hash-verified against a DuckDB twin that replays the same
+  // relational stages: unpivot via UNION ALL, the slug regexes, the
+  // try_cast drop rules (dirty timestamps, NaN, null), and the LWW
+  // merge as batch2 ∪ (batch1 anti-join batch2) on the composite PK.
+  // The batches OVERLAP (even ∩ %3≠0 event ids) with CHANGED m_wobbe
+  // values, so the second upsert's last-write-wins is load-bearing —
+  // keeping a batch-1 row on the overlap breaks the hash, as does any
+  // drift in stage ordering or the staged-swap write. Version ties
+  // resolve to the INCOMING batch (Upsert's source-priority
+  // tie-breaker), so the outcome is clock-independent even when both
+  // ingests land in one timestamp tick. Timestamps derive uniquely from
+  // event_id, so the PK is duplicate-free WITHIN each batch and LWW
+  // binds exactly on the cross-batch overlap.
+  private val WpEpochUs = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  private def wpWideFixture(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      // time arrives as TEXT (the API shape) and must survive the
+      // lenient parse; 1-in-97 rows are unparseable and must drop
+      when(col("event_id") % 97 === 0, lit("not a time"))
+        .otherwise(date_format(
+          timestamp_micros(col("event_id") * 1000000L + lit(WpEpochUs)),
+          "yyyy-MM-dd HH:mm:ss")).as("obs_time"),
+      // dirty site names force every slug rule (case, trim, `,()`
+      // strip, space runs) to fire on the real ingest path
+      when(col("user_id") % 3 === 0, lit("Terminal A"))
+        .when(col("user_id") % 3 === 1, lit("st fergus, (north)"))
+        .otherwise(lit(" Bacton IP ")).as("site"),
+      col("value").as("m_wobbe"),
+      when(col("event_id") % 13 === 0, lit(Double.NaN))
+        .otherwise((col("event_id") % 500).cast("double") / 10.0).as("m_co2"),
+      when(col("event_id") % 11 === 0, lit(null).cast("double"))
+        .otherwise((col("user_id") * 7 % 90).cast("double") + 10.0).as("m_ch4"))
+
+  def ingestE2e(s: SparkSession, d: String): DataFrame = {
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = s"${tmpRoot("wp", d)}/run_$runId"
+    val wh = graft.warehouse.Ingest.Warehouse(root)
+    val fx = wpWideFixture(s, d)
+    val batch1 = fx.filter(col("event_id") % 3 =!= 0).drop("event_id")
+    val batch2 = fx.filter(col("event_id") % 2 === 0)
+      .withColumn("m_wobbe", col("m_wobbe") + 1.0).drop("event_id")
+    graft.warehouse.Ingest.ingestWide(s, wh, batch1,
+      dataset = "GAS_QUALITY", timeCol = "obs_time", keyCols = Seq("site"))
+    graft.warehouse.Ingest.ingestWide(s, wh, batch2,
+      dataset = "GAS_QUALITY", timeCol = "obs_time", keyCols = Seq("site"))
+    val obs = s.read.parquet(wh.observations)
+      .select("series_id", "observation_time", "value")
+    val meta = s.read.parquet(wh.metaSeries).select("series_id", "description")
+    val out = obs.join(meta, "series_id").localCheckpoint()
+    // the run-scoped warehouse is consumed — reclaim it now that the
+    // result is materialized (a full-corpus warehouse per bench pass
+    // would accrete under /tmp otherwise)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    out.orderBy("series_id", "observation_time")
+  }
+
+  val ingestE2eSql: String =
+    """WITH wide AS (
+      |  SELECT event_id,
+      |    CASE CAST(user_id % 3 AS INT)
+      |      WHEN 0 THEN 'Terminal A'
+      |      WHEN 1 THEN 'st fergus, (north)'
+      |      ELSE ' Bacton IP ' END AS site,
+      |    (event_id % 97 = 0) AS bad_time,
+      |    make_timestamp(1704067200000000 + event_id * 1000000) AS obs_ts,
+      |    value AS m_wobbe,
+      |    CASE WHEN event_id % 13 = 0 THEN 'NaN'::DOUBLE
+      |         ELSE (event_id % 500) / 10.0 END AS m_co2,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |         ELSE ((user_id * 7) % 90) + 10.0 END AS m_ch4
+      |  FROM events),
+      |slugged AS (
+      |  SELECT *, regexp_replace(regexp_replace(upper(trim(site)), '[,()]', '', 'g'), '\s+', '_', 'g') AS site_slug
+      |  FROM wide),
+      |long1 AS (
+      |  SELECT site_slug, 'm_wobbe' AS metric, m_wobbe AS value, obs_ts, bad_time
+      |  FROM slugged WHERE event_id % 3 <> 0
+      |  UNION ALL SELECT site_slug, 'm_co2', m_co2, obs_ts, bad_time
+      |  FROM slugged WHERE event_id % 3 <> 0
+      |  UNION ALL SELECT site_slug, 'm_ch4', m_ch4, obs_ts, bad_time
+      |  FROM slugged WHERE event_id % 3 <> 0),
+      |long2 AS (
+      |  SELECT site_slug, 'm_wobbe' AS metric, m_wobbe + 1.0 AS value, obs_ts, bad_time
+      |  FROM slugged WHERE event_id % 2 = 0
+      |  UNION ALL SELECT site_slug, 'm_co2', m_co2, obs_ts, bad_time
+      |  FROM slugged WHERE event_id % 2 = 0
+      |  UNION ALL SELECT site_slug, 'm_ch4', m_ch4, obs_ts, bad_time
+      |  FROM slugged WHERE event_id % 2 = 0),
+      |obs1 AS (
+      |  SELECT 'NG_GAS_QUALITY_' || site_slug || '_' || upper(metric) AS series_id,
+      |    obs_ts AS observation_time, value
+      |  FROM long1 WHERE NOT bad_time AND value IS NOT NULL AND NOT isnan(value)),
+      |obs2 AS (
+      |  SELECT 'NG_GAS_QUALITY_' || site_slug || '_' || upper(metric) AS series_id,
+      |    obs_ts AS observation_time, value
+      |  FROM long2 WHERE NOT bad_time AND value IS NOT NULL AND NOT isnan(value)),
+      |merged AS (
+      |  SELECT * FROM obs2
+      |  UNION ALL
+      |  SELECT * FROM obs1 o1 WHERE NOT EXISTS (
+      |    SELECT 1 FROM obs2 o2
+      |    WHERE o2.series_id = o1.series_id
+      |      AND o2.observation_time = o1.observation_time)),
+      |meta AS (
+      |  SELECT DISTINCT 'NG_GAS_QUALITY_' || site_slug || '_' || upper(metric) AS series_id,
+      |    metric AS description
+      |  FROM (SELECT site_slug, metric FROM long1
+      |        UNION SELECT site_slug, metric FROM long2) t)
+      |SELECT m.series_id, m.observation_time, m.value, meta.description
+      |FROM merged m JOIN meta ON meta.series_id = m.series_id
+      |ORDER BY m.series_id, m.observation_time""".stripMargin
+
   /** Query names whose execution is an AvailableNow streaming DRAIN
     * (fresh checkpoint + state store per run) — the set Bench uses to
     * split streaming fixed cost out of the relational total. Explicit
@@ -1069,6 +1193,7 @@ object Parity {
     "q_w5_csv_roundtrip" -> (csvRoundtrip _),
     "q_w6_json_roundtrip" -> (jsonRoundtrip _),
     "q_w9_orc_roundtrip" -> (orcRoundtrip _),
+    "q_wp_ingest_e2e" -> (ingestE2e _),
     "q_f5_normalized_match" -> (normalizedMatch _),
     "q_f8_safe_cast" -> (safeCast _),
     "q_f10_conditional" -> (conditionalColumn _),
@@ -1098,6 +1223,7 @@ object Parity {
     "q_w5_csv_roundtrip" -> csvRoundtripSql,
     "q_w6_json_roundtrip" -> jsonRoundtripSql,
     "q_w9_orc_roundtrip" -> orcRoundtripSql,
+    "q_wp_ingest_e2e" -> ingestE2eSql,
     "q_f5_normalized_match" -> normalizedMatchSql,
     "q_f8_safe_cast" -> safeCastSql,
     "q_f10_conditional" -> conditionalColumnSql,
