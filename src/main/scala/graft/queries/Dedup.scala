@@ -256,7 +256,30 @@ object Dedup {
     s"array_to_string([${ms.mkString(",\n      ")}], ',')"
   }
 
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** Cap observability riding the PRODUCTION dedup scan (the
+    * q_ds_observe pattern): a CollectMetrics node between the bucket
+    * aggregate and the overflow filter counts total buckets, overflowed
+    * buckets, and the largest observed bucket DURING the dedup job
+    * itself — zero extra scans, where [[capAudit]] recomputes the band
+    * pipelines offline to get the full histogram. bounded_collect
+    * truncates at cap+1, so `size(ds) > cap` is exactly "true bucket
+    * size > cap" (n_buckets/n_overflow equal the audit's — asserted in
+    * DedupSpec) and max_seen saturates at cap+1 (equals
+    * min(audit.max_bucket, cap+1)). At 100 TB this is how the recall
+    * cost of the caps is monitored: free counters on every production
+    * run, the offline audit only when a counter moves. */
+  private def observeCaps(buckets: DataFrame, cap: Int,
+                          capObs: Option[org.apache.spark.sql.Observation]): DataFrame =
+    capObs.fold(buckets)(o => buckets.observe(o,
+      count(lit(1)).as("n_buckets"),
+      count(when(size(col("ds")) > cap, lit(1))).as("n_overflow"),
+      coalesce(max(size(col("ds"))), lit(0)).as("max_seen")))
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshWith(s, d, None)
+
+  private[graft] def minhashLshWith(s: SparkSession, d: String,
+      capObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val sh = shingleSets(s, d) // relational build; empty docs already absent
     val bands = minhashBands(s, d)
     // group-collect-explode instead of a band self-join: one signature
@@ -267,9 +290,11 @@ object Dedup {
     // their near-dups from OTHER bands. bounded_collect enforces the cap
     // INSIDE the aggregate (O(cap) memory even for the degenerate
     // bucket); the filter then reads complete-vs-overflowed sizes.
-    val cand = bands.groupBy("band_id", "band_key")
-      .agg(graft.functions.BoundedCollectFunctions
-        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
+    val cand = observeCaps(
+      bands.groupBy("band_id", "band_key")
+        .agg(graft.functions.BoundedCollectFunctions
+          .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds")),
+      MaxShingleDf, capObs)
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))
@@ -440,12 +465,18 @@ object Dedup {
           .bitwiseAND(lit((1L << SimBandBits) - 1))): _*)))
       .toDF("doc_id", "band_id", "band_key")
 
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashWith(s, d, None)
+
+  private[graft] def simhashWith(s: SparkSession, d: String,
+      capObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val sh = simhashSignatures(s, d)
     val bands = simhashBands(sh)
-    val cand = bands.groupBy("band_id", "band_key")
-      .agg(graft.functions.BoundedCollectFunctions
-        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
+    val cand = observeCaps(
+      bands.groupBy("band_id", "band_key")
+        .agg(graft.functions.BoundedCollectFunctions
+          .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds")),
+      MaxShingleDf, capObs)
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("doc_a"), col("p.db").as("doc_b"))
@@ -584,7 +615,11 @@ object Dedup {
       .toDF("vec_id", "band_id", "band_key")
   }
 
-  def embedLsh(s: SparkSession, d: String): DataFrame = {
+  def embedLsh(s: SparkSession, d: String): DataFrame =
+    embedLshWith(s, d, None)
+
+  private[graft] def embedLshWith(s: SparkSession, d: String,
+      capObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bands = embedBands(s, d)
@@ -595,9 +630,11 @@ object Dedup {
     // memory and O(cap²) pairs, never O(n²). The oracle models the cap
     // identically. At larger corpora the geometry knob (more planes,
     // wider bands) moves before the cap does.
-    val cand = bands.groupBy("band_id", "band_key")
-      .agg(graft.functions.BoundedCollectFunctions
-        .boundedCollect(col("vec_id"), MaxEmbedBucket + 1).as("ds"))
+    val cand = observeCaps(
+      bands.groupBy("band_id", "band_key")
+        .agg(graft.functions.BoundedCollectFunctions
+          .boundedCollect(col("vec_id"), MaxEmbedBucket + 1).as("ds")),
+      MaxEmbedBucket, capObs)
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxEmbedBucket)
       .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"))

@@ -132,6 +132,58 @@ class DedupSpec extends SparkSpec {
     assert(emOvf == 0 && emDocs == 0, s"3 vectors cannot overflow: ${audit("embed_band")}")
   }
 
+  test("observe counters on production LSH scans equal the offline cap audit") {
+    import ss.implicits._
+    // Same planted corpus as the audit test (one guaranteed overflow):
+    // the observe counters ride the PRODUCTION minhash/simhash/embed
+    // scans — CollectMetrics between the bucket aggregate and the
+    // overflow filter, zero extra scans — and must agree with the
+    // offline audit's recomputed histogram on n_buckets and n_overflow;
+    // max_seen saturates at cap+1 by bounded_collect construction.
+    val dir = Files.createTempDirectory("graft-capobs").toString
+    val hot = (1 to 150).map(i => (i.toLong, "hot hot hot hot hot"))
+    val planted = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1002L, "alpha beta gamma delta epsilon zeta eta iota"))
+    (hot ++ planted).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w0 = graft.queries.Similarity.centroidWeights(0).toArray
+    (0 until 3).map(i => (i.toLong, w0)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val audit = Dedup.capAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_overflow"),
+          r.getAs[Long]("max_bucket"))).toMap
+
+    def observed(run: org.apache.spark.sql.Observation =>
+        org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val o = org.apache.spark.sql.Observation()
+      run(o).collect()
+      val m = o.get
+      (m("n_buckets").asInstanceOf[Long], m("n_overflow").asInstanceOf[Long],
+        m("max_seen").asInstanceOf[Number].longValue)
+    }
+    val cases = Seq(
+      ("minhash_band", 100L,
+        (o: org.apache.spark.sql.Observation) => Dedup.minhashLshWith(spark, dir, Some(o))),
+      ("simhash_band", 100L,
+        (o: org.apache.spark.sql.Observation) => Dedup.simhashWith(spark, dir, Some(o))),
+      ("embed_band", 1000L,
+        (o: org.apache.spark.sql.Observation) => Dedup.embedLshWith(spark, dir, Some(o))))
+    for ((path, cap, run) <- cases) {
+      val (nb, no, mx) = observed(run)
+      val (anb, ano, amx) = audit(path)
+      assert(nb == anb && no == ano,
+        s"$path: observe ($nb buckets, $no overflow) != audit ($anb, $ano)")
+      assert(mx == math.min(amx, cap + 1),
+        s"$path: max_seen $mx != min(audit max $amx, cap+1=${cap + 1})")
+    }
+    // the planted overflow must actually be visible through observe
+    assert(observed(o => Dedup.minhashLshWith(spark, dir, Some(o)))._2 >= 1,
+      "planted identical-signature overflow must surface in observe counters")
+  }
+
   test("connected components converge in O(log n) rounds on a 1000-node chain") {
     import ss.implicits._
     // Worst case for plain min-label propagation: a path graph
