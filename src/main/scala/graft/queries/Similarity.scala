@@ -374,7 +374,105 @@ object Similarity {
        |LIMIT $K""".stripMargin
   }
 
+  // --- q_sim_ivfpq_topk -----------------------------------------------------
+  // IVF-PQ COMPOSED — the shape a billion-vector index actually runs
+  // (coarse quantizer routes, ADC scores, nothing else touches floats):
+  // (1) the query routes to its NProbe best coarse cells (the k-means
+  // centroids ARE the coarse quantizer — same argmax construction as
+  // kmeansAssign, computed in-plan from the broadcast query row, sorted
+  // (score, -cid) structs so ties break to the lowest cell id in both
+  // engines); (2) ONLY vectors whose cell is probed become candidates —
+  // at scale the corpus is partitioned by cell on disk, so this is a
+  // partition-pruned read of ~NProbe/C of the data; (3) candidates are
+  // scored by asymmetric distance — the query's M×K LUT against each
+  // candidate's PQ codes — never by their float vectors (here the codes
+  // derive in-plan, the q_sim_pq encode; in the deployed index they are
+  // the stored representation). Exact cosine rides along to expose
+  // recall quality. Top-k by (adc, vec_id) is total. The DuckDB twin
+  // replays routing, cell membership, LUT and lookup bit-for-bit.
+  private val NProbe = 2
+
+  private def centroidLit(cid: Int): String =
+    centroidWeights(cid).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** Candidates with ADC scores, BEFORE top-k — split out so the spec
+    * can assert the candidate set is exactly the probed cells' members
+    * (the bound that makes IVF sub-linear). */
+  private[graft] def ivfPqCandidates(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    val cellStructs = array((0 until NumCentroids).map { cid =>
+      struct(
+        Vectors.dot(col("qv"), array(centroidWeights(cid).map(lit): _*)).as("score"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    // ascending struct sort then reverse = score desc, lowest cid on ties
+    val probe = transform(slice(reverse(array_sort(cellStructs)), 1, NProbe),
+      x => (-x.getField("ncid")).cast("long"))
+    def wArr(m: Int, k: Int) = array(pqWeights(m, k).map(lit): _*)
+    val adc = (0 until PqM).map { m =>
+      val subV = slice(col("v"), m * PqSub + 1, PqSub)
+      val subQ = slice(col("qv"), m * PqSub + 1, PqSub)
+      val best = array_max(array((0 until PqK).map { k =>
+        struct(Vectors.dot(subV, wArr(m, k)).as("score"), lit(-k).as("nk"))
+      }: _*))
+      val lut = array((0 until PqK).map(k => Vectors.dot(subQ, wArr(m, k))): _*)
+      element_at(lut, (-best.getField("nk") + 1).cast("int"))
+    }.reduce(_ + _)
+    e.filter(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cell", clusterOf(col("v")))
+      .filter(array_contains(probe, col("cell")))
+      .select(col("vec_id"), col("cell"), adc.as("adc"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+  }
+
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame =
+    ivfPqCandidates(s, d)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(K)
+
+  val ivfPqTopKSql: String = {
+    def wLit(m: Int, k: Int): String =
+      pqWeights(m, k).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val cellStructs = (0 until NumCentroids)
+      .map(cid => s"{'score': ${Vectors.dotSql("qv", centroidLit(cid))}, 'ncid': ${-cid}}")
+      .mkString("[", ", ", "]")
+    val subDefs = (0 until PqM).flatMap(m => Seq(
+      s"v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v$m",
+      s"qv[${m * PqSub + 1}:${(m + 1) * PqSub}] AS q$m")).mkString(", ")
+    val adcTerms = (0 until PqM).map { m =>
+      val structs = (0 until PqK)
+        .map(k => s"{'score': ${Vectors.dotSql(s"v$m", wLit(m, k))}, 'nk': ${-k}}")
+        .mkString("[", ", ", "]")
+      val lut = (0 until PqK)
+        .map(k => Vectors.dotSql(s"q$m", wLit(m, k)))
+        .mkString("[", ", ", "]")
+      s"($lut)[CAST(-(list_max($structs).nk) + 1 AS INT)]"
+    }.mkString(" + ")
+    s"""WITH j AS (
+       |  SELECT b.vec_id, b.embedding AS v, q.embedding AS qv
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> $QueryId) b,
+       |       (SELECT embedding FROM embeddings WHERE vec_id = $QueryId) q),
+       |routed AS (
+       |  SELECT vec_id, v, qv,
+       |    list_transform((list_reverse(list_sort($cellStructs)))[1:$NProbe],
+       |      x -> CAST(-(x.ncid) AS BIGINT)) AS probe_cells,
+       |    ${clusterOfSql("v")} AS cell
+       |  FROM j),
+       |sub AS (
+       |  SELECT vec_id, v, qv, cell, $subDefs
+       |  FROM routed WHERE list_contains(probe_cells, cell))
+       |SELECT vec_id, cell, $adcTerms AS adc,
+       |  ${Vectors.cosineSql("v", "qv")} AS cosine
+       |FROM sub
+       |ORDER BY adc DESC, vec_id
+       |LIMIT $K""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ivfpq_topk" -> (ivfPqTopK _),
     "q_sim_pq" -> (pqEncode _),
     "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
@@ -384,6 +482,7 @@ object Similarity {
     "q_sim_quantize" -> (quantize _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_ivfpq_topk" -> ivfPqTopKSql,
     "q_sim_pq" -> pqEncodeSql,
     "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,

@@ -148,4 +148,28 @@ class PipelineOpsSpec extends SparkSpec {
     val clusters = a.map(_.getLong(2)).toSet
     assert(clusters.forall(c => c >= 0 && c < 8), s"cluster ids $clusters")
   }
+
+  test("IVF-PQ candidates are exactly the probed cells' members (the sub-linear bound)") {
+    import org.apache.spark.sql.functions._
+    // The point of the coarse quantizer: only probed-cell vectors are
+    // scored. Recompute cell membership independently (kmeansAssign)
+    // and assert the candidate set equals the union of the NProbe=2
+    // probed cells minus the query — and is a strict subset of the
+    // corpus, so the route genuinely prunes.
+    val cand = Similarity.ivfPqCandidates(spark, sf).collect()
+    val candIds = cand.map(_.getAs[Long]("vec_id")).toSet
+    val probedCells = cand.map(_.getAs[Long]("cell")).toSet
+    assert(probedCells.size <= 2, s"NProbe=2 but saw cells $probedCells")
+    val assign = Similarity.kmeansAssign(spark, sf)
+      .select(col("vec_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = assign.collect {
+      case (id, c) if probedCells.contains(c) && id != 0L => id
+    }.toSet
+    assert(candIds == expected,
+      s"candidates must be exactly the probed cells' members: " +
+        s"${candIds.size} vs ${expected.size}")
+    assert(candIds.size < assign.length - 1,
+      "routing must prune: candidate set equals the whole corpus")
+  }
 }
