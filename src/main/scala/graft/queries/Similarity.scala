@@ -374,6 +374,131 @@ object Similarity {
        |LIMIT $K""".stripMargin
   }
 
+  // --- q_sim_kmeans_lloyd ---------------------------------------------------
+  // LLOYD'S ITERATIONS — real centroid training, not just one E/M step:
+  // starting from the literal ±1 seeds, N rounds of assign (true argmin
+  // L2 against the CURRENT centroids — post-M-step means are not
+  // equal-norm, so argmax-dot would be wrong here) then recompute means.
+  // Each round's means route through 1e-6 fixed point (exact BIGINT
+  // sums, order/partitioning/retry-stable — the kmeansUpdate
+  // convention), are collected to the driver (8×64 doubles — the model
+  // artifact, tiny by construction), and are embedded as LITERALS in
+  // the next round's plan: lineage resets every round (the same reason
+  // clusterKeeper checkpoints, without materializing data), and the
+  // assignment stays a zero-shuffle scan projection. Empty clusters
+  // keep their previous centroid. The driver row is the FINAL
+  // assignment with its exact squared distance; the DuckDB twin
+  // replays all N rounds as a CTE chain — same seeds, same fixed-point
+  // means, same (dist, cid) argmin ties — bit-for-bit.
+  //
+  // 100 TB shape per round: one scan fused with the E-step (the
+  // argmin is K×dim literal dots inside codegen), ONE map-side-
+  // combinable aggregation to 8×64 groups, an 8-row driver collect.
+  // Rounds are sequential by nature; the corpus never shuffles.
+  private val LloydIters = 3
+
+  /** (dist, cid) structs for argmin assignment under explicit centroid
+    * arrays; dist = c·c − 2·v·c (the v·v shift is constant per row and
+    * dropped during iteration). Ties break to the lowest cid. */
+  private def lloydBest(v: org.apache.spark.sql.Column,
+      cents: IndexedSeq[IndexedSeq[Double]]): org.apache.spark.sql.Column =
+    array_min(array(cents.zipWithIndex.map { case (c, cid) =>
+      val cArr = array(c.map(lit): _*)
+      struct((Vectors.dot(cArr, cArr) - lit(2.0) * Vectors.dot(v, cArr)).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+
+  /** Run `iters` Lloyd rounds; returns the trained centroids. */
+  private[graft] def lloydCentroids(s: SparkSession, d: String,
+      iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var cents: IndexedSeq[IndexedSeq[Double]] =
+      (0 until NumCentroids).map(centroidWeights)
+    for (_ <- 1 to iters) {
+      val means = e
+        .select(lloydBest(col("v"), cents).getField("cid").as("cid"),
+          posexplode(col("v")))
+        .toDF("cid", "dim", "x")
+        .groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x") * 1000000.0).cast("long")).as("sum_fixed"))
+        .select(col("cid"), col("dim"),
+          (col("sum_fixed").cast("double") / 1000000.0 / col("n").cast("double"))
+            .as("m"))
+        .collect()
+        .map(r => (r.getAs[Int]("cid"), r.getAs[Int]("dim")) -> r.getAs[Double]("m"))
+        .toMap
+      cents = (0 until NumCentroids).map { cid =>
+        if (means.contains((cid, 0)))
+          cents(cid).indices.map(dim => means((cid, dim)))
+        else cents(cid) // empty cluster keeps its previous centroid
+      }
+    }
+    cents
+  }
+
+  def kmeansLloyd(s: SparkSession, d: String): DataFrame = {
+    val cents = lloydCentroids(s, d, LloydIters)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // final assignment carries the FULL squared distance (v·v + c·c −
+    // 2·v·c, that operand order on both engines) so the output is a
+    // meaningful training artifact, not just a label
+    val best = array_min(array(cents.zipWithIndex.map { case (c, cid) =>
+      val cArr = array(c.map(lit): _*)
+      struct((Vectors.dot(col("v"), col("v")) + Vectors.dot(cArr, cArr)
+        - lit(2.0) * Vectors.dot(col("v"), cArr)).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    e.select(col("vec_id"),
+      best.getField("cid").cast("long").as("cluster_id"),
+      best.getField("d").as("dist_sq"))
+      .orderBy("vec_id")
+  }
+
+  val kmeansLloydSql: String = {
+    def centLit(c: IndexedSeq[Double]): String =
+      c.map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val c0rows = (0 until NumCentroids)
+      .map(cid => s"($cid, ${centLit(centroidWeights(cid))})").mkString(", ")
+    val iterCtes = (1 to LloydIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""d$i AS (
+         |  SELECT e.vec_id, x.cid,
+         |    (${Vectors.dotSql("x.c", "x.c")}) - 2 * (${Vectors.dotSql("e.embedding", "x.c")}) AS dd
+         |  FROM e, $prev x),
+         |a$i AS (
+         |  SELECT vec_id, min({'d': dd, 'cid': cid}).cid AS cid
+         |  FROM d$i GROUP BY vec_id),
+         |m$i AS (
+         |  SELECT a.cid, g.i - 1 AS dim, count(*) AS n,
+         |    sum(CAST(round(e.embedding[g.i]::DOUBLE * 1000000.0) AS BIGINT))::DOUBLE
+         |      / 1000000.0 / count(*)::DOUBLE AS m
+         |  FROM a$i a JOIN e ON a.vec_id = e.vec_id,
+         |       unnest(generate_series(1, len(e.embedding))) g(i)
+         |  GROUP BY a.cid, g.i),
+         |c$i AS (
+         |  SELECT p.cid, COALESCE(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT cid, list(m ORDER BY dim) AS c FROM m$i GROUP BY cid) u
+         |    ON p.cid = u.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT * FROM (VALUES $c0rows) t(cid, c)),
+       |$iterCtes,
+       |fin AS (
+       |  SELECT e.vec_id, x.cid,
+       |    (${Vectors.dotSql("e.embedding", "e.embedding")}) + (${Vectors.dotSql("x.c", "x.c")})
+       |      - 2 * (${Vectors.dotSql("e.embedding", "x.c")}) AS dd
+       |  FROM e, c$LloydIters x)
+       |SELECT vec_id, CAST(min({'d': dd, 'cid': cid}).cid AS BIGINT) AS cluster_id,
+       |  min({'d': dd, 'cid': cid}).d AS dist_sq
+       |FROM fin
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // --- q_sim_ivfpq_topk -----------------------------------------------------
   // IVF-PQ COMPOSED — the shape a billion-vector index actually runs
   // (coarse quantizer routes, ADC scores, nothing else touches floats):
@@ -479,6 +604,7 @@ object Similarity {
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
     "q_sim_kmeans_update" -> (kmeansUpdate _),
+    "q_sim_kmeans_lloyd" -> (kmeansLloyd _),
     "q_sim_quantize" -> (quantize _))
 
   val oracles: Map[String, String] = Map(
@@ -489,5 +615,6 @@ object Similarity {
     "q_sim_ivf_topk" -> ivfTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,
     "q_sim_kmeans_update" -> kmeansUpdateSql,
+    "q_sim_kmeans_lloyd" -> kmeansLloydSql,
     "q_sim_quantize" -> quantizeSql)
 }

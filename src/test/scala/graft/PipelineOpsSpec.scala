@@ -149,6 +149,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(clusters.forall(c => c >= 0 && c < 8), s"cluster ids $clusters")
   }
 
+  test("Lloyd's iterations converge to blob means and reach a fixed point") {
+    import ss.implicits._
+    // Constructed corpus: two tight blobs around the cluster-2 and
+    // cluster-5 seeds with small deterministic perturbations. Training
+    // must (a) reach a FIXED POINT within 3 iterations (one more round
+    // changes nothing — the convergence contract), (b) move the two
+    // occupied centroids off their ±1 seeds to the blob means, (c) keep
+    // the six EMPTY clusters' seed centroids (the keep-prev rule), and
+    // (d) leave each blob in its own stable cluster.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lloyd").toString
+    def blob(seed: Int, base: Long, n: Int) = (0 until n).map { j =>
+      val w = Similarity.centroidWeights(seed)
+      (base + j, w.indices.map(i => w(i) + 0.001 * ((j * 7 + i) % 5)).toArray)
+    }
+    (blob(2, 0L, 12) ++ blob(5, 100L, 12)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val seeds = (0 until 8).map(Similarity.centroidWeights(_).toIndexedSeq)
+    val c3 = Similarity.lloydCentroids(spark, dir, 3)
+    val c4 = Similarity.lloydCentroids(spark, dir, 4)
+    assert(c3 == c4, "training must reach a fixed point within 3 iterations")
+    assert(c3(2) != seeds(2) && c3(5) != seeds(5),
+      "occupied centroids must move off their seeds to the blob means")
+    assert(Seq(0, 1, 3, 4, 6, 7).forall(c => c3(c) == seeds(c)),
+      "empty clusters must keep their seed centroids")
+    val assign = Similarity.kmeansLloyd(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id"))
+    val aClusters = assign.filter(_._1 < 100).map(_._2).toSet
+    val bClusters = assign.filter(_._1 >= 100).map(_._2).toSet
+    assert(aClusters.size == 1 && bClusters.size == 1 && aClusters != bClusters,
+      s"blobs must land in two distinct stable clusters: $aClusters / $bClusters")
+  }
+
   test("IVF-PQ candidates are exactly the probed cells' members (the sub-linear bound)") {
     import org.apache.spark.sql.functions._
     // The point of the coarse quantizer: only probed-cell vectors are
