@@ -450,4 +450,61 @@ class StreamingSpec extends SparkSpec {
         .except(expected.select("user_id", "ts", "value")).isEmpty)
     } finally events.unpersist()
   }
+
+  test("dedup drain under the RocksDB state store matches the default provider exactly") {
+    // The 100 TB answer for large keyed streaming state: the built-in
+    // RocksDB provider (state lives on executor local disk + spillable
+    // memtables instead of the JVM heap the default HDFSBacked provider
+    // uses). Same backlog drained under BOTH providers — each on its own
+    // cloned session with a fresh checkpoint — must admit the IDENTICAL
+    // surviving key set, and the RocksDB run must prove the provider
+    // actually managed the state: its checkpoint layout is
+    // {version}.zip/.changelog snapshots where the default writes
+    // {version}.delta files.
+    val src = dir("rocks-src")
+    val events = Tables.events(spark, sf).limit(500).cache()
+    try {
+      events.write.mode("overwrite").parquet(src)
+      def drain(rocks: Boolean): (Set[(Long, String, java.sql.Timestamp)], String) = {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        if (rocks) ss.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val cp = dir(if (rocks) "rocks-cp" else "hdfs-cp")
+        val name = s"rocks_vs_default_${if (rocks) "r" else "h"}"
+        val q = MicroBatch.dedupWithinWatermark(
+          MicroBatch.readEvents(ss, src, events))
+          .select("user_id", "event_type", "ts")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val rows = ss.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+        (rows, cp)
+      }
+      def stateFiles(cp: String): Seq[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$cp/state")).map(_.getName)
+      }
+      val (defRows, defCp) = drain(rocks = false)
+      val (rocksRows, rocksCp) = drain(rocks = true)
+      assert(rocksRows == defRows,
+        s"providers must agree: rocks=${rocksRows.size} default=${defRows.size}")
+      assert(defRows.nonEmpty, "empty drain would verify nothing")
+      assert(stateFiles(defCp).exists(_.endsWith(".delta")),
+        "sanity: the default HDFSBacked provider writes .delta state files")
+      assert(stateFiles(rocksCp).exists(n =>
+        n.endsWith(".zip") || n.endsWith(".changelog")),
+        "the RocksDB provider must actually manage the state " +
+          s"(saw: ${stateFiles(rocksCp).take(8).mkString(", ")})")
+      assert(!stateFiles(rocksCp).exists(_.endsWith(".delta")),
+        "a .delta file under the RocksDB checkpoint means the default provider ran")
+    } finally events.unpersist()
+  }
 }
