@@ -25,7 +25,7 @@ object Bench {
     // back-to-back repeats of one query land in the same phase — passes
     // over the whole suite decorrelate, and min-of-passes estimates the
     // repeatable cost (the noise is strictly additive).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Optional comma-separated allowlist for targeted re-measurement of
     // individual queries (regression triage); absent → full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -33,12 +33,19 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = scala.collection.mutable.Map[String, Double]()
+    // every successful pass's wall time, for the per-query MEAN emitted
+    // next to best-of-N in bench_detail.json: with host-variance phases
+    // dominating round-over-round deltas, (best, mean) together make a
+    // regression attributable without re-running — a plan regression
+    // moves BOTH, a noise phase moves only the mean.
+    val passes = scala.collection.mutable.Map[String, List[Double]]()
     for (_ <- 1 to runs; (name, fn) <- queries) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+        passes(name) = dt :: passes.getOrElse(name, Nil)
         // a query that failed one pass but succeeded another is healthy:
         // keep its timing, drop the stale error (error ⇒ zero passes ran)
         errors.remove(name)
@@ -57,6 +64,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val qsMean = queries.map { case (name, _) =>
+      val ps = passes.getOrElse(name, Nil)
+      val mean = if (ps.isEmpty) -1.0 else ps.sum / ps.size
+      "\"" + name + f"""\":$mean%.3f"""
+    }.mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -72,7 +84,7 @@ object Bench {
     val streamingTotal =
       results.collect { case (n, v) if drains.contains(n) && v >= 0 => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean,"errors":$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The per-query line grew past the driver's stdout tail window at 79
     // queries (round 3's BENCH parsed:null), so the LAST line is a compact
