@@ -490,7 +490,77 @@ object TextAnalysis {
        |HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY chunk_fp""".stripMargin
 
+  // --- q_tx_bigram_coherence ------------------------------------------------
+  // Statistical quality scoring — the relational analog of the
+  // perplexity filter every LLM curation pipeline runs (CCNet-style):
+  // score each document by how PREDICTABLE its word sequence is under a
+  // bigram model trained on the corpus itself. Per document, coherence =
+  // the average conditional probability P(w2|w1) = C(w1,w2)/C(w1·) over
+  // its bigram OCCURRENCES (prefix mass C(w1·) sums bigram counts, so
+  // probabilities per prefix sum to exactly 1). Gibberish and boilerplate
+  // separate cleanly: random token soup scores near 1/vocab, templated
+  // text near 1. Cross-engine determinism: each probability is one exact
+  // int/int division (bit-identical), rounded to 1e-6 fixed point so the
+  // per-doc SUM is exact integer arithmetic in any order (the k-means
+  // M-step convention); the final mean divides exact ints in double
+  // space.
+  //
+  // 100 TB shape: the bigram stream is a scan-side Generate (posexplode
+  // + lead, doc-grain window); the model tables are VOCABULARY-sized
+  // (Zipf: ≪ corpus — C(w1,w2) and its w1 rollup), so the two
+  // probability joins shuffle the bigram stream on short token keys,
+  // never documents; at larger scale the join keys become 8-byte token
+  // digests and the model broadcasts when it fits. In production the
+  // model trains ONCE on a clean held-out corpus and is a broadcast
+  // artifact; training it on the scored corpus itself (done here) is
+  // the bootstrap round.
+  def bigramCoherence(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "w1")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok
+      .withColumn("w2", lead("w1", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val pc = bc.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    big.join(bc, Seq("w1", "w2")).join(pc, Seq("w1"))
+      .select(col("doc_id"),
+        round(col("c12").cast("double") / col("c1").cast("double") * 1000000.0)
+          .cast("long").as("p_fixed"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_fixed").cast("decimal(38,0)")).as("sum_fixed"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_fixed").cast("double") / 1000000.0
+          / col("n_bigrams").cast("double")).as("coherence"))
+      .orderBy("doc_id")
+  }
+
+  val bigramCoherenceSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, g.i AS pos, t[g.i] AS w1, t[g.i + 1] AS w2
+       |  FROM (SELECT doc_id, ${tokensSqlOf("text")} AS t FROM documents),
+       |       unnest(generate_series(1, len(t) - 1)) g(i)),
+       |big AS (SELECT doc_id, w1, w2 FROM tok),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+       |pc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1),
+       |px AS (
+       |  SELECT b.doc_id,
+       |    CAST(round(bc.c12::DOUBLE / pc.c1::DOUBLE * 1000000.0) AS BIGINT) AS p_fixed
+       |  FROM big b
+       |  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+       |  JOIN pc ON b.w1 = pc.w1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  sum(p_fixed)::DOUBLE / 1000000.0 / count(*)::DOUBLE AS coherence
+       |FROM px
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_bigram_coherence" -> (bigramCoherence _),
     "q_tx_cdc_chunks" -> (cdcChunks _),
     "q_tx_nfc" -> (nfc _),
     "q_tx_repetition" -> (repetition _),
@@ -505,6 +575,7 @@ object TextAnalysis {
     "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
+    "q_tx_bigram_coherence" -> bigramCoherenceSql,
     "q_tx_cdc_chunks" -> cdcChunksSql,
     "q_tx_repetition" -> repetitionSql,
     "q_tx_ngram_top" -> ngramTopSql,
