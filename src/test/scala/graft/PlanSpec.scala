@@ -254,7 +254,8 @@ class PlanSpec extends SparkSpec {
     // Token counting / term explosion must happen scan-side so the
     // window / aggregation shuffles carry (key, count) digests; a text
     // column in any exchange means the corpus itself crosses the wire.
-    for (fn <- Seq(graft.queries.TrainPrep.pack _, graft.queries.TrainPrep.tfidf _)) {
+    for (fn <- Seq(graft.queries.TrainPrep.pack _, graft.queries.TrainPrep.tfidf _,
+      graft.queries.TextAnalysis.bigramCoherence _)) {
       val ex = shuffleOutputs(fn(spark, sf))
       assert(ex.nonEmpty, "expected at least one exchange")
       ex.foreach(e => assert(!e.output.exists(_.name == "text"),
