@@ -215,7 +215,49 @@ object Sampling {
        |ORDER BY q.doc_id""".stripMargin
   }
 
+  // --- q_sm_group_sample ----------------------------------------------------
+  // Deterministic per-group inspection sample: the k docs per source
+  // with the SMALLEST salted content hash — the "show me 5 random docs
+  // from every domain" query a curation team runs after each pipeline
+  // change, made reproducible (hash order, not rand()) and bounded (the
+  // top_k_by min-heap holds k rows per group with map-side combine — a
+  // per-domain sample of a 100 TB corpus costs one scan and a
+  // (source, k-array) digest shuffle; the window formulation the oracle
+  // uses would sort every domain's full history). Negated (hash,
+  // doc_id) structs make largest-k ≡ smallest-hash-k, with the unique
+  // id breaking hash-collision ties identically in both engines. The
+  // salt includes the source, so adding one domain never perturbs
+  // another's sample.
+  private val GroupSampleK = 5
+
+  def groupSample(s: SparkSession, d: String): DataFrame = {
+    val h = Hashes.md5Int32(
+      concat(col("doc_id").cast("string"), lit("_"), col("source")))
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKByFunctions.topKBy(
+        struct((-h).as("nh"), (-col("doc_id")).as("nid")), GroupSampleK).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("source"), (col("i") + 1).as("rnk"),
+        (-col("t.nid")).cast("long").as("doc_id"),
+        (-col("t.nh")).cast("long").as("h"))
+      .orderBy("source", "rnk")
+  }
+
+  val groupSampleSql: String = {
+    val h = Hashes.md5Int32Sql("doc_id::VARCHAR || '_' || source")
+    s"""SELECT source, CAST(rnk AS INT) AS rnk, doc_id, h
+       |FROM (
+       |  SELECT source, doc_id, $h AS h,
+       |    row_number() OVER (
+       |      PARTITION BY source ORDER BY $h, doc_id) AS rnk
+       |  FROM documents)
+       |WHERE rnk <= $GroupSampleK
+       |ORDER BY source, rnk""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sm_group_sample" -> (groupSample _),
     "q_sm_hash_sample" -> (hashSample _),
     "q_sm_stratified" -> (stratified _),
     "q_sm_split" -> (split _),
@@ -223,6 +265,7 @@ object Sampling {
     "q_sm_token_budget" -> (tokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "q_sm_group_sample" -> groupSampleSql,
     "q_sm_hash_sample" -> hashSampleSql,
     "q_sm_stratified" -> stratifiedSql,
     "q_sm_split" -> splitSql,
