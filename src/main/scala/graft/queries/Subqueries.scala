@@ -165,7 +165,57 @@ object Subqueries {
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin)
 
+  // --- q_tpch_q5: local-supplier-volume 6-table join ----------------------
+  // The canonical join-ORDER benchmark: region → nation → supplier are
+  // broadcast dims pruning in sequence (ASIA cuts 4/5 of nations, which
+  // cuts suppliers, which cuts the joined fact), the orders date slice
+  // pushes to its scan, and the one true fact-fact shuffle is
+  // lineitem ⋈ orders on orderkey; customer joins on custkey (shuffled —
+  // it grows with SF). The c_nationkey = s_nationkey condition ("local"
+  // suppliers) rides the supplier broadcast join. Revenue sums in
+  // DECIMAL(18,2) products like Q3 — exact, order-stable; (revenue
+  // DESC, n_name) is total.
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val sup = Tables.supplier(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q5" -> (tpchQ5 _),
     "q_sq_scalar" -> scalarFn,
     "q_sq_in" -> inFn,
     "q_sq_not_in" -> notInFn,
@@ -175,6 +225,7 @@ object Subqueries {
     "q_tpch_q13" -> tpchQ13Fn)
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q5" -> tpchQ5Sql,
     "q_sq_scalar" -> scalarSql,
     "q_sq_in" -> inSql,
     "q_sq_not_in" -> notInSql,

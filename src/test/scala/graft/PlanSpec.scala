@@ -154,6 +154,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "final top-10 must be a top-k")
   }
 
+  test("TPC-H Q5: region/nation/supplier broadcast, lineitem never does, dates push") {
+    val df = Subqueries.tpchQ5(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "dim joins should broadcast")
+    val broadcastSubtrees = allNodes(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcastSubtrees.nonEmpty, "expected broadcast exchanges for the dims")
+    broadcastSubtrees.foreach(b =>
+      assert(!b.toString.contains("lineitem"),
+        s"the lineitem fact table must not be broadcast:\n${b.toString.take(1500)}"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") && p.contains("LessThan(o_orderdate"),
+      "the order-date slice must push into the orders scan")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "the region filter must push into the region scan")
+  }
+
   test("IN / NOT IN subqueries decorrelate to semi / anti joins") {
     val pin = plan(spark.sql("SELECT 1").sparkSession.let(_ => Subqueries.all("q_sq_in")(spark, sf)))
     assert(pin.contains("LeftSemi"), s"IN should plan a semi join:\n${pin.take(1500)}")
