@@ -11,9 +11,11 @@ object Sessions {
   /** Engine configs every graft session needs. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
-    // events.parquet carries TIMESTAMP(NANOS); the vectorized reader
-    // refuses it unless nanos are surfaced as raw longs (Tables.events
-    // truncates them to micros, matching DuckDB's read of the same file).
+    // Early-vintage events.parquet carried TIMESTAMP(NANOS); the
+    // vectorized reader refuses it unless nanos are surfaced as raw longs
+    // (Tables.events truncates them to micros, matching DuckDB's read of
+    // the same file). Current datasets are TIMESTAMP(MICROS), where this
+    // conf is inert — kept so both vintages read (see Tables.events).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // keep catalog artifacts (bucketed-table demos) out of the repo tree
     // Spark 4 routes upper/lower through ICU case mappings even for

@@ -58,24 +58,24 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read
-    * nanos as raw long (legacy conf) and truncate to microseconds —
-    * exactly what DuckDB does when it reads the same file, so oracle
-    * comparisons agree.
-    *
-    * The conf has no per-read datasource-option form (checked
-    * ParquetOptions in the 4.1.2 jar), so it must be set at session
-    * construction — Bench/Verify/test builders all do (see
-    * [[Sessions.configure]]); mutating it here at read time would leak
-    * into concurrent queries on the shared session.
+  /** events.parquet vintage shim. Early driver datasets stored `ts` as
+    * parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects that
+    * outright ([PARQUET_TYPE_ILLEGAL]) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set at session
+    * construction, [[Sessions.configure]]) reads the raw nanos long,
+    * which we truncate to microseconds like DuckDB does. Current driver
+    * datasets store TIMESTAMP(MICROS), which reads natively as
+    * TIMESTAMP_NTZ; we cast that to TimestampType so every downstream
+    * consumer (watermarks, window frames, java.sql.Timestamp decoders)
+    * sees the one timestamp type the engine is written against — with
+    * the session pinned to UTC ([[Sessions.configure]]) the cast is an
+    * identity on the stored microseconds, exactly how DuckDB reads the
+    * same file. Dispatch on the LOADED type, not the path: the same code
+    * serves both vintages, and a regenerated dataset can never resurrect
+    * the [DATATYPE_MISMATCH] breakage.
     */
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true set at session " +
-        "construction (see graft.Sessions.configure)")
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
-  }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
@@ -87,7 +87,14 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     registerFunctions(spark)
-    eventsRaw(spark, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = eventsRaw(spark, d)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long vintage
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType => // MICROS vintage
+        raw.withColumn("ts", expr("cast(ts as timestamp)")) // UTC session: exact
+      case _ => raw // already TimestampType
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
