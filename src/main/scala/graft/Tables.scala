@@ -75,7 +75,14 @@ object Tables {
     * the [DATATYPE_MISMATCH] breakage.
     */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
+    try spark.read.parquet(s"$sfDir/events.parquet")
+    catch {
+      case e: Throwable if Option(e.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL")) =>
+        throw new IllegalStateException(
+          s"events.parquet at $sfDir uses parquet TIMESTAMP(NANOS); this session " +
+            "was not built with spark.sql.legacy.parquet.nanosAsLong=true. Build the " +
+            "session via graft.Sessions.configure, which sets it.", e)
+    }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
@@ -92,8 +99,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // nanos-as-long vintage
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _: org.apache.spark.sql.types.TimestampNTZType => // MICROS vintage
-        raw.withColumn("ts", expr("cast(ts as timestamp)")) // UTC session: exact
-      case _ => raw // already TimestampType
+        // Explicit TimestampType (LTZ), independent of spark.sql.timestampType:
+        // with the session pinned to UTC the cast is exact on the stored micros.
+        raw.withColumn("ts", raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column loaded as unsupported type $other; supported " +
+            "vintages are TIMESTAMP(NANOS)-as-long (needs Sessions.configure) and " +
+            "TIMESTAMP(MICROS)/TIMESTAMP_LTZ")
     }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")

@@ -63,13 +63,20 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
-  /** Decode dispatch: binary PPM/PGM payloads get the REAL codec
-    * ([[Pnm]] — header parse, pixel stats as the 8-dim feature); other
-    * formats fall back to [[fakeDecode]], the honest stand-in for codecs
-    * this container lacks (JPEG/PNG/audio). The feature contract (bytes
-    * in → 8 floats out) is identical on both paths. */
+  /** Raster dispatch: try the uncompressed family first (PNM magic is a
+    * 2-byte check), then the compressed one ([[Png]] — signature, CRC,
+    * inflate, unfilter). None ⇒ the caller's stub path. */
+  def decodeRaster(payload: Array[Byte]): Option[Pnm.Image] =
+    Pnm.decode(payload).orElse(Png.decode(payload))
+
+  /** Decode dispatch: binary PPM/PGM payloads get the REAL uncompressed
+    * codec ([[Pnm]]) and PNG payloads the REAL compressed codec
+    * ([[Png]] — zlib inflate + scanline unfilter); other formats fall
+    * back to [[fakeDecode]], the honest stand-in for codecs this
+    * container lacks (JPEG/compressed audio). The feature contract
+    * (bytes in → 8 floats out) is identical on all paths. */
   def decode(payload: Array[Byte]): (Long, Array[Float]) =
-    Pnm.decode(payload) match {
+    decodeRaster(payload) match {
       case Some(img) =>
         var checksum = 17L
         var i = 0
@@ -130,13 +137,17 @@ object Multimodal {
     media.select(col("media_id"), col("meta.media_type"), col("meta.width"),
       col("meta.height"))
 
-  /** Resize dispatch: PPM/PGM payloads are REALLY resized (decode →
-    * nearest-neighbor downsample on the pixel grid → re-encode); other
-    * formats fall back to [[fakeResize]]. */
+  /** Resize dispatch: PPM/PGM and PNG payloads are REALLY resized
+    * (decode → nearest-neighbor downsample on the pixel grid →
+    * re-encode in the source format); other formats fall back to
+    * [[fakeResize]]. */
   def resizePayload(payload: Array[Byte], factor: Int): Array[Byte] =
     Pnm.decode(payload) match {
       case Some(img) => Pnm.encode(Pnm.resizeNearest(img, factor))
-      case None => fakeResize(payload, factor)
+      case None => Png.decode(payload) match {
+        case Some(img) => Png.encode(Pnm.resizeNearest(img, factor))
+        case None => fakeResize(payload, factor)
+      }
     }
 
   /** STUB — deterministic fake resize for formats without an

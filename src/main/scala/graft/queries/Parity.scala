@@ -925,6 +925,104 @@ object Parity {
        |GROUP BY media_id, win_idx
        |ORDER BY media_id, win_idx""".stripMargin
 
+  // --- q_mm_png_decode ------------------------------------------------------
+  // The COMPRESSED image codec, driver-verified by construction: each
+  // doc's first 96 bytes become the pixels of an 8×4 truecolour PNG
+  // encoded with a DIFFERENT spec filter on every scanline (Sub, Up,
+  // Average, Paeth on rows 0..3 — every non-trivial arm of the
+  // unfilter loop is load-bearing), zlib-deflated and chunk-framed
+  // with real CRCs, then decoded back through the full Png.decode path
+  // (signature, CRC verify, inflate, per-filter reconstruction). The
+  // DuckDB oracle never sees a PNG: it computes the channel sums
+  // straight from the text's character codes, so a bug in any filter's
+  // reconstruction, the inflate plumbing, or the chunk framing breaks
+  // the hash. Same raster constants as q_mm_pnm_decode, so the oracle
+  // is shared — the codec under test is the only difference.
+  def pngDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = PnmW * PnmH * 3
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= n)
+      .filter(octet_length(substring(col("text"), 1, n)) === n)
+      .select(col("doc_id"), substring(col("text"), 1, n).cast("binary").as("px"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, px) =>
+        val img = graft.multimodal.Pnm.Image(3, PnmW, PnmH, px)
+        val png = graft.multimodal.Png.encode(img, y => 1 + (y % 4))
+        val back = graft.multimodal.Png.decode(png)
+          .getOrElse(sys.error(s"png payload of doc $id failed to decode"))
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < back.pixels.length) { sums(i % 3) += back.pixels(i) & 0xff; i += 1 }
+        (id, back.width, back.height, back.channels, sums(0), sums(1), sums(2))
+      }
+      .toDF("media_id", "width", "height", "channels", "sum_r", "sum_g", "sum_b")
+      .orderBy("media_id")
+  }
+
+  /** Header-blind by construction, and the PNG row reuses the PNM
+    * oracle verbatim: both decode to the same 8×4 raster of text
+    * bytes, so the expected sums are identical — only the codec under
+    * test differs. */
+  val pngDecodeSql: String = pnmDecodeSql
+
+  // --- q_mm_wav_windows -----------------------------------------------------
+  // The AUDIO CONTAINER path: real corpora carry WAV/RIFF framing, not
+  // bare PCM. Each doc's first 96 bytes become the PCM data chunk of a
+  // constructed WAV whose header varies per row — sample rate from
+  // doc_id arithmetic, an ancillary LIST chunk of varying odd/even
+  // length between fmt and data on even ids (exercising the aligned
+  // chunk walk), and an IEEE-float format code on id%7=0 rows that the
+  // parse MUST reject (rejection is part of the verified contract).
+  // Wav.wavWindows parses the container relationally (binary substring
+  // + little-endian reassembly in column exprs), slices the data chunk,
+  // and runs the exact integer window pass. The header-blind oracle
+  // reproduces sample rates from the same arithmetic, windows from
+  // character codes, and drops the float rows — a bug in the chunk
+  // walk, the LE reassembly, the rejection filter, or the data slice
+  // breaks the hash.
+  def wavWindowsQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= PcmBytes)
+      .filter(octet_length(substring(col("text"), 1, PcmBytes)) === PcmBytes)
+      .select(col("doc_id"), substring(col("text"), 1, PcmBytes).cast("binary").as("pcm"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, pcm) =>
+        val rate = 8000 + (id % 4).toInt * 4000
+        val junk = if (id % 2 == 0)
+          Seq(("LIST", Array.tabulate(((id % 5) + 1).toInt)(i => (i * 37 + id).toByte)))
+        else Nil
+        val fmtCode = if (id % 7 == 0) 3 else 1 // float rows must be rejected
+        (id, graft.multimodal.Wav.encode(rate, 1, 16, pcm, junk, fmtCode))
+      }
+      .toDF("media_id", "payload")
+    graft.multimodal.Wav.wavWindows(media)
+      .orderBy("media_id", "win_idx")
+  }
+
+  val wavWindowsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $PcmBytes) AS s
+       |  FROM documents WHERE length(text) >= $PcmBytes
+       |    AND octet_length(encode(substring(text, 1, $PcmBytes))) = $PcmBytes
+       |    AND doc_id % 7 <> 0),
+       |sm AS (
+       |  SELECT media_id, CAST((i - 1) // 16 AS INT) AS win_idx,
+       |    ord(substring(s, 2 * i - 1, 1)) + 256 * ord(substring(s, 2 * i, 1)) AS raw
+       |  FROM d, unnest(generate_series(1, ${PcmBytes / 2})) g(i)),
+       |sv AS (
+       |  SELECT media_id, win_idx,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+       |  FROM sm)
+       |SELECT media_id, CAST(8000 + (media_id % 4) * 4000 AS BIGINT) AS sample_rate,
+       |  win_idx, 16 AS n_samples,
+       |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak
+       |FROM sv
+       |GROUP BY media_id, win_idx
+       |ORDER BY media_id, win_idx""".stripMargin
+
   // --- q_w8_schema_evolution ------------------------------------------------
   // Schema evolution across landing generations — the warehouse-side
   // counterpart of the inferred field catalog (A5): a new column starts
@@ -1209,6 +1307,8 @@ object Parity {
     "q_st_static_join" -> (streamStaticJoin _),
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
+    "q_mm_png_decode" -> (pngDecode _),
+    "q_mm_wav_windows" -> (wavWindowsQ _),
     "q_mm_resize" -> (pnmResize _),
     "q_mm_pcm_windows" -> (pcmWindows _),
     "q_mm_pnm_featurize" -> (pnmFeaturize _),
@@ -1239,6 +1339,8 @@ object Parity {
     "q_st_static_join" -> streamStaticJoinSql,
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,
+    "q_mm_png_decode" -> pngDecodeSql,
+    "q_mm_wav_windows" -> wavWindowsSql,
     "q_mm_resize" -> pnmResizeSql,
     "q_mm_pcm_windows" -> pcmWindowsSql,
     "q_mm_pnm_featurize" -> pnmFeaturizeSql,
