@@ -457,7 +457,12 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val kmeansLloydSql: String = {
+  /** The Lloyd training replay as a CTE chain (`e`, `c0`, then
+    * d/a/m/c per round — `c$LloydIters` holds the trained centroids).
+    * Shared by the kmeansLloyd oracle and the trained-IVF-PQ oracle,
+    * so both engines derive the SAME coarse quantizer from the same
+    * replay. */
+  private def lloydChainSql: String = {
     def centLit(c: IndexedSeq[Double]): String =
       c.map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     val c0rows = (0 until NumCentroids)
@@ -484,9 +489,13 @@ object Similarity {
          |    (SELECT cid, list(m ORDER BY dim) AS c FROM m$i GROUP BY cid) u
          |    ON p.cid = u.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT * FROM (VALUES $c0rows) t(cid, c)),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  val kmeansLloydSql: String = {
+    s"""WITH $lloydChainSql,
        |fin AS (
        |  SELECT e.vec_id, x.cid,
        |    (${Vectors.dotSql("e.embedding", "e.embedding")}) + (${Vectors.dotSql("x.c", "x.c")})
@@ -596,7 +605,100 @@ object Similarity {
        |LIMIT $K""".stripMargin
   }
 
+  // --- q_sim_ivfpq_trained --------------------------------------------------
+  // IVF-PQ with a TRAINED coarse quantizer — the actual index-build path
+  // of a billion-vector system: lloydCentroids trains the cells (3
+  // Lloyd rounds from the ±1 seeds, fixed-point means), the trained
+  // means are embedded as plan literals (the lineage-reset trick of
+  // kmeansLloyd — the 8×64-double model artifact is the ONLY thing
+  // that ever leaves the cluster), and routing/membership both run
+  // argmin-L2 against them (trained centroids are not equal-norm, so
+  // the argmax-dot shortcut of the seed-based router would be WRONG
+  // here — using lloydBest is semantics, not style). Candidates are
+  // scored by PQ asymmetric distance exactly as q_sim_ivfpq_topk. The
+  // DuckDB twin REPLAYS the training (the shared Lloyd CTE chain),
+  // routes and scores from its own c3 — a drift anywhere in training,
+  // routing, membership, or ADC breaks the hash.
+  private[graft] def ivfPqTrainedCandidates(s: SparkSession, d: String): DataFrame = {
+    val cents = lloydCentroids(s, d, LloydIters)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    // query routing: NProbe cells by ascending (L2, cid) — struct sort
+    // is lexicographic in both engines, ties to the lowest cell id
+    val cellStructs = array(cents.zipWithIndex.map { case (c, cid) =>
+      val cArr = array(c.map(lit): _*)
+      struct((Vectors.dot(cArr, cArr) - lit(2.0) * Vectors.dot(col("qv"), cArr)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probe = transform(slice(array_sort(cellStructs), 1, NProbe),
+      x => x.getField("cid").cast("long"))
+    def wArr(m: Int, k: Int) = array(pqWeights(m, k).map(lit): _*)
+    val adc = (0 until PqM).map { m =>
+      val subV = slice(col("v"), m * PqSub + 1, PqSub)
+      val subQ = slice(col("qv"), m * PqSub + 1, PqSub)
+      val best = array_max(array((0 until PqK).map { k =>
+        struct(Vectors.dot(subV, wArr(m, k)).as("score"), lit(-k).as("nk"))
+      }: _*))
+      val lut = array((0 until PqK).map(k => Vectors.dot(subQ, wArr(m, k))): _*)
+      element_at(lut, (-best.getField("nk") + 1).cast("int"))
+    }.reduce(_ + _)
+    e.filter(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cell", lloydBest(col("v"), cents).getField("cid").cast("long"))
+      .filter(array_contains(probe, col("cell")))
+      .select(col("vec_id"), col("cell"), adc.as("adc"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+  }
+
+  def ivfPqTrainedTopK(s: SparkSession, d: String): DataFrame =
+    ivfPqTrainedCandidates(s, d)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(K)
+
+  val ivfPqTrainedSql: String = {
+    def wLit(m: Int, k: Int): String =
+      pqWeights(m, k).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val subDefs = (0 until PqM).flatMap(m => Seq(
+      s"v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v$m",
+      s"qv[${m * PqSub + 1}:${(m + 1) * PqSub}] AS q$m")).mkString(", ")
+    val adcTerms = (0 until PqM).map { m =>
+      val structs = (0 until PqK)
+        .map(k => s"{'score': ${Vectors.dotSql(s"v$m", wLit(m, k))}, 'nk': ${-k}}")
+        .mkString("[", ", ", "]")
+      val lut = (0 until PqK)
+        .map(k => Vectors.dotSql(s"q$m", wLit(m, k)))
+        .mkString("[", ", ", "]")
+      s"($lut)[CAST(-(list_max($structs).nk) + 1 AS INT)]"
+    }.mkString(" + ")
+    s"""WITH $lloydChainSql,
+       |q AS (SELECT embedding AS qv FROM e WHERE vec_id = $QueryId),
+       |probe AS (
+       |  SELECT x.cid
+       |  FROM c$LloydIters x, q
+       |  ORDER BY (${Vectors.dotSql("x.c", "x.c")}) - 2 * (${Vectors.dotSql("q.qv", "x.c")}), x.cid
+       |  LIMIT $NProbe),
+       |assign AS (
+       |  SELECT e.vec_id, min({'d': (${Vectors.dotSql("x.c", "x.c")})
+       |      - 2 * (${Vectors.dotSql("e.embedding", "x.c")}), 'cid': x.cid}).cid AS cell
+       |  FROM e, c$LloydIters x
+       |  WHERE e.vec_id <> $QueryId
+       |  GROUP BY e.vec_id),
+       |cand AS (
+       |  SELECT a.vec_id, a.cell, e.embedding AS v, q.qv
+       |  FROM assign a
+       |  JOIN e ON e.vec_id = a.vec_id, q
+       |  WHERE a.cell IN (SELECT cid FROM probe)),
+       |sub AS (SELECT vec_id, cell, v, qv, $subDefs FROM cand)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, $adcTerms AS adc,
+       |  ${Vectors.cosineSql("v", "qv")} AS cosine
+       |FROM sub
+       |ORDER BY adc DESC, vec_id
+       |LIMIT $K""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ivfpq_trained" -> (ivfPqTrainedTopK _),
     "q_sim_ivfpq_topk" -> (ivfPqTopK _),
     "q_sim_pq" -> (pqEncode _),
     "q_sim_pq_adc" -> (pqAdcTopK _),
@@ -608,6 +710,7 @@ object Similarity {
     "q_sim_quantize" -> (quantize _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_ivfpq_trained" -> ivfPqTrainedSql,
     "q_sim_ivfpq_topk" -> ivfPqTopKSql,
     "q_sim_pq" -> pqEncodeSql,
     "q_sim_pq_adc" -> pqAdcTopKSql,

@@ -21,7 +21,7 @@ import graft.Tables
 object Subqueries {
 
   private def withViews(s: SparkSession, d: String): Unit =
-    Seq("customer", "orders", "lineitem").foreach { t =>
+    Seq("customer", "orders", "lineitem", "supplier", "nation").foreach { t =>
       Tables.load(s, d, t).createOrReplaceTempView(t)
     }
 
@@ -214,7 +214,42 @@ object Subqueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // --- q_tpch_q21: suppliers-who-kept-orders-waiting semi/anti chain ------
+  // The canonical DECORRELATION stress (TPC-H Q21): a fact-table EXISTS
+  // and NOT EXISTS, both correlated to the same lineitem self-join key.
+  // Catalyst plans the EXISTS as a left SEMI join and the NOT EXISTS as
+  // a left ANTI join, both shuffled on l_orderkey — three hash joins
+  // over the same key, no per-row re-execution, no cartesian, and
+  // lineitem itself is never broadcast (PlanSpec-asserted); only the
+  // supplier/nation dims broadcast. The reference schema's
+  // receipt-after-commit lateness columns don't exist in the synthetic
+  // lineitem, so the per-line fault predicate is l_returnflag = 'R' —
+  // same shape ("this supplier's line was the problem"), same
+  // correlated structure: the semi requires another supplier on the
+  // order, the anti requires NO other supplier's line to be at fault.
+  // ORDER BY (numwait DESC, s_name) is total: s_name is unique.
+  private val (tpchQ21Fn, tpchQ21SqlText) = sqlBoth(
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND n_name = 'NATION_3'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q21" -> tpchQ21Fn,
     "q_tpch_q5" -> (tpchQ5 _),
     "q_sq_scalar" -> scalarFn,
     "q_sq_in" -> inFn,
@@ -225,6 +260,7 @@ object Subqueries {
     "q_tpch_q13" -> tpchQ13Fn)
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q21" -> tpchQ21SqlText,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_sq_scalar" -> scalarSql,
     "q_sq_in" -> inSql,

@@ -204,4 +204,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(candIds.size < assign.length - 1,
       "routing must prune: candidate set equals the whole corpus")
   }
+
+  test("trained IVF-PQ candidates are exactly the probed trained cells' members") {
+    import org.apache.spark.sql.functions._
+    // Same sub-linear bound as the seed-based row, but membership is now
+    // the TRAINED quantizer's assignment (kmeansLloyd), which is the
+    // independent recomputation of the candidate filter's cell column.
+    val cand = Similarity.ivfPqTrainedCandidates(spark, sf).collect()
+    val candIds = cand.map(_.getAs[Long]("vec_id")).toSet
+    val probedCells = cand.map(_.getAs[Long]("cell")).toSet
+    assert(probedCells.size <= 2, s"NProbe=2 but saw cells $probedCells")
+    val assign = Similarity.kmeansLloyd(spark, sf)
+      .select(col("vec_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = assign.collect {
+      case (id, c) if probedCells.contains(c) && id != 0L => id
+    }.toSet
+    assert(candIds == expected,
+      s"candidates must be exactly the probed trained cells' members: " +
+        s"${candIds.size} vs ${expected.size}")
+    assert(candIds.size < assign.length - 1,
+      "routing must prune: candidate set equals the whole corpus")
+  }
 }
