@@ -40,8 +40,7 @@ object Sessions {
         .appName(appName)
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
-    graft.functions.VectorFunctions.register(s)
-    graft.functions.BoundedCollectFunctions.register(s)
+    Tables.registerFunctions(s) // the one registry list — see Tables
     s
   }
 }

@@ -30,6 +30,7 @@ object Tables {
     graft.functions.BoundedCollectFunctions.register(spark)
     graft.functions.TopKByFunctions.register(spark)
     graft.functions.TextFunctions.register(spark)
+    graft.functions.HeavyHittersFunctions.register(spark)
   }
 
   /** Staged-artifact tag for SF dir `d`: the sanitized path plus a

@@ -559,7 +559,128 @@ object TextAnalysis {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_tx_bigram_broadcast ------------------------------------------------
+  // The SKEW-HARDENED form of q_tx_bigram_coherence, and CCNet's actual
+  // model shape: the vocabulary truncates to the top [[VocabTopK]]
+  // tokens (ties broken by token — a total order), everything else maps
+  // to <unk>, and the conditional-probability model over the truncated
+  // vocab BROADCASTS into the scoring join. The coherence row's
+  // full-vocab design shuffle-joins the bigram stream on w1 — on a web
+  // corpus that key is stop-word-skewed ("the" carries percent-level
+  // mass) and the join partition for it hot-spots; here the model is
+  // bounded by (K+1)² rows by construction, so BOTH scoring joins (the
+  // vocab membership probe and the probability lookup) are broadcast
+  // hash joins: the bigram stream never shuffles on a token key at
+  // all. Remaining exchanges are the doc-grain window/aggregation and
+  // the map-side-combined model build (≤ (K+1)² rows per partition
+  // reach the wire). Training on the scored corpus itself is the same
+  // bootstrap round as the coherence row; the model trains once and is
+  // a broadcast artifact in production. Same fixed-point arithmetic,
+  // so the oracle — which models the same truncation — hash-matches.
+  private val VocabTopK = 64
+
+  def bigramBroadcast(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(VocabTopK)
+      .select(col("w"), lit(true).as("in_vocab"))
+    val mapped = tok
+      .join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("in_vocab").isNotNull, col("w")).otherwise(lit("<unk>")).as("wm"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val big = mapped
+      .withColumn("w2m", lead("wm", 1).over(win))
+      .filter(col("w2m").isNotNull)
+      .select(col("doc_id"), col("wm").as("w1m"), col("w2m"))
+    val bc = big.groupBy("w1m", "w2m").agg(count(lit(1)).as("c12"))
+    val pc = bc.groupBy("w1m").agg(sum(col("c12")).as("c1"))
+    val model = bc.join(broadcast(pc), Seq("w1m"))
+      .select(col("w1m"), col("w2m"),
+        round(col("c12").cast("double") / col("c1").cast("double") * 1000000.0)
+          .cast("long").as("p_fixed"))
+    big.join(broadcast(model), Seq("w1m", "w2m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_fixed").cast("decimal(38,0)")).as("sum_fixed"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_fixed").cast("double") / 1000000.0
+          / col("n_bigrams").cast("double")).as("coherence"))
+      .orderBy("doc_id")
+  }
+
+  val bigramBroadcastSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, g.i AS pos, t[g.i] AS w
+       |  FROM (SELECT doc_id, ${tokensSqlOf("text")} AS t FROM documents),
+       |       unnest(generate_series(1, len(t))) g(i)),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS c FROM tok GROUP BY w
+       |    ORDER BY c DESC, w LIMIT $VocabTopK)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN w IN (SELECT w FROM vocab) THEN w ELSE '<unk>' END AS wm
+       |  FROM tok),
+       |big AS (
+       |  SELECT doc_id, w1m, w2m FROM (
+       |    SELECT doc_id, wm AS w1m,
+       |      lead(wm) OVER (PARTITION BY doc_id ORDER BY pos) AS w2m
+       |    FROM m) WHERE w2m IS NOT NULL),
+       |bc AS (SELECT w1m, w2m, count(*) AS c12 FROM big GROUP BY 1, 2),
+       |pc AS (SELECT w1m, sum(c12) AS c1 FROM bc GROUP BY 1),
+       |px AS (
+       |  SELECT b.doc_id,
+       |    CAST(round(bc.c12::DOUBLE / pc.c1::DOUBLE * 1000000.0) AS BIGINT) AS p_fixed
+       |  FROM big b
+       |  JOIN bc ON b.w1m = bc.w1m AND b.w2m = bc.w2m
+       |  JOIN pc ON b.w1m = pc.w1m)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  sum(p_fixed)::DOUBLE / 1000000.0 / count(*)::DOUBLE AS coherence
+       |FROM px
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // --- q_tx_heavy_hitters ---------------------------------------------------
+  // Vocabulary heavy hitters by SKETCH — the 100 TB form of
+  // q_tx_ngram_top: the exact row aggregates the FULL vocabulary
+  // (every distinct token is a group) before truncating, which is
+  // exactly the thing that doesn't fit at web scale. The Misra–Gries
+  // aggregate ([[graft.functions.HeavyHitters]]) holds HhK counters
+  // total — O(k) state per stage, map-side combinable, merge-safe —
+  // and guarantees every token with true frequency > N/HhK surfaces,
+  // each estimate within [true − N/HhK, true]. Like the HLL/quantile
+  // sketch rows there is no cross-engine oracle (MG counters depend
+  // on merge order by construction) → the driver records rows-only;
+  // BoundedCollectSpec pins the bound against the exact counts and a
+  // planted-key property. The exact count rides along per surfaced
+  // token (a broadcast-size join — the sketch output is ≤ HhK rows),
+  // making the row self-validating exactly like q_ag_approx_distinct —
+  // and it's the SKETCH side (≤ HhK rows) that broadcasts into that
+  // join, never the full-vocabulary exact side.
+  private val HhK = 64
+
+  def heavyHittersQ(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HeavyHittersFunctions.heavyHitters
+    val tok = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sketch = tok
+      .agg(count(lit(1)).as("n_total"), heavyHitters(col("tok"), HhK).as("hh"))
+      .select(col("n_total"), explode(col("hh")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("est_count"),
+        col("n_total"))
+    val exact = tok.groupBy(col("tok").as("token"))
+      .agg(count(lit(1)).as("exact_count"))
+    exact.join(broadcast(sketch), Seq("token"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_heavy_hitters" -> (heavyHittersQ _),
+    "q_tx_bigram_broadcast" -> (bigramBroadcast _),
     "q_tx_bigram_coherence" -> (bigramCoherence _),
     "q_tx_cdc_chunks" -> (cdcChunks _),
     "q_tx_nfc" -> (nfc _),
@@ -575,6 +696,7 @@ object TextAnalysis {
     "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
+    "q_tx_bigram_broadcast" -> bigramBroadcastSql,
     "q_tx_bigram_coherence" -> bigramCoherenceSql,
     "q_tx_cdc_chunks" -> cdcChunksSql,
     "q_tx_repetition" -> repetitionSql,

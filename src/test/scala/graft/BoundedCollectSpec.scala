@@ -72,6 +72,60 @@ class BoundedCollectSpec extends SparkSpec {
     assert(bounded == reference)
   }
 
+  test("heavy_hitters holds the Misra-Gries bound against exact counts") {
+    import ss.implicits._
+    import graft.functions.HeavyHittersFunctions.heavyHitters
+    // a Zipf-ish stream across partitions: the bound must survive
+    // map-side partials + merges under any partition order
+    val k = 16
+    val items = (1 to 20000).map(i => s"w${i % (i % 97 + 3)}")
+    val df = items.toDF("w").repartition(13)
+    val n = items.size.toLong
+    val est = df.agg(heavyHitters(col("w"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("w"), col("e.est").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(est.size <= k, s"sketch must hold at most $k counters, got ${est.size}")
+    val exact = items.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    est.foreach { case (w, e) =>
+      val t = exact.getOrElse(w, 0L)
+      assert(e <= t, s"$w: estimate $e exceeds true count $t")
+      assert(e >= t - n / k, s"$w: estimate $e below the N/k bound (true $t)")
+    }
+    // guarantee: every item with true count > N/k is present
+    exact.filter(_._2 > n / k).keys.foreach(w =>
+      assert(est.contains(w), s"true heavy hitter $w missing from the sketch"))
+  }
+
+  test("heavy_hitters surfaces a planted dominant key from a wide tail") {
+    import ss.implicits._
+    import graft.functions.HeavyHittersFunctions.heavyHitters
+    // 60% of the stream is one planted key, the rest is 40k distinct
+    // singletons — the exact aggregation would build 40k groups; the
+    // sketch must find the key with k = 8 counters
+    val planted = Seq.fill(60000)("PLANTED")
+    val tail = (1 to 40000).map(i => s"tail_$i")
+    val df = scala.util.Random.shuffle(planted ++ tail).toDF("w").repartition(17)
+    val top = df.agg(heavyHitters(col("w"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("w"), col("e.est").as("est"))
+      .as[(String, Long)].collect()
+      .sortBy(-_._2)
+    assert(top.head._1 == "PLANTED", s"planted key not on top: ${top.toSeq}")
+    assert(top.head._2 <= 60000L && top.head._2 >= 60000L - 100000L / 8,
+      s"planted estimate ${top.head._2} outside the MG bound")
+  }
+
+  test("heavy_hitters is callable from SQL via the registry") {
+    import ss.implicits._
+    Seq("a", "a", "a", "b", "b", "c").toDF("w").createOrReplaceTempView("hh_input")
+    val rows = ss.sql(
+      "SELECT inline(heavy_hitters(w, 10)) FROM hh_input")
+      .as[(String, Long)].collect().toSeq
+    // below capacity the sketch IS the exact multiset, sorted (est desc, item)
+    assert(rows == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("bounded_collect is callable from SQL via the registry") {
     import ss.implicits._
     Seq((1, 10L), (1, 20L), (2, 30L)).toDF("k", "v")

@@ -304,12 +304,28 @@ class PlanSpec extends SparkSpec {
     // window / aggregation shuffles carry (key, count) digests; a text
     // column in any exchange means the corpus itself crosses the wire.
     for (fn <- Seq(graft.queries.TrainPrep.pack _, graft.queries.TrainPrep.tfidf _,
-      graft.queries.TextAnalysis.bigramCoherence _)) {
+      graft.queries.TextAnalysis.bigramCoherence _,
+      graft.queries.TextAnalysis.bigramBroadcast _)) {
       val ex = shuffleOutputs(fn(spark, sf))
       assert(ex.nonEmpty, "expected at least one exchange")
       ex.foreach(e => assert(!e.output.exists(_.name == "text"),
         s"text must not shuffle: ${e.output.map(_.name).mkString(", ")}"))
     }
+  }
+
+  test("broadcast bigram scoring: the model broadcasts, no token-key shuffle join") {
+    // The skew-hardened variant's contract: the vocabulary probe and
+    // the probability lookup are BROADCAST joins (the model is
+    // (K+1)^2-bounded by construction), so the bigram stream never
+    // shuffle-joins on a stop-word-skewed token key. The only
+    // exchanges left are doc-grain (window, final agg) and the
+    // map-side-combined model build.
+    val df = graft.queries.TextAnalysis.bigramBroadcast(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the model must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no token-key shuffle join allowed in the broadcast variant:\n${p.take(2000)}")
   }
 
   test("mixture sampling broadcasts the rate table, never shuffle-joins the corpus") {

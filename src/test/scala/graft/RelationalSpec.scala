@@ -8,7 +8,8 @@ class RelationalSpec extends SparkSpec {
   test("every registered query runs and has an oracle or is exempt") {
     // Exempt = approximate/sketch operators: no exact cross-engine oracle
     // exists by construction; the driver records a rows-only check.
-    val exempt = Set("q_ag_approx_distinct", "q_ag_approx_percentile")
+    val exempt = Set("q_ag_approx_distinct", "q_ag_approx_percentile",
+      "q_tx_heavy_hitters")
     SparkEntry.queries.keys.foreach { name =>
       assert(SparkEntry.oracleSql.contains(name) || exempt.contains(name),
         s"$name has no oracle entry")
