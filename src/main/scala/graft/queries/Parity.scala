@@ -1123,6 +1123,41 @@ object Parity {
       |FROM w WHERE n_prior >= 10 AND value > 3 * (sum_prior / n_prior)
       |ORDER BY user_id, ts, value""".stripMargin
 
+  // --- q_st_anomaly_v2 ------------------------------------------------------
+  // The SAME anomaly operator on Spark 4's transformWithState API
+  // (MicroBatch.AnomalyProcessor): named state variables, timers, TTL,
+  // state schema evolution — the forward path for custom keyed state.
+  // Driver-verified through a REAL streaming drain (unlike q_st_anomaly's
+  // batch execution): the API supports only the RocksDB state store, and
+  // its snapshot-upload reporting needs the driver StateStoreCoordinator
+  // that only streaming execution instantiates — batch transformWithState
+  // dies on CANNOT_LOAD_STATE_STORE in a coordinator-less session. The
+  // backlog lands once and drains as ONE AvailableNow micro-batch (no
+  // maxFilesPerTrigger), so every user's rows meet the processor together
+  // and the (ts, value) in-batch sort makes the emitted set deterministic
+  // — hash-equal to the same DuckDB window-replay oracle as q_st_anomaly,
+  // pinning both state APIs to the same exact-cents semantics.
+  def anomalyBatchV2(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream_tws", d)
+    landOnce(ev, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_tws_$runId"
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = graft.streaming.MicroBatch.anomaliesV2(
+        graft.streaming.MicroBatch.readEvents(ss, s"$root/src", ev))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+    }.orderBy("user_id", "ts", "value")
+  }
+
   // --- q_mm_meta_stats ------------------------------------------------------
   // Metadata-only rollup over the media table: dimension-bucketed counts
   // and size totals computed WITHOUT touching the payload column. This is
@@ -1281,7 +1316,8 @@ object Parity {
     * regression there must not be misattributed to streaming. */
   val drainBackedQueries: Set[String] = Set(
     "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_upsert",
-    "q_st_stream_join", "q_st_outer_join", "q_st_static_join")
+    "q_st_stream_join", "q_st_outer_join", "q_st_static_join",
+    "q_st_anomaly_v2") // a real RocksDB drain, unlike the batch twin q_st_anomaly
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_chunked_rest" -> (chunkedRest _),
@@ -1313,6 +1349,7 @@ object Parity {
     "q_mm_pcm_windows" -> (pcmWindows _),
     "q_mm_pnm_featurize" -> (pnmFeaturize _),
     "q_st_anomaly" -> (anomalyBatch _),
+    "q_st_anomaly_v2" -> (anomalyBatchV2 _),
     "q_mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
@@ -1345,5 +1382,6 @@ object Parity {
     "q_mm_pcm_windows" -> pcmWindowsSql,
     "q_mm_pnm_featurize" -> pnmFeaturizeSql,
     "q_st_anomaly" -> anomalyBatchSql,
+    "q_st_anomaly_v2" -> anomalyBatchSql, // same semantics, same oracle
     "q_mm_frame_sample" -> frameSampleSql)
 }

@@ -211,4 +211,57 @@ object MicroBatch {
           out.iterator
         })
   }
+
+  /** The same anomaly operator on Spark 4's `transformWithState` API —
+    * the forward path for custom keyed state: explicit NAMED state
+    * variables (value/list/map), timers, per-state TTL, and state
+    * schema evolution, none of which `flatMapGroupsWithState`'s single
+    * opaque state value offers. Semantics are bit-identical to
+    * [[anomalies]] (same per-key fold, same (ts, value) ordering, same
+    * exact-cents mean), which StreamingSpec pins by running both
+    * operators over the same backlog. Streaming runs REQUIRE the
+    * RocksDB state store provider (the only backend the API supports —
+    * also this engine's large-state answer everywhere else); batch
+    * execution runs the processor over whole groups with empty initial
+    * state, exactly like the flatMapGroupsWithState batch twin.
+    */
+  class AnomalyProcessor(factor: Double, minN: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, Double), Anomaly] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var st: ValueState[RunningStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RunningStats]("running",
+        org.apache.spark.sql.Encoders.product[RunningStats], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[Anomaly] = {
+      var s = if (st.exists()) st.get() else RunningStats(0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
+      rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).foreach { case (_, ts, v) =>
+        def mean = s.sumCents.toDouble / 100.0 / s.n
+        if (s.n >= minN && v > factor * mean)
+          out += Anomaly(uid, ts, v, mean)
+        s = RunningStats(s.n + 1, s.sumCents + math.round(v * 100))
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[anomalies]] through [[AnomalyProcessor]]/`transformWithState`. */
+  def anomaliesV2(events: DataFrame, factor: Double = 3.0, minN: Long = 10)
+  : org.apache.spark.sql.Dataset[Anomaly] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor(factor, minN),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

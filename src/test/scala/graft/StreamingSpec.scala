@@ -451,6 +451,47 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("transformWithState anomaly operator equals the flatMapGroupsWithState one") {
+    // The Spark 4 state API port: same backlog through BOTH operators —
+    // anomaliesV2 (StatefulProcessor + named ValueState, streaming under
+    // the RocksDB provider the API requires, state carried across two
+    // checkpointed ticks) and the batch prefix-mean twin — must emit
+    // the identical anomaly set with identical exact-cents means.
+    val src = dir("tws-src")
+    val cp = dir("tws-cp")
+    val sink = dir("tws-sink")
+    val events = Tables.events(spark, sf).cache()
+    try {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      def drain(): Unit = {
+        val q = MicroBatch.anomaliesV2(MicroBatch.readEvents(ss, src, events))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      events.filter(col("ts") < cut).write.mode("append").parquet(src)
+      drain()
+      events.filter(col("ts") >= cut).write.mode("append").parquet(src)
+      drain()
+      val got = spark.read.parquet(sink)
+      val batchTwin = MicroBatch.anomalies(events.select("user_id", "ts", "value")).toDF()
+      assert(got.count() > 0, "corpus should contain at least one anomaly")
+      assert(got.count() === batchTwin.count(),
+        s"tws=${got.count()} fmgws=${batchTwin.count()}")
+      // full-row agreement including the emitted mean (exact cents on
+      // both paths, so the doubles must be bit-identical)
+      assert(got.except(batchTwin).isEmpty && batchTwin.except(got).isEmpty,
+        "transformWithState and flatMapGroupsWithState must agree row-for-row")
+    } finally events.unpersist()
+  }
+
   test("dedup drain under the RocksDB state store matches the default provider exactly") {
     // The 100 TB answer for large keyed streaming state: the built-in
     // RocksDB provider (state lives on executor local disk + spillable
@@ -506,5 +547,71 @@ class StreamingSpec extends SparkSpec {
       assert(!stateFiles(rocksCp).exists(_.endsWith(".delta")),
         "a .delta file under the RocksDB checkpoint means the default provider ran")
     } finally events.unpersist()
+  }
+
+  test("near-dup drain under RocksDB matches the default provider signature set") {
+    // The dedup-drain RocksDB proof above uses event keys; THIS is the
+    // state that actually grows with corpus size — one entry per
+    // distinct minhash signature in the watermark horizon — so the
+    // large-state provider must be proven on it. Same backlog, both
+    // providers, fresh checkpoints: the surviving signature sets must
+    // be identical, and the RocksDB checkpoint must carry RocksDB
+    // artifacts (zip/changelog), never the default's .delta files. The
+    // second RocksDB drain from a fresh checkpoint re-derives the same
+    // set — state from the first run must not leak across runs (the
+    // bench-interference question: cross-run contention is allowed,
+    // cross-run STATE is not).
+    val src = dir("rocks-nd-src")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text")).cache()
+    try {
+      docs.write.mode("overwrite").parquet(src)
+      def drain(rocks: Boolean, tag: String): (Set[Option[String]], String) = {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        if (rocks) ss.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val cp = dir(s"rocks-nd-cp-$tag")
+        val name = s"rocks_nd_$tag"
+        val stream = MicroBatch.readEvents(ss, src, docs)
+          .select(col("doc_id"),
+            graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
+            timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
+          .select(col("doc_id"),
+            graft.queries.Dedup.minhashSigFromHashes(col("hs")).as("sig"),
+            col("ts"))
+        val q = MicroBatch.neardupWithinWatermark(stream)
+          .select("sig")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val rows = ss.table(name).collect()
+          .map(r => Option(r.getString(0))).toSet
+        (rows, cp)
+      }
+      def stateFiles(cp: String): Seq[String] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(s"$cp/state")).map(_.getName)
+      }
+      val (defSigs, _) = drain(rocks = false, "h")
+      val (rocksSigs, rocksCp) = drain(rocks = true, "r1")
+      assert(rocksSigs == defSigs,
+        s"providers must agree: rocks=${rocksSigs.size} default=${defSigs.size}")
+      assert(defSigs.nonEmpty, "empty drain would verify nothing")
+      assert(stateFiles(rocksCp).exists(n =>
+        n.endsWith(".zip") || n.endsWith(".changelog")),
+        "the RocksDB provider must actually manage the near-dup state " +
+          s"(saw: ${stateFiles(rocksCp).take(8).mkString(", ")})")
+      assert(!stateFiles(rocksCp).exists(_.endsWith(".delta")),
+        "a .delta file under the RocksDB checkpoint means the default provider ran")
+      val (rocksSigs2, _) = drain(rocks = true, "r2")
+      assert(rocksSigs2 == rocksSigs,
+        "a fresh-checkpoint re-drain must not see state from the previous run")
+    } finally docs.unpersist()
   }
 }
