@@ -620,7 +620,7 @@ object Similarity {
   // routes and scores from its own c3 — a drift anywhere in training,
   // routing, membership, or ADC breaks the hash.
   private[graft] def ivfPqTrainedCandidates(s: SparkSession, d: String): DataFrame = {
-    val cents = lloydCentroids(s, d, LloydIters)
+    val cents = trainedCentroids(s, d)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
@@ -697,7 +697,99 @@ object Similarity {
        |LIMIT $K""".stripMargin
   }
 
+  // --- q_sim_ivf_pruned -----------------------------------------------------
+  // The IVF access path MADE PHYSICAL: every other ANN row filters
+  // probed cells out of a full scan (correct, but the scan still reads
+  // the corpus); a deployed billion-vector index stores the corpus
+  // PARTITIONED BY CELL so a probe only ever reads ~NProbe/C of the
+  // data. This row stages exactly that layout — embeddings assigned to
+  // their TRAINED cell (same quantizer as q_sim_ivfpq_trained) and
+  // written `partitionBy("cell")`, the on-disk IVF inverted lists —
+  // then routes the query to its NProbe cells IN-PLAN and joins the
+  // probe set against the partitioned corpus, which Spark's dynamic
+  // partition pruning turns into a scan of ONLY the probed `cell=`
+  // directories (LayoutSpec asserts `dynamicpruning` on the executed
+  // scan and numPartitions == the probe count — the q_ly_dpp machinery
+  // applied to ANN). Scoring is exact cosine within the probed cells
+  // (IVF-FLAT — the ADC variant of the same routing is
+  // q_sim_ivfpq_trained). The DuckDB twin replays training, routing,
+  // membership, and cosine off the flat table: equal output proves the
+  // layout is a pure access-path optimization, like q_ly_pruned_history.
+  private val lloydCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[IndexedSeq[Double]]]()
+
+  /** Trained coarse quantizer, cached per staged dataset: the model is
+    * an index-build artifact (train once, reuse per query), so queries
+    * composing it shouldn't pay 3 training rounds each. Keyed on the
+    * content fingerprint, so regenerated data retrains. */
+  private[graft] def trainedCentroids(s: SparkSession, d: String): IndexedSeq[IndexedSeq[Double]] =
+    lloydCache.computeIfAbsent(Tables.stageTag(d), _ => lloydCentroids(s, d, LloydIters))
+
+  /** The staged cell-partitioned corpus (the on-disk IVF index),
+    * written once per dataset fingerprint. */
+  private[graft] def corpusByCell(s: SparkSession, d: String): DataFrame = {
+    val tag = Tables.stageTag(d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ivf_$tag/corpus_by_cell"
+    if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+      val cents = trainedCentroids(s, d)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("cell", lloydBest(col("v"), cents).getField("cid").cast("long"))
+        .write.partitionBy("cell").mode("overwrite").parquet(root)
+    }
+    s.read.parquet(root)
+  }
+
+  def ivfPrunedTopK(s: SparkSession, d: String): DataFrame = {
+    val cents = trainedCentroids(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    val cellStructs = array(cents.zipWithIndex.map { case (c, cid) =>
+      val cArr = array(c.map(lit): _*)
+      struct((Vectors.dot(cArr, cArr) - lit(2.0) * Vectors.dot(col("qv"), cArr)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    // the probe set as ROWS (not an array filter): joining it against
+    // the partitioned corpus is what lets DPP prune the cell= dirs
+    val probe = q.select(explode(
+      transform(slice(array_sort(cellStructs), 1, NProbe),
+        x => x.getField("cid").cast("long"))).as("cell"))
+    corpusByCell(s, d)
+      .withColumn("cell", col("cell").cast("long")) // partition col reads as int
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(K)
+  }
+
+  val ivfPrunedSql: String =
+    s"""WITH $lloydChainSql,
+       |q AS (SELECT embedding AS qv FROM e WHERE vec_id = $QueryId),
+       |probe AS (
+       |  SELECT x.cid
+       |  FROM c$LloydIters x, q
+       |  ORDER BY (${Vectors.dotSql("x.c", "x.c")}) - 2 * (${Vectors.dotSql("q.qv", "x.c")}), x.cid
+       |  LIMIT $NProbe),
+       |assign AS (
+       |  SELECT e.vec_id, min({'d': (${Vectors.dotSql("x.c", "x.c")})
+       |      - 2 * (${Vectors.dotSql("e.embedding", "x.c")}), 'cid': x.cid}).cid AS cell
+       |  FROM e, c$LloydIters x
+       |  WHERE e.vec_id <> $QueryId
+       |  GROUP BY e.vec_id)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       |  ${Vectors.cosineSql("e.embedding", "q.qv")} AS cosine
+       |FROM assign a
+       |JOIN e ON e.vec_id = a.vec_id, q
+       |WHERE a.cell IN (SELECT cid FROM probe)
+       |ORDER BY cosine DESC, a.vec_id
+       |LIMIT $K""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_ivf_pruned" -> (ivfPrunedTopK _),
     "q_sim_ivfpq_trained" -> (ivfPqTrainedTopK _),
     "q_sim_ivfpq_topk" -> (ivfPqTopK _),
     "q_sim_pq" -> (pqEncode _),
@@ -710,6 +802,7 @@ object Similarity {
     "q_sim_quantize" -> (quantize _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_ivf_pruned" -> ivfPrunedSql,
     "q_sim_ivfpq_trained" -> ivfPqTrainedSql,
     "q_sim_ivfpq_topk" -> ivfPqTopKSql,
     "q_sim_pq" -> pqEncodeSql,

@@ -199,6 +199,47 @@ class LayoutSpec extends SparkSpec {
         s"${pruned.head.metrics("numPartitions").value}")
   }
 
+  test("IVF probe reads ONLY the probed cell partitions (DPP on the ANN index)") {
+    // q_sim_ivf_pruned's contract: the corpus is staged partitionBy(cell)
+    // with the TRAINED quantizer (the on-disk inverted lists), and the
+    // probe join must dynamically prune the scan to the NProbe probed
+    // cell= directories — never the whole corpus.
+    val df = graft.queries.Similarity.ivfPrunedTopK(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "probe must return candidates at every SF")
+    val probedCells = rows.map(_.getAs[Long]("cell")).distinct
+    assert(probedCells.length <= 2, s"NProbe=2 but saw cells ${probedCells.toSeq}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"the corpus scan should carry a dynamic pruning filter on cell:\n${p.take(2000)}")
+    def nodes(pl: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = pl match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case _ => Nil
+      }
+      pl +: (pl.children ++ inner).flatMap(nodes)
+    }
+    val pruned = nodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("corpus_by_cell")) => f
+    }
+    assert(pruned.nonEmpty, "expected the cell-partitioned corpus scan in the plan")
+    val n = pruned.head.metrics("numPartitions").value
+    val tag = Tables.stageTag(sf)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ivf_$tag/corpus_by_cell"
+    val totalCells = new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(n > 0 && n <= 2, s"expected <= NProbe pruned cell partitions, got $n")
+    assert(n < totalCells,
+      s"probe must prune: read $n of $totalCells cell partitions")
+  }
+
   test("z-ordered layout bounds BOTH dimension spans per file") {
     // The property that makes z-order worth it: a single-dim sort gives
     // tight files on that dim but full-range spans on the other; the
