@@ -592,10 +592,15 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"),
         when(col("in_vocab").isNotNull, col("w")).otherwise(lit("<unk>")).as("wm"))
     val win = Window.partitionBy("doc_id").orderBy("pos")
+    // localCheckpoint: the bigram stream feeds BOTH the model build and
+    // the scoring join — without pinning, the tokenize + explode +
+    // window stage recomputes per consumer (the q_dd_ngram_jaccard
+    // checkpointed-shingle-reuse pattern)
     val big = mapped
       .withColumn("w2m", lead("wm", 1).over(win))
       .filter(col("w2m").isNotNull)
       .select(col("doc_id"), col("wm").as("w1m"), col("w2m"))
+      .localCheckpoint()
     val bc = big.groupBy("w1m", "w2m").agg(count(lit(1)).as("c12"))
     val pc = bc.groupBy("w1m").agg(sum(col("c12")).as("c1"))
     val model = bc.join(broadcast(pc), Seq("w1m"))
