@@ -63,17 +63,18 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
-  /** Raster dispatch: try the uncompressed family first (PNM magic is a
-    * 2-byte check), then the compressed one ([[Png]] — signature, CRC,
-    * inflate, unfilter). None ⇒ the caller's stub path. */
+  /** Raster dispatch: the uncompressed family first (PNM magic is a
+    * 2-byte check), then the compressed ones — [[Png]] (signature, CRC,
+    * inflate, unfilter) and [[Jpeg]] (the JDK's bundled ImageIO codec).
+    * None ⇒ the caller's stub path. */
   def decodeRaster(payload: Array[Byte]): Option[Pnm.Image] =
-    Pnm.decode(payload).orElse(Png.decode(payload))
+    Pnm.decode(payload).orElse(Png.decode(payload)).orElse(Jpeg.decode(payload))
 
   /** Decode dispatch: binary PPM/PGM payloads get the REAL uncompressed
-    * codec ([[Pnm]]) and PNG payloads the REAL compressed codec
-    * ([[Png]] — zlib inflate + scanline unfilter); other formats fall
-    * back to [[fakeDecode]], the honest stand-in for codecs this
-    * container lacks (JPEG/compressed audio). The feature contract
+    * codec ([[Pnm]]), PNG payloads the REAL hand-rolled compressed codec
+    * ([[Png]] — zlib inflate + scanline unfilter), and JPEG payloads the
+    * JDK's bundled ImageIO codec ([[Jpeg]]); only compressed-audio
+    * containers still fall back to [[fakeDecode]]. The feature contract
     * (bytes in → 8 floats out) is identical on all paths. */
   def decode(payload: Array[Byte]): (Long, Array[Float]) =
     decodeRaster(payload) match {
@@ -146,7 +147,10 @@ object Multimodal {
       case Some(img) => Pnm.encode(Pnm.resizeNearest(img, factor))
       case None => Png.decode(payload) match {
         case Some(img) => Png.encode(Pnm.resizeNearest(img, factor))
-        case None => fakeResize(payload, factor)
+        case None => Jpeg.decode(payload) match {
+          case Some(img) => Jpeg.encode(Pnm.resizeNearest(img, factor))
+          case None => fakeResize(payload, factor)
+        }
       }
     }
 

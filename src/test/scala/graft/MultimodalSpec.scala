@@ -192,6 +192,46 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.pixels.toSeq === Seq[Byte](1, 3))
   }
 
+  test("JPEG codec: encode/decode within lossy tolerance; rejection; dispatch routing") {
+    import graft.multimodal.{Jpeg, Pnm}
+    // smooth gradient — the content class JPEG represents well, so a
+    // tight per-pixel tolerance is meaningful (a channel-order or
+    // subsampling bug produces errors far beyond it)
+    val w = 32; val h = 16
+    val px = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      px(base) = (x * 8).toByte
+      px(base + 1) = (y * 16).toByte
+      px(base + 2) = ((x + y) * 5).toByte
+    }
+    val img = Pnm.Image(3, w, h, px)
+    val jpeg = Jpeg.encode(img, quality = 0.95f)
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8, "SOI magic")
+    val back = Jpeg.decode(jpeg).getOrElse(fail("jpeg failed to decode"))
+    assert((back.channels, back.width, back.height) === ((3, w, h)))
+    val diffs = px.indices.map(i => math.abs((px(i) & 0xff) - (back.pixels(i) & 0xff)))
+    assert(diffs.max <= 24, s"per-pixel error too large: ${diffs.max}")
+    assert(diffs.sum.toDouble / diffs.size <= 4.0,
+      s"mean error too large: ${diffs.sum.toDouble / diffs.size}")
+    // rejection: bad magic, truncated stream, garbage behind the magic
+    assert(Jpeg.decode("not a jpeg".getBytes).isEmpty)
+    assert(Jpeg.decode(jpeg.take(20).toArray).isEmpty)
+    assert(Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array.fill[Byte](64)(7)).isEmpty)
+    // dispatch: decodeFeatures routes JPEG through the real codec — the
+    // channel means must reflect the gradient, not the byte-soup fake
+    val (_, feat) = Multimodal.decode(jpeg)
+    val exactMeans = Pnm.meanChannels(img)
+    for (c <- 0 until 3)
+      assert(math.abs(feat(c) - exactMeans(c)) < 0.02f,
+        s"channel $c mean ${feat(c)} vs exact ${exactMeans(c)}")
+    assert(feat(4) === 3.0f)
+    // resize: JPEG in → JPEG out, dims halved
+    val resized = Jpeg.decode(Multimodal.resizePayload(jpeg, 2)).get
+    assert((resized.width, resized.height) === ((w / 2, h / 2)))
+  }
+
   test("WAV parse: chunk walk, LE reassembly, odd-pad, and rejection contract") {
     import ss.implicits._
     import graft.multimodal.Wav
