@@ -149,6 +149,50 @@ object Wav {
       .drop("_walk")
   }
 
+  /** G.711 μ-law expansion (the standard telephony COMPANDING codec —
+    * 8-bit logarithmic codewords → 14-bit linear samples): closed-form
+    * integer arithmetic straight from the spec, so unlike DCT-family
+    * audio codecs it is exactly reproducible in any engine — the one
+    * compressed-audio decode that can be hash-oracled. */
+  def ulawToLinear(code: Int): Int = {
+    val u = ~code & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Audio windows over μ-law WAV blobs (audioFormat=7, 8-bit mono):
+    * container parse and admission are the same relational pass as
+    * [[wavWindows]]; each admitted byte expands through
+    * [[ulawToLinear]] before the exact integer energy/peak window —
+    * the real decode path of a telephony/call-center corpus. */
+  def ulawWindows(media: DataFrame, windowSamples: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    parseMeta(media)
+      .filter(col("wav_valid") && col("audio_format") === 7 &&
+        col("bits_per_sample") === 8 && col("n_channels") === 1)
+      .select(col("media_id"), col("sample_rate"),
+        col("payload").substr(col("data_off").cast("int"),
+          col("data_len").cast("int")).as("ulaw"))
+      .as[(Long, Long, Array[Byte])]
+      .flatMap { case (id, rate, b) =>
+        val nWin = b.length / windowSamples
+        (0 until nWin).map { w =>
+          var i = w * windowSamples
+          var ss = 0L
+          var peak = 0L
+          while (i < (w + 1) * windowSamples) {
+            val v = ulawToLinear(b(i) & 0xff)
+            ss += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v).toLong
+            i += 1
+          }
+          (id, rate, w, windowSamples, ss, peak)
+        }
+      }
+      .toDF("media_id", "sample_rate", "win_idx", "n_samples", "sum_sq", "peak")
+  }
+
   /** Audio windows over WAV blobs: parse the container relationally,
     * ADMIT only integer-PCM 16-bit mono (everything else — float WAV,
     * multi-channel, truncated, non-RIFF — drops out, by contract),

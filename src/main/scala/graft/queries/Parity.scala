@@ -1023,6 +1023,65 @@ object Parity {
        |GROUP BY media_id, win_idx
        |ORDER BY media_id, win_idx""".stripMargin
 
+  // --- q_mm_ulaw_windows ----------------------------------------------------
+  // COMPRESSED audio, driver-verified: G.711 μ-law is the standard
+  // telephony companding codec (8-bit log codewords → 14-bit linear),
+  // and uniquely among compressed audio its expansion is closed-form
+  // integer arithmetic — exactly reproducible in DuckDB, so the decode
+  // itself is hash-oracled (DCT-family codecs can only ever be
+  // spec-bounded). Each doc's first 96 bytes become the codeword data
+  // chunk of a constructed μ-law WAV (audioFormat=7, 8-bit mono, junk
+  // LIST chunk on even ids); id%5=0 rows are planted as LINEAR 8-bit
+  // PCM (format=1) that the μ-law path MUST reject. Wav.ulawWindows
+  // parses the container relationally, expands every admitted codeword
+  // through the spec formula, and emits exact integer energy/peak
+  // windows; the header-blind oracle replays the same formula from
+  // character codes — a companding-table, sign, or window bug breaks
+  // the hash.
+  def ulawWindowsQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= PcmBytes)
+      .filter(octet_length(substring(col("text"), 1, PcmBytes)) === PcmBytes)
+      .select(col("doc_id"), substring(col("text"), 1, PcmBytes).cast("binary").as("codes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, codes) =>
+        val rate = 8000 + (id % 2).toInt * 8000
+        val junk = if (id % 2 == 0)
+          Seq(("LIST", Array.tabulate(((id % 3) + 1).toInt)(i => (i + id).toByte)))
+        else Nil
+        val fmtCode = if (id % 5 == 0) 1 else 7 // linear rows must be rejected
+        (id, graft.multimodal.Wav.encode(rate, 1, 8, codes, junk, fmtCode))
+      }
+      .toDF("media_id", "payload")
+    graft.multimodal.Wav.ulawWindows(media)
+      .orderBy("media_id", "win_idx")
+  }
+
+  val ulawWindowsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $PcmBytes) AS s
+       |  FROM documents WHERE length(text) >= $PcmBytes
+       |    AND octet_length(encode(substring(text, 1, $PcmBytes))) = $PcmBytes
+       |    AND doc_id % 5 <> 0),
+       |u AS (
+       |  SELECT media_id, CAST((i - 1) // 16 AS INT) AS win_idx,
+       |    255 - ord(substring(s, i, 1)) AS u
+       |  FROM d, unnest(generate_series(1, $PcmBytes)) g(i)),
+       |sv AS (
+       |  SELECT media_id, win_idx,
+       |    CASE WHEN u >= 128
+       |      THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+       |      ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132 END AS v
+       |  FROM u)
+       |SELECT media_id, CAST(8000 + (media_id % 2) * 8000 AS BIGINT) AS sample_rate,
+       |  win_idx, 16 AS n_samples,
+       |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak
+       |FROM sv
+       |GROUP BY media_id, win_idx
+       |ORDER BY media_id, win_idx""".stripMargin
+
   // --- q_w8_schema_evolution ------------------------------------------------
   // Schema evolution across landing generations — the warehouse-side
   // counterpart of the inferred field catalog (A5): a new column starts
@@ -1345,6 +1404,7 @@ object Parity {
     "q_mm_pnm_decode" -> (pnmDecode _),
     "q_mm_png_decode" -> (pngDecode _),
     "q_mm_wav_windows" -> (wavWindowsQ _),
+    "q_mm_ulaw_windows" -> (ulawWindowsQ _),
     "q_mm_resize" -> (pnmResize _),
     "q_mm_pcm_windows" -> (pcmWindows _),
     "q_mm_pnm_featurize" -> (pnmFeaturize _),
@@ -1378,6 +1438,7 @@ object Parity {
     "q_mm_pnm_decode" -> pnmDecodeSql,
     "q_mm_png_decode" -> pngDecodeSql,
     "q_mm_wav_windows" -> wavWindowsSql,
+    "q_mm_ulaw_windows" -> ulawWindowsSql,
     "q_mm_resize" -> pnmResizeSql,
     "q_mm_pcm_windows" -> pcmWindowsSql,
     "q_mm_pnm_featurize" -> pnmFeaturizeSql,

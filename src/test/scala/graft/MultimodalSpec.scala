@@ -262,6 +262,33 @@ class MultimodalSpec extends SparkSpec {
     assert(win(0).getAs[Long]("peak") == bare.getAs[Long]("peak"))
   }
 
+  test("u-law expansion goldens and window pass admit only format-7 mono") {
+    import ss.implicits._
+    import graft.multimodal.Wav
+    // spec-table goldens: extremes and the two zero codes
+    assert(Wav.ulawToLinear(0x00) === -32124)
+    assert(Wav.ulawToLinear(0x80) === 32124)
+    assert(Wav.ulawToLinear(0xff) === 0)
+    assert(Wav.ulawToLinear(0x7f) === 0)
+    // sign symmetry: code and code|0x80 decode to negatives of each other
+    for (c <- 0 until 128)
+      assert(Wav.ulawToLinear(c) === -Wav.ulawToLinear(c | 0x80), s"code $c")
+    val codes = Array[Byte](0x00, 0x80.toByte, 0xff.toByte, 0x7f,
+      0x23, 0xa3.toByte, 0x55, 0xd5.toByte,
+      0x10, 0x90.toByte, 0x01, 0x81.toByte, 0x42, 0xc2.toByte, 0x33, 0xb3.toByte)
+    val rows = Seq(
+      (1L, Wav.encode(8000, 1, 8, codes, audioFormat = 7)), // u-law: admitted
+      (2L, Wav.encode(8000, 1, 8, codes)), // linear PCM8: rejected
+      (3L, Wav.encode(8000, 2, 8, codes, audioFormat = 7))) // stereo: rejected
+    val got = Wav.ulawWindows(rows.toDF("media_id", "payload"), windowSamples = 16)
+      .collect()
+    assert(got.map(_.getAs[Long]("media_id")).toSeq == Seq(1L),
+      "only format-7 8-bit mono rows may pass")
+    val decoded = codes.map(b => Wav.ulawToLinear(b & 0xff))
+    assert(got.head.getAs[Long]("sum_sq") === decoded.map(v => v.toLong * v).sum)
+    assert(got.head.getAs[Long]("peak") === decoded.map(v => math.abs(v).toLong).max)
+  }
+
   test("PCM16 windows: little-endian sign handling, exact energy, partial tail dropped") {
     import ss.implicits._
     // constructed samples incl. negatives (the driver corpus is ASCII so
