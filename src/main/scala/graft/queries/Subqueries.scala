@@ -21,7 +21,7 @@ import graft.Tables
 object Subqueries {
 
   private def withViews(s: SparkSession, d: String): Unit =
-    Seq("customer", "orders", "lineitem", "supplier", "nation").foreach { t =>
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "part").foreach { t =>
       Tables.load(s, d, t).createOrReplaceTempView(t)
     }
 
@@ -248,7 +248,32 @@ object Subqueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin)
 
+  // --- q_tpch_q17: small-quantity-order revenue (correlated scalar agg) ----
+  // The OTHER canonical decorrelation shape next to Q21's semi/anti: a
+  // correlated SCALAR AGGREGATE in the WHERE — each line compares its
+  // quantity against 20% of ITS part's average. Catalyst decorrelates
+  // to a per-partkey aggregate joined back on the correlation key (one
+  // shuffle each side, no per-row re-execution). Grouped by p_brand
+  // (the classic filters one brand; the synthetic part table has no
+  // container column, and the 25-row per-brand output is a stronger
+  // hash than Q17's single scalar). The threshold average routes
+  // through exact integers — quantities are integer-valued doubles, so
+  // SUM(round(qty)) is exact and the one division is IEEE-deterministic;
+  // a bare avg()'s parallel double summation would drift the threshold
+  // bits between engines and flip boundary rows.
+  private val (tpchQ17Fn, tpchQ17SqlText) = sqlBoth(
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (
+      |  SELECT 0.2 * (CAST(SUM(CAST(round(l2.l_quantity) AS BIGINT)) AS DOUBLE) / count(*))
+      |  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q17" -> tpchQ17Fn,
     "q_tpch_q21" -> tpchQ21Fn,
     "q_tpch_q5" -> (tpchQ5 _),
     "q_sq_scalar" -> scalarFn,
@@ -260,6 +285,7 @@ object Subqueries {
     "q_tpch_q13" -> tpchQ13Fn)
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q17" -> tpchQ17SqlText,
     "q_tpch_q21" -> tpchQ21SqlText,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_sq_scalar" -> scalarSql,
