@@ -264,4 +264,90 @@ object MicroBatch {
       .transformWithState(new AnomalyProcessor(factor, minN),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One closed session: [start, last] with its event count. */
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_last: java.sql.Timestamp, n_events: Long)
+
+  /** Open-session state: bounds + count, one value per key. */
+  case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
+
+  /** Hand-rolled sessionization on `transformWithState` exercising the
+    * API surface the built-ins can't reach: EVENT-TIME TIMERS. The
+    * built-in `session_window` aggregate closes sessions inside the
+    * operator; this processor closes them explicitly — a session ends
+    * either when a later in-batch event arrives past the gap, or when
+    * the registered event-time timer (last event + gap) fires as the
+    * watermark passes it (`handleExpiredTimer`). That timer path is
+    * what window aggregates cannot express for CUSTOM state machines
+    * (emit-on-inactivity, escalation deadlines, TTL'd enrichment), and
+    * it is exactly what `flatMapGroupsWithState`'s coarse timeout
+    * callback grew into. StreamingSpec holds the drained output equal
+    * to the batch `session_window` aggregate over the closed prefix,
+    * including sessions SPANNING a checkpointed tick boundary.
+    */
+  class SessionProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), SessionOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var st: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionAcc]("open_session",
+        org.apache.spark.sql.Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    private def close(uid: Long, acc: SessionAcc): SessionOut =
+      SessionOut(uid, new java.sql.Timestamp(acc.startMs),
+        new java.sql.Timestamp(acc.lastMs), acc.n)
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var acc: SessionAcc = if (st.exists()) st.get() else null
+      rows.toSeq.map(_._2.getTime).sorted.foreach { t =>
+        if (acc == null) acc = SessionAcc(t, t, 1)
+        else if (t - acc.lastMs <= gapMs) acc = SessionAcc(acc.startMs, t, acc.n + 1)
+        else { // closed by DATA: a later event past the gap
+          out += close(uid, acc)
+          acc = SessionAcc(t, t, 1)
+        }
+      }
+      st.update(acc)
+      // one pending timer per key: the open session's deadline moves
+      // with its last event, so drop stale timers and arm the new one
+      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+      getHandle.registerTimer(acc.lastMs + gapMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+    : Iterator[SessionOut] =
+      if (st.exists()) { // closed by TIME: the watermark passed last + gap
+        val acc = st.get()
+        st.clear()
+        Iterator.single(close(uid, acc))
+      } else Iterator.empty
+  }
+
+  /** Timer-driven sessionization drain: watermarked events through
+    * [[SessionProcessor]] (event-time mode — timers fire as the
+    * watermark passes them). RocksDB provider required, like every
+    * transformWithState query. */
+  def sessionsV2(events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+                 watermark: String = "1 hour")
+  : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -492,6 +492,78 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("transformWithState event-time timers close sessions across a tick boundary") {
+    import ss.implicits._
+    // The API surface flatMapGroupsWithState's coarse timeout callback
+    // grew into: per-key EVENT-TIME TIMERS. Constructed events pin all
+    // three closure paths of MicroBatch.SessionProcessor:
+    //  - user 1 session A closes by DATA (a later in-batch event past
+    //    the 30 min gap), session B by TIMER (watermark passes last+gap)
+    //  - user 2's session SPANS the tick boundary (state + re-armed
+    //    timer must survive the checkpoint), then closes by data
+    //  - user 3's trailing event only advances the watermark; its own
+    //    open session must be WITHHELD (timer not yet fireable)
+    val src = dir("tws-sess-src")
+    val cp = dir("tws-sess-cp")
+    val sink = dir("tws-sess-sink")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // tick1's max ts stays at 01:25 so the tick-1 watermark (max − 1 h
+    // = 00:25) is BEHIND u2's tick-2 continuation at 01:00 — otherwise
+    // the continuation would be dropped as late, which is watermark
+    // semantics working, not the timer path under test
+    val tick1 = Seq(
+      (1L, t("2024-01-01 00:00:00")), (1L, t("2024-01-01 00:10:00")), // u1 A
+      (1L, t("2024-01-01 01:20:00")), (1L, t("2024-01-01 01:25:00")), // u1 B
+      (2L, t("2024-01-01 00:50:00"))) // u2 opens
+    val tick2 = Seq(
+      (2L, t("2024-01-01 01:00:00")), // u2 continues within gap (merged)
+      (2L, t("2024-01-01 06:00:00")), // closes u2's merged session by data
+      (3L, t("2024-01-01 12:00:00"))) // watermark driver; u3 stays open
+    val schemaFrom = tick1.toDF("user_id", "ts")
+    val ssn = spark.newSession()
+    ssn.conf.set("spark.sql.shuffle.partitions", "4")
+    ssn.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def drain(): Unit = {
+      val q = MicroBatch.sessionsV2(
+        MicroBatch.readEvents(ssn, src, schemaFrom))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    tick1.toDF("user_id", "ts").write.mode("append").parquet(src)
+    drain()
+    tick2.toDF("user_id", "ts").write.mode("append").parquet(src)
+    drain()
+    val got = spark.read.parquet(sink)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    val expected = Set(
+      (1L, t("2024-01-01 00:00:00"), t("2024-01-01 00:10:00"), 2L), // data-closed
+      (1L, t("2024-01-01 01:20:00"), t("2024-01-01 01:25:00"), 2L), // timer-closed
+      (2L, t("2024-01-01 00:50:00"), t("2024-01-01 01:00:00"), 2L), // spans ticks
+      (2L, t("2024-01-01 06:00:00"), t("2024-01-01 06:00:00"), 1L)) // timer-closed
+    // u3's open session (last 12:00, deadline 12:30 > final watermark
+    // 11:00) must be withheld
+    assert(got == expected,
+      s"sessions mismatch:\n got      $got\n expected $expected")
+    // cross-check against the built-in session_window aggregate: every
+    // emitted session must appear there with identical bounds + count
+    val batch = (tick1 ++ tick2).toDF("user_id", "ts")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"),
+        (col("w.end").cast("long") - 30L * 60).cast("timestamp").as("last"),
+        col("n"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(got.subsetOf(batch),
+      s"emitted sessions must agree with session_window:\n$got\nvs\n$batch")
+  }
+
   test("dedup drain under the RocksDB state store matches the default provider exactly") {
     // The 100 TB answer for large keyed streaming state: the built-in
     // RocksDB provider (state lives on executor local disk + spillable
