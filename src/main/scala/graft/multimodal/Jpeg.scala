@@ -21,7 +21,7 @@ object Jpeg {
 
   /** JFIF/EXIF payloads start with the SOI marker 0xFFD8. */
   private def hasMagic(bytes: Array[Byte]): Boolean =
-    bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
 
   /** Decode a JPEG byte stream; None when the payload is not a JPEG
     * this JVM can decode (wrong magic, truncated, corrupt). */

@@ -104,7 +104,10 @@ object Png {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val k = inf.inflate(raw, off, raw.length - off)
-        if (k == 0 && inf.needsInput()) return None // truncated stream
+        // Any zero-progress iteration is a failure: truncated stream
+        // (needsInput) or an FDICT preset-dictionary stream
+        // (needsDictionary), which would otherwise spin forever.
+        if (k == 0) return None
         off += k
       }
       if (off != raw.length) return None
@@ -112,15 +115,20 @@ object Png {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
 
-    Some(Pnm.Image(channels, width, height, unfilter(raw, height, stride, channels)))
+    // A CRC-valid chunk can still carry a malformed filter byte; treat
+    // that as "not a PNG this codec supports", not a task crash.
+    unfilter(raw, height, stride, channels)
+      .map(px => Pnm.Image(channels, width, height, px))
   }
 
   /** Reverse the per-scanline filters in place-ish: `raw` is
     * height × (1 + stride) filtered bytes, result is height × stride
-    * reconstructed samples. Byte arithmetic is mod-256 exactly as the
-    * spec requires; `prior` of the first row is all zeros.
+    * reconstructed samples, or None when a scanline carries a filter
+    * type outside 0–4 (malformed stream). Byte arithmetic is mod-256
+    * exactly as the spec requires; `prior` of the first row is all
+    * zeros.
     */
-  private def unfilter(raw: Array[Byte], height: Int, stride: Int, bpp: Int): Array[Byte] = {
+  private def unfilter(raw: Array[Byte], height: Int, stride: Int, bpp: Int): Option[Array[Byte]] = {
     val out = new Array[Byte](height * stride)
     var y = 0
     while (y < height) {
@@ -140,14 +148,14 @@ object Png {
           case 2 => f + b
           case 3 => f + ((a + b) >> 1)
           case 4 => f + paeth(a, b, c)
-          case _ => return new Array[Byte](0) // caught by size check upstream
+          case _ => return None // invalid filter type: malformed stream
         }
         out(dst + x) = recon.toByte
         x += 1
       }
       y += 1
     }
-    out
+    Some(out)
   }
 
   /** Paeth predictor, straight from the spec: the neighbor (left,

@@ -269,8 +269,25 @@ object MicroBatch {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_last: java.sql.Timestamp, n_events: Long)
 
-  /** Open-session state: bounds + count, one value per key. */
-  case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
+  /** Open-session state: bounds + count, one value per key. Bounds are
+    * epoch MICROSECONDS — event timestamps in this engine carry
+    * microseconds, and `Timestamp.getTime` alone would truncate to
+    * milliseconds, diverging from the micro-precision `session_window`
+    * aggregate on micro-grained data. */
+  case class SessionAcc(startUs: Long, lastUs: Long, n: Long)
+
+  /** Full-precision epoch micros of a Timestamp: `getTime` carries
+    * millis; `getNanos` carries the whole fractional second. */
+  private[graft] def tsMicros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Inverse of [[tsMicros]]: seconds from the micros, fraction via
+    * setNanos so sub-millisecond digits survive the round-trip. */
+  private[graft] def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000L))
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Hand-rolled sessionization on `transformWithState` exercising the
     * API surface the built-ins can't reach: EVENT-TIME TIMERS. The
@@ -298,27 +315,34 @@ object MicroBatch {
         org.apache.spark.sql.Encoders.product[SessionAcc], TTLConfig.NONE)
 
     private def close(uid: Long, acc: SessionAcc): SessionOut =
-      SessionOut(uid, new java.sql.Timestamp(acc.startMs),
-        new java.sql.Timestamp(acc.lastMs), acc.n)
+      SessionOut(uid, microsTs(acc.startUs), microsTs(acc.lastUs), acc.n)
 
     override def handleInputRows(uid: Long,
         rows: Iterator[(Long, java.sql.Timestamp)],
         timerValues: TimerValues): Iterator[SessionOut] = {
+      val gapUs = gapMs * 1000L
       val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
       var acc: SessionAcc = if (st.exists()) st.get() else null
-      rows.toSeq.map(_._2.getTime).sorted.foreach { t =>
+      rows.toSeq.map(r => tsMicros(r._2)).sorted.foreach { t =>
         if (acc == null) acc = SessionAcc(t, t, 1)
-        else if (t - acc.lastMs <= gapMs) acc = SessionAcc(acc.startMs, t, acc.n + 1)
+        else if (t - acc.lastUs <= gapUs) acc = SessionAcc(acc.startUs, t, acc.n + 1)
         else { // closed by DATA: a later event past the gap
           out += close(uid, acc)
           acc = SessionAcc(t, t, 1)
         }
       }
-      st.update(acc)
-      // one pending timer per key: the open session's deadline moves
-      // with its last event, so drop stale timers and arm the new one
-      getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
-      getHandle.registerTimer(acc.lastMs + gapMs)
+      // acc stays null if Spark ever invokes a key with an empty row
+      // iterator (API-evolution safety — current Spark doesn't): leave
+      // state and timers untouched rather than NPE.
+      if (acc != null) {
+        st.update(acc)
+        // one pending timer per key: the open session's deadline moves
+        // with its last event, so drop stale timers and arm the new one.
+        // Timers are millisecond-granular; ceil so one never fires
+        // before the micro-precision deadline.
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(math.floorDiv(acc.lastUs + gapUs + 999L, 1000L))
+      }
       out.iterator
     }
 

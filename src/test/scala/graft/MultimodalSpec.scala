@@ -176,6 +176,54 @@ class MultimodalSpec extends SparkSpec {
     assert(Png.decode(patched(_(28) = 1)).isEmpty, "interlaced")
   }
 
+  test("PNG codec: CRC-valid but malformed streams return None, never throw or hang") {
+    import graft.multimodal.Png
+    // hand-build a PNG whose chunks are CRC-valid but whose content is bad
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Int): Unit = {
+        out.write(v >>> 24); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      u32(data.length)
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      u32(crc.getValue.toInt)
+      out.toByteArray
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    // 2x2 grayscale IHDR
+    val ihdr = Array[Byte](0, 0, 0, 2, 0, 0, 0, 2, 8, 0, 0, 0, 0)
+    def png(idat: Array[Byte]): Array[Byte] =
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+
+    // (1) invalid scanline filter type (5): must be None, not an
+    //     IllegalArgumentException escaping into the Spark task
+    val badFilter = {
+      val raw = Array[Byte](5, 1, 2, 0, 3, 4) // filter=5 on row 0
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](64)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    assert(Png.decode(png(badFilter)).isEmpty, "invalid filter byte must yield None")
+
+    // (2) zlib stream with the FDICT preset-dictionary bit set: the
+    //     inflate loop must bail (needsDictionary), not spin forever.
+    //     CMF=0x78, FLG=0x20 satisfies (CMF*256+FLG) % 31 == 0 with FDICT.
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8)
+    val res = scala.concurrent.Future(Png.decode(png(fdict)))(
+      scala.concurrent.ExecutionContext.global)
+    assert(scala.concurrent.Await.result(res,
+      scala.concurrent.duration.Duration(10, "s")).isEmpty, "FDICT must yield None")
+  }
+
   test("PNG dispatch: decodeFeatures routes PNG through the real codec; resize re-encodes PNG") {
     import graft.multimodal.{Png, Pnm}
     val white = Pnm.Image(3, 2, 2, Array.fill[Byte](12)(-1))

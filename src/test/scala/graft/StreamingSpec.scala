@@ -562,6 +562,55 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     assert(got.subsetOf(batch),
       s"emitted sessions must agree with session_window:\n$got\nvs\n$batch")
+    // an EMPTY tick (no new source files) must pass through the drain
+    // unchanged: no crash, no extra emissions, state untouched
+    drain()
+    val afterEmpty = spark.read.parquet(sink)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(afterEmpty == expected, "an empty tick must not change the sink")
+  }
+
+  test("SessionProcessor carries MICROSECOND precision through state and bounds") {
+    import ss.implicits._
+    // Event timestamps in this engine are micro-grained; session bounds
+    // must round-trip the sub-millisecond digits (getTime alone would
+    // truncate: start .000100 would come back .000).
+    val src = dir("tws-us-src")
+    val cp = dir("tws-us-cp")
+    val sink = dir("tws-us-sink")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val tick = Seq(
+      (1L, t("2024-01-01 00:00:00.000100")),
+      (1L, t("2024-01-01 00:00:00.000900")), // same millisecond, later micros
+      (1L, t("2024-01-01 02:00:00.5")),      // closes session 1 by data
+      (9L, t("2024-01-01 12:00:00")))        // watermark driver
+    val schemaFrom = tick.toDF("user_id", "ts")
+    val ssn = spark.newSession()
+    ssn.conf.set("spark.sql.shuffle.partitions", "4")
+    ssn.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    tick.toDF("user_id", "ts").write.mode("append").parquet(src)
+    val q = MicroBatch.sessionsV2(MicroBatch.readEvents(ssn, src, schemaFrom))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sink)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    val expected = Set(
+      (1L, t("2024-01-01 00:00:00.000100"), t("2024-01-01 00:00:00.000900"), 2L),
+      (1L, t("2024-01-01 02:00:00.5"), t("2024-01-01 02:00:00.5"), 1L))
+    assert(got == expected, s"micros must survive: got $got")
+    // helper round-trip at the extremes of the fractional second
+    for (s <- Seq("2024-01-01 00:00:00.000001", "2024-01-01 23:59:59.999999",
+      "1969-12-31 23:59:59.999999")) {
+      val ts = t(s)
+      assert(MicroBatch.microsTs(MicroBatch.tsMicros(ts)) == ts, s)
+    }
   }
 
   test("dedup drain under the RocksDB state store matches the default provider exactly") {
