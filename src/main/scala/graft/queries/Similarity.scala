@@ -697,6 +697,173 @@ object Similarity {
        |LIMIT $K""".stripMargin
   }
 
+  // --- q_sim_ivfpq_residual -------------------------------------------------
+  // RESIDUAL IVF-PQ + EXACT RE-RANK — the full production index shape
+  // (what Faiss's IVFPQ actually stores): PQ codes encode the RESIDUAL
+  // v − centroid(cell(v)), not the raw vector. That is what makes
+  // coarse + fine quantization COMPOSE: the coarse quantizer absorbs
+  // the cluster-scale component, the codebook only has to represent
+  // the (smaller, centered) remainder, and the ADC estimate becomes
+  // dot(q, centroid) [exact, per probed cell] + dot(q, residual-code)
+  // [LUT]. Search then re-ranks the ADC top-R by EXACT cosine — the
+  // standard two-stage retrieve: the cheap code-only scan bounds the
+  // candidate pool, the expensive float pass runs on R rows only.
+  //
+  // Plan shape notes (the 100 TB story): the per-row PQ folds
+  // (dot(v_sub, w) for all M×K codewords) are materialized ONCE as
+  // projected columns — interpreted HOF eval has no subexpression
+  // elimination, and the per-cell encode branches would otherwise
+  // recompute each 16-element fold 8×. The per-(cell,subspace,code)
+  // constants dot(centroid_sub, w) are driver-side literals folded in
+  // EXACTLY Vectors.dot's left-to-right order, so they are bit-equal
+  // to the DuckDB twin's in-query folds over its replayed c3 chain.
+  // Both top cuts are TakeOrderedAndProject (per-partition heaps, no
+  // global sort). Exact float vectors are touched only by the R-row
+  // re-rank — at scale they'd page in from the row store by vec_id.
+  private val ReRankR = 30
+
+  /** Driver-side twin of [[Vectors.dot]]: same left fold from 0.0, so
+    * literal constants are bit-equal to the in-plan / DuckDB folds. */
+  private def dotConst(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+
+  /** Residual-PQ ADC scores for every candidate of `e` (vec_id, v)
+    * against the one-row broadcast `q` (qv), given trained cells:
+    * (vec_id, cell, adc, cosine). Factored out so the spec can run it
+    * on a CONSTRUCTED corpus against [[rawAdcScores]]. */
+  private[graft] def residualAdcScores(e: DataFrame, q: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val centSubDot = cents.map { c =>
+      (0 until PqM).map { m =>
+        (0 until PqK).map { k =>
+          dotConst(c.slice(m * PqSub, (m + 1) * PqSub), pqWeights(m, k)) } } }
+    def wArr(m: Int, k: Int) = array(pqWeights(m, k).map(lit): _*)
+    val dvCols = for { m <- 0 until PqM; k <- 0 until PqK } yield
+      Vectors.dot(slice(col("v"), m * PqSub + 1, PqSub), wArr(m, k)).as(s"dv_${m}_$k")
+    val qlCols = for { m <- 0 until PqM; k <- 0 until PqK } yield
+      Vectors.dot(slice(col("qv"), m * PqSub + 1, PqSub), wArr(m, k)).as(s"ql_${m}_$k")
+    val qcCols = (0 until NumCentroids).map { cid =>
+      Vectors.dot(col("qv"), array(cents(cid).map(lit): _*)).as(s"qc_$cid") }
+    val staged = e.crossJoin(broadcast(q))
+      .withColumn("cell", lloydBest(col("v"), cents).getField("cid").cast("long"))
+      .select(Seq(col("vec_id"), col("cell"), col("v"), col("qv")) ++
+        dvCols ++ qlCols ++ qcCols: _*)
+    // residual encode: argmax_k dot(v_sub − cent_sub, w_k)
+    //                = argmax_k (dv_m_k − const(cell, m, k)), ties → lowest k
+    def codeFor(m: Int) = element_at(
+      array((0 until NumCentroids).map { cid =>
+        -array_max(array((0 until PqK).map { k =>
+          struct((col(s"dv_${m}_$k") - lit(centSubDot(cid)(m)(k))).as("score"),
+            lit(-k).as("nk"))
+        }: _*)).getField("nk")
+      }: _*), (col("cell") + 1).cast("int"))
+    val qDotCent = element_at(
+      array((0 until NumCentroids).map(cid => col(s"qc_$cid")): _*),
+      (col("cell") + 1).cast("int"))
+    val adc = (0 until PqM).map { m =>
+      element_at(array((0 until PqK).map(k => col(s"ql_${m}_$k")): _*),
+        (codeFor(m) + 1).cast("int"))
+    }.foldLeft(qDotCent)(_ + _)
+    staged.select(col("vec_id"), col("cell"), adc.as("adc"),
+      Vectors.cosine(col("v"), col("qv")).as("cosine"))
+  }
+
+  /** RAW-vector PQ ADC (the q_sim_ivfpq_topk scoring) over the same
+    * interface, for the spec's residual-vs-raw ranking comparison. */
+  private[graft] def rawAdcScores(e: DataFrame, q: DataFrame): DataFrame = {
+    def wArr(m: Int, k: Int) = array(pqWeights(m, k).map(lit): _*)
+    val adc = (0 until PqM).map { m =>
+      val subV = slice(col("v"), m * PqSub + 1, PqSub)
+      val subQ = slice(col("qv"), m * PqSub + 1, PqSub)
+      val best = array_max(array((0 until PqK).map { k =>
+        struct(Vectors.dot(subV, wArr(m, k)).as("score"), lit(-k).as("nk"))
+      }: _*))
+      val lut = array((0 until PqK).map(k => Vectors.dot(subQ, wArr(m, k))): _*)
+      element_at(lut, (-best.getField("nk") + 1).cast("int"))
+    }.reduce(_ + _)
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), adc.as("adc"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+  }
+
+  def ivfPqResidualTopK(s: SparkSession, d: String): DataFrame = {
+    val cents = trainedCentroids(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    // query routing: NProbe cells by ascending (L2, cid), as in the
+    // trained rows (argmin-L2 — trained centroids are not equal-norm)
+    val cellStructs = array(cents.zipWithIndex.map { case (c, cid) =>
+      val cArr = array(c.map(lit): _*)
+      struct((Vectors.dot(cArr, cArr) - lit(2.0) * Vectors.dot(col("qv"), cArr)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probe = transform(slice(array_sort(cellStructs), 1, NProbe),
+      x => x.getField("cid").cast("long"))
+    val scored = residualAdcScores(e.filter(col("vec_id") =!= QueryId), q, cents)
+      .filter(array_contains(probe, col("cell")))
+    // stage 1: ADC top-R (code-only scan); stage 2: exact re-rank to K
+    scored.orderBy(col("adc").desc, col("vec_id")).limit(ReRankR)
+      .orderBy(col("cosine").desc, col("vec_id")).limit(K)
+  }
+
+  val ivfPqResidualSql: String = {
+    def wLit(m: Int, k: Int): String =
+      pqWeights(m, k).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val subDefs = ((0 until PqM).flatMap(m => Seq(
+      s"v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS v$m",
+      s"qv[${m * PqSub + 1}:${(m + 1) * PqSub}] AS q$m")) ++
+      (0 until PqM).map(m => s"c[${m * PqSub + 1}:${(m + 1) * PqSub}] AS c$m"))
+      .mkString(", ")
+    // residual encode per subspace: scores are dot(v_sub,w) − dot(c_sub,w)
+    val codeDefs = (0 until PqM).map { m =>
+      val structs = (0 until PqK)
+        .map(k => s"{'score': (${Vectors.dotSql(s"v$m", wLit(m, k))}) - (${Vectors.dotSql(s"c$m", wLit(m, k))}), 'nk': ${-k}}")
+        .mkString("[", ", ", "]")
+      s"CAST(-(list_max($structs).nk) AS INT) AS code$m"
+    }.mkString(",\n  ")
+    val adcTerms = (0 until PqM).map { m =>
+      val lut = (0 until PqK)
+        .map(k => Vectors.dotSql(s"q$m", wLit(m, k)))
+        .mkString("[", ", ", "]")
+      s"(($lut)[code$m + 1])"
+    }.mkString(" + ")
+    s"""WITH $lloydChainSql,
+       |q AS (SELECT embedding AS qv FROM e WHERE vec_id = $QueryId),
+       |probe AS (
+       |  SELECT x.cid
+       |  FROM c$LloydIters x, q
+       |  ORDER BY (${Vectors.dotSql("x.c", "x.c")}) - 2 * (${Vectors.dotSql("q.qv", "x.c")}), x.cid
+       |  LIMIT $NProbe),
+       |assign AS (
+       |  SELECT e.vec_id, min({'d': (${Vectors.dotSql("x.c", "x.c")})
+       |      - 2 * (${Vectors.dotSql("e.embedding", "x.c")}), 'cid': x.cid}).cid AS cell
+       |  FROM e, c$LloydIters x
+       |  WHERE e.vec_id <> $QueryId
+       |  GROUP BY e.vec_id),
+       |cand AS (
+       |  SELECT a.vec_id, a.cell, e.embedding AS v, q.qv, x.c
+       |  FROM assign a
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN c$LloydIters x ON x.cid = a.cell, q
+       |  WHERE a.cell IN (SELECT cid FROM probe)),
+       |sub AS (SELECT vec_id, cell, v, qv, c, $subDefs FROM cand),
+       |enc AS (SELECT vec_id, cell, v, qv, c, q0, q1, q2, q3,
+       |  $codeDefs
+       |FROM sub),
+       |scored AS (
+       |  SELECT vec_id, cell, v, qv,
+       |    (${Vectors.dotSql("qv", "c")}) + $adcTerms AS adc
+       |  FROM enc),
+       |pool AS (
+       |  SELECT * FROM scored ORDER BY adc DESC, vec_id LIMIT $ReRankR)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, adc,
+       |  ${Vectors.cosineSql("v", "qv")} AS cosine
+       |FROM pool
+       |ORDER BY cosine DESC, vec_id
+       |LIMIT $K""".stripMargin
+  }
+
   // --- q_sim_ivf_pruned -----------------------------------------------------
   // The IVF access path MADE PHYSICAL: every other ANN row filters
   // probed cells out of a full scan (correct, but the scan still reads
@@ -790,6 +957,7 @@ object Similarity {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ivf_pruned" -> (ivfPrunedTopK _),
+    "q_sim_ivfpq_residual" -> (ivfPqResidualTopK _),
     "q_sim_ivfpq_trained" -> (ivfPqTrainedTopK _),
     "q_sim_ivfpq_topk" -> (ivfPqTopK _),
     "q_sim_pq" -> (pqEncode _),
@@ -803,6 +971,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_pruned" -> ivfPrunedSql,
+    "q_sim_ivfpq_residual" -> ivfPqResidualSql,
     "q_sim_ivfpq_trained" -> ivfPqTrainedSql,
     "q_sim_ivfpq_topk" -> ivfPqTopKSql,
     "q_sim_pq" -> pqEncodeSql,

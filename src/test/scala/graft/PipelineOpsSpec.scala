@@ -226,4 +226,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(candIds.size < assign.length - 1,
       "routing must prune: candidate set equals the whole corpus")
   }
+
+  test("residual ADC ranks closer to exact cosine than raw ADC (the reason IVF-PQ composes)") {
+    import org.apache.spark.sql.functions._
+    import ss.implicits._
+    // Constructed corpus that isolates the residual effect: vectors are
+    // cluster-center (±10 patterns, the scale the coarse quantizer
+    // absorbs) + a ±1 residual drawn from the PQ codeword patterns (the
+    // scale the codebook can represent). Raw-vector encode sees the
+    // center-dominated signs, so all of a cell's vectors collapse to
+    // near-identical codes and within-cell ranking degenerates; residual
+    // encode sees only the ±1 component and recovers each vector's codes
+    // exactly, so its ADC ordering tracks the exact ordering.
+    val cents: IndexedSeq[IndexedSeq[Double]] =
+      (0 until 8).map(cid => Similarity.centroidWeights(cid).map(_ * 10.0))
+    def rho(cid: Int, j: Int): IndexedSeq[Double] =
+      (0 until 4).flatMap(m => Similarity.pqWeights(m, (cid + j + m) % 8))
+    val corpus = for {
+      cid <- 0 until 8
+      j <- 0 until 20
+    } yield ((cid * 20 + j).toLong, cid,
+      cents(cid).zip(rho(cid, j)).map { case (c, r) => c + r })
+    val e = corpus.map { case (id, _, v) => (id, v) }.toDF("vec_id", "v")
+    // query leans toward cell 0 with a graded mix of two residual
+    // patterns, so within-cell cosine ordering is non-trivial
+    val qv = cents(0).indices.map { i =>
+      cents(0)(i) + 0.5 * rho(0, 3)(i) + 0.25 * rho(0, 5)(i) }
+    val q = Seq(Tuple1(qv)).toDF("qv")
+
+    val res = Similarity.residualAdcScores(e, q, cents).collect()
+    val raw = Similarity.rawAdcScores(e, q).collect()
+    // sanity: the coarse assignment recovered every vector's true cell
+    val cellOf = corpus.map { case (id, cid, _) => id -> cid.toLong }.toMap
+    res.foreach(r => assert(r.getAs[Long]("cell") == cellOf(r.getAs[Long]("vec_id"))))
+
+    def topIds(rows: Array[org.apache.spark.sql.Row], by: String): Seq[Long] =
+      rows.sortBy(r => (-r.getAs[Double](by), r.getAs[Long]("vec_id")))
+        .take(10).map(_.getAs[Long]("vec_id")).toSeq
+    val exactTop = topIds(res, "cosine").toSet
+    assert(exactTop == topIds(raw, "cosine").toSet) // same exact scores both paths
+    val resOverlap = topIds(res, "adc").count(exactTop)
+    val rawOverlap = topIds(raw, "adc").count(exactTop)
+    assert(resOverlap > rawOverlap,
+      s"residual ADC must rank closer to exact: residual $resOverlap vs raw $rawOverlap of 10")
+    assert(resOverlap >= 7, s"residual ADC top-10 overlap too low: $resOverlap")
+  }
 }
