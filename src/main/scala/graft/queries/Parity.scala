@@ -580,6 +580,55 @@ object Parity {
        |SELECT DISTINCT sig FROM sig
        |ORDER BY sig""".stripMargin
 
+  // --- q_st_neardup_v2 ------------------------------------------------------
+  // The near-dup drain on `transformWithState` with MAP STATE + NATIVE
+  // TTL (MicroBatch.NearDupProcessor): grouping key = a 64-way shard of
+  // the signature space, each shard holds MapState[sig → first-admit
+  // micros], eviction is the store's per-entry TTL instead of the
+  // watermark horizon — the layout for a dedup index that outgrows a
+  // value-per-key (RocksDB stores each map entry as its own key). TTL
+  // here is 24 h of processing time, far beyond one drain, so the
+  // admitted-signature set must equal the batch DISTINCT — the same
+  // oracle as q_st_neardup, pinning both state APIs (value-state
+  // watermark dedup and map-state TTL dedup) to identical semantics.
+  // StreamingSpec additionally proves the TTL path: an expired
+  // signature is re-admitted after its horizon, an in-horizon one is
+  // suppressed, across a checkpointed 2-tick RocksDB drain.
+  def streamingNeardupV2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = tmpRoot("stream_nd", d) // shares v1's landed backlog
+    landOnce(docs, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_nd2_$runId"
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = graft.streaming.MicroBatch.readEvents(ss, s"$root/src", docs)
+        .select(col("doc_id"),
+          graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
+          timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
+        .select(col("doc_id"),
+          graft.queries.Dedup.minhashSigFromHashes(col("hs")).as("sig"),
+          col("ts"))
+      // ProcessingTime mode (required by the state TTL) schedules a
+      // follow-up batch after every batch, so AvailableNow would loop
+      // empty micro-batches forever; MicroBatch.drainAvailable bounds
+      // the drain at the first committed zero-input batch.
+      val q = graft.streaming.MicroBatch
+        .neardupV2(stream, java.time.Duration.ofHours(24))
+        .toDF("sig", "doc_id")
+        .select("sig")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp2_$runId")
+        .start()
+      graft.streaming.MicroBatch.drainAvailable(q)
+      ss.table(name)
+    }
+      .distinct() // one emit per sig per drain by construction; defensive
+      .orderBy("sig")
+  }
+
   // --- q_st_upsert ----------------------------------------------------------
   // SURVEY §2.9: the foreachBatch → idempotent-upsert sink (the streaming
   // form of loader.py:20-30), driver-verified end-to-end. The backlog is
@@ -1374,7 +1423,7 @@ object Parity {
     * of the stateful anomaly drain (no drain cost): a relational
     * regression there must not be misattributed to streaming. */
   val drainBackedQueries: Set[String] = Set(
-    "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_upsert",
+    "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_neardup_v2", "q_st_upsert",
     "q_st_stream_join", "q_st_outer_join", "q_st_static_join",
     "q_st_anomaly_v2") // a real RocksDB drain, unlike the batch twin q_st_anomaly
 
@@ -1396,6 +1445,7 @@ object Parity {
     "q_st_windowed" -> (streamingWindowed _),
     "q_st_dedup" -> (streamingDedup _),
     "q_st_neardup" -> (streamingNeardup _),
+    "q_st_neardup_v2" -> (streamingNeardupV2 _),
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_outer_join" -> (streamOuterJoin _),
@@ -1430,6 +1480,7 @@ object Parity {
     "q_st_windowed" -> streamingWindowedSql,
     "q_st_dedup" -> streamingDedupSql,
     "q_st_neardup" -> streamingNeardupSql,
+    "q_st_neardup_v2" -> streamingNeardupSql,
     "q_st_upsert" -> streamingUpsertSql,
     "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_outer_join" -> streamOuterJoinSql,

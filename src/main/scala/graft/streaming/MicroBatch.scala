@@ -265,6 +265,87 @@ object MicroBatch {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming near-dup dedup on `transformWithState` with MAP STATE +
+    * NATIVE TTL — the forward-path form of [[neardupWithinWatermark]],
+    * exercising the two API surfaces the value-state operators don't:
+    * the grouping key is a SHARD of the signature space (64 shards —
+    * in production, enough keys to spread across every executor), each
+    * shard holds a MapState of signature → first-admit micros, and
+    * state eviction is the store's native per-entry TTL instead of the
+    * watermark horizon. That map-per-shard layout is the one that
+    * matters when the dedup index outgrows a value per key: RocksDB
+    * stores each (shard, sig) map entry as its own key, so a shard's
+    * map never materializes whole in memory, while the TTL config
+    * evicts idle signatures without any timer bookkeeping. A document
+    * is admitted (emitted) iff its signature is absent from the shard
+    * map at processing time; rows process in (sig, micros, doc_id)
+    * order so replays are deterministic.
+    */
+  class NearDupProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Int, (Int, String, java.sql.Timestamp, Long), (String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var seen: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Long]("seen",
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(ttl))
+
+    override def handleInputRows(shard: Int,
+        rows: Iterator[(Int, String, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[(String, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      rows.toSeq.sortBy(r => (r._2, tsMicros(r._3), r._4)).foreach { case (_, sig, ts, docId) =>
+        if (!seen.containsKey(sig)) {
+          seen.updateValue(sig, tsMicros(ts))
+          out += ((sig, docId))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Shard count for [[NearDupProcessor]]'s grouping key. */
+  private[graft] val NearDupShards = 64
+
+  /** Drain a PROCESSING-TIME stateful query until its file backlog is
+    * exhausted, then stop it. Processing-time operators (state TTL,
+    * processing-time timers) schedule a follow-up batch after every
+    * batch, so `Trigger.AvailableNow` loops empty micro-batches forever
+    * and `processAllAvailable` never observes the no-new-data signal;
+    * the bounded form is to watch committed progress for a zero-input
+    * batch — the static backlog is exhausted at that point — and stop.
+    */
+  def drainAvailable(q: StreamingQuery): Unit = {
+    while (!q.recentProgress.exists(p => p.batchId > 0 && p.numInputRows == 0)) {
+      if (q.exception.isDefined) throw q.exception.get
+      Thread.sleep(50)
+    }
+    q.stop()
+    q.awaitTermination()
+  }
+
+  /** Near-dup drain through [[NearDupProcessor]]: expects (doc_id, sig,
+    * ts) with non-null signatures; emits (sig, doc_id) per admitted
+    * document. TTL is the dedup horizon (processing-time — the TTL
+    * clock the state store natively supports). */
+  def neardupV2(docs: DataFrame, ttl: java.time.Duration)
+  : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("doc_id", "sig", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .filter(_._2 != null) // no complete shingle: nothing to key on
+      .map { case (docId, sig, ts) =>
+        (math.floorMod(sig.hashCode, NearDupShards), sig, ts, docId) }
+      .groupByKey(_._1)
+      .transformWithState(new NearDupProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** One closed session: [start, last] with its event count. */
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_last: java.sql.Timestamp, n_events: Long)

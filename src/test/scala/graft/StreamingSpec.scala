@@ -735,4 +735,111 @@ class StreamingSpec extends SparkSpec {
         "a fresh-checkpoint re-drain must not see state from the previous run")
     } finally docs.unpersist()
   }
+
+  test("MapState+TTL near-dup (v2) matches the watermark drain (v1) across a 2-tick RocksDB drain") {
+    // The transformWithState port of the near-dup drain: MapState per
+    // signature shard, native TTL for eviction. Same 2-tick backlog
+    // through BOTH operators (fresh checkpoints, RocksDB provider —
+    // required by the API and the large-state answer anyway): the
+    // admitted signature sets must be identical, and the v2 state must
+    // survive the checkpointed tick boundary (a tick-2 duplicate of a
+    // tick-1 signature stays suppressed).
+    val src = dir("nd2-src")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(200).cache()
+    try {
+      val n = docs.count()
+      val tick1 = docs.filter(col("doc_id") < n / 2)
+      val tick2 = docs.filter(col("doc_id") >= n / 2)
+      def rocksSession() = {
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        ss
+      }
+      def drainTicks(v2: Boolean): Set[String] = {
+        val cp = dir(s"nd2-cp-${if (v2) "v2" else "v1"}")
+        // foreachBatch sink: checkpoint-compatible across the tick
+        // restarts (a memory sink is not) without the file sink's
+        // per-batch re-analysis of the big minhash expression tree
+        val admitted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        // fresh src per variant so the file-source log starts clean
+        val s2 = s"$src/${if (v2) "v2" else "v1"}"
+        def tick(df: org.apache.spark.sql.DataFrame): Unit = {
+          df.write.mode("append").parquet(s2)
+          val ss = rocksSession()
+          val projected = MicroBatch.readEvents(ss, s2, docs)
+            .select(col("doc_id"),
+              graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
+              timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
+            .select(col("doc_id"),
+              graft.queries.Dedup.minhashSigFromHashes(col("hs")).as("sig"),
+              col("ts"))
+          val out =
+            if (v2) MicroBatch.neardupV2(projected, java.time.Duration.ofHours(24))
+              .toDF("sig", "doc_id").select("sig")
+            else MicroBatch.neardupWithinWatermark(projected).select("sig")
+          // processing-time TWS loops empty batches under AvailableNow
+          // (every batch schedules a follow-up); drainAvailable bounds
+          // the drain at the first committed zero-input batch
+          val q = out.writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.collect().foreach(r => if (!r.isNullAt(0)) admitted.add(r.getString(0)))
+            }
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .start()
+          MicroBatch.drainAvailable(q)
+        }
+        tick(tick1)
+        tick(tick2)
+        scala.jdk.CollectionConverters.CollectionHasAsScala(admitted).asScala.toSet
+      }
+      val v1Sigs = drainTicks(v2 = false)
+      val v2Sigs = drainTicks(v2 = true)
+      assert(v1Sigs.nonEmpty, "empty drain would verify nothing")
+      assert(v2Sigs == v1Sigs,
+        s"v1/v2 must admit the same signature set: v1=${v1Sigs.size} v2=${v2Sigs.size}")
+    } finally docs.unpersist()
+  }
+
+  test("near-dup v2 TTL suppresses in-horizon duplicates and re-admits expired signatures") {
+    import ss.implicits._
+    // Synthetic signatures drive the TTL clock directly: tick 1 admits
+    // sigA (doc 1; doc 2's duplicate is suppressed in-batch) and sigB;
+    // tick 2, well inside the 20 s TTL, must suppress doc 4's sigA via
+    // the CHECKPOINTED map state; after the TTL passes, tick 3's sigA
+    // (doc 5) must be re-admitted — native TTL is the eviction path,
+    // there is no watermark here.
+    val src = dir("ttl-src")
+    val cp = dir("ttl-cp")
+    val sink = dir("ttl-sink")
+    def t(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000)
+    val schemaFrom = Seq((1L, "sigA", t(0))).toDF("doc_id", "sig", "ts")
+    def drain(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      rows.toDF("doc_id", "sig", "ts").write.mode("append").parquet(src)
+      val ssn = spark.newSession()
+      ssn.conf.set("spark.sql.shuffle.partitions", "4")
+      ssn.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = MicroBatch.neardupV2(
+        MicroBatch.readEvents(ssn, src, schemaFrom),
+        java.time.Duration.ofSeconds(20))
+        .toDF("sig", "doc_id")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+      MicroBatch.drainAvailable(q)
+    }
+    drain(Seq((1L, "sigA", t(0)), (2L, "sigA", t(1)), (3L, "sigB", t(2))))
+    drain(Seq((4L, "sigA", t(100))))
+    Thread.sleep(21000) // let the 20 s TTL lapse
+    drain(Seq((5L, "sigA", t(200))))
+    val admitted = spark.read.parquet(sink).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(admitted == Set(("sigA", 1L), ("sigB", 3L), ("sigA", 5L)),
+      s"TTL semantics broken; admitted = $admitted")
+  }
 }
