@@ -842,4 +842,98 @@ class StreamingSpec extends SparkSpec {
     assert(admitted == Set(("sigA", 1L), ("sigB", 3L), ("sigA", 5L)),
       s"TTL semantics broken; admitted = $admitted")
   }
+
+  test("transformWithState restores a checkpoint under an EVOLVED state schema (avro)") {
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // The headline transformWithState feature: restart from an existing
+    // checkpoint with an evolved state encoder. Tick 1 writes state as
+    // RunningStats(n, sumCents); tick 2 resumes the SAME checkpoint with
+    // RunningStatsV2(n, sumCents, maxCents) — Avro state encoding fills
+    // the added field with its zero default on restore. The emitted
+    // anomaly set across both ticks must equal the single-pass batch
+    // twin: equality is only possible if tick-1 state was actually
+    // restored (a reset would change every user's priors), and the
+    // drain completing at all proves the evolved schema was accepted.
+    val src = dir("evo-src")
+    val cp = dir("evo-cp")
+    val sink = dir("evo-sink")
+    val events = Tables.events(spark, sf).limit(2000).cache()
+    try {
+      val n = events.count().toInt
+      val cutTs = events.select("ts").orderBy("ts").collect()(n / 2).getTimestamp(0)
+      // strict cut: per user every tick-1 ts precedes every tick-2 ts,
+      // so the 2-tick fold equals the batch fold
+      val tick1 = events.filter(col("ts") < lit(cutTs))
+      val tick2 = events.filter(col("ts") >= lit(cutTs))
+      def drain(evolved: Boolean, tick: org.apache.spark.sql.DataFrame): Unit = {
+        tick.write.mode("append").parquet(src)
+        val ssn = spark.newSession()
+        ssn.conf.set("spark.sql.shuffle.partitions", "4")
+        ssn.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        ssn.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+        import ssn.implicits._
+        val keyed = MicroBatch.readEvents(ssn, src, events)
+          .selectExpr("user_id", "ts", "value")
+          .as[(Long, java.sql.Timestamp, Double)]
+          .groupByKey(_._1)
+        val out =
+          if (evolved) keyed.transformWithState(
+            new AnomalyProcessorEvolved(3.0, 10), TimeMode.None(), OutputMode.Append())
+          else keyed.transformWithState(
+            new MicroBatch.AnomalyProcessor(3.0, 10), TimeMode.None(), OutputMode.Append())
+        val q = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(evolved = false, tick1)
+      drain(evolved = true, tick2) // restart: same checkpoint, evolved encoder
+      val got = spark.read.parquet(sink)
+        .as[(Long, java.sql.Timestamp, Double, Double)].collect().toSet
+      val twin = MicroBatch.anomalies(events).collect()
+        .map(a => (a.user_id, a.ts, a.value, a.mean_before)).toSet
+      assert(got.nonEmpty, "no anomalies emitted — the proof would be vacuous")
+      assert(got == twin,
+        s"evolved restart must preserve semantics: got=${got.size} twin=${twin.size}")
+    } finally events.unpersist()
+  }
+}
+
+/** Evolved state for the schema-evolution restart proof: adds a running
+  * max (cents) to [[MicroBatch.RunningStats]]'s (n, sumCents); the Avro
+  * state encoder fills it with the zero default when restoring
+  * pre-evolution checkpointed values. Fold semantics are unchanged, so
+  * the emitted anomalies stay hash-equal to the batch twin. */
+case class RunningStatsV2(n: Long, sumCents: Long, maxCents: Long)
+
+class AnomalyProcessorEvolved(factor: Double, minN: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, java.sql.Timestamp, Double), MicroBatch.Anomaly] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[RunningStatsV2] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[RunningStatsV2]("running",
+      org.apache.spark.sql.Encoders.product[RunningStatsV2], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Double)],
+      timerValues: TimerValues): Iterator[MicroBatch.Anomaly] = {
+    var s = if (st.exists()) st.get() else RunningStatsV2(0L, 0L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer[MicroBatch.Anomaly]()
+    rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).foreach { case (_, ts, v) =>
+      def mean = s.sumCents.toDouble / 100.0 / s.n
+      if (s.n >= minN && v > factor * mean)
+        out += MicroBatch.Anomaly(uid, ts, v, mean)
+      val cents = math.round(v * 100)
+      s = RunningStatsV2(s.n + 1, s.sumCents + cents, math.max(s.maxCents, cents))
+    }
+    st.update(s)
+    out.iterator
+  }
 }
