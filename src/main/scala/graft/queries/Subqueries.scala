@@ -272,7 +272,45 @@ object Subqueries {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin)
 
+  // --- q_tpch_q20: potential-part-promotion nested decorrelation ----------
+  // The remaining canonical subquery shape after Q21 (semi/anti) and Q17
+  // (correlated scalar agg): an IN whose SUBJECT is itself an aggregate
+  // over the fact table, filtered by BOTH a nested IN and a correlated
+  // scalar aggregate on the composite (partkey, suppkey) key — two
+  // decorrelation levels deep. The synthetic schema has no partsupp, so
+  // the inventory row is derived where it actually lives at 100 TB: the
+  // per-(part, supplier) total shipped volume (an aggregate at key
+  // grain), and "has slack" becomes total > 2 × the 1996 window volume
+  // — same structure (availqty vs half-year demand), same plan
+  // obligations. Catalyst: outer IN → left semi on s_suppkey; nested IN
+  // → left semi of the aggregated inner on l_partkey; correlated scalar
+  // agg → per-(partkey, suppkey) aggregate joined back on the composite
+  // correlation key. Three shuffles at key grain, no per-row
+  // re-execution, no cartesian (PlanSpec-gated). COALESCE pins the
+  // empty-window threshold to 0 in both engines (a bare SUM would be
+  // NULL and silently drop slack-rich pairs that shipped nothing in
+  // window — the opposite of Q20's intent). ORDER BY s_name is total.
+  private val (tpchQ20Fn, tpchQ20SqlText) = sqlBoth(
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      |  AND s_suppkey IN (
+      |    SELECT ps.l_suppkey FROM (
+      |      SELECT l_partkey, l_suppkey,
+      |        SUM(CAST(round(l_quantity) AS BIGINT)) AS availqty
+      |      FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+      |    WHERE ps.l_partkey IN (
+      |      SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      |    AND ps.availqty > (
+      |      SELECT 2.0 * COALESCE(SUM(CAST(round(l2.l_quantity) AS BIGINT)), 0)
+      |      FROM lineitem l2
+      |      WHERE l2.l_partkey = ps.l_partkey AND l2.l_suppkey = ps.l_suppkey
+      |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |        AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s_name""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q20" -> tpchQ20Fn,
     "q_tpch_q17" -> tpchQ17Fn,
     "q_tpch_q21" -> tpchQ21Fn,
     "q_tpch_q5" -> (tpchQ5 _),
@@ -285,6 +323,7 @@ object Subqueries {
     "q_tpch_q13" -> tpchQ13Fn)
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q20" -> tpchQ20SqlText,
     "q_tpch_q17" -> tpchQ17SqlText,
     "q_tpch_q21" -> tpchQ21SqlText,
     "q_tpch_q5" -> tpchQ5Sql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -315,12 +315,181 @@ object TrainPrep {
        |FROM p
        |ORDER BY global_id""".stripMargin
 
+  // --- q_tp_bpe -------------------------------------------------------------
+  // BPE TOKENIZATION AS A RELATIONAL OPERATOR — the tokenizer an LLM
+  // pipeline actually counts tokens with, trained and applied in-engine:
+  //
+  //  TRAIN (Sennrich-style, bounded rounds): per round, encode the WORD
+  //  VOCABULARY (distinct words × corpus counts — the classic BPE
+  //  training compression: pair statistics ride on the vocab, never the
+  //  corpus) with the merges so far, count adjacent symbol pairs
+  //  weighted by word count in ONE map-side-combinable aggregation, and
+  //  collect only the ARGMAX pair (count DESC, then lexicographic — a
+  //  2-string driver artifact per round, the Lloyd-centroid pattern:
+  //  lineage resets each round because the merges enter the next plan
+  //  as literals).
+  //
+  //  ENCODE: per word, fold the merge list over the character sequence
+  //  — ONE nested aggregate() HOF (outer fold over merges, inner
+  //  leftmost-nonoverlapping merge pass over symbols; chained
+  //  per-merge columns would re-trigger the alias-substitution blowup).
+  //  Applying merges exhaustively in rank order is the original BPE
+  //  encoder definition, so the DuckDB twin REPLAYS training (R CTE
+  //  rounds off the same vocab, same tie-breaks) and encoding
+  //  (struct-wrapped list_reduce folds) bit-for-bit: a drift anywhere
+  //  in vocab, pair counts, tie-breaks, or the merge pass breaks the
+  //  hash.
+  //
+  //  100 TB shape: training touches the corpus once (the vocab
+  //  aggregation); each round is one aggregation over the VOCAB with an
+  //  8-byte-pair driver collect. Encoding is a zero-shuffle scan
+  //  projection; production would encode the distinct vocab once and
+  //  broadcast-join the code table instead of re-folding every
+  //  occurrence — same results, amortized fold.
+  private val BpeRounds = 12
+
+  /** Leftmost-nonoverlapping application of `merges` (in rank order) to
+    * the character sequence of `w` — one nested aggregate() fold. */
+  private[graft] def bpeEncode(w: Column, merges: Seq[(String, String)]): Column = {
+    val chars = filter(split(w, ""), s => s =!= "")
+    if (merges.isEmpty) chars
+    else {
+      val ms = array(merges.map { case (a, b) =>
+        struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+      aggregate(ms, chars, (syms, m) =>
+        aggregate(syms, array().cast("array<string>"), (acc, s) =>
+          when(size(acc) > 0 &&
+            element_at(acc, -1) === m.getField("a") && s === m.getField("b"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(m.getField("a"), m.getField("b")))))
+            .otherwise(concat(acc, array(s)))))
+    }
+  }
+
+  /** Adjacent-pair structs of a symbol array (empty when < 2 symbols —
+    * sequence(1,0) would DESCEND in Spark, so the guard is load-bearing). */
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+
+  /** Train `rounds` merges on the word vocabulary of `d`'s documents.
+    * Throws if a round finds no pairs (the oracle replays a FIXED round
+    * count; silent early-stop would desync the engines). */
+  private[graft] def trainBpeMerges(s: SparkSession, d: String,
+      rounds: Int): Seq[(String, String)] = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .cache() // reused every round; freed below
+    try {
+      var merges = Vector.empty[(String, String)]
+      for (r <- 1 to rounds) {
+        val best = vocab
+          .select(explode(pairsOf(bpeEncode(col("w"), merges))).as("p"), col("cnt"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        require(best.nonEmpty, s"BPE round $r found no pairs — corpus too small")
+        merges :+= ((best(0).getString(0), best(0).getString(1)))
+      }
+      merges
+    } finally vocab.unpersist()
+  }
+
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** Trained merge table, cached per dataset fingerprint (a tokenizer is
+    * a train-once artifact; composed queries must not retrain). */
+  private[graft] def trainedBpe(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeCache.computeIfAbsent(Tables.stageTag(d),
+      _ => trainBpeMerges(s, d, BpeRounds))
+
+  def bpe(s: SparkSession, d: String): DataFrame = {
+    val merges = trainedBpe(s, d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_ws"),
+        flatten(transform(col("t"), w => bpeEncode(w, merges))).as("toks"))
+      .select(col("doc_id"), col("n_ws"),
+        size(col("toks")).cast("long").as("n_bpe"),
+        concat_ws(" ", slice(col("toks"), 1, 8)).as("preview"))
+      .orderBy("doc_id")
+  }
+
+  /** The nested encode fold in DuckDB 1.0 form: list_reduce has no
+    * initial-value arg, so the accumulator is prepended and both folds
+    * wrap elements to match its type (chars → single-element lists,
+    * merges → a struct carrying the symbol array through). */
+  private def bpeEncodeSql(w: String, ms: String): String =
+    s"""list_reduce(
+       |  list_prepend({'s': string_split($w, ''), 'a': CAST(NULL AS VARCHAR), 'b': CAST(NULL AS VARCHAR)},
+       |    list_transform($ms, m -> {'s': CAST(NULL AS VARCHAR[]), 'a': m.a, 'b': m.b})),
+       |  (acc, x) -> {'s':
+       |    list_reduce(
+       |      list_prepend(CAST([] AS VARCHAR[]), list_transform(acc.s, s -> [s])),
+       |      (a2, x2) -> CASE WHEN len(a2) > 0 AND a2[len(a2)] = x.a AND x2[1] = x.b
+       |                  THEN list_append(a2[1:len(a2)-1], x.a || x.b)
+       |                  ELSE list_append(a2, x2[1]) END),
+       |    'a': CAST(NULL AS VARCHAR), 'b': CAST(NULL AS VARCHAR)}).s"""
+      .stripMargin.replace("\n", " ")
+
+  val bpeSql: String = {
+    def msLit(k: Int): String = // merges m1..mk as a struct list
+      (1 to k).map(i => s"{'a': m$i.a, 'b': m$i.b}").mkString("[", ", ", "]")
+    def msFrom(k: Int): String = (1 to k).map(i => s"m$i").mkString(", ")
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // each round references all previous merge CTEs — inlining makes
+    // the chain re-execute its whole prefix per reference (exponential
+    // in rounds; observed as a never-finishing oracle at 12 rounds)
+    val rounds = (1 to BpeRounds).map { k =>
+      val enc =
+        if (k == 1)
+          s"e1 AS MATERIALIZED (SELECT w, cnt, string_split(w, '') AS syms FROM vocab)"
+        else
+          s"""e$k AS MATERIALIZED (SELECT w, cnt, ${bpeEncodeSql("w", msLit(k - 1))} AS syms
+             |  FROM vocab, ${msFrom(k - 1)})""".stripMargin
+      s"""$enc,
+         |p$k AS MATERIALIZED (
+         |  SELECT t.pr.a AS a, t.pr.b AS b, sum(cnt)::BIGINT AS c
+         |  FROM e$k, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |    i -> {'a': syms[i], 'b': syms[i + 1]})) t(pr)
+         |  GROUP BY t.pr.a, t.pr.b),
+         |m$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    // doc-level encode goes vocab-first: encode each DISTINCT word once
+    // and join back by position — the same amortization a production
+    // encoder uses, and it keeps the lambdas 2 deep (a third level —
+    // list_transform over the nested fold — segfaults DuckDB 1.0)
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, ${TextAnalysis.tokensSql} AS t FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT u.w AS w, count(*)::BIGINT AS cnt
+       |  FROM toks, unnest(t) u(w) GROUP BY u.w),
+       |$rounds,
+       |wenc AS MATERIALIZED (
+       |  SELECT w, ${bpeEncodeSql("w", msLit(BpeRounds))} AS wtoks
+       |  FROM vocab, ${msFrom(BpeRounds)}),
+       |dw AS (SELECT doc_id, u.i AS pos, t[u.i] AS w
+       |       FROM toks, unnest(generate_series(1, len(t))) u(i)),
+       |joined AS (SELECT dw.doc_id, dw.pos, wenc.wtoks FROM dw JOIN wenc USING (w)),
+       |enc AS (SELECT doc_id, flatten(list(wtoks ORDER BY pos)) AS toks
+       |        FROM joined GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.t)::BIGINT AS n_ws,
+       |  COALESCE(len(e.toks), 0)::BIGINT AS n_bpe,
+       |  array_to_string(COALESCE(e.toks, CAST([] AS VARCHAR[]))[1:8], ' ') AS preview
+       |FROM toks d LEFT JOIN enc e USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
     "q_tp_shard_manifest" -> (shardManifest _),
     "q_tp_chunk_overlap" -> (chunkOverlap _),
     "q_tp_shuffle" -> (shuffleOrder _),
+    "q_tp_bpe" -> (bpe _),
     "q_tp_row_ids" -> (rowIds _))
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +498,6 @@ object TrainPrep {
     "q_tp_shard_manifest" -> shardManifestSql,
     "q_tp_chunk_overlap" -> chunkOverlapSql,
     "q_tp_shuffle" -> shuffleOrderSql,
+    "q_tp_bpe" -> bpeSql,
     "q_tp_row_ids" -> rowIdsSql)
 }

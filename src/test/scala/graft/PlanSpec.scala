@@ -203,6 +203,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
   }
 
+  test("TPC-H Q20: nested decorrelation plans semi joins over the aggregated inner, no cartesian") {
+    val df = Subqueries.all("q_tpch_q20")(spark, sf)
+    val p = plan(df)
+    // outer s_suppkey IN and nested p_partkey IN both decorrelate to
+    // semi joins; the correlated scalar agg becomes a per-(partkey,
+    // suppkey) aggregate joined back on the composite key
+    assert(p.contains("LeftSemi"),
+      s"the IN chain must decorrelate to semi joins:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Q20 must not plan an all-pairs join:\n${p.take(1500)}")
+    // the at-scale plan: no broadcast shortcut may hide a cartesian,
+    // and lineitem must never be a broadcast side
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val scaled = Subqueries.all("q_tpch_q20")(spark, sf)
+      val ps = plan(scaled)
+      assert(ps.contains("LeftSemi"),
+        s"semi joins must survive without broadcasts:\n${ps.take(1500)}")
+      assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+        s"no all-pairs fallback at scale:\n${ps.take(1500)}")
+      val broadcastSubtrees = allNodes(scaled.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      broadcastSubtrees.foreach(b =>
+        assert(!b.toString.contains("lineitem"),
+          s"the lineitem fact table must not be broadcast:\n${b.toString.take(1500)}"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
   test("IN / NOT IN subqueries decorrelate to semi / anti joins") {
     val pin = plan(spark.sql("SELECT 1").sparkSession.let(_ => Subqueries.all("q_sq_in")(spark, sf)))
     assert(pin.contains("LeftSemi"), s"IN should plan a semi join:\n${pin.take(1500)}")

@@ -189,4 +189,37 @@ class TrainPrepSpec extends SparkSpec {
     // exercising the hash filter at all
     assert(parsed.exists(_._2 < 10000L), "expected a sub-10000 threshold")
   }
+
+  test("BPE encode fold: leftmost-nonoverlapping merges applied in rank order") {
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val words = Seq("banana", "aaab", "x", "").toDF("w")
+    def enc(ms: Seq[(String, String)]): Seq[Seq[String]] =
+      words.select(TrainPrep.bpeEncode(col("w"), ms).as("e"))
+        .as[Seq[String]].collect().toSeq
+    val none = enc(Nil)
+    assert(none == Seq(Seq("b", "a", "n", "a", "n", "a"),
+      Seq("a", "a", "a", "b"), Seq("x"), Seq()))
+    // rank order: (a,n) first, then (an,an) over the merged symbols
+    val merged = enc(Seq("a" -> "n", "an" -> "an"))
+    assert(merged.head == Seq("b", "anan", "a"))
+    // leftmost-nonoverlapping: aaa + (a,a) -> [aa, a], not [a, aa]
+    assert(enc(Seq("a" -> "a")) ==
+      Seq(Seq("b", "a", "n", "a", "n", "a"),
+        Seq("aa", "a", "b"), Seq("x"), Seq()))
+  }
+
+  test("BPE training picks the count-then-lexicographic argmax pair per round") {
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq((1L, "the the the cat", "s"), (2L, "the", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // vocab: the×4, cat×1. Round 1: (t,h)=4 ties (h,e)=4 → lex (h,e).
+    // Round 2: the→[t,he]: (t,he)=4 beats (c,a)=(a,t)=1 → (t,he).
+    // Round 3: only cat pairs left, (a,t) < (c,a) lexicographically.
+    val merges = TrainPrep.trainBpeMerges(spark, dir, 3)
+    assert(merges == Seq("h" -> "e", "t" -> "he", "a" -> "t"),
+      s"unexpected merge table: $merges")
+  }
 }
