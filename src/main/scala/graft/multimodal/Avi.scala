@@ -1,0 +1,201 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** AVI/RIFF container handling: AVI is the same RIFF chunk grammar as
+  * WAV ([[Wav]]), with two twists the video path needs — chunks can be
+  * LISTs (a 4-byte list type follows the size, then nested chunks) and
+  * the frame directory is the `idx1` chunk: 16-byte entries of
+  * (fourcc, flags, offset-from-movi, size). Walking the top level and
+  * exploding `idx1` yields REAL frame offsets relationally — binary
+  * `substring` + little-endian reassembly in column expressions, no
+  * UDF, no mapPartitions — so frame extraction from a 100 TB video
+  * corpus is a scan-side projection plus a Generate, and the frame
+  * BYTES are touched only by the final slice.
+  *
+  * Scope: the canonical single-video AVI shape — LIST hdrl (with the
+  * avih main header first), LIST movi, idx1 — with offsets counted
+  * from the `movi` fourcc, which is what the spec's own example and
+  * every sane muxer write. Files without an idx1, with a foreign
+  * fourcc, or with the header list missing parse as invalid and are
+  * filtered, never mis-sliced.
+  *
+  * Reference behavior: the reference pipeline has no media handling at
+  * all; the parse follows the public AVI RIFF form (msdn AVI RIFF File
+  * Reference) like [[Wav]] follows the WAV spec.
+  */
+object Avi {
+
+  /** Unrolled top-level walk depth: hdrl/movi/idx1 must be among the
+    * first K top-level chunks (JUNK padding included). */
+  val MaxChunks = 6
+
+  // ------------------------------------------------------------- encode
+  // (test/fixture side — builds payloads the relational parse reads)
+
+  /** Encode raw (uncompressed DIB) frames as a minimal standard AVI:
+    * RIFF(AVI ) { LIST(hdrl){ avih }, [junk], LIST(movi){ 00db* },
+    * idx1 }. `junk` inserts an ancillary chunk between hdrl and movi
+    * so fixtures can exercise the aligned walk. idx1 offsets are
+    * relative to the `movi` fourcc, entries point at chunk headers. */
+  def encode(width: Int, height: Int, usPerFrame: Int,
+             frames: Seq[Array[Byte]],
+             junk: Option[Array[Byte]] = None,
+             fourcc: String = "AVI "): Array[Byte] = {
+    def le(out: java.io.ByteArrayOutputStream, v: Long, w: Int): Unit = {
+      var i = 0
+      while (i < w) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def tag(out: java.io.ByteArrayOutputStream, t: String): Unit =
+      out.write(t.getBytes("US-ASCII"), 0, 4)
+
+    val avih = new java.io.ByteArrayOutputStream()
+    le(avih, usPerFrame.toLong, 4) // dwMicroSecPerFrame
+    le(avih, 0L, 4); le(avih, 0L, 4); le(avih, 0L, 4) // maxBps, padding, flags
+    le(avih, frames.length.toLong, 4) // dwTotalFrames
+    le(avih, 0L, 4); le(avih, 1L, 4); le(avih, 0L, 4) // initial, streams, sugBuf
+    le(avih, width.toLong, 4) // dwWidth
+    le(avih, height.toLong, 4) // dwHeight
+    le(avih, 0L, 4); le(avih, 0L, 4); le(avih, 0L, 4); le(avih, 0L, 4) // reserved
+
+    val hdrl = new java.io.ByteArrayOutputStream()
+    tag(hdrl, "hdrl")
+    tag(hdrl, "avih"); le(hdrl, avih.size.toLong, 4)
+    hdrl.write(avih.toByteArray, 0, avih.size)
+
+    val movi = new java.io.ByteArrayOutputStream()
+    tag(movi, "movi")
+    // idx1 offsets count from the movi fourcc to each chunk HEADER
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    frames.foreach { f =>
+      offsets += movi.size.toLong // == 4 for the first chunk
+      tag(movi, "00db"); le(movi, f.length.toLong, 4)
+      movi.write(f, 0, f.length)
+      if (f.length % 2 == 1) movi.write(0) // RIFF word alignment
+    }
+
+    val idx1 = new java.io.ByteArrayOutputStream()
+    frames.zip(offsets).foreach { case (f, off) =>
+      tag(idx1, "00db"); le(idx1, 0x10L, 4) // AVIIF_KEYFRAME
+      le(idx1, off, 4); le(idx1, f.length.toLong, 4)
+    }
+
+    val body = new java.io.ByteArrayOutputStream()
+    tag(body, fourcc)
+    def chunk(t: String, b: Array[Byte]): Unit = {
+      tag(body, t); le(body, b.length.toLong, 4)
+      body.write(b, 0, b.length)
+      if (b.length % 2 == 1) body.write(0)
+    }
+    chunk("LIST", hdrl.toByteArray)
+    junk.foreach(j => chunk("JUNK", j))
+    chunk("LIST", movi.toByteArray)
+    chunk("idx1", idx1.toByteArray)
+
+    val out = new java.io.ByteArrayOutputStream()
+    tag(out, "RIFF"); le(out, body.size.toLong, 4)
+    out.write(body.toByteArray, 0, body.size)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- parse
+
+  private def u8(bin: Column, pos: Column): Column =
+    coalesce(conv(hex(bin.substr(pos.cast("int"), lit(1))), 16, 10).cast("long"), lit(0L))
+
+  private def le(bin: Column, pos: Column, width: Int): Column =
+    (0 until width).map(i => u8(bin, pos + i) * (1L << (8 * i)))
+      .reduce(_ + _)
+
+  private def tagAt(bin: Column, pos: Column): Column =
+    bin.substr(pos.cast("int"), lit(4)).cast("string")
+
+  /** Relational AVI parse: adds `width`, `height`, `us_per_frame`,
+    * `total_frames`, `movi_pos` (1-based position of the movi fourcc),
+    * `idx1_off`/`idx1_len` (1-based entry table), and `avi_valid` to
+    * `media` (binary `payload` column required).
+    *
+    * The top-level walk is the [[Wav.parseMeta]] aggregate-HOF fold
+    * extended with LIST typing: a LIST hop reads the 4-byte list type
+    * after the size and records hdrl/movi positions; a plain `idx1`
+    * hop records the index extent. ONE fold, same rationale — a
+    * per-level column form re-substitutes each level ~9× under
+    * PushDownPredicates and explodes 9^K (observed 32 GB OOM). */
+  def parseMeta(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val plen = length(p).cast("long")
+    val init = struct(
+      lit(13L).as("off"), // first chunk after RIFF(4)+size(4)+"AVI "(4)
+      lit(null).cast("long").as("hdrl_off"), // hdrl list CONTENT (after type)
+      lit(null).cast("long").as("movi_pos"), // position of the movi fourcc
+      lit(null).cast("long").as("idx1_off"),
+      lit(null).cast("long").as("idx1_len"))
+    val walk = aggregate(
+      sequence(lit(1), lit(MaxChunks)), init,
+      (acc, _) => {
+        val off = acc.getField("off")
+        val tag = tagAt(p, off)
+        val sz = least(le(p, off + 4, 4), plen)
+        val fits = off + 8 + sz <= plen + 1
+        val listType = tagAt(p, off + 8)
+        when(off + 8 <= plen + 1,
+          struct(
+            (off + 8 + sz + sz % 2).as("off"),
+            coalesce(acc.getField("hdrl_off"),
+              when(tag === "LIST" && listType === "hdrl" && fits, off + 12))
+              .as("hdrl_off"),
+            coalesce(acc.getField("movi_pos"),
+              when(tag === "LIST" && listType === "movi" && fits, off + 8))
+              .as("movi_pos"),
+            coalesce(acc.getField("idx1_off"),
+              when(tag === "idx1" && fits, off + 8)).as("idx1_off"),
+            coalesce(acc.getField("idx1_len"),
+              when(tag === "idx1" && fits, sz)).as("idx1_len")))
+          .otherwise(acc)
+      })
+    val hdrlOff = col("_walk").getField("hdrl_off")
+    val avihData = hdrlOff + 8 // avih chunk body (tag+size skipped)
+    media
+      .withColumn("_walk", walk)
+      .withColumn("us_per_frame", le(p, avihData, 4))
+      .withColumn("total_frames", le(p, avihData + 16, 4))
+      .withColumn("width", le(p, avihData + 32, 4))
+      .withColumn("height", le(p, avihData + 36, 4))
+      .withColumn("movi_pos", col("_walk").getField("movi_pos"))
+      .withColumn("idx1_off", col("_walk").getField("idx1_off"))
+      .withColumn("idx1_len", col("_walk").getField("idx1_len"))
+      .withColumn("avi_valid",
+        tagAt(p, lit(1)) === "RIFF" && tagAt(p, lit(9)) === "AVI " &&
+          hdrlOff.isNotNull && tagAt(p, hdrlOff) === "avih" &&
+          col("movi_pos").isNotNull && col("idx1_off").isNotNull)
+      .drop("_walk")
+  }
+
+  /** Frame rows via the idx1 index: one row per index entry with the
+    * frame fourcc, flags, 1-based absolute payload offset, length, and
+    * the md5 digest of the frame bytes. The explode is a Generate over
+    * entry ORDINALS (16 bytes each); only the final `substr` touches
+    * frame content. Invalid containers are filtered by contract. */
+  def frames(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val nEntries = (col("idx1_len") / 16).cast("long")
+    val entry = col("idx1_off") + col("frame_idx") * 16
+    parseMeta(media)
+      .filter(col("avi_valid"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("us_per_frame"), col("total_frames"), col("movi_pos"),
+        col("idx1_off"), p,
+        explode(when(nEntries > 0, sequence(lit(0L), nEntries - 1))
+          .otherwise(array().cast("array<long>"))).as("frame_idx"))
+      .withColumn("frame_fourcc", tagAt(p, entry))
+      .withColumn("frame_flags", le(p, entry + 4, 4))
+      // idx1 offsets count from the movi fourcc to the chunk header;
+      // +8 skips that header to the frame bytes
+      .withColumn("frame_off", col("movi_pos") + le(p, entry + 8, 4) + 8)
+      .withColumn("frame_len", le(p, entry + 12, 4))
+      .withColumn("frame_md5",
+        md5(p.substr(col("frame_off").cast("int"), col("frame_len").cast("int"))))
+      .drop("payload", "movi_pos", "idx1_off")
+  }
+}

@@ -1072,6 +1072,63 @@ object Parity {
        |GROUP BY media_id, win_idx
        |ORDER BY media_id, win_idx""".stripMargin
 
+  // --- q_mm_avi_frames ------------------------------------------------------
+  // The VIDEO CONTAINER path: real frame sampling reads a container's
+  // frame directory, not fixed byte strides. Each doc's first 96 bytes
+  // become 4 uncompressed 24-byte DIB frames muxed into a constructed
+  // AVI (Avi.encode — RIFF { LIST hdrl{avih}, [JUNK on even ids,
+  // odd/even lengths exercising the aligned walk], LIST movi{00db*},
+  // idx1 }), with per-row header arithmetic (width/height/frame
+  // timing from doc_id) and id%9=0 rows muxed under a foreign fourcc
+  // the parse MUST reject. Avi.frames walks the top-level chunks with
+  // the same ONE-fold aggregate HOF as the WAV parse (LIST-typed hops,
+  // idx1 extent), then explodes the idx1 entries into real frame
+  // offsets and slices + digests each frame relationally. The
+  // header-blind oracle recomputes header fields from the same
+  // arithmetic and frame digests from raw text slices — a bug in the
+  // walk, the LIST typing, the index explode, the offset convention
+  // (movi-fourcc-relative + 8), or the slice breaks the hash.
+  def aviFramesQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= PcmBytes)
+      .filter(octet_length(substring(col("text"), 1, PcmBytes)) === PcmBytes)
+      .select(col("doc_id"), substring(col("text"), 1, PcmBytes).cast("binary").as("raw"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) =>
+        val frames = (0 until 4).map(i => raw.slice(i * 24, (i + 1) * 24))
+        val junk =
+          if (id % 2 == 0)
+            Some(Array.tabulate(((id % 5) + 1).toInt)(i => (i * 31 + id).toByte))
+          else None
+        val fourcc = if (id % 9 == 0) "AVX " else "AVI " // foreign: reject
+        (id, graft.multimodal.Avi.encode(
+          16 + (id % 40).toInt * 16, 16 + (id % 30).toInt * 16,
+          33333 + (id % 3).toInt * 1000, frames, junk, fourcc))
+      }
+      .toDF("media_id", "payload")
+    graft.multimodal.Avi.frames(media)
+      .select("media_id", "frame_idx", "frame_fourcc", "width", "height",
+        "us_per_frame", "total_frames", "frame_len", "frame_md5")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val aviFramesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $PcmBytes) AS s
+       |  FROM documents WHERE length(text) >= $PcmBytes
+       |    AND octet_length(encode(substring(text, 1, $PcmBytes))) = $PcmBytes
+       |    AND doc_id % 9 <> 0)
+       |SELECT media_id, CAST(i AS BIGINT) AS frame_idx, '00db' AS frame_fourcc,
+       |  CAST(16 + (media_id % 40) * 16 AS BIGINT) AS width,
+       |  CAST(16 + (media_id % 30) * 16 AS BIGINT) AS height,
+       |  CAST(33333 + (media_id % 3) * 1000 AS BIGINT) AS us_per_frame,
+       |  CAST(4 AS BIGINT) AS total_frames,
+       |  CAST(24 AS BIGINT) AS frame_len,
+       |  md5(substring(s, 24 * i + 1, 24)) AS frame_md5
+       |FROM d, unnest(generate_series(0, 3)) g(i)
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   // --- q_mm_ulaw_windows ----------------------------------------------------
   // COMPRESSED audio, driver-verified: G.711 μ-law is the standard
   // telephony companding codec (8-bit log codewords → 14-bit linear),
@@ -1454,6 +1511,7 @@ object Parity {
     "q_mm_pnm_decode" -> (pnmDecode _),
     "q_mm_png_decode" -> (pngDecode _),
     "q_mm_wav_windows" -> (wavWindowsQ _),
+    "q_mm_avi_frames" -> (aviFramesQ _),
     "q_mm_ulaw_windows" -> (ulawWindowsQ _),
     "q_mm_resize" -> (pnmResize _),
     "q_mm_pcm_windows" -> (pcmWindows _),
@@ -1489,6 +1547,7 @@ object Parity {
     "q_mm_pnm_decode" -> pnmDecodeSql,
     "q_mm_png_decode" -> pngDecodeSql,
     "q_mm_wav_windows" -> wavWindowsSql,
+    "q_mm_avi_frames" -> aviFramesSql,
     "q_mm_ulaw_windows" -> ulawWindowsSql,
     "q_mm_resize" -> pnmResizeSql,
     "q_mm_pcm_windows" -> pcmWindowsSql,

@@ -176,6 +176,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Png.decode(patched(_(28) = 1)).isEmpty, "interlaced")
   }
 
+  test("AVI container: idx1-driven frame slices recover the muxed DIB frames exactly") {
+    import ss.implicits._
+    import graft.multimodal.Avi
+    // two frames with DIFFERENT and odd/even lengths so the alignment
+    // padding and per-entry sizes are both load-bearing; a junk chunk
+    // between hdrl and movi exercises the LIST-typed walk
+    val f0 = Array.tabulate[Byte](23)(i => (i * 7 + 1).toByte) // odd → padded
+    val f1 = Array.tabulate[Byte](30)(i => (i * 13 + 5).toByte)
+    val avi = Avi.encode(320, 240, 40000, Seq(f0, f1),
+      junk = Some(Array[Byte](9, 8, 7)))
+    val media = Seq((1L, avi)).toDF("media_id", "payload")
+    val rows = Avi.frames(media).orderBy("frame_idx").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("frame_fourcc") == "00db"))
+    assert(rows.map(_.getAs[Long]("width")).toSeq == Seq(320L, 320L))
+    assert(rows.map(_.getAs[Long]("height")).toSeq == Seq(240L, 240L))
+    assert(rows.map(_.getAs[Long]("us_per_frame")).toSeq == Seq(40000L, 40000L))
+    assert(rows.map(_.getAs[Long]("total_frames")).toSeq == Seq(2L, 2L))
+    assert(rows.map(_.getAs[Long]("frame_len")).toSeq == Seq(23L, 30L))
+    // digests must equal the digests of the ORIGINAL frame bytes —
+    // offsets, padding, and lengths all have to line up for this
+    def hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map(x => f"$x%02x").mkString
+    assert(rows.map(_.getAs[String]("frame_md5")).toSeq == Seq(hex(f0), hex(f1)))
+    // rejection: foreign fourcc, truncation, and a missing idx1 all
+    // parse as invalid (zero frame rows), never mis-slice
+    val bad = Seq(
+      (2L, Avi.encode(8, 8, 1, Seq(f0), fourcc = "AVX ")),
+      (3L, avi.dropRight(20)),
+      (4L, "RIFFxxxxAVI not a container at all".getBytes))
+      .toDF("media_id", "payload")
+    assert(Avi.frames(bad).count() == 0)
+  }
+
   test("PNG codec: CRC-valid but malformed streams return None, never throw or hang") {
     import graft.multimodal.Png
     // hand-build a PNG whose chunks are CRC-valid but whose content is bad
