@@ -33,6 +33,57 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = scala.collection.mutable.Map[String, Double]()
+    // Per-query SHUFFLE/SPILL telemetry: plan grading for a 100x
+    // scale-up needs "no avoidable shuffle" to be measurable, not
+    // qualitative. A session QueryExecutionListener walks each executed
+    // plan (through AQE wrappers and query stages) and sums the
+    // shuffleBytesWritten / spillSize SQLMetrics; per pass the delta of
+    // those global accumulators attributes bytes to the query,
+    // including its driver-side training actions. Streaming drains run
+    // on cloned sessions (their own listener scope) so their rows read
+    // ~0 here — the relational plans are what this measures.
+    val telemetrySeq = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleAcc = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong(0)
+    def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(planNodes)
+    }
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        val nodes = planNodes(qe.executedPlan)
+        shuffleAcc.addAndGet(
+          nodes.flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum)
+        spillAcc.addAndGet(
+          nodes.flatMap(_.metrics.get("spillSize")).map(m => math.max(0L, m.value)).sum)
+        telemetrySeq.incrementAndGet()
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+        telemetrySeq.incrementAndGet()
+    })
+    // listener events post asynchronously; wait (bounded) until the
+    // event stream is quiet before reading the per-pass delta
+    def quiesce(): Unit = {
+      var prev = -1L
+      var stable = 0
+      val deadline = System.nanoTime() + 2000000000L
+      while (stable < 2 && System.nanoTime() < deadline) {
+        val cur = telemetrySeq.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(10)
+      }
+    }
+    val shuffleBytes = scala.collection.mutable.Map[String, Long]()
+    val spillBytes = scala.collection.mutable.Map[String, Long]()
     // every successful pass's wall time, for the per-query MEAN emitted
     // next to best-of-N in bench_detail.json: with host-variance phases
     // dominating round-over-round deltas, (best, mean) together make a
@@ -40,10 +91,19 @@ object Bench {
     // moves BOTH, a noise phase moves only the mean.
     val passes = scala.collection.mutable.Map[String, List[Double]]()
     for (_ <- 1 to runs; (name, fn) <- queries) {
+      val shuffle0 = shuffleAcc.get()
+      val spill0 = spillAcc.get()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        if (dt < times.getOrElse(name, Double.MaxValue)) {
+          // telemetry rides the BEST pass (bytes are plan-determined and
+          // pass-stable; the best pass is the one the total reports)
+          shuffleBytes(name) = shuffleAcc.get() - shuffle0
+          spillBytes(name) = spillAcc.get() - spill0
+        }
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
         passes(name) = dt :: passes.getOrElse(name, Nil)
         // a query that failed one pass but succeeded another is healthy:
@@ -83,8 +143,14 @@ object Bench {
     val drains = graft.queries.Parity.drainBackedQueries
     val streamingTotal =
       results.collect { case (n, v) if drains.contains(n) && v >= 0 => v }.sum
+    val qsShuffle = queries.map { case (name, _) =>
+      "\"" + name + "\":" + shuffleBytes.getOrElse(name, -1L)
+    }.mkString("{", ",", "}")
+    val qsSpill = queries.map { case (name, _) =>
+      "\"" + name + "\":" + spillBytes.getOrElse(name, -1L)
+    }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean,"shuffle_bytes":$qsShuffle,"spill_bytes":$qsSpill,"errors":$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The per-query line grew past the driver's stdout tail window at 79
     // queries (round 3's BENCH parsed:null), so the LAST line is a compact
