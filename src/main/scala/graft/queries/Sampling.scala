@@ -153,15 +153,14 @@ object Sampling {
   private val BudgetDen = 5L
   private val BudgetSeed = 7
 
-  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+  /** The budget walk over any (doc_id, n_tokens, qb) frame: histogram
+    * at bucket grain, exclusive prefix to the boundary bucket, salted
+    * fractional admission inside it. Factored out so the token MASS can
+    * come from any tokenizer ([[tokenBudget]] counts whitespace tokens,
+    * [[tokenBudgetBpe]] the trained BPE tokens) while the machinery —
+    * the only part with a scale shape — is shared. */
+  private def budgetAdmit(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = TextAnalysis.tokens(col("text"))
-    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
-    val scored = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
-      .withColumn("qb", expr("(n_stop * 100) div greatest(n_tokens, 1)"))
     val hist = scored.groupBy("qb").agg(sum(col("n_tokens")).as("bucket_tokens"))
     val budgetDf = scored.agg(
       expr(s"(sum(n_tokens) * $BudgetNum) div $BudgetDen").as("budget"))
@@ -182,6 +181,39 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    budgetAdmit(Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .withColumn("qb", expr("(n_stop * 100) div greatest(n_tokens, 1)")))
+  }
+
+  // --- q_sm_token_budget_bpe ------------------------------------------------
+  // The SAME budget walk, but the mass each document charges against
+  // the budget is its TRAINED-BPE token count (q_tp_bpe's tokenizer,
+  // cached per dataset fingerprint) — budgets in a real pipeline are
+  // denominated in MODEL tokens, while the quality signal (stopword
+  // density over whitespace tokens) stays whatever the curation stack
+  // scores. Same boundary-bucket arithmetic, same determinism; the
+  // oracle replays BPE training (the materialized CTE chain), derives
+  // per-doc BPE counts vocab-first, and runs the identical walk.
+  def tokenBudgetBpe(s: SparkSession, d: String): DataFrame = {
+    val merges = TrainPrep.trainedBpe(s, d)
+    val toks = TextAnalysis.tokens(col("text"))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    budgetAdmit(Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(flatten(transform(toks, w => TrainPrep.bpeEncode(w, merges))))
+          .cast("long").as("n_tokens"),
+        size(toks).cast("long").as("n_ws"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .withColumn("qb", expr("(n_stop * 100) div greatest(n_ws, 1)"))
+      .drop("n_ws", "n_stop"))
+  }
+
   val tokenBudgetSql: String = {
     val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     val t = TextAnalysis.tokensSql
@@ -194,6 +226,43 @@ object Sampling {
        |q AS (
        |  SELECT doc_id, n_tokens,
        |    (n_stop * 100) // greatest(n_tokens, 1) AS qb
+       |  FROM scored),
+       |hist AS (SELECT qb, sum(n_tokens) AS bucket_tokens FROM q GROUP BY qb),
+       |b AS (SELECT (sum(n_tokens) * $BudgetNum) // $BudgetDen AS budget FROM q),
+       |walk AS (
+       |  SELECT qb, bucket_tokens,
+       |    coalesce(sum(bucket_tokens) OVER (
+       |      ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cum_before
+       |  FROM hist),
+       |cutoff AS (
+       |  SELECT qb AS cut_qb,
+       |    ((budget - cum_before) * 10000) // bucket_tokens AS cut_threshold
+       |  FROM walk, b
+       |  WHERE cum_before <= budget AND cum_before + bucket_tokens > budget)
+       |SELECT q.doc_id, q.qb, q.n_tokens,
+       |  (c.cut_qb IS NULL OR q.qb > c.cut_qb
+       |    OR (q.qb = c.cut_qb AND $h % 10000 < c.cut_threshold)) AS admitted
+       |FROM q LEFT JOIN cutoff c ON TRUE
+       |ORDER BY q.doc_id""".stripMargin
+  }
+
+  val tokenBudgetBpeSql: String = {
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val h = Hashes.md5Int32SeededSql("q.doc_id::VARCHAR", BudgetSeed)
+    s"""WITH ${TrainPrep.bpeCtesSql},
+       |dw AS (SELECT doc_id, t[u.i] AS w
+       |       FROM toks, unnest(generate_series(1, len(t))) u(i)),
+       |nb AS (SELECT dw.doc_id, sum(len(wenc.wtoks))::BIGINT AS n_bpe
+       |       FROM dw JOIN wenc USING (w) GROUP BY dw.doc_id),
+       |scored AS (
+       |  SELECT t.doc_id, COALESCE(nb.n_bpe, 0)::BIGINT AS n_tokens,
+       |    len(t.t)::BIGINT AS n_ws,
+       |    len(list_filter(t.t, s -> list_contains($stopList, s)))::BIGINT AS n_stop
+       |  FROM toks t LEFT JOIN nb ON t.doc_id = nb.doc_id),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |    (n_stop * 100) // greatest(n_ws, 1) AS qb
        |  FROM scored),
        |hist AS (SELECT qb, sum(n_tokens) AS bucket_tokens FROM q GROUP BY qb),
        |b AS (SELECT (sum(n_tokens) * $BudgetNum) // $BudgetDen AS budget FROM q),
@@ -262,7 +331,8 @@ object Sampling {
     "q_sm_stratified" -> (stratified _),
     "q_sm_split" -> (split _),
     "q_sm_mixture" -> (mixture _),
-    "q_sm_token_budget" -> (tokenBudget _))
+    "q_sm_token_budget" -> (tokenBudget _),
+    "q_sm_token_budget_bpe" -> (tokenBudgetBpe _))
 
   val oracles: Map[String, String] = Map(
     "q_sm_group_sample" -> groupSampleSql,
@@ -270,5 +340,6 @@ object Sampling {
     "q_sm_stratified" -> stratifiedSql,
     "q_sm_split" -> splitSql,
     "q_sm_mixture" -> mixtureSql,
-    "q_sm_token_budget" -> tokenBudgetSql)
+    "q_sm_token_budget" -> tokenBudgetSql,
+    "q_sm_token_budget_bpe" -> tokenBudgetBpeSql)
 }

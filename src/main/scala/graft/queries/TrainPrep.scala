@@ -436,14 +436,20 @@ object TrainPrep {
        |    'a': CAST(NULL AS VARCHAR), 'b': CAST(NULL AS VARCHAR)}).s"""
       .stripMargin.replace("\n", " ")
 
-  val bpeSql: String = {
+  /** Shared oracle CTE prefix: toks (doc_id, word array), vocab, the
+    * 12 training rounds, and wenc (distinct word → BPE tokens). Every
+    * CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    * round references all previous merge CTEs — inlining re-executes
+    * the whole chain prefix per reference (exponential in rounds;
+    * observed as a never-finishing oracle at 12). Doc-level encoding
+    * goes vocab-first: encode each DISTINCT word once and join back —
+    * the production amortization, and it keeps the lambdas 2 deep (a
+    * third level segfaults DuckDB 1.0). Shared with the BPE-fed
+    * token-budget oracle ([[Sampling.tokenBudgetBpeSql]]). */
+  private[queries] val bpeCtesSql: String = {
     def msLit(k: Int): String = // merges m1..mk as a struct list
       (1 to k).map(i => s"{'a': m$i.a, 'b': m$i.b}").mkString("[", ", ", "]")
     def msFrom(k: Int): String = (1 to k).map(i => s"m$i").mkString(", ")
-    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
-    // each round references all previous merge CTEs — inlining makes
-    // the chain re-execute its whole prefix per reference (exponential
-    // in rounds; observed as a never-finishing oracle at 12 rounds)
     val rounds = (1 to BpeRounds).map { k =>
       val enc =
         if (k == 1)
@@ -459,18 +465,18 @@ object TrainPrep {
          |  GROUP BY t.pr.a, t.pr.b),
          |m$k AS MATERIALIZED (SELECT a, b FROM p$k ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
     }.mkString(",\n")
-    // doc-level encode goes vocab-first: encode each DISTINCT word once
-    // and join back by position — the same amortization a production
-    // encoder uses, and it keeps the lambdas 2 deep (a third level —
-    // list_transform over the nested fold — segfaults DuckDB 1.0)
-    s"""WITH toks AS MATERIALIZED (SELECT doc_id, ${TextAnalysis.tokensSql} AS t FROM documents),
+    s"""toks AS MATERIALIZED (SELECT doc_id, ${TextAnalysis.tokensSql} AS t FROM documents),
        |vocab AS MATERIALIZED (
        |  SELECT u.w AS w, count(*)::BIGINT AS cnt
        |  FROM toks, unnest(t) u(w) GROUP BY u.w),
        |$rounds,
        |wenc AS MATERIALIZED (
        |  SELECT w, ${bpeEncodeSql("w", msLit(BpeRounds))} AS wtoks
-       |  FROM vocab, ${msFrom(BpeRounds)}),
+       |  FROM vocab, ${msFrom(BpeRounds)})""".stripMargin
+  }
+
+  val bpeSql: String =
+    s"""WITH $bpeCtesSql,
        |dw AS (SELECT doc_id, u.i AS pos, t[u.i] AS w
        |       FROM toks, unnest(generate_series(1, len(t))) u(i)),
        |joined AS (SELECT dw.doc_id, dw.pos, wenc.wtoks FROM dw JOIN wenc USING (w)),
@@ -481,7 +487,6 @@ object TrainPrep {
        |  array_to_string(COALESCE(e.toks, CAST([] AS VARCHAR[]))[1:8], ' ') AS preview
        |FROM toks d LEFT JOIN enc e USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_pack" -> (pack _),
