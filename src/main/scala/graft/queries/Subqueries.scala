@@ -309,7 +309,66 @@ object Subqueries {
       |        AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
       |ORDER BY s_name""".stripMargin)
 
+  // --- q_tpch_q19: discounted-revenue disjunctive-predicate join ----------
+  // The OR-of-ANDs planner stress: three (brand, size-range,
+  // quantity-range) predicate groups OR'd across a lineitem ⋈ part
+  // join. The obligation is that the disjunction must NOT demote the
+  // join to a nested loop: Catalyst keeps the p_partkey equi-join and
+  // evaluates the residual disjunction as a post-join filter, while
+  // the derivable conjuncts (each group implies a brand) stay
+  // pushable. The classic aggregates to one scalar; grouping by
+  // p_brand gives a 3-row output whose hash pins each group's
+  // membership separately. Revenue sums in DECIMAL(18,2) like Q3/Q5.
+  // The synthetic part has no container column; the size ranges play
+  // that role (same shape: per-group part attribute + line attribute).
+  private val (tpchQ19Fn, tpchQ19SqlText) = sqlBoth(
+    """SELECT p_brand, count(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |         AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |         AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
+      |         AND l_quantity BETWEEN 20 AND 40)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin)
+
+  // --- q_tpch_q22: global-sales-opportunity anti join + scalar avg --------
+  // The last canonical subquery pairing: an UNCORRELATED scalar
+  // aggregate (the positive-balance average over the admitted
+  // segments — one tiny broadcast value) gating a NOT EXISTS anti join
+  // against the fact table, then a per-segment rollup. The classic
+  // keys on phone country codes; the synthetic customer's segment
+  // column plays that role. Unlike Q20's correlated threshold this one
+  // is corpus-global, so the plan is: scalar subquery computed once →
+  // filter pushed to the customer scan → anti join on custkey →
+  // aggregate. "Has no orders at all" never fires here (every
+  // synthetic customer ordered), so the anti side is the URGENT slice
+  // — survivors exist at every SF, keeping the row load-bearing (the
+  // q_sq_not_in lesson). The average routes through exact integer
+  // cents: a bare avg()'s parallel double sum would drift the
+  // threshold bits and flip boundary customers between engines.
+  private val (tpchQ22Fn, tpchQ22SqlText) = sqlBoth(
+    """SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      |  AND c_acctbal > (
+      |    SELECT CAST(SUM(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100
+      |        / count(*)
+      |    FROM customer c2 WHERE c2.c_acctbal > 0.0
+      |      AND c2.c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE'))
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q19" -> tpchQ19Fn,
+    "q_tpch_q22" -> tpchQ22Fn,
     "q_tpch_q20" -> tpchQ20Fn,
     "q_tpch_q17" -> tpchQ17Fn,
     "q_tpch_q21" -> tpchQ21Fn,
@@ -323,6 +382,8 @@ object Subqueries {
     "q_tpch_q13" -> tpchQ13Fn)
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q19" -> tpchQ19SqlText,
+    "q_tpch_q22" -> tpchQ22SqlText,
     "q_tpch_q20" -> tpchQ20SqlText,
     "q_tpch_q17" -> tpchQ17SqlText,
     "q_tpch_q21" -> tpchQ21SqlText,

@@ -233,6 +233,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
   }
 
+  test("TPC-H Q19: the OR-of-ANDs keeps the equi-join — no nested loop, no cartesian") {
+    val df = Subqueries.all("q_tpch_q19")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the disjunction must not demote the join:\n${p.take(1500)}")
+    assert(p.contains("p_partkey"), "the equi-join key must survive")
+    // at-scale shape: without the broadcast shortcut the join must
+    // still be an equi hash/sort-merge join on partkey
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ps = plan(Subqueries.all("q_tpch_q19")(spark, sf))
+      assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+        s"no all-pairs fallback at scale:\n${ps.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
+  test("TPC-H Q22: scalar-average gate + NOT EXISTS plan one anti join, no cartesian") {
+    val df = Subqueries.all("q_tpch_q22")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"),
+      s"the NOT EXISTS must decorrelate to an anti join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Q22 must not plan an all-pairs join:\n${p.take(1500)}")
+  }
+
   test("IN / NOT IN subqueries decorrelate to semi / anti joins") {
     val pin = plan(spark.sql("SELECT 1").sparkSession.let(_ => Subqueries.all("q_sq_in")(spark, sf)))
     assert(pin.contains("LeftSemi"), s"IN should plan a semi join:\n${pin.take(1500)}")
