@@ -864,6 +864,229 @@ object Similarity {
        |LIMIT $K""".stripMargin
   }
 
+  // --- q_sim_ivfpq_full -----------------------------------------------------
+  // IVF-PQ with BOTH quantizers TRAINED — the complete production index
+  // build: the coarse quantizer is the Lloyd-trained cells
+  // (q_sim_ivfpq_trained) and the PQ codebooks are now themselves
+  // trained BY SUBSPACE ON THE RESIDUALS (per-subspace Lloyd from the
+  // ±1 seeds: assign by argmin L2 against the CURRENT codewords —
+  // trained codewords aren't equal-norm, so the dot shortcut would be
+  // wrong from round 1 — then fixed-point means; empty codewords keep
+  // their previous value). That is the step that makes the codebook
+  // match the residual DISTRIBUTION, not just the residual direction:
+  // codewords take the scale and shape of v − centroid(cell(v)), which
+  // is what makes ADC over residual codes a calibrated estimate. The
+  // model artifact is 4×8×16 doubles, trained once per dataset
+  // fingerprint and embedded as plan literals (lineage reset, the
+  // Lloyd convention).
+  //
+  // Floating-point discipline: dot(residual_sub, codeword) is computed
+  // EVERYWHERE as dot(v_sub, cw) − dot(cent_sub, cw) — never as a dot
+  // over materialized residual elements, whose per-element subtraction
+  // would round differently — and the training means use the
+  // fixed-point residual components round((v_i − c_i)·1e6) in both
+  // engines. The DuckDB twin replays coarse training, cell assignment,
+  // all per-subspace codebook rounds, the residual encode, ADC, and
+  // the exact re-rank off one shared MATERIALIZED CTE chain.
+  private val CbRounds = 2
+
+  /** Driver-side per-subspace residual Lloyd. Returns codebooks
+    * [m][k][dim16]. */
+  private[graft] def residualCodebooks(s: SparkSession, d: String,
+      cents: IndexedSeq[IndexedSeq[Double]]): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", lloydBest(col("v"), cents).getField("cid").cast("int"))
+    val cents2D = array(cents.map(c => array(c.map(lit): _*)): _*)
+    (0 until PqM).map { m =>
+      var cb: IndexedSeq[IndexedSeq[Double]] = (0 until PqK).map(k => pqWeights(m, k))
+      for (_ <- 1 to CbRounds) {
+        val subV = slice(col("v"), m * PqSub + 1, PqSub)
+        // argmin_k ||r_sub − cw||² via cw·cw − 2·(dot(v_sub,cw) − dot(c_sub,cw));
+        // the per-(cell,k) constant dot(c_sub,cw) enters as literals
+        val best = array_min(array(cb.zipWithIndex.map { case (cw, k) =>
+          val cwArr = array(cw.map(lit): _*)
+          val centSub = array(cents.indices.map(cid =>
+            lit(dotConst(cents(cid).slice(m * PqSub, (m + 1) * PqSub), cw))): _*)
+          struct((lit(dotConst(cw, cw)) -
+            lit(2.0) * (Vectors.dot(subV, cwArr) -
+              element_at(centSub, col("cell") + 1))).as("dd"),
+            lit(k).as("k"))
+        }: _*))
+        val means = e
+          .select(best.getField("k").as("k"), col("cell"),
+            posexplode(subV).as(Seq("dim", "vi")))
+          .withColumn("ci", element_at(element_at(cents2D, col("cell") + 1),
+            col("dim") + lit(m * PqSub) + 1))
+          .groupBy("k", "dim")
+          .agg(count(lit(1)).as("n"),
+            sum(round((col("vi") - col("ci")) * 1000000.0).cast("long")).as("sum_fixed"))
+          .select(col("k"), col("dim"),
+            (col("sum_fixed").cast("double") / 1000000.0 / col("n").cast("double"))
+              .as("mv"))
+          .collect()
+          .map(r => (r.getAs[Int]("k"), r.getAs[Int]("dim")) -> r.getAs[Double]("mv"))
+          .toMap
+        cb = (0 until PqK).map { k =>
+          if (means.contains((k, 0))) (0 until PqSub).map(dim => means((k, dim)))
+          else cb(k) // empty codeword keeps its previous value
+        }
+      }
+      cb
+    }
+  }
+
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[IndexedSeq[IndexedSeq[Double]]]]()
+
+  private[graft] def trainedCodebooks(s: SparkSession, d: String)
+  : IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    cbCache.computeIfAbsent(Tables.stageTag(d),
+      _ => residualCodebooks(s, d, trainedCentroids(s, d)))
+
+  def ivfPqFullTopK(s: SparkSession, d: String): DataFrame = {
+    val cents = trainedCentroids(s, d)
+    val cbs = trainedCodebooks(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    val cellStructs = array(cents.zipWithIndex.map { case (c, cid) =>
+      val cArr = array(c.map(lit): _*)
+      struct((Vectors.dot(cArr, cArr) - lit(2.0) * Vectors.dot(col("qv"), cArr)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probe = transform(slice(array_sort(cellStructs), 1, NProbe),
+      x => x.getField("cid").cast("long"))
+    // per-row folds materialized once: dot(v_sub, trained cw) and the
+    // query LUT dot(q_sub, trained cw), plus dot(qv, cent) per cell
+    val dvCols = for { m <- 0 until PqM; k <- 0 until PqK } yield
+      Vectors.dot(slice(col("v"), m * PqSub + 1, PqSub),
+        array(cbs(m)(k).map(lit): _*)).as(s"dv_${m}_$k")
+    val qlCols = for { m <- 0 until PqM; k <- 0 until PqK } yield
+      Vectors.dot(slice(col("qv"), m * PqSub + 1, PqSub),
+        array(cbs(m)(k).map(lit): _*)).as(s"ql_${m}_$k")
+    val qcCols = (0 until NumCentroids).map { cid =>
+      Vectors.dot(col("qv"), array(cents(cid).map(lit): _*)).as(s"qc_$cid") }
+    val staged = e.filter(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cell", lloydBest(col("v"), cents).getField("cid").cast("long"))
+      .filter(array_contains(probe, col("cell")))
+      .select(Seq(col("vec_id"), col("cell"), col("v"), col("qv")) ++
+        dvCols ++ qlCols ++ qcCols: _*)
+    // residual L2 encode: argmin_k cw·cw − 2·(dv − const(cell,m,k))
+    def codeFor(m: Int) = element_at(
+      array((0 until NumCentroids).map { cid =>
+        array_min(array((0 until PqK).map { k =>
+          struct((lit(dotConst(cbs(m)(k), cbs(m)(k))) - lit(2.0) *
+            (col(s"dv_${m}_$k") -
+              lit(dotConst(cents(cid).slice(m * PqSub, (m + 1) * PqSub), cbs(m)(k)))))
+            .as("dd"), lit(k).as("k"))
+        }: _*)).getField("k")
+      }: _*), (col("cell") + 1).cast("int"))
+    val qDotCent = element_at(
+      array((0 until NumCentroids).map(cid => col(s"qc_$cid")): _*),
+      (col("cell") + 1).cast("int"))
+    val adc = (0 until PqM).map { m =>
+      element_at(array((0 until PqK).map(k => col(s"ql_${m}_$k")): _*),
+        (codeFor(m) + 1).cast("int"))
+    }.foldLeft(qDotCent)(_ + _)
+    staged.select(col("vec_id"), col("cell"), adc.as("adc"),
+      Vectors.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("adc").desc, col("vec_id")).limit(ReRankR)
+      .orderBy(col("cosine").desc, col("vec_id")).limit(K)
+  }
+
+  val ivfPqFullSql: String = {
+    def sub(c: String, m: Int): String = s"$c[${m * PqSub + 1}:${(m + 1) * PqSub}]"
+    def seedLit(m: Int, k: Int): String =
+      pqWeights(m, k).map(w => if (w > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    // per-subspace residual-Lloyd rounds (MATERIALIZED throughout: the
+    // chain re-execution blowup of the BPE oracle applies here too)
+    val cbCtes = (0 until PqM).flatMap { m =>
+      val off = m * PqSub
+      val seedRows = (0 until PqK).map(k => s"($k, ${seedLit(m, k)})").mkString(", ")
+      val seed = s"cb_${m}_0 AS MATERIALIZED (SELECT * FROM (VALUES $seedRows) t(k, c))"
+      val rounds = (1 to CbRounds).map { r =>
+        val prev = s"cb_${m}_${r - 1}"
+        s"""a_${m}_$r AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |    min({'dd': (${Vectors.dotSql("w.c", "w.c")})
+           |      - 2 * ((${Vectors.dotSql(s"${sub("e.embedding", m)}", "w.c")})
+           |             - (${Vectors.dotSql(s"${sub("x.c", m)}", "w.c")})),
+           |      'k': w.k}).k AS k
+           |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+           |       JOIN c$LloydIters x ON x.cid = asg.cell, $prev w
+           |  GROUP BY e.vec_id),
+           |mm_${m}_$r AS MATERIALIZED (
+           |  SELECT a.k, g.i - 1 AS dim, count(*) AS n,
+           |    sum(CAST(round((e.embedding[$off + g.i]::DOUBLE
+           |          - x.c[$off + g.i]::DOUBLE) * 1000000.0) AS BIGINT))::DOUBLE
+           |      / 1000000.0 / count(*)::DOUBLE AS mv
+           |  FROM a_${m}_$r a JOIN e ON a.vec_id = e.vec_id
+           |       JOIN asg ON a.vec_id = asg.vec_id
+           |       JOIN c$LloydIters x ON x.cid = asg.cell,
+           |       unnest(generate_series(1, $PqSub)) g(i)
+           |  GROUP BY a.k, g.i),
+           |cb_${m}_$r AS MATERIALIZED (
+           |  SELECT p.k, COALESCE(u.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN
+           |    (SELECT k, list(mv ORDER BY dim) AS c FROM mm_${m}_$r GROUP BY k) u
+           |    ON p.k = u.k)""".stripMargin
+      }
+      seed +: rounds
+    }.mkString(",\n")
+    val subDefs = ((0 until PqM).flatMap(m => Seq(
+      s"${sub("v", m)} AS v$m", s"${sub("qv", m)} AS q$m")) ++
+      (0 until PqM).map(m => s"${sub("c", m)} AS c$m")).mkString(", ")
+    val encCtes = (0 until PqM).map { m =>
+      s"""enc_$m AS MATERIALIZED (
+         |  SELECT s.vec_id,
+         |    min({'dd': (${Vectors.dotSql("w.c", "w.c")})
+         |      - 2 * ((${Vectors.dotSql(s"s.v$m", "w.c")}) - (${Vectors.dotSql(s"s.c$m", "w.c")})),
+         |      'k': w.k}).k AS code
+         |  FROM sub s, cb_${m}_$CbRounds w GROUP BY s.vec_id),
+         |term_$m AS MATERIALIZED (
+         |  SELECT s.vec_id, (${Vectors.dotSql(s"s.q$m", "w.c")}) AS term
+         |  FROM enc_$m em JOIN sub s ON em.vec_id = s.vec_id
+         |       JOIN cb_${m}_$CbRounds w ON w.k = em.code)""".stripMargin
+    }.mkString(",\n")
+    val termJoins = (0 until PqM)
+      .map(m => s"JOIN term_$m t$m ON s.vec_id = t$m.vec_id").mkString("\n  ")
+    val adcSum = (0 until PqM).map(m => s"t$m.term").mkString(" + ")
+    s"""WITH $lloydChainSql,
+       |asg AS MATERIALIZED (
+       |  SELECT e.vec_id, min({'d': (${Vectors.dotSql("x.c", "x.c")})
+       |      - 2 * (${Vectors.dotSql("e.embedding", "x.c")}), 'cid': x.cid}).cid AS cell
+       |  FROM e, c$LloydIters x
+       |  GROUP BY e.vec_id),
+       |$cbCtes,
+       |q AS (SELECT embedding AS qv FROM e WHERE vec_id = $QueryId),
+       |probe AS (
+       |  SELECT x.cid
+       |  FROM c$LloydIters x, q
+       |  ORDER BY (${Vectors.dotSql("x.c", "x.c")}) - 2 * (${Vectors.dotSql("q.qv", "x.c")}), x.cid
+       |  LIMIT $NProbe),
+       |cand AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell, e.embedding AS v, q.qv, x.c
+       |  FROM asg a JOIN e ON e.vec_id = a.vec_id
+       |       JOIN c$LloydIters x ON x.cid = a.cell, q
+       |  WHERE a.vec_id <> $QueryId AND a.cell IN (SELECT cid FROM probe)),
+       |sub AS MATERIALIZED (SELECT vec_id, cell, v, qv, c, $subDefs FROM cand),
+       |$encCtes,
+       |scored AS (
+       |  SELECT s.vec_id, s.cell, s.v, s.qv,
+       |    (${Vectors.dotSql("s.qv", "s.c")}) + $adcSum AS adc
+       |  FROM sub s
+       |  $termJoins),
+       |pool AS (
+       |  SELECT * FROM scored ORDER BY adc DESC, vec_id LIMIT $ReRankR)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell, adc,
+       |  ${Vectors.cosineSql("v", "qv")} AS cosine
+       |FROM pool
+       |ORDER BY cosine DESC, vec_id
+       |LIMIT $K""".stripMargin
+  }
+
   // --- q_sim_ivf_pruned -----------------------------------------------------
   // The IVF access path MADE PHYSICAL: every other ANN row filters
   // probed cells out of a full scan (correct, but the scan still reads
@@ -958,6 +1181,7 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ivf_pruned" -> (ivfPrunedTopK _),
     "q_sim_ivfpq_residual" -> (ivfPqResidualTopK _),
+    "q_sim_ivfpq_full" -> (ivfPqFullTopK _),
     "q_sim_ivfpq_trained" -> (ivfPqTrainedTopK _),
     "q_sim_ivfpq_topk" -> (ivfPqTopK _),
     "q_sim_pq" -> (pqEncode _),
@@ -972,6 +1196,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_sim_ivf_pruned" -> ivfPrunedSql,
     "q_sim_ivfpq_residual" -> ivfPqResidualSql,
+    "q_sim_ivfpq_full" -> ivfPqFullSql,
     "q_sim_ivfpq_trained" -> ivfPqTrainedSql,
     "q_sim_ivfpq_topk" -> ivfPqTopKSql,
     "q_sim_pq" -> pqEncodeSql,

@@ -271,4 +271,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"residual ADC must rank closer to exact: residual $resOverlap vs raw $rawOverlap of 10")
     assert(resOverlap >= 7, s"residual ADC top-10 overlap too low: $resOverlap")
   }
+
+  test("trained residual codebooks lower total quantization error vs the seed codebooks") {
+    import org.apache.spark.sql.functions.col
+    // Lloyd monotonicity on the REAL corpus: for every subspace, the
+    // per-subspace residual k-means must not increase the sum of
+    // min-over-codewords ||r_sub − cw||² relative to the ±1 seeds —
+    // and on real data it should strictly decrease (the seeds have the
+    // wrong scale for residuals by construction).
+    val cents = Similarity.trainedCentroids(spark, sf)
+    val trained = Similarity.trainedCodebooks(spark, sf)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq)
+    def cellOf(v: IndexedSeq[Double]): Int =
+      cents.indices.minBy { cid =>
+        val c = cents(cid)
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }
+    def sse(cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Double =
+      vecs.map { v =>
+        val c = cents(cellOf(v))
+        (0 until 4).map { m =>
+          val r = (0 until 16).map(i => v(m * 16 + i) - c(m * 16 + i))
+          cbs(m).map(cw => r.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    val seeds = (0 until 4).map(m => (0 until 8).map(k => Similarity.pqWeights(m, k)))
+    val seedSse = sse(seeds)
+    val trainedSse = sse(trained)
+    assert(trainedSse < seedSse,
+      s"training must reduce residual quantization error: $trainedSse vs $seedSse")
+  }
 }
