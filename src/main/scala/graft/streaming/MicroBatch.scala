@@ -319,7 +319,20 @@ object MicroBatch {
     * batch — the static backlog is exhausted at that point — and stop.
     */
   def drainAvailable(q: StreamingQuery): Unit = {
-    while (!q.recentProgress.exists(p => p.batchId > 0 && p.numInputRows == 0)) {
+    // TWO consecutive zero-input batches, not one: a restart first
+    // re-runs the previous drain's interrupted batch PINNED to its old
+    // offsets — if that batch was one of the empty churn batches it
+    // commits 0 rows before the source ever lists the new files, and a
+    // single-empty check would stop the drain with the new tick
+    // unread (observed as v2 losing a tick under suite load). A
+    // genuinely drained source yields consecutive empties; a pinned
+    // re-run is followed by the catch-up data batch, breaking the pair.
+    def drained: Boolean = {
+      val ps = q.recentProgress
+      ps.length >= 2 &&
+        ps.takeRight(2).forall(p => p.batchId > 0 && p.numInputRows == 0)
+    }
+    while (!drained) {
       if (q.exception.isDefined) throw q.exception.get
       Thread.sleep(50)
     }
