@@ -204,14 +204,29 @@ object Sampling {
     val merges = TrainPrep.trainedBpe(s, d)
     val toks = TextAnalysis.tokens(col("text"))
     val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
-    budgetAdmit(Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(flatten(transform(toks, w => TrainPrep.bpeEncode(w, merges))))
-          .cast("long").as("n_tokens"),
-        size(toks).cast("long").as("n_ws"),
-        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"))
-      .withColumn("qb", expr("(n_stop * 100) div greatest(n_ws, 1)"))
-      .drop("n_ws", "n_stop"))
+    val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+    // encode the DISTINCT vocab once and join the per-word token count
+    // back — the production amortization (the per-occurrence fold costs
+    // occurrences × merges × symbols; the vocab form costs distinct
+    // words × the same, orders of magnitude less on natural text). The
+    // join is left unhinted: at corpus scale the vocab shuffles or
+    // lives as a bucketed code table; AQE broadcasts it when small.
+    val wordLens = docs.select(explode(col("t")).as("w")).distinct()
+      .select(col("w"),
+        size(TrainPrep.bpeEncode(col("w"), merges)).cast("long").as("wlen"))
+    val bpeCounts = docs.select(col("doc_id"), explode(col("t")).as("w"))
+      .join(wordLens, "w")
+      .groupBy("doc_id").agg(sum(col("wlen")).as("n_bpe"))
+    val scored = docs
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_ws"),
+        size(filter(col("t"), t => array_contains(stopArr, t))).cast("long").as("n_stop"))
+      .join(bpeCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_tokens"),
+        expr("(n_stop * 100) div greatest(n_ws, 1)").as("qb"))
+    // budgetAdmit reads `scored` three times (histogram, budget total,
+    // final join); materialize the doc-grain digest once instead of
+    // re-running the encode per consumer
+    budgetAdmit(scored.localCheckpoint())
   }
 
   val tokenBudgetSql: String = {
