@@ -259,6 +259,28 @@ class PlanSpec extends SparkSpec {
       s"Q22 must not plan an all-pairs join:\n${p.take(1500)}")
   }
 
+  test("residual and fully-trained IVF-PQ: both cuts are top-k heaps, no global sort") {
+    // the two-stage retrieve must never plan a global sort: the ADC
+    // top-R and the exact-cosine top-K are both TakeOrderedAndProject
+    // (per-partition heaps + driver merge), and the candidate scan may
+    // not fall back to an all-pairs join
+    for (name <- Seq("q_sim_ivfpq_residual", "q_sim_ivfpq_full")) {
+      val p = plan(graft.queries.Similarity.all(name)(spark, sf))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name must plan top-k heaps:\n${p.take(1200)}")
+      // the one-row query vector rides a broadcast nested loop by
+      // design (the sanctioned crossJoin(broadcast(q)) of every ANN
+      // row); a CartesianProduct would mean a real all-pairs plan
+      assert(!p.contains("CartesianProduct"),
+        s"$name must not plan an all-pairs join:\n${p.take(1200)}")
+      // "Sort" may appear only inside TakeOrderedAndProject's
+      // description, never as a standalone global Sort node
+      assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Sort ")
+        || l.trim.startsWith(":- Sort ") || l.trim.startsWith("Sort ")),
+        s"$name must not plan a standalone global sort:\n${p.take(1200)}")
+    }
+  }
+
   test("IN / NOT IN subqueries decorrelate to semi / anti joins") {
     val pin = plan(spark.sql("SELECT 1").sparkSession.let(_ => Subqueries.all("q_sq_in")(spark, sf)))
     assert(pin.contains("LeftSemi"), s"IN should plan a semi join:\n${pin.take(1500)}")

@@ -230,4 +230,40 @@ class PropertySpec extends SparkSpec {
       assert(rounds <= 16, s"$rounds rounds for a ≤60-node graph")
     }
   }
+
+  test("AVI mux → relational frame extraction round-trips ANY frame geometry") {
+    import ss.implicits._
+    // any frame count (incl. zero), any frame lengths (incl. zero and
+    // odd — RIFF padding), any junk chunk: the idx1-driven slices must
+    // recover the original frame bytes exactly
+    val gen = for {
+      n <- Gen.choose(0, 6)
+      lens <- Gen.listOfN(n, Gen.choose(0, 40))
+      junkLen <- Gen.choose(0, 9)
+      w <- Gen.choose(1, 4096)
+      h <- Gen.choose(1, 4096)
+      us <- Gen.choose(1, 1000000)
+    } yield (lens, junkLen, w, h, us)
+    forAll(gen, n = 10) { case (lens, junkLen, w, h, us) =>
+      val frames = lens.zipWithIndex.map { case (len, i) =>
+        Array.tabulate[Byte](len)(j => (j * 31 + i * 7 + 3).toByte) }
+      val junk = if (junkLen == 0) None
+        else Some(Array.tabulate[Byte](junkLen)(_.toByte))
+      val avi = graft.multimodal.Avi.encode(w, h, us, frames, junk)
+      val rows = graft.multimodal.Avi.frames(
+        Seq((1L, avi)).toDF("media_id", "payload"))
+        .orderBy("frame_idx").collect()
+      assert(rows.length == frames.length)
+      def hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map(x => f"$x%02x").mkString
+      rows.zip(frames).foreach { case (r, f) =>
+        assert(r.getAs[Long]("frame_len") == f.length.toLong)
+        assert(r.getAs[String]("frame_md5") == hex(f),
+          s"frame bytes diverged at geometry lens=$lens junk=$junkLen")
+      }
+      assert(rows.forall(r => r.getAs[Long]("width") == w &&
+        r.getAs[Long]("height") == h && r.getAs[Long]("us_per_frame") == us &&
+        r.getAs[Long]("total_frames") == frames.length.toLong))
+    }
+  }
 }
