@@ -366,7 +366,28 @@ object Subqueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin)
 
+  // --- q_tpch_q4: order-priority checking (EXISTS with non-equi correlation)
+  // The EXISTS variant the suite lacked: the correlated subquery carries
+  // a NON-EQUI predicate on the outer column (l_shipdate > o_orderdate
+  // + 30 days — the classic's commit/receipt lateness adapted to the
+  // synthetic columns), so decorrelation must plan a left semi join
+  // whose condition mixes the l_orderkey equi key with the inequality —
+  // not a pure key semi like Q18's IN. One date-sliced orders scan, one
+  // semi join, a 5-group aggregate.
+  private val (tpchQ4Fn, tpchQ4SqlText) = sqlBoth(
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q4" -> tpchQ4Fn,
     "q_tpch_q19" -> tpchQ19Fn,
     "q_tpch_q22" -> tpchQ22Fn,
     "q_tpch_q20" -> tpchQ20Fn,
@@ -382,6 +403,7 @@ object Subqueries {
     "q_tpch_q13" -> tpchQ13Fn)
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q4" -> tpchQ4SqlText,
     "q_tpch_q19" -> tpchQ19SqlText,
     "q_tpch_q22" -> tpchQ22SqlText,
     "q_tpch_q20" -> tpchQ20SqlText,

@@ -488,7 +488,33 @@ object TrainPrep {
        |FROM toks d LEFT JOIN enc e USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- q_tp_bpe_vocab -------------------------------------------------------
+  // The TOKENIZER ARTIFACT as a query: the trained merge table itself
+  // (rank, pair, merged symbol) — what a pipeline ships alongside the
+  // model, and the row that hash-pins TRAINING end-to-end directly
+  // (q_tp_bpe pins it through the encode; this pins each round's argmax
+  // pair verbatim). The Spark side emits the driver-trained literals —
+  // the merge table IS a driver artifact, like the Lloyd centroids —
+  // and the oracle replays all rounds and selects each round's winner.
+  def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainedBpe(s, d).zipWithIndex
+      .map { case ((a, b), i) => ((i + 1).toLong, a, b, a + b) }
+      .toDF("rank", "a", "b", "merged")
+      .orderBy("rank")
+  }
+
+  val bpeVocabSql: String = {
+    val rows = (1 to BpeRounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, a, b, a || b AS merged FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeCtesSql
+       |$rows
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tp_bpe_vocab" -> (bpeVocab _),
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
     "q_tp_shard_manifest" -> (shardManifest _),
@@ -498,6 +524,7 @@ object TrainPrep {
     "q_tp_row_ids" -> (rowIds _))
 
   val oracles: Map[String, String] = Map(
+    "q_tp_bpe_vocab" -> bpeVocabSql,
     "q_tp_pack" -> packSql,
     "q_tp_tfidf" -> tfidfSql,
     "q_tp_shard_manifest" -> shardManifestSql,
