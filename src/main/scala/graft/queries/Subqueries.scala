@@ -21,7 +21,8 @@ import graft.Tables
 object Subqueries {
 
   private def withViews(s: SparkSession, d: String): Unit =
-    Seq("customer", "orders", "lineitem", "supplier", "nation", "part").foreach { t =>
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "part",
+      "region").foreach { t =>
       Tables.load(s, d, t).createOrReplaceTempView(t)
     }
 
@@ -386,7 +387,304 @@ object Subqueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin)
 
+  // --- q_tpch_q2: minimum-cost supplier (correlated MIN over derived ps) --
+  // TPC-H Q2's structure with the partsupp row derived where it lives in
+  // the synthetic schema: per-(part, supplier) minimum observed price (an
+  // aggregate at key grain, like Q20's inventory). The correlated scalar
+  // MIN subquery carries its OWN join tree (supplier → nation → region
+  // inside the subquery) — the hardest decorrelation in the suite after
+  // Q20: Catalyst rewrites it to a per-partkey aggregate of the
+  // region-filtered ps rows joined back on the correlation key. The ps
+  // aggregate appears twice (outer + subquery); both sides shuffle at
+  // (partkey, suppkey) grain and exchange reuse dedups the physical scan
+  // where plans align. Costs are integer cents end-to-end, so the
+  // minimum and the equality gate are exact in both engines. s_suppkey
+  // rides the output to keep the order total under duplicate balances.
+  private val (tpchQ2Fn, tpchQ2SqlText) = sqlBoth(
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS supplycost_c
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey,
+      |  CAST(ps.supplycost_c AS DOUBLE) / 100 AS supplycost
+      |FROM part
+      |JOIN ps ON p_partkey = ps.l_partkey
+      |JOIN supplier ON s_suppkey = ps.l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size = 15 AND r_name = 'EUROPE'
+      |  AND ps.supplycost_c = (
+      |    SELECT MIN(ps2.supplycost_c)
+      |    FROM ps ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin)
+
+  // --- q_tpch_q6: forecasting-revenue-change scan aggregate ---------------
+  // The pure pushdown benchmark: no join at all — one lineitem scan whose
+  // date/discount/quantity conjunction must reach the parquet reader
+  // (PushedFilters), one map-side-combined aggregate emitting a single
+  // row. The discount band compares integer basis points (round → exact
+  // int) rather than raw doubles so the band edges can't flip between
+  // engines; revenue = price × discount in exact cent-products summed in
+  // DECIMAL(38,0). n_lines rides along so the hash pins membership, not
+  // just the sum.
+  private val (tpchQ6Fn, tpchQ6SqlText) = sqlBoth(
+    """SELECT CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round(l_discount * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin)
+
+  // --- q_tpch_q7: volume-shipping nation-pair flow ------------------------
+  // The symmetric nation-pair join: nation joins BOTH sides of the fact
+  // chain (n1 via supplier, n2 via customer) with the pair disjunction
+  // filtering to the two directed flows. Both nation joins broadcast; the
+  // fact-fact chain shuffles on orderkey then custkey. The shipdate slice
+  // pushes to the lineitem scan; the year extraction happens after the
+  // joins (grain: line). Revenue in DECIMAL(18,2) products like Q3/Q5;
+  // (supp_nation, cust_nation, l_year) is a total order.
+  private val (tpchQ7Fn, tpchQ7SqlText) = sqlBoth(
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice, l_discount
+      |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  // --- q_tpch_q8: national market share -----------------------------------
+  // The 8-table join (nation twice) feeding a conditional-share
+  // aggregate: one nation's volume as a fraction of the regional market
+  // per year. Every dim broadcasts; the only big shuffles are the
+  // fact-fact orderkey join and the custkey join. Volumes are exact
+  // cent-products in DECIMAL(38,0); the share division happens once per
+  // year-row in double space with identical operand order, so the ratio
+  // is bit-stable. n_lines pins the market membership alongside the two
+  // ratios.
+  private val (tpchQ8Fn, tpchQ8SqlText) = sqlBoth(
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol
+      |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+      |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+      |  count(*) AS n_lines
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)) AS vol,
+      |    n2.n_name AS nation
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin)
+
+  // --- q_tpch_q9: product-type profit -------------------------------------
+  // Q9's profit = revenue − cost × quantity per line, rolled up by the
+  // SUPPLIER's nation and order year. The synthetic schema has no
+  // ps_supplycost; p_retailprice is the per-part cost surrogate (same
+  // shape: a part-side attribute multiplying a line-side quantity, which
+  // forces the part join to carry a non-key column through the fact
+  // chain). The p_name LIKE filter prunes the part build side BEFORE the
+  // join — at 100 TB that broadcast is what keeps the fact scan the only
+  // big input. Profit is exact integer ten-thousandths-of-a-cent summed
+  // in DECIMAL(38,0); amounts can be negative (cost > revenue) so the
+  // sum exercises signed accumulation.
+  private val (tpchQ9Fn, tpchQ9SqlText) = sqlBoth(
+    """SELECT nation, o_year,
+      |  CAST(SUM(amount) AS DOUBLE) / 10000.0 AS sum_profit,
+      |  count(*) AS n_lines
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |      - CAST(round(p_retailprice * 100) AS BIGINT)
+      |        * CAST(round(l_quantity) AS BIGINT) * 100 AS DECIMAL(38,0)) AS amount
+      |  FROM part JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%blue%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year""".stripMargin)
+
+  // --- q_tpch_q10: returned-item reporting --------------------------------
+  // The classic top-20 "who returned the most" report: one quarter of
+  // orders, only returned lines, customer ⋈ orders ⋈ lineitem ⋈ nation,
+  // re-aggregated at customer grain and cut by TakeOrderedAndProject.
+  // The returnflag filter pushes to the lineitem scan and the date slice
+  // to orders, so the orderkey shuffle moves only the quarter's returned
+  // lines. Revenue in DECIMAL(18,2) products; (revenue DESC, c_custkey)
+  // is total.
+  private val (tpchQ10Fn, tpchQ10SqlText) = sqlBoth(
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name, c_mktsegment
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin)
+
+  // --- q_tpch_q11: important-stock identification -------------------------
+  // Q11's group-HAVING-vs-global-scalar shape: per-part inventory value
+  // for one nation's suppliers (derived at (part, supplier) grain from
+  // shipped volume — no partsupp in the synthetic schema), kept only
+  // where the part's value exceeds a fraction of the nation's total. The
+  // scalar subquery re-aggregates the SAME derived table — the threshold
+  // is one broadcast value, the comparison side stays at part grain. The
+  // fraction gate multiplies instead of divides (value × 10000 > total)
+  // so the comparison is exact DECIMAL(38,0) integer arithmetic in both
+  // engines — no ratio bits to drift. ORDER BY (value DESC, ps_partkey)
+  // is total.
+  private val (tpchQ11Fn, tpchQ11SqlText) = sqlBoth(
+    """WITH ps AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round(l_quantity) AS BIGINT) AS DECIMAL(38,0))) AS value_c
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS ps_partkey, CAST(value_c AS DOUBLE) / 100 AS value
+      |FROM ps
+      |WHERE value_c * 10000 > (SELECT SUM(value_c) FROM ps)
+      |ORDER BY value DESC, ps_partkey""".stripMargin)
+
+  // --- q_tpch_q12: shipping-lag priority counts ---------------------------
+  // Q12's conditional-count pivot: lines grouped by a mode-like column
+  // with urgent/non-urgent CASE sums from the joined order. The
+  // synthetic lineitem has no shipmode or commit/receipt dates;
+  // l_returnflag plays the mode and the lag window (ship 30–90 days
+  // after order date) plays the late-delivery predicate — the same
+  // cross-table non-equi residual the classic carries, evaluated as a
+  // post-join filter on the orderkey equi-join. The CASE sums cast to
+  // BIGINT (DuckDB's integer SUM is HUGEINT — the cast pins one shared
+  // type).
+  private val (tpchQ12Fn, tpchQ12SqlText) = sqlBoth(
+    """SELECT l_returnflag AS l_shipmode,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |      OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+      |      AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag IN ('A', 'N')
+      |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
+  // --- q_tpch_q14: promotion effect ----------------------------------------
+  // The conditional-share scalar: promo revenue as a percentage of one
+  // month's total. One lineitem ⋈ part join (part broadcasts; the date
+  // slice pushes to the fact scan), exact cent-product volumes, and ONE
+  // double division at the end — the single-row output's hash pins both
+  // the ratio bits and the month's line count.
+  private val (tpchQ14Fn, tpchQ14SqlText) = sqlBoth(
+    """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_c
+      |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) * 100
+      |    / CAST(SUM(disc_c) AS DOUBLE) AS promo_revenue,
+      |  count(*) AS n_lines
+      |FROM (
+      |  SELECT p_type,
+      |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)) AS disc_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00') x""".stripMargin)
+
+  // --- q_tpch_q15: top supplier (view reused against its own max) ---------
+  // Q15's self-referential view: a quarter's per-supplier revenue,
+  // selected where revenue equals the view's own MAX. The aggregate
+  // appears twice (row side + scalar max side); revenues are exact
+  // DECIMAL(38,0) cent-products so the equality can't miss by a bit —
+  // the double formulation the classic uses is exactly where parallel
+  // summation would drop the top supplier nondeterministically. The
+  // scalar side reduces to one broadcast value; the row side joins
+  // supplier by key.
+  private val (tpchQ15Fn, tpchQ15SqlText) = sqlBoth(
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))) AS total_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_c AS DOUBLE) / 10000.0 AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_c = (SELECT MAX(total_c) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  // --- q_tpch_q16: parts/supplier relationship ----------------------------
+  // Q16's COUNT-DISTINCT-suppliers rollup: the (part, supplier)
+  // relationship table derived as DISTINCT pairs from lineitem (the
+  // synthetic partsupp), part-attribute exclusions pushed to the part
+  // scan, and the complaint-supplier NOT IN (negative balance plays the
+  // complaint flag) planned as an anti join before the distinct
+  // aggregation. count(DISTINCT l_suppkey) forces the two-phase
+  // distinct-aggregate plan — partial distinct per partition, exchange
+  // at group grain, final count. (supplier_cnt DESC, brand, type, size)
+  // is total.
+  private val (tpchQ16Fn, tpchQ16SqlText) = sqlBoth(
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_type NOT IN ('PROMO', 'ECONOMY')
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2" -> tpchQ2Fn,
+    "q_tpch_q6" -> tpchQ6Fn,
+    "q_tpch_q7" -> tpchQ7Fn,
+    "q_tpch_q8" -> tpchQ8Fn,
+    "q_tpch_q9" -> tpchQ9Fn,
+    "q_tpch_q10" -> tpchQ10Fn,
+    "q_tpch_q11" -> tpchQ11Fn,
+    "q_tpch_q12" -> tpchQ12Fn,
+    "q_tpch_q14" -> tpchQ14Fn,
+    "q_tpch_q15" -> tpchQ15Fn,
+    "q_tpch_q16" -> tpchQ16Fn,
     "q_tpch_q4" -> tpchQ4Fn,
     "q_tpch_q19" -> tpchQ19Fn,
     "q_tpch_q22" -> tpchQ22Fn,
@@ -403,6 +701,17 @@ object Subqueries {
     "q_tpch_q13" -> tpchQ13Fn)
 
   val oracles: Map[String, String] = Map(
+    "q_tpch_q2" -> tpchQ2SqlText,
+    "q_tpch_q6" -> tpchQ6SqlText,
+    "q_tpch_q7" -> tpchQ7SqlText,
+    "q_tpch_q8" -> tpchQ8SqlText,
+    "q_tpch_q9" -> tpchQ9SqlText,
+    "q_tpch_q10" -> tpchQ10SqlText,
+    "q_tpch_q11" -> tpchQ11SqlText,
+    "q_tpch_q12" -> tpchQ12SqlText,
+    "q_tpch_q14" -> tpchQ14SqlText,
+    "q_tpch_q15" -> tpchQ15SqlText,
+    "q_tpch_q16" -> tpchQ16SqlText,
     "q_tpch_q4" -> tpchQ4SqlText,
     "q_tpch_q19" -> tpchQ19SqlText,
     "q_tpch_q22" -> tpchQ22SqlText,

@@ -259,6 +259,78 @@ class PlanSpec extends SparkSpec {
       s"Q22 must not plan an all-pairs join:\n${p.take(1500)}")
   }
 
+  test("TPC-H Q2: correlated MIN with its own join tree decorrelates, no cartesian") {
+    val df = Subqueries.all("q_tpch_q2")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the correlated MIN must decorrelate, not re-execute per row:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "the LIMIT 100 must be a top-k")
+    // at-scale shape: the derived ps aggregate and its region-filtered
+    // twin must both survive as shuffled plans with lineitem never on a
+    // broadcast side
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val scaled = Subqueries.all("q_tpch_q2")(spark, sf)
+      val ps = plan(scaled)
+      assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+        s"no all-pairs fallback at scale:\n${ps.take(1500)}")
+      val broadcastSubtrees = allNodes(scaled.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      broadcastSubtrees.foreach(b =>
+        assert(!b.toString.contains("lineitem"),
+          s"the lineitem fact table must not be broadcast:\n${b.toString.take(1500)}"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
+  test("TPC-H Q6: the no-join scan aggregate pushes the date slice to parquet") {
+    val p = plan(Subqueries.all("q_tpch_q6")(spark, sf))
+    // the rendered PushedFilters list truncates, so pin the lower bound
+    // there and the upper bound in the Filter node's predicate text
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"the ship-date range must reach the lineitem scan:\n${p.take(1500)}")
+    assert(p.contains("< 1997-01-01"),
+      s"the upper date bound must survive in the scan filter:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"Q6 must not plan any join:\n${p.take(1500)}")
+  }
+
+  test("TPC-H Q16: NOT IN plans an anti join; fact sweep: lineitem never broadcast") {
+    val p16 = plan(Subqueries.all("q_tpch_q16")(spark, sf))
+    assert(p16.contains("LeftAnti"),
+      s"the complaint-supplier NOT IN must plan an anti join:\n${p16.take(1500)}")
+    assert(!p16.contains("CartesianProduct") && !p16.contains("BroadcastNestedLoopJoin"),
+      s"Q16 must not plan an all-pairs join:\n${p16.take(1500)}")
+    // the multi-join rows added with Q16: none may degenerate to an
+    // all-pairs join. At this tiny SF a FILTERED lineitem slice can
+    // legitimately sit under the broadcast threshold (Q10's returned
+    // lines), so the at-scale obligation — lineitem never on a
+    // broadcast side — is checked with the threshold disabled, the
+    // same way the Q20/Q21 tests do.
+    val names = Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+      "q_tpch_q11", "q_tpch_q12", "q_tpch_q14", "q_tpch_q15")
+    for (name <- names) {
+      val p = plan(Subqueries.all(name)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not plan an all-pairs join:\n${p.take(1500)}")
+    }
+    val restore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (name <- names) {
+        val scaled = Subqueries.all(name)(spark, sf)
+        val ps = plan(scaled)
+        assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+          s"$name: no all-pairs fallback at scale:\n${ps.take(1500)}")
+        allNodes(scaled.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }.foreach(b =>
+          assert(!b.toString.contains("lineitem"),
+            s"$name: the lineitem fact table must not be broadcast:\n${b.toString.take(1500)}"))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
   test("residual and fully-trained IVF-PQ: both cuts are top-k heaps, no global sort") {
     // the two-stage retrieve must never plan a global sort: the ADC
     // top-R and the exact-cosine top-K are both TakeOrderedAndProject
