@@ -27,6 +27,7 @@ object SparkEntry {
       _root_.graft.queries.Sampling.all ++
       _root_.graft.queries.TrainPrep.all ++
       _root_.graft.queries.LayoutQueries.all ++
+      _root_.graft.queries.Graph.all ++
       _root_.graft.queries.Parity.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       _root_.graft.queries.Sampling.oracles ++
       _root_.graft.queries.TrainPrep.oracles ++
       _root_.graft.queries.LayoutQueries.oracles ++
+      _root_.graft.queries.Graph.oracles ++
       _root_.graft.queries.Parity.oracles
 }

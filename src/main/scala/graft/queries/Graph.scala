@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over a relation-derived graph. The reference has no
+  * graph operators; these are the beyond-reference iterative-relational
+  * shapes a training-data pipeline needs when document/link structure
+  * matters (domain authority for quality weighting, influence ranking).
+  *
+  * The graph derives from the star schema where it lives at 100 TB: the
+  * supplier↔customer interaction graph — an edge per DISTINCT
+  * (supplier, customer) pair that shares an order line, materialized in
+  * both directions so every node has out-degree ≥ 1 (no dangling-mass
+  * redistribution needed). Nodes are key-disambiguated arithmetically
+  * (2·key for suppliers, 2·key+1 for customers) so both engines derive
+  * the identical node space without string surgery.
+  *
+  * PageRank is the canonical "ranks stay distributed" iteration —
+  * unlike Lloyd's k-means (Similarity.scala), where the model is k×d
+  * doubles and rounds legally collect it to the driver, rank state is
+  * node-grain: it must NEVER be collected. Each round is one join
+  * (edges ⋈ ranks on src) plus one aggregation (sum of contributions at
+  * dst grain) — O(rounds) shuffles total, both keyed so a cluster
+  * co-partitions edges once and reuses the partitioning every round.
+  * `localCheckpoint` truncates the growing lineage per round (the
+  * pointer-jumping lesson from Dedup.clusterKeeper) and materializes
+  * the round's ranks, which the next round reads TWICE (contribution
+  * side + keep-all-nodes left join) without recompute.
+  *
+  * Cross-engine bit parity uses the kmeans fixed-point route: per-edge
+  * contributions are exact doubles (identical division order), rounded
+  * at 1e12 to integers, summed in DECIMAL(38,0) (exact in both
+  * engines at any scale), and rebuilt into doubles with one fixed
+  * operand order. The DuckDB twin replays all rounds as MATERIALIZED
+  * CTEs (plain CTEs inline and re-execute the chain prefix per
+  * reference — exponential in rounds).
+  */
+object Graph {
+
+  private val Damping = 0.85
+  // (1 − d) as its OWN literal: Scala's 1.0 − 0.85 is 0.15000000000000002
+  // while DuckDB's decimal 1 − 0.85 converts to double 0.15 — different
+  // bits. Both engines parse the literal 0.15 to the same nearest double.
+  private val Teleport = 0.15
+  private val Rounds = 3
+  private val Fixed = 1000000000000.0 // 1e12: rank quanta for exact sums
+
+  /** Directed edge list: both orientations of every distinct
+    * (supplier, customer) pair sharing an order line. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s_node"),
+        (col("o_custkey") * 2 + 1).as("c_node"))
+      .distinct()
+    pairs.select(col("s_node").as("src"), col("c_node").as("dst"))
+      .union(pairs.select(col("c_node").as("src"), col("s_node").as("dst")))
+  }
+
+  // --- q_gr_pagerank: damped PageRank, ranks never leave the cluster ------
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d).localCheckpoint()
+    // out-degree at src grain; every node appears as a src by
+    // construction (edges run both ways), so outdeg is the node list
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val n = outdeg.count()
+    val base = Teleport / n.toDouble
+    var ranks = outdeg.select(col("src").as("node"),
+      (lit(1.0) / n.toDouble).as("rank"))
+    for (_ <- 1 to Rounds) {
+      val contrib = e
+        .join(outdeg, "src")
+        .join(ranks, e("src") === ranks("node"))
+        .select(col("dst"),
+          round(col("rank") / col("outdeg").cast("double") * Fixed)
+            .cast("long").cast("decimal(38,0)").as("c_fixed"))
+        .groupBy("dst")
+        .agg(sum(col("c_fixed")).as("in_fixed"))
+      // keep-all-nodes: a node with no in-edges this round still holds
+      // the teleport mass
+      ranks = ranks.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + lit(Damping) *
+            (coalesce(col("in_fixed"), lit(0).cast("decimal(38,0)"))
+              .cast("double") / Fixed)).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").cast("long").as("node"), col("rank"))
+      .orderBy("node")
+  }
+
+  val pageRankSql: String = {
+    val iterCtes = (1 to Rounds).map { i =>
+      val prev = s"r${i - 1}"
+      s"""con$i AS MATERIALIZED (
+         |  SELECT e.dst,
+         |    SUM(CAST(CAST(round(r.rank / CAST(o.outdeg AS DOUBLE) * 1e12) AS BIGINT)
+         |      AS DECIMAL(38,0))) AS in_fixed
+         |  FROM e JOIN o ON e.src = o.src
+         |  JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT p.node,
+         |    (SELECT 0.15 / CAST(count(*) AS DOUBLE) FROM o)
+         |      + 0.85 * (CAST(COALESCE(c.in_fixed, 0) AS DOUBLE) / 1e12) AS rank
+         |  FROM $prev p LEFT JOIN con$i c ON p.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey * 2 AS s_node, o_custkey * 2 + 1 AS c_node
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT s_node AS src, c_node AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT c_node AS src, s_node AS dst FROM pairs),
+       |o AS MATERIALIZED (
+       |  SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT src AS node,
+       |    1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM o) AS rank
+       |  FROM o),
+       |$iterCtes
+       |SELECT CAST(node AS BIGINT) AS node, rank
+       |FROM r$Rounds
+       |ORDER BY node""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gr_pagerank" -> (pageRank _))
+
+  val oracles: Map[String, String] = Map(
+    "q_gr_pagerank" -> pageRankSql)
+}
