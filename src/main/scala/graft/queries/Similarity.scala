@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1178,7 +1178,122 @@ object Similarity {
        |ORDER BY cosine DESC, a.vec_id
        |LIMIT $K""".stripMargin
 
+  // --- q_sim_linear_probe ---------------------------------------------------
+  // A TRAINED linear probe over the embedding column — the model-based
+  // quality/domain filter every LLM data pipeline runs (CCNet/fastText
+  // style: score every document with a small trained classifier, admit
+  // by score). Batch gradient descent is expressed relationally with
+  // the Lloyd division of labor: the E-side (scores under the current
+  // weights) is a ZERO-SHUFFLE scan projection — weights are plan
+  // literals, the dot product a sequential fold — and the M-side (the
+  // gradient) is one map-side-combinable aggregation at DIM grain
+  // (posexplode → 65 groups), so each round shuffles 65 digest rows no
+  // matter the corpus size. The model (65 doubles) is a legitimate
+  // driver artifact like Lloyd's centroids; per-example state never
+  // leaves the cluster.
+  //
+  // Cross-engine bit parity: the activation is the SOFTSIGN logistic
+  // p = 0.5 + 0.5·z/(1+|z|) — same shape and [0,1] range as the
+  // sigmoid but built from +,·,/,|x| only (exp() bits are not
+  // portable across engines); per-(row, dim) gradient contributions
+  // round at 1e-9 and sum exactly; the weight update divides exact
+  // integers in double space with one operand order. The DuckDB twin
+  // replays all rounds as MATERIALIZED CTEs. The delta rule
+  // grad_j = Σ (p − y)·x_j is the cross-entropy gradient with the
+  // activation swapped in. Trained weights cache per dataset
+  // fingerprint (train once, score anywhere), like trainedCentroids.
+  private val ProbeLr = 25.0
+  private val ProbeRounds = 4
+  private val ProbeFixed = 1.0e9
+
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Double]]()
+
+  /** (vec_id, x = [1.0] ++ v — bias as dim 0, y = [label == 0]). */
+  private def probeRows(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      concat(array(lit(1.0)), col("embedding").cast("array<double>")).as("x"),
+      when(col("label") === 0, lit(1.0)).otherwise(lit(0.0)).as("y"))
+
+  /** Softsign-logistic score of x under literal weights. */
+  private def probeScore(x: Column, w: IndexedSeq[Double]): Column = {
+    val z = Vectors.dot(x, array(w.map(lit): _*))
+    lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
+  }
+
+  private[graft] def trainProbe(s: SparkSession, d: String): IndexedSeq[Double] = {
+    val rows = probeRows(s, d).localCheckpoint()
+    val n = rows.count()
+    var w: IndexedSeq[Double] = IndexedSeq.fill(65)(0.0)
+    for (_ <- 1 to ProbeRounds) {
+      val grads = rows
+        .select((probeScore(col("x"), w) - col("y")).as("r"), posexplode(col("x")))
+        .toDF("r", "dim", "xj")
+        .select(col("dim"),
+          round(col("r") * col("xj") * ProbeFixed).cast("long").as("g_fixed"))
+        .groupBy("dim")
+        .agg(sum(col("g_fixed")).as("g"))
+        .collect()
+        .map(r => r.getAs[Int]("dim") -> r.getAs[Long]("g"))
+        .toMap
+      w = w.indices.map(j =>
+        w(j) - ProbeLr * (grads(j).toDouble / ProbeFixed / n.toDouble))
+    }
+    w
+  }
+
+  private[graft] def probeWeights(s: SparkSession, d: String): IndexedSeq[Double] =
+    probeCache.computeIfAbsent(Tables.stageTag(d), _ => trainProbe(s, d))
+
+  def linearProbe(s: SparkSession, d: String): DataFrame = {
+    val w = probeWeights(s, d)
+    probeRows(s, d).select(
+      col("vec_id"),
+      probeScore(col("x"), w).as("score"),
+      col("y").cast("long").as("is_target"))
+      .orderBy("vec_id")
+  }
+
+  val linearProbeSql: String = {
+    val iterCtes = (1 to ProbeRounds).map { i =>
+      val prev = s"w${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT vec_id, x,
+         |    (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS r
+         |  FROM (SELECT e.vec_id, e.x, e.y,
+         |      (${Vectors.dotSql("e.x", "w.w")}) AS z
+         |    FROM e, $prev w) zz),
+         |g$i AS MATERIALIZED (
+         |  SELECT g.i AS dim,
+         |    SUM(CAST(round(r.r * r.x[g.i] * 1e9) AS BIGINT)) AS gf
+         |  FROM r$i r, unnest(generate_series(1, len(r.x))) g(i)
+         |  GROUP BY g.i),
+         |w$i AS MATERIALIZED (
+         |  SELECT list(wj ORDER BY dim) AS w FROM (
+         |    SELECT g.dim,
+         |      wp.w[g.dim] - 25.0 * (CAST(g.gf AS DOUBLE) / 1e9 / nn.n) AS wj
+         |    FROM g$i g, $prev wp, nn) u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_prepend(1.0::DOUBLE, list_transform(embedding, t -> t::DOUBLE)) AS x,
+       |    CASE WHEN label = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |w0 AS MATERIALIZED (
+       |  SELECT list_transform(generate_series(1, 65), i -> 0.0::DOUBLE) AS w),
+       |$iterCtes
+       |SELECT e.vec_id,
+       |  0.5 + 0.5 * (z / (1.0 + abs(z))) AS score,
+       |  CAST(e.y AS BIGINT) AS is_target
+       |FROM (SELECT e.vec_id, e.y, (${Vectors.dotSql("e.x", "w.w")}) AS z
+       |  FROM e, w$ProbeRounds w) e
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_linear_probe" -> (linearProbe _),
     "q_sim_ivf_pruned" -> (ivfPrunedTopK _),
     "q_sim_ivfpq_residual" -> (ivfPqResidualTopK _),
     "q_sim_ivfpq_full" -> (ivfPqFullTopK _),
@@ -1194,6 +1309,7 @@ object Similarity {
     "q_sim_quantize" -> (quantize _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_linear_probe" -> linearProbeSql,
     "q_sim_ivf_pruned" -> ivfPrunedSql,
     "q_sim_ivfpq_residual" -> ivfPqResidualSql,
     "q_sim_ivfpq_full" -> ivfPqFullSql,
