@@ -1323,6 +1323,47 @@ object Parity {
     }.orderBy("user_id", "ts", "value")
   }
 
+  // --- q_st_rolling_v2 ------------------------------------------------------
+  // Trailing-window statistics (count / max / exact-cents sum over the
+  // last 3 events per user) on transformWithState with LIST STATE —
+  // the remaining named-state primitive after value (q_st_anomaly_v2)
+  // and map (q_st_neardup_v2). A trailing max cannot ride running
+  // state (evicting the oldest element can change it arbitrarily), so
+  // the state is the ordered tail itself — the shape RocksDB's
+  // per-element list layout exists for. Same RocksDB AvailableNow
+  // drain as the anomaly row; the oracle is the batch window
+  // ROWS BETWEEN 2 PRECEDING AND CURRENT ROW over (ts, value) order.
+  def rollingBatchV2(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream_roll", d)
+    landOnce(ev, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_roll_$runId"
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = graft.streaming.MicroBatch.rollingV2(
+        graft.streaming.MicroBatch.readEvents(ss, s"$root/src", ev))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+    }.orderBy("user_id", "ts", "value")
+  }
+
+  val rollingBatchSql: String =
+    """SELECT user_id, ts, value,
+      |  CAST(count(*) OVER w AS BIGINT) AS w_n,
+      |  max(value) OVER w AS w_max,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_sum_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, value
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, value""".stripMargin
+
   // --- q_mm_meta_stats ------------------------------------------------------
   // Metadata-only rollup over the media table: dimension-bucketed counts
   // and size totals computed WITHOUT touching the payload column. This is
@@ -1482,7 +1523,8 @@ object Parity {
   val drainBackedQueries: Set[String] = Set(
     "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_neardup_v2", "q_st_upsert",
     "q_st_stream_join", "q_st_outer_join", "q_st_static_join",
-    "q_st_anomaly_v2") // a real RocksDB drain, unlike the batch twin q_st_anomaly
+    "q_st_anomaly_v2", // a real RocksDB drain, unlike the batch twin q_st_anomaly
+    "q_st_rolling_v2")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_chunked_rest" -> (chunkedRest _),
@@ -1518,6 +1560,7 @@ object Parity {
     "q_mm_pnm_featurize" -> (pnmFeaturize _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_st_anomaly_v2" -> (anomalyBatchV2 _),
+    "q_st_rolling_v2" -> (rollingBatchV2 _),
     "q_mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
@@ -1554,5 +1597,6 @@ object Parity {
     "q_mm_pnm_featurize" -> pnmFeaturizeSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_st_anomaly_v2" -> anomalyBatchSql, // same semantics, same oracle
+    "q_st_rolling_v2" -> rollingBatchSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }

@@ -359,6 +359,72 @@ object MicroBatch {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** One trailing-window emission of [[RollingProcessor]]. */
+  case class RollingOut(user_id: Long, ts: java.sql.Timestamp, value: Double,
+                        w_n: Long, w_max: Double, w_sum_cents: Long)
+
+  /** One retained tail entry: event order key + its value. */
+  case class TailEntry(us: Long, value: Double)
+
+  /** Trailing-window statistics per key on `transformWithState` with
+    * LIST STATE — the remaining named-state primitive after value
+    * (AnomalyProcessor) and map (NearDupProcessor). The operator needs
+    * the last W−1 VALUES, not a mergeable digest: max over a trailing
+    * frame cannot be maintained as running state (evicting the oldest
+    * value can change the max arbitrarily), so the state is the ordered
+    * tail itself. ListState is the right store for it — RocksDB keeps
+    * each element as its own entry, `appendValue`/`appendList` extend
+    * without rewriting the list (the unbounded-log use case), and the
+    * bounded-window trim here uses `put` (rewrite W−1 tiny rows).
+    * Rows process in (event-time micros, value) order per key, so with
+    * a time-ordered backlog the emitted frames equal the batch window
+    * `ROWS BETWEEN W−1 PRECEDING AND CURRENT ROW` — the DuckDB oracle —
+    * and the tail carried in state makes frames SPAN batch boundaries
+    * exactly (StreamingSpec pins the checkpointed 2-tick drain).
+    * The frame sum rides in exact integer cents; max compares doubles
+    * exactly; both reproducible across engines.
+    */
+  class RollingProcessor(window: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, Double), RollingOut] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var tail: ListState[TailEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tail = getHandle.getListState[TailEntry]("tail",
+        org.apache.spark.sql.Encoders.product[TailEntry], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[RollingOut] = {
+      var t: IndexedSeq[TailEntry] = tail.get().toIndexedSeq
+      val out = scala.collection.mutable.ArrayBuffer[RollingOut]()
+      rows.toSeq.sortBy(r => (tsMicros(r._2), r._3)).foreach { case (_, ts, v) =>
+        val frame = t :+ TailEntry(tsMicros(ts), v) // t is ≤ window−1 long
+        out += RollingOut(uid, ts, v, frame.size.toLong,
+          frame.map(_.value).max,
+          frame.map(e => math.round(e.value * 100)).sum)
+        t = frame.takeRight(window - 1)
+      }
+      if (t.nonEmpty) tail.put(t.toArray)
+      out.iterator
+    }
+  }
+
+  /** Trailing-window drain through [[RollingProcessor]]. */
+  def rollingV2(events: DataFrame, window: Int = 3)
+  : org.apache.spark.sql.Dataset[RollingOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RollingProcessor(window),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One closed session: [start, last] with its event count. */
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_last: java.sql.Timestamp, n_events: Long)

@@ -492,6 +492,58 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("ListState rolling window carries the tail across two checkpointed ticks") {
+    // The third named-state primitive (after value and map): the
+    // trailing-3 frame must SPAN the tick boundary — tick 2's first
+    // event per user frames with up to 2 tick-1 values restored from
+    // ListState. Equality with the batch ROWS-window twin over ALL
+    // events is the proof: a drain that rebuilt state from scratch
+    // would emit w_n < 3 (and wrong max/sum) exactly at the boundary
+    // rows where the twin says otherwise.
+    val src = dir("roll-src")
+    val cp = dir("roll-cp")
+    val sink = dir("roll-sink")
+    val events = Tables.events(spark, sf).cache()
+    try {
+      val ss2 = spark.newSession()
+      ss2.conf.set("spark.sql.shuffle.partitions", "8")
+      ss2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      def drain(): Unit = {
+        val q = MicroBatch.rollingV2(MicroBatch.readEvents(ss2, src, events))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      events.filter(col("ts") < cut).write.mode("append").parquet(src)
+      drain()
+      val afterTick1 = spark.read.parquet(sink).count()
+      events.filter(col("ts") >= cut).write.mode("append").parquet(src)
+      drain()
+      val got = spark.read.parquet(sink)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "value").rowsBetween(-2, 0)
+      val twin = events.select(
+        col("user_id"), col("ts"), col("value"),
+        count(lit(1)).over(w).as("w_n"),
+        max(col("value")).over(w).as("w_max"),
+        sum(round(col("value") * 100).cast("long")).over(w).as("w_sum_cents"))
+      assert(got.count() === events.count(), "every event emits one frame")
+      assert(got.count() > afterTick1 && afterTick1 > 0, "both ticks must emit")
+      assert(got.except(twin).isEmpty && twin.except(got).isEmpty,
+        "2-tick ListState frames must equal the batch ROWS-window twin")
+      // boundary rows genuinely exercise the restored tail: some user
+      // has a full frame whose emission happened in tick 2 while the
+      // frame START predates the cut
+      val tick2Full = got.filter(col("ts") >= cut && col("w_n") === 3).count()
+      assert(tick2Full > 0, "tick 2 should emit full frames (restored tails)")
+    } finally events.unpersist()
+  }
+
   test("transformWithState event-time timers close sessions across a tick boundary") {
     import ss.implicits._
     // The API surface flatMapGroupsWithState's coarse timeout callback
