@@ -617,6 +617,160 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --- q_tx_trigram_backoff -------------------------------------------------
+  // A TRIGRAM language model with STUPID BACKOFF (Brants et al. 2007) —
+  // the web-scale LM quality filter: score = trigram relative frequency
+  // when the trigram was seen in training, else 0.4 × the bigram
+  // relative frequency, else 0.4² × the unigram frequency. The model
+  // TRAINS on half the corpus (even doc_ids) and SCORES the other half
+  // — the split is what makes the backoff branches load-bearing (a
+  // same-corpus bootstrap would hit the trigram level on every token
+  // and the backoff chain would be dead code). All three model levels
+  // are bounded by the truncated vocab ((K+1)³/(K+1)²/(K+1) rows) so
+  // every scoring join BROADCASTS — the token stream never shuffles on
+  // a token key (the q_tx_bigram_broadcast skew lesson); remaining
+  // exchanges are doc-grain windows/aggregations and the map-side-
+  // combined model builds. Ratios divide exact integer counts; the 0.4
+  // backoff factors multiply as doubles in one order on both engines;
+  // per-token scores fix at 1e6 before the doc-grain sum. Per-level
+  // hit counts ride the output, pinning branch routing in the hash.
+  def trigramBackoff(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val trainTok = tok.filter(col("doc_id") % 2 === 0)
+    val vocab = trainTok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(VocabTopK)
+      .select(col("w"), lit(true).as("in_vocab"))
+    def mapped(t: DataFrame) = t.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("in_vocab").isNotNull, col("w")).otherwise(lit("<unk>")).as("wm"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    // the training token stream feeds three model levels — pin it once
+    val trainMapped = mapped(trainTok).localCheckpoint()
+    val c123 = trainMapped
+      .withColumn("w2", lead("wm", 1).over(win))
+      .withColumn("w3", lead("wm", 2).over(win))
+      .filter(col("w3").isNotNull)
+      .groupBy(col("wm").as("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val c12 = c123.groupBy("w1", "w2").agg(sum("c123").as("c12"))
+    val triM = c123.join(broadcast(c12), Seq("w1", "w2"))
+      .select(col("w1").as("t1"), col("w2").as("t2"), col("w3").as("t3"),
+        (col("c123").cast("double") / col("c12").cast("double")).as("tri_r"))
+    val cb12 = trainMapped
+      .withColumn("w2", lead("wm", 1).over(win))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("wm").as("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb12"))
+    val cb1 = cb12.groupBy("w1").agg(sum("cb12").as("cb1"))
+    val biM = cb12.join(broadcast(cb1), Seq("w1"))
+      .select(col("w1").as("b1"), col("w2").as("b2"),
+        (col("cb12").cast("double") / col("cb1").cast("double")).as("bi_r"))
+    val cuTotal = trainMapped.count()
+    val uniM = trainMapped.groupBy(col("wm").as("u1"))
+      .agg(count(lit(1)).as("cu"))
+      .select(col("u1"),
+        (col("cu").cast("double") / lit(cuTotal.toDouble)).as("uni_r"))
+    val scoreTris = mapped(tok.filter(col("doc_id") % 2 === 1))
+      .withColumn("w2", lead("wm", 1).over(win))
+      .withColumn("w3", lead("wm", 2).over(win))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"), col("wm").as("w1"), col("w2"), col("w3"))
+    val lvl = when(col("tri_r").isNotNull, lit(3))
+      .when(col("bi_r").isNotNull, lit(2)).otherwise(lit(1))
+    val score = when(col("tri_r").isNotNull, col("tri_r"))
+      .when(col("bi_r").isNotNull, lit(0.4) * col("bi_r"))
+      .otherwise(lit(0.4) * lit(0.4) * coalesce(col("uni_r"), lit(0.0)))
+    scoreTris
+      .join(broadcast(triM), col("w1") === col("t1") &&
+        col("w2") === col("t2") && col("w3") === col("t3"), "left")
+      .join(broadcast(biM), col("w2") === col("b1") &&
+        col("w3") === col("b2"), "left")
+      .join(broadcast(uniM), col("w3") === col("u1"), "left")
+      .select(col("doc_id"), lvl.as("lvl"),
+        round(score * 1000000.0).cast("long").as("s_fixed"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_hit1"),
+        sum(col("s_fixed").cast("decimal(38,0)")).as("sum_fixed"))
+      .select(col("doc_id"), col("n_tri"), col("n_hit3"), col("n_hit2"),
+        col("n_hit1"),
+        (col("sum_fixed").cast("double") / 1000000.0
+          / col("n_tri").cast("double")).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val trigramBackoffSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, g.i AS pos, t[g.i] AS w
+       |  FROM (SELECT doc_id, ${tokensSqlOf("text")} AS t FROM documents),
+       |       unnest(generate_series(1, len(t))) g(i)),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS c FROM tok WHERE doc_id % 2 = 0 GROUP BY w
+       |    ORDER BY c DESC, w LIMIT $VocabTopK)),
+       |tm AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN w IN (SELECT w FROM vocab) THEN w ELSE '<unk>' END AS wm
+       |  FROM tok WHERE doc_id % 2 = 0),
+       |tri AS (
+       |  SELECT w1, w2, w3, count(*) AS c123 FROM (
+       |    SELECT wm AS w1,
+       |      lead(wm, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+       |      lead(wm, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+       |    FROM tm) WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+       |tri12 AS (SELECT w1, w2, sum(c123) AS c12 FROM tri GROUP BY 1, 2),
+       |trim_ AS (
+       |  SELECT t.w1 AS t1, t.w2 AS t2, t.w3 AS t3,
+       |    t.c123::DOUBLE / p.c12::DOUBLE AS tri_r
+       |  FROM tri t JOIN tri12 p ON t.w1 = p.w1 AND t.w2 = p.w2),
+       |bi AS (
+       |  SELECT w1, w2, count(*) AS cb12 FROM (
+       |    SELECT wm AS w1,
+       |      lead(wm, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |    FROM tm) WHERE w2 IS NOT NULL GROUP BY 1, 2),
+       |bi1 AS (SELECT w1, sum(cb12) AS cb1 FROM bi GROUP BY 1),
+       |bim AS (
+       |  SELECT b.w1 AS b1, b.w2 AS b2, b.cb12::DOUBLE / p.cb1::DOUBLE AS bi_r
+       |  FROM bi b JOIN bi1 p ON b.w1 = p.w1),
+       |unim AS (
+       |  SELECT wm AS u1,
+       |    count(*)::DOUBLE / (SELECT count(*)::DOUBLE FROM tm) AS uni_r
+       |  FROM tm GROUP BY wm),
+       |sc AS (
+       |  SELECT doc_id, w1, w2, w3 FROM (
+       |    SELECT doc_id, wm AS w1,
+       |      lead(wm, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+       |      lead(wm, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+       |    FROM (
+       |      SELECT doc_id, pos,
+       |        CASE WHEN w IN (SELECT w FROM vocab) THEN w ELSE '<unk>' END AS wm
+       |      FROM tok WHERE doc_id % 2 = 1)) WHERE w3 IS NOT NULL),
+       |px AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN t.tri_r IS NOT NULL THEN 3
+       |         WHEN b.bi_r IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+       |    CAST(round((CASE WHEN t.tri_r IS NOT NULL THEN t.tri_r
+       |      WHEN b.bi_r IS NOT NULL THEN 0.4::DOUBLE * b.bi_r
+       |      ELSE 0.4::DOUBLE * 0.4::DOUBLE * COALESCE(u.uni_r, 0.0::DOUBLE)
+       |      END) * 1000000.0) AS BIGINT) AS s_fixed
+       |  FROM sc s
+       |  LEFT JOIN trim_ t ON s.w1 = t.t1 AND s.w2 = t.t2 AND s.w3 = t.t3
+       |  LEFT JOIN bim b ON s.w2 = b.b1 AND s.w3 = b.b2
+       |  LEFT JOIN unim u ON s.w3 = u.u1)
+       |SELECT doc_id, count(*) AS n_tri,
+       |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+       |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+       |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+       |  sum(s_fixed)::DOUBLE / 1000000.0 / count(*)::DOUBLE AS lm_score
+       |FROM px
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val bigramBroadcastSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, g.i AS pos, t[g.i] AS w
@@ -685,6 +839,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_heavy_hitters" -> (heavyHittersQ _),
+    "q_tx_trigram_backoff" -> (trigramBackoff _),
     "q_tx_bigram_broadcast" -> (bigramBroadcast _),
     "q_tx_bigram_coherence" -> (bigramCoherence _),
     "q_tx_cdc_chunks" -> (cdcChunks _),
@@ -701,6 +856,7 @@ object TextAnalysis {
     "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
+    "q_tx_trigram_backoff" -> trigramBackoffSql,
     "q_tx_bigram_broadcast" -> bigramBroadcastSql,
     "q_tx_bigram_coherence" -> bigramCoherenceSql,
     "q_tx_cdc_chunks" -> cdcChunksSql,

@@ -478,6 +478,21 @@ class PlanSpec extends SparkSpec {
       s"no token-key shuffle join allowed in the broadcast variant:\n${p.take(2000)}")
   }
 
+  test("trigram backoff scoring: all three model levels broadcast, text never shuffles") {
+    // Same contract one level up: the trigram/bigram/unigram lookups
+    // are all broadcast joins ((K+1)^3-bounded models), the scoring
+    // stream never shuffle-joins on a token key, and no exchange
+    // carries the text column.
+    val df = graft.queries.TextAnalysis.trigramBackoff(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the models must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no token-key shuffle join in backoff scoring:\n${p.take(2000)}")
+    shuffleOutputs(df).foreach(e => assert(!e.output.exists(_.name == "text"),
+      s"text must not shuffle: ${e.output.map(_.name).mkString(", ")}"))
+  }
+
   test("mixture sampling broadcasts the rate table, never shuffle-joins the corpus") {
     val p = plan(graft.queries.Sampling.mixture(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"rates should broadcast:\n${p.take(1500)}")
