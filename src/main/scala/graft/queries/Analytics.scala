@@ -233,6 +233,86 @@ object Analytics {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  // --- q_ag_hll_relational --------------------------------------------------
+  // A HyperLogLog built RELATIONALLY from a deterministic hash — the
+  // sketch q_ag_approx_distinct could never hash-oracle (engine HLL
+  // implementations differ) becomes exactly reproducible when the
+  // registers themselves are relational state: md5-derived 32-bit hash
+  // of event_id → register = h mod 256, rank = 25 − bitlength of the remaining 24
+  // bits (a 25-arm integer-comparison CASE — no log2, whose bits are
+  // not portable), per-(group, register) MAX, then the harmonic-mean
+  // estimate. The indicator sum Σ 2^−rank is EXACT in any summation
+  // order — every term is a power of two ≥ 2^−25 and there are ≤ 256
+  // of them, so all partial sums fit a 34-bit mantissa window — which
+  // is what makes a parallel double SUM safe here when it isn't
+  // anywhere else. At 100 TB this is the mergeable two-level shape:
+  // per-partition partial registers combine map-side, 256 rows per
+  // group reach the wire (same contract as Lloyd's digests), and
+  // register tables from different days MERGE by max — the reason
+  // sketches replace exact distincts at scale. The exact distinct and
+  // the raw-estimate error ride along, spec-bounded; the hash pins
+  // every register through the indicator sum. Cardinalities here
+  // (~2000/group vs m=256) sit in the RAW-estimate regime by design:
+  // the small-range correction is linear counting m·ln(m/zeros), and
+  // ln() bits are not portable across engines — the `zeros` column
+  // rides along so a consumer can apply it downstream.
+  private val HllM = 256
+  private val HllAlpha = 0.7213 / (1 + 1.079 / HllM.toDouble) // Flajolet's α_256
+
+  def hllRelational(s: SparkSession, d: String): DataFrame = {
+    val h = Hashes.md5Int32(col("event_id").cast("string"))
+    val w = (h / HllM).cast("long") // 24-bit remainder
+    val rank = (1 to 24).foldLeft(when(lit(false), lit(1))) { (acc, r) =>
+      acc.when(col("w") >= (1L << (24 - r)), lit(r))
+    }.otherwise(lit(25))
+    val regs = Tables.events(s, d)
+      .select(col("event_type"), pmod(h, lit(HllM)).as("reg"), w.as("w"))
+      .select(col("event_type"), col("reg"), rank.as("rank"))
+      .groupBy("event_type", "reg")
+      .agg(max(col("rank")).as("r_max"))
+    val sketch = regs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_set"),
+        sum(lit(1.0) / expr("shiftleft(cast(1 as bigint), r_max)").cast("double"))
+          .as("s_set"))
+      .select(col("event_type"), col("n_set"),
+        (lit(HllM) - col("n_set")).cast("long").as("zeros"),
+        ((lit(HllM) - col("n_set")).cast("double") + col("s_set")).as("s_inv"))
+      .select(col("event_type"), col("n_set"), col("zeros"), col("s_inv"),
+        (lit(HllAlpha) * lit((HllM * HllM).toDouble) / col("s_inv")).as("est_hll"))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("event_id")).as("n_exact"), count(lit(1)).as("n_events"))
+    sketch.join(broadcast(exact), Seq("event_type")).orderBy("event_type")
+  }
+
+  val hllRelationalSql: String = {
+    val rankCase = (1 to 24)
+      .map(r => s"WHEN w >= ${1L << (24 - r)} THEN $r").mkString(" ")
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    ${Hashes.md5Int32Sql("event_id::VARCHAR")} % $HllM AS reg,
+       |    CASE $rankCase ELSE 25 END AS rank
+       |  FROM (SELECT event_type, event_id,
+       |      ${Hashes.md5Int32Sql("event_id::VARCHAR")} // $HllM AS w
+       |    FROM events)),
+       |regs AS (
+       |  SELECT event_type, reg, max(rank) AS r_max FROM h GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT event_type, count(*) AS n_set,
+       |    CAST($HllM - count(*) AS BIGINT) AS zeros,
+       |    ($HllM - count(*))::DOUBLE
+       |      + sum(1.0::DOUBLE / ((1::BIGINT << r_max))::DOUBLE) AS s_inv
+       |  FROM regs GROUP BY event_type),
+       |ex AS (
+       |  SELECT event_type, count(DISTINCT event_id) AS n_exact,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY event_type)
+       |SELECT sk.event_type, sk.n_set, sk.zeros, sk.s_inv,
+       |  CAST('$HllAlpha' AS DOUBLE) * ${(HllM * HllM).toDouble} / sk.s_inv AS est_hll,
+       |  ex.n_exact, ex.n_events
+       |FROM sk JOIN ex ON sk.event_type = ex.event_type
+       |ORDER BY sk.event_type""".stripMargin
+  }
+
   // --- q_ag_approx_percentile ---------------------------------------------
   // The OTHER workhorse sketch: approx_percentile (a t-digest-style
   // quantile summary) next to the exact sort-based percentile. Same
@@ -515,6 +595,7 @@ object Analytics {
     "q_ag_percentiles" -> (percentiles _),
     "q_ag_pivot" -> (pivotCounts _),
     "q_ag_approx_distinct" -> (approxDistinct _),
+    "q_ag_hll_relational" -> (hllRelational _),
     "q_ag_approx_percentile" -> (approxPercentile _),
     "q_ag_incr_merge" -> (incrMerge _),
     "q_ag_incr_join" -> (incrJoin _),
@@ -525,6 +606,7 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ag_hll_relational" -> hllRelationalSql,
     "q_ag_topk_group" -> topkGroupSql,
     "q_ev_funnel" -> funnelSql,
     "q_ev_retention" -> retentionSql,

@@ -135,4 +135,23 @@ class BoundedCollectSpec extends SparkSpec {
       .as[(Int, Seq[Long])].collect().toSeq
     assert(rows == Seq((1, Seq(10L, 20L)), (2, Seq(30L))))
   }
+
+  test("relational HLL estimate lands within the theoretical error band") {
+    // sigma = 1.04/sqrt(256) = 6.5%; 3 sigma = 19.5%. At sf0.01 the
+    // cardinalities (~2000 per group, m=256) sit in the raw-estimate
+    // regime the query targets (sf0.001's ~200 would need the
+    // ln-based linear-counting correction the query deliberately
+    // leaves to consumers), so the harmonic estimate must track the
+    // exact distinct there.
+    val rows = graft.queries.Analytics
+      .hllRelational(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_hll")
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val err = math.abs(est - exact) / exact
+      assert(err < 0.20,
+        s"${r.getAs[String]("event_type")}: est=$est exact=$exact err=$err")
+    }
+  }
 }
