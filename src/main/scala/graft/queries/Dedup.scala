@@ -726,6 +726,110 @@ object Dedup {
        |GROUP BY e.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_dd_bloom_probe -----------------------------------------------------
+  // The contamination screen rebuilt on a RELATIONAL BLOOM FILTER — the
+  // membership artifact that survives when even the distinct eval
+  // shingle set outgrows a broadcast (q_dd_contamination ships the
+  // shingle STRINGS; a filter ships m/8 bytes regardless of shingle
+  // count or length). The filter is ordinary relational state: 3
+  // seeded md5 hashes position each eval shingle in m = 2^15 bits,
+  // bits pack into 1024 32-bit lanes of BIGINT words (bit 63 stays clear: DuckDB raises on 1<<63 where the JVM wraps — 32-bit lanes keep the shift portable) by `bit_or` (mergeable — partial
+  // filters from different partitions/days OR together, the same
+  // merge discipline as the HLL registers), and the probe side tests
+  // its 3 positions via three BROADCAST joins against the word table —
+  // the corpus never shuffles at shingle grain, and the per-doc
+  // aggregation map-side combines exactly like the exact-set variant.
+  // Both engines replay identical integer arithmetic, so the output —
+  // including every false positive the 3-hash encoding produces — is
+  // bit-reproducible: n_bloom ≥ n_exact per doc by construction, the
+  // gap IS the FP behavior, and DedupSpec bounds its rate against the
+  // 1% design point. At 100 TB the three probe joins stay broadcast
+  // (the filter is 4 KB here; a billion-key filter at 1% FP is ~1.2 GB
+  // — still one executor's broadcast, where the exact set long since
+  // stopped fitting anywhere).
+  private val BloomBits = 1 << 15 // m: 32768 bits = 512 words
+  private val BloomK = 3
+
+  def bloomProbe(s: SparkSession, d: String): DataFrame = {
+    val ex = shingleRows(s, d).localCheckpoint() // built once, used thrice
+    val evalSh = ex.filter(col("doc_id") % EvalMod === 0).select("s")
+    val posCols = (0 until BloomK).map(i =>
+      pmod(Hashes.md5Int32Seeded(col("s"), i), lit(BloomBits)))
+    val words = evalSh
+      .select(explode(array(posCols: _*)).as("pos"))
+      .select((col("pos") / 32).cast("long").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pmod(pos, 32) as int))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+    val exact = evalSh.distinct().withColumn("hit", lit(1L))
+    var probe = ex.filter(col("doc_id") % EvalMod =!= 0)
+    for (i <- 0 until BloomK) {
+      probe = probe
+        .withColumn(s"w$i", (posCols(i) / 32).cast("long"))
+        .withColumn(s"m$i", expr(
+          s"shiftleft(cast(1 as bigint), cast(pmod(${posColSql(i)}, 32) as int))"))
+        .join(broadcast(words.select(col("word").as(s"w$i"),
+          col("bits").as(s"b$i"))), Seq(s"w$i"), "left")
+    }
+    val positive = (0 until BloomK).map(i =>
+      col(s"b$i").isNotNull &&
+        col(s"b$i").bitwiseAND(col(s"m$i")) === col(s"m$i")).reduce(_ && _)
+    probe
+      .join(broadcast(exact), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(positive, 1L).otherwise(0L)).as("n_bloom"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_exact"))
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom"), col("n_exact"),
+        (col("n_bloom").cast("double") / col("n_shingles")).as("bloom_frac"))
+      .withColumn("flagged", col("bloom_frac") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** The i-seeded bloom position as a SQL fragment over column `s` —
+    * shared by the Spark `expr` masks and the DuckDB oracle so both
+    * engines hash identically. */
+  private def posColSql(i: Int): String =
+    s"pmod(${sparkMd5SeededSql("s", i)}, $BloomBits)"
+
+  /** Spark-SQL spelling of [[Hashes.md5Int32Seeded]] (conv-based). */
+  private def sparkMd5SeededSql(c: String, seed: Int): String =
+    s"cast(conv(substring(md5(concat('${seed}_', $c)), 1, 8), 16, 10) as bigint)"
+
+  val bloomProbeSql: String = {
+    def posSql(c: String, i: Int) = s"(${Hashes.md5Int32SeededSql(c, i)} % $BloomBits)"
+    val probeJoins = (0 until BloomK).map { i =>
+      s"LEFT JOIN words b$i ON b$i.word = ${posSql("e.s", i)} // 32"
+    }.mkString("\n       |")
+    val positive = (0 until BloomK).map { i =>
+      s"(b$i.bits IS NOT NULL AND (b$i.bits & (1::BIGINT << CAST(${posSql("e.s", i)} % 32 AS INT))) = (1::BIGINT << CAST(${posSql("e.s", i)} % 32 AS INT)))"
+    }.mkString(" AND ")
+    val posUnion = (0 until BloomK).map(i => posSql("s", i)).mkString(", ")
+    s"""WITH sh AS ($shingleSetsSql),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ev AS (SELECT s FROM ex WHERE doc_id % $EvalMod = 0),
+       |pos AS (SELECT unnest([$posUnion]) AS pos FROM ev),
+       |words AS (
+       |  SELECT pos // 32 AS word,
+       |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+       |  FROM pos GROUP BY 1),
+       |evd AS (SELECT DISTINCT s FROM ev),
+       |pr AS (
+       |  SELECT e.doc_id, e.s,
+       |    CASE WHEN $positive THEN 1 ELSE 0 END AS bloom_pos,
+       |    CASE WHEN evd.s IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+       |  FROM (SELECT * FROM ex WHERE doc_id % $EvalMod <> 0) e
+       |  $probeJoins
+       |  LEFT JOIN evd ON e.s = evd.s)
+       |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       |  CAST(sum(bloom_pos) AS BIGINT) AS n_bloom,
+       |  CAST(sum(exact_hit) AS BIGINT) AS n_exact,
+       |  sum(bloom_pos) / count(*)::DOUBLE AS bloom_frac,
+       |  (sum(bloom_pos) / count(*)::DOUBLE) >= 0.5 AS flagged
+       |FROM pr
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- q_dd_semdedup --------------------------------------------------------
   // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
   // first k-means-clusters the embedding space and then looks for
@@ -1067,6 +1171,7 @@ object Dedup {
     "q_dd_exact" -> (exact _),
     "q_dd_split_leakage" -> (splitLeakage _),
     "q_dd_contamination" -> (contamination _),
+    "q_dd_bloom_probe" -> (bloomProbe _),
     "q_dd_cluster_keeper" -> (clusterKeeper _),
     "q_dd_ngram_jaccard" -> (ngramJaccard _),
     "q_dd_minhash_lsh" -> (minhashLsh _),
@@ -1081,6 +1186,7 @@ object Dedup {
     "q_dd_exact" -> exactSql,
     "q_dd_split_leakage" -> splitLeakageSql,
     "q_dd_contamination" -> contaminationSql,
+    "q_dd_bloom_probe" -> bloomProbeSql,
     "q_dd_cluster_keeper" -> clusterKeeperSql,
     "q_dd_ngram_jaccard" -> ngramJaccardSql,
     "q_dd_minhash_lsh" -> minhashLshSql,

@@ -214,4 +214,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
   }
+
+  test("bloom probe: supersets the exact screen, FP rate under the design point") {
+    // n_bloom >= n_exact per doc (no false negatives, ever), and the
+    // realized per-probe FP rate stays under 1% (the m=2^15, k=3
+    // design point for this eval-shingle load). The nonzero FP gap is
+    // itself part of the verified contract — the oracle replays the
+    // identical integer arithmetic, false positives included.
+    val rows = graft.queries.Dedup.bloomProbe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var fp = 0L; var negatives = 0L
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_bloom"); val ne = r.getAs[Long]("n_exact")
+      assert(nb >= ne, s"doc ${r.getAs[Long]("doc_id")}: bloom lost a member")
+      fp += nb - ne
+      negatives += r.getAs[Long]("n_shingles") - ne
+    }
+    assert(negatives > 0)
+    assert(fp.toDouble / negatives < 0.01,
+      s"FP rate ${fp.toDouble / negatives} above the 1% design point")
+  }
 }
