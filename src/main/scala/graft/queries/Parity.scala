@@ -760,6 +760,69 @@ object Parity {
       |WHERE click_id IS NOT NULL OR view_ts + INTERVAL 6 HOUR < wm.w
       |ORDER BY view_id, click_id NULLS FIRST""".stripMargin
 
+  // --- q_st_full_outer ------------------------------------------------------
+  // The FULL OUTER stream-stream interval join — the remaining join
+  // mode after inner (q_st_stream_join) and left outer
+  // (q_st_outer_join). Both unmatched sides null-pad under their OWN
+  // closure rule, asymmetric because the interval is: a view closes at
+  // view_ts + 6h < wm, a click at click_ts < wm (its candidate views
+  // all have view_ts ≤ click_ts). The oracle models both rules off the
+  // same global watermark (min of the two sides' max − 1h).
+  def streamFullOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_fo_$runId"
+    withStreamSession(s, 8) { ss =>
+      def side(t: String) = graft.streaming.MicroBatch
+        .readEvents(ss, s"$root/src", ev).filter(col("event_type") === t)
+      val q = graft.streaming.MicroBatch
+        .intervalJoinFull(side("view"), side("click"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+    }
+      .orderBy(col("view_id").asc_nulls_first, col("click_id").asc_nulls_first)
+  }
+
+  val streamFullOuterSql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT least((SELECT max(view_ts) FROM v),
+      |               (SELECT max(click_ts) FROM c)) - INTERVAL 1 HOUR AS w),
+      |lj AS (
+      |  SELECT v.user_id AS join_user, v.view_id, c.click_id,
+      |    v.view_ts, c.click_ts
+      |  FROM v LEFT JOIN c
+      |    ON v.user_id = c.click_user
+      |    AND c.click_ts >= v.view_ts
+      |    AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR, wm
+      |  WHERE click_id IS NOT NULL OR view_ts + INTERVAL 6 HOUR < wm.w),
+      |rn AS (
+      |  SELECT c.click_user AS join_user, NULL::BIGINT AS view_id,
+      |    c.click_id, NULL::TIMESTAMP AS view_ts, c.click_ts
+      |  FROM c, wm
+      |  WHERE c.click_ts < wm.w
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM v
+      |      WHERE v.user_id = c.click_user
+      |        AND c.click_ts >= v.view_ts
+      |        AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR))
+      |SELECT * FROM lj
+      |UNION ALL
+      |SELECT * FROM rn
+      |ORDER BY view_id NULLS FIRST, click_id NULLS FIRST""".stripMargin
+
   // --- q_mm_pnm_decode ------------------------------------------------------
   // The REAL image codec, driver-verified by construction: each doc's
   // first 96 bytes become the pixel data of an 8×4 binary PPM (header
@@ -1522,7 +1585,7 @@ object Parity {
     * regression there must not be misattributed to streaming. */
   val drainBackedQueries: Set[String] = Set(
     "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_neardup_v2", "q_st_upsert",
-    "q_st_stream_join", "q_st_outer_join", "q_st_static_join",
+    "q_st_stream_join", "q_st_outer_join", "q_st_full_outer", "q_st_static_join",
     "q_st_anomaly_v2", // a real RocksDB drain, unlike the batch twin q_st_anomaly
     "q_st_rolling_v2")
 
@@ -1548,6 +1611,7 @@ object Parity {
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_outer_join" -> (streamOuterJoin _),
+    "q_st_full_outer" -> (streamFullOuter _),
     "q_st_static_join" -> (streamStaticJoin _),
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
@@ -1585,6 +1649,7 @@ object Parity {
     "q_st_upsert" -> streamingUpsertSql,
     "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_outer_join" -> streamOuterJoinSql,
+    "q_st_full_outer" -> streamFullOuterSql,
     "q_st_static_join" -> streamStaticJoinSql,
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,

@@ -161,6 +161,35 @@ object MicroBatch {
       .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
   }
 
+  /** FULL OUTER interval join — both unmatched sides null-pad, each on
+    * its own watermark-closure rule: an unmatched VIEW emits when the
+    * watermark passes view_ts + within (no future click can land in
+    * its window), an unmatched CLICK when the watermark passes
+    * click_ts (any matching view has view_ts ≤ click_ts, and new rows
+    * arrive at or after the watermark). The two rules are asymmetric
+    * because the interval itself is — that asymmetry is what the
+    * oracle models. join_user coalesces the two key columns so
+    * right-null rows keep their key. */
+  def intervalJoinFull(views: DataFrame, clicks: DataFrame,
+                       within: String = "6 hours",
+                       watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("click_user")).as("join_user"),
+        col("view_id"), col("click_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Per-user running state carried across micro-batches. The sum is
     * integer CENTS (values carry 2 decimals): exact accumulation makes
     * the emitted mean bit-reproducible across engines — a DuckDB
