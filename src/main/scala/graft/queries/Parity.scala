@@ -760,6 +760,58 @@ object Parity {
       |WHERE click_id IS NOT NULL OR view_ts + INTERVAL 6 HOUR < wm.w
       |ORDER BY view_id, click_id NULLS FIRST""".stripMargin
 
+  // --- q_w10_quarantine -----------------------------------------------------
+  // Corrupt-record QUARANTINE on the JSON landing path — the ingestion
+  // hardening W1's zero-loss contract needs when upstream hands over
+  // malformed payloads: every line either parses into the schema or
+  // lands in a quarantine set that PRESERVES the raw bytes and
+  // recovers what it can (here the id prefix survives truncation, so
+  // quarantined rows stay joinable to their source). Lines are built
+  // from documents with a DETERMINISTIC fault plant (doc_id % 17 == 3
+  // → last 2 chars truncated: the brace and a digit, so the JSON
+  // parser must fail), landed as text once, then classified with
+  // `from_json` — PERMISSIVE per-line parse, corrupt ⇔ null id since
+  // every well-formed line carries one. The oracle never reads the
+  // files: it models the plant rule over the source table and
+  // recomputes each quarantined line's length from the same string
+  // algebra — a parser that silently "repaired" a truncated line, or
+  // a writer that altered one byte, breaks the hash. At 100 TB the
+  // classification is a scan-side projection (no shuffle before the
+  // doc-grain aggregation the consumer adds); quarantine rows carry
+  // raw-line length, not the line, across the wire.
+  def quarantine(s: SparkSession, d: String): DataFrame = {
+    val root = tmpRoot("quarantine", d)
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"), concat(lit("{\"id\": "), col("doc_id"),
+        lit(", \"len\": "), col("n_chars"), lit("}")).as("line"))
+      .select(col("doc_id"), when(col("doc_id") % 17 === 3,
+        expr("substring(line, 1, length(line) - 2)")).otherwise(col("line"))
+        .as("value"))
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      lines.select("value").write.mode("overwrite").text(root)
+    val parsed = s.read.text(root)
+      .select(col("value"),
+        from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
+          "id LONG, len LONG"), Map.empty[String, String]).as("p"))
+    parsed.select(
+      when(col("p.id").isNotNull, lit("ok")).otherwise(lit("bad")).as("kind"),
+      coalesce(col("p.id"),
+        regexp_extract(col("value"), "\"id\": (\\d+)", 1).cast("long")).as("id"),
+      when(col("p.id").isNotNull, col("p.len"))
+        .otherwise(length(col("value")).cast("long")).as("payload"))
+      .orderBy("kind", "id")
+  }
+
+  val quarantineSql: String =
+    """SELECT kind, id, payload FROM (
+      |  SELECT CASE WHEN doc_id % 17 = 3 THEN 'bad' ELSE 'ok' END AS kind,
+      |    doc_id AS id,
+      |    CASE WHEN doc_id % 17 = 3
+      |      THEN length('{"id": ' || doc_id || ', "len": ' || n_chars || '}') - 2
+      |      ELSE n_chars END AS payload
+      |  FROM documents)
+      |ORDER BY kind, id""".stripMargin
+
   // --- q_st_full_outer ------------------------------------------------------
   // The FULL OUTER stream-stream interval join — the remaining join
   // mode after inner (q_st_stream_join) and left outer
@@ -1612,6 +1664,7 @@ object Parity {
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_outer_join" -> (streamOuterJoin _),
     "q_st_full_outer" -> (streamFullOuter _),
+    "q_w10_quarantine" -> (quarantine _),
     "q_st_static_join" -> (streamStaticJoin _),
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
@@ -1650,6 +1703,7 @@ object Parity {
     "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_outer_join" -> streamOuterJoinSql,
     "q_st_full_outer" -> streamFullOuterSql,
+    "q_w10_quarantine" -> quarantineSql,
     "q_st_static_join" -> streamStaticJoinSql,
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,

@@ -234,6 +234,48 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // --- q_w11_cdc_apply ----------------------------------------------------
+  // CDC op-log APPLY — the Debezium-shaped change stream the LWW upsert
+  // (W2) and delete-refresh (W4) are special cases of: each change
+  // carries an operation (I/U/D) and a total-ordered position, and
+  // applying the log means "per key, the LAST op decides": I/U
+  // materialize that op's value, D removes the key entirely. The op
+  // column derives deterministically from event_type (signup → I,
+  // error → D, everything else → U); the position is (ts, event_id) —
+  // tie-free. ONE window over the key (same single shuffle as the LWW
+  // row; the delete path adds no join, unlike W4's anti-join form),
+  // then a filter on the winning op. Emitted per surviving key: the
+  // final value, the winning op, and the total op count — the count
+  // pins that the full log was read, not just the winners.
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val op = when(col("event_type") === "signup", lit("I"))
+      .when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        op.as("op"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"), col("ts").as("last_ts"),
+        col("value"), col("n_ops"))
+      .orderBy("user_id")
+  }
+
+  val cdcApplySql: String =
+    """SELECT user_id, op AS last_op, ts AS last_ts, value, n_ops FROM (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM events) t
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   // --- q_o1_window_rank ---------------------------------------------------
   // Generalized windowed ranking (SURVEY §2.5 note): top-3 orders per
   // customer by price. One shuffle on the partition key, then a local sort.
@@ -563,6 +605,7 @@ object Relational {
     "q_w4_delete_refresh" -> (deleteRefresh _),
     "q_w3_catalog_antijoin" -> (catalogAntijoin _),
     "q_a6_lww_dedup" -> (lwwDedup _),
+    "q_w11_cdc_apply" -> (cdcApply _),
     "q_o1_window_rank" -> (windowRank _),
     "q_o5_ntile" -> (ntileProfile _),
     "q_j11_fuzzy" -> (fuzzyDictionary _),
@@ -582,6 +625,7 @@ object Relational {
     "q_w4_delete_refresh" -> deleteRefreshSql,
     "q_w3_catalog_antijoin" -> catalogAntijoinSql,
     "q_a6_lww_dedup" -> lwwDedupSql,
+    "q_w11_cdc_apply" -> cdcApplySql,
     "q_o1_window_rank" -> windowRankSql,
     "q_o5_ntile" -> ntileProfileSql,
     "q_j11_fuzzy" -> fuzzyDictionarySql,
