@@ -62,6 +62,18 @@ object Graph {
   }
 
   // --- q_gr_pagerank: damped PageRank, ranks never leave the cluster ------
+  // Per-round volume is edge-grain and that is the irreducible cost:
+  // contributions aggregate at dst grain, a different key than the
+  // src-side join, so each round moves ~|E| key/weight pairs once.
+  // (An explicit repartition(src)+checkpoint was measured at sf0.1 and
+  // REGRESSED — 41→54 MB shuffled: the added exchange isn't paid back
+  // because checkpointed partitioning doesn't survive into the round's
+  // join requirements under AQE. On a real cluster the equivalent win
+  // is storage-side: BUCKET the edge table by src — the q_ly_bucketed
+  // machinery — which removes the join-side exchange without a runtime
+  // repartition. Broadcasting ranks would also work but only while the
+  // node set fits an executor; edges-grain shuffle is the honest
+  // at-scale default.)
   def pageRank(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d).localCheckpoint()
     // out-degree at src grain; every node appears as a src by

@@ -1292,8 +1292,55 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The trained WEIGHT VECTOR itself as a query (the q_tp_bpe_vocab
+    * pattern): one row per dimension, hash-pinning the entire GD
+    * trajectory — a drifted gradient in ANY round moves some weight
+    * bit and breaks the hash, independent of whether the corpus
+    * scoring happens to mask it. dim 0 is the bias. */
+  def linearProbeWeights(s: SparkSession, d: String): DataFrame = {
+    val w = probeWeights(s, d)
+    import s.implicits._
+    w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+      .toDF("dim", "weight").orderBy("dim")
+  }
+
+  val linearProbeWeightsSql: String = {
+    val iterCtes = (1 to ProbeRounds).map { i =>
+      val prev = s"w${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT vec_id, x,
+         |    (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS r
+         |  FROM (SELECT e.vec_id, e.x, e.y,
+         |      (${Vectors.dotSql("e.x", "w.w")}) AS z
+         |    FROM e, $prev w) zz),
+         |g$i AS MATERIALIZED (
+         |  SELECT g.i AS dim,
+         |    SUM(CAST(round(r.r * r.x[g.i] * 1e9) AS BIGINT)) AS gf
+         |  FROM r$i r, unnest(generate_series(1, len(r.x))) g(i)
+         |  GROUP BY g.i),
+         |w$i AS MATERIALIZED (
+         |  SELECT list(wj ORDER BY dim) AS w FROM (
+         |    SELECT g.dim,
+         |      wp.w[g.dim] - 25.0 * (CAST(g.gf AS DOUBLE) / 1e9 / nn.n) AS wj
+         |    FROM g$i g, $prev wp, nn) u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_prepend(1.0::DOUBLE, list_transform(embedding, t -> t::DOUBLE)) AS x,
+       |    CASE WHEN label = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |w0 AS MATERIALIZED (
+       |  SELECT list_transform(generate_series(1, 65), i -> 0.0::DOUBLE) AS w),
+       |$iterCtes
+       |SELECT CAST(g.i - 1 AS BIGINT) AS dim, w.w[g.i] AS weight
+       |FROM w$ProbeRounds w, unnest(generate_series(1, 65)) g(i)
+       |ORDER BY dim""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_linear_probe" -> (linearProbe _),
+    "q_sim_probe_weights" -> (linearProbeWeights _),
     "q_sim_ivf_pruned" -> (ivfPrunedTopK _),
     "q_sim_ivfpq_residual" -> (ivfPqResidualTopK _),
     "q_sim_ivfpq_full" -> (ivfPqFullTopK _),
@@ -1310,6 +1357,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_linear_probe" -> linearProbeSql,
+    "q_sim_probe_weights" -> linearProbeWeightsSql,
     "q_sim_ivf_pruned" -> ivfPrunedSql,
     "q_sim_ivfpq_residual" -> ivfPqResidualSql,
     "q_sim_ivfpq_full" -> ivfPqFullSql,
