@@ -142,9 +142,99 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
+  // --- q_gr_hits: hubs & authorities on the bipartite graph ---------------
+  // HITS (Kleinberg 1999) fits the customer↔supplier bipartition
+  // natively: customers are HUBS (their weight is the sum of the
+  // authority of the suppliers they buy from), suppliers are
+  // AUTHORITIES (the sum of the hub weight of their buyers) —
+  // alternating matvecs over ONE single-direction edge table, each an
+  // edges⋈scores join + aggregation at the other side's grain (the
+  // same per-round shuffle discipline as PageRank). The L2
+  // normalization per round is cross-engine SAFE where most
+  // transcendentals aren't: IEEE-754 sqrt is correctly rounded in
+  // both engines, the squared-sum routes through fixed point, and the
+  // norm itself is a 1-double driver artifact per round (the Lloyd
+  // collect pattern — O(1), not O(nodes)). Scores stay distributed.
+  private val HitsRounds = 3
+
+  def hits(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct().localCheckpoint()
+    def l2(df: DataFrame, c: String): Double = {
+      val f = df.agg(sum(round(col(c) * col(c) * Fixed).cast("long")))
+        .collect()(0).getLong(0)
+      math.sqrt(f.toDouble / Fixed)
+    }
+    var auth = e.select("supp").distinct()
+      .select(col("supp"), lit(1.0).as("a"))
+    var hub = e.select("cust").distinct()
+      .select(col("cust"), lit(1.0).as("h"))
+    for (_ <- 1 to HitsRounds) {
+      val hraw = e.join(auth, "supp").groupBy("cust")
+        .agg(sum(round(col("a") * Fixed).cast("long")).as("hf"))
+        .select(col("cust"), (col("hf").cast("double") / Fixed).as("hr"))
+        .localCheckpoint()
+      hub = hraw.select(col("cust"), (col("hr") / l2(hraw, "hr")).as("h"))
+        .localCheckpoint()
+      val araw = e.join(hub, "cust").groupBy("supp")
+        .agg(sum(round(col("h") * Fixed).cast("long")).as("af"))
+        .select(col("supp"), (col("af").cast("double") / Fixed).as("ar"))
+        .localCheckpoint()
+      auth = araw.select(col("supp"), (col("ar") / l2(araw, "ar")).as("a"))
+        .localCheckpoint()
+    }
+    auth.select(lit("authority").as("side"), col("supp").as("key"),
+      col("a").as("score"))
+      .union(hub.select(lit("hub").as("side"), col("cust").as("key"),
+        col("h").as("score")))
+      .orderBy("side", "key")
+  }
+
+  val hitsSql: String = {
+    val rounds = (1 to HitsRounds).map { i =>
+      val prevA = if (i == 1) "a0" else s"a${i - 1}"
+      s"""hraw$i AS MATERIALIZED (
+         |  SELECT e.cust,
+         |    CAST(SUM(CAST(round(a.a * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS hr
+         |  FROM e JOIN $prevA a ON e.supp = a.supp
+         |  GROUP BY e.cust),
+         |h$i AS MATERIALIZED (
+         |  SELECT cust, hr / (
+         |    SELECT sqrt(CAST(SUM(CAST(round(hr * hr * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+         |    FROM hraw$i) AS h
+         |  FROM hraw$i),
+         |araw$i AS MATERIALIZED (
+         |  SELECT e.supp,
+         |    CAST(SUM(CAST(round(h.h * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS ar
+         |  FROM e JOIN h$i h ON e.cust = h.cust
+         |  GROUP BY e.supp),
+         |a$i AS MATERIALIZED (
+         |  SELECT supp, ar / (
+         |    SELECT sqrt(CAST(SUM(CAST(round(ar * ar * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+         |    FROM araw$i) AS a
+         |  FROM araw$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |a0 AS MATERIALIZED (
+       |  SELECT DISTINCT supp, 1.0::DOUBLE AS a FROM e),
+       |$rounds
+       |SELECT side, key, score FROM (
+       |  SELECT 'authority' AS side, supp AS key, a AS score FROM a$HitsRounds
+       |  UNION ALL
+       |  SELECT 'hub' AS side, cust AS key, h AS score FROM h$HitsRounds)
+       |ORDER BY side, key""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_gr_pagerank" -> (pageRank _))
+    "q_gr_pagerank" -> (pageRank _),
+    "q_gr_hits" -> (hits _))
 
   val oracles: Map[String, String] = Map(
-    "q_gr_pagerank" -> pageRankSql)
+    "q_gr_pagerank" -> pageRankSql,
+    "q_gr_hits" -> hitsSql)
 }

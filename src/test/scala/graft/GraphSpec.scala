@@ -34,4 +34,18 @@ class GraphSpec extends SparkSpec {
     assert(supMean > custMean * 2,
       s"supplier hubs should dominate: sup=$supMean cust=$custMean")
   }
+
+  test("HITS: unit-norm sides, positive scores, bipartite counts") {
+    val rows = Graph.hits(spark, sf).collect()
+    val (auth, hub) = rows.partition(_.getAs[String]("side") == "authority")
+    assert(auth.nonEmpty && hub.nonEmpty)
+    // suppliers are the authority side; the synthetic schema has far
+    // fewer suppliers than customers
+    assert(auth.length < hub.length)
+    for (side <- Seq(auth, hub)) {
+      side.foreach(r => assert(r.getAs[Double]("score") > 0.0))
+      val norm = side.map(r => math.pow(r.getAs[Double]("score"), 2)).sum
+      assert(math.abs(norm - 1.0) < 1e-9, s"L2 norm drifted: $norm")
+    }
+  }
 }
