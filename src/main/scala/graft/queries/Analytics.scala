@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -313,6 +313,72 @@ object Analytics {
        |ORDER BY sk.event_type""".stripMargin
   }
 
+  // --- q_ag_cms -------------------------------------------------------------
+  // COUNT-MIN SKETCH built relationally — the third reproducible
+  // sketch, completing the merge-discipline trio: HLL registers merge
+  // by MAX, Bloom words by OR, CMS counters by SUM. d = 4 seeded md5
+  // hash rows × w = 256 buckets: the sketch is a 1024-row counter
+  // table built by one map-side-combinable aggregation over the event
+  // stream (counters shuffle, events don't), and a point query reads
+  // its d counters and takes the MIN — here via d broadcast joins of
+  // the distinct-key table against the counter table, so the query
+  // side never shuffles on a raw key. Everything is integer
+  // arithmetic: both engines replay the identical hash/bucket/count
+  // path, so the estimates — including every collision-driven
+  // OVERestimate — are bit-reproducible. The true count rides along:
+  // est ≥ true always (counters only ever overcount), and the
+  // overestimate mass is bounded by the ε = e/w design point,
+  // spec-pinned. At 100 TB the 1024 counters are the only state that
+  // moves — daily sketches SUM together, and the point-query cost is
+  // independent of the stream length.
+  private val CmsD = 4
+  private val CmsW = 256
+
+  def cms(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def bucket(c: Column, i: Int) =
+      pmod(Hashes.md5Int32Seeded(c.cast("string"), 100 + i), lit(CmsW))
+    val counters = ev.select(
+      posexplode(array((0 until CmsD).map(i =>
+        bucket(col("user_id"), i)): _*)))
+      .toDF("row", "b")
+      .groupBy("row", "b").agg(count(lit(1)).as("c"))
+    val keys = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+    var probed = keys
+    for (i <- 0 until CmsD) {
+      probed = probed
+        .withColumn(s"b$i", bucket(col("user_id"), i))
+        .join(broadcast(counters.filter(col("row") === i)
+          .select(col("b").as(s"b$i"), col("c").as(s"c$i"))), Seq(s"b$i"))
+    }
+    probed.select(col("user_id"),
+      least((0 until CmsD).map(i => col(s"c$i")): _*).as("est"),
+      col("true_n"))
+      .orderBy("user_id")
+  }
+
+  val cmsSql: String = {
+    def bucketSql(c: String, i: Int) =
+      s"(${Hashes.md5Int32SeededSql(c, 100 + i)} % $CmsW)"
+    val counterRows = (0 until CmsD).map(i =>
+      s"SELECT $i AS row, ${bucketSql("user_id::VARCHAR", i)} AS b FROM events")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    val probeJoins = (0 until CmsD).map(i =>
+      s"JOIN counters c$i ON c$i.row = $i AND c$i.b = ${bucketSql("k.user_id::VARCHAR", i)}")
+      .mkString("\n       |")
+    val leastArgs = (0 until CmsD).map(i => s"c$i.c").mkString(", ")
+    s"""WITH counters AS MATERIALIZED (
+       |  SELECT row, b, count(*) AS c FROM (
+       |  $counterRows)
+       |  GROUP BY row, b),
+       |keys AS MATERIALIZED (
+       |  SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id)
+       |SELECT k.user_id, least($leastArgs) AS est, k.true_n
+       |FROM keys k
+       |$probeJoins
+       |ORDER BY k.user_id""".stripMargin
+  }
+
   // --- q_ag_approx_percentile ---------------------------------------------
   // The OTHER workhorse sketch: approx_percentile (a t-digest-style
   // quantile summary) next to the exact sort-based percentile. Same
@@ -596,6 +662,7 @@ object Analytics {
     "q_ag_pivot" -> (pivotCounts _),
     "q_ag_approx_distinct" -> (approxDistinct _),
     "q_ag_hll_relational" -> (hllRelational _),
+    "q_ag_cms" -> (cms _),
     "q_ag_approx_percentile" -> (approxPercentile _),
     "q_ag_incr_merge" -> (incrMerge _),
     "q_ag_incr_join" -> (incrJoin _),
@@ -607,6 +674,7 @@ object Analytics {
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
     "q_ag_hll_relational" -> hllRelationalSql,
+    "q_ag_cms" -> cmsSql,
     "q_ag_topk_group" -> topkGroupSql,
     "q_ev_funnel" -> funnelSql,
     "q_ev_retention" -> retentionSql,

@@ -154,4 +154,22 @@ class BoundedCollectSpec extends SparkSpec {
         s"${r.getAs[String]("event_type")}: est=$est exact=$exact err=$err")
     }
   }
+
+  test("count-min sketch: never undercounts, overestimate mass within design bound") {
+    // d=4, w=256: est >= true for EVERY key (counters only overcount),
+    // and the mean overestimate stays under the eps*N = (e/w)*N design
+    // bound with room (the per-query guarantee is P(over > eps*N) <=
+    // e^-d ~ 1.8%, so the MEAN must sit far below the bound).
+    val rows = graft.queries.Analytics.cms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("true_n")).sum.toDouble
+    val overs = rows.map { r =>
+      val over = r.getAs[Long]("est") - r.getAs[Long]("true_n")
+      assert(over >= 0, s"CMS undercounted user ${r.getAs[Long]("user_id")}")
+      over.toDouble
+    }
+    val bound = math.E / 256.0 * n
+    assert(overs.sum / overs.length < bound,
+      s"mean over ${overs.sum / overs.length} vs eps*N $bound")
+  }
 }
