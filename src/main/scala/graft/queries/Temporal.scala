@@ -287,7 +287,64 @@ object Temporal {
       |GROUP BY 1, 2
       |ORDER BY bar_start, event_type""".stripMargin
 
+  // --- q_t8_seasonal ------------------------------------------------------
+  // Seasonal-profile residual outliers — the time-series screen the
+  // family lacked: each event compares against its (event_type,
+  // hour-of-day) seasonal mean and standard deviation, and |z| > 3
+  // flags it. The seasonal model is one map-side-combinable
+  // aggregation of exact integer moments (cent sums and squared-cent
+  // sums — DECIMAL(38,0) so no engine can overflow or drift), the
+  // mean/variance divisions happen once per (type, hour) cell in one
+  // operand order, and the z-score's sqrt is IEEE-correctly-rounded
+  // in both engines (the one transcendental that IS portable).
+  // Degenerate cells (variance ≤ 0) flag nothing by contract. At
+  // 100 TB the model is 5×24 cells broadcast back into a scan-side
+  // projection — the same train-broadcast-score shape as the LM rows.
+  def seasonal(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        hour(col("ts")).as("hod"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val model = ev.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sc"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sc2"))
+      .select(col("event_type"), col("hod"),
+        (col("sc").cast("double") / 100.0 / col("n").cast("double")).as("mu"),
+        (col("sc2").cast("double") / 10000.0 / col("n").cast("double")).as("ex2"))
+      .select(col("event_type"), col("hod"), col("mu"),
+        (col("ex2") - col("mu") * col("mu")).as("variance"))
+    ev.join(broadcast(model), Seq("event_type", "hod"))
+      .filter(col("variance") > 0.0)
+      .select(col("event_id"), col("ts"), col("event_type"), col("hod"),
+        col("value"), col("mu").as("seasonal_mean"),
+        ((col("value") - col("mu")) / sqrt(col("variance"))).as("z"))
+      .filter(abs(col("z")) > 3.0)
+      .orderBy("event_id")
+  }
+
+  val seasonalSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, event_type, value,
+      |    CAST(EXTRACT(HOUR FROM ts) AS INT) AS hod,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |model AS (
+      |  SELECT event_type, hod,
+      |    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / 100.0
+      |      / CAST(count(*) AS DOUBLE) AS mu,
+      |    CAST(SUM(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE) / 10000.0
+      |      / CAST(count(*) AS DOUBLE) AS ex2
+      |  FROM ev GROUP BY event_type, hod)
+      |SELECT event_id, ts, ev.event_type, ev.hod, value,
+      |  mu AS seasonal_mean,
+      |  (value - mu) / sqrt(ex2 - mu * mu) AS z
+      |FROM ev JOIN model ON ev.event_type = model.event_type AND ev.hod = model.hod
+      |WHERE (ex2 - mu * mu) > 0.0 AND abs((value - mu) / sqrt(ex2 - mu * mu)) > 3.0
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t8_seasonal" -> (seasonal _),
     "q_t1_asof_join" -> (asofJoin _),
     "q_t2_range_join" -> (rangeJoin _),
     "q_t3_gapfill" -> (gapfill _),
@@ -297,6 +354,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t8_seasonal" -> seasonalSql,
     "q_t1_asof_join" -> asofJoinSql,
     "q_t2_range_join" -> rangeJoinSql,
     "q_t3_gapfill" -> gapfillSql,
