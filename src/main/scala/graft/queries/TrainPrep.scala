@@ -513,7 +513,134 @@ object TrainPrep {
        |ORDER BY rank""".stripMargin
   }
 
+  // --- q_llm_e2e ------------------------------------------------------------
+  // The WHOLE curation pipeline composed, with per-document FATE
+  // attribution — the q_wp_ingest_e2e of the LLM-data side: every doc
+  // flows eval-holdout → quality trim → exact dedup → near-dup →
+  // contamination, each stage operating on the SURVIVORS of the
+  // previous ones (the sequential semantics a production pipeline
+  // has), and the output names each doc's first failing stage or its
+  // shard + token count if kept. Stage rules are the verified
+  // operators REUSED, not re-derivations: the quality percentile is
+  // q_tx_quality_trim's rule scoped to the corpus (non-eval) docs,
+  // exact dedup is q_dd_exact's keep-lowest-id among quality
+  // survivors, near-dup reuses Dedup.minhashLsh's verified pair
+  // generation verbatim (bands, caps, jaccard ≥ 0.5) with the
+  // order-free drop rule (drop the higher id where the lower id
+  // survived the EARLIER stages — the q_dd_semdedup relaxation, so
+  // the stage stays one join instead of a sequential sweep), and
+  // contamination is q_dd_contamination's broadcast eval-shingle
+  // probe unchanged. A drift in ANY stage's semantics moves some
+  // doc's fate and breaks the hash — the composition is what's
+  // verified here, the pieces already are individually. At 100 TB
+  // every stage keeps its own scale story; the composition adds only
+  // doc-grain flag joins. (The synthetic corpus has no VERBATIM
+  // duplicates at any SF — q_dd_exact shows one group per doc — so
+  // the exact_dup fate is structurally dead here; its rule is
+  // exercised by q_dd_exact's own oracle, and the five live fates at
+  // sf0.01 are kept 411 / quality 49 / eval_holdout 20 / near_dup 19
+  // / contaminated 1.)
+  def llmPipeline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % Dedup.EvalMod =!= 0)
+    val punct =
+      (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+        greatest(length(col("text")), lit(1))).as("punct_ratio")
+    val w = Window.partitionBy("lang").orderBy(col("punct_ratio"), col("doc_id"))
+    val quality = corpus.select(col("doc_id"), col("lang"), punct)
+      .withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), (col("pr") <= 0.9).as("q_keep"))
+    val qs = corpus.join(quality, "doc_id").filter(col("q_keep"))
+    val keepers = qs
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("e_keep"))
+    val surv12 = keepers.filter(col("e_keep")).select(col("doc_id"))
+    val ndDrop = Dedup.minhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .join(surv12.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(surv12.select(col("doc_id").as("doc_b")), "doc_b")
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("nd_drop", lit(true))
+    val contam = Dedup.contamination(s, d)
+      .select(col("doc_id"), col("contaminated"))
+    val fate = docs
+      .join(quality, Seq("doc_id"), "left")
+      .join(keepers.select("doc_id", "e_keep"), Seq("doc_id"), "left")
+      .join(broadcast(ndDrop), Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % Dedup.EvalMod === 0, "eval_holdout")
+          .when(!col("q_keep"), "quality")
+          .when(!col("e_keep"), "exact_dup")
+          .when(col("nd_drop").isNotNull, "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("kept").as("fate"))
+    fate.select(col("doc_id"), col("fate"),
+      when(col("fate") === "kept",
+        (Hashes.md5Int32(col("doc_id").cast("string")) % NumShards).cast("long"))
+        .as("shard"),
+      when(col("fate") === "kept",
+        size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val llmPipelineSql: String =
+    s"""WITH corpus AS (
+       |  SELECT * FROM documents WHERE doc_id % ${Dedup.EvalMod} <> 0),
+       |quality AS (
+       |  SELECT doc_id, pr <= 0.9 AS q_keep FROM (
+       |    SELECT doc_id,
+       |      percent_rank() OVER (PARTITION BY lang
+       |        ORDER BY length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+       |          / greatest(length(text), 1)::DOUBLE, doc_id) AS pr
+       |    FROM corpus)),
+       |qs AS (
+       |  SELECT c.* FROM corpus c JOIN quality q ON c.doc_id = q.doc_id
+       |  WHERE q.q_keep),
+       |keepers AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS e_keep
+       |  FROM qs),
+       |surv12 AS (SELECT doc_id FROM keepers WHERE e_keep),
+       |nd AS (
+       |  SELECT DISTINCT p.doc_b AS doc_id FROM (
+       |    SELECT doc_a, doc_b FROM ($minhashLshInner)) p
+       |  JOIN surv12 a ON p.doc_a = a.doc_id
+       |  JOIN surv12 b ON p.doc_b = b.doc_id),
+       |contam AS (
+       |  SELECT doc_id, contaminated FROM (${Dedup.contaminationSql})),
+       |fate AS (
+       |  SELECT d.doc_id, d.text,
+       |    CASE WHEN d.doc_id % ${Dedup.EvalMod} = 0 THEN 'eval_holdout'
+       |      WHEN NOT q.q_keep THEN 'quality'
+       |      WHEN NOT k.e_keep THEN 'exact_dup'
+       |      WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       |      WHEN c.contaminated THEN 'contaminated'
+       |      ELSE 'kept' END AS fate
+       |  FROM documents d
+       |  LEFT JOIN quality q ON d.doc_id = q.doc_id
+       |  LEFT JOIN keepers k ON d.doc_id = k.doc_id
+       |  LEFT JOIN nd n ON d.doc_id = n.doc_id
+       |  LEFT JOIN contam c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, fate,
+       |  CASE WHEN fate = 'kept'
+       |    THEN (${Hashes.md5Int32Sql("doc_id::VARCHAR")} % $NumShards)::BIGINT
+       |    END AS shard,
+       |  CASE WHEN fate = 'kept'
+       |    THEN len(${TextAnalysis.tokensSql})::BIGINT END AS n_tokens
+       |FROM fate
+       |ORDER BY doc_id""".stripMargin
+
+  /** The verified minhash pair SQL, stripped of its trailing ORDER BY
+    * so it can sit inside the pipeline CTE (a bare subquery keeps the
+    * sort but DuckDB then forbids further set operations on it). */
+  private def minhashLshInner: String =
+    Dedup.minhashLshSql.stripSuffix("\nORDER BY doc_a, doc_b")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_e2e" -> (llmPipeline _),
     "q_tp_bpe_vocab" -> (bpeVocab _),
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
@@ -524,6 +651,7 @@ object TrainPrep {
     "q_tp_row_ids" -> (rowIds _))
 
   val oracles: Map[String, String] = Map(
+    "q_llm_e2e" -> llmPipelineSql,
     "q_tp_bpe_vocab" -> bpeVocabSql,
     "q_tp_pack" -> packSql,
     "q_tp_tfidf" -> tfidfSql,
