@@ -230,11 +230,107 @@ object Graph {
        |ORDER BY side, key""".stripMargin
   }
 
+  // --- q_gr_triangles: degree-oriented triangle counting ------------------
+  // The "products bought together" co-occurrence graph: an undirected
+  // edge per distinct part pair sharing an order. Triangle counting is
+  // the canonical clustering-coefficient primitive, and the naive
+  // 3-way self-join over the UNDIRECTED edge list is the canonical
+  // scale trap: every triangle matches 6 permutations and every
+  // high-degree hub explodes the wedge count. The fix (Cohen 2009 /
+  // Suri–Vassilvitskii 2011, public MapReduce literature) is degree
+  // orientation: direct each edge from the lexicographically smaller
+  // (degree, node) endpoint to the larger; every triangle then matches
+  // EXACTLY ONE (u→v, u→w, v→w) wedge-plus-closure, and per-node
+  // out-degree is bounded by O(√|E|), which bounds the wedge join —
+  // that bound is what survives a power-law degree distribution at
+  // 100 TB, where a single hub would otherwise generate deg² wedges.
+  // Per-order basket width is capped as part of the contract (an order
+  // listing half the catalogue would inject C(cap,2) edges alone —
+  // the MaxShingleDf lesson from Dedup applied to edge derivation).
+  // Shuffles: all equi-joins on node keys; wedge candidates never
+  // leave the cluster; the DuckDB twin replays identical joins.
+  private val MaxBasket = 16L
+
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val basket = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val okOrders = basket.groupBy("ok").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= MaxBasket).select("ok")
+    val b = basket.join(okOrders, "ok")
+    val und = b.as("x").join(b.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+      .localCheckpoint()
+    val wedge = oriented.as("p").join(oriented.as("q"),
+        col("p.src") === col("q.src") &&
+          (col("p.ddst") < col("q.ddst") ||
+            (col("p.ddst") === col("q.ddst") && col("p.dst") < col("q.dst"))))
+      .select(col("p.src").as("u"), col("p.dst").as("v"), col("q.dst").as("w"))
+    val tri = wedge.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("node"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH basket AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |oko AS MATERIALIZED (
+       |  SELECT ok FROM basket GROUP BY ok HAVING count(*) <= $MaxBasket),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT x.pk AS a, y.pk AS b
+       |  FROM basket x
+       |  JOIN basket y ON x.ok = y.ok AND x.pk < y.pk
+       |  WHERE x.ok IN (SELECT ok FROM oko)),
+       |deg AS MATERIALIZED (
+       |  SELECT n, count(*) AS deg FROM (
+       |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+       |  GROUP BY n),
+       |oriented AS MATERIALIZED (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.a ELSE u.b END AS src,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.b ELSE u.a END AS dst,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN db.deg ELSE da.deg END AS ddst
+       |  FROM und u
+       |  JOIN deg da ON u.a = da.n
+       |  JOIN deg db ON u.b = db.n),
+       |tri AS MATERIALIZED (
+       |  SELECT p.src AS u, p.dst AS v, q.dst AS w
+       |  FROM oriented p
+       |  JOIN oriented q ON p.src = q.src
+       |   AND (p.ddst < q.ddst OR (p.ddst = q.ddst AND p.dst < q.dst))
+       |  JOIN oriented e ON e.src = p.dst AND e.dst = q.dst)
+       |SELECT node, count(*) AS n_triangles FROM (
+       |  SELECT u AS node FROM tri
+       |  UNION ALL SELECT v FROM tri
+       |  UNION ALL SELECT w FROM tri)
+       |GROUP BY node
+       |ORDER BY n_triangles DESC, node""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gr_pagerank" -> (pageRank _),
-    "q_gr_hits" -> (hits _))
+    "q_gr_hits" -> (hits _),
+    "q_gr_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
     "q_gr_pagerank" -> pageRankSql,
-    "q_gr_hits" -> hitsSql)
+    "q_gr_hits" -> hitsSql,
+    "q_gr_triangles" -> trianglesSql)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -340,7 +341,79 @@ object Sampling {
        |ORDER BY source, rnk""".stripMargin
   }
 
+  // --- q_sm_systematic ------------------------------------------------------
+  // Systematic sampling proportional to token weight — select every
+  // S-th token's document walking the corpus in doc_id order (the
+  // exact-integer alternative to weighted A-Res: Efraimidis–Spirakis
+  // keys need u^(1/w), a transcendental whose last-ulp differences
+  // could flip cross-engine order; stride arithmetic is exact BIGINT
+  // in both engines). A doc is selected iff its cumulative-weight
+  // interval (cum−w, cum] contains a multiple of the stride
+  // S = max(1, total DIV target); a doc heavier than S is selected
+  // once (dedup by construction), which systematic sampling handles
+  // and independent per-doc coin flips don't.
+  //
+  // The scalable part is the PREFIX SUM: a single global window is a
+  // one-partition sort, so the cumsum runs TWO-LEVEL — per-bucket
+  // totals (doc_id DIV 64: an aggregate, map-side combinable), bucket
+  // offsets as an exclusive running sum over the TINY bucket table
+  // (O(corpus/64) rows), broadcast back, then an in-bucket window
+  // partitioned by bucket. At 100 TB the buckets are file/partition
+  // ranges and the same two passes hold: nothing global ever sorts.
+  // The stride scalar is the Lloyd-style O(1) driver artifact,
+  // broadcast into the filter.
+  private val SystematicTarget = 40L
+  private val SystematicBucket = 64L
+
+  def systematic(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("w"),
+        expr(s"doc_id DIV $SystematicBucket").as("bucket"))
+    val bsum = docs.groupBy("bucket").agg(sum(col("w")).as("bw"))
+    val boff = bsum.withColumn("off",
+      coalesce(sum(col("bw")).over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    val stride = bsum.agg(
+      greatest(lit(1L), expr(s"sum(bw) DIV $SystematicTarget")).as("stride"))
+    val iw = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(boff), "bucket")
+      .withColumn("cum", col("off") + sum(col("w")).over(iw))
+      .crossJoin(broadcast(stride))
+      .filter(expr("cum DIV stride") > expr("(cum - w) DIV stride"))
+      .select(col("doc_id"), col("w"), col("cum"))
+      .orderBy("doc_id")
+  }
+
+  val systematicSql: String =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(${TextAnalysis.tokensSql}) AS BIGINT) AS w,
+       |    doc_id // $SystematicBucket AS bucket
+       |  FROM documents),
+       |bsum AS (
+       |  SELECT bucket, CAST(sum(w) AS BIGINT) AS bw FROM w GROUP BY bucket),
+       |boff AS (
+       |  SELECT bucket, CAST(coalesce(sum(bw) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM bsum),
+       |stride AS (
+       |  SELECT greatest(1, CAST(sum(bw) AS BIGINT) // $SystematicTarget) AS s
+       |  FROM bsum),
+       |cum AS (
+       |  SELECT w.doc_id, w.w,
+       |    b.off + CAST(sum(w.w) OVER (PARTITION BY w.bucket ORDER BY w.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM w JOIN boff b ON w.bucket = b.bucket)
+       |SELECT doc_id, w, cum
+       |FROM cum, stride
+       |WHERE cum // s > (cum - w) // s
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sm_systematic" -> (systematic _),
     "q_sm_group_sample" -> (groupSample _),
     "q_sm_hash_sample" -> (hashSample _),
     "q_sm_stratified" -> (stratified _),
@@ -350,6 +423,7 @@ object Sampling {
     "q_sm_token_budget_bpe" -> (tokenBudgetBpe _))
 
   val oracles: Map[String, String] = Map(
+    "q_sm_systematic" -> systematicSql,
     "q_sm_group_sample" -> groupSampleSql,
     "q_sm_hash_sample" -> hashSampleSql,
     "q_sm_stratified" -> stratifiedSql,

@@ -343,7 +343,94 @@ object Temporal {
       |WHERE (ex2 - mu * mu) > 0.0 AND abs((value - mu) / sqrt(ex2 - mu * mu)) > 3.0
       |ORDER BY event_id""".stripMargin
 
+  // --- q_t9_concurrency ---------------------------------------------------
+  // Peak concurrent sessions per day — the sweep-line interval
+  // aggregate (how many sessions were simultaneously open at the
+  // busiest instant). Sessions come from the same 30-min-gap rule as
+  // q_t4; each session is clipped to every day it spans (explode over
+  // a `sequence` of day starts — scan-side, no driver loop), then the
+  // sweep materializes +1 at clipped start / −1 at clipped end and a
+  // running sum ordered by (instant, delta DESC) — +1 before −1 at
+  // the same instant, so two sessions touching at a boundary count as
+  // concurrent, and permutations within an equal-(instant, delta)
+  // group leave the prefix-sum multiset (hence the max) unchanged.
+  // The day clip is what makes the sweep PARTITIONABLE: each day's
+  // running sum is an independent window, so at 100 TB the sweep
+  // shuffles once on the day key and never needs a global sort; a
+  // session crossing a boundary re-enters the next day as a clipped
+  // segment (the carry-in is exact, not approximated). All event-time
+  // comparisons are integer micros.
+  def concurrency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = ev(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapMicros, 1L).otherwise(0L))
+      .withColumn("session_n", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_n")
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val clipped = sessions
+      .select(col("s"), col("e"),
+        explode(sequence(date_trunc("DAY", col("s")), date_trunc("DAY", col("e")),
+          expr("interval 1 day"))).as("day"))
+      .select(col("day"),
+        greatest(unix_micros(col("s")), unix_micros(col("day"))).as("cs"),
+        least(unix_micros(col("e")),
+          unix_micros(col("day")) + lit(86399999999L)).as("ce"))
+    val pts = clipped.select(col("day"), col("cs").as("us"), lit(1L).as("delta"))
+      .union(clipped.select(col("day"), col("ce").as("us"), lit(-1L).as("delta")))
+    val sw = Window.partitionBy("day").orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum(col("delta")).over(sw))
+      .groupBy("day")
+      .agg(max(col("conc")).as("max_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
+      .orderBy("day")
+  }
+
+  val concurrencySql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $GapMicros
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id,
+       |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n,
+       |    ts
+       |  FROM flagged),
+       |iv AS (
+       |  SELECT min(ts) AS s, max(ts) AS e FROM sess GROUP BY user_id, session_n),
+       |clipped AS (
+       |  SELECT day,
+       |    greatest(epoch_us(s), epoch_us(day)) AS cs,
+       |    least(epoch_us(e), epoch_us(day) + 86399999999) AS ce
+       |  FROM (SELECT s, e,
+       |          unnest(generate_series(date_trunc('day', s), date_trunc('day', e),
+       |            INTERVAL 1 DAY)) AS day
+       |        FROM iv)),
+       |pts AS (
+       |  SELECT day, cs AS us, 1 AS delta FROM clipped
+       |  UNION ALL
+       |  SELECT day, ce AS us, -1 AS delta FROM clipped),
+       |swept AS (
+       |  SELECT day, delta,
+       |    CAST(sum(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+       |  FROM pts)
+       |SELECT day, max(conc) AS max_concurrent,
+       |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+       |FROM swept
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t9_concurrency" -> (concurrency _),
     "q_t8_seasonal" -> (seasonal _),
     "q_t1_asof_join" -> (asofJoin _),
     "q_t2_range_join" -> (rangeJoin _),
@@ -354,6 +441,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t9_concurrency" -> concurrencySql,
     "q_t8_seasonal" -> seasonalSql,
     "q_t1_asof_join" -> asofJoinSql,
     "q_t2_range_join" -> rangeJoinSql,

@@ -35,6 +35,44 @@ class GraphSpec extends SparkSpec {
       s"supplier hubs should dominate: sup=$supMean cust=$custMean")
   }
 
+  test("triangles: per-node counts agree with the naive all-pairs count") {
+    val perNode = Graph.triangles(spark, sf).collect()
+    assert(perNode.nonEmpty)
+    // independent brute force on the sf0.001 edge list: collect the
+    // undirected edges (small at this SF) and enumerate triangles
+    // adjacency-set style — a deliberately different algorithm than
+    // the degree-oriented wedge join under test
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    val basket = li.collect().groupBy(_.getLong(0)).values
+      .filter(_.length <= 16).toSeq
+    val und = basket.flatMap { rows =>
+      val ps = rows.map(_.getLong(1)).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var expected = Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- und; c <- adj(a) if c > b && adj(b).contains(c)) {
+      expected += a -> (expected(a) + 1)
+      expected += b -> (expected(b) + 1)
+      expected += c -> (expected(c) + 1)
+    }
+    val got = perNode.map(r =>
+      r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got === expected.filter(_._2 > 0),
+      "per-node triangle counts diverge from the brute-force enumeration")
+    // and the aggregate identity: per-node counts sum to 3× #triangles
+    assert(got.values.sum % 3 === 0)
+  }
+
+  test("triangles plan: equi-joins only, no cartesian product") {
+    val df = Graph.triangles(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "degree-oriented wedge join must stay an equi-join")
+  }
+
   test("HITS: unit-norm sides, positive scores, bipartite counts") {
     val rows = Graph.hits(spark, sf).collect()
     val (auth, hub) = rows.partition(_.getAs[String]("side") == "authority")

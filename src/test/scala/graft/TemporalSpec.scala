@@ -47,6 +47,35 @@ class TemporalSpec extends SparkSpec {
     } finally ss.unpersist()
   }
 
+  test("concurrency sweep matches a brute-force instant scan of the sessions") {
+    val days = Temporal.concurrency(spark, sf).collect()
+    assert(days.nonEmpty)
+    // brute force: collect the (small at sf0.001) session intervals and,
+    // for every day, evaluate concurrency at each session start instant
+    // within the day plus the day start — the max over those probe
+    // points equals the sweep max (counts only change at starts)
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val sess = Temporal.sessionize(spark, sf).collect().map { r =>
+      (us(r.getAs[java.sql.Timestamp]("session_start")),
+        us(r.getAs[java.sql.Timestamp]("session_end")))
+    }
+    val dayUs = 86400000000L
+    for (row <- days) {
+      val d0 = us(row.getAs[java.sql.Timestamp]("day"))
+      val d1 = d0 + dayUs - 1
+      val touching = sess.filter { case (s, e) => s <= d1 && e >= d0 }
+      assert(row.getAs[Long]("n_sessions") === touching.length.toLong)
+      val probes = (touching.map(_._1.max(d0)) :+ d0).distinct
+      val brute = probes.map(p =>
+        touching.count { case (s, e) => s <= p && e >= p }).max
+      assert(row.getAs[Long]("max_concurrent") === brute.toLong,
+        s"sweep max diverges from brute force on day $d0")
+    }
+  }
+
   test("rollup adds per-flag subtotals and a grand total") {
     val r = Analytics.rollup(spark, sf).cache()
     try {

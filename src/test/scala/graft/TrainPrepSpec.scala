@@ -209,6 +209,31 @@ class TrainPrepSpec extends SparkSpec {
         Seq("aa", "a", "b"), Seq("x"), Seq()))
   }
 
+  test("systematic sample: selection set equals the single-pass cumsum walk") {
+    val got = Sampling.systematic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Long]("cum")))
+    // independent single-pass walk (no bucketing): global cumsum in
+    // doc_id order, select docs whose (cum-w, cum] interval contains a
+    // stride multiple — must equal the two-level bucketed plan exactly
+    val docs = queries.TextAnalysis.all("q_tx_token_count")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Number]("n_tokens").longValue))
+      .sortBy(_._1)
+    val total = docs.map(_._2).sum
+    val stride = math.max(1L, total / 40L)
+    var cum = 0L
+    val expected = docs.flatMap { case (id, w) =>
+      cum += w
+      if (cum / stride > (cum - w) / stride) Some((id, w, cum)) else None
+    }
+    assert(got.toSeq === expected.toSeq,
+      "bucketed two-level prefix sum diverges from the sequential walk")
+    // a sample proportional-to-size never selects more docs than
+    // stride multiples available
+    assert(got.length <= (total / stride).toInt)
+    assert(got.nonEmpty)
+  }
+
   test("BPE training picks the count-then-lexicographic argmax pair per round") {
     import ss.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
