@@ -455,6 +455,55 @@ object Parity {
       |WHERE epoch_ms(window_start) + 600000 <= w_ms
       |ORDER BY window_start, event_type""".stripMargin
 
+  // --- q_st_chained ---------------------------------------------------------
+  // SURVEY §2.9, round 8: CHAINED stateful operators — a 10-minute
+  // windowed aggregate feeding an hour-level aggregate of the window
+  // results inside ONE streaming query (Spark 4 multiple-stateful
+  // support; the serving cascade minute→hour that used to need a query
+  // + sink per level). Drained AvailableNow; append mode emits exactly
+  // the hour windows whose end <= final watermark, and every 10-min
+  // bucket inside a closed hour is itself closed (hour_end bounds
+  // bucket ends), so the oracle's closure rule stays one inequality.
+  // peak_bucket needs the bucket substructure — a flat hour aggregate
+  // cannot produce it — so the hash verifies the CHAIN, not just the
+  // outer rollup.
+  def streamingChained(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_ch_$runId"
+    withStreamSession(s, 8) { ss =>
+      val q = graft.streaming.MicroBatch.chainedWindows(
+        graft.streaming.MicroBatch.readEvents(ss, s"$root/src", ev))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+    }.orderBy("hour_start", "event_type")
+  }
+
+  val streamingChainedSql: String =
+    """WITH b AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS b_start,
+      |         event_type, count(*) AS n10
+      |  FROM events GROUP BY 1, 2),
+      |h AS (
+      |  SELECT make_timestamp((epoch_us(b_start) // 3600000000) * 3600000000) AS hour_start,
+      |         event_type,
+      |         CAST(sum(n10) AS BIGINT) AS n_events,
+      |         CAST(count(*) AS BIGINT) AS n_buckets,
+      |         CAST(max(n10) AS BIGINT) AS peak_bucket
+      |  FROM b GROUP BY 1, 2),
+      |wm AS (SELECT epoch_ms(max(ts)) - 30*60*1000 AS w_ms FROM events)
+      |SELECT hour_start, event_type, n_events, n_buckets, peak_bucket
+      |FROM h, wm
+      |WHERE epoch_ms(hour_start) + 3600000 <= w_ms
+      |ORDER BY hour_start, event_type""".stripMargin
+
   // --- q_mm_frame_sample ----------------------------------------------------
   // Multimodal frame sampling, driver-verified: the documents corpus
   // stands in as media payloads (UTF-8 bytes — ASCII here, so byte
@@ -1639,7 +1688,7 @@ object Parity {
     "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_neardup_v2", "q_st_upsert",
     "q_st_stream_join", "q_st_outer_join", "q_st_full_outer", "q_st_static_join",
     "q_st_anomaly_v2", // a real RocksDB drain, unlike the batch twin q_st_anomaly
-    "q_st_rolling_v2")
+    "q_st_rolling_v2", "q_st_chained")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_chunked_rest" -> (chunkedRest _),
@@ -1657,6 +1706,7 @@ object Parity {
     "q_j5_slug_roundtrip" -> (slugRoundtrip _),
     "q_tz_per_series" -> (tzPerSeries _),
     "q_st_windowed" -> (streamingWindowed _),
+    "q_st_chained" -> (streamingChained _),
     "q_st_dedup" -> (streamingDedup _),
     "q_st_neardup" -> (streamingNeardup _),
     "q_st_neardup_v2" -> (streamingNeardupV2 _),
@@ -1696,6 +1746,7 @@ object Parity {
     "q_j5_slug_roundtrip" -> slugRoundtripSql,
     "q_tz_per_series" -> tzPerSeriesSql,
     "q_st_windowed" -> streamingWindowedSql,
+    "q_st_chained" -> streamingChainedSql,
     "q_st_dedup" -> streamingDedupSql,
     "q_st_neardup" -> streamingNeardupSql,
     "q_st_neardup_v2" -> streamingNeardupSql,

@@ -74,6 +74,72 @@ object Similarity {
        |ORDER BY cosine DESC, vec_id
        |LIMIT $K""".stripMargin
 
+  // --- q_sim_mips ---------------------------------------------------------
+  // Maximum-inner-product search via the norm-augmentation reduction
+  // (Bachrach et al., RecSys 2014 — public literature): MIPS is NOT a
+  // metric problem (the query's own norm dominates; "nearest by dot"
+  // violates the triangle inequality), which is why recommendation
+  // retrieval (user·item scores) can't ride a cosine/L2 index as-is.
+  // The classic fix appends ONE dimension: corpus vectors become
+  // [v, sqrt(M² − |v|²)] (M = max corpus norm, so every augmented
+  // vector has norm exactly M), the query appends 0 — then
+  // L2²(q̂, v̂) = |q|² + M² − 2⟨q,v⟩, a strictly decreasing function
+  // of the inner product: L2-NN on the augmented space ≡ MIPS. After
+  // this reduction the ENTIRE ANN stack above (IVF cells, PQ codes,
+  // DPP-pruned layouts) serves dot-product retrieval unchanged —
+  // that's the point of the operator.
+  //
+  // M² is a one-double corpus scalar (the Lloyd collect pattern at
+  // O(1)), broadcast with the query row; scoring is a zero-shuffle
+  // scan projection; the cut is TakeOrderedAndProject. The augmented
+  // distance is computed FROM the augmentation (aug·aug, not the
+  // algebraic shortcut) in one pinned operand order — sqrt is the
+  // portable transcendental — and the raw inner product rides along,
+  // so the hash pins the reduction's arithmetic while the spec pins
+  // its CONTRACT: dist²-ascending order ≡ dot-descending order.
+  // dot(v,v) materializes once as a column (interpreted-HOF lesson:
+  // no CSE across repeated references).
+  def mipsTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") =!= QueryId)
+      .withColumn("vv", Vectors.dot(col("v"), col("v")))
+    val m2 = corpus.agg(max(col("vv")).as("m2"))
+    val aug = sqrt(greatest(lit(0.0), col("m2") - col("vv")))
+    corpus.crossJoin(broadcast(q)).crossJoin(broadcast(m2))
+      .withColumn("qq", Vectors.dot(col("qv"), col("qv")))
+      .withColumn("ip", Vectors.dot(col("v"), col("qv")))
+      .select(col("vec_id"), col("label"), col("ip"),
+        (col("vv") + aug * aug + col("qq") - lit(2.0) * col("ip"))
+          .as("aug_dist2"))
+      .orderBy(col("aug_dist2"), col("vec_id"))
+      .limit(K)
+  }
+
+  val mipsTopKSql: String = {
+    val augSql = "sqrt(greatest(0.0, m2 - vv))"
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding AS emb,
+       |    ${Vectors.dotSql("embedding", "embedding")} AS vv
+       |  FROM embeddings WHERE vec_id <> $QueryId),
+       |q AS (
+       |  SELECT embedding AS emb,
+       |    ${Vectors.dotSql("embedding", "embedding")} AS qq
+       |  FROM embeddings WHERE vec_id = $QueryId),
+       |m AS (SELECT max(vv) AS m2 FROM b),
+       |sc AS (
+       |  SELECT b.vec_id, b.label, b.vv, q.qq,
+       |    ${Vectors.dotSql("b.emb", "q.emb")} AS ip, m.m2
+       |  FROM b, q, m)
+       |SELECT vec_id, label, ip,
+       |  vv + $augSql * $augSql + qq - 2.0 * ip AS aug_dist2
+       |FROM sc
+       |ORDER BY aug_dist2, vec_id
+       |LIMIT $K""".stripMargin
+  }
+
   // --- q_sim_kmeans_assign ------------------------------------------------
   // Semantic-cluster assignment (the k-means E-step) — how a curation
   // pipeline balances or stratifies a corpus by topic: every vector is
@@ -1349,6 +1415,7 @@ object Similarity {
     "q_sim_pq" -> (pqEncode _),
     "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
+    "q_sim_mips" -> (mipsTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
     "q_sim_kmeans_update" -> (kmeansUpdate _),
@@ -1366,6 +1433,7 @@ object Similarity {
     "q_sim_pq" -> pqEncodeSql,
     "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,
+    "q_sim_mips" -> mipsTopKSql,
     "q_sim_ivf_topk" -> ivfTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,
     "q_sim_kmeans_update" -> kmeansUpdateSql,

@@ -96,6 +96,35 @@ object MicroBatch {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** CHAINED stateful operators in one streaming query — Spark 4's
+    * multiple-stateful-operator support (SPARK-42376 lineage): a
+    * 10-minute windowed aggregate feeding an HOUR-level windowed
+    * aggregate of the window RESULTS, both append-mode, one watermark.
+    * The chain is what a serving rollup cascade (minute → hour → day)
+    * actually is; before multi-stateful support it took one query +
+    * sink per level with hand-managed re-ingestion. The bridge is
+    * `window_time(window)` — the event-time column of a windowed
+    * result (window.end − 1µs, so each closed 10-min bucket lands in
+    * the hour that CONTAINS it, boundary-exact because 10 divides 60).
+    * Level-2 state holds open hour windows of bucket DIGESTS (n-per-
+    * bucket rows, never raw events) — at 100 TB the second operator's
+    * state/shuffle volume is bucket-grain, the same reduction the
+    * batch two-level prefix sums exploit. peak_bucket (max per-bucket
+    * count) is the column that makes the chain load-bearing: it needs
+    * the bucket substructure a flat hour aggregate has already lost. */
+  def chainedWindows(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(window_time(col("window")), "1 hour").as("hw"),
+        col("event_type"))
+      .agg(sum(col("n10")).as("n_events"),
+        count(lit(1)).as("n_buckets"),
+        max(col("n10")).as("peak_bucket"))
+      .select(col("hw.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("n_buckets"), col("peak_bucket"))
+
   /** Streaming sessionization: the same `session_window` aggregate as the
     * batch `q_t6_session_window` query, run incrementally — sessions
     * close (and emit, in append mode) once the watermark passes

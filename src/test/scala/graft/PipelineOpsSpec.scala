@@ -304,6 +304,34 @@ class PipelineOpsSpec extends SparkSpec {
       s"training must reduce residual quantization error: $trainedSse vs $seedSse")
   }
 
+  test("MIPS reduction: augmented-L2 ascending order is exactly inner-product descending") {
+    // the contract that makes the reduction usable: after augmentation,
+    // an L2 index answers dot-product queries. Rank the FULL corpus both
+    // ways (not just top-k) and require identical orderings.
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .withColumn("vv", queries.Vectors.dot(col("v"), col("v")))
+      .crossJoin(broadcast(q))
+      .withColumn("ip", queries.Vectors.dot(col("v"), col("qv")))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("vv"), r.getAs[Double]("ip")))
+    val m2 = scored.map(_._2).max
+    val byAug = scored.sortBy { case (id, vv, ip) =>
+      val a = math.sqrt(math.max(0.0, m2 - vv))
+      (vv + a * a - 2.0 * ip, id)
+    }.map(_._1)
+    val byDot = scored.sortBy { case (id, _, ip) => (-ip, id) }.map(_._1)
+    // ties in ip can legitimately reorder only if aug arithmetic breaks
+    // them differently; require strict agreement — the corpus has no ties
+    assert(byAug.toSeq === byDot.toSeq,
+      "augmented-L2 ranking must reproduce the inner-product ranking")
+    // and the driver query's top-k head agrees
+    val topK = Similarity.mipsTopK(spark, sf).collect().map(_.getAs[Long]("vec_id"))
+    assert(topK.toSeq === byDot.take(topK.length).toSeq)
+  }
+
   test("linear probe learns a ranking signal: top-50 enriches the target class 3x") {
     val rows = Similarity.all("q_sim_linear_probe")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -173,6 +173,45 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("chained windowed aggregates: emitted hours match the batch two-level rollup") {
+    val src = dir("ch-src")
+    val events = Tables.events(spark, sf).limit(2000).cache()
+    try {
+    events.write.mode("overwrite").parquet(src)
+
+    val q = MicroBatch.chainedWindows(
+      MicroBatch.readEvents(spark, src, events))
+      .writeStream
+      .format("memory").queryName("chw")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // batch two-level twin: 10-min buckets, then hour rollup of the
+    // bucket rows — peak_bucket requires the substructure, so agreement
+    // proves the SECOND stateful operator consumed the first's results
+    val batch = events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(window(col("window.start"), "1 hour").as("hw"), col("event_type"))
+      .agg(sum(col("n10")).as("n_events"), count(lit(1)).as("n_buckets"),
+        max(col("n10")).as("peak_bucket"))
+      .select(col("hw.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("n_buckets"), col("peak_bucket"))
+    val emitted = spark.table("chw")
+    assert(emitted.count() > 0)
+    val joined = emitted.alias("s").join(batch.alias("b"),
+      Seq("hour_start", "event_type"))
+    assert(joined.count() === emitted.count(),
+      "every emitted hour must exist in the batch twin")
+    assert(joined.filter(
+      col("s.n_events") =!= col("b.n_events") ||
+        col("s.n_buckets") =!= col("b.n_buckets") ||
+        col("s.peak_bucket") =!= col("b.peak_bucket")).isEmpty)
+    } finally events.unpersist()
+  }
+
   test("streaming session windows agree with the batch session_window query") {
     val src = dir("sess-src")
     val events = Tables.events(spark, sf).limit(500).cache()
