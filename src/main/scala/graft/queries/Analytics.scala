@@ -75,6 +75,51 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // --- q_ev_transitions ---------------------------------------------------
+  // First-order Markov transition model over each user's event stream —
+  // the behavioral "bigram LM": P(next event type | current), estimated
+  // from lag pairs. The per-user sequencing is ONE window shuffle on
+  // user_id (ordered by ts with event_id tie-break, so the pair stream
+  // is deterministic); counts aggregate at (from, to) grain — a K²
+  // table for K event types, the model a dashboard or a simulator
+  // consumes. Probabilities divide exact counts once per cell (count /
+  // row-total, both BIGINT → one double division in the same operand
+  // order in both engines). At 100 TB: window on the natural
+  // user-partitioned layout, then a K²-cell aggregate — map-side
+  // combinable, the shuffle after the window moves K² digests.
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("row_n"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val transitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type),
+      |tot AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+      |  FROM cnt GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+      |FROM cnt c JOIN tot t ON c.from_type = t.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   // --- q_ev_retention -----------------------------------------------------
   // Cohort retention: users grouped by first-active week, counted per
   // week offset they return in — the companion table to the funnel in
@@ -652,6 +697,7 @@ object Analytics {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ag_topk_group" -> (topkGroup _),
     "q_ev_funnel" -> (funnel _),
+    "q_ev_transitions" -> (transitions _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
@@ -677,6 +723,7 @@ object Analytics {
     "q_ag_cms" -> cmsSql,
     "q_ag_topk_group" -> topkGroupSql,
     "q_ev_funnel" -> funnelSql,
+    "q_ev_transitions" -> transitionsSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,

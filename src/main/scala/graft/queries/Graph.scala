@@ -251,17 +251,36 @@ object Graph {
   // leave the cluster; the DuckDB twin replays identical joins.
   private val MaxBasket = 16L
 
-  def triangles(s: SparkSession, d: String): DataFrame = {
+  /** Undirected part co-purchase edges (a < b): distinct part pairs
+    * sharing an order, basket width capped. Shared by the triangle and
+    * community operators. */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
     val basket = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val okOrders = basket.groupBy("ok").agg(count(lit(1)).as("bs"))
       .filter(col("bs") <= MaxBasket).select("ok")
     val b = basket.join(okOrders, "ok")
-    val und = b.as("x").join(b.as("y"), "ok")
+    b.as("x").join(b.as("y"), "ok")
       .filter(col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
+  }
+
+  /** The same edge derivation as DuckDB CTEs (names basket/oko/und). */
+  private val coEdgesSql: String =
+    s"""basket AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |oko AS MATERIALIZED (
+       |  SELECT ok FROM basket GROUP BY ok HAVING count(*) <= $MaxBasket),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT x.pk AS a, y.pk AS b
+       |  FROM basket x
+       |  JOIN basket y ON x.ok = y.ok AND x.pk < y.pk
+       |  WHERE x.ok IN (SELECT ok FROM oko))""".stripMargin
+
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -288,15 +307,7 @@ object Graph {
   }
 
   val trianglesSql: String =
-    s"""WITH basket AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-       |oko AS MATERIALIZED (
-       |  SELECT ok FROM basket GROUP BY ok HAVING count(*) <= $MaxBasket),
-       |und AS MATERIALIZED (
-       |  SELECT DISTINCT x.pk AS a, y.pk AS b
-       |  FROM basket x
-       |  JOIN basket y ON x.ok = y.ok AND x.pk < y.pk
-       |  WHERE x.ok IN (SELECT ok FROM oko)),
+    s"""WITH $coEdgesSql,
        |deg AS MATERIALIZED (
        |  SELECT n, count(*) AS deg FROM (
        |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
@@ -324,13 +335,72 @@ object Graph {
        |GROUP BY node
        |ORDER BY n_triangles DESC, node""".stripMargin
 
+  // --- q_gr_labelprop: synchronous label-propagation communities ----------
+  // Community detection (Raghavan et al. 2007, public literature) as the
+  // fourth graph primitive after ranking (PageRank), hub/authority
+  // (HITS) and cohesion (triangles). The textbook ASYNC variant updates
+  // labels in a random vertex order — unreproducible by construction.
+  // This is the SYNCHRONOUS variant with a total tie order: every round,
+  // each node adopts the most frequent label among its neighbors,
+  // ties by SMALLEST label — min(struct(−count, label)) in both
+  // engines, so every round is a pure function of the previous one and
+  // the result is bit-stable across engines, runs, and partitionings.
+  // (Sync LPA can oscillate on bipartite structure; bounded rounds make
+  // that a fixed-point-or-cycle SNAPSHOT, which is what a reproducible
+  // pipeline wants anyway.) Each round: one join at neighbor grain +
+  // two aggregations at node grain — label state is node-grain and
+  // never collected (the PageRank discipline); `localCheckpoint`
+  // truncates per-round lineage. Labels seed as node ids, so label
+  // values stay in the node id domain and need no string surgery.
+  private val LpRounds = 3
+
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
+    val e2 = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = e2.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to LpRounds) {
+      labels = e2.join(labels, e2("b") === labels("node"))
+        .select(col("a"), col("label").as("nl"))
+        .groupBy("a", "nl").agg(count(lit(1)).as("c"))
+        .groupBy("a")
+        .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("m"))
+        .select(col("a").as("node"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    labels.orderBy("node")
+  }
+
+  val labelPropSql: String = {
+    val rounds = (1 to LpRounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""cnt$i AS MATERIALIZED (
+         |  SELECT e.a, l.label AS nl, count(*) AS c
+         |  FROM e2 e JOIN $prev l ON e.b = l.node
+         |  GROUP BY e.a, l.label),
+         |l$i AS MATERIALIZED (
+         |  SELECT a AS node, min({'nc': -c, 'l': nl}).l AS label
+         |  FROM cnt$i GROUP BY a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coEdgesSql,
+       |e2 AS MATERIALIZED (
+       |  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS node, a AS label FROM e2),
+       |$rounds
+       |SELECT node, label FROM l$LpRounds ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gr_pagerank" -> (pageRank _),
     "q_gr_hits" -> (hits _),
-    "q_gr_triangles" -> (triangles _))
+    "q_gr_triangles" -> (triangles _),
+    "q_gr_labelprop" -> (labelProp _))
 
   val oracles: Map[String, String] = Map(
     "q_gr_pagerank" -> pageRankSql,
     "q_gr_hits" -> hitsSql,
-    "q_gr_triangles" -> trianglesSql)
+    "q_gr_triangles" -> trianglesSql,
+    "q_gr_labelprop" -> labelPropSql)
 }

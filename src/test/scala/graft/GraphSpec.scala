@@ -73,6 +73,34 @@ class GraphSpec extends SparkSpec {
       "degree-oriented wedge join must stay an equi-join")
   }
 
+  test("label propagation matches a sequential sync-LPA replay on collected edges") {
+    val got = Graph.labelProp(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got.nonEmpty)
+    // independent sequential implementation of the same contract:
+    // 3 sync rounds, most-frequent neighbor label, ties by min label
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+    val basket = li.groupBy(_.getLong(0)).values.filter(_.length <= 16)
+    val und = basket.flatMap { rows =>
+      val ps = rows.map(_.getLong(1)).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, v) => (l, v.size) }
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got === labels,
+      "distributed sync LPA diverges from the sequential replay")
+    // communities actually form: strictly fewer labels than nodes
+    assert(got.values.toSet.size < got.size)
+  }
+
   test("HITS: unit-norm sides, positive scores, bipartite counts") {
     val rows = Graph.hits(spark, sf).collect()
     val (auth, hub) = rows.partition(_.getAs[String]("side") == "authority")
