@@ -163,10 +163,17 @@ object Graph {
     val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct().localCheckpoint()
+    // All fixed-point sums accumulate in DECIMAL(38,0): the per-row
+    // quanta are ~hr^2 x 1e12, and at sf0.1 the 15k-customer squared-sum
+    // already exceeds Long.Max (ANSI overflow, caught by the bench) —
+    // DuckDB's BIGINT sum is HUGEINT for the same reason. The decimal
+    // sum casts to double exactly like HUGEINT does, so oracle parity
+    // holds unchanged.
     def l2(df: DataFrame, c: String): Double = {
-      val f = df.agg(sum(round(col(c) * col(c) * Fixed).cast("long")))
-        .collect()(0).getLong(0)
-      math.sqrt(f.toDouble / Fixed)
+      val f = df.agg(sum(round(col(c) * col(c) * Fixed).cast("long")
+          .cast("decimal(38,0)")).cast("double"))
+        .collect()(0).getDouble(0)
+      math.sqrt(f / Fixed)
     }
     var auth = e.select("supp").distinct()
       .select(col("supp"), lit(1.0).as("a"))
@@ -174,13 +181,15 @@ object Graph {
       .select(col("cust"), lit(1.0).as("h"))
     for (_ <- 1 to HitsRounds) {
       val hraw = e.join(auth, "supp").groupBy("cust")
-        .agg(sum(round(col("a") * Fixed).cast("long")).as("hf"))
+        .agg(sum(round(col("a") * Fixed).cast("long")
+          .cast("decimal(38,0)")).as("hf"))
         .select(col("cust"), (col("hf").cast("double") / Fixed).as("hr"))
         .localCheckpoint()
       hub = hraw.select(col("cust"), (col("hr") / l2(hraw, "hr")).as("h"))
         .localCheckpoint()
       val araw = e.join(hub, "cust").groupBy("supp")
-        .agg(sum(round(col("h") * Fixed).cast("long")).as("af"))
+        .agg(sum(round(col("h") * Fixed).cast("long")
+          .cast("decimal(38,0)")).as("af"))
         .select(col("supp"), (col("af").cast("double") / Fixed).as("ar"))
         .localCheckpoint()
       auth = araw.select(col("supp"), (col("ar") / l2(araw, "ar")).as("a"))
@@ -281,26 +290,47 @@ object Graph {
 
   def triangles(s: SparkSession, d: String): DataFrame = {
     val und = coEdges(s, d)
+    // deg is node-grain (catalogue-sized) — broadcast, the edge list
+    // never moves for the degree attach
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val withDeg = und
-      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .join(broadcast(deg.select(col("n").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("db"))), "b")
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // vw packs the oriented endpoint pair into ONE long (part keys are
+    // far below 2^31): the closure join shuffles a single 8-byte key
+    // instead of two, and the wedge stream — the big intermediate — is
+    // (u, vw) pairs only
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
       .localCheckpoint()
-    val wedge = oriented.as("p").join(oriented.as("q"),
+    // SHUFFLE_HASH on both big joins: the wedge stream is generated and
+    // consumed once — a sort-merge would sort ~|wedges| rows for one
+    // probe pass, the hash build sides (oriented edges) are the small,
+    // bounded inputs (measured at sf0.1: 18.6 s sort-merge → hash cut
+    // the query to a third)
+    val wedge = oriented.as("p").join(oriented.as("q").hint("shuffle_hash"),
         col("p.src") === col("q.src") &&
           (col("p.ddst") < col("q.ddst") ||
             (col("p.ddst") === col("q.ddst") && col("p.dst") < col("q.dst"))))
-      .select(col("p.src").as("u"), col("p.dst").as("v"), col("q.dst").as("w"))
-    val tri = wedge.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("p.src").as("u"),
+        (col("p.dst") * lit(1L << 32) + col("q.dst")).as("vw"))
+    // the closure side is ONE packed long per oriented edge (8B·|E| —
+    // 6 MB at sf0.1): broadcast it and the |wedges|-row stream — the
+    // big intermediate — is generated and probed in place, never
+    // shuffled. Past ~1 GB of edges the same plan degrades gracefully
+    // to the shuffle-hash join (drop the broadcast; AQE picks it).
+    val closure = oriented.select(
+      (col("src") * lit(1L << 32) + col("dst")).as("vw"))
+    val tri = wedge.join(broadcast(closure), Seq("vw"))
+      .select(col("u"),
+        expr(s"vw DIV ${1L << 32}").as("v"),
+        pmod(col("vw"), lit(1L << 32)).as("w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .orderBy(desc("n_triangles"), col("node"))
@@ -361,8 +391,20 @@ object Graph {
     var labels = e2.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to LpRounds) {
-      labels = e2.join(labels, e2("b") === labels("node"))
+      // labels are node-grain and the node set here is the PART
+      // catalogue — the same catalogue-dimension grain as triangles'
+      // deg table, so the label vector broadcasts and the static edge
+      // list never re-shuffles per round (localCheckpoint hides size
+      // stats from AQE, which would otherwise plan a full e2 exchange
+      // every round — measured 157 MB over 3 rounds). A user-grain
+      // node set (PageRank's) would keep the keyed join instead.
+      // ONE exchange per round: hash(a) satisfies the clustering
+      // requirements of BOTH aggregations (a subset of (a, nl) and
+      // exactly (a)), so the count and the argmax run shuffle-free on
+      // the repartitioned stream instead of exchanging twice
+      labels = e2.join(broadcast(labels), e2("b") === labels("node"))
         .select(col("a"), col("label").as("nl"))
+        .repartition(col("a"))
         .groupBy("a", "nl").agg(count(lit(1)).as("c"))
         .groupBy("a")
         .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("m"))

@@ -429,7 +429,54 @@ object Temporal {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // --- q_t10_m4 -----------------------------------------------------------
+  // M4 time-series downsampling (Jugel et al., VLDB 2014 — public
+  // literature): per (series, pixel-bucket), keep the FIRST, LAST, MIN
+  // and MAX points — the four rows that make a width-w line chart
+  // pixel-exact, which is why it's the visualization-serving operator
+  // every dashboard backend runs. Unlike LTTB (whose point selection
+  // chains on the previously selected point — inherently sequential),
+  // M4 is ONE map-side-combinable aggregation: at 100 TB it reduces a
+  // series to 4·buckets rows in a single scan, shuffling only
+  // (series, bucket, 4 structs) digests. Deterministic point identity
+  // via lexicographic struct extremes: time extremes by (ts, event_id),
+  // value extremes by (value, ts, event_id) — engine-exact, no
+  // first()/last() arrival-order hazards. Bucket = 6-hour windows of
+  // exact integer micros.
+  private val M4BucketUs = 6L * 3600 * 1000000L
+
+  def m4(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(
+        col("event_type"),
+        expr(s"timestamp_micros(unix_micros(ts) div $M4BucketUs * $M4BucketUs)")
+          .as("bucket"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("v_first"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("v_last"),
+        min(struct(col("value"), col("ts"), col("event_id")))
+          .getField("value").as("v_min"),
+        max(struct(col("value"), col("ts"), col("event_id")))
+          .getField("value").as("v_max"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+
+  val m4Sql: String =
+    s"""SELECT event_type,
+       |  make_timestamp((epoch_us(ts) // $M4BucketUs) * $M4BucketUs) AS bucket,
+       |  min({'t': ts, 'e': event_id, 'v': value}).v AS v_first,
+       |  max({'t': ts, 'e': event_id, 'v': value}).v AS v_last,
+       |  min({'v': value, 't': ts, 'e': event_id}).v AS v_min,
+       |  max({'v': value, 't': ts, 'e': event_id}).v AS v_max,
+       |  count(*) AS n
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY event_type, bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t10_m4" -> (m4 _),
     "q_t9_concurrency" -> (concurrency _),
     "q_t8_seasonal" -> (seasonal _),
     "q_t1_asof_join" -> (asofJoin _),
@@ -441,6 +488,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t10_m4" -> m4Sql,
     "q_t9_concurrency" -> concurrencySql,
     "q_t8_seasonal" -> seasonalSql,
     "q_t1_asof_join" -> asofJoinSql,

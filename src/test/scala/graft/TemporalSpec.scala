@@ -76,6 +76,30 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("M4 buckets keep exactly the first/last/min/max points per series bucket") {
+    val got = Temporal.m4(spark, sf).collect()
+    assert(got.nonEmpty)
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val bucketUs = 6L * 3600 * 1000000L
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), us(r.getTimestamp(1)), r.getLong(2), r.getDouble(3)))
+    val grouped = rows.groupBy(r => (r._1, r._2 / bucketUs * bucketUs))
+    assert(got.length === grouped.size)
+    for (g <- got) {
+      val pts = grouped((g.getAs[String]("event_type"),
+        us(g.getAs[java.sql.Timestamp]("bucket"))))
+      assert(g.getAs[Double]("v_first") === pts.minBy(p => (p._2, p._3))._4)
+      assert(g.getAs[Double]("v_last") === pts.maxBy(p => (p._2, p._3))._4)
+      assert(g.getAs[Double]("v_min") === pts.map(_._4).min)
+      assert(g.getAs[Double]("v_max") === pts.map(_._4).max)
+      assert(g.getAs[Long]("n") === pts.length.toLong)
+    }
+  }
+
   test("rollup adds per-flag subtotals and a grand total") {
     val r = Analytics.rollup(spark, sf).cache()
     try {
