@@ -243,13 +243,70 @@ object LayoutQueries {
       |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
       |ORDER BY ts, event_id""".stripMargin
 
+  // --- q_ly_minmax_skip -------------------------------------------------------
+  // MANIFEST-level data skipping — the file-stats pruning every table
+  // format (Iceberg/Delta/Hudi, all public designs) performs before a
+  // byte of data is read, demonstrated as an explicit relational
+  // manifest rather than parquet-internal row-group stats (which
+  // q_ly_zorder/compacted already exercise): the fact is staged
+  // range-clustered on the filter column so per-file spans are tight,
+  // the manifest derives RELATIONALLY — one aggregation over the
+  // hidden `_metadata.file_path` column, (file, min, max, count) —
+  // and a range query consults the manifest first, reading ONLY files
+  // whose [min, max] span intersects the predicate. The manifest is
+  // file-grain (bounded: O(files), the table-format metadata scale),
+  // so collecting the matching paths is the planner-side action every
+  // lakehouse query performs, not a data collect. At 100 TB the
+  // manifest is itself a partitioned table maintained incrementally at
+  // write time; the probe stays one small-table filter. LayoutSpec
+  // asserts the skip is REAL (matched files < staged files); the
+  // oracle pins result preservation off the flat table.
+  private val SkipLo = 3L
+  private val SkipHi = 9L
+
+  private[graft] def minMaxStage(s: SparkSession, d: String): String = {
+    val tag = Tables.stageTag(d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_minmax"
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .repartitionByRange(16, col("user_id"))
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite").parquet(root)
+    root
+  }
+
+  /** The relational manifest: per-file min/max/count on the cluster key. */
+  private[graft] def minMaxManifest(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(root)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+        count(lit(1)).as("n_rows"))
+
+  def minMaxSkip(s: SparkSession, d: String): DataFrame = {
+    val root = minMaxStage(s, d)
+    val files = minMaxManifest(s, root)
+      .filter(col("min_u") <= SkipHi && col("max_u") >= SkipLo)
+      .select("file").collect().map(_.getString(0))
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("user_id").between(SkipLo, SkipHi))
+      .select("event_id", "user_id", "ts", "value")
+      .orderBy("event_id")
+  }
+
+  val minMaxSkipSql: String =
+    s"""SELECT event_id, user_id, ts, value FROM events
+       |WHERE user_id BETWEEN $SkipLo AND $SkipHi
+       |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ly_salted_agg" -> (saltedAgg _),
     "q_ly_bucketed_join" -> (bucketedJoin _),
     "q_ly_pruned_history" -> (prunedHistory _),
     "q_ly_dpp" -> (dppJoin _),
     "q_ly_zorder" -> (zorderScan _),
-    "q_ly_compacted_scan" -> (compactedScan _))
+    "q_ly_compacted_scan" -> (compactedScan _),
+    "q_ly_minmax_skip" -> (minMaxSkip _))
 
   val oracles: Map[String, String] = Map(
     "q_ly_salted_agg" -> saltedAggSql,
@@ -257,5 +314,6 @@ object LayoutQueries {
     "q_ly_pruned_history" -> prunedHistorySql,
     "q_ly_dpp" -> dppJoinSql,
     "q_ly_zorder" -> zorderScanSql,
-    "q_ly_compacted_scan" -> compactedScanSql)
+    "q_ly_compacted_scan" -> compactedScanSql,
+    "q_ly_minmax_skip" -> minMaxSkipSql)
 }

@@ -34,6 +34,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("min/max manifest skipping reads strictly fewer files, same result") {
+    import graft.queries.LayoutQueries
+    val root = LayoutQueries.minMaxStage(spark, sf)
+    val manifest = LayoutQueries.minMaxManifest(spark, root).collect()
+    assert(manifest.length > 1, "stage must produce multiple files")
+    // spans must tile the key space tightly enough that the probe range
+    // (3..9) skips most files — the point of range-clustering the stage
+    val matched = manifest.count(r =>
+      r.getAs[Long]("min_u") <= 9L && r.getAs[Long]("max_u") >= 3L)
+    assert(matched >= 1)
+    assert(matched < manifest.length,
+      s"skip must be real: $matched of ${manifest.length} files matched")
+    // and the pruned read returns exactly the unpruned slice
+    val pruned = LayoutQueries.all("q_ly_minmax_skip")(spark, sf).collect()
+    val flat = Tables.events(spark, sf)
+      .filter(col("user_id").between(3, 9))
+      .select("event_id", "user_id", "ts", "value")
+      .orderBy("event_id").collect()
+    assert(pruned.map(_.getLong(0)).toSeq === flat.map(_.getLong(0)).toSeq)
+  }
+
   test("salted two-phase aggregation equals the plain aggregation") {
     val ev = Tables.events(spark, sf)
     val salted = Layout.saltedCountSum(ev, "user_id", "value", salts = 8)
