@@ -751,6 +751,46 @@ object Parity {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
       |ORDER BY view_id, click_id""".stripMargin
 
+  // --- q_st_semi_join -------------------------------------------------------
+  // The stream-stream LEFT SEMI interval join — the existence probe
+  // ("views that converted within 6h"), completing the join-mode
+  // family after inner/left-outer/full-outer. Emission is match-
+  // triggered (first matching click), so over a fully-available
+  // backlog the emitted set is exactly the batch EXISTS — the view
+  // projected once regardless of how many clicks land in its window,
+  // which is the semantic (and state-size) difference from the inner
+  // join the oracle pins: a duplicate view row or a per-click
+  // multiplication breaks the hash.
+  def streamSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_ssj_$runId"
+    withStreamSession(s, 8) { ss =>
+      def side(t: String) = graft.streaming.MicroBatch
+        .readEvents(ss, s"$root/src", ev).filter(col("event_type") === t)
+      val q = graft.streaming.MicroBatch.intervalJoinSemi(side("view"), side("click"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+    }.orderBy("view_id")
+  }
+
+  val streamSemiJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts
+      |FROM events v
+      |WHERE v.event_type = 'view'
+      |  AND EXISTS (
+      |    SELECT 1 FROM events c
+      |    WHERE c.event_type = 'click' AND c.user_id = v.user_id
+      |      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR)
+      |ORDER BY view_id""".stripMargin
+
   // --- q_st_outer_join ------------------------------------------------------
   // The stream-stream LEFT OUTER interval join: the semantics q_st_
   // stream_join cannot show — an unmatched view emits its null-padded
@@ -1686,7 +1726,7 @@ object Parity {
     * regression there must not be misattributed to streaming. */
   val drainBackedQueries: Set[String] = Set(
     "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_neardup_v2", "q_st_upsert",
-    "q_st_stream_join", "q_st_outer_join", "q_st_full_outer", "q_st_static_join",
+    "q_st_stream_join", "q_st_semi_join", "q_st_outer_join", "q_st_full_outer", "q_st_static_join",
     "q_st_anomaly_v2", // a real RocksDB drain, unlike the batch twin q_st_anomaly
     "q_st_rolling_v2", "q_st_chained")
 
@@ -1712,6 +1752,7 @@ object Parity {
     "q_st_neardup_v2" -> (streamingNeardupV2 _),
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_stream_join" -> (streamStreamJoin _),
+    "q_st_semi_join" -> (streamSemiJoin _),
     "q_st_outer_join" -> (streamOuterJoin _),
     "q_st_full_outer" -> (streamFullOuter _),
     "q_w10_quarantine" -> (quarantine _),
@@ -1752,6 +1793,7 @@ object Parity {
     "q_st_neardup_v2" -> streamingNeardupSql,
     "q_st_upsert" -> streamingUpsertSql,
     "q_st_stream_join" -> streamStreamJoinSql,
+    "q_st_semi_join" -> streamSemiJoinSql,
     "q_st_outer_join" -> streamOuterJoinSql,
     "q_st_full_outer" -> streamFullOuterSql,
     "q_w10_quarantine" -> quarantineSql,

@@ -190,6 +190,36 @@ object MicroBatch {
       .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
   }
 
+  /** LEFT SEMI interval join — the existence probe, completing the
+    * stream-stream join modes (inner, left outer, full outer, semi):
+    * "views that converted within 6 hours", emitted as the VIEW row
+    * only, exactly once, when its first matching click arrives. The
+    * state story is what distinguishes semi from inner at scale: a
+    * matched view needs no further buffering (the engine marks it
+    * emitted), and click state exists only to satisfy future views —
+    * the output never multiplies by match count, so a hot clicker
+    * can't amplify the stream. Unmatched views vanish silently once
+    * the watermark closes their window — the complement of the
+    * left-outer null row. */
+  def intervalJoinSemi(views: DataFrame, clicks: DataFrame,
+                       within: String = "6 hours",
+                       watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"),
+      "left_semi")
+      .select("user_id", "view_id", "view_ts")
+  }
+
   /** FULL OUTER interval join — both unmatched sides null-pad, each on
     * its own watermark-closure rule: an unmatched VIEW emits when the
     * watermark passes view_ts + within (no future click can land in

@@ -321,6 +321,38 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (6L, 5L), (7L, 2L), (7L, 3L)))
   }
 
+  test("semi interval join emits each converting view once, never per click") {
+    val src = dir("ssj-src")
+    val events = Tables.events(spark, sf).limit(2000).cache()
+    try {
+    events.write.mode("overwrite").parquet(src)
+    def side(t: String) = MicroBatch.readEvents(spark, src, events)
+      .filter(col("event_type") === t)
+    val q = MicroBatch.intervalJoinSemi(side("view"), side("click"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("ssj").collect().map(_.getAs[Long]("view_id"))
+    // once per view — a multi-click window must not multiply the output
+    assert(emitted.length === emitted.distinct.length)
+    // and the set is exactly the batch EXISTS
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val expected = v.join(c,
+        col("user_id") === col("cu") && col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 6 HOURS"))
+      .select("view_id").distinct().collect().map(_.getLong(0))
+    assert(emitted.toSet === expected.toSet)
+    // sanity that the multi-click case is actually exercised
+    assert(expected.length < v.count(),
+      "some views must NOT convert or the semi filter is vacuous")
+    } finally events.unpersist()
+  }
+
   test("left-outer interval join null-pads expired views and withholds the tail") {
     import ss.implicits._
     val src = dir("oj-src")

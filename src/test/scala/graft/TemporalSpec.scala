@@ -100,6 +100,20 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("transition probabilities normalize per state and count every adjacent pair") {
+    val rows = Analytics.transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("from_type"))) {
+      val mass = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"row mass drifted: $mass")
+    }
+    // exactly one pair per event except each user's last
+    val totalPairs = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(totalPairs === nEvents - nUsers)
+  }
+
   test("rollup adds per-flag subtotals and a grand total") {
     val r = Analytics.rollup(spark, sf).cache()
     try {
