@@ -225,6 +225,44 @@ object Parity {
     """SELECT event_id, user_id, event_type, ts, value
       |FROM events WHERE user_id % 3 = 2 ORDER BY event_id""".stripMargin
 
+  // --- q_s8_xml_roundtrip ---------------------------------------------------
+  // XML as an interchange format (SURVEY §2.1 family — Spark 4's native
+  // XML support, no external package): each document's metadata plus
+  // its first tokens serialize through `to_xml` (struct → element tree,
+  // arrays as repeated elements, the WRITER owns entity escaping) and
+  // parse back through `from_xml` against an explicit schema. The
+  // oracle computes the same fields straight from the raw table — so a
+  // broken escape, a mis-nested element, or a repeated-element array
+  // mishap shows up as a hash mismatch, pinning writer∘parser =
+  // identity on real text (tokens carry arbitrary characters).
+  // Both directions are scan-side column expressions: at 100 TB this
+  // is a zero-shuffle projection like every other codec in the suite.
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.queries.TextAnalysis.tokens(col("text"))
+    val xml = Tables.documents(s, d)
+      .select(col("doc_id"),
+        to_xml(struct(col("doc_id").as("id"), col("lang"),
+          col("n_chars").as("chars"),
+          slice(toks, 1, 3).as("tok"))).as("payload"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lang STRING, chars BIGINT, tok ARRAY<STRING>")
+    xml
+      .select(col("doc_id"), from_xml(col("payload"), schema).as("p"))
+      .select(col("doc_id"), col("p.id").as("id"), col("p.lang").as("lang"),
+        col("p.chars").as("chars"),
+        concat_ws(" ", coalesce(col("p.tok"),
+          array().cast("array<string>"))).as("toks"))
+      .orderBy("doc_id")
+  }
+
+  val xmlRoundtripSql: String = {
+    val toks = graft.queries.TextAnalysis.tokensSql
+    s"""SELECT doc_id, doc_id AS id, lang, n_chars AS chars,
+       |  array_to_string(list_slice($toks, 1, 3), ' ') AS toks
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- q_f5_normalized_match ------------------------------------------------
   // SURVEY §2.3 F5: multi-column lower/trim normalized equality
   // (transformer.py:58-67). The columns are deterministically dirtied
@@ -1738,6 +1776,7 @@ object Parity {
     "q_w5_csv_roundtrip" -> (csvRoundtrip _),
     "q_w6_json_roundtrip" -> (jsonRoundtrip _),
     "q_w9_orc_roundtrip" -> (orcRoundtrip _),
+    "q_s8_xml_roundtrip" -> (xmlRoundtrip _),
     "q_wp_ingest_e2e" -> (ingestE2e _),
     "q_f5_normalized_match" -> (normalizedMatch _),
     "q_f8_safe_cast" -> (safeCast _),
@@ -1779,6 +1818,7 @@ object Parity {
     "q_w5_csv_roundtrip" -> csvRoundtripSql,
     "q_w6_json_roundtrip" -> jsonRoundtripSql,
     "q_w9_orc_roundtrip" -> orcRoundtripSql,
+    "q_s8_xml_roundtrip" -> xmlRoundtripSql,
     "q_wp_ingest_e2e" -> ingestE2eSql,
     "q_f5_normalized_match" -> normalizedMatchSql,
     "q_f8_safe_cast" -> safeCastSql,

@@ -326,6 +326,42 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, quartile, o_orderkey""".stripMargin
 
+  // --- q_f2_param_sql -------------------------------------------------------
+  // SURVEY §2.3 F2 hardened: the reference assembles dynamic WHERE
+  // clauses by Python string interpolation (`queries.py` f-strings) —
+  // the injection-prone pattern. Spark's answer is PARAMETERIZED SQL
+  // (named parameter markers, Spark 3.4+): the text is a constant, the
+  // values bind as literals AFTER parsing, so user input can never
+  // alter the query shape — and Catalyst folds the bound literals into
+  // ordinary pushdown-able predicates (same scan filters as the
+  // Column-API q_f1 path; the date slice reaches parquet). Money sums
+  // route through DECIMAL(18,2) as everywhere.
+  def paramSql(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_param_orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft_param_orders
+        |WHERE o_orderdate >= CAST(:lo AS TIMESTAMP)
+        |  AND o_orderdate < CAST(:hi AS TIMESTAMP)
+        |  AND o_totalprice > :minp
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("lo" -> "1996-01-01 00:00:00", "hi" -> "1998-01-01 00:00:00",
+        "minp" -> 5000))
+  }
+
+  val paramSqlSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND o_totalprice > 5000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // --- q_j11_fuzzy --------------------------------------------------------
   // Fuzzy dictionary lookup (record linkage): dirty external names are
   // matched to a reference dictionary by minimum edit distance, with a
@@ -596,6 +632,7 @@ object Relational {
     "q_j12_skew_join" -> (skewJoin _),
     "q_j13_bloom_join" -> (bloomJoin _),
     "q_f1_flagship_page" -> (flagshipPage _),
+    "q_f2_param_sql" -> (paramSql _),
     "q_a0_agg_pricing" -> (aggPricing _),
     "q_j2_star_join" -> (starJoin _),
     "q_a1_distinct" -> (distinctScan _),
@@ -616,6 +653,7 @@ object Relational {
     "q_j12_skew_join" -> skewJoinSql,
     "q_j13_bloom_join" -> bloomJoinSql,
     "q_f1_flagship_page" -> flagshipPageSql,
+    "q_f2_param_sql" -> paramSqlSql,
     "q_a0_agg_pricing" -> aggPricingSql,
     "q_j2_star_join" -> starJoinSql,
     "q_a1_distinct" -> distinctScanSql,
