@@ -26,6 +26,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "dim join should broadcast")
   }
 
+  test("parameterized SQL binds fold into scan-level pushed filters") {
+    // the point of q_f2_param_sql beyond injection safety: bound
+    // parameters become ordinary literals BEFORE optimization, so the
+    // date slice and price floor reach the parquet reader exactly like
+    // the Column-API path — a param binding that blocked pushdown
+    // would be a silent full-scan at 100 TB
+    val p = plan(Relational.paramSql(spark, sf))
+    assert(p.contains("PushedFilters"), p.take(1000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"bound date param not pushed:\n${p.take(2000)}")
+    // the rendered PushedFilters list truncates; the price bound is
+    // visible as the folded literal in the scan's Filter condition
+    assert(p.contains("o_totalprice") && p.contains("> 5000.0"),
+      s"bound price param did not fold to a literal predicate:\n${p.take(2000)}")
+  }
+
   test("top-k by recency plans TakeOrderedAndProject, never a global sort") {
     val p = plan(Relational.topkRecent(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
