@@ -120,6 +120,74 @@ object Analytics {
       |FROM cnt c JOIN tot t ON c.from_type = t.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  // --- q_w12_snapshot_diff --------------------------------------------------
+  // Table diff between two snapshots — the regression check every
+  // pipeline change ships behind ("what did this rerun change?"):
+  // per-key fates added / removed / changed / unchanged between the
+  // January and February LWW states of the (user, event_type) series.
+  // Each snapshot is one deterministic latest-per-key reduction
+  // (max over a (ts, event_id, cents) struct — never first()/last()),
+  // the diff is ONE full-outer join on the key with a CASE fate, and
+  // the value compare runs on exact integer cents so "changed" can
+  // never flicker on double noise. At 100 TB both snapshots are
+  // key-grain aggregates (map-side combined) and the join shuffles
+  // key-grain digests — cost is O(keys), not O(events); with both
+  // snapshots bucketed on the key the join exchange disappears.
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def snap(lo: String, hi: String) =
+      Tables.events(s, d)
+        .filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")))
+          .getField("cents").as("cents"))
+    diffOf(snap("2024-01-02", "2024-01-03"), snap("2024-01-03", "2024-01-04"))
+  }
+
+  /** The diff core over two (user_id, event_type, cents) snapshots —
+    * package-visible so the spec can construct all four fates. */
+  private[graft] def diffOf(sa: DataFrame, sb: DataFrame): DataFrame = {
+    val a = sa.withColumnRenamed("cents", "cents_a")
+    val b = sb.withColumnRenamed("cents", "cents_b")
+    a.join(b, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        when(col("cents_a").isNull, "added")
+          .when(col("cents_b").isNull, "removed")
+          .when(col("cents_a") === col("cents_b"), "unchanged")
+          .otherwise("changed").as("fate"),
+        (col("cents_a").cast("double") / 100.0).as("v1"),
+        (col("cents_b").cast("double") / 100.0).as("v2"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH a AS (
+      |  SELECT user_id, event_type,
+      |    max({'t': ts, 'e': event_id,
+      |         'c': CAST(round(value * 100) AS BIGINT)}).c AS cents_a
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+      |  GROUP BY user_id, event_type),
+      |b AS (
+      |  SELECT user_id, event_type,
+      |    max({'t': ts, 'e': event_id,
+      |         'c': CAST(round(value * 100) AS BIGINT)}).c AS cents_b
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04'
+      |  GROUP BY user_id, event_type)
+      |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |  coalesce(a.event_type, b.event_type) AS event_type,
+      |  CASE WHEN a.cents_a IS NULL THEN 'added'
+      |       WHEN b.cents_b IS NULL THEN 'removed'
+      |       WHEN a.cents_a = b.cents_b THEN 'unchanged'
+      |       ELSE 'changed' END AS fate,
+      |  CAST(a.cents_a AS DOUBLE) / 100.0 AS v1,
+      |  CAST(b.cents_b AS DOUBLE) / 100.0 AS v2
+      |FROM a FULL OUTER JOIN b
+      |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   // --- q_ev_retention -----------------------------------------------------
   // Cohort retention: users grouped by first-active week, counted per
   // week offset they return in — the companion table to the funnel in
@@ -698,6 +766,7 @@ object Analytics {
     "q_ag_topk_group" -> (topkGroup _),
     "q_ev_funnel" -> (funnel _),
     "q_ev_transitions" -> (transitions _),
+    "q_w12_snapshot_diff" -> (snapshotDiff _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
@@ -724,6 +793,7 @@ object Analytics {
     "q_ag_topk_group" -> topkGroupSql,
     "q_ev_funnel" -> funnelSql,
     "q_ev_transitions" -> transitionsSql,
+    "q_w12_snapshot_diff" -> snapshotDiffSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,

@@ -114,6 +114,23 @@ class TemporalSpec extends SparkSpec {
     assert(totalPairs === nEvents - nUsers)
   }
 
+  test("snapshot diff assigns all four fates on a constructed pair") {
+    import ss.implicits._
+    val a = Seq((1L, "view", 100L), (2L, "view", 200L), (3L, "view", 300L))
+      .toDF("user_id", "event_type", "cents")
+    val b = Seq((1L, "view", 100L), (2L, "view", 250L), (4L, "view", 400L))
+      .toDF("user_id", "event_type", "cents")
+    val got = Analytics.diffOf(a, b).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("fate"))).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // and the driver query exercises sparsity for real: multiple fates
+    val fates = Analytics.snapshotDiff(spark, sf).collect()
+      .map(_.getAs[String]("fate")).toSet
+    assert(fates.contains("added") || fates.contains("removed"),
+      s"day-narrow snapshots must produce presence changes, got $fates")
+  }
+
   test("rollup adds per-flag subtotals and a grand total") {
     val r = Analytics.rollup(spark, sf).cache()
     try {
