@@ -326,6 +326,38 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, quartile, o_orderkey""".stripMargin
 
+  // --- q_f12_keyset_page ----------------------------------------------------
+  // KEYSET pagination — the at-scale replacement for q_f1's
+  // OFFSET/LIMIT: OFFSET n still produces and discards n rows on the
+  // driver-merge path, so deep pages cost O(page_depth); the keyset
+  // form carries the last row's (o_orderdate, o_orderkey) cursor and
+  // turns "next page" into a pushdown-able range predicate + top-k —
+  // O(page) at any depth, and stable under concurrent inserts (an
+  // OFFSET page shifts when earlier rows land; a keyset page cannot).
+  // The composite cursor predicate is the row-wise (d, k) > (cd, ck)
+  // comparison, written as the OR-expansion both engines plan
+  // identically; the cut is TakeOrderedAndProject like every top-k.
+  private val KeysetCursorDate =
+    java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+  private val KeysetCursorKey = 1234L
+
+  def keysetPage(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") > lit(KeysetCursorDate) ||
+        (col("o_orderdate") === lit(KeysetCursorDate) &&
+          col("o_orderkey") > KeysetCursorKey))
+      .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+
+  val keysetPageSql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+      |   OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 1234)
+      |ORDER BY o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
   // --- q_f2_param_sql -------------------------------------------------------
   // SURVEY §2.3 F2 hardened: the reference assembles dynamic WHERE
   // clauses by Python string interpolation (`queries.py` f-strings) —
@@ -633,6 +665,7 @@ object Relational {
     "q_j13_bloom_join" -> (bloomJoin _),
     "q_f1_flagship_page" -> (flagshipPage _),
     "q_f2_param_sql" -> (paramSql _),
+    "q_f12_keyset_page" -> (keysetPage _),
     "q_a0_agg_pricing" -> (aggPricing _),
     "q_j2_star_join" -> (starJoin _),
     "q_a1_distinct" -> (distinctScan _),
@@ -654,6 +687,7 @@ object Relational {
     "q_j13_bloom_join" -> bloomJoinSql,
     "q_f1_flagship_page" -> flagshipPageSql,
     "q_f2_param_sql" -> paramSqlSql,
+    "q_f12_keyset_page" -> keysetPageSql,
     "q_a0_agg_pricing" -> aggPricingSql,
     "q_j2_star_join" -> starJoinSql,
     "q_a1_distinct" -> distinctScanSql,

@@ -475,7 +475,69 @@ object Temporal {
        |GROUP BY 1, 2
        |ORDER BY event_type, bucket""".stripMargin
 
+  // --- q_t11_debounce -------------------------------------------------------
+  // Per-key DEBOUNCE — keep an event only if ≥60s have passed since the
+  // last KEPT event of the same user (the dedup rule for retry storms,
+  // double-clicks, and chatty sensors). Debounce is inherently CHAINED
+  // (whether an event survives depends on which earlier events
+  // survived), so no window function expresses it; it is the per-key
+  // ordered-fold shape (the q_tx_cdc_chunks accumulator pattern): sort
+  // each user's (ts, id) stream, fold left keeping (last_kept_us,
+  // kept_ids), explode the kept set. The fold runs ONCE per key with
+  // O(events-per-key) working set — events shuffle once on user_id and
+  // text/payloads never move. At 100 TB an unbounded key's history
+  // doesn't fold in one task: the streaming form is the same rule as
+  // keyed state (last_kept_us in a ValueState — the AnomalyProcessor
+  // machinery), and the batch form slices per (key, day) with the
+  // previous day's tail as carry-in. The DuckDB twin replays the
+  // identical fold (acc type == element type per the list_reduce
+  // contract: elements wrap as {'us', 'kept': [id]}).
+  private val DebounceUs = 60L * 1000000L
+
+  def debounce(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("id")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        explode(aggregate(
+          col("es"),
+          struct(lit(-1000000000000000L).as("us"),
+            array().cast("array<bigint>").as("kept")),
+          (acc, e) => when(e.getField("us") - acc.getField("us") >= DebounceUs,
+            struct(e.getField("us").as("us"),
+              concat(acc.getField("kept"), array(e.getField("id"))).as("kept")))
+            .otherwise(acc),
+          acc => acc.getField("kept"))).as("event_id"))
+      .orderBy("event_id")
+
+  val debounceSql: String =
+    s"""WITH RECURSIVE ordered AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |walk AS (
+       |  SELECT user_id, us, event_id, rn, us AS last_kept, TRUE AS kept
+       |  FROM ordered WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.user_id, o.us, o.event_id, o.rn,
+       |    CASE WHEN o.us - w.last_kept >= $DebounceUs
+       |         THEN o.us ELSE w.last_kept END,
+       |    o.us - w.last_kept >= $DebounceUs
+       |  FROM ordered o JOIN walk w
+       |    ON o.user_id = w.user_id AND o.rn = w.rn + 1)
+       |SELECT user_id, event_id FROM walk WHERE kept
+       |ORDER BY event_id""".stripMargin
+  // (A list_reduce replay would be the natural twin, but DuckDB 1.0's
+  // list_reduce silently DROPS list- and varchar-concat accumulator
+  // fields — only scalar accumulator arithmetic folds correctly — so
+  // the recursive-CTE walk is the deliberately different replay: all
+  // users advance one step per iteration.)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t11_debounce" -> (debounce _),
     "q_t10_m4" -> (m4 _),
     "q_t9_concurrency" -> (concurrency _),
     "q_t8_seasonal" -> (seasonal _),
@@ -488,6 +550,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t11_debounce" -> debounceSql,
     "q_t10_m4" -> m4Sql,
     "q_t9_concurrency" -> concurrencySql,
     "q_t8_seasonal" -> seasonalSql,

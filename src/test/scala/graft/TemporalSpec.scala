@@ -114,6 +114,25 @@ class TemporalSpec extends SparkSpec {
     assert(totalPairs === nEvents - nUsers)
   }
 
+  test("debounce chains on KEPT events, not on raw predecessors") {
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-db").toString
+    def t(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    // user 7: 0s kept; 30s dropped (<60 after 0); 89s KEPT — 89s is only
+    // 59s after the raw predecessor (a lag-based rule would drop it) but
+    // 89s after the last KEPT event, which is the debounce contract
+    Seq(
+      (1L, t(0), 7L, "view", 1.0, "{}"),
+      (2L, t(30), 7L, "view", 1.0, "{}"),
+      (3L, t(89), 7L, "view", 1.0, "{}"),
+      (4L, t(10), 8L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val kept = Temporal.debounce(spark, dir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
   test("snapshot diff assigns all four fates on a constructed pair") {
     import ss.implicits._
     val a = Seq((1L, "view", 100L), (2L, "view", 200L), (3L, "view", 300L))
