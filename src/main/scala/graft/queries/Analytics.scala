@@ -120,6 +120,51 @@ object Analytics {
       |FROM cnt c JOIN tot t ON c.from_type = t.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  // --- q_ev_next_pred -------------------------------------------------------
+  // The transition model APPLIED — train-then-score as one composed
+  // relational op: each user's LAST observed event type (deterministic
+  // struct-max, never last()) joins the q_ev_transitions matrix to
+  // yield that user's next-event distribution P(next | last). This is
+  // the model-serving shape of every behavioral predictor: the model
+  // is a K²-cell broadcast table, scoring is one broadcast join at
+  // user grain — no event-grain work after the two aggregations the
+  // model itself needs. Probability bits are the exact divisions
+  // q_ev_transitions pins.
+  def nextPred(s: SparkSession, d: String): DataFrame = {
+    val lastType = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .getField("event_type").as("from_type"))
+    lastType.join(broadcast(transitions(s, d)), "from_type")
+      .select(col("user_id"), col("from_type"), col("to_type"), col("p"))
+      .orderBy("user_id", "to_type")
+  }
+
+  val nextPredSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type),
+      |tot AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+      |  FROM cnt GROUP BY from_type),
+      |model AS (
+      |  SELECT c.from_type, c.to_type,
+      |    CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+      |  FROM cnt c JOIN tot t ON c.from_type = t.from_type),
+      |last_t AS (
+      |  SELECT user_id,
+      |    max({'t': ts, 'e': event_id, 'y': event_type}).y AS from_type
+      |  FROM events GROUP BY user_id)
+      |SELECT l.user_id, l.from_type, m.to_type, m.p
+      |FROM last_t l JOIN model m ON l.from_type = m.from_type
+      |ORDER BY l.user_id, m.to_type""".stripMargin
+
   // --- q_w12_snapshot_diff --------------------------------------------------
   // Table diff between two snapshots — the regression check every
   // pipeline change ships behind ("what did this rerun change?"):
@@ -767,6 +812,7 @@ object Analytics {
     "q_ev_funnel" -> (funnel _),
     "q_ev_transitions" -> (transitions _),
     "q_w12_snapshot_diff" -> (snapshotDiff _),
+    "q_ev_next_pred" -> (nextPred _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
@@ -794,6 +840,7 @@ object Analytics {
     "q_ev_funnel" -> funnelSql,
     "q_ev_transitions" -> transitionsSql,
     "q_w12_snapshot_diff" -> snapshotDiffSql,
+    "q_ev_next_pred" -> nextPredSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,
