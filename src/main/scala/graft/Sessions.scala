@@ -32,12 +32,18 @@ object Sessions {
       s"jdbc:derby:;databaseName=${sys.props("java.io.tmpdir")}/graft-metastore;create=true")
     .config("spark.ui.enabled", "false")
 
-  /** Standard local session: `local[cpus]`, shuffle.partitions = cpus. */
+  /** Standard local session: `local[cpus]`, shuffle.partitions = cpus.
+    * Built with [[graft.functions.GraftExtensions]] so the session
+    * carries the SQL-callable custom functions AND the injected
+    * optimizer rule ([[graft.plans.UnwrapStringCast]]) from
+    * construction — `injectOptimizerRule` has no post-hoc registration
+    * path, unlike function registration. */
   def local(cpus: String, appName: String): SparkSession = {
     val s = configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(appName)
+        .withExtensions(new graft.functions.GraftExtensions)
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     Tables.registerFunctions(s) // the one registry list — see Tables

@@ -119,6 +119,10 @@ object VectorFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the reserved Catalyst optimizer surface (SURVEY §4): canonicalize
+    // the reference's text-typed optional-filter equality into sargable
+    // predicates — see graft.plans.UnwrapStringCast
+    ext.injectOptimizerRule(_ => graft.plans.UnwrapStringCast)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"), VectorFunctions.info, VectorFunctions.builder))
     ext.injectFunction((

@@ -283,13 +283,26 @@ object LayoutQueries {
       .agg(min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
         count(lit(1)).as("n_rows"))
 
-  def minMaxSkip(s: SparkSession, d: String): DataFrame = {
+  def minMaxSkip(s: SparkSession, d: String): DataFrame =
+    minMaxSkipRange(s, d, SkipLo, SkipHi)
+
+  /** Range-parameterized skip scan. An empty manifest match is a legal
+    * outcome (the predicate range falls between every file's span) and
+    * must return the empty slice, not crash: `read.parquet()` with zero
+    * paths throws "unable to infer schema", so the guard reads the
+    * staged root with an always-false filter instead — same schema,
+    * zero row groups touched after footer pruning. */
+  private[graft] def minMaxSkipRange(
+      s: SparkSession, d: String, lo: Long, hi: Long): DataFrame = {
     val root = minMaxStage(s, d)
     val files = minMaxManifest(s, root)
-      .filter(col("min_u") <= SkipHi && col("max_u") >= SkipLo)
+      .filter(col("min_u") <= hi && col("max_u") >= lo)
       .select("file").collect().map(_.getString(0))
-    s.read.parquet(files.toIndexedSeq: _*)
-      .filter(col("user_id").between(SkipLo, SkipHi))
+    val base =
+      if (files.isEmpty) s.read.parquet(root).filter(lit(false))
+      else s.read.parquet(files.toIndexedSeq: _*)
+    base
+      .filter(col("user_id").between(lo, hi))
       .select("event_id", "user_id", "ts", "value")
       .orderBy("event_id")
   }

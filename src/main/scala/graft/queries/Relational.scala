@@ -394,6 +394,43 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // --- q_f13_or_rewrite ---------------------------------------------------
+  // The reference's optional-filter stack taken VERBATIM — the naive
+  // form (`app/api/v2/queries.py:17-23`): every parameter arrives as
+  // TEXT from the HTTP layer and the WHERE clause is a stack of
+  // `(:p IS NULL OR col = :p)` conjuncts. This query deliberately keeps
+  // that shape (unlike q_f1, which builds only defined conjuncts) to
+  // exercise the injected optimizer rule (graft.plans.UnwrapStringCast):
+  // ConstantFolding clears the IS-NULL scaffolding once parameters
+  // bind, and the rule unwraps the surviving text-typed equality
+  // `CAST(col AS STRING) = 'p'` into a sargable typed predicate.
+  // PlanSpec asserts the with/without-rule plan difference; at 100 TB
+  // this is row-group skipping vs a full-column scan on the naive API
+  // query a user will inevitably write.
+  def orRewrite(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_f13_orders")
+    Tables.customer(s, d).createOrReplaceTempView("graft_f13_customer")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_orderstatus,
+        |  CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM graft_f13_orders o
+        |JOIN graft_f13_customer c ON o.o_custkey = c.c_custkey
+        |WHERE (:ck IS NULL OR CAST(o.o_custkey AS STRING) = :ck)
+        |  AND (:stat IS NULL OR o.o_orderstatus = :stat)
+        |  AND (:nk IS NULL OR CAST(c.c_nationkey AS STRING) = :nk)
+        |ORDER BY o.o_orderkey""".stripMargin,
+      // ck unbound (the optional param left NULL), status + nation bound
+      // as the strings the API layer would pass
+      Map("ck" -> null, "stat" -> "F", "nk" -> "3"))
+  }
+
+  val orRewriteSql: String =
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_orderstatus,
+      |  CAST(o.o_totalprice AS DOUBLE) AS price
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderstatus = 'F' AND CAST(c.c_nationkey AS VARCHAR) = '3'
+      |ORDER BY o.o_orderkey""".stripMargin
+
   // --- q_j11_fuzzy --------------------------------------------------------
   // Fuzzy dictionary lookup (record linkage): dirty external names are
   // matched to a reference dictionary by minimum edit distance, with a
@@ -665,6 +702,7 @@ object Relational {
     "q_j13_bloom_join" -> (bloomJoin _),
     "q_f1_flagship_page" -> (flagshipPage _),
     "q_f2_param_sql" -> (paramSql _),
+    "q_f13_or_rewrite" -> (orRewrite _),
     "q_f12_keyset_page" -> (keysetPage _),
     "q_a0_agg_pricing" -> (aggPricing _),
     "q_j2_star_join" -> (starJoin _),
@@ -687,6 +725,7 @@ object Relational {
     "q_j13_bloom_join" -> bloomJoinSql,
     "q_f1_flagship_page" -> flagshipPageSql,
     "q_f2_param_sql" -> paramSqlSql,
+    "q_f13_or_rewrite" -> orRewriteSql,
     "q_f12_keyset_page" -> keysetPageSql,
     "q_a0_agg_pricing" -> aggPricingSql,
     "q_j2_star_join" -> starJoinSql,

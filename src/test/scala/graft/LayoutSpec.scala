@@ -55,6 +55,15 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.map(_.getLong(0)).toSeq === flat.map(_.getLong(0)).toSeq)
   }
 
+  test("min/max skip with a no-intersection range returns the empty slice") {
+    import graft.queries.LayoutQueries
+    // a range no file span can intersect (user ids are non-negative):
+    // legal query, zero matching files — must be 0 rows, not a crash
+    val out = LayoutQueries.minMaxSkipRange(spark, sf, -100L, -50L)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "ts", "value"))
+  }
+
   test("salted two-phase aggregation equals the plain aggregation") {
     val ev = Tables.events(spark, sf)
     val salted = Layout.saltedCountSum(ev, "user_id", "value", salts = 8)

@@ -42,6 +42,45 @@ class PlanSpec extends SparkSpec {
       s"bound price param did not fold to a literal predicate:\n${p.take(2000)}")
   }
 
+  test("UnwrapStringCast: naive optional-filter stack pushes down with the " +
+      "rule, not without") {
+    import graft.plans.UnwrapStringCast
+    // WITH the injected rule (session default): the text-typed equality
+    // CAST(c_nationkey AS STRING) = '3' unwraps to the typed predicate
+    // and reaches the parquet scan
+    val withRule = plan(Relational.orRewrite(spark, sf))
+    assert(withRule.contains("EqualTo(c_nationkey,3)"),
+      s"unwrapped filter not pushed:\n${withRule.take(2500)}")
+    assert(withRule.contains("EqualTo(o_orderstatus,F)"),
+      s"plain bound filter not pushed:\n${withRule.take(2500)}")
+    // WITHOUT the rule: same query, pushdown of the cast equality is
+    // absent — the cost the naive reference idiom pays in vanilla Spark
+    spark.conf.set(UnwrapStringCast.EnabledKey, "false")
+    try {
+      val without = plan(Relational.orRewrite(spark, sf))
+      assert(!without.contains("EqualTo(c_nationkey,3)"),
+        s"rule disabled but filter still pushed:\n${without.take(2500)}")
+      assert(without.contains("cast(c_nationkey"),
+        s"expected residual string cast in the plan:\n${without.take(2500)}")
+    } finally spark.conf.unset(UnwrapStringCast.EnabledKey)
+  }
+
+  test("UnwrapStringCast: non-round-trip literals are left untouched") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.orders(spark, sf)
+    // '05' never equals a canonical bigint rendering: the rewrite must
+    // NOT fire (a naive typed rewrite would wrongly match custkey 5)
+    assert(df.filter(col("o_custkey").cast("string") === "05").count() === 0L)
+    val p = plan(df.filter(col("o_custkey").cast("string") === "05")
+      .select("o_orderkey"))
+    assert(!p.contains("EqualTo(o_custkey,5)"),
+      s"non-canonical literal must not unwrap:\n${p.take(2000)}")
+    // and the canonical form both unwraps and matches
+    val canonical = df.filter(col("o_custkey").cast("string") === "5")
+    assert(canonical.count() ===
+      df.filter(col("o_custkey") === 5L).count())
+  }
+
   test("top-k by recency plans TakeOrderedAndProject, never a global sort") {
     val p = plan(Relational.topkRecent(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
