@@ -172,12 +172,12 @@ object Avi {
       .drop("_walk")
   }
 
-  /** Frame rows via the idx1 index: one row per index entry with the
-    * frame fourcc, flags, 1-based absolute payload offset, length, and
-    * the md5 digest of the frame bytes. The explode is a Generate over
-    * entry ORDINALS (16 bytes each); only the final `substr` touches
-    * frame content. Invalid containers are filtered by contract. */
-  def frames(media: DataFrame): DataFrame = {
+  /** Frame rows with the payload still attached — the shared spine of
+    * [[frames]] (digest projection) and [[decodeDibRows]] (pixel
+    * decode). One row per idx1 entry with fourcc, flags, 1-based
+    * absolute offset and length; only the final consumers touch frame
+    * content. */
+  private def frameRows(media: DataFrame): DataFrame = {
     val p = col("payload")
     val nEntries = (col("idx1_len") / 16).cast("long")
     val entry = col("idx1_off") + col("frame_idx") * 16
@@ -194,8 +194,66 @@ object Avi {
       // +8 skips that header to the frame bytes
       .withColumn("frame_off", col("movi_pos") + le(p, entry + 8, 4) + 8)
       .withColumn("frame_len", le(p, entry + 12, 4))
+  }
+
+  /** Frame rows via the idx1 index: one row per index entry with the
+    * frame fourcc, flags, 1-based absolute payload offset, length, and
+    * the md5 digest of the frame bytes. The explode is a Generate over
+    * entry ORDINALS (16 bytes each); only the final `substr` touches
+    * frame content. Invalid containers are filtered by contract. */
+  def frames(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    frameRows(media)
       .withColumn("frame_md5",
         md5(p.substr(col("frame_off").cast("int"), col("frame_len").cast("int"))))
       .drop("payload", "movi_pos", "idx1_off")
+  }
+
+  /** DECODE of uncompressed DIB frame content — the step `frames`
+    * stops short of. A raw DIB frame is the classic BMP pixel array
+    * (public Windows BITMAPINFOHEADER layout): rows stored BOTTOM-UP,
+    * pixels left-to-right as B,G,R byte triples, every row padded to a
+    * 4-byte stride — all closed-form integer arithmetic, so the decode
+    * is column expressions like the container walk, no UDF. Output is
+    * one row per IMAGE row (top-down `y`): per-channel byte sums plus
+    * a position-weighted checksum, which together pin all three layout
+    * rules — `y` proves the bottom-up flip, the three sums prove BGR
+    * separation and pad-byte exclusion, `wsum` proves pixel order
+    * within the row. Frames whose length doesn't equal stride×height
+    * (compressed or foreign content) are filtered, never mis-decoded.
+    *
+    * 100 TB shape: per-pixel work stays inside one projection over the
+    * frame slice — no shuffle is added over `frames`; the fold result
+    * is materialized ONCE per row (interpreted HOFs have no
+    * subexpression elimination — the q_st_neardup lesson). */
+  def decodeDibRows(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val stride = expr("((width * 3 + 3) DIV 4) * 4")
+    val dibRow = col("height") - 1 - col("y") // bottom-up storage
+    val rowOff = col("frame_off") + dibRow * stride
+    val zero = struct(lit(0L).as("b"), lit(0L).as("g"), lit(0L).as("r"),
+      lit(0L).as("w"))
+    val fold = aggregate(
+      sequence(lit(0L), col("width") - 1), zero,
+      (acc, x) => {
+        val base = rowOff + x * 3
+        val b = u8(p, base)
+        val g = u8(p, base + 1)
+        val r = u8(p, base + 2)
+        struct((acc.getField("b") + b).as("b"),
+          (acc.getField("g") + g).as("g"),
+          (acc.getField("r") + r).as("r"),
+          (acc.getField("w") + (x + 1) * (b + g + r)).as("w"))
+      })
+    frameRows(media)
+      .filter(col("frame_len") === stride * col("height"))
+      .withColumn("y", explode(sequence(lit(0L), col("height") - 1)))
+      .withColumn("_sums", fold)
+      .select(col("media_id"), col("frame_idx"), col("y"),
+        col("width"), col("height"),
+        col("_sums").getField("b").as("sum_b"),
+        col("_sums").getField("g").as("sum_g"),
+        col("_sums").getField("r").as("sum_r"),
+        col("_sums").getField("w").as("wsum"))
   }
 }

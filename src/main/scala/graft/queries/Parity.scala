@@ -1371,6 +1371,71 @@ object Parity {
        |FROM d, unnest(generate_series(0, 3)) g(i)
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  // --- q_mm_avi_decode ------------------------------------------------------
+  // The frame DECODE q_mm_avi_frames stops short of: the fixture
+  // frames here are REAL uncompressed DIBs (bottom-up rows, BGR
+  // triples, 4-byte row stride) built from doc text, with width
+  // 3 + id%3 so ODD widths (3, 5) exercise non-trivial stride padding
+  // (stride 12 and 16) alongside the exact-fit width 4. Avi
+  // .decodeDibRows walks the container, explodes idx1 frames, then
+  // decodes per IMAGE row: channel sums prove BGR separation and pad
+  // exclusion, the top-down y proves the bottom-up flip, the
+  // position-weighted checksum proves x order. The header-blind oracle
+  // replays the same arithmetic from character codes — any layout bug
+  // (flip, channel order, stride, pad inclusion) breaks the hash.
+  def aviDecodeQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= 64)
+      .filter(octet_length(substring(col("text"), 1, 64)) === 64)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 64).cast("binary").as("raw"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) =>
+        val w = 3 + (id % 3).toInt
+        val stride = ((3 * w + 3) / 4) * 4
+        val fb = stride * 2 // 2 rows per frame
+        val frames = (0 until 2).map(i => raw.slice(i * fb, (i + 1) * fb))
+        val junk =
+          if (id % 2 == 0)
+            Some(Array.tabulate(((id % 5) + 1).toInt)(i => (i * 31 + id).toByte))
+          else None
+        val fourcc = if (id % 9 == 0) "AVX " else "AVI " // foreign: reject
+        (id, graft.multimodal.Avi.encode(w, 2, 33333, frames, junk, fourcc))
+      }
+      .toDF("media_id", "payload")
+    graft.multimodal.Avi.decodeDibRows(media)
+      .orderBy("media_id", "frame_idx", "y")
+  }
+
+  val aviDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id, substring(text, 1, 64) AS s
+      |  FROM documents WHERE length(text) >= 64
+      |    AND octet_length(encode(substring(text, 1, 64))) = 64
+      |    AND doc_id % 9 <> 0),
+      |dims AS (
+      |  SELECT media_id, s, CAST(3 + media_id % 3 AS INT) AS w,
+      |    CAST(((3 * (3 + media_id % 3) + 3) // 4) * 4 AS INT) AS stride
+      |  FROM d),
+      |ch AS (
+      |  SELECT media_id, f.f AS frame_idx, y.y AS y, x.x AS x, w,
+      |    ord(substring(s, f.f * stride * 2 + (1 - y.y) * stride + 3 * x.x + 1, 1)) AS b,
+      |    ord(substring(s, f.f * stride * 2 + (1 - y.y) * stride + 3 * x.x + 2, 1)) AS g,
+      |    ord(substring(s, f.f * stride * 2 + (1 - y.y) * stride + 3 * x.x + 3, 1)) AS r
+      |  FROM dims,
+      |    unnest(generate_series(0, 1)) f(f),
+      |    unnest(generate_series(0, 1)) y(y),
+      |    unnest(generate_series(0, w - 1)) x(x))
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(y AS BIGINT) AS y, CAST(w AS BIGINT) AS width,
+      |  CAST(2 AS BIGINT) AS height,
+      |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum((x + 1) * (b + g + r)) AS BIGINT) AS wsum
+      |FROM ch GROUP BY media_id, frame_idx, y, w
+      |ORDER BY media_id, frame_idx, y""".stripMargin
+
   // --- q_mm_ulaw_windows ----------------------------------------------------
   // COMPRESSED audio, driver-verified: G.711 μ-law is the standard
   // telephony companding codec (8-bit log codewords → 14-bit linear),
@@ -1801,6 +1866,7 @@ object Parity {
     "q_mm_png_decode" -> (pngDecode _),
     "q_mm_wav_windows" -> (wavWindowsQ _),
     "q_mm_avi_frames" -> (aviFramesQ _),
+    "q_mm_avi_decode" -> (aviDecodeQ _),
     "q_mm_ulaw_windows" -> (ulawWindowsQ _),
     "q_mm_resize" -> (pnmResize _),
     "q_mm_pcm_windows" -> (pcmWindows _),
@@ -1843,6 +1909,7 @@ object Parity {
     "q_mm_png_decode" -> pngDecodeSql,
     "q_mm_wav_windows" -> wavWindowsSql,
     "q_mm_avi_frames" -> aviFramesSql,
+    "q_mm_avi_decode" -> aviDecodeSql,
     "q_mm_ulaw_windows" -> ulawWindowsSql,
     "q_mm_resize" -> pnmResizeSql,
     "q_mm_pcm_windows" -> pcmWindowsSql,

@@ -210,6 +210,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Avi.frames(bad).count() == 0)
   }
 
+  test("AVI DIB decode: bottom-up BGR with stride padding, golden sums") {
+    import ss.implicits._
+    import graft.multimodal.Avi
+    // width 3 (ODD): row stride pads 9 pixel bytes to 12 — the 3 pad
+    // bytes are planted as 0xEE and must NOT leak into any sum
+    val w = 3; val h = 2; val stride = 12
+    def px(b: Int, g: Int, r: Int) = Seq(b.toByte, g.toByte, r.toByte)
+    val pad = Seq(0xEE.toByte, 0xEE.toByte, 0xEE.toByte)
+    // DIB storage order: BOTTOM row first. Image row y=1 (bottom) has
+    // pixels (1,2,3)(4,5,6)(7,8,9); y=0 (top) has (10,20,30)(40,50,60)
+    // (70,80,90).
+    val bottom = px(1, 2, 3) ++ px(4, 5, 6) ++ px(7, 8, 9) ++ pad
+    val top = px(10, 20, 30) ++ px(40, 50, 60) ++ px(70, 80, 90) ++ pad
+    val frame = (bottom ++ top).toArray
+    assert(frame.length == stride * h)
+    val media = Seq((1L, Avi.encode(w, h, 1000, Seq(frame))))
+      .toDF("media_id", "payload")
+    val rows = Avi.decodeDibRows(media).orderBy("y").collect()
+    assert(rows.length == 2)
+    val y0 = rows(0); val y1 = rows(1)
+    // y=0 is the IMAGE top row = the SECOND stored DIB row
+    assert(y0.getAs[Long]("y") == 0L)
+    assert(y0.getAs[Long]("sum_b") == 10L + 40 + 70)
+    assert(y0.getAs[Long]("sum_g") == 20L + 50 + 80)
+    assert(y0.getAs[Long]("sum_r") == 30L + 60 + 90)
+    assert(y0.getAs[Long]("wsum") ==
+      1 * (10L + 20 + 30) + 2 * (40L + 50 + 60) + 3 * (70L + 80 + 90))
+    assert(y1.getAs[Long]("sum_b") == 1L + 4 + 7)
+    assert(y1.getAs[Long]("sum_g") == 2L + 5 + 8)
+    assert(y1.getAs[Long]("sum_r") == 3L + 6 + 9)
+    assert(y1.getAs[Long]("wsum") ==
+      1 * (1L + 2 + 3) + 2 * (4L + 5 + 6) + 3 * (7L + 8 + 9))
+    // a frame whose length isn't stride*height must be filtered, not
+    // mis-decoded (compressed/foreign frame content)
+    val short = Seq((2L, Avi.encode(w, h, 1000, Seq(frame.dropRight(4)))))
+      .toDF("media_id", "payload")
+    assert(Avi.decodeDibRows(short).count() == 0)
+  }
+
   test("PNG codec: CRC-valid but malformed streams return None, never throw or hang") {
     import graft.multimodal.Png
     // hand-build a PNG whose chunks are CRC-valid but whose content is bad
