@@ -101,28 +101,95 @@ private class ChunkedRestTable(options: CaseInsensitiveStringMap)
 }
 
 private class ChunkedRestScanBuilder(options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = ChunkedRestSource.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var minDay: Option[Long] = None // inclusive epoch-day bounds
+  private var maxDay: Option[Long] = None
+  private var limit: Option[Int] = None
 
   // Column pruning pushdown: a `select(site)` never materializes the
   // other fields — the reader emits only what the scan asked for.
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // Chunk pruning pushdown: a date-range predicate on obs_time prunes
+  // whole chunks AT PLANNING TIME — the reference's from_date/to_date
+  // params (`national_gas_client.py:69-79`) applied before any request
+  // is issued, so a one-week slice of a year-long configured window
+  // launches 4 tasks, not 183. Pruning is chunk-grain and conservative
+  // (day-resolution bounds), so EVERY filter stays residual — Spark
+  // re-applies the exact predicate to the fetched rows; a bound that
+  // can't be converted simply prunes nothing.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach(collectBound)
+    pushed = filters.filter(informsPruning)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  // Limit pushdown for the preview path: each partition reader stops
+  // fetching after `limit` rows (a REST page cap, not just a row drop).
+  // Returns false = PARTIAL push: row counts per chunk aren't known at
+  // plan time, so Spark keeps its own global limit on top.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+  private def toMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case _ => None
+  }
+  private def dayOf(v: Any): Option[Long] =
+    toMicros(v).map(us => Math.floorDiv(us, 86400L * 1000000L))
+
+  private def collectBound(f: Filter): Unit = f match {
+    case GreaterThan("obs_time", v) =>
+      dayOf(v).foreach(d => minDay = Some(minDay.fold(d)(math.max(_, d))))
+    case GreaterThanOrEqual("obs_time", v) =>
+      dayOf(v).foreach(d => minDay = Some(minDay.fold(d)(math.max(_, d))))
+    case LessThan("obs_time", v) =>
+      dayOf(v).foreach(d => maxDay = Some(maxDay.fold(d)(math.min(_, d))))
+    case LessThanOrEqual("obs_time", v) =>
+      dayOf(v).foreach(d => maxDay = Some(maxDay.fold(d)(math.min(_, d))))
+    case EqualTo("obs_time", v) =>
+      collectBound(GreaterThanOrEqual("obs_time", v))
+      collectBound(LessThanOrEqual("obs_time", v))
+    case And(l, r) => collectBound(l); collectBound(r)
+    case _ => ()
+  }
+  private def informsPruning(f: Filter): Boolean = f match {
+    case GreaterThan("obs_time", v) => dayOf(v).isDefined
+    case GreaterThanOrEqual("obs_time", v) => dayOf(v).isDefined
+    case LessThan("obs_time", v) => dayOf(v).isDefined
+    case LessThanOrEqual("obs_time", v) => dayOf(v).isDefined
+    case EqualTo("obs_time", v) => dayOf(v).isDefined
+    case And(l, r) => informsPruning(l) || informsPruning(r)
+    case _ => false
+  }
+
   override def build(): Scan = new ChunkedRestScan(
     LocalDate.parse(options.get("from")),
     LocalDate.parse(options.get("to")),
     math.max(1, options.getInt("chunkDays", 2)),
-    required)
+    required, minDay, maxDay, limit)
 }
 
 private class ChunkedRestScan(from: LocalDate, to: LocalDate, chunkDays: Int,
-                              required: StructType) extends Scan with Batch {
+                              required: StructType,
+                              minDay: Option[Long], maxDay: Option[Long],
+                              limit: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** One InputPartition per date chunk — the reference's serial loop,
-    * parallelized. [from, to] inclusive like the reference's API params. */
+    * parallelized. [from, to] inclusive like the reference's API params.
+    * Chunks wholly outside the pushed day bounds are dropped HERE, at
+    * planning time: no task, no request. */
   override def planInputPartitions(): Array[InputPartition] = {
     val endExclusive = to.plusDays(1)
     Iterator.iterate(from)(_.plusDays(chunkDays.toLong))
@@ -130,29 +197,39 @@ private class ChunkedRestScan(from: LocalDate, to: LocalDate, chunkDays: Int,
       .map { s =>
         val e = if (s.plusDays(chunkDays.toLong).isAfter(endExclusive)) endExclusive
                 else s.plusDays(chunkDays.toLong)
-        ChunkPartition(s.toEpochDay, e.toEpochDay): InputPartition
+        ChunkPartition(s.toEpochDay, e.toEpochDay)
       }
+      .filter(c => minDay.forall(c.endDay - 1 >= _) &&
+        maxDay.forall(c.startDay <= _))
+      .map(c => c: InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChunkReaderFactory(required)
+    new ChunkReaderFactory(required, limit)
 }
 
 private case class ChunkPartition(startDay: Long, endDay: Long) extends InputPartition
 
-private class ChunkReaderFactory(required: StructType)
+private class ChunkReaderFactory(required: StructType, limit: Option[Int])
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[ChunkPartition]
-    new ChunkReader(cp, required)
+    new ChunkReader(cp, required, limit)
   }
 }
 
-private class ChunkReader(p: ChunkPartition, required: StructType)
+private class ChunkReader(p: ChunkPartition, required: StructType,
+                          limit: Option[Int])
   extends PartitionReader[InternalRow] {
-  private val it = ChunkedRestSource.fetchChunkWithRetry(
-    LocalDate.ofEpochDay(p.startDay), LocalDate.ofEpochDay(p.endDay))
+  // partial limit push: `limit` rows suffice from ANY one partition, so
+  // each reader stops fetching there; Spark's own global limit does the
+  // cross-partition cut
+  private val it = {
+    val base = ChunkedRestSource.fetchChunkWithRetry(
+      LocalDate.ofEpochDay(p.startDay), LocalDate.ofEpochDay(p.endDay))
+    limit.fold(base)(base.take)
+  }
   // precompute projection indices once per partition, not per row
   private val fieldOrds: Array[Int] =
     required.fields.map(f => ChunkedRestSource.schema.fieldIndex(f.name))
