@@ -142,6 +142,98 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
+  // --- q_gr_ppr: personalized PageRank — the retrieval-serving variant ----
+  // Global PageRank answers "what matters overall"; serving wants "what
+  // matters NEAR these query nodes" (Haveliwala 2002, topic-sensitive
+  // PageRank — public literature). Identical machinery to q_gr_pagerank
+  // — same edge table, same per-round join+agg, same 1e12 fixed-point
+  // parity route — with ONE change: teleport mass lands only on the
+  // seed set (every 5th supplier node here, derived arithmetically so
+  // both engines build the identical set), and ranks start as the
+  // uniform distribution OVER SEEDS. The teleport "vector" needs no
+  // materialization at all: seed membership is a closed-form predicate
+  // evaluated in the row, which at 100 TB beats broadcasting an
+  // explicit seed table whenever the seed rule is expressible — and
+  // degrades to a broadcast semi-join when it isn't. Mass conservation
+  // (sum ≈ 1) and locality (seed share far above the uniform share)
+  // are pinned in GraphSpec.
+  private val PprSeedMod = 5L
+  private val pprSeedExpr = s"node % 2 = 0 AND (node DIV 2) % $PprSeedMod = 0"
+
+  def personalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d).localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = outdeg.select(col("src").as("node"))
+    val seedPred = expr(pprSeedExpr)
+    val sCount = nodes.filter(seedPred).count()
+    require(sCount > 0, "PPR needs a non-empty seed set")
+    val base = Teleport / sCount.toDouble
+    var ranks = nodes.select(col("node"),
+      when(seedPred, lit(1.0) / sCount.toDouble).otherwise(lit(0.0))
+        .as("rank"))
+    for (_ <- 1 to Rounds) {
+      val contrib = e
+        .join(outdeg, "src")
+        .join(ranks, e("src") === ranks("node"))
+        .select(col("dst"),
+          round(col("rank") / col("outdeg").cast("double") * Fixed)
+            .cast("long").cast("decimal(38,0)").as("c_fixed"))
+        .groupBy("dst")
+        .agg(sum(col("c_fixed")).as("in_fixed"))
+      ranks = ranks.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (when(seedPred, lit(base)).otherwise(lit(0.0)) + lit(Damping) *
+            (coalesce(col("in_fixed"), lit(0).cast("decimal(38,0)"))
+              .cast("double") / Fixed)).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").cast("long").as("node"), col("rank"))
+      .orderBy("node")
+  }
+
+  val personalizedPageRankSql: String = {
+    val seed = s"node % 2 = 0 AND (node // 2) % $PprSeedMod = 0"
+    val iterCtes = (1 to Rounds).map { i =>
+      val prev = s"p${i - 1}"
+      s"""pcon$i AS MATERIALIZED (
+         |  SELECT e.dst,
+         |    SUM(CAST(CAST(round(r.rank / CAST(o.outdeg AS DOUBLE) * 1e12) AS BIGINT)
+         |      AS DECIMAL(38,0))) AS in_fixed
+         |  FROM e JOIN o ON e.src = o.src
+         |  JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst),
+         |p$i AS MATERIALIZED (
+         |  SELECT p.node,
+         |    CASE WHEN p.node % 2 = 0 AND (p.node // 2) % $PprSeedMod = 0
+         |         THEN 0.15 / (SELECT c FROM sc) ELSE 0.0 END
+         |      + 0.85 * (CAST(COALESCE(c.in_fixed, 0) AS DOUBLE) / 1e12) AS rank
+         |  FROM $prev p LEFT JOIN pcon$i c ON p.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey * 2 AS s_node, o_custkey * 2 + 1 AS c_node
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT s_node AS src, c_node AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT c_node AS src, s_node AS dst FROM pairs),
+       |o AS MATERIALIZED (
+       |  SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |sc AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS c FROM o
+       |  WHERE src % 2 = 0 AND (src // 2) % $PprSeedMod = 0),
+       |p0 AS MATERIALIZED (
+       |  SELECT src AS node,
+       |    CASE WHEN src % 2 = 0 AND (src // 2) % $PprSeedMod = 0
+       |         THEN 1.0 / (SELECT c FROM sc) ELSE 0.0 END AS rank
+       |  FROM o),
+       |$iterCtes
+       |SELECT CAST(node AS BIGINT) AS node, rank
+       |FROM p$Rounds
+       |ORDER BY node""".stripMargin
+  }
+
   // --- q_gr_hits: hubs & authorities on the bipartite graph ---------------
   // HITS (Kleinberg 1999) fits the customer↔supplier bipartition
   // natively: customers are HUBS (their weight is the sum of the
@@ -468,12 +560,14 @@ object Graph {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gr_pagerank" -> (pageRank _),
+    "q_gr_ppr" -> (personalizedPageRank _),
     "q_gr_hits" -> (hits _),
     "q_gr_triangles" -> (triangles _),
     "q_gr_labelprop" -> (labelProp _))
 
   val oracles: Map[String, String] = Map(
     "q_gr_pagerank" -> pageRankSql,
+    "q_gr_ppr" -> personalizedPageRankSql,
     "q_gr_hits" -> hitsSql,
     "q_gr_triangles" -> trianglesSql,
     "q_gr_labelprop" -> labelPropSql)

@@ -22,6 +22,28 @@ class GraphSpec extends SparkSpec {
       s"rank below teleport floor for node ${r.getAs[Long]("node")}"))
   }
 
+  test("personalized pagerank: mass conserved, ranks concentrate on seeds") {
+    val rows = Graph.personalizedPageRank(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    // teleport returns ALL mass to the seed set each round, so total
+    // mass is conserved at 1 (up to contribution quantization)
+    val mass = rows.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"ppr mass drifted: $mass")
+    // locality: the seed set (every 5th supplier node) holds far more
+    // than its uniform share of the mass — that concentration is the
+    // whole point of personalization
+    val isSeed = (node: Long) => node % 2 == 0 && (node / 2) % 5 == 0
+    val seedMass = rows.filter(r => isSeed(r.getAs[Long]("node")))
+      .map(_.getAs[Double]("rank")).sum
+    val seedShare = rows.count(r => isSeed(r.getAs[Long]("node"))).toDouble / n
+    assert(seedMass > 2.0 * seedShare,
+      s"seed mass $seedMass not concentrated (uniform share $seedShare)")
+    // non-seed nodes get mass only through the walk, never teleport —
+    // distant nodes decay toward zero instead of a global floor
+    rows.foreach(r => assert(r.getAs[Double]("rank") >= 0.0))
+  }
+
   test("pagerank ranks hubs above leaves: suppliers out-rank customers") {
     // ~100 suppliers serve ~1500 customers: each supplier aggregates
     // in-flow from many customers, so the mean supplier rank must
