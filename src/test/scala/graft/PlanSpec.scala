@@ -81,6 +81,54 @@ class PlanSpec extends SparkSpec {
       df.filter(col("o_custkey") === 5L).count())
   }
 
+  test("CBO: catalog column stats flip the broadcast decision, no hints") {
+    import org.apache.spark.sql.functions.col
+    // Every other join in the suite is shaped by thresholds or hints;
+    // this is the remaining planner surface: Spark's cost-based
+    // optimizer estimating a FILTERED dimension from ANALYZE stats.
+    // Without stats the filter's size estimate equals the whole table
+    // (the size-only visitor never shrinks a filter), so the dim stays
+    // above the broadcast threshold → sort-merge. With rowCount + ndv
+    // stats, equality selectivity 1/ndv(c_nationkey) shrinks the
+    // estimate ~25x → under the threshold → broadcast. Same query,
+    // same data, the STATS make the decision.
+    spark.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_cbo_customer")
+    Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.saveAsTable("graft_cbo_orders")
+    Tables.customer(spark, sf).write.saveAsTable("graft_cbo_customer")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.sql("ANALYZE TABLE graft_cbo_orders COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE graft_cbo_customer COMPUTE STATISTICS " +
+        "FOR COLUMNS c_custkey, c_nationkey")
+      val dimBytes = spark.table("graft_cbo_customer")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      // threshold between the no-stats estimate (whole dim) and the
+      // stats-based estimate (~1/25 of rows)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (dimBytes / 2).toString)
+      def joined = spark.table("graft_cbo_orders")
+        .join(spark.table("graft_cbo_customer")
+          .filter(col("c_nationkey") === 3), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val without = joined.queryExecution.sparkPlan.toString
+      assert(!without.contains("BroadcastHashJoin"),
+        s"without CBO the filtered dim must not broadcast:\n${without.take(1500)}")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val withStats = joined.queryExecution.sparkPlan.toString
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"CBO stats should shrink the filtered dim under the threshold:\n${withStats.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_cbo_customer")
+    }
+  }
+
   test("top-k by recency plans TakeOrderedAndProject, never a global sort") {
     val p = plan(Relational.topkRecent(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
