@@ -62,6 +62,16 @@ object MicroBatch {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("sig"))
 
+  /** What one drain did — the observability the engine's silent
+    * watermark drops otherwise hide: `droppedByWatermark` sums the
+    * state operators' per-batch `numRowsDroppedByWatermark`
+    * (StreamingQueryProgress), i.e. rows the dedup operator REFUSED as
+    * too late. The reference's lookback semantics (`models.py:36`) make
+    * "what got dropped" operationally load-bearing: a nonzero count
+    * here is data loss until a quarantine drain
+    * ([[drainWithLateQuarantine]]) or a wider horizon picks it up. */
+  case class DrainStats(batches: Int, droppedByWatermark: Long)
+
   /** Run one AvailableNow drain: read → dedup → foreachBatch upsert into
     * the parquet table at `sinkPath`. Returns after the backlog is fully
     * processed (awaitTermination), like one scheduler tick.
@@ -69,6 +79,16 @@ object MicroBatch {
   def drainOnce(spark: SparkSession, sourceDir: String, checkpoint: String,
                 sinkPath: String, schemaFrom: DataFrame,
                 maxFilesPerTrigger: Option[Int] = None): Unit = {
+    drainOnceObserved(spark, sourceDir, checkpoint, sinkPath, schemaFrom,
+      maxFilesPerTrigger)
+    ()
+  }
+
+  /** [[drainOnce]] with the per-batch drop telemetry surfaced. */
+  def drainOnceObserved(spark: SparkSession, sourceDir: String,
+                        checkpoint: String, sinkPath: String,
+                        schemaFrom: DataFrame,
+                        maxFilesPerTrigger: Option[Int] = None): DrainStats = {
     val q: StreamingQuery = dedupWithinWatermark(
       readEvents(spark, sourceDir, schemaFrom, maxFilesPerTrigger))
       .withColumn("ingestion_time", current_timestamp())
@@ -81,6 +101,64 @@ object MicroBatch {
           versionCol = "ingestion_time")
       }
       .start()
+    q.awaitTermination()
+    val progress = q.recentProgress
+    DrainStats(progress.length,
+      progress.iterator.flatMap(_.stateOperators.iterator)
+        .map(_.numRowsDroppedByWatermark).sum)
+  }
+
+  /** The late-data DEAD LETTER drain: no row is silently lost. The
+    * stateful dedup path drops sub-watermark rows inside the state
+    * operator where they are unrecoverable, so this drain splits each
+    * micro-batch BEFORE any stateful operator — the q_w10 quarantine
+    * pattern applied to TIME instead of parse: late means
+    * `ts < high-water(sink) − horizon`, the engine's own watermark rule
+    * derived relationally from the data the sink has committed (the
+    * max-ts row is never late, so sink high-water == max event time
+    * seen). Late rows land in `quarantinePath` tagged with their batch
+    * and the watermark that rejected them — replayable once the cause
+    * is fixed, auditable meanwhile; fresh rows take the normal
+    * idempotent-upsert path, deduped BY THE UPSERT KEY (the sink is the
+    * dedup state — no state store at all, which at 100 TB trades the
+    * watermark store for the sink merge the pipeline already pays for).
+    */
+  def drainWithLateQuarantine(spark: SparkSession, sourceDir: String,
+                              checkpoint: String, sinkPath: String,
+                              quarantinePath: String, schemaFrom: DataFrame,
+                              horizon: String = "1 hour",
+                              maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q: StreamingQuery =
+      readEvents(spark, sourceDir, schemaFrom, maxFilesPerTrigger)
+        .withColumn("ingestion_time", current_timestamp())
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          // watermark = horizon behind the committed high-water; absent
+          // sink (first batch) = no watermark yet, nothing is late —
+          // exactly the engine's cold-start rule
+          val hw: Option[java.sql.Timestamp] =
+            if (Upsert.tableExists(s, sinkPath))
+              Option(s.read.parquet(sinkPath).agg(max(col("ts")))
+                .head.getTimestamp(0))
+            else None
+          val lateIf = hw match {
+            case Some(h) => col("ts") < lit(h) - expr(s"INTERVAL $horizon")
+            case None => lit(false)
+          }
+          val tagged = batch.withColumn("__late", lateIf).localCheckpoint()
+          val late = tagged.filter(col("__late")).drop("__late")
+          if (!late.isEmpty)
+            late.withColumn("batch_id", lit(batchId))
+              .withColumn("watermark_ts", lit(hw.orNull))
+              .write.mode("append").parquet(quarantinePath)
+          Upsert.upsert(s, sinkPath, tagged.filter(!col("__late")).drop("__late"),
+            keys = Seq("user_id", "event_type", "ts"),
+            versionCol = "ingestion_time")
+        }
+        .start()
     q.awaitTermination()
   }
 

@@ -124,7 +124,7 @@ object Upsert {
     fs.delete(backup, true)
   }
 
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.exists(new org.apache.hadoop.fs.Path(path))

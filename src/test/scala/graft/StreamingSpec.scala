@@ -63,6 +63,95 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("late wave: engine drop count surfaces, quarantine drain loses no row") {
+    // The engine's late-event filter runs against the PREVIOUS batch's
+    // eviction watermark (so records valid when ingested aren't dropped
+    // retroactively): a late wave landing ONE batch after the watermark
+    // advanced passes through; landing TWO batches after, it is dropped
+    // silently — numRowsDroppedByWatermark is the only trace. Construct
+    // exactly that: wave1 (newest 3 h of events), wave1 re-landed (the
+    // batch that seals the watermark), then a 50-row wave from 3+ hours
+    // earlier.
+    val events = Tables.events(spark, sf).cache()
+    try {
+      val cut = events.agg(max(col("ts"))).head.getTimestamp(0)
+      val lateCut = new java.sql.Timestamp(cut.getTime - 3L * 3600 * 1000)
+      val wave1 = events.filter(col("ts") >= lateCut)
+      val late = events.filter(col("ts") < lateCut)
+        .orderBy(desc("ts")).limit(50) // a bounded, decidedly-late wave
+      assert(wave1.count() > 0 && late.count() === 50L)
+
+      // land the three files with distinct mod times: the file source
+      // orders micro-batches by modification time
+      def landWaves(src: String): Unit = {
+        wave1.coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+        wave1.coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+        late.coalesce(1).write.mode("append").parquet(src)
+      }
+
+      // --- the windowed-agg drain drops the late wave SILENTLY; the
+      // progress metric is the only trace, and the spec pins it ---
+      val src0 = dir("late-src0")
+      landWaves(src0)
+      val name = s"graft_late_win_${java.util.UUID.randomUUID().toString.take(8)}"
+      val wq = MicroBatch.windowedCounts(
+        MicroBatch.readEvents(spark, src0, events, Some(1)))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", dir("late-cp0"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      wq.awaitTermination()
+      val winDropped = wq.recentProgress.iterator
+        .flatMap(_.stateOperators.iterator)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(winDropped === 50L,
+        s"the windowed agg must count the dropped late wave, got $winDropped")
+
+      // --- the dedup upsert drain drops them too — same silent loss,
+      // surfaced by drainOnceObserved: the sink ends up MISSING the late
+      // rows and the metric is what says so ---
+      val src1 = dir("late-src1")
+      landWaves(src1)
+      val sink1 = dir("late-sink1") + "/obs"
+      val stats = MicroBatch.drainOnceObserved(spark, src1, dir("late-cp1"),
+        sink1, events, maxFilesPerTrigger = Some(1))
+      assert(stats.batches >= 3)
+      assert(stats.droppedByWatermark === 50L,
+        s"expected the late wave counted as dropped, got $stats")
+      assert(spark.read.parquet(sink1).filter(col("ts") < lateCut).count()
+        === 0L, "the dropped late rows must be absent from the sink")
+
+      // --- the quarantine drain: same backlog, zero silent loss ---
+      val src2 = dir("late-src2")
+      val sink2 = dir("late-sink2") + "/obs"
+      val quar = dir("late-quar") + "/dead_letter"
+      landWaves(src2)
+      MicroBatch.drainWithLateQuarantine(spark, src2, dir("late-cp2"),
+        sink2, quar, events, horizon = "3 hours",
+        maxFilesPerTrigger = Some(1))
+      val quarantined = spark.read.parquet(quar)
+      assert(quarantined.count() === 50L,
+        "every late row must land in the dead letter, tagged")
+      assert(quarantined.columns.contains("batch_id") &&
+        quarantined.columns.contains("watermark_ts"))
+      // nothing lost: sink ∪ quarantine covers every distinct input key
+      val sinkKeys = spark.read.parquet(sink2)
+        .select("user_id", "event_type", "ts")
+      val quarKeys = quarantined.select("user_id", "event_type", "ts")
+      val allKeys = wave1.union(late).select("user_id", "event_type", "ts")
+        .distinct()
+      assert(allKeys.except(sinkKeys.union(quarKeys)).isEmpty,
+        "a row vanished: neither upserted nor quarantined")
+      // and the sink holds no late row
+      assert(spark.read.parquet(sink2)
+        .filter(col("ts") < lateCut).count() === 0L)
+    } finally events.unpersist()
+  }
+
+
   test("two scheduler ticks with a shared checkpoint drain incrementally") {
     // The reference's hourly tick = one AvailableNow drain; the SECOND
     // tick must resume from the checkpoint (processing only files landed
