@@ -837,7 +837,217 @@ object TextAnalysis {
       .orderBy(col("est_count").desc, col("token"))
   }
 
+  // --- q_tx_bm25 ----------------------------------------------------------
+  // Lexical retrieval — the missing modality next to the vector-ANN
+  // family (Similarity.scala): BM25 (Robertson et al., the public
+  // Okapi formula) scoring a query SET against the corpus, top-10 docs
+  // per query. The relational shape is the inverted-index probe: tf /
+  // doc-length / df are one-scan digests of the exploded term stream,
+  // the query-term list is a BROADCAST dimension (queries are always
+  // dimension-sized), so scoring touches only the candidate postings
+  // (rows of tf whose term appears in some query) — never all
+  // (doc × query) pairs — and the per-query top-10 is a bounded
+  // window. At 100 TB: one corpus scan to build digests (amortized
+  // across every query batch if staged), then work proportional to
+  // postings-of-query-terms. (On a natural corpus the postings of a
+  // query term are a sliver of the corpus; this synthetic corpus has a
+  // ~31-term vocabulary so every posting list is dense — the plan
+  // shape, not the selectivity, is what transfers.)
+  //
+  // Cross-engine parity: BM25's IDF needs ln(), whose BITS are not
+  // portable across engines (the HLL lesson, Analytics.scala). Both
+  // sides quantize idf AND the rational tf-saturation to 1e6 quanta
+  // (round-to-long), then rank on the EXACT integer sum of products —
+  // a last-ulp ln() disagreement flips a quantum only if the true
+  // value sits within ~1e-10 of a rounding boundary. Query terms are
+  // data-derived (the 9 highest-df terms, 3 terms per query — a total
+  // (df desc, term) order), so both engines construct identical
+  // queries with no literal corpus knowledge baked in.
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+
+  def bm25(s: SparkSession, d: String): DataFrame =
+    bm25Ranked(s, d)
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        (col("score_fixed").cast("double") / lit(1e12)).as("score"))
+      .orderBy("query_id", "rank")
+
+  /** The ranked BM25 spine shared by [[bm25]] and [[hybridRrf]]:
+    * (query_id, doc_id, score_fixed, n_terms, rank), unlimited. */
+  private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = tf.agg(sum("tf").as("tok_total"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    val band = dfT.crossJoin(broadcast(stats))
+    val wq = Window.orderBy(col("df").desc, col("term"))
+    val qt = band.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 9)
+      .withColumn("query_id", expr("CAST((rn - 1) DIV 3 AS BIGINT)"))
+      .select("query_id", "term", "df", "n_docs", "tok_total")
+    val avgdl = col("tok_total").cast("double") / col("n_docs").cast("double")
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val sat = (tfD * lit(1.0 + BmK1)) /
+      (tfD + lit(BmK1) *
+        (lit(1.0) - lit(BmB) + lit(BmB) * (col("dl").cast("double") / avgdl)))
+    val contrib = round(idf * lit(1e6)).cast("long") *
+      round(sat * lit(1e6)).cast("long")
+    val agg = tf.join(broadcast(qt), "term").join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score_fixed"), count(lit(1)).as("n_terms"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("score_fixed").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(wr))
+  }
+
+  /** The BM25 CTE spine (through ranked `rk`), shared by the bm25 and
+    * hybrid oracles. */
+  private val bm25CtesSql: String =
+    s"""terms AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${tokensSqlOf("lower(text)")}) AS term
+       |  FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dl AS MATERIALIZED (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |dft AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS MATERIALIZED (
+       |  SELECT (SELECT sum(tf) FROM tf) AS tok_total,
+       |         (SELECT count(*) FROM documents) AS n_docs),
+       |band AS MATERIALIZED (
+       |  SELECT term, df, n_docs, tok_total FROM dft, st),
+       |qt AS MATERIALIZED (
+       |  SELECT CAST((rn - 1) // 3 AS BIGINT) AS query_id, term, df,
+       |    n_docs, tok_total
+       |  FROM (SELECT term, df, n_docs, tok_total,
+       |          row_number() OVER (ORDER BY df DESC, term) AS rn FROM band)
+       |  WHERE rn <= 9),
+       |sc AS MATERIALIZED (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(round(ln(1.0 + (CAST(q.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE)
+       |        + 0.5) / (CAST(q.df AS DOUBLE) + 0.5)) * 1e6) AS BIGINT)
+       |    * CAST(round((CAST(tf.tf AS DOUBLE) * ${1.0 + BmK1}) /
+       |        (CAST(tf.tf AS DOUBLE) + $BmK1 * (1.0 - $BmB + $BmB *
+       |          (CAST(dl.dl AS DOUBLE) /
+       |            (CAST(q.tok_total AS DOUBLE) / CAST(q.n_docs AS DOUBLE)))))
+       |        * 1e6) AS BIGINT) AS contrib
+       |  FROM tf JOIN qt q USING (term) JOIN dl USING (doc_id)),
+       |agg AS MATERIALIZED (
+       |  SELECT query_id, doc_id, sum(contrib) AS score_fixed,
+       |    count(*) AS n_terms
+       |  FROM sc GROUP BY 1, 2),
+       |rk AS MATERIALIZED (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score_fixed DESC, doc_id) AS rank
+       |  FROM agg)""".stripMargin
+
+  val bm25Sql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT query_id, rank, doc_id, n_terms,
+       |  CAST(score_fixed AS DOUBLE) / 1e12 AS score
+       |FROM rk WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  // --- q_tx_hybrid_rrf ----------------------------------------------------
+  // Hybrid retrieval: the lexical (BM25) and semantic (embedding
+  // cosine) lists fused with reciprocal-rank fusion (Cormack et al.
+  // 2009, the public RRF formula, k = 60). The semantic query vector
+  // has no model in this corpus, so it is built by PSEUDO-RELEVANCE
+  // FEEDBACK — the elementwise mean of the BM25 top-3 docs' embeddings
+  // (Rocchio's classic trick): fully data-derived, so both engines
+  // construct identical query vectors. Shapes at 100 TB: the BM25 spine
+  // is digest-grain; the 3-vector centroid build is three
+  // dimension-sized joins; the cosine pass is the brute-ANN scan with
+  // the centroid BROADCAST (swap in the IVF path for selectivity); RRF
+  // itself is a full-outer join of two top-10 lists per query —
+  // dimension-sized by construction. Parity: centroid arithmetic is a
+  // fixed-order elementwise fold, cosine the sequential dot fold, and
+  // the RRF sum two coalesced divisions in fixed order — bit-identical
+  // in both engines; ties break on doc_id everywhere.
+  private val RrfK = 60.0
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = bm25Ranked(s, d).localCheckpoint()
+    val lex = ranked.filter(col("rank") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def prfVec(r: Int) = ranked.filter(col("rank") === r)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("query_id"), col("v").as(s"v$r"))
+    val cent = prfVec(1).join(prfVec(2), "query_id").join(prfVec(3), "query_id")
+      .select(col("query_id"),
+        transform(
+          zip_with(zip_with(col("v1"), col("v2"), _ + _), col("v3"), _ + _),
+          x => x / lit(3.0)).as("qv"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("doc_id"))
+    val sem = e.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        graft.queries.Vectors.cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("sem_rank", row_number().over(ws))
+      .filter(col("sem_rank") <= 10)
+      .select("query_id", "doc_id", "sem_rank")
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank").cast("double")), lit(0.0)))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+      .orderBy("query_id", "rank")
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH $bm25CtesSql,
+       |lex AS MATERIALIZED (
+       |  SELECT query_id, doc_id, rank AS lex_rank FROM rk WHERE rank <= 10),
+       |e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT query_id, embedding AS v1
+       |  FROM rk JOIN e ON doc_id = vec_id WHERE rank = 1),
+       |c2 AS MATERIALIZED (SELECT query_id, embedding AS v2
+       |  FROM rk JOIN e ON doc_id = vec_id WHERE rank = 2),
+       |c3 AS MATERIALIZED (SELECT query_id, embedding AS v3
+       |  FROM rk JOIN e ON doc_id = vec_id WHERE rank = 3),
+       |cent AS MATERIALIZED (
+       |  SELECT c1.query_id,
+       |    list_transform(generate_series(1, len(v1)),
+       |      i -> (v1[i]::DOUBLE + v2[i]::DOUBLE + v3[i]::DOUBLE) / 3.0) AS qv
+       |  FROM c1 JOIN c2 USING (query_id) JOIN c3 USING (query_id)),
+       |sem AS MATERIALIZED (
+       |  SELECT query_id, doc_id, sem_rank FROM (
+       |    SELECT cent.query_id, e.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY cent.query_id ORDER BY
+       |        ${graft.queries.Vectors.cosineSql("e.embedding", "cent.qv")} DESC,
+       |        e.vec_id) AS sem_rank
+       |    FROM e, cent)
+       |  WHERE sem_rank <= 10),
+       |fused AS MATERIALIZED (
+       |  SELECT query_id, doc_id, lex_rank, sem_rank,
+       |    COALESCE(1.0 / ($RrfK + CAST(lex_rank AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / ($RrfK + CAST(sem_rank AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN sem USING (query_id, doc_id))
+       |SELECT query_id, rank, doc_id, lex_rank, sem_rank, rrf FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_bm25" -> (bm25 _),
+    "q_tx_hybrid_rrf" -> (hybridRrf _),
     "q_tx_heavy_hitters" -> (heavyHittersQ _),
     "q_tx_trigram_backoff" -> (trigramBackoff _),
     "q_tx_bigram_broadcast" -> (bigramBroadcast _),
@@ -856,6 +1066,8 @@ object TextAnalysis {
     "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
+    "q_tx_bm25" -> bm25Sql,
+    "q_tx_hybrid_rrf" -> hybridRrfSql,
     "q_tx_trigram_backoff" -> trigramBackoffSql,
     "q_tx_bigram_broadcast" -> bigramBroadcastSql,
     "q_tx_bigram_coherence" -> bigramCoherenceSql,

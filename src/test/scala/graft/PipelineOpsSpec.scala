@@ -22,6 +22,41 @@ class PipelineOpsSpec extends SparkSpec {
     dir
   }
 
+  test("BM25 ranks are dense per query; scores nonincreasing; terms bounded") {
+    val rows = TextAnalysis.bm25(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq === (1 to rs.length),
+        s"query $q ranks not dense")
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores increase down the ranking")
+      // each query has 3 terms: matched count bounded by the query size
+      rs.foreach(r => assert(r.getAs[Long]("n_terms") >= 1 &&
+        r.getAs[Long]("n_terms") <= 3))
+    }
+  }
+
+  test("RRF fusion only promotes docs from one of the two lists, score bounded") {
+    val rows = TextAnalysis.hybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = Option(r.getAs[Integer]("lex_rank"))
+      val sem = Option(r.getAs[Integer]("sem_rank"))
+      assert(lex.isDefined || sem.isDefined,
+        "a fused doc must come from at least one list")
+      val expected =
+        lex.map(v => 1.0 / (60.0 + v.doubleValue)).getOrElse(0.0) +
+          sem.map(v => 1.0 / (60.0 + v.doubleValue)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") === expected)
+    }
+    // docs on BOTH lists outrank docs on one (same-rank contributions):
+    // the doc at fused rank 1 must have at least one list rank defined
+    // and the maximum possible score is 2/(60+1)
+    assert(rows.forall(_.getAs[Double]("rrf") <= 2.0 / 61.0 + 1e-15))
+  }
+
   test("funnel stages anchor each window on the previous stage's first event") {
     val min = 60L * 1000 * 1000 * 1000 // one minute in nanos
     val dir = writeEvents(Seq(
