@@ -1167,7 +1167,95 @@ object Dedup {
        |ORDER BY path""".stripMargin
   }
 
+  // --- q_dd_substring_dup ---------------------------------------------------
+  // EXACT substring duplication — the "Deduplicating Training Data
+  // Makes Language Models Better" (Lee et al. 2021, public) method's
+  // metric, re-expressed relationally: a character position is
+  // duplicated iff the L-gram starting there occurs ≥ 2 times in the
+  // corpus (any doc, including elsewhere in the same doc — exactly the
+  // suffix-array criterion for membership in a repeated substring of
+  // length ≥ L). Runs of duplicated positions merge into SPANS (a
+  // repeat of length L+k yields k+1 consecutive duplicated positions →
+  // one span of L+k chars), and the per-doc output is the span count,
+  // duplicated-char total, and duplicated fraction — the numbers the
+  // paper's filter thresholds on.
+  //
+  // Relational shape, NO pairs anywhere: one position stream linear in
+  // corpus characters (the CDC-chunking grain), one groupBy on the
+  // gram for corpus df, one join back, and the gaps-and-islands window
+  // per doc (the q_t4_sessionize machinery) for span merging. The gram
+  // KEY here is the raw L characters — exact, collision-free, and what
+  // the DuckDB oracle replays; at 100 TB the key becomes a 128-bit
+  // hash (collision-safe at corpus scale) or hash-then-verify, same
+  // plan. Suffix arrays find repeats of EVERY length ≥ L in one pass;
+  // the L-gram formulation is their standard distributed surrogate
+  // (equal output for the ≥L criterion, linear shuffle).
+  private val SubL = 24
+
+  def substringDup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text"))) // ASCII guard
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val pos = docs.filter(col("len") >= SubL)
+      .select(col("doc_id"), col("len"), col("text"),
+        explode(sequence(lit(1), col("len") - (SubL - 1))).as("p"))
+      .withColumn("gram", expr(s"substring(text, p, $SubL)"))
+      .drop("text")
+    val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gram")
+    val dupPos = pos.join(dupGrams, "gram").select("doc_id", "p")
+    val wi = Window.partitionBy("doc_id").orderBy("p")
+    val spans = dupPos
+      .withColumn("island", col("p") - row_number().over(wi))
+      .groupBy("doc_id", "island")
+      .agg(min("p").as("s"), (max("p") + (SubL - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_chars"))
+    docs.select("doc_id", "len")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        (coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          col("len").cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val substringDupSql: String =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, text, length(text) AS len FROM documents
+       |  WHERE octet_length(encode(text)) = length(text)),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, len, g.p AS p, substring(text, g.p, $SubL) AS gram
+       |  FROM d, unnest(generate_series(1, len - ${SubL - 1})) g(p)
+       |  WHERE len >= $SubL),
+       |dg AS MATERIALIZED (
+       |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+       |dp AS MATERIALIZED (
+       |  SELECT doc_id, p FROM pos JOIN dg USING (gram)),
+       |isl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island,
+       |    p
+       |  FROM dp),
+       |spans AS MATERIALIZED (
+       |  SELECT doc_id, island, min(p) AS s, max(p) + ${SubL - 1} AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |pd AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id, d.len,
+       |  COALESCE(pd.n_spans, 0) AS n_spans,
+       |  COALESCE(pd.dup_chars, 0) AS dup_chars,
+       |  CAST(COALESCE(pd.dup_chars, 0) AS DOUBLE) / CAST(d.len AS DOUBLE)
+       |    AS dup_frac
+       |FROM d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dd_substring_dup" -> (substringDup _),
     "q_dd_exact" -> (exact _),
     "q_dd_split_leakage" -> (splitLeakage _),
     "q_dd_contamination" -> (contamination _),
@@ -1183,6 +1271,7 @@ object Dedup {
     "q_dd_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "q_dd_substring_dup" -> substringDupSql,
     "q_dd_exact" -> exactSql,
     "q_dd_split_leakage" -> splitLeakageSql,
     "q_dd_contamination" -> contaminationSql,

@@ -69,6 +69,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1001L, 1002L)), s"got ${out.size} pairs: ${out.take(5)}")
   }
 
+  test("exact substring duplication: shared spans merge, unique text scores zero") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-substrdup").toString
+    // doc 1 and 2 share one exact 40-char run embedded in otherwise
+    // unique text; doc 3 is unique; doc 4 repeats a 30-char run TWICE
+    // internally (self-repetition counts, per the suffix-array
+    // criterion). L = 24, so the 40-char share yields 17 consecutive
+    // duplicated positions in each doc -> ONE merged span of 40 chars.
+    val shared = "the quick brown fox jumps over lazy dogs" // 40 chars
+    val rep = "abcdefghijklmnopqrstuvwxyz0123" // 30 chars
+    require(shared.length == 40 && rep.length == 30)
+    val docs = Seq(
+      (1L, s"UNIQUEPREFIXONE$shared[ONE-UNIQUE-SUFFIX-PADDING]"),
+      (2L, s"completely-different-head$shared<<other tail text here>>"),
+      (3L, "this text shares nothing long enough with any other document"),
+      (4L, s"xx${rep}yy-some-unique-middle-part-zz${rep}ww"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.substringDup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"))).toMap
+    assert(out(1L) === ((1L, 40L)), s"doc1: ${out(1L)}")
+    assert(out(2L) === ((1L, 40L)), s"doc2: ${out(2L)}")
+    assert(out(3L) === ((0L, 0L)), s"doc3: ${out(3L)}")
+    assert(out(4L) === ((2L, 60L)), s"doc4: ${out(4L)}")
+  }
+
   test("a mega-cluster past MaxSemCluster generates no semdedup drops; small clusters still dedup") {
     import ss.implicits._
     import graft.queries.Similarity
