@@ -256,4 +256,40 @@ object Avi {
         col("_sums").getField("r").as("sum_r"),
         col("_sums").getField("w").as("wsum"))
   }
+
+  /** Perceptual AVERAGE HASH of each decoded DIB frame — the aHash
+    * fingerprint (public pHash-family baseline): pixel bit i is set iff
+    * that pixel's luma is at or above the frame mean, packed
+    * little-endian by pixel index (storage order: DIB row r, column x,
+    * i = r·w + x). All INTEGER arithmetic — luma = B+G+R, the
+    * threshold compare is `luma·npix ≥ total` (cross-multiplied, no
+    * division) — so the hash is bit-reproducible in any engine, unlike
+    * DCT-based pHash. Two folds per frame (total, then bits); pixel
+    * count bounds the hash at 63 bits by contract. Fingerprint-grain
+    * output: downstream near-dup joins band on (width, height, hash) —
+    * never on pixels. */
+  def frameAHash(media: DataFrame): DataFrame = {
+    val p = col("payload")
+    val stride = expr("((width * 3 + 3) DIV 4) * 4")
+    def lumaAt(i: Column): Column = {
+      val x = pmod(i, col("width"))
+      val r = ((i - x) / col("width")).cast("long")
+      val base = col("frame_off") + r * stride + x * 3
+      u8(p, base) + u8(p, base + 1) + u8(p, base + 2)
+    }
+    val npix = col("width") * col("height")
+    val total = aggregate(sequence(lit(0L), npix - 1), lit(0L),
+      (acc, i) => acc + lumaAt(i))
+    val bits = aggregate(sequence(lit(0L), npix - 1), lit(0L),
+      (acc, i) => acc +
+        when(lumaAt(i) * npix >= col("total"),
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L)))
+    frameRows(media)
+      .filter(col("frame_len") === stride * col("height") &&
+        col("width") * col("height") <= 63)
+      .withColumn("npix", npix)
+      .withColumn("total", total)
+      .withColumn("ahash", bits)
+      .select("media_id", "frame_idx", "width", "height", "npix", "ahash")
+  }
 }

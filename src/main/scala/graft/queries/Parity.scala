@@ -1383,9 +1383,9 @@ object Parity {
   // position-weighted checksum proves x order. The header-blind oracle
   // replays the same arithmetic from character codes — any layout bug
   // (flip, channel order, stride, pad inclusion) breaks the hash.
-  def aviDecodeQ(s: SparkSession, d: String): DataFrame = {
+  private def aviDecodeMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
+    Tables.documents(s, d)
       .filter(length(col("text")) >= 64)
       .filter(octet_length(substring(col("text"), 1, 64)) === 64)
       .select(col("doc_id"),
@@ -1404,9 +1404,11 @@ object Parity {
         (id, graft.multimodal.Avi.encode(w, 2, 33333, frames, junk, fourcc))
       }
       .toDF("media_id", "payload")
-    graft.multimodal.Avi.decodeDibRows(media)
-      .orderBy("media_id", "frame_idx", "y")
   }
+
+  def aviDecodeQ(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Avi.decodeDibRows(aviDecodeMedia(s, d))
+      .orderBy("media_id", "frame_idx", "y")
 
   val aviDecodeSql: String =
     """WITH d AS (
@@ -1435,6 +1437,92 @@ object Parity {
       |  CAST(sum((x + 1) * (b + g + r)) AS BIGINT) AS wsum
       |FROM ch GROUP BY media_id, frame_idx, y, w
       |ORDER BY media_id, frame_idx, y""".stripMargin
+
+  // --- q_mm_frame_neardup ---------------------------------------------------
+  // VISUAL near-dup across the video corpus — the frame-level dedup a
+  // multimodal pipeline runs after decode: each decoded DIB frame gets
+  // a perceptual AVERAGE HASH (Avi.frameAHash — all-integer, so unlike
+  // DCT pHash it is bit-reproducible cross-engine), and near-duplicate
+  // frames (hamming ≤ 1) are found by MULTI-INDEX probing, never
+  // all-pairs: every frame emits its own hash (distance 0) plus one
+  // 1-bit-flipped probe per pixel (distance 1), and candidates are the
+  // equi-join of probes against hashes banded by (width, height).
+  // Candidate volume is |frames|·(npix+1) — linear, the bounded-
+  // candidate discipline of MinHash-LSH applied to pixels. Pairs
+  // order (a < b) and distinct-out the double discovery. The oracle
+  // replays decode → hash → probe → join header-blind from text bytes.
+  def frameNearDupQ(s: SparkSession, d: String): DataFrame = {
+    val f = graft.multimodal.Avi.frameAHash(aviDecodeMedia(s, d))
+      .localCheckpoint() // consumed twice: probe side + build side
+    val base = f.select(col("media_id").as("b_id"), col("frame_idx").as("b_f"),
+      col("width").as("b_w"), col("height").as("b_h"),
+      col("ahash").as("b_hash"))
+    val probes = f.select(col("media_id").as("a_id"), col("frame_idx").as("a_f"),
+      col("width"), col("height"),
+      explode(concat(
+        array(struct(col("ahash").as("probe"), lit(0).as("d"))),
+        transform(sequence(lit(0L), col("npix") - 1),
+          i => struct(col("ahash")
+            .bitwiseXOR(call_function("shiftleft", lit(1L), i.cast("int"))).as("probe"),
+            lit(1).as("d"))))).as("pr"))
+      .select(col("a_id"), col("a_f"), col("width"), col("height"),
+        col("pr.probe").as("probe"), col("pr.d").as("hamming"))
+    probes.join(base,
+        col("probe") === col("b_hash") && col("width") === col("b_w") &&
+          col("height") === col("b_h"))
+      .filter(col("a_id") < col("b_id") ||
+        (col("a_id") === col("b_id") && col("a_f") < col("b_f")))
+      .select("a_id", "a_f", "b_id", "b_f", "width", "height", "hamming")
+      .distinct()
+      .orderBy("a_id", "a_f", "b_id", "b_f")
+  }
+
+  val frameNearDupSql: String =
+    """WITH d AS MATERIALIZED (
+      |  SELECT doc_id AS media_id, substring(text, 1, 64) AS s,
+      |    CAST(3 + doc_id % 3 AS BIGINT) AS w
+      |  FROM documents WHERE length(text) >= 64
+      |    AND octet_length(encode(substring(text, 1, 64))) = 64
+      |    AND doc_id % 9 <> 0),
+      |dims AS MATERIALIZED (
+      |  SELECT media_id, s, w, ((3 * w + 3) // 4) * 4 AS stride, w * 2 AS npix
+      |  FROM d),
+      |px AS MATERIALIZED (
+      |  SELECT media_id, f.f AS frame_idx, w, npix, pix.i AS pix,
+      |    ord(substring(s, CAST(f.f * stride * 2 + (pix.i // w) * stride
+      |      + 3 * (pix.i % w) + 1 AS INT), 1))
+      |    + ord(substring(s, CAST(f.f * stride * 2 + (pix.i // w) * stride
+      |      + 3 * (pix.i % w) + 2 AS INT), 1))
+      |    + ord(substring(s, CAST(f.f * stride * 2 + (pix.i // w) * stride
+      |      + 3 * (pix.i % w) + 3 AS INT), 1)) AS luma
+      |  FROM dims,
+      |    unnest(generate_series(0, 1)) f(f),
+      |    unnest(generate_series(0, CAST(npix - 1 AS INT))) pix(i)),
+      |tot AS MATERIALIZED (
+      |  SELECT media_id, frame_idx, sum(luma) AS total
+      |  FROM px GROUP BY 1, 2),
+      |fr AS MATERIALIZED (
+      |  SELECT px.media_id, px.frame_idx, w AS width,
+      |    CAST(2 AS BIGINT) AS height, npix,
+      |    sum(CASE WHEN luma * npix >= total
+      |             THEN 1::BIGINT << CAST(pix AS INT) ELSE 0 END) AS ahash
+      |  FROM px JOIN tot USING (media_id, frame_idx)
+      |  GROUP BY px.media_id, px.frame_idx, w, npix),
+      |probes AS MATERIALIZED (
+      |  SELECT media_id AS a_id, frame_idx AS a_f, width, height,
+      |    ahash AS probe, 0 AS hamming
+      |  FROM fr
+      |  UNION ALL
+      |  SELECT media_id, frame_idx, width, height,
+      |    xor(ahash, 1::BIGINT << CAST(b.i AS INT)), 1
+      |  FROM fr, unnest(generate_series(0, CAST(npix - 1 AS INT))) b(i))
+      |SELECT DISTINCT p.a_id, p.a_f, f2.media_id AS b_id,
+      |  f2.frame_idx AS b_f, p.width, p.height, p.hamming
+      |FROM probes p JOIN fr f2
+      |  ON p.probe = f2.ahash AND p.width = f2.width AND p.height = f2.height
+      |WHERE p.a_id < f2.media_id
+      |   OR (p.a_id = f2.media_id AND p.a_f < f2.frame_idx)
+      |ORDER BY a_id, a_f, b_id, b_f""".stripMargin
 
   // --- q_mm_ulaw_windows ----------------------------------------------------
   // COMPRESSED audio, driver-verified: G.711 μ-law is the standard
@@ -1867,6 +1955,7 @@ object Parity {
     "q_mm_wav_windows" -> (wavWindowsQ _),
     "q_mm_avi_frames" -> (aviFramesQ _),
     "q_mm_avi_decode" -> (aviDecodeQ _),
+    "q_mm_frame_neardup" -> (frameNearDupQ _),
     "q_mm_ulaw_windows" -> (ulawWindowsQ _),
     "q_mm_resize" -> (pnmResize _),
     "q_mm_pcm_windows" -> (pcmWindows _),
@@ -1910,6 +1999,7 @@ object Parity {
     "q_mm_wav_windows" -> wavWindowsSql,
     "q_mm_avi_frames" -> aviFramesSql,
     "q_mm_avi_decode" -> aviDecodeSql,
+    "q_mm_frame_neardup" -> frameNearDupSql,
     "q_mm_ulaw_windows" -> ulawWindowsSql,
     "q_mm_resize" -> pnmResizeSql,
     "q_mm_pcm_windows" -> pcmWindowsSql,

@@ -247,6 +247,16 @@ class MultimodalSpec extends SparkSpec {
     val short = Seq((2L, Avi.encode(w, h, 1000, Seq(frame.dropRight(4)))))
       .toDF("media_id", "payload")
     assert(Avi.decodeDibRows(short).count() == 0)
+
+    // perceptual average hash, golden: lumas are (6,15,24) bottom row,
+    // (60,150,240) top row (pixel index = storage order r*w+x); total =
+    // 495, npix = 6 → bit set iff luma*6 >= 495, i.e. luma >= 82.5 —
+    // only pixels 4 (150) and 5 (240): ahash = 2^4 + 2^5 = 48. Pad
+    // bytes (0xEE) must not leak into the total.
+    val hrows = Avi.frameAHash(media).collect()
+    assert(hrows.length == 1)
+    assert(hrows.head.getAs[Long]("npix") == 6L)
+    assert(hrows.head.getAs[Long]("ahash") == 48L)
   }
 
   test("PNG codec: CRC-valid but malformed streams return None, never throw or hang") {
