@@ -807,7 +807,153 @@ object Analytics {
       |WHERE rnk <= 3
       |ORDER BY event_type, rnk""".stripMargin
 
+  // --- q_ag_kmv_sets --------------------------------------------------------
+  // K-Minimum-Values sketch (Bar-Yossef et al. 2002, public) — the
+  // sketch family's missing piece: HLL estimates cardinality and merges
+  // by UNION only; KMV additionally supports INTERSECTION estimates
+  // (the overlap question every audience/leakage analysis asks), via
+  // the ratio of shared members inside the union sketch. Everything is
+  // relational state: a sketch is K rows of (set, h) — the K smallest
+  // distinct 48-bit md5 hashes of the member key — so building is one
+  // ranked window over distinct (set, h), merging is "K smallest of the
+  // union of sketch ROWS" (raw data never re-read), and the estimator
+  // (K−1)·M/h_K is one exact-int-to-double division. Per event-type
+  // user sets: per-set rows carry the KMV estimate next to the exact
+  // distinct count, per-pair rows the intersection estimate next to the
+  // exact overlap — accuracy is part of the verified output, not a
+  // claim. A sketch smaller than K IS the exact set (standard KMV
+  // convention; estimate = its size). At 100 TB the sketches are
+  // K-row tables per set: build once at ingest, answer any pairwise
+  // overlap from K·|sets| rows.
+  private val KmvK = 64
+  private val KmvM = 281474976710656.0 // 2^48, the hash space
+
+  def kmvSets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val estConst = (KmvK - 1).toDouble * KmvM
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val hashed = ev
+      .select(col("t"), col("u"), Hashes.md5Int48(col("u").cast("string")).as("h"))
+      .localCheckpoint() // consumed by sketch, exact counts, and overlap
+    val wk = Window.partitionBy("t").orderBy("h")
+    val sketch = hashed.select(col("t"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= KmvK)
+      .localCheckpoint() // the K-row-per-set artifact everything reads
+    def estOf(cnt: Column, kth: Column): Column =
+      when(cnt < KmvK, cnt.cast("double"))
+        .otherwise(lit(estConst) / kth.cast("double"))
+    val perSet = sketch.groupBy("t")
+      .agg(count(lit(1)).as("n_sketch"), max(when(col("rk") === KmvK, col("h"))).as("kth"))
+      .join(hashed.groupBy("t").agg(countDistinct(col("u")).as("exact")), "t")
+      .select(lit("set").as("kind"), col("t").as("t_a"), lit("").as("t_b"),
+        col("n_sketch"), estOf(col("n_sketch"), col("kth")).as("est"),
+        col("exact"))
+    // pairwise: union-sketch from sketch ROWS only, overlap ratio inside
+    // it; one row set per ordered pair off the distinct type list
+    val types = sketch.select(col("t")).distinct()
+    val tp = types.select(col("t").as("t_a"))
+      .crossJoin(types.select(col("t").as("t_b")))
+      .filter(col("t_a") < col("t_b"))
+    val unionRows = tp
+      .join(sketch.select(col("t").as("t_a"), col("h").as("ha")), "t_a")
+      .select(col("t_a"), col("t_b"), col("ha").as("h"))
+      .union(tp
+        .join(sketch.select(col("t").as("t_b"), col("h").as("hb")), "t_b")
+        .select(col("t_a"), col("t_b"), col("hb").as("h")))
+      .distinct()
+    val wp = Window.partitionBy("t_a", "t_b").orderBy("h")
+    val unionSketch = unionRows
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= KmvK)
+    val inA = sketch.select(col("t").as("t_a"), col("h"), lit(1).as("in_a"))
+    val inB = sketch.select(col("t").as("t_b"), col("h"), lit(1).as("in_b"))
+    val marked = unionSketch
+      .join(inA, Seq("t_a", "h"), "left")
+      .join(inB, Seq("t_b", "h"), "left")
+    val exactPair = hashed.select(col("t").as("t_a"), col("u"))
+      .join(hashed.select(col("t").as("t_b"), col("u")), Seq("u"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b").agg(countDistinct(col("u")).as("exact"))
+    val perPair = marked.groupBy("t_a", "t_b")
+      .agg(count(lit(1)).as("n_sketch"),
+        max(when(col("rk") === KmvK, col("h"))).as("kth"),
+        sum(col("in_a") * col("in_b")).as("k_inter"))
+      .join(exactPair, Seq("t_a", "t_b"))
+      .select(lit("pair").as("kind"), col("t_a"), col("t_b"), col("n_sketch"),
+        ((coalesce(col("k_inter"), lit(0L)).cast("double") / lit(KmvK.toDouble)) *
+          estOf(col("n_sketch"), col("kth"))).as("est"),
+        col("exact"))
+    perSet.unionByName(perPair).orderBy("kind", "t_a", "t_b")
+  }
+
+  val kmvSetsSql: String = {
+    val estConst = (KmvK - 1).toDouble * KmvM
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+       |hashed AS MATERIALIZED (
+       |  SELECT t, u, ${Hashes.md5Int48Sql("u::VARCHAR")} AS h FROM ev),
+       |sketch AS MATERIALIZED (
+       |  SELECT t, h, rk FROM (
+       |    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk
+       |    FROM (SELECT DISTINCT t, h FROM hashed))
+       |  WHERE rk <= $KmvK),
+       |per_set AS MATERIALIZED (
+       |  SELECT 'set' AS kind, sk.t AS t_a, '' AS t_b,
+       |    sk.n_sketch,
+       |    CASE WHEN sk.n_sketch < $KmvK THEN CAST(sk.n_sketch AS DOUBLE)
+       |         ELSE $estConst / CAST(sk.kth AS DOUBLE) END AS est,
+       |    ex.exact
+       |  FROM (SELECT t, count(*) AS n_sketch,
+       |          max(CASE WHEN rk = $KmvK THEN h END) AS kth
+       |        FROM sketch GROUP BY t) sk
+       |  JOIN (SELECT t, count(DISTINCT u) AS exact FROM hashed GROUP BY t) ex
+       |    USING (t)),
+       |types AS MATERIALIZED (SELECT DISTINCT t FROM sketch),
+       |tp AS MATERIALIZED (
+       |  SELECT a.t AS t_a, b.t AS t_b FROM types a, types b WHERE a.t < b.t),
+       |union_rows AS MATERIALIZED (
+       |  SELECT DISTINCT t_a, t_b, h FROM (
+       |    SELECT tp.t_a, tp.t_b, s.h FROM tp JOIN sketch s ON s.t = tp.t_a
+       |    UNION ALL
+       |    SELECT tp.t_a, tp.t_b, s.h FROM tp JOIN sketch s ON s.t = tp.t_b)),
+       |union_sketch AS MATERIALIZED (
+       |  SELECT t_a, t_b, h, rk FROM (
+       |    SELECT t_a, t_b, h,
+       |      row_number() OVER (PARTITION BY t_a, t_b ORDER BY h) AS rk
+       |    FROM union_rows)
+       |  WHERE rk <= $KmvK),
+       |marked AS MATERIALIZED (
+       |  SELECT us.t_a, us.t_b, us.h, us.rk,
+       |    CASE WHEN sa.h IS NULL THEN NULL ELSE 1 END AS in_a,
+       |    CASE WHEN sb.h IS NULL THEN NULL ELSE 1 END AS in_b
+       |  FROM union_sketch us
+       |  LEFT JOIN sketch sa ON sa.t = us.t_a AND sa.h = us.h
+       |  LEFT JOIN sketch sb ON sb.t = us.t_b AND sb.h = us.h),
+       |exact_pair AS MATERIALIZED (
+       |  SELECT a.t AS t_a, b.t AS t_b, count(DISTINCT a.u) AS exact
+       |  FROM hashed a JOIN hashed b ON a.u = b.u AND a.t < b.t
+       |  GROUP BY 1, 2),
+       |per_pair AS MATERIALIZED (
+       |  SELECT 'pair' AS kind, m.t_a, m.t_b, m.n_sketch,
+       |    (CAST(COALESCE(m.k_inter, 0) AS DOUBLE) / ${KmvK.toDouble}) *
+       |      (CASE WHEN m.n_sketch < $KmvK THEN CAST(m.n_sketch AS DOUBLE)
+       |            ELSE $estConst / CAST(m.kth AS DOUBLE) END) AS est,
+       |    ep.exact
+       |  FROM (SELECT t_a, t_b, count(*) AS n_sketch,
+       |          max(CASE WHEN rk = $KmvK THEN h END) AS kth,
+       |          sum(in_a * in_b) AS k_inter
+       |        FROM marked GROUP BY t_a, t_b) m
+       |  JOIN exact_pair ep USING (t_a, t_b))
+       |SELECT kind, t_a, t_b, n_sketch, est, exact FROM per_set
+       |UNION ALL
+       |SELECT kind, t_a, t_b, n_sketch, est, exact FROM per_pair
+       |ORDER BY kind, t_a, t_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ag_kmv_sets" -> (kmvSets _),
     "q_ag_topk_group" -> (topkGroup _),
     "q_ev_funnel" -> (funnel _),
     "q_ev_transitions" -> (transitions _),
@@ -851,6 +997,7 @@ object Analytics {
     "q_ag_pivot" -> pivotCountsSql,
     "q_ag_incr_merge" -> incrMergeSql,
     "q_ag_incr_join" -> incrJoinSql,
+    "q_ag_kmv_sets" -> kmvSetsSql,
     "q_j6_semijoin" -> semijoinSql,
     "q_j7_outer_join" -> outerJoinSql,
     "q_o4_range_frame" -> rangeFrameSql)

@@ -1101,6 +1101,14 @@ object Hashes {
   def md5Int32Sql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
 
+  /** 48-bit unsigned int from md5 (12 hex chars) — wide enough that
+    * order-statistic sketches (KMV) see essentially no ties. */
+  def md5Int48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  def md5Int48Sql(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 12))::BIGINT"
+
   /** Seeded variant: hash of (seed ++ value). */
   def md5Int32Seeded(c: Column, seed: Int): Column =
     md5Int32(concat(lit(seed.toString), lit("_"), c))

@@ -57,6 +57,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("rrf") <= 2.0 / 61.0 + 1e-15))
   }
 
+  test("KMV sketch estimates cardinality and overlap on half-overlapping sets") {
+    // events corpus where the per-type user sets genuinely differ:
+    // 'view' = users 0..399, 'click' = users 200..599 → each 400
+    // distinct, overlap exactly 200. The driver corpus can't show this
+    // (every type sees every user), so the discrimination is pinned
+    // here. All estimates are deterministic (fixed md5 hash).
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-kmv").toString
+    val rows =
+      (0L until 400L).map(u => (u, u * 1000L, u, "view", 1.0, "{}")) ++
+        (200L until 600L).map(u => (u + 1000L, u * 1000L, u, "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.kmvSets(spark, dir).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("t_a"),
+        r.getAs[String]("t_b"), r.getAs[Double]("est"),
+        r.getAs[Long]("exact"))).toSeq
+    val sets = out.filter(_._1 == "set")
+    val pairs = out.filter(_._1 == "pair")
+    assert(sets.length === 2 && pairs.length === 1)
+    sets.foreach { case (_, t, _, est, exact) =>
+      assert(exact === 400L)
+      assert(math.abs(est - 400.0) < 150.0, // ~3σ at K=64 (σ ≈ n/√K)
+        s"set $t estimate $est too far from 400")
+    }
+    val (_, _, _, interEst, interExact) = pairs.head
+    assert(interExact === 200L)
+    // intersection estimator is noisier (ratio × union estimate); a
+    // half-overlap must still be clearly separated from 0 and from full
+    assert(interEst > 60.0 && interEst < 400.0,
+      s"intersection estimate $interEst not in a plausible band around 200")
+  }
+
   test("funnel stages anchor each window on the previous stage's first event") {
     val min = 60L * 1000 * 1000 * 1000 // one minute in nanos
     val dir = writeEvents(Seq(
