@@ -74,6 +74,94 @@ object Similarity {
        |ORDER BY cosine DESC, vec_id
        |LIMIT $K""".stripMargin
 
+  // --- q_sim_recall -------------------------------------------------------
+  // The index EVALUATION harness: recall@k of the IVF path against the
+  // exact brute-force baseline, per query, over a 20-query batch — the
+  // number every ANN deployment watches when tuning nprobe/cells, here
+  // a first-class verified query instead of an offline notebook. The
+  // batch shape is the production one: all query vectors BROADCAST as
+  // one dimension table, ONE corpus scan computes every (query, doc)
+  // cosine for the brute side (at 100 TB the scan is the irreducible
+  // cost and batching amortizes it across queries), the IVF side
+  // restricts each query to its own coarse cell, and recall is a
+  // per-query set intersection of two 10-row lists. All ranking ties
+  // break on vec_id; recall = common/k is one exact-int division.
+  //
+  // Measured finding (sf0.01): single-probe retrieval over the LABEL
+  // cells scores mean recall@10 ≈ 0.13 — class labels are not
+  // geometric cells. That number is exactly what this harness is for:
+  // it is the quantitative case for the TRAINED coarse quantizer
+  // (q_sim_ivfpq_trained's Lloyd cells) and for nprobe > 1, measured
+  // instead of assumed.
+  private val RecallQ = 20
+
+  def recallEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+      .localCheckpoint() // consumed by both rankings
+    val wb = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val brute = scored.withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= K).select("qid", "vec_id")
+    val wi = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ivf = scored.filter(col("label") === col("qlabel"))
+      .withColumn("rk", row_number().over(wi))
+      .filter(col("rk") <= K).select("qid", "vec_id")
+    val common = brute.join(ivf, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    brute.groupBy("qid").agg(count(lit(1)).as("n_brute"))
+      .join(ivf.groupBy("qid").agg(count(lit(1)).as("n_ivf")), Seq("qid"))
+      .join(common, Seq("qid"), "left")
+      .select(col("qid"), col("n_brute"), col("n_ivf"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(K.toDouble)).as("recall"))
+      .orderBy("qid")
+  }
+
+  val recallEvalSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding AS emb FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qemb, label AS qlabel
+       |  FROM embeddings WHERE vec_id < $RecallQ),
+       |scored AS MATERIALIZED (
+       |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+       |    ${Vectors.cosineSql("e.emb", "q.qemb")} AS cosine
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |brute AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $K),
+       |ivf AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM scored WHERE label = qlabel)
+       |  WHERE rk <= $K),
+       |com AS MATERIALIZED (
+       |  SELECT qid, count(*) AS n_common
+       |  FROM brute JOIN ivf USING (qid, vec_id) GROUP BY qid)
+       |SELECT b.qid, b.n_brute, i.n_ivf,
+       |  COALESCE(c.n_common, 0) AS n_common,
+       |  CAST(COALESCE(c.n_common, 0) AS DOUBLE) / ${K.toDouble} AS recall
+       |FROM (SELECT qid, count(*) AS n_brute FROM brute GROUP BY qid) b
+       |JOIN (SELECT qid, count(*) AS n_ivf FROM ivf GROUP BY qid) i USING (qid)
+       |LEFT JOIN com c USING (qid)
+       |ORDER BY qid""".stripMargin
+
   // --- q_sim_mips ---------------------------------------------------------
   // Maximum-inner-product search via the norm-augmentation reduction
   // (Bachrach et al., RecSys 2014 — public literature): MIPS is NOT a
@@ -1415,6 +1503,7 @@ object Similarity {
     "q_sim_pq" -> (pqEncode _),
     "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
+    "q_sim_recall" -> (recallEval _),
     "q_sim_mips" -> (mipsTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
@@ -1433,6 +1522,7 @@ object Similarity {
     "q_sim_pq" -> pqEncodeSql,
     "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,
+    "q_sim_recall" -> recallEvalSql,
     "q_sim_mips" -> mipsTopKSql,
     "q_sim_ivf_topk" -> ivfTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,

@@ -57,6 +57,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("rrf") <= 2.0 / 61.0 + 1e-15))
   }
 
+  test("recall harness: brute lists are full, IVF is a subset-scored bound") {
+    val rows = Similarity.recallEval(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_brute") === 10L, "exact baseline must fill k")
+      assert(r.getAs[Long]("n_ivf") <= 10L)
+      val common = r.getAs[Long]("n_common")
+      assert(common <= r.getAs[Long]("n_ivf"),
+        "common results cannot exceed the IVF list")
+      assert(r.getAs[Double]("recall") === common.toDouble / 10.0)
+    }
+  }
+
   test("KMV sketch estimates cardinality and overlap on half-overlapping sets") {
     // events corpus where the per-type user sets genuinely differ:
     // 'view' = users 0..399, 'click' = users 200..599 → each 400
