@@ -162,6 +162,109 @@ object Similarity {
        |LEFT JOIN com c USING (qid)
        |ORDER BY qid""".stripMargin
 
+  // --- q_sim_recall_trained -----------------------------------------------
+  // The other arm of the recall experiment q_sim_recall opens: the SAME
+  // 20-query batch and exact baseline, but retrieval probes the TRAINED
+  // Lloyd cells (corpusByCell's staged index) with NProbe=2 multiprobe
+  // instead of the single class-label cell. Per-query probe selection is
+  // the centroid-distance sort as plan literals (the ivfPrunedTopK
+  // machinery applied per query row); candidates are the probed cells'
+  // members only. PipelineOpsSpec pins the experiment's conclusion —
+  // trained-cell multiprobe recall strictly beats label-cell recall —
+  // so the index quality claim is a measured assertion in CI, not
+  // prose. Oracle replays Lloyd training + assignment + probe + rank.
+  def recallTrained(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainedCentroids(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .localCheckpoint()
+    val cellStructs = array(cents.zipWithIndex.map { case (c, cid) =>
+      val cArr = array(c.map(lit): _*)
+      struct((Vectors.dot(cArr, cArr) -
+        lit(2.0) * Vectors.dot(col("qv"), cArr)).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val probes = q.select(col("qid"), explode(
+      transform(slice(array_sort(cellStructs), 1, NProbe),
+        x => x.getField("cid").cast("long"))).as("cell"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+      .localCheckpoint() // consumed by both rankings
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val brute = scored.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= K).select("qid", "vec_id")
+    val cells = corpusByCell(s, d)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val ivft = scored.join(cells, Seq("vec_id"))
+      .join(broadcast(probes), Seq("qid", "cell"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= K).select("qid", "vec_id")
+    val common = brute.join(ivft, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    brute.groupBy("qid").agg(count(lit(1)).as("n_brute"))
+      .join(ivft.groupBy("qid").agg(count(lit(1)).as("n_ivf")), Seq("qid"))
+      .join(common, Seq("qid"), "left")
+      .select(col("qid"), col("n_brute"), col("n_ivf"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(K.toDouble)).as("recall"))
+      .orderBy("qid")
+  }
+
+  // lazy: interpolates NProbe/LloydIters/lloydChainSql, declared later
+  // in the object — an eager val here would read them pre-init (as 0)
+  lazy val recallTrainedSql: String =
+    s"""WITH $lloydChainSql,
+       |qs AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < $RecallQ),
+       |probe AS MATERIALIZED (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, x.cid, row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY (${Vectors.dotSql("x.c", "x.c")})
+       |        - 2 * (${Vectors.dotSql("q.qv", "x.c")}), x.cid) AS rk
+       |    FROM c$LloydIters x, qs q)
+       |  WHERE rk <= $NProbe),
+       |assign AS MATERIALIZED (
+       |  SELECT e.vec_id, min({'d': (${Vectors.dotSql("x.c", "x.c")})
+       |      - 2 * (${Vectors.dotSql("e.embedding", "x.c")}), 'cid': x.cid}).cid
+       |    AS cell
+       |  FROM e, c$LloydIters x
+       |  GROUP BY e.vec_id),
+       |scored AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id,
+       |    ${Vectors.cosineSql("e.embedding", "q.qv")} AS cosine
+       |  FROM e, qs q WHERE e.vec_id <> q.qid),
+       |brute AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $K),
+       |ivft AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, s.vec_id, row_number() OVER (
+       |      PARTITION BY s.qid ORDER BY s.cosine DESC, s.vec_id) AS rk
+       |    FROM scored s
+       |    JOIN assign a ON s.vec_id = a.vec_id
+       |    JOIN probe p ON p.qid = s.qid AND p.cid = a.cell)
+       |  WHERE rk <= $K),
+       |com AS MATERIALIZED (
+       |  SELECT qid, count(*) AS n_common
+       |  FROM brute JOIN ivft USING (qid, vec_id) GROUP BY qid)
+       |SELECT b.qid, b.n_brute, i.n_ivf,
+       |  COALESCE(c.n_common, 0) AS n_common,
+       |  CAST(COALESCE(c.n_common, 0) AS DOUBLE) / ${K.toDouble} AS recall
+       |FROM (SELECT qid, count(*) AS n_brute FROM brute GROUP BY qid) b
+       |JOIN (SELECT qid, count(*) AS n_ivf FROM ivft GROUP BY qid) i USING (qid)
+       |LEFT JOIN com c USING (qid)
+       |ORDER BY qid""".stripMargin
+
   // --- q_sim_mips ---------------------------------------------------------
   // Maximum-inner-product search via the norm-augmentation reduction
   // (Bachrach et al., RecSys 2014 — public literature): MIPS is NOT a
@@ -1504,6 +1607,7 @@ object Similarity {
     "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
     "q_sim_recall" -> (recallEval _),
+    "q_sim_recall_trained" -> (recallTrained _),
     "q_sim_mips" -> (mipsTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
@@ -1523,6 +1627,7 @@ object Similarity {
     "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,
     "q_sim_recall" -> recallEvalSql,
+    "q_sim_recall_trained" -> recallTrainedSql,
     "q_sim_mips" -> mipsTopKSql,
     "q_sim_ivf_topk" -> ivfTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,
