@@ -876,15 +876,28 @@ object TextAnalysis {
   /** The ranked BM25 spine shared by [[bm25]] and [[hybridRrf]]:
     * (query_id, doc_id, score_fixed, n_terms, rank), unlimited. */
   private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val terms = docs.select(col("doc_id"),
-      explode(tokens(lower(col("text")))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tf = bm25Tf(docs)
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = tf.agg(sum("tf").as("tok_total"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    bm25Score(tf, dfT, stats)
+  }
+
+  /** Per-(doc, term) frequency digest — the only stage that touches raw
+    * text. */
+  private def bm25Tf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** BM25 scoring off the index DIGESTS (tf + df + corpus stats) — the
+    * consumer both the full build and the incremental merge feed. `dl`
+    * derives from tf (one digest-grain aggregation). */
+  private def bm25Score(tf: DataFrame, dfT: DataFrame,
+                        stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val band = dfT.crossJoin(broadcast(stats))
     val wq = Window.orderBy(col("df").desc, col("term"))
     val qt = band.withColumn("rn", row_number().over(wq))
@@ -955,6 +968,50 @@ object TextAnalysis {
        |  CAST(score_fixed AS DOUBLE) / 1e12 AS score
        |FROM rk WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+
+  // --- q_tx_bm25_incr -----------------------------------------------------
+  // INCREMENTAL index maintenance for the BM25 digests — the production
+  // update path: when a tick lands new documents, only THEIR text is
+  // tokenized; the standing index merges relationally — tf/dl append
+  // (per-doc digests of disjoint doc sets), df adds term-wise (one
+  // full-outer join + sum at term grain), corpus totals add as scalars.
+  // Scoring then runs off the merged digests through the exact same
+  // arithmetic as q_tx_bm25, and the ORACLE is the full recompute
+  // (bm25Sql verbatim) — the hash match IS the proof that
+  // merge(old, tick) ≡ rebuild(corpus), the q_ag_incr_merge contract
+  // applied to a retrieval index. At 100 TB this is the difference
+  // between re-tokenizing the corpus per tick and O(tick) work plus
+  // digest-grain merges.
+  def bm25Incr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 5 === 0) // the landed tick
+    val tfOld = bm25Tf(oldDocs)
+    val tfNew = bm25Tf(newDocs)
+    // tf: pure append (doc sets disjoint by construction)
+    val tf = tfOld.unionByName(tfNew)
+    // df: term-wise add of the two digests — never re-derived from tf
+    val dfM = tfOld.groupBy("term").agg(count(lit(1)).as("df_o"))
+      .join(tfNew.groupBy("term").agg(count(lit(1)).as("df_n")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_o"), lit(0L)) + coalesce(col("df_n"), lit(0L)))
+          .as("df"))
+    // corpus totals: scalar adds
+    val stats = tfOld.agg(sum("tf").as("to_o"))
+      .crossJoin(tfNew.agg(sum("tf").as("to_n")))
+      .crossJoin(oldDocs.agg(count(lit(1)).as("nd_o")))
+      .crossJoin(newDocs.agg(count(lit(1)).as("nd_n")))
+      .select(
+        (coalesce(col("to_o"), lit(0L)) + coalesce(col("to_n"), lit(0L)))
+          .as("tok_total"),
+        (col("nd_o") + col("nd_n")).as("n_docs"))
+    bm25Score(tf, dfM, stats)
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        (col("score_fixed").cast("double") / lit(1e12)).as("score"))
+      .orderBy("query_id", "rank")
+  }
 
   // --- q_tx_hybrid_rrf ----------------------------------------------------
   // Hybrid retrieval: the lexical (BM25) and semantic (embedding
@@ -1048,6 +1105,7 @@ object TextAnalysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_bm25" -> (bm25 _),
     "q_tx_hybrid_rrf" -> (hybridRrf _),
+    "q_tx_bm25_incr" -> (bm25Incr _),
     "q_tx_heavy_hitters" -> (heavyHittersQ _),
     "q_tx_trigram_backoff" -> (trigramBackoff _),
     "q_tx_bigram_broadcast" -> (bigramBroadcast _),
@@ -1068,6 +1126,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_tx_bm25" -> bm25Sql,
     "q_tx_hybrid_rrf" -> hybridRrfSql,
+    "q_tx_bm25_incr" -> bm25Sql, // oracle = FULL recompute: merge ≡ rebuild
     "q_tx_trigram_backoff" -> trigramBackoffSql,
     "q_tx_bigram_broadcast" -> bigramBroadcastSql,
     "q_tx_bigram_coherence" -> bigramCoherenceSql,

@@ -129,6 +129,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BM25 and recall rankings plan partial WindowGroupLimit; query terms broadcast") {
+    import graft.queries.{Similarity, TextAnalysis}
+    // the per-key top-k must bound work BEFORE the exchange: Spark's
+    // WindowGroupLimit in Partial mode keeps k rows per (partition,
+    // key) heap, so the rank shuffle moves k·|keys| rows, not the
+    // full candidate stream — the grouped analogue of
+    // TakeOrderedAndProject, and what survives a 100x candidate blowup
+    val bp = plan(TextAnalysis.bm25(spark, sf))
+    assert(bp.contains("WindowGroupLimit") && bp.contains("Partial"),
+      s"bm25 rank filter must plan a partial group limit:\n${bp.take(2000)}")
+    // the query-term list is a dimension: it must broadcast, the
+    // postings stream must not
+    assert(bp.contains("BroadcastHashJoin"),
+      s"query terms should broadcast into the postings join:\n${bp.take(2000)}")
+    val rp = plan(Similarity.recallEval(spark, sf))
+    assert(rp.contains("WindowGroupLimit") && rp.contains("Partial"),
+      s"recall rankings must plan partial group limits:\n${rp.take(2000)}")
+  }
+
   test("top-k by recency plans TakeOrderedAndProject, never a global sort") {
     val p = plan(Relational.topkRecent(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
