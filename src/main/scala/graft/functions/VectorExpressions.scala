@@ -123,6 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the reference's text-typed optional-filter equality into sargable
     // predicates — see graft.plans.UnwrapStringCast
     ext.injectOptimizerRule(_ => graft.plans.UnwrapStringCast)
+    // vectorize naive non-equi band joins (nested-loop → bucketed
+    // equi-join) — see graft.plans.BandJoinRewrite
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"), VectorFunctions.info, VectorFunctions.builder))
     ext.injectFunction((

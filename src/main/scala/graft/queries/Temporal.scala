@@ -536,7 +536,44 @@ object Temporal {
   // the recursive-CTE walk is the deliberately different replay: all
   // users advance one step per iteration.)
 
+  // --- q_t12_band_join ----------------------------------------------------
+  // The NAIVE global band join — every error paired with every click
+  // within ±2 minutes, NO key equality — written exactly the way a user
+  // writes it (`between(t - w, t + w)`). Without help Spark can only
+  // plan this as BroadcastNestedLoopJoin: an O(|L|·|R|) row-pair scan,
+  // the planner trap q_t2_range_join hand-bucketed around. The injected
+  // BandJoinRewrite rule (graft.plans) vectorizes the naive form
+  // itself: bucket size w1+w2+1, three probe buckets generated on the
+  // left, the join re-planned as an EQUI join on the bucket with the
+  // band as residual — PlanSpec asserts nested-loop without the rule,
+  // hash/sort-merge with it, identical results both ways, and this row
+  // hash-verifies the rewritten plan's output.
+  private val BandW = 120L * 1000000L // ±2 minutes, in epoch micros
+
+  def bandJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("err_us"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("clk_id"), unix_micros(col("ts")).as("clk_us"))
+    err.join(clk,
+        col("err_us").between(col("clk_us") - BandW, col("clk_us") + BandW))
+      .select(col("err_id"), col("clk_id"),
+        (col("err_us") - col("clk_us")).as("delta_us"))
+      .orderBy("err_id", "clk_id")
+  }
+
+  val bandJoinSql: String =
+    s"""SELECT e.event_id AS err_id, c.event_id AS clk_id,
+       |  epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+       |FROM events e JOIN events c
+       |  ON e.event_type = 'error' AND c.event_type = 'click'
+       |  AND epoch_us(e.ts) BETWEEN epoch_us(c.ts) - $BandW
+       |                         AND epoch_us(c.ts) + $BandW
+       |ORDER BY err_id, clk_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t12_band_join" -> (bandJoin _),
     "q_t11_debounce" -> (debounce _),
     "q_t10_m4" -> (m4 _),
     "q_t9_concurrency" -> (concurrency _),
@@ -550,6 +587,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t12_band_join" -> bandJoinSql,
     "q_t11_debounce" -> debounceSql,
     "q_t10_m4" -> m4Sql,
     "q_t9_concurrency" -> concurrencySql,

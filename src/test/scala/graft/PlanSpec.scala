@@ -148,6 +148,31 @@ class PlanSpec extends SparkSpec {
       s"recall rankings must plan partial group limits:\n${rp.take(2000)}")
   }
 
+  test("BandJoinRewrite: the naive band join trades nested-loop for an equi join") {
+    import graft.plans.BandJoinRewrite
+    import graft.queries.Temporal
+    // WITH the injected rule (session default): the bucket equi-key
+    // turns the only-band join into a hash/sort-merge join
+    val withRule = plan(Temporal.bandJoin(spark, sf))
+    assert(!withRule.contains("BroadcastNestedLoopJoin"),
+      s"band join must not plan a nested loop with the rule:\n${withRule.take(2000)}")
+    assert(withRule.contains("SortMergeJoin") ||
+      withRule.contains("ShuffledHashJoin") ||
+      withRule.contains("BroadcastHashJoin"),
+      s"expected an equi join on the bucket:\n${withRule.take(2000)}")
+    val got = Temporal.bandJoin(spark, sf).collect()
+    // WITHOUT: same query, nested loop — and identical results, so the
+    // rewrite is provably a pure plan transformation
+    spark.conf.set(BandJoinRewrite.EnabledKey, "false")
+    try {
+      val without = plan(Temporal.bandJoin(spark, sf))
+      assert(without.contains("BroadcastNestedLoopJoin"),
+        s"without the rule this must be the nested-loop trap:\n${without.take(2000)}")
+      assert(Temporal.bandJoin(spark, sf).collect().toSeq === got.toSeq)
+    } finally spark.conf.unset(BandJoinRewrite.EnabledKey)
+    assert(got.nonEmpty, "the band must produce pairs on the test corpus")
+  }
+
   test("top-k by recency plans TakeOrderedAndProject, never a global sort") {
     val p = plan(Relational.topkRecent(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
