@@ -266,4 +266,57 @@ class PropertySpec extends SparkSpec {
         r.getAs[Long]("total_frames") == frames.length.toLong))
     }
   }
+
+  test("BandJoinRewrite ≡ nested-loop for ANY data, widths, and signs") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      m <- Gen.choose(5, 40)
+      // negative values exercise the floor-division path; clustered and
+      // spread-out ranges exercise empty/full buckets
+      ls <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      rs <- Gen.listOfN(m, Gen.choose(-500L, 500L))
+      w1 <- Gen.choose(0L, 120L)
+      w2 <- Gen.choose(0L, 120L)
+    } yield (ls, rs, w1, w2)
+    forAll(gen, n = 10) { case (ls, rs, w1, w2) =>
+      import ss.implicits._
+      val l = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("lid", "lt")
+      val r = rs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("rid", "rt")
+      def pairs() = l.join(r,
+          col("lt") >= col("rt") - w1 && col("lt") <= col("rt") + w2)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val rewritten = pairs() // rule on (session default)
+      spark.conf.set(graft.plans.BandJoinRewrite.EnabledKey, "false")
+      val naive = try pairs()
+        finally spark.conf.unset(graft.plans.BandJoinRewrite.EnabledKey)
+      assert(rewritten === naive,
+        s"w1=$w1 w2=$w2: rewrite diverged (${rewritten.size} vs ${naive.size})")
+    }
+  }
+
+  test("UnwrapStringCast: IN-lists unwrap only when every literal round-trips") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.orders(spark, sf)
+    // all-canonical list: results equal the typed IN
+    val typed = df.filter(col("o_custkey").isin(3L, 5L, 7L)).count()
+    val asStr = df.filter(col("o_custkey").cast("string").isin("3", "5", "7"))
+    assert(asStr.count() === typed)
+    val p = asStr.queryExecution.executedPlan.toString
+    assert(p.contains("In(o_custkey") || p.contains("o_custkey#"),
+      s"IN should unwrap to the typed column:\n${p.take(1500)}")
+    assert(!p.contains("cast(o_custkey"),
+      s"unwrapped IN must not retain the string cast:\n${p.take(1500)}")
+    // a non-canonical member ('05') blocks the whole-list rewrite and
+    // string semantics hold: '05' matches nothing
+    val mixed = df.filter(col("o_custkey").cast("string").isin("05", "7"))
+    assert(mixed.count() ===
+      df.filter(col("o_custkey") === 7L).count())
+    val pm = mixed.queryExecution.executedPlan.toString
+    assert(pm.contains("cast(o_custkey"),
+      s"mixed-canonical IN must stay in string space:\n${pm.take(1500)}")
+  }
 }
