@@ -276,6 +276,56 @@ object Relational {
       |WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  // --- q_w13_time_travel --------------------------------------------------
+  // TIME TRAVEL over the CDC op-log — the lakehouse "VERSION AS OF"
+  // semantics expressed relationally: the table state at time T is the
+  // last-op-wins application (q_w11's rule) of every op with ts ≤ T.
+  // Three weekly snapshots reconstruct in ONE pass: each op explodes to
+  // the snapshots it precedes, then the same single (snap, key) window
+  // picks the winner per snapshot — no per-snapshot rescan of the log.
+  // At 100 TB the production form checkpoints periodic snapshots and
+  // replays only the delta since the nearest one (exactly q_w12's diff
+  // machinery run in reverse); the reconstruction rule pinned here is
+  // the correctness contract those checkpoints must preserve.
+  private val TravelSnaps =
+    Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00")
+
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val op = when(col("event_type") === "signup", lit("I"))
+      .when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+    val w = Window.partitionBy("snap", "user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        op.as("op"),
+        explode(array(TravelSnaps.map(t =>
+          to_timestamp(lit(t))): _*)).as("snap"))
+      .filter(col("ts") <= col("snap"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        Window.partitionBy("snap", "user_id")))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("snap"), col("user_id"), col("op").as("last_op"),
+        col("value"), col("n_ops"))
+      .orderBy("snap", "user_id")
+  }
+
+  val timeTravelSql: String = {
+    val vals = TravelSnaps.map(t => s"(TIMESTAMP '$t')").mkString(", ")
+    s"""WITH snaps(snap) AS (VALUES $vals),
+       |x AS (
+       |  SELECT s.snap, e.user_id, e.ts, e.event_id, e.value,
+       |    CASE WHEN e.event_type = 'signup' THEN 'I'
+       |         WHEN e.event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+       |    ROW_NUMBER() OVER (PARTITION BY s.snap, e.user_id
+       |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY s.snap, e.user_id) AS n_ops
+       |  FROM events e JOIN snaps s ON e.ts <= s.snap)
+       |SELECT snap, user_id, op AS last_op, value, n_ops
+       |FROM x WHERE rn = 1 AND op <> 'D'
+       |ORDER BY snap, user_id""".stripMargin
+  }
+
   // --- q_o1_window_rank ---------------------------------------------------
   // Generalized windowed ranking (SURVEY §2.5 note): top-3 orders per
   // customer by price. One shuffle on the partition key, then a local sort.
@@ -714,6 +764,7 @@ object Relational {
     "q_w3_catalog_antijoin" -> (catalogAntijoin _),
     "q_a6_lww_dedup" -> (lwwDedup _),
     "q_w11_cdc_apply" -> (cdcApply _),
+    "q_w13_time_travel" -> (timeTravel _),
     "q_o1_window_rank" -> (windowRank _),
     "q_o5_ntile" -> (ntileProfile _),
     "q_j11_fuzzy" -> (fuzzyDictionary _),
@@ -737,6 +788,7 @@ object Relational {
     "q_w3_catalog_antijoin" -> catalogAntijoinSql,
     "q_a6_lww_dedup" -> lwwDedupSql,
     "q_w11_cdc_apply" -> cdcApplySql,
+    "q_w13_time_travel" -> timeTravelSql,
     "q_o1_window_rank" -> windowRankSql,
     "q_o5_ntile" -> ntileProfileSql,
     "q_j11_fuzzy" -> fuzzyDictionarySql,
