@@ -104,7 +104,10 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val conjuncts = splitConjunctivePredicates(cond)
         if (conjuncts.exists(isEqui(l, r, _))) j
         else bandOf(l, r, conjuncts) match {
-          case Some((la, rb, w1, w2, _)) =>
+          case Some((la, rb, w1, w2, _)) if w1 <= (Long.MaxValue - 1) / 2 &&
+              w2 <= (Long.MaxValue - 1) / 2 =>
+            // (guard: w1 + w2 + 1 must not overflow — absurd widths
+            // keep the nested loop rather than mis-bucketing)
             val b = w1 + w2 + 1
             val bl = floorDiv(la, b)
             val probes = CreateArray(Seq(
@@ -115,7 +118,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               generatorOutput = Seq(bAttr), child = l)
             val newCond = And(EqualTo(bAttr, floorDiv(rb, b)), cond)
             Project(j.output, Join(gen, r, Inner, Some(newCond), hint))
-          case None => j
+          case _ => j
         }
       }
     }

@@ -1759,6 +1759,53 @@ object Parity {
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts, value""".stripMargin
 
+  // --- q_st_leaderboard -----------------------------------------------------
+  // CONTINUOUS TOP-K serving (MicroBatch.LeaderboardProcessor): per
+  // event type, the running top-5 by (value desc, event_id) maintained
+  // as K rows of ListState — batch merge is merge-sort-take, and the
+  // top-K-of-union == top-K-of-top-Ks property makes K rows sufficient
+  // forever. Each batch emits the touched keys' refreshed boards under
+  // an incremented revision; "the board now" = rows at the key's max
+  // revision, which is what this query returns after the drain — equal
+  // to the batch window top-5 regardless of how the backlog was sliced
+  // into micro-batches (StreamingSpec pins the 2-tick slicing).
+  def streamingLeaderboard(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream_lead", d)
+    landOnce(ev, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_lead_$runId"
+    val out = withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = graft.streaming.MicroBatch.leaderboard(
+        graft.streaming.MicroBatch.readEvents(ss, s"$root/src", ev))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+    }
+    // "board now" = rows at each key's max revision; a window avoids
+    // the self-join against the memory sink's view
+    val wl = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    out.withColumn("_maxrev", max("rev").over(wl))
+      .filter(col("rev") === col("_maxrev"))
+      .select("event_type", "rank", "event_id", "value")
+      .orderBy("event_type", "rank")
+  }
+
+  val streamingLeaderboardSql: String =
+    """SELECT event_type, rank, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS INT) AS rank
+      |  FROM events)
+      |WHERE rank <= 5
+      |ORDER BY event_type, rank""".stripMargin
+
   // --- q_mm_meta_stats ------------------------------------------------------
   // Metadata-only rollup over the media table: dimension-bucketed counts
   // and size totals computed WITHOUT touching the payload column. This is
@@ -1919,7 +1966,7 @@ object Parity {
     "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_neardup_v2", "q_st_upsert",
     "q_st_stream_join", "q_st_semi_join", "q_st_outer_join", "q_st_full_outer", "q_st_static_join",
     "q_st_anomaly_v2", // a real RocksDB drain, unlike the batch twin q_st_anomaly
-    "q_st_rolling_v2", "q_st_chained")
+    "q_st_rolling_v2", "q_st_chained", "q_st_leaderboard")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_chunked_rest" -> (chunkedRest _),
@@ -1963,6 +2010,7 @@ object Parity {
     "q_st_anomaly" -> (anomalyBatch _),
     "q_st_anomaly_v2" -> (anomalyBatchV2 _),
     "q_st_rolling_v2" -> (rollingBatchV2 _),
+    "q_st_leaderboard" -> (streamingLeaderboard _),
     "q_mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
@@ -2007,5 +2055,6 @@ object Parity {
     "q_st_anomaly" -> anomalyBatchSql,
     "q_st_anomaly_v2" -> anomalyBatchSql, // same semantics, same oracle
     "q_st_rolling_v2" -> rollingBatchSql,
+    "q_st_leaderboard" -> streamingLeaderboardSql,
     "q_mm_frame_sample" -> frameSampleSql)
 }

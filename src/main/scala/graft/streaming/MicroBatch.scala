@@ -591,6 +591,71 @@ object MicroBatch {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One leaderboard slot in state: (value, event_id) — the total order
+    * is (value desc, event_id asc), tie-free by the unique id. */
+  case class LeaderEntry(value: Double, event_id: Long)
+
+  /** One emitted leaderboard row: `rev` increments per batch that
+    * touched the key, so "the board as of now" = rows at max rev. */
+  case class LeaderOut(event_type: String, rev: Long, rank: Int,
+                       event_id: Long, value: Double)
+
+  /** CONTINUOUS TOP-K — the serving leaderboard as a stateful
+    * operator: per key (event type here; per-game/per-market in
+    * production) the state is just the current top-K entries
+    * (ListState, K rows — merging a batch is merge-sort-take, never a
+    * rescan of history), and each batch that touches a key emits the
+    * key's full refreshed board under an incremented revision. The
+    * top-K-of-union-equals-top-K-of-top-Ks property is what makes K
+    * rows of state sufficient forever — the same mergeability argument
+    * as the KMV sketch, applied to order statistics. Rows are folded in
+    * deterministic (value desc, id) order so replays and batch
+    * slicings yield identical boards at every revision.
+    */
+  class LeaderboardProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Double), LeaderOut] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var board: ListState[LeaderEntry] = _
+    @transient private var rev: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      board = getHandle.getListState[LeaderEntry]("board",
+        org.apache.spark.sql.Encoders.product[LeaderEntry], TTLConfig.NONE)
+      rev = getHandle.getValueState[Long]("rev",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Double)],
+        timerValues: TimerValues): Iterator[LeaderOut] = {
+      val merged = (board.get().toIndexedSeq ++
+        rows.map(r => LeaderEntry(r._3, r._2)))
+        .sortBy(e => (-e.value, e.event_id))
+        .take(k)
+      board.put(merged.toArray)
+      val r = (if (rev.exists()) rev.get() else 0L) + 1L
+      rev.update(r)
+      merged.zipWithIndex.map { case (e, i) =>
+        LeaderOut(key, r, i + 1, e.event_id, e.value)
+      }.iterator
+    }
+  }
+
+  /** [[LeaderboardProcessor]] over (event_type, event_id, value). */
+  def leaderboard(events: DataFrame, k: Int = 5)
+  : org.apache.spark.sql.Dataset[LeaderOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_type", "event_id", "value")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new LeaderboardProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One closed session: [start, last] with its event count. */
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_last: java.sql.Timestamp, n_events: Long)

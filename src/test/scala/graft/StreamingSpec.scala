@@ -152,6 +152,67 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("leaderboard: every revision equals the batch top-k of the data so far") {
+    // the merge contract, observed across a 2-batch slicing: after each
+    // tick, a key's emitted board must equal the BATCH top-5 over all
+    // data that had arrived by that tick — K rows of state carry
+    // everything needed (top-K of a union == top-K of the top-Ks)
+    val events = Tables.events(spark, sf).cache()
+    try {
+      val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      val w1 = events.filter(col("ts") < cut)
+      val w2 = events.filter(col("ts") >= cut)
+      val src = dir("lead-src")
+      w1.coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+      w2.coalesce(1).write.mode("append").parquet(src)
+      val name = s"graft_lead_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+      // two state variables (ListState + ValueState) = multiple column
+      // families — RocksDB only
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+      val q = MicroBatch.leaderboard(
+        MicroBatch.readEvents(spark, src, events, Some(1)))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", dir("lead-cp"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = spark.table(name).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rev"),
+          r.getAs[Int]("rank"), r.getAs[Long]("event_id")))
+      def batchTop(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "event_id", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (t, rs) =>
+          t -> rs.sortBy(r => (-r._3, r._2)).take(5).map(_._2).toSeq
+        }
+      val afterT1 = batchTop(w1)
+      val afterAll = batchTop(events)
+      out.groupBy(_._1).foreach { case (t, rows) =>
+        val byRev = rows.groupBy(_._2)
+        val maxRev = byRev.keys.max
+        def boardAt(rev: Long) =
+          byRev(rev).sortBy(_._3).map(_._4).toSeq
+        assert(boardAt(maxRev) === afterAll(t),
+          s"final board for $t diverges from the batch top-5")
+        if (byRev.size > 1) // the key was touched in both ticks
+          assert(boardAt(1L) === afterT1(t),
+            s"tick-1 board for $t diverges from the batch top-5 of tick 1")
+      }
+      } finally prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    } finally events.unpersist()
+  }
+
   test("two scheduler ticks with a shared checkpoint drain incrementally") {
     // The reference's hourly tick = one AvailableNow drain; the SECOND
     // tick must resume from the checkpoint (processing only files landed
