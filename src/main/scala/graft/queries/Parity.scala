@@ -1448,12 +1448,27 @@ object Parity {
   // 1-bit-flipped probe per pixel (distance 1), and candidates are the
   // equi-join of probes against hashes banded by (width, height).
   // Candidate volume is |frames|·(npix+1) — linear, the bounded-
-  // candidate discipline of MinHash-LSH applied to pixels. Pairs
+  // candidate discipline of MinHash-LSH applied to pixels. PAIR volume
+  // is still quadratic inside one hash bucket, so hot buckets are
+  // CAPPED like every candidate generator in Dedup (`MaxShingleDf`): a
+  // (dims, hash) bucket holding more than MaxFrameBucket frames is a
+  // degenerate mono-hash cluster (constant-color corpus, black
+  // frames) and is excluded from matching entirely — both engines
+  // apply the identical cap, and DedupSpec proves a planted 200-frame
+  // mono-bucket emits zero pairs while normal near-dups survive. Pairs
   // order (a < b) and distinct-out the double discovery. The oracle
-  // replays decode → hash → probe → join header-blind from text bytes.
+  // replays decode → hash → probe → cap → join header-blind.
+  private val MaxFrameBucket = 100L
+
   def frameNearDupQ(s: SparkSession, d: String): DataFrame = {
-    val f = graft.multimodal.Avi.frameAHash(aviDecodeMedia(s, d))
-      .localCheckpoint() // consumed twice: probe side + build side
+    val raw = graft.multimodal.Avi.frameAHash(aviDecodeMedia(s, d))
+      .localCheckpoint() // consumed by the cap count + probe + build
+    val hot = raw.groupBy("width", "height", "ahash")
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .filter(col("n_in_bucket") > MaxFrameBucket)
+      .select("width", "height", "ahash")
+    val f = raw.join(broadcast(hot), Seq("width", "height", "ahash"),
+      "left_anti")
     val base = f.select(col("media_id").as("b_id"), col("frame_idx").as("b_f"),
       col("width").as("b_w"), col("height").as("b_h"),
       col("ahash").as("b_hash"))
@@ -1478,7 +1493,7 @@ object Parity {
   }
 
   val frameNearDupSql: String =
-    """WITH d AS MATERIALIZED (
+    s"""WITH d AS MATERIALIZED (
       |  SELECT doc_id AS media_id, substring(text, 1, 64) AS s,
       |    CAST(3 + doc_id % 3 AS BIGINT) AS w
       |  FROM documents WHERE length(text) >= 64
@@ -1501,13 +1516,19 @@ object Parity {
       |tot AS MATERIALIZED (
       |  SELECT media_id, frame_idx, sum(luma) AS total
       |  FROM px GROUP BY 1, 2),
-      |fr AS MATERIALIZED (
+      |fr0 AS MATERIALIZED (
       |  SELECT px.media_id, px.frame_idx, w AS width,
       |    CAST(2 AS BIGINT) AS height, npix,
       |    sum(CASE WHEN luma * npix >= total
       |             THEN 1::BIGINT << CAST(pix AS INT) ELSE 0 END) AS ahash
       |  FROM px JOIN tot USING (media_id, frame_idx)
       |  GROUP BY px.media_id, px.frame_idx, w, npix),
+      |hot AS MATERIALIZED (
+      |  SELECT width, height, ahash FROM fr0
+      |  GROUP BY width, height, ahash HAVING count(*) > $MaxFrameBucket),
+      |fr AS MATERIALIZED (
+      |  SELECT f.* FROM fr0 f ANTI JOIN hot h
+      |    USING (width, height, ahash)),
       |probes AS MATERIALIZED (
       |  SELECT media_id AS a_id, frame_idx AS a_f, width, height,
       |    ahash AS probe, 0 AS hamming

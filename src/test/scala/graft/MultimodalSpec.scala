@@ -248,6 +248,32 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "payload")
     assert(Avi.decodeDibRows(short).count() == 0)
 
+    // hot-bucket cap: a planted 200-doc mono corpus (identical constant
+    // frames → one degenerate hash bucket per width, >100 frames each)
+    // must emit ZERO pairs, while a small planted near-dup bucket in
+    // the same corpus survives — the MaxShingleDf discipline applied
+    // to frame hashes
+    {
+      import graft.queries.Parity
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft-framecap").toString
+      // 400: the %9-rejected ids all fall in the width-3 group, so the
+      // smallest bucket is (400/3 − 45) · 2 ≈ 178 frames — over the cap
+      val mono = (0L until 400L).map(i => (i, "a" * 70))
+      val planted = Seq(10001L, 10004L) // same %3 → same dims; %9 != 0
+        .map(id => (id, "AAAAAAAAzzzzzzzzAAAAAAAAzzzzzzzzAAAAAAAAzzzzzzzzAAAAAAAAzzzzzzzz"))
+      (mono ++ planted).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+      val pairs = Parity.frameNearDupQ(spark, dir2).collect()
+      assert(pairs.nonEmpty, "planted identical docs must pair")
+      val ids = pairs.flatMap(r =>
+        Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      assert(ids.subsetOf(Set(10001L, 10004L)),
+        s"mono-bucket frames must be capped out of matching, got ids $ids")
+      assert(pairs.length === 6, // C(4,2) among the 2x2 planted frames
+        s"expected 6 hamming-0 pairs among planted frames, got ${pairs.length}")
+    }
+
     // perceptual average hash, golden: lumas are (6,15,24) bottom row,
     // (60,150,240) top row (pixel index = storage order r*w+x); total =
     // 495, npix = 6 → bit set iff luma*6 >= 495, i.e. luma >= 82.5 —
