@@ -213,6 +213,70 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("leaderboard state survives a restart: two drains, one checkpoint") {
+    // the scheduler-tick shape: drain tick 1, process exits, tick 2
+    // lands, a NEW drain resumes from the checkpoint — the board must
+    // carry the tick-1 top-k through the restart (ListState recovery),
+    // ending equal to the batch top-5 over both ticks
+    val events = Tables.events(spark, sf).cache()
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      val src = dir("lead2-src")
+      val cp = dir("lead2-cp")
+      val sink = dir("lead2-sink") + "/boards"
+      // memory sinks cannot recover from a checkpoint — cross-drain
+      // tests need a file/foreachBatch sink (the q_st continuity rule)
+      def drain(): Unit = {
+        val q = MicroBatch.leaderboard(
+          MicroBatch.readEvents(spark, src, events))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[MicroBatch.LeaderOut],
+             _: Long) =>
+              batch.write.mode("append").parquet(sink)
+          }
+          .start()
+        q.awaitTermination()
+      }
+      events.filter(col("ts") < cut).coalesce(1)
+        .write.mode("append").parquet(src)
+      drain() // tick 1
+      events.filter(col("ts") >= cut).coalesce(1)
+        .write.mode("append").parquet(src)
+      drain() // tick 2 resumes from the checkpoint
+      val finalBoard = spark.read.parquet(sink).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rev"),
+          r.getAs[Int]("rank"), r.getAs[Long]("event_id")))
+        .groupBy(_._1).map { case (t, rows) =>
+          val maxRev = rows.map(_._2).max
+          t -> rows.filter(_._2 == maxRev).sortBy(_._3).map(_._4).toSeq
+        }
+      val expected = events.select("event_type", "event_id", "value")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (t, rs) =>
+          t -> rs.sortBy(r => (-r._3, r._2)).take(5).map(_._2).toSeq
+        }
+      assert(finalBoard === expected,
+        "post-restart board must equal the batch top-5 over both ticks")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      events.unpersist()
+    }
+  }
+
   test("two scheduler ticks with a shared checkpoint drain incrementally") {
     // The reference's hourly tick = one AvailableNow drain; the SECOND
     // tick must resume from the checkpoint (processing only files landed
