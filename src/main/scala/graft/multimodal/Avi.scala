@@ -257,6 +257,33 @@ object Avi {
         col("_sums").getField("w").as("wsum"))
   }
 
+  /** Nearest-neighbor RESIZE of each decoded DIB frame to outW×outH —
+    * the brief's "resize" step as pure integer column arithmetic:
+    * source coords are `x_src = (x_out · w) div outW` (the classic NN
+    * index map, exact floor division on non-negative ints), the row
+    * lookup goes through the bottom-up flip, and the output is one row
+    * per OUTPUT pixel with its BGR bytes — the fixed-size thumbnail
+    * grid a vision pipeline feeds a model. No UDF, no shuffle: the
+    * explode is outW·outH rows per frame, each a 3-byte slice of the
+    * frame region. Frames whose length ≠ stride×height are filtered
+    * like every DIB consumer. */
+  def resizeDibNearest(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val p = col("payload")
+    val stride = expr("((width * 3 + 3) DIV 4) * 4")
+    val xs = expr(s"(x2 * width) DIV $outW")
+    val ys = expr(s"(y2 * height) DIV $outH") // image orientation (top-down)
+    val dibRow = col("height") - 1 - ys // bottom-up storage
+    val base = col("frame_off") + dibRow * stride + xs * 3
+    frameRows(media)
+      .filter(col("frame_len") === stride * col("height"))
+      .withColumn("y2", explode(sequence(lit(0), lit(outH - 1))))
+      .withColumn("x2", explode(sequence(lit(0), lit(outW - 1))))
+      .select(col("media_id"), col("frame_idx"),
+        col("width"), col("height"),
+        col("y2").cast("long").as("y2"), col("x2").cast("long").as("x2"),
+        u8(p, base).as("b"), u8(p, base + 1).as("g"), u8(p, base + 2).as("r"))
+  }
+
   /** Perceptual AVERAGE HASH of each decoded DIB frame — the aHash
     * fingerprint (public pHash-family baseline): pixel bit i is set iff
     * that pixel's luma is at or above the frame mean, packed

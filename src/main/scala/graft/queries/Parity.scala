@@ -1780,6 +1780,46 @@ object Parity {
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts, value""".stripMargin
 
+  // --- q_mm_frame_resize ----------------------------------------------------
+  // The brief's RESIZE step: every decoded DIB frame nearest-neighbor
+  // resized to a fixed 2x2 thumbnail grid (Avi.resizeDibNearest) — the
+  // normalize-to-model-input stage of a vision pipeline, as integer
+  // column arithmetic over the frame slice. The output is one row per
+  // output pixel with its exact BGR bytes; the header-blind oracle
+  // replays the NN index map (x_src = x_out·w // outW, through the
+  // bottom-up flip) from text bytes — an off-by-one in the map, the
+  // flip, or the stride breaks the hash.
+  def frameResizeQ(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Avi.resizeDibNearest(aviDecodeMedia(s, d), 2, 2)
+      .orderBy("media_id", "frame_idx", "y2", "x2")
+
+  val frameResizeSql: String =
+    """WITH d AS MATERIALIZED (
+      |  SELECT doc_id AS media_id, substring(text, 1, 64) AS s,
+      |    CAST(3 + doc_id % 3 AS BIGINT) AS w
+      |  FROM documents WHERE length(text) >= 64
+      |    AND octet_length(encode(substring(text, 1, 64))) = 64
+      |    AND doc_id % 9 <> 0),
+      |dims AS MATERIALIZED (
+      |  SELECT media_id, s, w, ((3 * w + 3) // 4) * 4 AS stride FROM d),
+      |px AS MATERIALIZED (
+      |  SELECT media_id, s, f.f AS frame_idx, w AS width,
+      |    CAST(2 AS BIGINT) AS height,
+      |    CAST(y.y AS BIGINT) AS y2, CAST(x.x AS BIGINT) AS x2,
+      |    CAST(f.f * stride * 2
+      |      + (1 - (y.y * 2) // 2) * stride
+      |      + 3 * ((x.x * w) // 2) AS INT) AS base
+      |  FROM dims,
+      |    unnest(generate_series(0, 1)) f(f),
+      |    unnest(generate_series(0, 1)) y(y),
+      |    unnest(generate_series(0, 1)) x(x))
+      |SELECT media_id, frame_idx, width, height, y2, x2,
+      |  CAST(ord(substring(s, base + 1, 1)) AS BIGINT) AS b,
+      |  CAST(ord(substring(s, base + 2, 1)) AS BIGINT) AS g,
+      |  CAST(ord(substring(s, base + 3, 1)) AS BIGINT) AS r
+      |FROM px
+      |ORDER BY media_id, frame_idx, y2, x2""".stripMargin
+
   // --- q_st_leaderboard -----------------------------------------------------
   // CONTINUOUS TOP-K serving (MicroBatch.LeaderboardProcessor): per
   // event type, the running top-5 by (value desc, event_id) maintained
@@ -2024,6 +2064,7 @@ object Parity {
     "q_mm_avi_frames" -> (aviFramesQ _),
     "q_mm_avi_decode" -> (aviDecodeQ _),
     "q_mm_frame_neardup" -> (frameNearDupQ _),
+    "q_mm_frame_resize" -> (frameResizeQ _),
     "q_mm_ulaw_windows" -> (ulawWindowsQ _),
     "q_mm_resize" -> (pnmResize _),
     "q_mm_pcm_windows" -> (pcmWindows _),
@@ -2069,6 +2110,7 @@ object Parity {
     "q_mm_avi_frames" -> aviFramesSql,
     "q_mm_avi_decode" -> aviDecodeSql,
     "q_mm_frame_neardup" -> frameNearDupSql,
+    "q_mm_frame_resize" -> frameResizeSql,
     "q_mm_ulaw_windows" -> ulawWindowsSql,
     "q_mm_resize" -> pnmResizeSql,
     "q_mm_pcm_windows" -> pcmWindowsSql,

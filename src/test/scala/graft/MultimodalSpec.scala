@@ -248,6 +248,20 @@ class MultimodalSpec extends SparkSpec {
       .toDF("media_id", "payload")
     assert(Avi.decodeDibRows(short).count() == 0)
 
+    // nearest-neighbor resize to 2x2, golden: w=3 → x_src = (x2*3)//2 ∈
+    // {0, 1}; h=2 → y_src = y2 through the bottom-up flip. Output
+    // pixels must be exactly (10,20,30),(40,50,60) on the top row and
+    // (1,2,3),(4,5,6) on the bottom — pad bytes untouched.
+    {
+      val rz = Avi.resizeDibNearest(media, 2, 2)
+        .orderBy("y2", "x2").collect()
+        .map(r => (r.getAs[Long]("y2"), r.getAs[Long]("x2"),
+          r.getAs[Long]("b"), r.getAs[Long]("g"), r.getAs[Long]("r")))
+      assert(rz.toSeq === Seq(
+        (0L, 0L, 10L, 20L, 30L), (0L, 1L, 40L, 50L, 60L),
+        (1L, 0L, 1L, 2L, 3L), (1L, 1L, 4L, 5L, 6L)))
+    }
+
     // hot-bucket cap: a planted 200-doc mono corpus (identical constant
     // frames → one degenerate hash bucket per width, >100 frames each)
     // must emit ZERO pairs, while a small planted near-dup bucket in
