@@ -230,4 +230,44 @@ object Wav {
       }
       .toDF("media_id", "sample_rate", "win_idx", "n_samples", "sum_sq", "peak")
   }
+
+  /** Integer-ratio RESAMPLE — the normalize-the-rate step an audio
+    * pipeline runs before featurization (16 kHz mono is the standard
+    * model input): decimate by 2 with a boxcar pair average, the
+    * simplest anti-aliased downsampler whose arithmetic is EXACT —
+    * v'_j = floor((s_{2j} + s_{2j+1}) / 2), computed as
+    * floor((a+b)/2.0) so the negative-odd case floors identically in
+    * any engine (integer `/` truncates toward zero on the JVM but
+    * floors in DuckDB — the q_ag_histogram lesson applied to audio).
+    * Output is the exact energy/peak window pass over the HALF-RATE
+    * stream, sample_rate halved — same admit contract as
+    * [[wavWindows]] (integer PCM16 mono only). */
+  def wavResampleWindows(media: DataFrame,
+                         windowSamples: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    parseMeta(media)
+      .filter(col("wav_valid") && col("audio_format") === 1 &&
+        col("bits_per_sample") === 16 && col("n_channels") === 1)
+      .select(col("media_id"), col("sample_rate"),
+        col("payload").substr(col("data_off").cast("int"),
+          col("data_len").cast("int")).as("pcm"))
+      .as[(Long, Long, Array[Byte])]
+      .flatMap { case (id, rate, b) =>
+        def s16(i: Int): Int = {
+          val v = (b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)
+          if (v >= 32768) v - 65536 else v
+        }
+        val nSrc = b.length / 2
+        val nDec = nSrc / 2
+        val dec = Array.tabulate(nDec)(j =>
+          math.floor((s16(2 * j) + s16(2 * j + 1)) / 2.0).toLong)
+        val nWin = nDec / windowSamples
+        (0 until nWin).map { w =>
+          val win = dec.slice(w * windowSamples, (w + 1) * windowSamples)
+          (id, rate / 2, w, windowSamples,
+            win.map(v => v * v).sum, win.map(math.abs).max)
+        }
+      }
+      .toDF("media_id", "sample_rate", "win_idx", "n_samples", "sum_sq", "peak")
+  }
 }

@@ -1780,6 +1780,66 @@ object Parity {
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts, value""".stripMargin
 
+  // --- q_mm_wav_resample ----------------------------------------------------
+  // The audio RESAMPLE step (Wav.wavResampleWindows): each admitted
+  // PCM16 WAV decimates by 2 with a boxcar pair average — exact
+  // integer arithmetic with a both-engines floor — then runs the
+  // energy/peak window pass over the half-rate stream. Same fixture
+  // construction and rejection contract as q_mm_wav_windows; the
+  // header-blind oracle replays decode → pair-average → window from
+  // character codes, so a sign bug, a floor-vs-truncate slip, or an
+  // off-by-one in the decimation grid breaks the hash.
+  def wavResampleQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= PcmBytes)
+      .filter(octet_length(substring(col("text"), 1, PcmBytes)) === PcmBytes)
+      .select(col("doc_id"), substring(col("text"), 1, PcmBytes).cast("binary").as("pcm"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, pcm) =>
+        val rate = 8000 + (id % 4).toInt * 4000
+        val junk = if (id % 2 == 0)
+          Seq(("LIST", Array.tabulate(((id % 5) + 1).toInt)(i => (i * 37 + id).toByte)))
+        else Nil
+        val fmtCode = if (id % 7 == 0) 3 else 1 // float rows must be rejected
+        (id, graft.multimodal.Wav.encode(rate, 1, 16, pcm, junk, fmtCode))
+      }
+      .toDF("media_id", "payload")
+    graft.multimodal.Wav.wavResampleWindows(media)
+      .orderBy("media_id", "win_idx")
+  }
+
+  val wavResampleSql: String =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, substring(text, 1, $PcmBytes) AS s
+       |  FROM documents WHERE length(text) >= $PcmBytes
+       |    AND octet_length(encode(substring(text, 1, $PcmBytes))) = $PcmBytes
+       |    AND doc_id % 7 <> 0),
+       |sm AS MATERIALIZED (
+       |  SELECT media_id, CAST(g.i - 1 AS INT) AS si,
+       |    ord(substring(s, 2 * g.i - 1, 1))
+       |      + 256 * ord(substring(s, 2 * g.i, 1)) AS raw
+       |  FROM d, unnest(generate_series(1, ${PcmBytes / 2})) g(i)),
+       |sv AS MATERIALIZED (
+       |  SELECT media_id, si,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+       |  FROM sm),
+       |dec AS MATERIALIZED (
+       |  SELECT a.media_id, a.si // 2 AS dj,
+       |    CAST(FLOOR((a.v + b.v) / 2.0) AS BIGINT) AS v
+       |  FROM sv a JOIN sv b
+       |    ON a.media_id = b.media_id AND b.si = a.si + 1
+       |  WHERE a.si % 2 = 0)
+       |SELECT media_id,
+       |  CAST((8000 + (media_id % 4) * 4000) // 2 AS BIGINT) AS sample_rate,
+       |  CAST(dj // 16 AS INT) AS win_idx, 16 AS n_samples,
+       |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak
+       |FROM dec
+       |WHERE dj // 16 < ${PcmBytes / 4} // 16
+       |GROUP BY media_id, dj // 16
+       |ORDER BY media_id, win_idx""".stripMargin
+
   // --- q_mm_frame_resize ----------------------------------------------------
   // The brief's RESIZE step: every decoded DIB frame nearest-neighbor
   // resized to a fixed 2x2 thumbnail grid (Avi.resizeDibNearest) — the
@@ -2061,6 +2121,7 @@ object Parity {
     "q_mm_pnm_decode" -> (pnmDecode _),
     "q_mm_png_decode" -> (pngDecode _),
     "q_mm_wav_windows" -> (wavWindowsQ _),
+    "q_mm_wav_resample" -> (wavResampleQ _),
     "q_mm_avi_frames" -> (aviFramesQ _),
     "q_mm_avi_decode" -> (aviDecodeQ _),
     "q_mm_frame_neardup" -> (frameNearDupQ _),
@@ -2107,6 +2168,7 @@ object Parity {
     "q_mm_pnm_decode" -> pnmDecodeSql,
     "q_mm_png_decode" -> pngDecodeSql,
     "q_mm_wav_windows" -> wavWindowsSql,
+    "q_mm_wav_resample" -> wavResampleSql,
     "q_mm_avi_frames" -> aviFramesSql,
     "q_mm_avi_decode" -> aviDecodeSql,
     "q_mm_frame_neardup" -> frameNearDupSql,
