@@ -481,6 +481,30 @@ object Relational {
       |WHERE o.o_orderstatus = 'F' AND CAST(c.c_nationkey AS VARCHAR) = '3'
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // --- q_f14_in_rewrite ---------------------------------------------------
+  // The IN-list arm of the text-typed filter idiom: the reference's
+  // multi-select endpoints bind id LISTS as text. Naive translation
+  // leaves `CAST(col AS STRING) IN ('3','7','11')`, which the injected
+  // UnwrapStringCast rule rewrites to the typed IN when EVERY literal
+  // round-trips (the rewrite is all-or-nothing — one non-canonical
+  // member keeps string semantics; PropertySpec pins both branches).
+  // Hash-verified here through the full naive SQL shape with bound
+  // string params.
+  def inRewrite(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_f14_customer")
+    s.sql(
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM graft_f14_customer
+        |WHERE CAST(c_nationkey AS STRING) IN (:a, :b, :c)
+        |ORDER BY c_custkey""".stripMargin,
+      Map("a" -> "3", "b" -> "7", "c" -> "11"))
+  }
+
+  val inRewriteSql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE CAST(c_nationkey AS VARCHAR) IN ('3', '7', '11')
+      |ORDER BY c_custkey""".stripMargin
+
   // --- q_j11_fuzzy --------------------------------------------------------
   // Fuzzy dictionary lookup (record linkage): dirty external names are
   // matched to a reference dictionary by minimum edit distance, with a
@@ -753,6 +777,7 @@ object Relational {
     "q_f1_flagship_page" -> (flagshipPage _),
     "q_f2_param_sql" -> (paramSql _),
     "q_f13_or_rewrite" -> (orRewrite _),
+    "q_f14_in_rewrite" -> (inRewrite _),
     "q_f12_keyset_page" -> (keysetPage _),
     "q_a0_agg_pricing" -> (aggPricing _),
     "q_j2_star_join" -> (starJoin _),
@@ -777,6 +802,7 @@ object Relational {
     "q_f1_flagship_page" -> flagshipPageSql,
     "q_f2_param_sql" -> paramSqlSql,
     "q_f13_or_rewrite" -> orRewriteSql,
+    "q_f14_in_rewrite" -> inRewriteSql,
     "q_f12_keyset_page" -> keysetPageSql,
     "q_a0_agg_pricing" -> aggPricingSql,
     "q_j2_star_join" -> starJoinSql,
