@@ -93,8 +93,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def floorDiv(x: Expression, b: Long): Expression =
-    IntegralDivide(Subtract(x, Pmod(x, Literal(b))), Literal(b))
+  /** Wrap-safe floor division for b >= 2 (Math.floorDiv semantics):
+    * truncating divide, minus one when the remainder is negative. The
+    * previous x - pmod(x, b) form wrapped past Long.MinValue for x
+    * within pmod(x, b) of the domain edge, silently mis-bucketing
+    * (and so DROPPING) qualifying pairs near Long.MinValue. Here the
+    * quotient magnitude is at most 2^62 for b >= 2, so neither the
+    * divide nor the -1 adjustment can overflow. */
+  private def floorDiv(x: Expression, b: Long): Expression = {
+    val q = IntegralDivide(x, Literal(b))
+    val r = Remainder(x, Literal(b))
+    Add(q, If(LessThan(r, Literal(0L)), Literal(-1L), Literal(0L)))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
@@ -109,6 +119,12 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // (guard: w1 + w2 + 1 must not overflow — absurd widths
             // keep the nested loop rather than mis-bucketing)
             val b = w1 + w2 + 1
+            if (b == 1L) {
+              // Zero-width band (w1 = w2 = 0) is plain equality:
+              // surface the equi key and let Spark hash-join it —
+              // also keeps floorDiv's b >= 2 no-overflow contract.
+              Join(l, r, Inner, Some(And(EqualTo(la, rb), cond)), hint)
+            } else {
             val bl = floorDiv(la, b)
             val probes = CreateArray(Seq(
               Subtract(bl, Literal(1L)), bl, Add(bl, Literal(1L))))
@@ -118,6 +134,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               generatorOutput = Seq(bAttr), child = l)
             val newCond = And(EqualTo(bAttr, floorDiv(rb, b)), cond)
             Project(j.output, Join(gen, r, Inner, Some(newCond), hint))
+            }
           case _ => j
         }
       }

@@ -51,9 +51,23 @@ object UnwrapStringCast extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.unwrapStringCast.enabled"
 
-  private def injective(dt: DataType): Boolean = dt match {
+  /** Injectivity of the string rendering, PER ZONE for zoned
+    * timestamps: in a DST-observing zone the fall-back hour repeats —
+    * two distinct instants render to the same wall-clock string (no
+    * offset suffix), so `str(ts) = 'p'` matches both while `ts = lit`
+    * matches only the parser's pick. The literal round-trip check
+    * cannot catch this (it round-trips fine), so TimestampType is only
+    * injective when the resolved zone has a fixed offset (UTC, +05:30).
+    * TimestampNTZ / DATE / integrals are zone-free and always safe. */
+  private def injective(dt: DataType, tz: Option[String]): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
-        TimestampType | TimestampNTZType => true
+        TimestampNTZType => true
+    case TimestampType =>
+      val zone = tz.getOrElse(conf.sessionLocalTimeZone)
+      try {
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .getZoneId(zone).getRules.isFixedOffset
+      } catch { case _: Exception => false }
     case _ => false
   }
 
@@ -76,7 +90,7 @@ object UnwrapStringCast extends Rule[LogicalPlan] {
   private object UnwrappableCast {
     def unapply(e: Expression): Option[(Expression, Option[String])] = e match {
       case Cast(child, dt, tz, _)
-          if isDefaultString(dt) && injective(child.dataType) &&
+          if isDefaultString(dt) && injective(child.dataType, tz) &&
             !child.foldable =>
         Some((child, tz))
       case _ => None

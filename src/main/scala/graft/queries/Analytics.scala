@@ -882,7 +882,12 @@ object Analytics {
         sum(col("in_a") * col("in_b")).as("k_inter"))
       .join(exactPair, Seq("t_a", "t_b"))
       .select(lit("pair").as("kind"), col("t_a"), col("t_b"), col("n_sketch"),
-        ((coalesce(col("k_inter"), lit(0L)).cast("double") / lit(KmvK.toDouble)) *
+        // Ratio denominator is the UNION-SKETCH size, capped at K: when
+        // |A∪B| < K the union sketch IS the exact union (est_union =
+        // n_sketch), so the estimate must be exactly k_inter — dividing
+        // by the constant K would undercount by n_sketch/K.
+        ((coalesce(col("k_inter"), lit(0L)).cast("double") /
+          least(col("n_sketch"), lit(KmvK.toLong)).cast("double")) *
           estOf(col("n_sketch"), col("kth"))).as("est"),
         col("exact"))
     perSet.unionByName(perPair).orderBy("kind", "t_a", "t_b")
@@ -937,7 +942,8 @@ object Analytics {
        |  GROUP BY 1, 2),
        |per_pair AS MATERIALIZED (
        |  SELECT 'pair' AS kind, m.t_a, m.t_b, m.n_sketch,
-       |    (CAST(COALESCE(m.k_inter, 0) AS DOUBLE) / ${KmvK.toDouble}) *
+       |    (CAST(COALESCE(m.k_inter, 0) AS DOUBLE) /
+       CAST(least(m.n_sketch, $KmvK) AS DOUBLE)) *
        |      (CASE WHEN m.n_sketch < $KmvK THEN CAST(m.n_sketch AS DOUBLE)
        |            ELSE $estConst / CAST(m.kth AS DOUBLE) END) AS est,
        |    ep.exact

@@ -1205,15 +1205,26 @@ object Dedup {
     val dupGrams = pos.groupBy("gram").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("gram")
     val dupPos = pos.join(dupGrams, "gram").select("doc_id", "p")
+    // Interval merge, not position-run merge: two duplicated positions
+    // p1 < p2 cover overlapping L-char spans whenever p2 - p1 <= L-1,
+    // so a new island starts only when the gap to the previous
+    // duplicated position exceeds L-1 (positions are sorted, so the
+    // running max of prior span-ends is just lag(p) + L - 1). The
+    // union of a chained island is [min p, max p + L - 1] — no char
+    // double-counted (Lee et al.'s duplicated-char total).
     val wi = Window.partitionBy("doc_id").orderBy("p")
     val spans = dupPos
-      .withColumn("island", col("p") - row_number().over(wi))
+      .withColumn("lagP", lag("p", 1).over(wi))
+      .withColumn("newIsl",
+        when(col("lagP").isNull || col("p") - col("lagP") > (SubL - 1), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("newIsl")).over(wi))
       .groupBy("doc_id", "island")
       .agg(min("p").as("s"), (max("p") + (SubL - 1)).as("e"))
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_chars"))
-    docs.select("doc_id", "len")
+    docs.select(col("doc_id"), col("len").cast("bigint").as("len"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("len"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -1235,16 +1246,23 @@ object Dedup {
        |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
        |dp AS MATERIALIZED (
        |  SELECT doc_id, p FROM pos JOIN dg USING (gram)),
-       |isl AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island,
-       |    p
+       |isl0 AS MATERIALIZED (
+       |  SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+       |           OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+       |              > ${SubL - 1}
+       |         THEN 1 ELSE 0 END AS new_isl
        |  FROM dp),
+       |isl AS MATERIALIZED (
+       |  SELECT doc_id, p,
+       |    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |  FROM isl0),
        |spans AS MATERIALIZED (
        |  SELECT doc_id, island, min(p) AS s, max(p) + ${SubL - 1} AS e
        |  FROM isl GROUP BY doc_id, island),
        |pd AS MATERIALIZED (
-       |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS dup_chars
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
        |  FROM spans GROUP BY doc_id)
        |SELECT d.doc_id, d.len,
        |  COALESCE(pd.n_spans, 0) AS n_spans,

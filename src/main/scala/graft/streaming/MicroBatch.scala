@@ -150,10 +150,19 @@ object MicroBatch {
           }
           val tagged = batch.withColumn("__late", lateIf).localCheckpoint()
           val late = tagged.filter(col("__late")).drop("__late")
+          // foreachBatch is at-least-once: a batch that fails after
+          // this write re-executes with the SAME batchId. Partitioning
+          // by batch_id with dynamic partition overwrite makes the
+          // replay rewrite its own partition instead of appending a
+          // duplicate copy — the quarantine stays exactly-once like
+          // the upsert-protected main sink.
           if (!late.isEmpty)
             late.withColumn("batch_id", lit(batchId))
               .withColumn("watermark_ts", lit(hw.orNull))
-              .write.mode("append").parquet(quarantinePath)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(quarantinePath)
           Upsert.upsert(s, sinkPath, tagged.filter(!col("__late")).drop("__late"),
             keys = Seq("user_id", "event_type", "ts"),
             versionCol = "ingestion_time")

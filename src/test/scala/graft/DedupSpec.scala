@@ -96,6 +96,39 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((2L, 60L)), s"doc4: ${out(4L)}")
   }
 
+  test("substring duplication: OVERLAPPING duplicated grams merge into one span, no double-count") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-substroverlap").toString
+    // Duplicated positions p and p+2 (gap 2 < L = 24) cover overlapping
+    // 24-char intervals whose union is 26 chars. A position-run merge
+    // (island on consecutive p only) would count both intervals fully:
+    // 2 spans / 48 chars — the Lee-et-al duplicated-char total demands
+    // interval union: 1 span / 26 chars. Construction: S is 26 chars;
+    // doc B elsewhere contains ONLY S[0,24) and doc C ONLY S[2,26), so
+    // in doc A the grams at p and p+2 are duplicated but the one at
+    // p+1 is not.
+    val s26 = "qwertyuiopasdfghjklzxcvbnm"
+    require(s26.length == 26)
+    val g1 = s26.substring(0, 24)
+    val g2 = s26.substring(2, 26)
+    val docs = Seq(
+      (1L, s"A-DOC-UNIQUE-HEAD-TEXT::${s26}::A-TAIL-PADDING"),
+      (2L, s"B-DOC-LEADIN-SECTION#${g1}#B-TAIL-FILLER"),
+      (3L, s"C-DOC-OTHER-PREAMBLE*${g2}*C-PAD-ENDING"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.substringDup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_chars"),
+          r.getAs[Double]("dup_frac"))).toMap
+    assert(out(1L)._1 === 1L, s"doc1 spans: ${out(1L)}")
+    assert(out(1L)._2 === 26L, s"doc1 chars: ${out(1L)}")
+    assert(out(2L)._1 === 1L && out(2L)._2 === 24L, s"doc2: ${out(2L)}")
+    assert(out(3L)._1 === 1L && out(3L)._2 === 24L, s"doc3: ${out(3L)}")
+    out.values.foreach { case (_, _, f) =>
+      assert(f >= 0.0 && f <= 1.0, s"dup_frac out of [0,1]: $f") }
+  }
+
   test("a mega-cluster past MaxSemCluster generates no semdedup drops; small clusters still dedup") {
     import ss.implicits._
     import graft.queries.Similarity

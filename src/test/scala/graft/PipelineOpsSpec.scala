@@ -86,6 +86,32 @@ class PipelineOpsSpec extends SparkSpec {
       f"trained cells must beat label cells: trained=$meanT%.3f label=$meanL%.3f")
   }
 
+  test("KMV sub-K sets: the union sketch IS the union, the intersection estimate is EXACT") {
+    // |A| = |B| = 30, |A∪B| = 40 < K = 64: every hash survives both
+    // the per-set and the union sketches, so est(A) = 30, est(B) = 30,
+    // and est(A∩B) must be exactly k_inter = 20 — the ratio's
+    // denominator is the union-sketch SIZE, not the constant K
+    // (dividing by K undercounts by n_sketch/K in this regime).
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-kmv-small").toString
+    val rows =
+      (0L until 30L).map(u => (u, u * 1000L, u, "view", 1.0, "{}")) ++
+        (10L until 40L).map(u => (u + 1000L, u * 1000L, u, "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.kmvSets(spark, dir).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("t_a"),
+        r.getAs[Double]("est"), r.getAs[Long]("exact"))).toSeq
+    out.filter(_._1 == "set").foreach { case (_, t, est, exact) =>
+      assert(exact === 30L && est === 30.0, s"set $t: est=$est exact=$exact")
+    }
+    val pair = out.filter(_._1 == "pair")
+    assert(pair.length === 1)
+    assert(pair.head._4 === 20L)
+    assert(pair.head._3 === 20.0,
+      s"sub-K intersection must be exact, got ${pair.head._3}")
+  }
+
   test("KMV sketch estimates cardinality and overlap on half-overlapping sets") {
     // events corpus where the per-type user sets genuinely differ:
     // 'view' = users 0..399, 'click' = users 200..599 → each 400

@@ -81,6 +81,40 @@ class PlanSpec extends SparkSpec {
       df.filter(col("o_custkey") === 5L).count())
   }
 
+  test("UnwrapStringCast: zoned timestamps unwrap only under fixed-offset zones") {
+    import org.apache.spark.sql.functions._
+    import ss.implicits._
+    // In a DST-observing zone the fall-back hour repeats: two distinct
+    // instants render to the SAME wall-clock string (no offset suffix),
+    // so str(ts) = 'p' is not injective and the literal round-trip
+    // check cannot catch it — the rule must leave the cast in place.
+    // 2024-11-03 01:30:00 in America/Los_Angeles is both 08:30Z (PDT)
+    // and 09:30Z (PST).
+    // parquet-backed so ConvertToLocalRelation can't fold the filter
+    // away before the plan is inspectable
+    val dir = java.nio.file.Files.createTempDirectory("graft-dstunwrap")
+    Seq(
+      java.time.Instant.parse("2024-11-03T08:30:00Z"),
+      java.time.Instant.parse("2024-11-03T09:30:00Z")).toDF("ts")
+      .write.mode("overwrite").parquet(dir.toString)
+    val both = spark.read.parquet(dir.toString)
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val q = both.filter(col("ts").cast("string") === "2024-11-03 01:30:00")
+      assert(q.count() === 2L,
+        "string semantics match BOTH fall-back instants — an unwrap here drops a row")
+      assert(plan(q).contains("cast(ts"),
+        s"DST-observing zone must not unwrap:\n${plan(q).take(1500)}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+    // Under the (fixed-offset) UTC session zone the rendering is
+    // injective again: the unwrap fires and matches exactly one instant.
+    val q = both.filter(col("ts").cast("string") === "2024-11-03 08:30:00")
+    assert(q.count() === 1L)
+    assert(!plan(q).contains("cast(ts"),
+      s"fixed-offset zone should unwrap:\n${plan(q).take(1500)}")
+  }
+
   test("CBO: catalog column stats flip the broadcast decision, no hints") {
     import org.apache.spark.sql.functions.col
     // Every other join in the suite is shaped by thresholds or hints;

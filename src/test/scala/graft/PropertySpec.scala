@@ -298,6 +298,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BandJoinRewrite survives the Long domain edges and zero-width bands") {
+    import org.apache.spark.sql.functions.col
+    import ss.implicits._
+    // Values within w of Long.MinValue wrapped in the old
+    // x - pmod(x, b) floor division: ANSI throws, non-ANSI silently
+    // mis-buckets (= DROPS) qualifying pairs; w1 = w2 = 0 exercises
+    // the b == 1 equi-join arm. Edge values sit on the LEFT side only
+    // (no arithmetic touches lt in the condition); rt values stay at
+    // least max-width from the domain edge so rt ± w itself is
+    // representable under ANSI.
+    val edge = Seq(Long.MinValue, Long.MinValue + 1, Long.MinValue + 7,
+      Long.MinValue + 100, -3L, 0L, 5L,
+      Long.MaxValue - 100, Long.MaxValue - 1, Long.MaxValue)
+    val rvals = Seq(Long.MinValue + 100, Long.MinValue + 120, -3L, 0L, 5L,
+      Long.MaxValue - 130, Long.MaxValue - 120)
+    val l = edge.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("lid", "lt")
+    val r = rvals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("rid", "rt")
+    for ((w1, w2) <- Seq((0L, 0L), (3L, 5L), (100L, 7L), (0L, 120L))) {
+      def pairs() = l.join(r,
+          col("lt") >= col("rt") - w1 && col("lt") <= col("rt") + w2)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val rewritten = pairs()
+      spark.conf.set(graft.plans.BandJoinRewrite.EnabledKey, "false")
+      val naive = try pairs()
+        finally spark.conf.unset(graft.plans.BandJoinRewrite.EnabledKey)
+      assert(rewritten === naive,
+        s"w1=$w1 w2=$w2: edge-domain divergence " +
+          s"(${rewritten.size} vs ${naive.size})")
+    }
+  }
+
   test("UnwrapStringCast: IN-lists unwrap only when every literal round-trips") {
     import org.apache.spark.sql.functions.col
     val df = Tables.orders(spark, sf)
