@@ -2089,6 +2089,182 @@ object Parity {
     "q_st_anomaly_v2", // a real RocksDB drain, unlike the batch twin q_st_anomaly
     "q_st_rolling_v2", "q_st_chained", "q_st_leaderboard")
 
+  // --- q_mm_scene_cut -------------------------------------------------------
+  // SCENE-CUT detection — the video-curation step after decode: a
+  // training pipeline samples one clip per scene, so segment boundaries
+  // (not frames) are the unit of work. Each fixture is a 6-frame 2×2
+  // DIB AVI cut from doc text (same container arms as q_mm_avi_decode:
+  // odd-id JUNK chunks skipped, id%9 foreign-fourcc containers
+  // rejected); per-frame intensity is the exact integer channel total
+  // from the shared decodeDibRows walk, a cut is an adjacent-frame
+  // absolute delta above the threshold, and scenes are the running sum
+  // of cuts — lag + sum windows at frame grain, all integers, no UDF.
+  // At 100 TB the frame stream partitions by media_id and the two
+  // windows run inside one partition-local sort; nothing shuffles
+  // twice. The oracle replays intensity straight from character codes
+  // (header-blind) plus the identical window algebra.
+  private val CutFrames = 6
+  private val CutW = 2 // stride 8 with 2 bytes of row padding
+  private val CutH = 2
+  private val CutBytes = CutFrames * CutH * 8 // 96
+  private val CutThreshold = 100L
+
+  private def sceneCutMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= CutBytes)
+      .filter(octet_length(substring(col("text"), 1, CutBytes)) === CutBytes)
+      .select(col("doc_id"),
+        substring(col("text"), 1, CutBytes).cast("binary").as("raw"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) =>
+        val fb = CutH * 8
+        val frames = (0 until CutFrames).map(i => raw.slice(i * fb, (i + 1) * fb))
+        val junk =
+          if (id % 2 == 0)
+            Some(Array.tabulate(((id % 5) + 1).toInt)(i => (i * 31 + id).toByte))
+          else None
+        val fourcc = if (id % 9 == 0) "AVX " else "AVI "
+        (id, graft.multimodal.Avi.encode(CutW, CutH, 33333, frames, junk, fourcc))
+      }
+      .toDF("media_id", "payload")
+  }
+
+  def sceneCutQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.multimodal.Avi.decodeDibRows(sceneCutMedia(s, d))
+    val frames = rows.groupBy("media_id", "frame_idx")
+      .agg(sum(col("sum_b") + col("sum_g") + col("sum_r")).as("intensity"))
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev", lag("intensity", 1).over(w))
+      .withColumn("delta", when(col("prev").isNull, lit(0L))
+        .otherwise(abs(col("intensity") - col("prev"))))
+      .withColumn("is_cut",
+        when(col("delta") > CutThreshold, 1L).otherwise(0L))
+      .withColumn("seg_id", sum(col("is_cut")).over(w))
+      .select(col("media_id"), col("frame_idx"), col("intensity"),
+        col("delta"), col("is_cut"), col("seg_id"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val sceneCutSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $CutBytes) AS s
+       |  FROM documents WHERE length(text) >= $CutBytes
+       |    AND octet_length(encode(substring(text, 1, $CutBytes))) = $CutBytes
+       |    AND doc_id % 9 <> 0),
+       |px AS (
+       |  SELECT media_id, f.f AS frame_idx,
+       |    ord(substring(s, f.f * 16 + y.y * 8 + 3 * x.x + c.c + 1, 1)) AS v
+       |  FROM d,
+       |    unnest(generate_series(0, ${CutFrames - 1})) f(f),
+       |    unnest(generate_series(0, ${CutH - 1})) y(y),
+       |    unnest(generate_series(0, ${CutW - 1})) x(x),
+       |    unnest(generate_series(0, 2)) c(c)),
+       |fr AS (
+       |  SELECT media_id, frame_idx, CAST(sum(v) AS BIGINT) AS intensity
+       |  FROM px GROUP BY 1, 2),
+       |dl AS (
+       |  SELECT media_id, frame_idx, intensity,
+       |    CAST(COALESCE(abs(intensity - lag(intensity)
+       |      OVER (PARTITION BY media_id ORDER BY frame_idx)), 0) AS BIGINT)
+       |      AS delta
+       |  FROM fr),
+       |cut AS (
+       |  SELECT media_id, frame_idx, intensity, delta,
+       |    CAST(CASE WHEN delta > $CutThreshold THEN 1 ELSE 0 END AS BIGINT)
+       |      AS is_cut
+       |  FROM dl)
+       |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, intensity,
+       |  delta, is_cut,
+       |  CAST(sum(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx)
+       |    AS BIGINT) AS seg_id
+       |FROM cut
+       |ORDER BY media_id, frame_idx""".stripMargin
+
+  // --- q_mm_vad -------------------------------------------------------------
+  // Energy-gated AUDIO SEGMENTATION (the VAD shape): windows whose
+  // exact integer energy exceeds the per-media mean are "active", and
+  // active windows within a one-window hangover merge into segments —
+  // the preprocessing step that cuts silence before ASR/captioning.
+  // Reuses the q_mm_pcm_windows decode (PCM16 little-endian, 16-sample
+  // windows, integer sum-of-squares); the mean gate is the integer
+  // cross-multiplication sum_sq·n_wins > Σsum_sq (no division), and
+  // the hangover merge is the substring-dedup interval-island pattern
+  // (new segment when the gap to the previous active window exceeds
+  // 2). Per-media windows sort once; segment rows are the only output.
+  private val VadBytes = 256 // 128 samples → 8 windows of 16
+
+  def vadQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= VadBytes)
+      .filter(octet_length(substring(col("text"), 1, VadBytes)) === VadBytes)
+      .select(col("doc_id").as("media_id"),
+        substring(col("text"), 1, VadBytes).cast("binary").as("payload"))
+    val wins = graft.multimodal.Multimodal.pcm16Windows(media)
+    val tot = Window.partitionBy("media_id")
+    val active = wins
+      .withColumn("n_wins", count(lit(1)).over(tot))
+      .withColumn("tot_sq", sum(col("sum_sq")).over(tot))
+      .filter(col("sum_sq") * col("n_wins") > col("tot_sq"))
+    val w = Window.partitionBy("media_id").orderBy("win_idx")
+    active
+      .withColumn("lagW", lag("win_idx", 1).over(w))
+      .withColumn("newSeg",
+        when(col("lagW").isNull || col("win_idx") - col("lagW") > 2, 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("newSeg")).over(w))
+      .groupBy("media_id", "seg_id")
+      .agg(min("win_idx").as("start_win"), max("win_idx").as("end_win"),
+        count(lit(1)).as("n_active"), sum("sum_sq").as("energy"))
+      .orderBy("media_id", "seg_id")
+  }
+
+  val vadSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $VadBytes) AS s
+       |  FROM documents WHERE length(text) >= $VadBytes
+       |    AND octet_length(encode(substring(text, 1, $VadBytes))) = $VadBytes),
+       |sm AS (
+       |  SELECT media_id, CAST((i - 1) // 16 AS INT) AS win_idx,
+       |    ord(substring(s, 2 * i - 1, 1)) + 256 * ord(substring(s, 2 * i, 1)) AS raw
+       |  FROM d, unnest(generate_series(1, ${VadBytes / 2})) g(i)),
+       |sv AS (
+       |  SELECT media_id, win_idx,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+       |  FROM sm),
+       |wn AS (
+       |  SELECT media_id, win_idx,
+       |    CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq
+       |  FROM sv GROUP BY 1, 2),
+       |act AS (
+       |  SELECT media_id, win_idx, sum_sq FROM (
+       |    SELECT media_id, win_idx, sum_sq,
+       |      count(*) OVER (PARTITION BY media_id) AS n_wins,
+       |      sum(sum_sq) OVER (PARTITION BY media_id) AS tot_sq
+       |    FROM wn)
+       |  WHERE sum_sq * n_wins > tot_sq),
+       |seg0 AS (
+       |  SELECT media_id, win_idx, sum_sq,
+       |    CASE WHEN lag(win_idx) OVER (PARTITION BY media_id ORDER BY win_idx)
+       |             IS NULL
+       |           OR win_idx - lag(win_idx)
+       |             OVER (PARTITION BY media_id ORDER BY win_idx) > 2
+       |         THEN 1 ELSE 0 END AS new_seg
+       |  FROM act),
+       |seg AS (
+       |  SELECT media_id, win_idx, sum_sq,
+       |    CAST(sum(new_seg) OVER (PARTITION BY media_id ORDER BY win_idx)
+       |      AS BIGINT) AS seg_id
+       |  FROM seg0)
+       |SELECT media_id, seg_id, min(win_idx) AS start_win,
+       |  max(win_idx) AS end_win, count(*) AS n_active,
+       |  CAST(sum(sum_sq) AS BIGINT) AS energy
+       |FROM seg GROUP BY media_id, seg_id
+       |ORDER BY media_id, seg_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_chunked_rest" -> (chunkedRest _),
     "q_s3_nested_unnest" -> (nestedUnnest _),
@@ -2134,7 +2310,9 @@ object Parity {
     "q_st_anomaly_v2" -> (anomalyBatchV2 _),
     "q_st_rolling_v2" -> (rollingBatchV2 _),
     "q_st_leaderboard" -> (streamingLeaderboard _),
-    "q_mm_frame_sample" -> (frameSample _))
+    "q_mm_frame_sample" -> (frameSample _),
+    "q_mm_scene_cut" -> (sceneCutQ _),
+    "q_mm_vad" -> (vadQ _))
 
   val oracles: Map[String, String] = Map(
     "q_s1_chunked_rest" -> chunkedRestSql,
@@ -2181,5 +2359,7 @@ object Parity {
     "q_st_anomaly_v2" -> anomalyBatchSql, // same semantics, same oracle
     "q_st_rolling_v2" -> rollingBatchSql,
     "q_st_leaderboard" -> streamingLeaderboardSql,
-    "q_mm_frame_sample" -> frameSampleSql)
+    "q_mm_frame_sample" -> frameSampleSql,
+    "q_mm_scene_cut" -> sceneCutSql,
+    "q_mm_vad" -> vadSql)
 }

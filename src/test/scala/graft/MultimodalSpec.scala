@@ -480,4 +480,40 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_sq") == expectedSs)
     assert(r.getAs[Long]("peak") == 32768L)
   }
+
+  test("scene cut: identical frames stay one scene, an abrupt change opens a new one") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-scenecut").toString
+    // 6 frames of 16 bytes each (2×2 DIB, stride 8): frames 0-2 all 'A'
+    // (intensity 12×65 = 780 over the 12 non-pad bytes), frames 3-5 all
+    // 'z' (12×122 = 1464) — exactly one cut, at frame 3 (delta 684).
+    val text = ("A" * 48) + ("z" * 48)
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Parity.sceneCutQ(spark, dir).collect()
+      .map(r => (r.getAs[Long]("frame_idx"), r.getAs[Long]("intensity"),
+        r.getAs[Long]("is_cut"), r.getAs[Long]("seg_id")))
+    assert(out.length === 6)
+    assert(out.map(_._2).toSeq === Seq(780L, 780L, 780L, 1464L, 1464L, 1464L))
+    assert(out.map(_._3).toSeq === Seq(0L, 0L, 0L, 1L, 0L, 0L))
+    assert(out.map(_._4).toSeq === Seq(0L, 0L, 0L, 1L, 1L, 1L))
+  }
+
+  test("VAD: active windows merge across a one-window hangover, long gaps split") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-vad").toString
+    // 8 windows of 16 samples (32 chars each): loud '~' windows at
+    // 0, 2, 5, 6; quiet ' ' elsewhere. Gap 0→2 bridges (hangover),
+    // 2→5 splits → segments [0..2] (2 active) and [5..6] (2 active).
+    val loud = "~" * 32
+    val quiet = " " * 32
+    val text = loud + quiet + loud + quiet + quiet + loud + loud + quiet
+    require(text.length == 256)
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val segs = graft.queries.Parity.vadQ(spark, dir).collect()
+      .map(r => (r.getAs[Int]("start_win"), r.getAs[Int]("end_win"),
+        r.getAs[Long]("n_active")))
+    assert(segs.toSeq === Seq((0, 2, 2L), (5, 6, 2L)), segs.mkString(","))
+  }
 }
