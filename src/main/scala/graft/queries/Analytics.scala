@@ -958,7 +958,100 @@ object Analytics {
        |ORDER BY kind, t_a, t_b""".stripMargin
   }
 
+  // --- q_ag_exact_median ----------------------------------------------------
+  // EXACT per-group median WITHOUT a per-group sort — distributed
+  // selection (the classic two-phase histogram narrowing): a full sort
+  // of 100 TB to read one order statistic is the canonical anti-plan,
+  // and approx_percentile trades away exactness. Three bounded passes
+  // instead: (A) per-group count/min/max; (B) one 4096-bucket histogram
+  // per group (driver state is O(groups × 4096) LONGS — a constant,
+  // data-independent bound, the same driver-artifact discipline as the
+  // k×d centroid maps); prefix-summing the histogram locates the bucket
+  // holding the k-th value (k = (n+1)/2, the lower median) and the rank
+  // within it; (C) a scan filtered to that bucket's value range —
+  // expected n/4096 rows per group — ranks the remainder with a
+  // partition-local window. Bucket width 1 means every bucket is a
+  // single value, so the median is the bucket bound itself and pass C
+  // is skipped (also the degenerate all-equal guard). Money routes
+  // through DECIMAL(18,2)·100 cents so bucket bounds are exact integers
+  // in both engines. The ORACLE is the sort it replaces: a full
+  // row_number() ranking picking rk = (n+1)//2.
+  private val MedianBuckets = 4096L
+
+  def exactMedian(s: SparkSession, d: String): DataFrame =
+    exactMedianOf(s, Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("v")))
+
+  /** Selection core over any (g: string, v: bigint) frame. */
+  def exactMedianOf(s: SparkSession, input: DataFrame): DataFrame = {
+    import s.implicits._
+    val base = input.localCheckpoint() // three bounded passes read it
+    val stats = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val meta = stats.toSeq.map { case (g, (n, lo, hi)) =>
+      (g, n, lo, math.max(1L, (hi - lo + MedianBuckets) / MedianBuckets))
+    }
+    val metaDf = meta.toDF("g", "gn", "glo", "gw")
+    val hist = base.join(broadcast(metaDf), "g")
+      .select(col("g"), expr("(v - glo) DIV gw").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // driver-side prefix sum over <= 4096 buckets per group: find the
+    // bucket holding rank k and the residual rank within it
+    val target = meta.map { case (g, n, lo, w) =>
+      val k = (n + 1) / 2
+      val buckets = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
+      var acc = 0L
+      var found: Option[(Long, Long)] = None // (bucket, count before it)
+      for ((b, c) <- buckets if found.isEmpty) {
+        if (acc + c >= k) found = Some((b, acc))
+        else acc += c
+      }
+      val (bStar, before) = found.get
+      (g, n, lo + bStar * w, lo + (bStar + 1) * w - 1, k - before, w)
+    }
+    val direct = target.filter(_._6 == 1L).toSeq
+      .map { case (g, n, vlo, _, _, _) => (g, n, vlo) }
+    val narrow = target.filter(_._6 > 1L).toSeq
+      .map { case (g, n, vlo, vhi, r, _) => (g, n, vlo, vhi, r) }
+    val directDf = direct.toDF("g", "n", "median_cents")
+    val narrowed = if (narrow.isEmpty) directDf.limit(0) else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("v")
+      base.join(broadcast(narrow.toDF("g", "gn", "vlo", "vhi", "gr")), "g")
+        .filter(col("v") >= col("vlo") && col("v") <= col("vhi"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === col("gr"))
+        .select(col("g"), col("gn").as("n"), col("v").as("median_cents"))
+    }
+    directDf.unionByName(narrowed)
+      .select(col("g"), col("n"), col("median_cents"),
+        (col("median_cents").cast("double") / 100.0).as("median"))
+      .orderBy("g")
+  }
+
+  val exactMedianSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM b)
+      |SELECT g, n, v AS median_cents, CAST(v AS DOUBLE) / 100.0 AS median
+      |FROM r WHERE rk = (n + 1) // 2
+      |ORDER BY g""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ag_exact_median" -> (exactMedian _),
     "q_ag_kmv_sets" -> (kmvSets _),
     "q_ag_topk_group" -> (topkGroup _),
     "q_ev_funnel" -> (funnel _),
@@ -1003,6 +1096,7 @@ object Analytics {
     "q_ag_pivot" -> pivotCountsSql,
     "q_ag_incr_merge" -> incrMergeSql,
     "q_ag_incr_join" -> incrJoinSql,
+    "q_ag_exact_median" -> exactMedianSql,
     "q_ag_kmv_sets" -> kmvSetsSql,
     "q_j6_semijoin" -> semijoinSql,
     "q_j7_outer_join" -> outerJoinSql,

@@ -412,7 +412,101 @@ object Sampling {
        |WHERE cum // s > (cum - w) // s
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_sm_weighted --------------------------------------------------------
+  // WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+  // 2006, public): each row draws u ∈ (0,1] from its content hash and
+  // ranks by key = ln(u)/w — the top-k by key IS an exact weighted
+  // sample without replacement, fully deterministic under re-runs and
+  // retries (no rand()). Here w = n_chars, the "sample long documents
+  // proportionally more" mixing step. One scan + one TakeOrdered top-k:
+  // no shuffle beyond the k-row reduction; at 100 TB this is the
+  // per-partition-heap + driver-merge plan Spark already gives
+  // `ORDER BY … LIMIT k`. The double key stays INTERNAL (both engines
+  // compute ln/division on identical inputs; the output is the selected
+  // id set, so a last-ulp ln() difference would only matter if two keys
+  // collided within 1 ulp — keys are spread over (-inf, 0)).
+  private val WeightedK = 100
+  private val HashSpace = 281474976710656.0 // 2^48
+
+  def weighted(s: SparkSession, d: String): DataFrame = {
+    val h = Hashes.md5Int48(concat(col("doc_id").cast("string"), lit("_aes")))
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").cast("bigint").as("w"),
+        (log((h + 1).cast("double") / lit(HashSpace)) /
+          col("n_chars").cast("double")).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(WeightedK)
+      .select("doc_id", "w")
+      .orderBy("doc_id")
+  }
+
+  val weightedSql: String = {
+    val h = Hashes.md5Int48Sql("doc_id::VARCHAR || '_aes'")
+    s"""SELECT doc_id, w FROM (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+       |    ln(($h + 1)::DOUBLE / $HashSpace) / n_chars::DOUBLE AS key
+       |  FROM documents WHERE n_chars > 0
+       |  ORDER BY key DESC, doc_id LIMIT $WeightedK)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q_sm_temperature -----------------------------------------------------
+  // TEMPERATURE-scaled source mixing (the multilingual/multi-domain
+  // rebalancing rule, T = 2 ⇒ sampled mass ∝ n^(1/2)): per-domain keep
+  // target = floor(sqrt(n_min · n_s)) — the smallest domain keeps
+  // everything, a domain 4× larger keeps 2× the rows (half its mass).
+  // Between q_sm_mixture's full flattening and no rebalancing at all.
+  // The only float op is sqrt (correctly-rounded IEEE in BOTH engines,
+  // so the floor'd target is bit-identical cross-engine at any scale);
+  // thresholds are exact integer division out of 1e8 and the keep
+  // decision is the salted content hash — scan-side filter, histogram
+  // digest + broadcast back, corpus never shuffles.
+  def temperature(s: SparkSession, d: String): DataFrame = {
+    val slim = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("domain"))
+    val counts = slim.groupBy("domain").agg(count(lit(1)).as("n_total"))
+    val rates = counts
+      .crossJoin(counts.agg(min(col("n_total")).as("min_n")))
+      .withColumn("target",
+        floor(sqrt((col("min_n") * col("n_total")).cast("double")))
+          .cast("bigint"))
+      .withColumn("threshold", expr("(target * 100000000) DIV n_total"))
+      .select("domain", "n_total", "target", "threshold")
+    val keptCounts = slim.join(broadcast(rates), "domain")
+      .filter(Hashes.md5Int48(concat(col("doc_id").cast("string"),
+        lit("_temp_"), col("domain"))) % 100000000L < col("threshold"))
+      .groupBy("domain").agg(count(lit(1)).as("n_kept"))
+    rates.join(keptCounts, Seq("domain"), "left")
+      .select(col("domain"), col("n_total"), col("target"), col("threshold"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("domain")
+  }
+
+  val temperatureSql: String = {
+    val h = Hashes.md5Int48Sql("d.doc_id::VARCHAR || '_temp_' || d.lang")
+    s"""WITH counts AS MATERIALIZED (
+       |  SELECT lang AS domain, count(*) AS n_total FROM documents GROUP BY 1),
+       |rates AS MATERIALIZED (
+       |  SELECT domain, n_total,
+       |    CAST(floor(sqrt((min_n * n_total)::DOUBLE)) AS BIGINT) AS target,
+       |    (CAST(floor(sqrt((min_n * n_total)::DOUBLE)) AS BIGINT)
+       |      * 100000000) // n_total AS threshold
+       |  FROM counts, (SELECT min(n_total) AS min_n FROM counts)),
+       |kept AS MATERIALIZED (
+       |  SELECT d.lang AS domain, count(*) AS n_kept
+       |  FROM documents d JOIN rates r ON r.domain = d.lang
+       |  WHERE $h % 100000000 < r.threshold
+       |  GROUP BY 1)
+       |SELECT r.domain, r.n_total, r.target, r.threshold,
+       |  COALESCE(k.n_kept, 0) AS n_kept
+       |FROM rates r LEFT JOIN kept k USING (domain)
+       |ORDER BY domain""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sm_weighted" -> (weighted _),
+    "q_sm_temperature" -> (temperature _),
     "q_sm_systematic" -> (systematic _),
     "q_sm_group_sample" -> (groupSample _),
     "q_sm_hash_sample" -> (hashSample _),
@@ -423,6 +517,8 @@ object Sampling {
     "q_sm_token_budget_bpe" -> (tokenBudgetBpe _))
 
   val oracles: Map[String, String] = Map(
+    "q_sm_weighted" -> weightedSql,
+    "q_sm_temperature" -> temperatureSql,
     "q_sm_systematic" -> systematicSql,
     "q_sm_group_sample" -> groupSampleSql,
     "q_sm_hash_sample" -> hashSampleSql,

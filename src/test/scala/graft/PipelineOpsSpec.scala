@@ -86,6 +86,65 @@ class PipelineOpsSpec extends SparkSpec {
       f"trained cells must beat label cells: trained=$meanT%.3f label=$meanL%.3f")
   }
 
+  test("exact median selection equals the sort oracle on degenerate, even, odd, and wide groups") {
+    import ss.implicits._
+    // groups exercising every selection arm: all-equal values (bucket
+    // width 1, pass C skipped), odd count, even count (lower median),
+    // and a domain wider than the 4096 buckets (width > 1, pass C
+    // narrows). Oracle: plain in-memory sort picking (n+1)/2.
+    val rows =
+      (1 to 5).map(_ => ("const", 42L)) ++
+        (1 to 7).map(i => ("odd", i * 10L)) ++
+        (1 to 8).map(i => ("even", i * 10L)) ++
+        (1 to 1000).map(i => ("wide", i * 17_000L))
+    val out = Analytics.exactMedianOf(ss, rows.toDF("g", "v")).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("median_cents"))).toMap
+    val expect = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> (vs.size.toLong, sorted(((vs.size + 1) / 2) - 1))
+    }
+    assert(out === expect, s"got $out")
+  }
+
+  test("A-ES weighted sampling: deterministic, exactly k, heavy docs dominate") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-weighted").toString
+    // 300 light docs (w=10) vs 100 heavy (w=1000): heavy docs carry
+    // ~97% of the total weight, so they must dominate the sample.
+    val docs = (1L to 300L).map(i => (i, "x", "s", 10L)) ++
+      (301L to 400L).map(i => (i, "x", "s", 1000L))
+    docs.toDF("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.queries.Sampling.weighted(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.size === 100)
+    val heavy = kept.count(_ > 300L)
+    assert(heavy >= 80, s"heavy docs should dominate the sample, got $heavy/100")
+    // determinism: an independent run selects the identical set
+    val again = graft.queries.Sampling.weighted(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again === kept)
+  }
+
+  test("temperature mixing: smallest domain keeps all; targets are floor(sqrt(n_min*n))") {
+    val out = graft.queries.Sampling.temperature(spark, sf).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("target"), r.getAs[Long]("threshold"),
+        r.getAs[Long]("n_kept")))
+    assert(out.nonEmpty)
+    val minN = out.map(_._2).min
+    out.foreach { case (dom, n, target, threshold, kept) =>
+      assert(target === math.floor(math.sqrt((minN * n).toDouble)).toLong,
+        s"$dom target")
+      assert(threshold === target * 100000000L / n, s"$dom threshold")
+      assert(kept <= n)
+      if (n == minN)
+        assert(threshold === 100000000L && kept === n,
+          s"smallest domain must keep everything: $dom")
+    }
+  }
+
   test("KMV sub-K sets: the union sketch IS the union, the intersection estimate is EXACT") {
     // |A| = |B| = 30, |A∪B| = 40 < K = 64: every hash survives both
     // the per-set and the union sketches, so est(A) = 30, est(B) = 30,
