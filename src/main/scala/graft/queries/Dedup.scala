@@ -153,6 +153,81 @@ object Dedup {
        |    / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- q_dd_prefix_join -----------------------------------------------------
+  // PPJoin-style PREFIX-FILTERED exact similarity join (Chaudhuri et al.
+  // 2006 prefix filtering; Xiao et al. 2008 PPJoin — public): the same
+  // τ = 0.5 Jaccard join as q_dd_ngram_jaccard, but candidates come from
+  // a PROVABLY SUFFICIENT subset of each doc's shingles instead of all
+  // rare ones. Shingles sort by a global canonical order (corpus
+  // doc-freq ascending, then value — rarest first), and only each doc's
+  // first ⌊n/2⌋+1 shingles (the τ-prefix, p = n − ⌈τn⌉ + 1) join:
+  // J(A,B) ≥ τ forces |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, which cannot fit in
+  // the suffixes alone, so qualifying pairs MUST collide on a prefix
+  // element — exact recall with ~half the candidate-generating rows,
+  // and the rarest-first order makes prefix buckets the SMALLEST df
+  // groups (the opposite of stop-shingle blowup). The implied length
+  // filter 2·min(|A|,|B|) ≥ max(|A|,|B|) prunes cross-size candidates
+  // before the verify join. Hot shingles (df > MaxShingleDf) are
+  // excluded from candidate generation like every generator here (they
+  // sort last, so they are almost never prefix members anyway) but
+  // still count in the exact verify. DedupSpec proves output equality
+  // with q_dd_ngram_jaccard plus a strict candidate-volume reduction.
+  def prefixJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleRows(s, d).localCheckpoint()
+    val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val wn = Window.partitionBy("doc_id")
+    val prefix = ex.join(dfq, "s")
+      .withColumn("rk", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("rk") <= expr("n DIV 2 + 1") && col("df") <= MaxShingleDf)
+      .select(col("s"), col("doc_id"), col("n"))
+    val cand = prefix.toDF("s", "da", "na")
+      .join(prefix.toDF("s", "db", "nb"), "s")
+      .filter(col("da") < col("db") &&
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .select("da", "db", "na", "nb").distinct()
+    val common = cand.select("da", "db")
+      .join(ex.toDF("da", "s"), "da")
+      .join(ex.toDF("db", "s"), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("da", "db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val prefixJoinSql: String =
+    s"""WITH sh AS MATERIALIZED ($shingleSetsSql),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |dfq AS MATERIALIZED (SELECT s, count(*) AS df FROM ex GROUP BY s),
+       |rnk AS MATERIALIZED (
+       |  SELECT e.doc_id, e.s, f.df,
+       |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.s) AS rk,
+       |    count(*) OVER (PARTITION BY e.doc_id) AS n
+       |  FROM ex e JOIN dfq f USING (s)),
+       |pref AS MATERIALIZED (
+       |  SELECT s, doc_id, n FROM rnk
+       |  WHERE rk <= n // 2 + 1 AND df <= $MaxShingleDf),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
+       |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  WHERE 2 * least(a.n, b.n) >= greatest(a.n, b.n)),
+       |com AS MATERIALIZED (
+       |  SELECT c.da, c.db, count(*) AS common
+       |  FROM cand c
+       |  JOIN ex x ON x.doc_id = c.da
+       |  JOIN ex y ON y.doc_id = c.db AND y.s = x.s
+       |  GROUP BY c.da, c.db)
+       |SELECT c.da AS doc_a, c.db AS doc_b,
+       |  common::DOUBLE / (c.na + c.nb - common) AS jaccard
+       |FROM cand c JOIN com USING (da, db)
+       |WHERE common::DOUBLE / (c.na + c.nb - common) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- q_dd_minhash_lsh ---------------------------------------------------
   // MinHash (16 permutations) + LSH (4 bands × 4 rows): docs colliding in
   // any band become candidates; true Jaccard >= 0.5 verifies.
@@ -1280,6 +1355,7 @@ object Dedup {
     "q_dd_bloom_probe" -> (bloomProbe _),
     "q_dd_cluster_keeper" -> (clusterKeeper _),
     "q_dd_ngram_jaccard" -> (ngramJaccard _),
+    "q_dd_prefix_join" -> (prefixJoin _),
     "q_dd_minhash_lsh" -> (minhashLsh _),
     "q_dd_simhash" -> (simhash _),
     "q_dd_embed_neardup" -> (embedNearDup _),
@@ -1296,6 +1372,7 @@ object Dedup {
     "q_dd_bloom_probe" -> bloomProbeSql,
     "q_dd_cluster_keeper" -> clusterKeeperSql,
     "q_dd_ngram_jaccard" -> ngramJaccardSql,
+    "q_dd_prefix_join" -> prefixJoinSql,
     "q_dd_minhash_lsh" -> minhashLshSql,
     "q_dd_simhash" -> simhashSql,
     "q_dd_embed_neardup" -> embedNearDupSql,

@@ -95,6 +95,88 @@ object Similarity {
   // instead of assumed.
   private val RecallQ = 20
 
+  // --- q_sim_matryoshka -----------------------------------------------------
+  // MATRYOSHKA truncation evaluation (Kusupati et al. 2022, public): MRL
+  // embeddings are trained so PREFIXES of the vector are themselves
+  // usable embeddings — serving retrieves with the first m dims (m·cost
+  // of the scan, m/d of the memory) and re-ranks with the full vector.
+  // The operational question is the same as IVF's: what recall does the
+  // cheap stage keep? Same harness shape as q_sim_recall: a 20-query
+  // broadcast batch, ONE corpus scan computing both the full-dim and the
+  // first-16-dim cosine per (query, doc) (the truncated dot is a slice
+  // of the same row — no second scan), two rankings off one cached
+  // frame, recall@10 = exact set intersection. At 100 TB the truncated
+  // column is what you'd actually STORE alongside (16/64 of the bytes);
+  // computing it by slice here keeps the fixture single-table. Ranking
+  // ties break on vec_id; the doubles are the same IEEE folds in both
+  // engines (q_sim_recall's established route).
+  private val MatDims = 16
+
+  def matryoshka(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosine(col("v"), col("qv")).as("cos_full"),
+        Vectors.cosine(slice(col("v"), 1, MatDims),
+          slice(col("qv"), 1, MatDims)).as("cos_trunc"))
+      .localCheckpoint() // two rankings read it
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wt = Window.partitionBy("qid")
+      .orderBy(col("cos_trunc").desc, col("vec_id"))
+    val full = scored.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= K).select("qid", "vec_id")
+    val trunc = scored.withColumn("rk", row_number().over(wt))
+      .filter(col("rk") <= K).select("qid", "vec_id")
+    val common = full.join(trunc, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    full.groupBy("qid").agg(count(lit(1)).as("n_full"))
+      .join(common, Seq("qid"), "left")
+      .select(col("qid"), col("n_full"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(K.toDouble)).as("recall"))
+      .orderBy("qid")
+  }
+
+  val matryoshkaSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS emb FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qemb
+       |  FROM embeddings WHERE vec_id < $RecallQ),
+       |scored AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id,
+       |    ${Vectors.cosineSql("e.emb", "q.qemb")} AS cos_full,
+       |    ${Vectors.cosineSql(s"e.emb[1:$MatDims]", s"q.qemb[1:$MatDims]")}
+       |      AS cos_trunc
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |fullr AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos_full DESC, vec_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $K),
+       |truncr AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos_trunc DESC, vec_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $K),
+       |com AS MATERIALIZED (
+       |  SELECT qid, count(*) AS n_common
+       |  FROM fullr JOIN truncr USING (qid, vec_id) GROUP BY qid)
+       |SELECT f.qid, f.n_full, COALESCE(c.n_common, 0) AS n_common,
+       |  COALESCE(c.n_common, 0)::DOUBLE / ${K}.0 AS recall
+       |FROM (SELECT qid, count(*) AS n_full FROM fullr GROUP BY qid) f
+       |LEFT JOIN com c USING (qid)
+       |ORDER BY qid""".stripMargin
+
   def recallEval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
@@ -1606,6 +1688,7 @@ object Similarity {
     "q_sim_pq" -> (pqEncode _),
     "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
+    "q_sim_matryoshka" -> (matryoshka _),
     "q_sim_recall" -> (recallEval _),
     "q_sim_recall_trained" -> (recallTrained _),
     "q_sim_mips" -> (mipsTopK _),
@@ -1626,6 +1709,7 @@ object Similarity {
     "q_sim_pq" -> pqEncodeSql,
     "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,
+    "q_sim_matryoshka" -> matryoshkaSql,
     "q_sim_recall" -> recallEvalSql,
     "q_sim_recall_trained" -> recallTrainedSql,
     "q_sim_mips" -> mipsTopKSql,

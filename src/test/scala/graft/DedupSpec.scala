@@ -69,6 +69,36 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1001L, 1002L)), s"got ${out.size} pairs: ${out.take(5)}")
   }
 
+  test("prefix-filtered join: identical output to the rare-shingle join, fewer candidates") {
+    import org.apache.spark.sql.expressions.Window
+    // exactness: the τ-prefix theorem says every J >= 0.5 pair collides
+    // on a prefix element, so the output must equal q_dd_ngram_jaccard's
+    // (the corpus is under the hot cap everywhere at this SF, so both
+    // caps are no-ops and both queries emit the all-pairs truth)
+    val viaPrefix = Dedup.prefixJoin(spark, sf).collect().toSeq
+    val viaRare = Dedup.ngramJaccard(spark, sf).collect().toSeq
+    assert(viaPrefix === viaRare,
+      s"prefix=${viaPrefix.size} rare=${viaRare.size}")
+    assert(viaPrefix.nonEmpty, "corpus should contain planted near-dups")
+    // the point of the prefix: strictly fewer candidate-generating pairs
+    // (sum of C(bucket, 2) over join buckets)
+    val ex = graft.queries.Text.shingleRows(spark, sf)
+    def bucketPairs(rows: org.apache.spark.sql.DataFrame): Long =
+      rows.groupBy("s").count()
+        .agg(sum(expr("`count` * (`count` - 1) DIV 2")).as("p"))
+        .head.getLong(0)
+    val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val rareRows = ex.join(dfq.filter(col("df") > 1 && col("df") <= 100), "s")
+    val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val wn = Window.partitionBy("doc_id")
+    val prefixRows = ex.join(dfq, "s")
+      .withColumn("rk", row_number().over(wd))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("rk") <= expr("n DIV 2 + 1"))
+    val (cp, cr) = (bucketPairs(prefixRows), bucketPairs(rareRows))
+    assert(cp < cr, s"prefix candidates $cp should undercut rare candidates $cr")
+  }
+
   test("exact substring duplication: shared spans merge, unique text scores zero") {
     import ss.implicits._
     val dir = Files.createTempDirectory("graft-substrdup").toString

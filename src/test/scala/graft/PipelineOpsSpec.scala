@@ -86,6 +86,22 @@ class PipelineOpsSpec extends SparkSpec {
       f"trained cells must beat label cells: trained=$meanT%.3f label=$meanL%.3f")
   }
 
+  test("matryoshka harness: full lists complete, recall bounded, truncation genuinely coarser") {
+    val rows = graft.queries.Similarity.matryoshka(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_full") === 10L)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_common") === math.round(rec * 10).toLong)
+    }
+    // the 16-dim prefix of an untrained random embedding must LOSE
+    // information — if truncated recall were perfect the harness would
+    // not be measuring anything
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean < 0.95, s"truncation should be coarser than full, mean=$mean")
+  }
+
   test("exact median selection equals the sort oracle on degenerate, even, odd, and wide groups") {
     import ss.implicits._
     // groups exercising every selection arm: all-equal values (bucket
