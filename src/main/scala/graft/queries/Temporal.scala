@@ -572,7 +572,71 @@ object Temporal {
        |                         AND epoch_us(c.ts) + $BandW
        |ORDER BY err_id, clk_id""".stripMargin
 
+  // --- q_t13_cusum ----------------------------------------------------------
+  // Page's CUSUM changepoint detector (Page 1954, public) over daily
+  // event-type counts — the drift alarm a pipeline runs on its own
+  // ingest volumes. The textbook recursion C_t = max(0, C_{t-1} + x_t −
+  // k) looks iterative, but with k = the series mean it unrolls into
+  // pure window algebra: C_t = S_t − min(0, min_{i≤t} S_i) where S_t is
+  // the prefix sum of (x_i − mean) — prefix-sum minus running-min, one
+  // partition-local sort per series. Everything stays INTEGER via
+  // cross-multiplication: S'_t = n·prefix_t − t·T (n days, T total
+  // count) scales S by n, and the alarm C'_t > 4·n·mean ⇔ C'_t > 4·T
+  // flags a cumulative excess of four daily means. No division, no
+  // float, bit-exact in both engines at any scale.
+  def cusum(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wtot = Window.partitionBy("event_type")
+    val word = Window.partitionBy("event_type").orderBy("day")
+    val wrun = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wtot))
+      .withColumn("t_total", sum("x").over(wtot))
+      .withColumn("t_idx", row_number().over(word).cast("bigint"))
+      .withColumn("sp",
+        col("n") * sum("x").over(wrun) - col("t_idx") * col("t_total"))
+      // S_0 = 0 is a legal reset point: include it in the running min
+      .withColumn("c", col("sp") - least(min("sp").over(wrun), lit(0L)))
+      .select(col("event_type"), col("day"), col("x"),
+        col("c").as("cusum_scaled"),
+        when(col("c") > lit(4L) * col("t_total"), 1L).otherwise(0L)
+          .as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  val cusumSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS MATERIALIZED (
+      |  SELECT event_type, day, x,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS t_total,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS t_idx,
+      |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS prefix
+      |  FROM daily),
+      |sp AS MATERIALIZED (
+      |  SELECT event_type, day, x, t_total,
+      |    n * prefix - t_idx * t_total AS sp
+      |  FROM st),
+      |cs AS MATERIALIZED (
+      |  SELECT event_type, day, x, t_total,
+      |    sp - least(CAST(min(sp) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+      |      0) AS c
+      |  FROM sp)
+      |SELECT event_type, day, x, c AS cusum_scaled,
+      |  CAST(CASE WHEN c > 4 * t_total THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM cs
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t13_cusum" -> (cusum _),
     "q_t12_band_join" -> (bandJoin _),
     "q_t11_debounce" -> (debounce _),
     "q_t10_m4" -> (m4 _),
@@ -587,6 +651,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t13_cusum" -> cusumSql,
     "q_t12_band_join" -> bandJoinSql,
     "q_t11_debounce" -> debounceSql,
     "q_t10_m4" -> m4Sql,

@@ -262,6 +262,73 @@ object TextAnalysis {
        |FROM pg GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_tx_drift -----------------------------------------------------------
+  // TOKEN-DISTRIBUTION DRIFT between two corpus slices — the monitoring
+  // screen a pipeline runs between ingest batches ("did the vocabulary
+  // shift?"). Slices are the stable halves (doc_id parity — in
+  // production, yesterday vs today). Per token the two-sample
+  // chi-square-style statistic (c1·N2 − c2·N1)² / ((c1+c2)·N1·N2)
+  // compares relative frequencies without ever forming them: the
+  // numerator and denominator are EXACT integer products (the
+  // cross-multiplication discipline), divided once in double space —
+  // identical operands, identical bits, both engines. Tokens below a
+  // df floor are dropped (rare-token noise dominates chi-square), the
+  // top 50 drifted tokens emit with dense ranks tie-broken on token.
+  // One token-grain aggregation, one top-k — no joins wider than the
+  // vocabulary.
+  private val DriftMinCount = 5L
+  private val DriftTopK = 50
+
+  def drift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val counts = tok
+      .groupBy("w")
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("c2"))
+      .filter(col("c1") + col("c2") >= DriftMinCount)
+    val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .select(col("w"), col("c1"), col("c2"),
+        (((col("c1") * col("n2") - col("c2") * col("n1")) *
+          (col("c1") * col("n2") - col("c2") * col("n1"))).cast("double") /
+          ((col("c1") + col("c2")) * col("n1") * col("n2")).cast("double"))
+          .as("drift_stat"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("drift_stat").desc, col("w"))))
+      .filter(col("rank") <= DriftTopK)
+      .select(col("rank").cast("bigint").as("rank"), col("w"), col("c1"),
+        col("c2"), col("drift_stat"))
+      .orderBy("rank")
+  }
+
+  val driftSql: String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+       |counts AS MATERIALIZED (
+       |  SELECT w,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM tok GROUP BY w
+       |  HAVING c1 + c2 >= $DriftMinCount),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+       |  FROM counts),
+       |scored AS MATERIALIZED (
+       |  SELECT w, c1, c2,
+       |    ((c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1))::DOUBLE
+       |      / ((c1 + c2) * n1 * n2)::DOUBLE AS drift_stat
+       |  FROM counts, tot)
+       |SELECT rank, w, c1, c2, drift_stat FROM (
+       |  SELECT w, c1, c2, drift_stat,
+       |    CAST(row_number() OVER (ORDER BY drift_stat DESC, w) AS BIGINT)
+       |      AS rank
+       |  FROM scored)
+       |WHERE rank <= $DriftTopK
+       |ORDER BY rank""".stripMargin
+
   // --- q_tx_corpus_stats --------------------------------------------------
   // Dataset-card rollup per (lang, source) slice: doc and distinct-text
   // counts (the exact-dup rate), token and char totals, mean doc size.
@@ -1115,6 +1182,7 @@ object TextAnalysis {
     "q_tx_repetition" -> (repetition _),
     "q_tx_ngram_top" -> (ngramTop _),
     "q_tx_corpus_stats" -> (corpusStats _),
+    "q_tx_drift" -> (drift _),
     "q_tx_quality_trim" -> (qualityTrim _),
     "q_tx_token_count" -> (tokenCount _),
     "q_tx_quality" -> (qualityScore _),
@@ -1134,6 +1202,7 @@ object TextAnalysis {
     "q_tx_repetition" -> repetitionSql,
     "q_tx_ngram_top" -> ngramTopSql,
     "q_tx_corpus_stats" -> corpusStatsSql,
+    "q_tx_drift" -> driftSql,
     "q_tx_quality_trim" -> qualityTrimSql,
     "q_tx_token_count" -> tokenCountSql,
     "q_tx_quality" -> qualityScoreSql,

@@ -639,7 +639,79 @@ object TrainPrep {
   private def minhashLshInner: String =
     Dedup.minhashLshSql.stripSuffix("\nORDER BY doc_a, doc_b")
 
+  // --- q_tp_epochs ----------------------------------------------------------
+  // QUALITY-TIERED EPOCH UPSAMPLING — the "repeat good data" mixing
+  // rule (public recipe in e.g. Llama/Gopher data notes: high-quality
+  // slices see 2–4 epochs while bulk web text sees one). Docs score by
+  // an integer quality proxy (stopword occurrences — natural prose
+  // carries more function words), split into value-based quartiles, and
+  // quartile q is materialized q times (epoch replicas) with a
+  // hash-derived shuffle position per replica so epochs interleave
+  // instead of repeating back-to-back. NO global sort anywhere: the
+  // score domain is small-integer (a count), so quartile THRESHOLDS
+  // come from a score histogram (bounded distinct values) prefix-summed
+  // on the driver — q_i = min score with 4·cum ≥ i·n — and docs bucket
+  // scan-side against the 3 broadcast thresholds. Replication is an
+  // explode(sequence) — linear, shard-parallel.
+  def epochs(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(TextAnalysis.tokens(col("text")),
+          t => array_contains(stopArr, t))).cast("bigint").as("score"))
+      .localCheckpoint() // histogram + assignment read it
+    val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val cums = hist.scanLeft(0L)(_ + _._2).tail.zip(hist.map(_._1))
+    def thresholdFor(i: Int): Long =
+      cums.find { case (cum, _) => 4 * cum >= i * n }.get._2
+    val (q1, q2, q3) = (thresholdFor(1), thresholdFor(2), thresholdFor(3))
+    scored
+      .withColumn("quartile",
+        when(col("score") <= q1, 1L).when(col("score") <= q2, 2L)
+          .when(col("score") <= q3, 3L).otherwise(4L))
+      .withColumn("epoch", explode(sequence(lit(1L), col("quartile"))))
+      .withColumn("ord", Hashes.md5Int48(concat(col("doc_id").cast("string"),
+        lit("_ep_"), col("epoch").cast("string"))))
+      .select("doc_id", "score", "quartile", "epoch", "ord")
+      .orderBy("doc_id", "epoch")
+  }
+
+  lazy val epochsSql: String = {
+    val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val h = Hashes.md5Int48Sql("s.doc_id::VARCHAR || '_ep_' || e.epoch::VARCHAR")
+    s"""WITH scored AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(${TextAnalysis.tokensSql},
+       |      t -> list_contains($stopList, t))) AS BIGINT) AS score
+       |  FROM documents),
+       |hist AS MATERIALIZED (
+       |  SELECT score, count(*) AS c FROM scored GROUP BY score),
+       |cum AS MATERIALIZED (
+       |  SELECT score,
+       |    CAST(sum(c) OVER (ORDER BY score) AS BIGINT) AS cum,
+       |    (SELECT count(*) FROM scored) AS n
+       |  FROM hist),
+       |th AS MATERIALIZED (
+       |  SELECT
+       |    min(CASE WHEN 4 * cum >= 1 * n THEN score END) AS q1,
+       |    min(CASE WHEN 4 * cum >= 2 * n THEN score END) AS q2,
+       |    min(CASE WHEN 4 * cum >= 3 * n THEN score END) AS q3
+       |  FROM cum),
+       |qt AS MATERIALIZED (
+       |  SELECT doc_id, score,
+       |    CASE WHEN score <= q1 THEN 1 WHEN score <= q2 THEN 2
+       |         WHEN score <= q3 THEN 3 ELSE 4 END AS quartile
+       |  FROM scored, th)
+       |SELECT s.doc_id, s.score, CAST(s.quartile AS BIGINT) AS quartile,
+       |  CAST(e.epoch AS BIGINT) AS epoch, $h AS ord
+       |FROM qt s, unnest(generate_series(1, s.quartile)) e(epoch)
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tp_epochs" -> (epochs _),
     "q_llm_e2e" -> (llmPipeline _),
     "q_tp_bpe_vocab" -> (bpeVocab _),
     "q_tp_pack" -> (pack _),
@@ -651,6 +723,7 @@ object TrainPrep {
     "q_tp_row_ids" -> (rowIds _))
 
   val oracles: Map[String, String] = Map(
+    "q_tp_epochs" -> epochsSql,
     "q_llm_e2e" -> llmPipelineSql,
     "q_tp_bpe_vocab" -> bpeVocabSql,
     "q_tp_pack" -> packSql,

@@ -86,6 +86,31 @@ class PipelineOpsSpec extends SparkSpec {
       f"trained cells must beat label cells: trained=$meanT%.3f label=$meanL%.3f")
   }
 
+  test("drift screen: dense ranks, nonincreasing stat, df floor respected, planted token tops") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-drift").toString
+    // 'zzdrift' appears only in odd docs (40x), shared filler is
+    // balanced: the planted token must rank first; 'rare' (df 2) is
+    // under the floor and must be absent
+    val docs = (1L to 80L).map { i =>
+      val extra = if (i % 2 == 1) " zzdrift" else ""
+      val rare = if (i <= 2) " rareword" else ""
+      (i, s"common filler tokens here$extra$rare")
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextAnalysis.drift(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("w"),
+        r.getAs[Long]("c1") + r.getAs[Long]("c2"),
+        r.getAs[Double]("drift_stat")))
+    assert(rows.map(_._1).toSeq === (1L to rows.length))
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._4 >= b._4; case _ => true })
+    assert(rows.forall(_._3 >= 5L), "df floor")
+    assert(!rows.exists(_._2 == "rareword"), "sub-floor token leaked")
+    assert(rows.head._2 === "zzdrift", s"planted drift token should top: ${rows.take(3).toSeq}")
+  }
+
   test("matryoshka harness: full lists complete, recall bounded, truncation genuinely coarser") {
     val rows = graft.queries.Similarity.matryoshka(spark, sf).collect()
     assert(rows.length === 20)

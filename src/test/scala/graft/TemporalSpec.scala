@@ -114,6 +114,37 @@ class TemporalSpec extends SparkSpec {
     assert(totalPairs === nEvents - nUsers)
   }
 
+  test("CUSUM alarms on a planted level shift, stays quiet on the flat prefix") {
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cusum").toString
+    // 'shift': 20 days at 10 events/day then 10 days at 30/day (mean
+    // 500/30 ≈ 16.7; each post-shift day adds ~13.3 excess, so the
+    // 4-mean threshold ≈ 66.7 excess trips on the 5th-6th shifted day).
+    // 'flat': 30 days at 10/day — zero excess, never alarms.
+    def t(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    var id = 0L
+    val rows = (0 until 30).flatMap { day =>
+      val nShift = if (day < 20) 10 else 30
+      (0 until nShift).map { i => id += 1; (id, t(day, i), 1L, "shift", 1.0, "{}") } ++
+        (0 until 10).map { i => id += 1; (id, t(day, i), 1L, "flat", 1.0, "{}") }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Temporal.cusum(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day"), r.getAs[Long]("alarm")))
+    val flat = out.filter(_._1 == "flat")
+    assert(flat.length === 30 && flat.forall(_._3 == 0L), "flat series must not alarm")
+    val shift = out.filter(_._1 == "shift").sortBy(_._2.getTime)
+    assert(shift.take(20).forall(_._3 == 0L), "no alarm before the shift")
+    val firstAlarm = shift.indexWhere(_._3 == 1L)
+    assert(firstAlarm >= 20 && firstAlarm <= 26,
+      s"alarm should fire within days of the shift, got index $firstAlarm")
+    assert(shift.drop(firstAlarm.max(0)).forall(_._3 == 1L),
+      "a sustained shift keeps the alarm latched")
+  }
+
   test("debounce chains on KEPT events, not on raw predecessors") {
     import ss.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-db").toString

@@ -12,6 +12,26 @@ import graft.queries.{Sampling, TrainPrep}
   */
 class TrainPrepSpec extends SparkSpec {
 
+  test("epoch upsampling: replicas equal the quartile, quartiles monotone in score") {
+    val rows = TrainPrep.epochs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Long]("quartile"), r.getAs[Long]("epoch")))
+    assert(rows.nonEmpty)
+    // each doc materializes epochs 1..quartile, exactly once each
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val q = rs.head._3
+      assert(rs.forall(_._3 == q))
+      assert(rs.map(_._4).sorted.toSeq === (1L to q), s"doc $doc epochs")
+    }
+    // value-based quartiles: score ranges of the tiers never interleave
+    val byQ = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (q <- 1L to 3L if byQ.contains(q) && byQ.contains(q + 1))
+      assert(byQ(q).max < byQ(q + 1).min,
+        s"tier $q max ${byQ(q).max} overlaps tier ${q + 1} min ${byQ(q + 1).min}")
+    // upsampling really happened: more replicas than docs
+    assert(rows.length > rows.map(_._1).distinct.length)
+  }
+
   test("pack: golden chunk assignment on a constructed corpus") {
     import ss.implicits._
     // token counts 3, 2, 4 in doc order; budget 4:
