@@ -295,12 +295,16 @@ object TextAnalysis {
           (col("c1") * col("n2") - col("c2") * col("n1"))).cast("double") /
           ((col("c1") + col("c2")) * col("n1") * col("n2")).cast("double"))
           .as("drift_stat"))
-    scored
+    // top-k FIRST (TakeOrderedAndProject — per-partition heaps + driver
+    // merge, never a single-partition global window over the vocabulary);
+    // the dense rank is then a window over the k surviving rows only
+    val topk = scored
+      .orderBy(col("drift_stat").desc, col("w"))
+      .limit(DriftTopK)
+    topk
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("drift_stat").desc, col("w"))))
-      .filter(col("rank") <= DriftTopK)
-      .select(col("rank").cast("bigint").as("rank"), col("w"), col("c1"),
-        col("c2"), col("drift_stat"))
+        Window.orderBy(col("drift_stat").desc, col("w"))).cast("bigint"))
+      .select("rank", "w", "c1", "c2", "drift_stat")
       .orderBy("rank")
   }
 
