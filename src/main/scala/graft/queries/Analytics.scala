@@ -1050,7 +1050,72 @@ object Analytics {
       |FROM r WHERE rk = (n + 1) // 2
       |ORDER BY g""".stripMargin
 
+  // --- q_ev_attribution -----------------------------------------------------
+  // LINEAR MULTI-TOUCH ATTRIBUTION — every view/click in the 24 h
+  // before a purchase shares the conversion credit equally (the
+  // standard marketing-analytics model beyond q_t1_asof_join's
+  // last-touch shape). Per purchase: count the same-user touches in
+  // the lookback, give each touch floor(1e6 / n) micro-credits (exact
+  // integer division — deterministic; the ≤ n−1 micro-credit remainder
+  // per purchase is documented rounding, never float drift), then roll
+  // credit up by touch type. The join is user-equi + time-band — the
+  // per-user event list is human-scale, so the band condition runs as
+  // a residual filter on the user-key hash join; nothing quadratic in
+  // the corpus. Output: per touch type, touches credited and total
+  // credit in conversions.
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"), col("event_id").as("touch_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val attributed = purchases.join(touches, "user_id")
+      .filter(col("touch_ts") <= col("p_ts") &&
+        col("touch_ts") > col("p_ts") - expr("INTERVAL 24 HOURS"))
+    val perPurchase = attributed.groupBy("p_id")
+      .agg(count(lit(1)).as("n_touch"))
+    attributed.join(perPurchase, "p_id")
+      .select(col("touch_type"), col("touch_id"),
+        expr("1000000 DIV n_touch").as("credit_fixed"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_credited"),
+        countDistinct(col("touch_id")).as("n_touches"),
+        sum(col("credit_fixed")).as("credit_micros"))
+      .select(col("touch_type"), col("n_credited"), col("n_touches"),
+        col("credit_micros"),
+        (col("credit_micros").cast("double") / 1000000.0).as("conversions"))
+      .orderBy("touch_type")
+  }
+
+  val attributionSql: String =
+    """WITH touches AS MATERIALIZED (
+      |  SELECT user_id, event_type AS touch_type, ts AS touch_ts,
+      |    event_id AS touch_id
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |purchases AS MATERIALIZED (
+      |  SELECT user_id, ts AS p_ts, event_id AS p_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |attributed AS MATERIALIZED (
+      |  SELECT p.p_id, t.touch_type, t.touch_id
+      |  FROM purchases p JOIN touches t USING (user_id)
+      |  WHERE t.touch_ts <= p.p_ts
+      |    AND t.touch_ts > p.p_ts - INTERVAL 24 HOURS),
+      |per_p AS MATERIALIZED (
+      |  SELECT p_id, count(*) AS n_touch FROM attributed GROUP BY p_id)
+      |SELECT a.touch_type,
+      |  count(*) AS n_credited,
+      |  count(DISTINCT a.touch_id) AS n_touches,
+      |  CAST(sum(1000000 // pp.n_touch) AS BIGINT) AS credit_micros,
+      |  CAST(sum(1000000 // pp.n_touch) AS BIGINT)::DOUBLE / 1000000.0
+      |    AS conversions
+      |FROM attributed a JOIN per_p pp USING (p_id)
+      |GROUP BY a.touch_type
+      |ORDER BY touch_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_attribution" -> (attribution _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_kmv_sets" -> (kmvSets _),
     "q_ag_topk_group" -> (topkGroup _),
@@ -1096,6 +1161,7 @@ object Analytics {
     "q_ag_pivot" -> pivotCountsSql,
     "q_ag_incr_merge" -> incrMergeSql,
     "q_ag_incr_join" -> incrJoinSql,
+    "q_ev_attribution" -> attributionSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_kmv_sets" -> kmvSetsSql,
     "q_j6_semijoin" -> semijoinSql,

@@ -176,8 +176,11 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val ex = shingleRows(s, d).localCheckpoint()
     val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // rank and set-size share ONE window sort: the size rides the same
+    // (doc_id | df, s) ordering with an unbounded frame, so Spark plans
+    // a single WindowExec instead of two partition sorts
     val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val wn = Window.partitionBy("doc_id")
+    val wn = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prefix = ex.join(dfq, "s")
       .withColumn("rk", row_number().over(wd))
       .withColumn("n", count(lit(1)).over(wn))

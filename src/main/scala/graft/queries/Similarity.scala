@@ -95,6 +95,90 @@ object Similarity {
   // instead of assumed.
   private val RecallQ = 20
 
+  // --- q_sim_sq8 ------------------------------------------------------------
+  // SCALAR QUANTIZATION retrieval (SQ8 — the Lucene int8-HNSW storage
+  // shape / Faiss ScalarQuantizer family, public): vectors L2-normalize,
+  // each dimension stores the SYMMETRIC int8 code c = floor(x · 127)
+  // (no per-dim affine offset — an offset adds a vector-dependent bias
+  // term to the code dot product, which mis-ranks candidates; on the
+  // unit sphere a shared scale suffices), candidates rank by the
+  // ASYMMETRIC integer score Σ floor(q_d·1e6) · c_d — the query keeps
+  // 20-bit fixed-point precision, so the only approximation is the
+  // doc-side 8-bit code — and the top 100 re-rank by exact cosine for
+  // the final 10. Completes the quantization family: PQ/IVF-PQ
+  // compress by codebook, SQ8 per-dimension — 4 bytes → 1 byte per
+  // dim. The candidate score is EXACT integer arithmetic (bit-equal
+  // cross-engine); floats appear only in the normalization (shared
+  // IEEE fold) and the 100-row exact re-rank. Scan shape at 100 TB:
+  // codes live at (vec, dim) grain or packed as a byte column; scoring
+  // is one broadcast-joined aggregation, no shuffle wider than top-k.
+  private val Sq8Candidates = 100
+
+  def sq8(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // L2-normalize BEFORE quantizing: the integer code dot product then
+    // tracks COSINE (what the exact re-rank uses) instead of the raw
+    // dot, which norm-heavy vectors would dominate — the standard SQ
+    // preprocessing for cosine retrieval. The norm is materialized as
+    // its own column first (interpreted HOFs have no subexpression
+    // elimination — a lambda referencing norm(v) would refold it per
+    // element).
+    val dims = e
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .select(col("vec_id"), col("nrm"), posexplode(col("v")))
+      .toDF("vec_id", "nrm", "dim", "x0")
+      .select(col("vec_id"), col("dim"), (col("x0") / col("nrm")).as("x"))
+    val codes = dims.filter(col("vec_id") =!= QueryId)
+      .select(col("vec_id"), col("dim"),
+        floor(col("x") * 127.0).cast("bigint").as("code"))
+    val qCodes = dims.filter(col("vec_id") === QueryId)
+      .select(col("dim"), floor(col("x") * 1000000.0).cast("bigint").as("qf"))
+    val scored = codes
+      .join(broadcast(qCodes), "dim")
+      .groupBy("vec_id")
+      .agg(sum(col("code") * col("qf")).as("sq_score"))
+    val cand = scored
+      .orderBy(col("sq_score").desc, col("vec_id"))
+      .limit(Sq8Candidates)
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    cand.join(e, "vec_id").crossJoin(broadcast(q))
+      .select(col("vec_id"), col("sq_score"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(K)
+  }
+
+  val sq8Sql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS emb FROM embeddings),
+       |norms AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(${Vectors.dotSql("emb", "emb")}) AS nrm FROM e),
+       |dims AS MATERIALIZED (
+       |  SELECT e.vec_id, g.i - 1 AS dim, emb[g.i]::DOUBLE / n.nrm AS x
+       |  FROM e JOIN norms n USING (vec_id),
+       |       unnest(generate_series(1, len(emb))) g(i)),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, dim, CAST(floor(x * 127.0) AS BIGINT) AS code
+       |  FROM dims WHERE vec_id <> $QueryId),
+       |qcodes AS MATERIALIZED (
+       |  SELECT dim, CAST(floor(x * 1000000.0) AS BIGINT) AS qf
+       |  FROM dims WHERE vec_id = $QueryId),
+       |scored AS MATERIALIZED (
+       |  SELECT c.vec_id, CAST(sum(c.code * q.qf) AS BIGINT) AS sq_score
+       |  FROM codes c JOIN qcodes q USING (dim)
+       |  GROUP BY c.vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, sq_score FROM scored
+       |  ORDER BY sq_score DESC, vec_id LIMIT $Sq8Candidates)
+       |SELECT c.vec_id, c.sq_score,
+       |  ${Vectors.cosineSql("b.emb", "q.emb")} AS cosine
+       |FROM cand c
+       |JOIN e b ON b.vec_id = c.vec_id,
+       |     (SELECT emb FROM e WHERE vec_id = $QueryId) q
+       |ORDER BY cosine DESC, c.vec_id
+       |LIMIT $K""".stripMargin
+
   // --- q_sim_matryoshka -----------------------------------------------------
   // MATRYOSHKA truncation evaluation (Kusupati et al. 2022, public): MRL
   // embeddings are trained so PREFIXES of the vector are themselves
@@ -1689,6 +1773,7 @@ object Similarity {
     "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
     "q_sim_matryoshka" -> (matryoshka _),
+    "q_sim_sq8" -> (sq8 _),
     "q_sim_recall" -> (recallEval _),
     "q_sim_recall_trained" -> (recallTrained _),
     "q_sim_mips" -> (mipsTopK _),
@@ -1710,6 +1795,7 @@ object Similarity {
     "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,
     "q_sim_matryoshka" -> matryoshkaSql,
+    "q_sim_sq8" -> sq8Sql,
     "q_sim_recall" -> recallEvalSql,
     "q_sim_recall_trained" -> recallTrainedSql,
     "q_sim_mips" -> mipsTopKSql,

@@ -86,6 +86,46 @@ class PipelineOpsSpec extends SparkSpec {
       f"trained cells must beat label cells: trained=$meanT%.3f label=$meanL%.3f")
   }
 
+  test("SQ8 candidates recover the exact top-k after re-rank") {
+    import graft.queries.Similarity
+    // int8 quantization keeps dot products within ~0.5%: the exact
+    // top-10 must survive inside the 100-candidate screen, so the
+    // re-ranked output equals brute force on this deterministic corpus
+    val sq = Similarity.sq8(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    assert(sq.length === brute.length)
+    assert(sq.map(_._1).toSeq === brute.map(_._1).toSeq,
+      s"sq8 top-k diverged from brute: ${sq.map(_._1).toSeq} vs ${brute.map(_._1).toSeq}")
+    sq.zip(brute).foreach { case ((_, a), (_, b)) => assert(a === b) }
+  }
+
+  test("attribution: equal split inside the lookback, nothing outside, exact micro-credits") {
+    import ss.implicits._
+    val hr = 3600L * 1000
+    val dir = Files.createTempDirectory("graft-attr").toString
+    val rows = Seq(
+      // user 1: 3 touches inside 24h of the purchase → 333333 each
+      (1L, new java.sql.Timestamp(0L), 1L, "view", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(1 * hr), 1L, "view", 1.0, "{}"),
+      (3L, new java.sql.Timestamp(2 * hr), 1L, "click", 1.0, "{}"),
+      (4L, new java.sql.Timestamp(3 * hr), 1L, "purchase", 1.0, "{}"),
+      // user 2: purchase with no touches → contributes nothing
+      (5L, new java.sql.Timestamp(0L), 2L, "purchase", 1.0, "{}"),
+      // user 3: only touch is 25h before the purchase → excluded
+      (6L, new java.sql.Timestamp(0L), 3L, "click", 1.0, "{}"),
+      (7L, new java.sql.Timestamp(25 * hr), 3L, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.attribution(spark, dir).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_credited"), r.getAs[Long]("credit_micros"))).toMap
+    assert(out === Map(
+      "view" -> ((2L, 666666L)),   // 2 × floor(1e6/3)
+      "click" -> ((1L, 333333L))), s"got $out")
+  }
+
   test("drift screen: dense ranks, nonincreasing stat, df floor respected, planted token tops") {
     import ss.implicits._
     val dir = Files.createTempDirectory("graft-drift").toString
