@@ -750,6 +750,38 @@ object Parity {
   val streamingUpsertSql: String =
     "SELECT event_id, user_id, event_type, ts, value, props FROM events ORDER BY event_id"
 
+  // --- q_st_cdc -------------------------------------------------------------
+  // Streaming CDC APPLY, driver-verified: the event stream is an op-log
+  // on the user key ('error' = DELETE, anything else = UPSERT), drained
+  // through MicroBatch.drainCdc's tombstone-merging foreachBatch sink.
+  // The serving read filters tombstones; the oracle replays "latest op
+  // per user wins, delete means absent" as one batch window. Fixed
+  // checkpoint + durable sink like q_st_upsert: a repeat call is a
+  // second scheduler tick over zero new files.
+  def streamingCdc(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
+    withStreamSession(s, 8) { ss =>
+      graft.streaming.MicroBatch.drainCdc(ss, s"$root/src", s"$root/cp_cdc",
+        s"$root/sink_cdc", ev)
+    }
+    s.read.parquet(s"$root/sink_cdc")
+      .filter(col("op") =!= "D")
+      .select("user_id", "ts", "event_id", "value")
+      .orderBy("user_id")
+  }
+
+  val streamingCdcSql: String =
+    """WITH last AS (
+      |  SELECT user_id, event_type, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, ts, event_id, value
+      |FROM last WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   // --- q_st_stream_join -----------------------------------------------------
   // SURVEY §2.9: the stream-stream interval join (view → click within 6
   // hours per user), driver-verified. Both sides stream from the same
@@ -2287,6 +2319,7 @@ object Parity {
     "q_st_neardup" -> (streamingNeardup _),
     "q_st_neardup_v2" -> (streamingNeardupV2 _),
     "q_st_upsert" -> (streamingUpsert _),
+    "q_st_cdc" -> (streamingCdc _),
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_semi_join" -> (streamSemiJoin _),
     "q_st_outer_join" -> (streamOuterJoin _),
@@ -2336,6 +2369,7 @@ object Parity {
     "q_st_neardup" -> streamingNeardupSql,
     "q_st_neardup_v2" -> streamingNeardupSql,
     "q_st_upsert" -> streamingUpsertSql,
+    "q_st_cdc" -> streamingCdcSql,
     "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_semi_join" -> streamSemiJoinSql,
     "q_st_outer_join" -> streamOuterJoinSql,

@@ -775,6 +775,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --- q_tx_lm_filter -------------------------------------------------------
+  // CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020, public): the
+  // trained trigram stupid-backoff LM scores the held-out half, and
+  // docs split per LANGUAGE into head/middle/tail TERTILES of LM score
+  // — the standard "keep head+middle, drop tail" web-curation gate,
+  // here emitted with the bucket label so the downstream mix can
+  // weight tiers. Composes q_tx_trigram_backoff unchanged (same model,
+  // same scores — one pipeline, two serving shapes). Tertiles use the
+  // explicit integer formula (rn−1)·3 div n_lang over a per-lang
+  // window (NOT ntile, whose remainder-distribution rules would have
+  // to be trusted to match across engines) — partitioned by lang, so
+  // the sort is shard-local at scale.
+  def lmFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = trigramBackoff(s, d)
+      .select(col("doc_id"), col("lm_score"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    val wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n_lang", count(lit(1)).over(wn))
+      .withColumn("tier", expr("(rn - 1) * 3 DIV n_lang + 1"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        col("tier"),
+        when(col("tier") === 1L, "head").when(col("tier") === 2L, "middle")
+          .otherwise("tail").as("bucket"),
+        (col("tier") < 3L).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  lazy val lmFilterSql: String =
+    s"""WITH lm AS MATERIALIZED (${trigramBackoffSql.replace("ORDER BY doc_id", "")}),
+       |scored AS MATERIALIZED (
+       |  SELECT lm.doc_id, lm.lm_score, d.lang
+       |  FROM lm JOIN documents d USING (doc_id)),
+       |ranked AS MATERIALIZED (
+       |  SELECT doc_id, lang, lm_score,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY lm_score DESC, doc_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+       |  FROM scored)
+       |SELECT doc_id, lang, lm_score,
+       |  (rn - 1) * 3 // n_lang + 1 AS tier,
+       |  CASE (rn - 1) * 3 // n_lang + 1 WHEN 1 THEN 'head'
+       |       WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  (rn - 1) * 3 // n_lang + 1 < 3 AS admitted
+       |FROM ranked
+       |ORDER BY doc_id""".stripMargin
+
   val trigramBackoffSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, g.i AS pos, t[g.i] AS w
@@ -1187,6 +1238,7 @@ object TextAnalysis {
     "q_tx_ngram_top" -> (ngramTop _),
     "q_tx_corpus_stats" -> (corpusStats _),
     "q_tx_drift" -> (drift _),
+    "q_tx_lm_filter" -> (lmFilter _),
     "q_tx_quality_trim" -> (qualityTrim _),
     "q_tx_token_count" -> (tokenCount _),
     "q_tx_quality" -> (qualityScore _),
@@ -1207,6 +1259,7 @@ object TextAnalysis {
     "q_tx_ngram_top" -> ngramTopSql,
     "q_tx_corpus_stats" -> corpusStatsSql,
     "q_tx_drift" -> driftSql,
+    "q_tx_lm_filter" -> lmFilterSql,
     "q_tx_quality_trim" -> qualityTrimSql,
     "q_tx_token_count" -> tokenCountSql,
     "q_tx_quality" -> qualityScoreSql,

@@ -108,6 +108,47 @@ object MicroBatch {
         .map(_.numRowsDroppedByWatermark).sum)
   }
 
+  /** Streaming CDC APPLY — the incremental form of the batch op-log
+    * apply (q_w11): each micro-batch carries upserts and deletes keyed
+    * by user, and the sink must converge to "latest op per key wins,
+    * delete means absent" no matter how the ops split across batches
+    * or arrive out of order. The sink therefore stores TOMBSTONES
+    * (op = 'D' rows with their sequence position) instead of deleting
+    * eagerly: an out-of-order upsert OLDER than an applied delete must
+    * not resurrect the key, and only the tombstone's (ts, event_id)
+    * can prove that. Each batch first reduces to its own latest op per
+    * key (latestWins — deterministic under any partitioning), then
+    * merges with the sink by the same rule; replaying a failed batch
+    * re-derives the identical sink (foreachBatch's at-least-once is
+    * absorbed by the merge's idempotence). Serving reads filter
+    * `op <> 'D'`; tombstone GC past a compaction horizon is the
+    * layout-side concern (q_ly_compacted_scan's machinery). */
+  def drainCdc(spark: SparkSession, sourceDir: String, checkpoint: String,
+               sinkPath: String, schemaFrom: DataFrame): Unit = {
+    val q: StreamingQuery = readEvents(spark, sourceDir, schemaFrom)
+      .select(col("user_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("ts"), col("event_id"), col("value"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val latest = Upsert.latestWins(batch, Seq("user_id"), "ts",
+          tieBreakers = Seq("event_id"))
+        val merged =
+          if (Upsert.tableExists(s, sinkPath))
+            Upsert.latestWins(
+              s.read.parquet(sinkPath).unionByName(latest),
+              Seq("user_id"), "ts", tieBreakers = Seq("event_id"))
+          else latest
+        Upsert.overwriteInPlace(s, sinkPath, merged)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The late-data DEAD LETTER drain: no row is silently lost. The
     * stateful dedup path drops sub-watermark rows inside the state
     * operator where they are unrecoverable, so this drain splits each

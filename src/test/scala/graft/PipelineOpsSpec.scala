@@ -86,6 +86,29 @@ class PipelineOpsSpec extends SparkSpec {
       f"trained cells must beat label cells: trained=$meanT%.3f label=$meanL%.3f")
   }
 
+  test("LM filter tertiles: per-lang, score-ordered, balanced within one, tail dropped") {
+    val rows = TextAnalysis.lmFilter(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("lm_score"),
+        r.getAs[Long]("tier"), r.getAs[String]("bucket"),
+        r.getAs[Boolean]("admitted")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, t, b, adm) =>
+      assert(Seq("head", "middle", "tail")(t.toInt - 1) === b)
+      assert(adm === (t < 3L))
+    }
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byTier = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      // scores never interleave across tiers (head >= middle >= tail)
+      for (t <- 1L to 2L if byTier.contains(t) && byTier.contains(t + 1))
+        assert(byTier(t).min >= byTier(t + 1).max, s"$lang tier $t order")
+      // the integer tertile formula keeps sizes within one of each other
+      if (rs.length >= 3) {
+        val sizes = (1L to 3L).map(t => byTier.get(t).map(_.size).getOrElse(0))
+        assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+      }
+    }
+  }
+
   test("SQ8 candidates recover the exact top-k after re-rank") {
     import graft.queries.Similarity
     // int8 quantization keeps dot products within ~0.5%: the exact

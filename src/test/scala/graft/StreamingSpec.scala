@@ -310,6 +310,45 @@ class StreamingSpec extends SparkSpec {
     } finally events.unpersist()
   }
 
+  test("CDC drain: tombstones block out-of-order resurrection, newer upserts revive") {
+    import ss.implicits._
+    val src = dir("cdc-src")
+    val sink = dir("cdc-sink") + "/state"
+    val cp = dir("cdc-cp")
+    def t(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    def land(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.map { case (id, ts, u, et, v) => (id, ts, u, et, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(src)
+    val schemaFrom = Seq((1L, t(0), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // tick 1: u1 upserted then DELETED; u2 deleted; u3 upserted
+    land(Seq(
+      (1L, t(10), 1L, "view", 1.0),
+      (2L, t(20), 1L, "error", 0.0),
+      (3L, t(5), 2L, "error", 0.0),
+      (4L, t(8), 3L, "click", 3.0)))
+    MicroBatch.drainCdc(spark, src, cp, sink, schemaFrom)
+    def serving() = spark.read.parquet(sink).filter(col("op") =!= "D")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+    assert(serving() === Map(3L -> ((4L, 3.0))), s"tick1: ${serving()}")
+    // tick 2, OUT OF ORDER: u1 gets an upsert OLDER than its delete —
+    // the tombstone must win; u2 gets a NEWER upsert — legitimately
+    // revived; u3 gets a newer upsert — replaced
+    land(Seq(
+      (5L, t(15), 1L, "view", 9.0), // older than u1's delete at t(20)
+      (6L, t(6), 2L, "view", 7.0), // newer than u2's delete at t(5)
+      (7L, t(9), 3L, "view", 8.0)))
+    MicroBatch.drainCdc(spark, src, cp, sink, schemaFrom)
+    assert(serving() === Map(2L -> ((6L, 7.0)), 3L -> ((7L, 8.0))),
+      s"tick2: ${serving()}")
+    // the tombstone itself is retained (GC is a layout concern)
+    val tomb = spark.read.parquet(sink).filter(col("op") === "D")
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    assert(tomb === Set(1L), s"tombstones: $tomb")
+  }
+
   test("near-dup drain dedups by signature across two checkpointed ticks") {
     // Tick 1 admits a corpus wave; tick 2 lands a wave that REPEATS one
     // document's content verbatim (new doc_id, same text ⇒ same minhash
