@@ -1037,6 +1037,95 @@ object Analytics {
       .orderBy("g")
   }
 
+  // --- q_ag_exact_quantiles -------------------------------------------------
+  // The selection machinery generalized: p25/p50/p75/p95/p99 per group
+  // from ONE histogram pass — all five ceiling-ranks k = ⌈p·n⌉ locate
+  // their buckets in the same driver prefix-sum, and a single pass-C
+  // scan covers every (group, quantile) target bucket via one
+  // broadcast join (a row in two targets' shared bucket serves both).
+  // Exactly the plan shape a percentile dashboard needs at 100 TB:
+  // the cost is ~one q_ag_exact_median regardless of how many
+  // quantiles ride along. Ranks are exact integer arithmetic
+  // ((n·num + den − 1) div den); tail quantiles (p95/p99) hit sparse
+  // histogram buckets, exercising small pass-C slices.
+  private val QuantileSpec: Seq[(String, Long, Long)] = Seq(
+    ("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
+    ("p95", 19L, 20L), ("p99", 99L, 100L))
+
+  def exactQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("v"))
+      .localCheckpoint()
+    val stats = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val meta = stats.toSeq.map { case (g, (n, lo, hi)) =>
+      (g, n, lo, math.max(1L, (hi - lo + MedianBuckets) / MedianBuckets))
+    }
+    val metaDf = meta.toDF("g", "gn", "glo", "gw")
+    val hist = base.join(broadcast(metaDf), "g")
+      .select(col("g"), expr("(v - glo) DIV gw").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // one prefix walk per group serves EVERY quantile's rank
+    val targets = meta.flatMap { case (g, n, lo, w) =>
+      val buckets = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
+      val cums = buckets.scanLeft(0L)(_ + _._2).tail.zip(buckets)
+      QuantileSpec.map { case (label, num, den) =>
+        val k = (n * num + den - 1) / den
+        val ((cum, (bStar, c))) =
+          cums.find { case (cm, _) => cm >= k }.get
+        (g, label, n, lo + bStar * w, lo + (bStar + 1) * w - 1,
+          k - (cum - c), w)
+      }
+    }
+    val direct = targets.filter(_._7 == 1L)
+      .map { case (g, label, n, vlo, _, _, _) => (g, label, n, vlo) }
+    val narrow = targets.filter(_._7 > 1L)
+      .map { case (g, label, n, vlo, vhi, r, _) => (g, label, n, vlo, vhi, r) }
+    val directDf = direct.toDF("g", "quantile", "n", "value_cents")
+    val narrowed = if (narrow.isEmpty) directDf.limit(0) else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g", "quantile").orderBy("v")
+      base.join(broadcast(
+          narrow.toDF("g", "quantile", "gn", "vlo", "vhi", "gr")), "g")
+        .filter(col("v") >= col("vlo") && col("v") <= col("vhi"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === col("gr"))
+        .select(col("g"), col("quantile"), col("gn").as("n"),
+          col("v").as("value_cents"))
+    }
+    directDf.unionByName(narrowed)
+      .select(col("g"), col("quantile"), col("n"), col("value_cents"),
+        (col("value_cents").cast("double") / 100.0).as("value"))
+      .orderBy("g", "quantile")
+  }
+
+  val exactQuantilesSql: String = {
+    val vals = QuantileSpec
+      .map { case (l, n, d2) => s"('$l', $n, $d2)" }.mkString(", ")
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT l_returnflag AS g,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM lineitem),
+       |r AS MATERIALIZED (
+       |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+       |    count(*) OVER (PARTITION BY g) AS n
+       |  FROM b),
+       |q(label, num, den) AS (VALUES $vals)
+       |SELECT g, label AS quantile, n, v AS value_cents,
+       |  CAST(v AS DOUBLE) / 100.0 AS value
+       |FROM r JOIN q ON rk = (n * num + den - 1) // den
+       |ORDER BY g, quantile""".stripMargin
+  }
+
   val exactMedianSql: String =
     """WITH b AS (
       |  SELECT l_returnflag AS g,
@@ -1117,6 +1206,7 @@ object Analytics {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_attribution" -> (attribution _),
     "q_ag_exact_median" -> (exactMedian _),
+    "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
     "q_ag_topk_group" -> (topkGroup _),
     "q_ev_funnel" -> (funnel _),
@@ -1163,6 +1253,7 @@ object Analytics {
     "q_ag_incr_join" -> incrJoinSql,
     "q_ev_attribution" -> attributionSql,
     "q_ag_exact_median" -> exactMedianSql,
+    "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,
     "q_j6_semijoin" -> semijoinSql,
     "q_j7_outer_join" -> outerJoinSql,

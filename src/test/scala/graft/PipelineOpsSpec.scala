@@ -211,6 +211,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === expect, s"got $out")
   }
 
+  test("exact quantiles equal ceiling-rank order statistics from a full sort") {
+    val got = Analytics.exactQuantiles(spark, sf).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("quantile")) ->
+        r.getAs[Long]("value_cents")).toMap
+    val groups = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val specs = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
+      ("p95", 19L, 20L), ("p99", 99L, 100L))
+    for ((g, vs) <- groups; (label, num, den) <- specs) {
+      val k = (vs.length * num + den - 1) / den
+      assert(got((g, label)) === vs((k - 1).toInt), s"$g $label")
+    }
+    assert(got.size === groups.size * specs.size)
+  }
+
   test("A-ES weighted sampling: deterministic, exactly k, heavy docs dominate") {
     import ss.implicits._
     val dir = Files.createTempDirectory("graft-weighted").toString
