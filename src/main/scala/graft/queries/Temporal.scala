@@ -635,7 +635,65 @@ object Temporal {
       |FROM cs
       |ORDER BY event_type, day""".stripMargin
 
+  // --- q_t14_mad ------------------------------------------------------------
+  // ROBUST outlier detection via the Median Absolute Deviation — the
+  // q_t8_seasonal screen's robust sibling: means/stddevs move with the
+  // outliers they're hunting, medians don't. Composes the exact
+  // selection machinery (Analytics.exactMedianOf) twice per series —
+  // median of the daily counts, then median of |x − med| — so the
+  // whole screen inherits the sort-free two-phase histogram plan, and
+  // every comparison is INTEGER (dev > 3·mad; mad = 0 degenerates to
+  // dev > 0 under the same formula). The oracle replays both medians
+  // as full ranked sorts.
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // two selection passes + the final join read it
+    val med = Analytics.exactMedianOf(s,
+        daily.select(col("event_type").as("g"), col("x").as("v")))
+      .select(col("g").as("event_type"), col("median_cents").as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("x") - col("med")))
+      .localCheckpoint()
+    val mad = Analytics.exactMedianOf(s,
+        dev.select(col("event_type").as("g"), col("dev").as("v")))
+      .select(col("g").as("event_type"), col("median_cents").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("x"), col("med"),
+        col("mad"),
+        when(col("dev") > col("mad") * 3, 1L).otherwise(0L)
+          .as("is_outlier"))
+      .orderBy("event_type", "day")
+  }
+
+  val madOutliersSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |med AS MATERIALIZED (
+      |  SELECT event_type, v AS med FROM (
+      |    SELECT event_type, x AS v,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY x) AS rk,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM daily) WHERE rk = (n + 1) // 2),
+      |dev AS MATERIALIZED (
+      |  SELECT d.event_type, d.day, d.x, m.med, abs(d.x - m.med) AS dev
+      |  FROM daily d JOIN med m USING (event_type)),
+      |mad AS MATERIALIZED (
+      |  SELECT event_type, v AS mad FROM (
+      |    SELECT event_type, dev AS v,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+      |      count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev) WHERE rk = (n + 1) // 2)
+      |SELECT d.event_type, d.day, d.x, d.med, m.mad,
+      |  CAST(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_outlier
+      |FROM dev d JOIN mad m USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t14_mad" -> (madOutliers _),
     "q_t13_cusum" -> (cusum _),
     "q_t12_band_join" -> (bandJoin _),
     "q_t11_debounce" -> (debounce _),
@@ -651,6 +709,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t14_mad" -> madOutliersSql,
     "q_t13_cusum" -> cusumSql,
     "q_t12_band_join" -> bandJoinSql,
     "q_t11_debounce" -> debounceSql,

@@ -145,6 +145,34 @@ class TemporalSpec extends SparkSpec {
       "a sustained shift keeps the alarm latched")
   }
 
+  test("MAD outliers: a planted spike flags, ordinary noise stays quiet, constant series degenerate") {
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    def t(day: Int, i: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + i * 1000L)
+    var id = 0L
+    // 'spiky': counts 10,11,12 cycling (med 11, mad 1) with one day at
+    // 40 — dev 29 > 3 → outlier; the cycling days never exceed 3.
+    // 'const': identical counts → mad = 0, dev = 0 → no outlier under
+    // the same dev > 3·mad formula.
+    val rows = (0 until 15).flatMap { day =>
+      val n = if (day == 7) 40 else 10 + day % 3
+      (0 until n).map { i => id += 1; (id, t(day, i), 1L, "spiky", 1.0, "{}") } ++
+        (0 until 10).map { i => id += 1; (id, t(day, i), 1L, "const", 1.0, "{}") }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Temporal.madOutliers(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("x"),
+        r.getAs[Long]("med"), r.getAs[Long]("mad"), r.getAs[Long]("is_outlier")))
+    val spiky = out.filter(_._1 == "spiky")
+    assert(spiky.count(_._5 == 1L) === 1, s"exactly the spike flags: $spiky")
+    assert(spiky.find(_._5 == 1L).get._2 === 40L)
+    val const = out.filter(_._1 == "const")
+    assert(const.forall(t => t._4 == 0L && t._5 == 0L),
+      "constant series: mad 0, nothing flagged")
+  }
+
   test("debounce chains on KEPT events, not on raw predecessors") {
     import ss.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-db").toString
