@@ -30,8 +30,12 @@ import org.apache.spark.sql.types.LongType
   * columns `LongType` expressions drawing from exactly one side each,
   * non-negative literal widths, and no existing equi conjunct (if one
   * exists the hash join is already available and the rewrite would
-  * just add work). Floor division is implemented as
-  * `(x − pmod(x, B)) div B`, exact for negatives too. The rewrite is
+  * just add work). Floor division uses Math.floorDiv semantics built
+  * wrap-safely from a truncating divide minus one when the remainder
+  * is negative (exact for all Long inputs at B ≥ 2 — no intermediate
+  * can overflow); the degenerate B = 1 band (w1 = w2 = 0) is plain
+  * equality and surfaces directly as an equi conjunct instead, which
+  * also preserves floorDiv's B ≥ 2 contract. The rewrite is
   * idempotent — the produced join HAS an equi conjunct, so the rule
   * skips it on the optimizer's next fixed-point pass. Toggleable per
   * session for the PlanSpec with/without comparison.

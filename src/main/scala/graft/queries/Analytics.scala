@@ -962,20 +962,22 @@ object Analytics {
   // EXACT per-group median WITHOUT a per-group sort — distributed
   // selection (the classic two-phase histogram narrowing): a full sort
   // of 100 TB to read one order statistic is the canonical anti-plan,
-  // and approx_percentile trades away exactness. Three bounded passes
-  // instead: (A) per-group count/min/max; (B) one 4096-bucket histogram
-  // per group (driver state is O(groups × 4096) LONGS — a constant,
-  // data-independent bound, the same driver-artifact discipline as the
-  // k×d centroid maps); prefix-summing the histogram locates the bucket
-  // holding the k-th value (k = (n+1)/2, the lower median) and the rank
-  // within it; (C) a scan filtered to that bucket's value range —
-  // expected n/4096 rows per group — ranks the remainder with a
-  // partition-local window. Bucket width 1 means every bucket is a
-  // single value, so the median is the bucket bound itself and pass C
-  // is skipped (also the degenerate all-equal guard). Money routes
-  // through DECIMAL(18,2)·100 cents so bucket bounds are exact integers
-  // in both engines. The ORACLE is the sort it replaces: a full
-  // row_number() ranking picking rk = (n+1)//2.
+  // and approx_percentile trades away exactness. Three bounded passes,
+  // ALL distributed (no .collect() between input and result — the
+  // round-10 driver prefix-sum walk is gone): (A) per-group
+  // count/min/max; (B) a ≤4098-bucket histogram per group whose
+  // cumulative counts come from a window over (g ORDER BY b) and whose
+  // target bucket — the one holding the k-th value (k = (n+1)/2, the
+  // lower median) — is selected by FILTER on the crossing condition,
+  // so group cardinality can be millions without any driver state;
+  // (C) a scan filtered to that bucket — expected n/4096 rows per
+  // group — ranks the remainder with a partition-local window. Bucket
+  // width 1 means every bucket is a single value, so the median is the
+  // bucket id itself and pass C is skipped (also the degenerate
+  // all-equal guard). Money routes through DECIMAL(18,2)·100 cents so
+  // bucket ids are exact integers in both engines. The ORACLE is the
+  // sort it replaces: a full row_number() ranking picking
+  // rk = (n+1)//2.
   private val MedianBuckets = 4096L
 
   def exactMedian(s: SparkSession, d: String): DataFrame =
@@ -984,65 +986,89 @@ object Analytics {
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("bigint").as("v")))
 
-  /** Selection core over any (g: string, v: bigint) frame. */
-  def exactMedianOf(s: SparkSession, input: DataFrame): DataFrame = {
-    import s.implicits._
-    val base = input.localCheckpoint() // three bounded passes read it
+  /** Distributed selection core over any (g: string, v: bigint) frame:
+    * for every group and every (label, num, den) in `spec`, the exact
+    * k-th smallest v with k = ⌈gn·num/den⌉ = (gn·num + den − 1) div den
+    * — with NO driver-side state. The histogram prefix-sum that locates
+    * each rank's bucket is a window over (g ORDER BY b) (≤ ~4098 rows
+    * per group — value-domain-bounded, never data-proportional), the
+    * target bucket is selected by FILTER on the crossing condition
+    * (cum ≥ k ∧ cum − c < k), and the residual rank resolves in a
+    * slice scan covering expected n/4096 rows per group. Buckets are
+    * ALIGNED AT ZERO — b = floorDiv(v, w), wrap-safe truncating
+    * divide-minus-one — so no bucket-BOUND arithmetic exists to
+    * overflow at Long extremes; pass C re-derives membership by
+    * recomputing each row's bucket instead of comparing against
+    * materialized [lo, hi] bounds (which wrap for v near
+    * Long.MinValue). Width comes from the per-group range in
+    * DECIMAL(38,0) on the O(groups) stats frame only (never per
+    * datum), giving ≤ 4098 aligned buckets per group over ANY Long
+    * domain. The per-(group, label) target frame is localCheckpointed:
+    * it is tiny (|groups|·|spec| rows), read by both output arms, and
+    * lives on executors — not the driver. Output columns:
+    * (g, quantile, n, value_cents).
+    */
+  private[graft] def selectAtRanks(
+      base: DataFrame, spec: Seq[(String, Long, Long)]): DataFrame = {
+    import base.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val specDf = broadcast(spec.toDF("quantile", "num", "den"))
     val stats = base.groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
-      .collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
-    val meta = stats.toSeq.map { case (g, (n, lo, hi)) =>
-      (g, n, lo, math.max(1L, (hi - lo + MedianBuckets) / MedianBuckets))
-    }
-    val metaDf = meta.toDF("g", "gn", "glo", "gw")
-    val hist = base.join(broadcast(metaDf), "g")
-      .select(col("g"), expr("(v - glo) DIV gw").as("b"))
+      .agg(count(lit(1)).as("gn"), min("v").as("glo"), max("v").as("ghi"))
+      .withColumn("gw", expr(
+        s"""CAST((CAST(ghi AS DECIMAL(38,0)) - CAST(glo AS DECIMAL(38,0))
+           | + $MedianBuckets) DIV $MedianBuckets AS BIGINT)"""
+          .stripMargin.replace("\n", "")))
+      .select("g", "gn", "gw")
+    // wrap-safe floorDiv(v, gw): truncating divide, minus one when the
+    // remainder is negative (gw >= 1 always, so no division overflow)
+    val bucketOf =
+      expr("v DIV gw - (CASE WHEN v % gw < 0 THEN 1 ELSE 0 END)")
+    val hist = base.join(stats.select("g", "gw"), "g")
+      .select(col("g"), bucketOf.as("b"))
       .groupBy("g", "b").agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    // driver-side prefix sum over <= 4096 buckets per group: find the
-    // bucket holding rank k and the residual rank within it
-    val target = meta.map { case (g, n, lo, w) =>
-      val k = (n + 1) / 2
-      val buckets = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
-      var acc = 0L
-      var found: Option[(Long, Long)] = None // (bucket, count before it)
-      for ((b, c) <- buckets if found.isEmpty) {
-        if (acc + c >= k) found = Some((b, acc))
-        else acc += c
-      }
-      val (bStar, before) = found.get
-      (g, n, lo + bStar * w, lo + (bStar + 1) * w - 1, k - before, w)
-    }
-    val direct = target.filter(_._6 == 1L).toSeq
-      .map { case (g, n, vlo, _, _, _) => (g, n, vlo) }
-    val narrow = target.filter(_._6 > 1L).toSeq
-      .map { case (g, n, vlo, vhi, r, _) => (g, n, vlo, vhi, r) }
-    val directDf = direct.toDF("g", "n", "median_cents")
-    val narrowed = if (narrow.isEmpty) directDf.limit(0) else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("g").orderBy("v")
-      base.join(broadcast(narrow.toDF("g", "gn", "vlo", "vhi", "gr")), "g")
-        .filter(col("v") >= col("vlo") && col("v") <= col("vhi"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === col("gr"))
-        .select(col("g"), col("gn").as("n"), col("v").as("median_cents"))
-    }
-    directDf.unionByName(narrowed)
-      .select(col("g"), col("n"), col("median_cents"),
-        (col("median_cents").cast("double") / 100.0).as("median"))
+    val wcum = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val targets = hist
+      .withColumn("cum", sum("c").over(wcum))
+      .join(stats, "g")
+      .crossJoin(specDf) // |spec| rows — every rank rides one walk
+      .withColumn("k", expr("(gn * num + den - 1) DIV den"))
+      .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
+      .select(col("g"), col("quantile"), col("gn"), col("gw"),
+        col("b").as("bstar"), (col("k") - col("cum") + col("c")).as("gr"))
+      .localCheckpoint()
+    // width 1 means bucket id == value: emit directly, no pass C
+    val direct = targets.filter(col("gw") === 1L)
+      .select(col("g"), col("quantile"), col("gn").as("n"),
+        col("bstar").as("value_cents"))
+    val wrk = Window.partitionBy("g", "quantile").orderBy("v")
+    val narrowed = base.join(targets.filter(col("gw") > 1L), "g")
+      .filter(bucketOf === col("bstar"))
+      .withColumn("rk", row_number().over(wrk))
+      .filter(col("rk") === col("gr"))
+      .select(col("g"), col("quantile"), col("gn").as("n"),
+        col("v").as("value_cents"))
+    direct.unionByName(narrowed)
+  }
+
+  /** Selection core over any (g: string, v: bigint) frame — the lower
+    * median is rank ⌈n/2⌉, i.e. the (label, 1, 2) spec entry. */
+  def exactMedianOf(s: SparkSession, input: DataFrame): DataFrame = {
+    val base = input.localCheckpoint() // three bounded passes read it
+    selectAtRanks(base, Seq(("m", 1L, 2L)))
+      .select(col("g"), col("n"),
+        col("value_cents").as("median_cents"),
+        (col("value_cents").cast("double") / 100.0).as("median"))
       .orderBy("g")
   }
 
   // --- q_ag_exact_quantiles -------------------------------------------------
   // The selection machinery generalized: p25/p50/p75/p95/p99 per group
   // from ONE histogram pass — all five ceiling-ranks k = ⌈p·n⌉ locate
-  // their buckets in the same driver prefix-sum, and a single pass-C
-  // scan covers every (group, quantile) target bucket via one
-  // broadcast join (a row in two targets' shared bucket serves both).
+  // their buckets in the same windowed prefix-sum (the spec cross-join
+  // fans each histogram row out 5×, bounded), and a single pass-C scan
+  // covers every (group, quantile) target bucket via one join.
   // Exactly the plan shape a percentile dashboard needs at 100 TB:
   // the cost is ~one q_ag_exact_median regardless of how many
   // quantiles ride along. Ranks are exact integer arithmetic
@@ -1053,56 +1079,12 @@ object Analytics {
     ("p95", 19L, 20L), ("p99", 99L, 100L))
 
   def exactQuantiles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val base = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("g"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("bigint").as("v"))
       .localCheckpoint()
-    val stats = base.groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
-      .collect()
-      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
-    val meta = stats.toSeq.map { case (g, (n, lo, hi)) =>
-      (g, n, lo, math.max(1L, (hi - lo + MedianBuckets) / MedianBuckets))
-    }
-    val metaDf = meta.toDF("g", "gn", "glo", "gw")
-    val hist = base.join(broadcast(metaDf), "g")
-      .select(col("g"), expr("(v - glo) DIV gw").as("b"))
-      .groupBy("g", "b").agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .groupBy(_._1)
-    // one prefix walk per group serves EVERY quantile's rank
-    val targets = meta.flatMap { case (g, n, lo, w) =>
-      val buckets = hist(g).map(t => (t._2, t._3)).sortBy(_._1)
-      val cums = buckets.scanLeft(0L)(_ + _._2).tail.zip(buckets)
-      QuantileSpec.map { case (label, num, den) =>
-        val k = (n * num + den - 1) / den
-        val ((cum, (bStar, c))) =
-          cums.find { case (cm, _) => cm >= k }.get
-        (g, label, n, lo + bStar * w, lo + (bStar + 1) * w - 1,
-          k - (cum - c), w)
-      }
-    }
-    val direct = targets.filter(_._7 == 1L)
-      .map { case (g, label, n, vlo, _, _, _) => (g, label, n, vlo) }
-    val narrow = targets.filter(_._7 > 1L)
-      .map { case (g, label, n, vlo, vhi, r, _) => (g, label, n, vlo, vhi, r) }
-    val directDf = direct.toDF("g", "quantile", "n", "value_cents")
-    val narrowed = if (narrow.isEmpty) directDf.limit(0) else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("g", "quantile").orderBy("v")
-      base.join(broadcast(
-          narrow.toDF("g", "quantile", "gn", "vlo", "vhi", "gr")), "g")
-        .filter(col("v") >= col("vlo") && col("v") <= col("vhi"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === col("gr"))
-        .select(col("g"), col("quantile"), col("gn").as("n"),
-          col("v").as("value_cents"))
-    }
-    directDf.unionByName(narrowed)
+    selectAtRanks(base, QuantileSpec)
       .select(col("g"), col("quantile"), col("n"), col("value_cents"),
         (col("value_cents").cast("double") / 100.0).as("value"))
       .orderBy("g", "quantile")

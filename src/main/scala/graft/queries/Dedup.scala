@@ -168,10 +168,23 @@ object Dedup {
   // groups (the opposite of stop-shingle blowup). The implied length
   // filter 2·min(|A|,|B|) ≥ max(|A|,|B|) prunes cross-size candidates
   // before the verify join. Hot shingles (df > MaxShingleDf) are
-  // excluded from candidate generation like every generator here (they
-  // sort last, so they are almost never prefix members anyway) but
-  // still count in the exact verify. DedupSpec proves output equality
+  // excluded from candidate generation like every generator here but
+  // still count in the exact verify. RECALL CONDITION (precise): the
+  // cap removes prefix members, so the τ-prefix guarantee — and hence
+  // equality with q_dd_ngram_jaccard — holds iff every qualifying pair
+  // shares at least one SUB-CAP shingle lying in both prefixes.
+  // Because hot shingles sort LAST (df ascending), a hot shingle can
+  // occupy a prefix position (rk ≤ ⌊n/2⌋+1) only when the doc has
+  // ≥ ⌈n/2⌉ globally-hot shingles; so a sufficient corpus-level
+  // precondition is "no document draws more than half its shingles
+  // from the hot set" — DedupSpec checks exactly this precondition on
+  // the fixture (zero hot prefix members) AND proves output equality
   // with q_dd_ngram_jaccard plus a strict candidate-volume reduction.
+  // (q_dd_ngram_jaccard has the mirrored cap blind spot for pairs
+  // whose ONLY shared shingles are hot; both twins document it, and a
+  // corpus that violates the precondition should raise MaxShingleDf
+  // or pre-strip boilerplate — the cap is a cost guard, not a
+  // semantic knob.)
   //
   // Cost shape vs q_dd_ngram_jaccard: the prefix RANK needs a doc-grain
   // window, so this plan pays one more exchange+sort of the shingle

@@ -269,12 +269,17 @@ object TextAnalysis {
   // production, yesterday vs today). Per token the two-sample
   // chi-square-style statistic (c1·N2 − c2·N1)² / ((c1+c2)·N1·N2)
   // compares relative frequencies without ever forming them: the
-  // numerator and denominator are EXACT integer products (the
-  // cross-multiplication discipline), divided once in double space —
-  // identical operands, identical bits, both engines. Tokens below a
-  // df floor are dropped (rare-token noise dominates chi-square), the
-  // top 50 drifted tokens emit with dense ranks tie-broken on token.
-  // One token-grain aggregation, one top-k — no joins wider than the
+  // cross-product difference is an EXACT integer (the
+  // cross-multiplication discipline), cast to double ONCE and only
+  // then squared — squaring in BIGINT would overflow Long at
+  // |diff| > ~3e9 (Spark wraps silently, DuckDB raises, engines
+  // diverge), whereas the double square of the same exact integer is
+  // bit-identical in both engines. Headroom after the fix is the
+  // inner products themselves: exact while n1·n2 < 2^63, i.e. each
+  // half-corpus under ~3e9 total tokens. Tokens below a df floor are
+  // dropped (rare-token noise dominates chi-square), the top 50
+  // drifted tokens emit with dense ranks tie-broken on token. One
+  // token-grain aggregation, one top-k — no joins wider than the
   // vocabulary.
   private val DriftMinCount = 5L
   private val DriftTopK = 50
@@ -289,10 +294,11 @@ object TextAnalysis {
         sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("c2"))
       .filter(col("c1") + col("c2") >= DriftMinCount)
     val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val diff =
+      (col("c1") * col("n2") - col("c2") * col("n1")).cast("double")
     val scored = counts.crossJoin(broadcast(tot))
       .select(col("w"), col("c1"), col("c2"),
-        (((col("c1") * col("n2") - col("c2") * col("n1")) *
-          (col("c1") * col("n2") - col("c2") * col("n1"))).cast("double") /
+        (diff * diff /
           ((col("c1") + col("c2")) * col("n1") * col("n2")).cast("double"))
           .as("drift_stat"))
     // top-k FIRST (TakeOrderedAndProject — per-partition heaps + driver
@@ -322,7 +328,7 @@ object TextAnalysis {
        |  FROM counts),
        |scored AS MATERIALIZED (
        |  SELECT w, c1, c2,
-       |    ((c1 * n2 - c2 * n1) * (c1 * n2 - c2 * n1))::DOUBLE
+       |    ((c1 * n2 - c2 * n1)::DOUBLE * (c1 * n2 - c2 * n1)::DOUBLE)
        |      / ((c1 + c2) * n1 * n2)::DOUBLE AS drift_stat
        |  FROM counts, tot)
        |SELECT rank, w, c1, c2, drift_stat FROM (

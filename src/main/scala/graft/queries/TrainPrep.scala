@@ -647,30 +647,38 @@ object TrainPrep {
   // carries more function words), split into value-based quartiles, and
   // quartile q is materialized q times (epoch replicas) with a
   // hash-derived shuffle position per replica so epochs interleave
-  // instead of repeating back-to-back. NO global sort anywhere: the
-  // score domain is small-integer (a count), so quartile THRESHOLDS
-  // come from a score histogram (bounded distinct values) prefix-summed
-  // on the driver — q_i = min score with 4·cum ≥ i·n — and docs bucket
-  // scan-side against the 3 broadcast thresholds. Replication is an
-  // explode(sequence) — linear, shard-parallel.
+  // instead of repeating back-to-back. NO global sort anywhere and NO
+  // driver state: the score domain is small-integer (a count, bounded
+  // by the longest doc), so quartile THRESHOLDS come from a score
+  // histogram (value-domain-bounded rows) prefix-summed by a window
+  // over (score) — single-partition, but over histogram BUCKETS, never
+  // docs — reduced to a one-row frame q_i = min score with 4·cum ≥ i·n
+  // that broadcast-joins back; docs bucket scan-side against the 3
+  // thresholds. Replication is an explode(sequence) — linear,
+  // shard-parallel.
   def epochs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
     val scored = Tables.documents(s, d)
       .select(col("doc_id"),
         size(filter(TextAnalysis.tokens(col("text")),
           t => array_contains(stopArr, t))).cast("bigint").as("score"))
       .localCheckpoint() // histogram + assignment read it
-    val hist = scored.groupBy("score").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val n = hist.map(_._2).sum
-    val cums = hist.scanLeft(0L)(_ + _._2).tail.zip(hist.map(_._1))
-    def thresholdFor(i: Int): Long =
-      cums.find { case (cum, _) => 4 * cum >= i * n }.get._2
-    val (q1, q2, q3) = (thresholdFor(1), thresholdFor(2), thresholdFor(3))
+    val wcum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val th = scored.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wcum))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("score"))).as("q1"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("score"))).as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("score"))).as("q3"))
     scored
+      .crossJoin(broadcast(th))
       .withColumn("quartile",
-        when(col("score") <= q1, 1L).when(col("score") <= q2, 2L)
-          .when(col("score") <= q3, 3L).otherwise(4L))
+        when(col("score") <= col("q1"), 1L)
+          .when(col("score") <= col("q2"), 2L)
+          .when(col("score") <= col("q3"), 3L).otherwise(4L))
       .withColumn("epoch", explode(sequence(lit(1L), col("quartile"))))
       .withColumn("ord", Hashes.md5Int48(concat(col("doc_id").cast("string"),
         lit("_ep_"), col("epoch").cast("string"))))

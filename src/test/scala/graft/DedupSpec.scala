@@ -97,6 +97,15 @@ class DedupSpec extends SparkSpec {
       .filter(col("rk") <= expr("n DIV 2 + 1"))
     val (cp, cr) = (bucketPairs(prefixRows), bucketPairs(rareRows))
     assert(cp < cr, s"prefix candidates $cp should undercut rare candidates $cr")
+    // recall-condition PRECONDITION (documented at Dedup.prefixJoin):
+    // the hot-shingle cap may only drop NON-prefix members, which with
+    // rarest-first ordering holds when no doc draws half its shingles
+    // from the hot set. Assert it directly — zero hot prefix members —
+    // so the equality above is known to run under a satisfied
+    // precondition rather than vacuously.
+    val hotPrefix = prefixRows.filter(col("df") > 100).count()
+    assert(hotPrefix === 0L,
+      s"fixture violates the prefix-recall precondition: $hotPrefix hot prefix members")
   }
 
   test("exact substring duplication: shared spans merge, unique text scores zero") {

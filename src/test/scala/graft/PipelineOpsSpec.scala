@@ -211,6 +211,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === expect, s"got $out")
   }
 
+  test("exact selection scales to 100k distinct groups — no driver histogram") {
+    import ss.implicits._
+    // The round-10 form collected O(groups × 4096) histogram state to
+    // the driver; this case would have built 100k driver histograms.
+    // The distributed form's only driver artifact is the final result.
+    // 7 values per group; odd groups span ~6e9 (width > 1, pass C
+    // narrows), even groups span 600 (width 1, direct arm) — both
+    // selection arms exercised at full cardinality. Lower median of
+    // {base + j·step, j=0..6} is base + 3·step.
+    val groups = 100000L
+    val df = ss.range(7L * groups).select(
+      concat(lit("g"), (col("id") % groups).cast("string")).as("g"),
+      (((col("id") % groups) * 1000) +
+        expr(s"id DIV $groups") *
+          when((col("id") % groups) % 2 === 1, 1000000000L)
+            .otherwise(100L)).as("v"))
+    val out = Analytics.exactMedianOf(ss, df)
+    assert(out.count() === groups)
+    val spot = out.filter(col("g").isin("g0", "g41", "g99999"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("median_cents"))).toMap
+    assert(spot("g0") === ((7L, 0L * 1000 + 3 * 100)))
+    assert(spot("g41") === ((7L, 41L * 1000 + 3 * 1000000000L)))
+    assert(spot("g99999") === ((7L, 99999L * 1000 + 3 * 1000000000L)))
+  }
+
   test("exact quantiles equal ceiling-rank order statistics from a full sort") {
     val got = Analytics.exactQuantiles(spark, sf).collect()
       .map(r => (r.getAs[String]("g"), r.getAs[String]("quantile")) ->

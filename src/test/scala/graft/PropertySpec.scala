@@ -353,4 +353,61 @@ class PropertySpec extends SparkSpec {
     assert(pm.contains("cast(o_custkey"),
       s"mixed-canonical IN must stay in string space:\n${pm.take(1500)}")
   }
+
+  test("exact selection: adversarial domains — constants, outliers, Long extremes, 1..10k groups") {
+    import ss.implicits._
+    import graft.queries.Analytics
+    // The regimes the sf fixtures don't reach: degenerate width
+    // (all-equal groups), a bucket-isolating outlier, the full Long
+    // domain (where lo-anchored bucket-BOUND arithmetic would wrap —
+    // the aligned-bucket form has no bound to overflow), and group
+    // cardinalities 1 / 2 / 10k. Oracle: in-memory sort at the lower
+    // median rank.
+    def check(rows: Seq[(String, Long)], tag: String): Unit = {
+      val out = Analytics.exactMedianOf(ss, rows.toDF("g", "v")).collect()
+        .map(r => r.getAs[String]("g") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("median_cents"))).toMap
+      val expect = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> (vs.size.toLong, sorted(((vs.size + 1) / 2) - 1))
+      }
+      assert(out === expect, s"[$tag] got $out")
+    }
+    check(Seq(("a", 7L)), "single row")
+    check(Seq.fill(5)(("min", Long.MinValue)) ++
+      Seq.fill(4)(("max", Long.MaxValue)), "constant groups at extremes")
+    check((1 to 9).map(i => ("o", i.toLong)) :+ (("o", Long.MaxValue)),
+      "single outlier widens the domain without moving the median")
+    check(Seq(("x", Long.MinValue), ("x", Long.MinValue + 1), ("x", -1L),
+      ("x", 0L), ("x", 1L), ("x", Long.MaxValue - 1),
+      ("x", Long.MaxValue)), "full Long domain in one group")
+    val rnd = new scala.util.Random(7)
+    check((0 until 10000).flatMap { g =>
+      (0 to rnd.nextInt(5)).map(_ => (s"g$g", rnd.nextLong()))
+    }, "10k groups of random Longs")
+  }
+
+  test("exact multi-rank selection: edge ranks k=1 and k=n at adversarial domains") {
+    import ss.implicits._
+    import graft.queries.Analytics
+    // p1 (k = ceil(n/100) = 1 for n <= 100 → group min) and p100
+    // (k = n → group max) are the rank walk's boundary conditions;
+    // p50 rides the same pass. Values span the full Long domain.
+    val spec = Seq(("p1", 1L, 100L), ("p50", 1L, 2L), ("p100", 1L, 1L))
+    val rows = Seq(("x", Long.MinValue), ("x", -5L), ("x", 0L),
+      ("x", 5L), ("x", Long.MaxValue),
+      ("y", 3L), ("y", 3L), ("y", 3L))
+    val base = rows.toDF("g", "v")
+    val out = Analytics.selectAtRanks(base, spec).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("quantile")) ->
+        r.getAs[Long]("value_cents")).toMap
+    val expect = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      spec.map { case (label, num, den) =>
+        val k = (vs.size * num + den - 1) / den
+        (g, label) -> sorted((k - 1).toInt)
+      }
+    }
+    assert(out === expect, s"got $out")
+  }
 }
