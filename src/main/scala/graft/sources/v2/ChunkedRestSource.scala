@@ -19,12 +19,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * chunk retries alone (task retry = the reference's per-request retry,
   * but free and partition-scoped).
   *
-  * The HTTP POST itself is stubbed with a deterministic generator (this
-  * container has no egress): `fetchChunk` is the one function a live
-  * deployment replaces, exactly like the reference's `requests.post`.
-  * Everything around it — schema declaration, chunk partitioning, column
-  * pruning pushdown (`SupportsPushDownRequiredColumns`) — is the real
-  * Spark surface and is spec-tested.
+  * The transport has two modes: with the `url` option set, each chunk
+  * is fetched over a REAL socket (JDK HttpURLConnection) and the
+  * gas-quality JSON envelope flattened — LoopbackRestSpec drives this
+  * end to end against an in-process localhost fixture server including
+  * scripted 429/503 retry storms; without `url` a deterministic
+  * generator stands in (this container has no egress to the real
+  * endpoints). Retry delays are option-overridable (`retryBaseMs`,
+  * `retryRateLimitExtraMs`, `throttleMs`) so tests traverse the full
+  * backoff schedule without wall-clock cost; live deployments keep the
+  * reference defaults. Everything else — schema declaration, chunk
+  * partitioning, column pruning pushdown
+  * (`SupportsPushDownRequiredColumns`) — is the same Spark surface in
+  * both modes and is spec-tested.
   *
   * Usage:
   * {{{
@@ -57,21 +64,72 @@ object ChunkedRestSource {
   val Metrics: Seq[String] = Seq("WOBBE", "CV", "SG")
 
   /** The per-chunk transport: returns Left(httpStatus) on a failed
-    * request, Right(rows) on success. This is the ONE function a live
-    * deployment replaces (the real POST + JSON flatten, returning
-    * Left(response.status) on 4xx/5xx); the stub below cannot fail —
-    * this container has no egress — but the retry/backoff policy around
-    * it ([[graft.sources.HttpRetry]], the reference's 5×-backoff/429
-    * schedule) is real, spec-tested, and already in the reader path. */
-  def fetchTransport(start: LocalDate, endExclusive: LocalDate)
+    * request, Right(rows) on success. With no `url` option the
+    * deterministic generator stands in (this container has no egress to
+    * the real endpoints); with `url` set — a live deployment, or the
+    * spec's loopback fixture server — the chunk is fetched over a REAL
+    * socket ([[graft.sources.HttpTransport]]) and the gas-quality JSON
+    * envelope is flattened, returning Left(status) on 4xx/5xx and on
+    * connection failure. Either way the retry/backoff policy around it
+    * ([[graft.sources.HttpRetry]], the reference's 5×-backoff/429
+    * schedule) is the same code in the reader path. */
+  def fetchTransport(start: LocalDate, endExclusive: LocalDate,
+                     url: Option[String] = None)
   : Either[Int, Iterator[(Long, String, String, Double)]] =
-    Right(fetchChunk(start, endExclusive))
+    url match {
+      case None => Right(fetchChunk(start, endExclusive))
+      case Some(u) =>
+        graft.sources.HttpTransport
+          .get(s"$u?from=$start&toExclusive=$endExclusive")
+          .map(parseGasQuality)
+    }
 
-  /** [[fetchTransport]] under the reference's retry policy — what the
-    * partition reader actually calls. */
-  def fetchChunkWithRetry(start: LocalDate, endExclusive: LocalDate)
+  /** Flatten the gas-quality JSON envelope `{"data": [{applicableAt,
+    * site, metric, value}, …]}` (the reference's json_normalize input
+    * shape, `national_gas_client.py:103-116`). Jackson rides Spark's
+    * own classpath. A malformed payload THROWS — a 200 with garbage is
+    * a contract violation, not a retryable transient. */
+  def parseGasQuality(body: String): Iterator[(Long, String, String, Double)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(body)
+    val data = root.get("data")
+    require(data != null && data.isArray, s"gas-quality envelope missing data[]")
+    val out = Vector.newBuilder[(Long, String, String, Double)]
+    data.forEach { item =>
+      val inst = java.time.Instant.parse(item.get("applicableAt").asText)
+      out += ((inst.getEpochSecond * 1000000L + inst.getNano / 1000,
+        item.get("site").asText, item.get("metric").asText,
+        item.get("value").asDouble))
+    }
+    out.result().iterator
+  }
+
+  /** Reader-path retry policy: the reference's schedule, with delays
+    * overridable through reader options (specs shrink them to drive the
+    * full 429/503 schedule over a loopback socket without wall-clock
+    * cost) and transport-level failures retried like a 5xx. */
+  def policyFromOptions(opts: Map[String, String]): graft.sources.HttpRetry.Policy = {
+    val base = graft.sources.HttpRetry.Policy()
+    base.copy(
+      baseDelayMs = opts.get("retryBaseMs").map(_.toLong)
+        .getOrElse(base.baseDelayMs),
+      rateLimitExtraMs = opts.get("retryRateLimitExtraMs").map(_.toLong)
+        .getOrElse(base.rateLimitExtraMs),
+      throttleMs = opts.get("throttleMs").map(_.toLong)
+        .getOrElse(base.throttleMs),
+      retryOn = base.retryOn + graft.sources.HttpTransport.IoFailureStatus)
+  }
+
+  /** [[fetchTransport]] under the retry policy — what the partition
+    * reader actually calls. */
+  def fetchChunkWithRetry(start: LocalDate, endExclusive: LocalDate,
+                          url: Option[String] = None,
+                          policy: graft.sources.HttpRetry.Policy =
+                            graft.sources.HttpRetry.Policy(),
+                          sleep: Long => Unit = Thread.sleep)
   : Iterator[(Long, String, String, Double)] =
-    graft.sources.HttpRetry.withRetries()(_ => fetchTransport(start, endExclusive))
+    graft.sources.HttpRetry.withRetries(policy, sleep)(
+      _ => fetchTransport(start, endExclusive, url))
 
   /** Deterministic generator standing in for the remote payload: rows
     * for every (day in chunk, site, metric). */
@@ -172,17 +230,26 @@ private class ChunkedRestScanBuilder(options: CaseInsensitiveStringMap)
     case _ => false
   }
 
-  override def build(): Scan = new ChunkedRestScan(
-    LocalDate.parse(options.get("from")),
-    LocalDate.parse(options.get("to")),
-    math.max(1, options.getInt("chunkDays", 2)),
-    required, minDay, maxDay, limit)
+  override def build(): Scan = {
+    import scala.jdk.CollectionConverters._
+    val optMap = options.asScala.toMap
+    new ChunkedRestScan(
+      LocalDate.parse(options.get("from")),
+      LocalDate.parse(options.get("to")),
+      math.max(1, options.getInt("chunkDays", 2)),
+      required, minDay, maxDay, limit,
+      Option(options.get("url")),
+      ChunkedRestSource.policyFromOptions(optMap))
+  }
 }
 
 private class ChunkedRestScan(from: LocalDate, to: LocalDate, chunkDays: Int,
                               required: StructType,
                               minDay: Option[Long], maxDay: Option[Long],
-                              limit: Option[Int]) extends Scan with Batch {
+                              limit: Option[Int],
+                              url: Option[String],
+                              policy: graft.sources.HttpRetry.Policy)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -206,28 +273,32 @@ private class ChunkedRestScan(from: LocalDate, to: LocalDate, chunkDays: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChunkReaderFactory(required, limit)
+    new ChunkReaderFactory(required, limit, url, policy)
 }
 
 private case class ChunkPartition(startDay: Long, endDay: Long) extends InputPartition
 
-private class ChunkReaderFactory(required: StructType, limit: Option[Int])
+private class ChunkReaderFactory(required: StructType, limit: Option[Int],
+                                 url: Option[String],
+                                 policy: graft.sources.HttpRetry.Policy)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[ChunkPartition]
-    new ChunkReader(cp, required, limit)
+    new ChunkReader(cp, required, limit, url, policy)
   }
 }
 
 private class ChunkReader(p: ChunkPartition, required: StructType,
-                          limit: Option[Int])
+                          limit: Option[Int], url: Option[String],
+                          policy: graft.sources.HttpRetry.Policy)
   extends PartitionReader[InternalRow] {
   // partial limit push: `limit` rows suffice from ANY one partition, so
   // each reader stops fetching there; Spark's own global limit does the
   // cross-partition cut
   private val it = {
     val base = ChunkedRestSource.fetchChunkWithRetry(
-      LocalDate.ofEpochDay(p.startDay), LocalDate.ofEpochDay(p.endDay))
+      LocalDate.ofEpochDay(p.startDay), LocalDate.ofEpochDay(p.endDay),
+      url, policy)
     limit.fold(base)(base.take)
   }
   // precompute projection indices once per partition, not per row
