@@ -40,6 +40,39 @@ object Discovery {
       |WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
       |ORDER BY event_id""".stripMargin
 
+  // --- q_ds_shredded --------------------------------------------------------
+  // The F3 predicate over SHREDDED typed columns — the 100 TB analog of
+  // the reference's JSONB+GIN index (`discovery.py:73`): q_ds_json_pred
+  // and q_ds_variant must read and parse EVERY payload to answer a
+  // one-field predicate, because a JSON-path expression is a DataFilter
+  // the parquet reader cannot push. Staging the hot fields (here `k` —
+  // the reference's `siteId`/`Data Item` equivalents) as typed columns
+  // NEXT TO the retained payload turns the same predicate into an
+  // attribute filter: it lands in PushedFilters (row-group stats
+  // skipping), the payload column vanishes from ReadSchema, and cold
+  // fields still have the full JSON beside them. Staged once per
+  // dataset fingerprint — at scale this is the ingest tick writing the
+  // shredded layout, every discovery query reading it. Output is
+  // hash-equal to q_ds_json_pred (same oracle), and PlanSpec asserts
+  // both plan properties.
+  private[graft] def shreddedEvents(s: SparkSession, d: String): DataFrame = {
+    val tag = Tables.stageTag(d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_events_$tag/shredded"
+    if (!new java.io.File(s"$root/_SUCCESS").exists())
+      Tables.events(s, d)
+        .withColumn("k_typed",
+          get_json_object(col("props"), "$.k").cast("int"))
+        .write.mode("overwrite").parquet(root)
+    s.read.parquet(root)
+  }
+
+  def shredded(s: SparkSession, d: String): DataFrame =
+    shreddedEvents(s, d)
+      .filter(col("k_typed") >= 90)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("k_typed").as("k"))
+      .orderBy("event_id")
+
   // --- q_ds_field_discovery -----------------------------------------------
   // The reference's schema-inference aggregate (`field_discovery.py:19-64`):
   // per (dataset, field): union of observed types, null count, row count,
@@ -408,6 +441,7 @@ object Discovery {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_sample_preview" -> (samplePreview _),
     "q_ds_json_pred" -> (jsonPred _),
+    "q_ds_shredded" -> (shredded _),
     "q_ds_field_discovery" -> (fieldDiscovery _),
     "q_ds_group_collect" -> (groupCollect _),
     "q_ds_profile" -> (profile _),
@@ -420,6 +454,7 @@ object Discovery {
   val oracles: Map[String, String] = Map(
     "q_ds_sample_preview" -> samplePreviewSql,
     "q_ds_json_pred" -> jsonPredSql,
+    "q_ds_shredded" -> jsonPredSql,
     "q_ds_field_discovery" -> fieldDiscoverySql,
     "q_ds_group_collect" -> groupCollectSql,
     "q_ds_profile" -> profileSql,

@@ -797,6 +797,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_ds_shredded: typed predicate pushes to parquet, payload pruned from scan") {
+    // the GIN-index analog: the SAME F3 predicate that q_ds_json_pred
+    // answers by parsing every payload becomes, over the shredded
+    // staging, an attribute filter the parquet reader can act on — and
+    // the payload column must not leave disk at all
+    val q = graft.queries.Discovery.shredded(spark, sf)
+    val p = plan(q)
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(k_typed,90)"),
+      s"typed predicate not pushed into the shredded scan:\n${p.take(1500)}")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(sys.error(s"no ReadSchema in plan:\n${p.take(1500)}"))
+    assert(!readSchema.contains("props"),
+      s"payload not pruned from the shredded scan: $readSchema")
+    // and the rows are identical to the parse-every-payload form
+    val viaJson = graft.queries.Discovery.jsonPred(spark, sf)
+      .collect().toSeq
+    assert(q.collect().toSeq === viaJson)
+  }
+
   private implicit class Let[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }
