@@ -1761,6 +1761,59 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  // --- q_sim_knn_graph ------------------------------------------------------
+  // K-NEAREST-NEIGHBOR GRAPH construction, IVF-blocked — the substrate
+  // under SemDedup-style semantic clustering, label-noise screens, and
+  // graph-based curation: every vector's top-3 neighbors by cosine
+  // among its OWN k-means cell's members (the standard blocked
+  // construction — candidates come from the cell equi-join, never an
+  // all-pairs cross). Reuses the E-step centroids shared with
+  // kmeansAssign/semDedup, so the blocking is the already-verified
+  // cluster assignment; the per-vector top-k is a window over cell-mate
+  // scores (cells bound the partition size), ties broken by neighbor
+  // id on bit-identical cosines. Singleton-cell vectors emit no rows —
+  // the documented recall trade of blocked k-NN (multi-probe of
+  // adjacent cells is the recall knob, as in q_sim_recall_trained).
+  // 100 TB shape: one scan to assign cells, one equi-join shuffle on
+  // cell, codegen'd vec_dot per candidate pair, TakeOrdered-style
+  // window per vector — no stage touches more than cell-mate pairs.
+  private val KnnK = 3
+
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", clusterOf(col("v")))
+    val pairs = e.toDF("vec_id", "v", "cell")
+      .join(e.toDF("nb_id", "nv", "cell"), "cell")
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"),
+        Vectors.cosine(col("v"), col("nv")).as("cosine"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("nb_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank"),
+        col("nb_id").as("neighbor_id"), col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  lazy val knnGraphSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${clusterOfSql("embedding")} AS cell
+       |  FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cosine
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, rank, neighbor_id, cosine FROM (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $KnnK
+       |ORDER BY vec_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_linear_probe" -> (linearProbe _),
     "q_sim_probe_weights" -> (linearProbeWeights _),
@@ -1772,6 +1825,7 @@ object Similarity {
     "q_sim_pq" -> (pqEncode _),
     "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
+    "q_sim_knn_graph" -> (knnGraph _),
     "q_sim_matryoshka" -> (matryoshka _),
     "q_sim_sq8" -> (sq8 _),
     "q_sim_recall" -> (recallEval _),
@@ -1794,6 +1848,7 @@ object Similarity {
     "q_sim_pq" -> pqEncodeSql,
     "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,
+    "q_sim_knn_graph" -> knnGraphSql,
     "q_sim_matryoshka" -> matryoshkaSql,
     "q_sim_sq8" -> sq8Sql,
     "q_sim_recall" -> recallEvalSql,

@@ -692,8 +692,75 @@ object Temporal {
       |FROM dev d JOIN mad m USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  // --- q_t15_ewma -----------------------------------------------------------
+  // EXPONENTIALLY WEIGHTED MOVING AVERAGE smoothing + surge alarm — the
+  // classic monitoring recursion E_t = α·x_t + (1−α)·E_{t−1} (seed
+  // E_1 = x_1, α = 0.25 — an exact binary fraction, so every step is
+  // one correctly-rounded multiply-add in BOTH engines). Unlike CUSUM
+  // the recursion is linear but its closed form needs (1−α)^{-t}
+  // weights that overflow doubles past ~10³ points, so the recursion
+  // is kept AS a recursion — evaluated as a per-series sequential fold
+  // (sort_array + aggregate-HOF with a struct-array accumulator) on
+  // the Spark side and a WITH RECURSIVE day-walk in DuckDB: identical
+  // operand order ⇒ identical bits, the same fold-parity discipline as
+  // the vector ops. A point alarms when it exceeds 1.5× the PREVIOUS
+  // smoothed level (lag — alarming against a level the point itself
+  // already moved would mute every spike). Scale: the fold is
+  // per-series (shard-parallel, series length = daily grain ⇒
+  // thousands of points, bounded); the streaming twin of this screen
+  // is the q_st_anomaly family's stateful form.
+  def ewma(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val folded = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
+      .select(col("event_type"), expr(
+        """aggregate(pts,
+          |  cast(array() as array<struct<day:timestamp,x:bigint,ewma:double>>),
+          |  (acc, p) -> array_append(acc, named_struct(
+          |    'day', p.day, 'x', p.x,
+          |    'ewma', CASE WHEN size(acc) = 0 THEN cast(p.x as double)
+          |         ELSE 0.25D * p.x + 0.75D * element_at(acc, -1).ewma
+          |    END)))""".stripMargin).as("walk"))
+    folded
+      .select(col("event_type"), explode(col("walk")).as("p"))
+      .select(col("event_type"), col("p.day").as("day"),
+        col("p.x").as("x"), col("p.ewma").as("ewma"))
+      .withColumn("alarm",
+        when(col("x") > lit(1.5) * lag("ewma", 1).over(
+          Window.partitionBy("event_type").orderBy("day")), 1L)
+          .otherwise(0L))
+      .orderBy("event_type", "day")
+  }
+
+  val ewmaSql: String =
+    """WITH RECURSIVE daily AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |numbered AS MATERIALIZED (
+      |  SELECT event_type, day, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |walk AS (
+      |  SELECT event_type, day, x, rn, CAST(x AS DOUBLE) AS ewma
+      |  FROM numbered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_type, n.day, n.x, n.rn,
+      |    CAST(0.25 AS DOUBLE) * n.x + CAST(0.75 AS DOUBLE) * w.ewma
+      |  FROM numbered n JOIN walk w
+      |    ON n.event_type = w.event_type AND n.rn = w.rn + 1)
+      |SELECT event_type, day, x, ewma,
+      |  CAST(CASE WHEN x > CAST(1.5 AS DOUBLE) *
+      |      lag(ewma) OVER (PARTITION BY event_type ORDER BY day)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM walk ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_t14_mad" -> (madOutliers _),
+    "q_t15_ewma" -> (ewma _),
     "q_t13_cusum" -> (cusum _),
     "q_t12_band_join" -> (bandJoin _),
     "q_t11_debounce" -> (debounce _),
@@ -710,6 +777,7 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "q_t14_mad" -> madOutliersSql,
+    "q_t15_ewma" -> ewmaSql,
     "q_t13_cusum" -> cusumSql,
     "q_t12_band_join" -> bandJoinSql,
     "q_t11_debounce" -> debounceSql,

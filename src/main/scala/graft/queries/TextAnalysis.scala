@@ -412,6 +412,62 @@ object TextAnalysis {
       |FROM ranked WHERE pr <= 0.9
       |ORDER BY doc_id""".stripMargin
 
+  // --- q_tx_phrase ----------------------------------------------------------
+  // EXACT PHRASE SEARCH over a positional token stream — the retrieval
+  // primitive BM25 term matching cannot express (BM25 sees bags of
+  // words; "new york times" ≠ {new, york, times}). The positional
+  // inverted index is the relational posexplode + window-lead trigram
+  // stream WITHOUT the distinct (every occurrence, overlapping
+  // included); the query set is the corpus's own top-5 trigrams by
+  // document frequency, read from the STAGED distinct shingle table
+  // (tie-broken by phrase text — deterministic at every SF). Matching
+  // is a broadcast semi-pattern: 5 phrases join the occurrence stream
+  // scan-side, then one (phrase, doc) count. At 100 TB the index build
+  // is the same scan-shaped pass the shingle stage already pays, the
+  // phrase probe touches only colliding trigrams, and nothing shuffles
+  // except the matched (phrase, doc) digest rows. Oracle: DuckDB
+  // rebuilds trigram occurrences via list subscripts.
+  private val PhraseTopK = 5
+
+  def phrase(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Text.shingleRows(s, d)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s")).limit(PhraseTopK)
+      .select("s")
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val occurrences = tok
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+    occurrences.join(broadcast(top), "s")
+      .groupBy("s", "doc_id").agg(count(lit(1)).as("occurrences"))
+      .select(col("s").as("phrase"), col("doc_id"), col("occurrences"))
+      .orderBy("phrase", "doc_id")
+  }
+
+  lazy val phraseSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |tri AS MATERIALIZED (
+       |  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS s
+       |  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)),
+       |dfq AS MATERIALIZED (
+       |  SELECT s, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, s FROM tri) GROUP BY s),
+       |top AS MATERIALIZED (
+       |  SELECT s FROM dfq ORDER BY df DESC, s LIMIT $PhraseTopK)
+       |SELECT t.s AS phrase, t.doc_id,
+       |  CAST(count(*) AS BIGINT) AS occurrences
+       |FROM tri t JOIN top USING (s)
+       |GROUP BY 1, 2
+       |ORDER BY phrase, doc_id""".stripMargin
+
   // --- q_tx_ngram_top -----------------------------------------------------
   // Corpus-wide top-k vocabulary extraction: the 100 most frequent word
   // bigrams with document frequencies — the table behind tokenizer
@@ -1242,6 +1298,7 @@ object TextAnalysis {
     "q_tx_nfc" -> (nfc _),
     "q_tx_repetition" -> (repetition _),
     "q_tx_ngram_top" -> (ngramTop _),
+    "q_tx_phrase" -> (phrase _),
     "q_tx_corpus_stats" -> (corpusStats _),
     "q_tx_drift" -> (drift _),
     "q_tx_lm_filter" -> (lmFilter _),
@@ -1263,6 +1320,7 @@ object TextAnalysis {
     "q_tx_cdc_chunks" -> cdcChunksSql,
     "q_tx_repetition" -> repetitionSql,
     "q_tx_ngram_top" -> ngramTopSql,
+    "q_tx_phrase" -> phraseSql,
     "q_tx_corpus_stats" -> corpusStatsSql,
     "q_tx_drift" -> driftSql,
     "q_tx_lm_filter" -> lmFilterSql,

@@ -211,6 +211,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === expect, s"got $out")
   }
 
+  test("knn graph: neighbors are cell-mates, ranks dense, cosines nonincreasing") {
+    val cells = Similarity.kmeansAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to rs.length.toLong), s"vec $v ranks not dense")
+      val cos = byRank.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"vec $v cosines increase down the ranking")
+      rs.foreach { r =>
+        val nb = r.getAs[Long]("neighbor_id")
+        assert(nb !== v, s"vec $v is its own neighbor")
+        assert(cells(nb) === cells(v),
+          s"vec $v neighbor $nb crosses cells — blocking broken")
+      }
+    }
+  }
+
+  test("phrase search: query phrases are the max-df trigrams; counts positive and positional") {
+    import ss.implicits._
+    val rows = TextAnalysis.phrase(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val phrases = rows.map(_.getAs[String]("phrase")).distinct.sorted
+    assert(phrases.forall(_.split(" ").length === 3), "phrases are trigrams")
+    // the query set must be exactly the staged shingle table's top-5 df
+    val top = graft.queries.Text.shingleRows(spark, sf)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s")).limit(5)
+      .collect().map(_.getString(0)).sorted
+    assert(phrases.toSeq === top.toSeq)
+    // occurrence counts are positive, and per-phrase doc counts cannot
+    // exceed the phrase's document frequency
+    assert(rows.forall(_.getAs[Long]("occurrences") >= 1L))
+  }
+
   test("exact selection scales to 100k distinct groups — no driver histogram") {
     import ss.implicits._
     // The round-10 form collected O(groups × 4096) histogram state to

@@ -244,4 +244,29 @@ class TemporalSpec extends SparkSpec {
       abs(col("p50_approx") - col("p50_exact")) > col("p50_exact") * 0.05)
     assert(bad.count() === 0)
   }
+
+  test("EWMA: seeds at the first point, stays inside the running hull, alarms only on 1.5x surges") {
+    val rows = Temporal.ewma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val seq = rs.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      assert(seq.head.getAs[Double]("ewma") ===
+        seq.head.getAs[Long]("x").toDouble, s"$et: seed must equal x_1")
+      assert(seq.head.getAs[Long]("alarm") === 0L, s"$et: no alarm at seed")
+      // convexity: each smoothed value lies between the running min and
+      // max of the series so far (a weighted average cannot escape)
+      var lo = Double.MaxValue; var hi = Double.MinValue
+      var prev = Double.NaN
+      seq.foreach { r =>
+        val x = r.getAs[Long]("x").toDouble
+        lo = math.min(lo, x); hi = math.max(hi, x)
+        val e = r.getAs[Double]("ewma")
+        assert(e >= lo - 1e-9 && e <= hi + 1e-9, s"$et: ewma escaped hull")
+        val alarm = r.getAs[Long]("alarm")
+        if (!prev.isNaN)
+          assert((alarm === 1L) === (x > 1.5 * prev), s"$et: alarm rule")
+        prev = e
+      }
+    }
+  }
 }
