@@ -1,0 +1,336 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.time.LocalDate
+import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.OptionalFilters
+import graft.warehouse.Ingest
+import graft.warehouse.Ingest.Warehouse
+
+/** The reference's process-level serving edge (`app/api/v2/routes.py`,
+  * `ingestion.py`, `discovery.py`, `health.py`, `export.py`) as an
+  * in-process HTTP listener over the verified engine functions — JDK
+  * `com.sun.net.httpserver` only, no new dependencies.
+  *
+  * Every endpoint delegates to an operator that already has a green
+  * CORRECTNESS row; this class adds ONLY the HTTP surface: parameter
+  * parsing, FastAPI-equivalent validation (400 on malformed dates or
+  * inverted ranges, `routes.py` date checks at `ingestion.py:23-31`),
+  * bounded-edge JSON rendering, and the 202-accepted background-ingest
+  * thread boundary (`ingestion.py:34-50`: handler enqueues and returns
+  * immediately; a single worker drains jobs in order, exactly FastAPI's
+  * BackgroundTasks semantics for one API process).
+  *
+  * Serving reads are BOUNDED at the edge by the same caps the reference
+  * enforces (`limit le=5000` on /v2/data, `le=50` on discovery/sample,
+  * 50k on exports): every collect here is over a capped frame, so the
+  * edge never materializes a data-proportional result — the same
+  * contract as [[graft.sources.Exports]]. At 100 TB the server is a
+  * driver-side veneer: all filtering/joining runs in the cluster plan
+  * (OptionalFilters builds only-defined predicates, so Catalyst sees
+  * sargable conjuncts and prunes partitions), and only the ≤5000
+  * requested rows cross to the edge.
+  *
+  * One deliberate addition over the reference: `GET /v2/ingest/jobs/N`
+  * exposes the background job's terminal state. The reference's 202
+  * gives the caller no completion signal at all (fire-and-forget);
+  * a pollable job row is the minimal deterministic contract a spec —
+  * or a real operator — needs. `include_raw` is accepted and rendered
+  * as the reference does for its default `False` (raw_payload: null on
+  * every point); raw payloads are served by /v2/discovery/sample.
+  */
+final class QueryServer(spark: SparkSession, wh: Warehouse,
+                        restUrl: Option[String] = None) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  // request pool sized for a test/API edge; the heavy lifting is Spark's
+  private val requestPool = Executors.newFixedThreadPool(4)
+  // FastAPI BackgroundTasks analog: one worker, jobs run in accept order
+  private val ingestPool = Executors.newSingleThreadExecutor()
+  private val jobSeq = new AtomicLong(0L)
+  private val jobs = new ConcurrentHashMap[Long, String]()
+
+  def port: Int = server.getAddress.getPort
+  def url: String = s"http://127.0.0.1:$port"
+
+  def start(): QueryServer = {
+    server.setExecutor(requestPool)
+    server.createContext("/health", handler(health))
+    server.createContext("/v2/data", handler(data))
+    server.createContext("/v2/discovery/datasets", handler(datasets))
+    server.createContext("/v2/discovery/fields", handler(fields))
+    server.createContext("/v2/discovery/sample", handler(sample))
+    server.createContext("/v2/ingest/gas", handler(ingestGas))
+    server.createContext("/v2/ingest/jobs/", handler(jobStatus))
+    server.createContext("/v2/export/data.csv", handler(exportCsv))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = {
+    server.stop(0)
+    ingestPool.shutdown()
+    ingestPool.awaitTermination(60, TimeUnit.SECONDS)
+    requestPool.shutdown()
+  }
+
+  // ---------------------------------------------------------------- routing
+
+  private case class Request(method: String, params: Map[String, Seq[String]],
+                             path: String) {
+    def first(k: String): Option[String] = params.get(k).flatMap(_.headOption)
+  }
+  private case class Response(status: Int, body: String,
+                              contentType: String = "application/json")
+
+  private def handler(f: Request => Response): HttpHandler = new HttpHandler {
+    override def handle(x: HttpExchange): Unit = {
+      val resp =
+        try {
+          val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+          val params = q.split("&").toSeq.filter(_.contains("="))
+            .map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+            }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+          f(Request(x.getRequestMethod, params, x.getRequestURI.getPath))
+        } catch {
+          case NonFatal(e) =>
+            Response(500, jsonObj("detail" -> jsonStr(
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
+        }
+      val bytes = resp.body.getBytes(StandardCharsets.UTF_8)
+      x.getResponseHeaders.add("Content-Type", resp.contentType)
+      x.sendResponseHeaders(resp.status, if (bytes.isEmpty) -1 else bytes.length.toLong)
+      if (bytes.nonEmpty) {
+        val os = x.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+      x.close()
+    }
+  }
+
+  // ------------------------------------------------------------- endpoints
+
+  /** `health.py:6-8`. */
+  private def health(r: Request): Response =
+    Response(200, jsonObj("status" -> jsonStr("ok")))
+
+  /** `routes.py:12-62`: optional-param filtered observation page, grouped
+    * per series at the (bounded) edge exactly as the reference groups
+    * rows into SeriesResponse with a defaultdict after the SQL page. */
+  private def data(r: Request): Response = {
+    val limit = r.first("limit").map(_.toInt).getOrElse(1000)
+    if (limit > 5000 || limit < 0)
+      return Response(400, jsonObj("detail" -> jsonStr("limit must be in [0, 5000]")))
+    val offset = math.max(0, r.first("offset").map(_.toInt).getOrElse(0))
+
+    val obs = spark.read.parquet(wh.observations)
+    val meta = spark.read.parquet(wh.metaSeries)
+    // only-defined conjuncts: absent params contribute NO predicate, so
+    // the scan keeps its pushdown (the F1 operator, OptionalFilters)
+    val filtered = OptionalFilters(obs,
+      OptionalFilters.eqOpt(col("series_id"), r.first("series_id")),
+      OptionalFilters.eqOpt(col("quality_flag"), r.first("quality_flag")),
+      OptionalFilters.geOpt(col("observation_time"),
+        r.first("start").map(lit(_).cast("timestamp"))),
+      OptionalFilters.leOpt(col("observation_time"),
+        r.first("end").map(lit(_).cast("timestamp"))),
+      OptionalFilters.geOpt(col("value"), r.first("min_value").map(_.toDouble)),
+      OptionalFilters.leOpt(col("value"), r.first("max_value").map(_.toDouble)))
+    val joined = filtered
+      .join(broadcast(OptionalFilters(meta,
+        OptionalFilters.eqOpt(col("dataset_id"), r.first("dataset_id")))),
+        Seq("series_id"))
+      .orderBy("series_id", "observation_time")
+      .select("series_id", "dataset_id", "description",
+        "observation_time", "value", "quality_flag")
+    // the reference pages the FLAT rows (LIMIT/OFFSET in DATA_QUERY),
+    // then groups the page in the handler — same here, and the page is
+    // what bounds the edge collect
+    val page = joined.offset(offset).limit(limit).collect()
+
+    val series = page.groupBy(r => r.getString(0)).toSeq.sortBy(_._1).map {
+      case (sid, rows) =>
+        val head = rows.head
+        val points = rows.map { p =>
+          jsonObj(
+            "timestamp" -> jsonStr(p.getTimestamp(3).toInstant.toString),
+            "value" -> p.getDouble(4).toString,
+            "quality_flag" -> Option(p.getString(5)).map(jsonStr).getOrElse("null"),
+            "raw_payload" -> "null")
+        }
+        jsonObj(
+          "series_id" -> jsonStr(sid),
+          "dataset_id" -> jsonStr(head.getString(1)),
+          "description" -> jsonStr(head.getString(2)),
+          "points" -> points.mkString("[", ",", "]"))
+    }
+    Response(200, series.mkString("[", ",", "]"))
+  }
+
+  /** `discovery.py:9-15`. */
+  private def datasets(r: Request): Response = {
+    val ds = spark.read.parquet(wh.rawEvents)
+      .select("dataset_id").distinct().orderBy("dataset_id")
+      .collect().map(r0 => jsonStr(r0.getString(0)))
+    Response(200, ds.mkString("[", ",", "]"))
+  }
+
+  /** `discovery.py:18-40`. */
+  private def fields(r: Request): Response =
+    r.first("dataset_id") match {
+      case None =>
+        Response(400, jsonObj("detail" -> jsonStr("dataset_id is required")))
+      case Some(ds) =>
+        val rows = spark.read.parquet(wh.fieldCatalog)
+          .filter(col("dataset_id") === ds)
+          .orderBy("field_name")
+          .select(col("field_name").as("field"),
+            col("inferred_type").as("type"),
+            col("nullable"), col("example_value").as("example"))
+          .toJSON.collect()
+        Response(200, rows.mkString("[", ",", "]"))
+    }
+
+  /** `discovery.py:43-57`: newest raw payloads, cap 50. */
+  private def sample(r: Request): Response = {
+    val limit = math.min(r.first("limit").map(_.toInt).getOrElse(5), 50)
+    r.first("dataset_id") match {
+      case None =>
+        Response(400, jsonObj("detail" -> jsonStr("dataset_id is required")))
+      case Some(ds) =>
+        // newest-first needs a total order for a stable page: tie-break
+        // the (second-grain) ingest stamp by event_id
+        val rows = spark.read.parquet(wh.rawEvents)
+          .filter(col("dataset_id") === ds)
+          .orderBy(col("ingested_at").desc, col("event_id").desc)
+          .limit(limit)
+          .select("raw_payload").collect().map(r0 => jsonStr(r0.getString(0)))
+        Response(200, rows.mkString("[", ",", "]"))
+    }
+  }
+
+  /** `ingestion.py:13-50`: validate, enqueue, 202 immediately. */
+  private def ingestGas(r: Request): Response = {
+    if (r.method != "POST")
+      return Response(405, jsonObj("detail" -> jsonStr("use POST")))
+    val fromS = r.first("from_date").getOrElse("")
+    val toS = r.first("to_date").getOrElse("")
+    val (from, to) =
+      try (LocalDate.parse(fromS), LocalDate.parse(toS))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          return Response(400,
+            jsonObj("detail" -> jsonStr("Invalid date format. Use YYYY-MM-DD")))
+      }
+    if (to.isBefore(from))
+      return Response(400,
+        jsonObj("detail" -> jsonStr("to_date must be >= from_date")))
+    val siteIds = r.params.getOrElse("site_ids", Seq.empty)
+
+    val jobId = jobSeq.incrementAndGet()
+    jobs.put(jobId, "accepted")
+    ingestPool.submit(new Runnable {
+      override def run(): Unit = {
+        jobs.put(jobId, "running")
+        try {
+          runGasIngest(fromS, toS, siteIds)
+          jobs.put(jobId, "done")
+        } catch {
+          case NonFatal(e) =>
+            jobs.put(jobId, s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+        }
+      }
+    })
+    Response(202, jsonObj(
+      "status" -> jsonStr("accepted"),
+      "message" -> jsonStr("Ingestion started in background"),
+      "dataset" -> jsonStr("GAS_QUALITY"),
+      "from" -> jsonStr(fromS),
+      "to" -> jsonStr(toS),
+      "job_id" -> jobId.toString,
+      "site_ids" -> (if (siteIds.isEmpty) "null"
+                     else siteIds.map(jsonStr).mkString("[", ",", "]"))))
+  }
+
+  /** The background task body (`run_all.py`'s ingest_dataset): fetch via
+    * the chunked REST source (live over `restUrl` when given — the
+    * loopback spec path — or the deterministic stub), pivot the long
+    * (site, metric) rows to the wide batch shape, and run the verified
+    * five-stage ingest DAG. Runs on the single ingest worker thread. */
+  private def runGasIngest(from: String, to: String, siteIds: Seq[String]): Unit = {
+    import graft.sources.v2.ChunkedRestSource
+    var reader = spark.read.format("graft.sources.v2.ChunkedRestSource")
+      .option("from", from).option("to", to).option("chunkDays", "2")
+      .option("retryBaseMs", "1").option("retryRateLimitExtraMs", "2")
+    restUrl.foreach(u => reader = reader.option("url", u))
+    val long = reader.load()
+    val sited = if (siteIds.isEmpty) long else long.filter(col("site").isin(siteIds: _*))
+    // metric dimension is the declared source vocabulary — explicit pivot
+    // values keep the plan one-pass (no distinct pre-scan)
+    val wide = sited
+      .groupBy(col("obs_time").as("ts"), col("site"))
+      .pivot("metric", ChunkedRestSource.Metrics)
+      .agg(first(col("value")))
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+    Ingest.ingestWide(spark, wh, wide, "GAS_QUALITY", "ts", Seq("site"))
+  }
+
+  /** Pollable terminal state for a 202 job (see class doc). */
+  private def jobStatus(r: Request): Response = {
+    val id = r.path.stripPrefix("/v2/ingest/jobs/")
+    jobs.asScala.get(id.toLongOption.getOrElse(-1L)) match {
+      case Some(state) =>
+        Response(200, jsonObj("job_id" -> id, "status" -> jsonStr(state)))
+      case None =>
+        Response(404, jsonObj("detail" -> jsonStr("no such job")))
+    }
+  }
+
+  /** `export.py`: the filtered observation page as a CSV attachment —
+    * same filter surface as /v2/data, same 50k hard cap as Exports. */
+  private def exportCsv(r: Request): Response = {
+    val limit = math.min(
+      r.first("limit").map(_.toInt).getOrElse(1000),
+      graft.sources.Exports.MaxExportRows)
+    val obs = spark.read.parquet(wh.observations)
+    val filtered = OptionalFilters(obs,
+      OptionalFilters.eqOpt(col("series_id"), r.first("series_id")))
+      .orderBy("series_id", "observation_time")
+      .limit(limit)
+      .select(col("series_id"),
+        date_format(col("observation_time"), "yyyy-MM-dd'T'HH:mm:ss").as("observation_time"),
+        col("value").cast("string"), col("quality_flag"))
+    val header = "series_id,observation_time,value,quality_flag"
+    val lines = filtered.collect().map { row =>
+      (0 until 4).map(i => Option(row.getString(i)).getOrElse("")).mkString(",")
+    }
+    Response(200, (header +: lines).mkString("\n"), contentType = "text/csv")
+  }
+
+  // ------------------------------------------------------------------ json
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def jsonObj(fields: (String, String)*): String =
+    fields.map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
+}

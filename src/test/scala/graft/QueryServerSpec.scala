@@ -1,0 +1,159 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.serving.QueryServer
+import graft.warehouse.Ingest.Warehouse
+
+/** End-to-end drive of the serving edge over a real loopback socket:
+  * POST /v2/ingest/gas → 202 → background REST fetch through the DSv2
+  * chunked source → five-stage warehouse ingest → GET /v2/data pages the
+  * result, discovery endpoints read the catalogs, validation 400s fire,
+  * and the CSV export round-trips. The REST hop uses the stub generator
+  * (no url) — LoopbackRestSpec already proves the live-socket transport;
+  * this spec proves the API process wiring around it.
+  */
+class QueryServerSpec extends SparkSpec {
+
+  private def http(method: String, url: String): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(120000)
+    val status = conn.getResponseCode
+    val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val out = new ByteArrayOutputStream()
+    if (is != null) {
+      val buf = new Array[Byte](8192)
+      var n = is.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+      is.close()
+    }
+    (status, new String(out.toByteArray, StandardCharsets.UTF_8))
+  }
+
+  private def await(cond: => Boolean, ms: Long = 120000): Boolean = {
+    val deadline = System.currentTimeMillis() + ms
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    cond
+  }
+
+  private def withServer[A](body: (QueryServer, Warehouse) => A): A = {
+    val root = Files.createTempDirectory("graft-serve").toString
+    val wh = Warehouse(root)
+    val srv = new QueryServer(spark, wh).start()
+    try body(srv, wh) finally srv.stop()
+  }
+
+  test("serving edge: 202 ingest → background drain → data/discovery/export round-trip") {
+    withServer { (srv, wh) =>
+      // -- health (health.py)
+      val (hs, hb) = http("GET", s"${srv.url}/health")
+      assert(hs === 200 && hb.contains("ok"))
+
+      // -- validation 400s BEFORE any ingest (ingestion.py:23-31)
+      val (bad1, body1) = http("POST",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-13-77&to_date=2024-01-02")
+      assert(bad1 === 400 && body1.contains("Invalid date format"))
+      val (bad2, body2) = http("POST",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-01-05&to_date=2024-01-02")
+      assert(bad2 === 400 && body2.contains("to_date must be >= from_date"))
+      // GET on the ingest route is not an accepted verb
+      val (badVerb, _) = http("GET",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-01-01&to_date=2024-01-02")
+      assert(badVerb === 405)
+
+      // -- 202 accepted, then poll the job to its terminal state
+      val (st, body) = http("POST",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-01-01&to_date=2024-01-04")
+      assert(st === 202, body)
+      assert(body.contains("\"status\":\"accepted\"") && body.contains("GAS_QUALITY"))
+      val jobId = "\"job_id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+      assert(await {
+        http("GET", s"${srv.url}/v2/ingest/jobs/$jobId")._2.contains("done")
+      }, "ingest job did not finish")
+
+      // -- the warehouse now serves: 4 days × 3 sites × 3 metrics
+      val obs = spark.read.parquet(wh.observations)
+      assert(obs.count() === 4L * 3 * 3)
+
+      // -- /v2/data full page, grouped per series
+      val (ds0, all) = http("GET", s"${srv.url}/v2/data?limit=1000")
+      assert(ds0 === 200)
+      // 9 series (3 sites × 3 metrics), each with 4 points
+      assert("\"series_id\"".r.findAllIn(all).length === 9)
+      assert("\"timestamp\"".r.findAllIn(all).length === 36)
+
+      // -- single-series filter + value band + paging
+      val sid = "\"series_id\":\"([^\"]+)\"".r.findFirstMatchIn(all).get.group(1)
+      val (_, one) = http("GET", s"${srv.url}/v2/data?series_id=$sid")
+      assert("\"series_id\"".r.findAllIn(one).length === 1)
+      assert("\"timestamp\"".r.findAllIn(one).length === 4)
+      val (_, paged) = http("GET", s"${srv.url}/v2/data?series_id=$sid&limit=2&offset=2")
+      assert("\"timestamp\"".r.findAllIn(paged).length === 2)
+      // paged points are the LAST two of the ordered four — disjoint page
+      val tsOf = (s: String) => "\"timestamp\":\"([^\"]+)\"".r
+        .findAllMatchIn(s).map(_.group(1)).toSeq
+      assert(tsOf(paged) === tsOf(one).drop(2))
+      // stub values sit in [40, 50): the band filter keeps everything,
+      // an impossible band keeps nothing
+      val (_, banded) = http("GET", s"${srv.url}/v2/data?min_value=40&max_value=50")
+      assert("\"timestamp\"".r.findAllIn(banded).length === 36)
+      val (_, none) = http("GET", s"${srv.url}/v2/data?min_value=99")
+      assert(none === "[]")
+      // limit over the reference cap → 400
+      assert(http("GET", s"${srv.url}/v2/data?limit=6000")._1 === 400)
+
+      // -- discovery (discovery.py)
+      val (_, dsets) = http("GET", s"${srv.url}/v2/discovery/datasets")
+      assert(dsets === "[\"GAS_QUALITY\"]")
+      val (_, flds) = http("GET",
+        s"${srv.url}/v2/discovery/fields?dataset_id=GAS_QUALITY")
+      for (f <- Seq("ts", "site", "WOBBE", "CV", "SG"))
+        assert(flds.contains(s"""\"field\":\"$f\""""), s"missing field $f")
+      assert(http("GET", s"${srv.url}/v2/discovery/fields")._1 === 400)
+      val (_, smp) = http("GET",
+        s"${srv.url}/v2/discovery/sample?dataset_id=GAS_QUALITY&limit=3")
+      assert("\\\\\"site\\\\\"".r.findAllIn(smp).length === 3)
+
+      // -- CSV export (export.py): header + capped rows
+      val (_, csv) = http("GET",
+        s"${srv.url}/v2/export/data.csv?series_id=$sid&limit=2")
+      val lines = csv.split("\n")
+      assert(lines.head === "series_id,observation_time,value,quality_flag")
+      assert(lines.length === 3)
+      assert(lines(1).startsWith(s"$sid,"))
+
+      // -- ingest is idempotent end-to-end: replaying the same window
+      // changes nothing (the reference's crash-recovery contract)
+      val (st2, body2b) = http("POST",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-01-01&to_date=2024-01-04")
+      assert(st2 === 202)
+      val jobId2 = "\"job_id\":(\\d+)".r.findFirstMatchIn(body2b).get.group(1)
+      assert(await {
+        http("GET", s"${srv.url}/v2/ingest/jobs/$jobId2")._2.contains("done")
+      })
+      assert(spark.read.parquet(wh.observations).count() === 4L * 3 * 3)
+    }
+  }
+
+  test("site-filtered ingest registers only the requested site's series") {
+    withServer { (srv, wh) =>
+      val (st, body) = http("POST",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-02-01&to_date=2024-02-02&site_ids=BACTON")
+      assert(st === 202)
+      assert(body.contains("\"site_ids\":[\"BACTON\"]"))
+      val jobId = "\"job_id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+      assert(await {
+        http("GET", s"${srv.url}/v2/ingest/jobs/$jobId")._2.contains("done")
+      })
+      val series = spark.read.parquet(wh.metaSeries).collect()
+      assert(series.length === 3) // one per metric, single site
+      assert(series.forall(_.getAs[String]("series_id").contains("BACTON")))
+      assert(http("GET", s"${srv.url}/v2/ingest/jobs/999")._1 === 404)
+    }
+  }
+}
