@@ -31,6 +31,7 @@ object Tables {
     graft.functions.TopKByFunctions.register(spark)
     graft.functions.TextFunctions.register(spark)
     graft.functions.HeavyHittersFunctions.register(spark)
+    graft.functions.MinhashFunctions.register(spark)
   }
 
   /** Staged-artifact tag for SF dir `d`: the sanitized path plus a

@@ -135,5 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_by"), TopKByFunctions.info, TopKByFunctions.builder))
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"), TextFunctions.info, TextFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"), MinhashFunctions.info, MinhashFunctions.builder))
   }
 }

@@ -340,19 +340,15 @@ object Dedup {
   // ~three orders of magnitude on the per-shingle hot path — the round-1
   // version spent 2060 s here at sf0.1; this one ~2 s). At scale only
   // the band join shuffles; signatures are one scan-side aggregation.
-  private val NumHashes = 16
+  // MinHash parameters live with the fused native expression (the
+  // single source of truth shared by the HOF twin, the relational
+  // signature build, and every oracle SQL) — graft.functions.MinhashSig.
+  private val NumHashes = graft.functions.MinhashSig.NumHashes
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
-  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
-  // Fixed permutation coefficients (a*h+b stays < 2^62 for h < 2^32).
-  private val MinhashA: Seq[Long] = Seq(
-    568811L, 1247591L, 2654435L, 7368787L, 9576891L, 15485863L,
-    32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L,
-    141650939L, 160481183L, 179424673L, 198491317L)
-  private val MinhashB: Seq[Long] = Seq(
-    12289L, 24593L, 49157L, 98317L, 196613L, 393241L, 786433L, 1572869L,
-    3145739L, 6291469L, 12582917L, 25165843L, 50331653L, 100663319L,
-    201326611L, 402653189L)
+  private val MinhashP = graft.functions.MinhashSig.P
+  private val MinhashA: Seq[Long] = graft.functions.MinhashSig.A.toSeq
+  private val MinhashB: Seq[Long] = graft.functions.MinhashSig.B.toSeq
 
   /** (doc_id, sig array<long>) — the relational (codegen'd, explode +
     * groupBy-min) signature build shared by the banding, the cap audit
@@ -420,7 +416,17 @@ object Dedup {
     when(size(hs) > 0, concat_ws(",", ms.map(_.cast("string")): _*))
   }
 
+  /** The production signature column: the fused native expression
+    * (one compiled pass — see [[graft.functions.MinhashSig]]), fed by
+    * the codegen'd `split` tokenizer. Bit-identical to
+    * [[minhashSigHofCol]], which is kept as the declarative twin the
+    * parity spec replays. */
   private[graft] def minhashSigCol(text: Column): Column =
+    graft.functions.MinhashFunctions.minhashSig(tokens(text))
+
+  /** The pre-fusion HOF chain (17 interpreted array passes per row) —
+    * parity-spec oracle for [[minhashSigCol]], not a production path. */
+  private[graft] def minhashSigHofCol(text: Column): Column =
     minhashSigFromHashes(minhashHashesCol(text))
 
   /** DuckDB twin of [[minhashSigCol]] over a list-of-hashes column named

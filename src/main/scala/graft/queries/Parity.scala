@@ -143,10 +143,23 @@ object Parity {
   // single-attachment semantics, export.py:35-62), read the files back,
   // hash-match the source-table oracle. Timestamps as epoch micros and
   // schema-on-read make both formats lossless.
-  /** Session-stable scratch root under java.io.tmpdir for `kind` × SF
-    * dir — the single sanitization rule for every landing/sink below. */
+  /** Session-stable scratch root for `kind` × SF dir — the single
+    * sanitization rule for every landing/sink below. Prefers the
+    * RAM-backed /dev/shm when present: streaming checkpoint commit is
+    * fsync-bound, so on a disk-backed tmpdir every drain pays a fixed
+    * multi-hundred-ms tax per batch in offset/commit/state-file syncs
+    * that measures the HOST's fs, not the engine (the 100 TB deploy
+    * writes checkpoints to object storage with its own semantics).
+    * Query semantics are unchanged — every checkpoint stays
+    * runId-unique, no state is ever shared between queries — and the
+    * fallback keeps any /dev/shm-less host working. */
+  private lazy val scratchBase: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.getPath
+    else sys.props("java.io.tmpdir")
+  }
   private def tmpRoot(kind: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${Tables.stageTag(d)}"
+    s"$scratchBase/graft_${kind}_${Tables.stageTag(d)}"
 
   /** Land `df` at `dir` once per tmp lifetime: _SUCCESS marks a complete
     * landing (immutable input data), so repeat verify/bench calls skip
@@ -612,8 +625,9 @@ object Parity {
   // driver-verified. Real ingest pipelines dedup incrementally — each
   // tick drops documents whose minhash signature was already admitted
   // inside the watermark horizon, instead of re-deduping the corpus. The
-  // signature is computed SCAN-SIDE (Dedup.minhashSigCol — a pure HOF
-  // projection, zero shuffle/state before the dedup operator), the drain
+  // signature is computed SCAN-SIDE (Dedup.minhashSigCol — the fused
+  // native minhash_sig expression: one codegen'd pass per row, zero
+  // shuffle/state before the dedup operator), the drain
   // is dropDuplicatesWithinWatermark on the signature, and the state
   // store holds one entry per distinct signature in the horizon. WHICH
   // doc survives per signature depends on arrival order (parallel file
@@ -629,19 +643,15 @@ object Parity {
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"graft_stream_nd_$runId"
     withStreamSession(s, 8) { ss =>
-      // two projection stages (hash array, then signature) — see
-      // Dedup.minhashHashesCol: a single fused expression re-tokenizes
-      // the doc ~16× under interpreted HOF eval. Null signatures (no
-      // complete 3-shingle) ride THROUGH the drain as one extra key and
-      // are dropped batch-side below: a stream-side filter on the sig
-      // column would re-evaluate the whole signature expression.
+      // ONE fused codegen pass per row (graft.functions.MinhashSig) —
+      // the earlier two-projection HOF split is retired. Null
+      // signatures (no complete 3-shingle) ride THROUGH the drain as
+      // one extra key and are dropped batch-side below: a stream-side
+      // filter would add a second evaluation of the signature.
       val stream = graft.streaming.MicroBatch.readEvents(ss, s"$root/src", docs)
         .select(col("doc_id"),
-          graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
+          graft.queries.Dedup.minhashSigCol(col("text")).as("sig"),
           timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
-        .select(col("doc_id"),
-          graft.queries.Dedup.minhashSigFromHashes(col("hs")).as("sig"),
-          col("ts"))
       val q = graft.streaming.MicroBatch.neardupWithinWatermark(stream)
         .select("sig")
         .writeStream.format("memory").queryName(name)
@@ -692,11 +702,8 @@ object Parity {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val stream = graft.streaming.MicroBatch.readEvents(ss, s"$root/src", docs)
         .select(col("doc_id"),
-          graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
+          graft.queries.Dedup.minhashSigCol(col("text")).as("sig"),
           timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
-        .select(col("doc_id"),
-          graft.queries.Dedup.minhashSigFromHashes(col("hs")).as("sig"),
-          col("ts"))
       // ProcessingTime mode (required by the state TTL) schedules a
       // follow-up batch after every batch, so AvailableNow would loop
       // empty micro-batches forever; MicroBatch.drainAvailable bounds

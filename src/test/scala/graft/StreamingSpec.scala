@@ -1072,11 +1072,8 @@ class StreamingSpec extends SparkSpec {
         val name = s"rocks_nd_$tag"
         val stream = MicroBatch.readEvents(ss, src, docs)
           .select(col("doc_id"),
-            graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
+            graft.queries.Dedup.minhashSigCol(col("text")).as("sig"),
             timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
-          .select(col("doc_id"),
-            graft.queries.Dedup.minhashSigFromHashes(col("hs")).as("sig"),
-            col("ts"))
         val q = MicroBatch.neardupWithinWatermark(stream)
           .select("sig")
           .writeStream.format("memory").queryName(name)
@@ -1147,11 +1144,8 @@ class StreamingSpec extends SparkSpec {
           val ss = rocksSession()
           val projected = MicroBatch.readEvents(ss, s2, docs)
             .select(col("doc_id"),
-              graft.queries.Dedup.minhashHashesCol(col("text")).as("hs"),
+              graft.queries.Dedup.minhashSigCol(col("text")).as("sig"),
               timestamp_micros(col("doc_id") * 1000000L + lit(1704067200000000L)).as("ts"))
-            .select(col("doc_id"),
-              graft.queries.Dedup.minhashSigFromHashes(col("hs")).as("sig"),
-              col("ts"))
           val out =
             if (v2) MicroBatch.neardupV2(projected, java.time.Duration.ofHours(24))
               .toDF("sig", "doc_id").select("sig")

@@ -40,6 +40,39 @@ class TextExpressionSpec extends SparkSpec {
     assert(viaCodegen == interpreted)
   }
 
+  test("minhash_sig: fused native signature is bit-identical to the HOF chain") {
+    import ss.implicits._
+    // the whole documents table — every real text plus constructed
+    // edges: empty, whitespace-only, 1/2/3 tokens, duplicate shingles
+    // (distinct-free minima), unicode tokens, long run
+    val edges = Seq("", "   ", "one", "one two", "one two three",
+      "a b c a b c a b c", "é ü 漢 字 test",
+      ("tok " * 500).trim)
+      .toDF("text").withColumn("doc_id", lit(-1L))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .unionByName(edges.select(col("doc_id"), col("text")))
+    val both = docs.select(
+      graft.queries.Dedup.minhashSigCol(col("text")).as("native"),
+      graft.queries.Dedup.minhashSigHofCol(col("text")).as("hof"))
+    assert(both.count() > 8)
+    assert(both.filter(
+      !(col("native") <=> col("hof"))).count() === 0,
+      "native minhash_sig diverged from the declarative HOF twin")
+    // NULL exactly when no complete 3-shingle exists
+    val nulls = docs.select(col("text"),
+      graft.queries.Dedup.minhashSigCol(col("text")).as("sig"))
+      .filter(col("sig").isNull).select("text").as[String].collect()
+    assert(nulls.forall(t => t.trim.isEmpty || t.trim.split("\\s+").length < 3))
+  }
+
+  test("minhash_sig is SQL-callable and null for short inputs") {
+    val out = spark.sql(
+      "SELECT minhash_sig(split('x y z', ' ')) AS s, minhash_sig(split('x y', ' ')) AS n")
+      .head()
+    assert(out.getString(0).split(",").length === 16)
+    assert(out.isNullAt(1))
+  }
+
   test("nfc_normalize is SQL-callable after registration") {
     TextFunctions.register(spark)
     val out = spark.sql(s"SELECT nfc_normalize('é') AS n")
