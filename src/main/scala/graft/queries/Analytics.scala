@@ -1185,8 +1185,91 @@ object Analytics {
       |GROUP BY a.touch_type
       |ORDER BY touch_type""".stripMargin
 
+  // --- q_ev_attribution_u ---------------------------------------------------
+  // POSITION-BASED (U-shaped) multi-touch attribution, completing the
+  // linear model above: first and last touch take 40% each, the middle
+  // touches split the remaining 20% evenly (the standard U-shape);
+  // single-touch journeys take 100%, two-touch journeys 50/50. Same
+  // 24 h lookback and same exact-integer micro-credit discipline —
+  // every credit is an integer DIV of 1 000 000, so cross-engine sums
+  // are exact and the floor remainder (dropped, as in the linear
+  // model) is bounded by n_touch micro-units per purchase. Touch order
+  // within a journey is the total (touch_ts, touch_id) order — no
+  // arrival-order nondeterminism. One join + one per-purchase window
+  // (journeys are user-bounded), digest-only aggregation after.
+  def attributionU(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"), col("event_id").as("touch_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val attributed = purchases.join(touches, "user_id")
+      .filter(col("touch_ts") <= col("p_ts") &&
+        col("touch_ts") > col("p_ts") - expr("INTERVAL 24 HOURS"))
+    val w = Window.partitionBy("p_id").orderBy("touch_ts", "touch_id")
+    val ranked = attributed
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n_touch", count(lit(1)).over(Window.partitionBy("p_id")))
+    val credited = ranked.withColumn("role",
+      when(col("n_touch") === 1, "solo")
+        .when(col("rn") === 1, "first")
+        .when(col("rn") === col("n_touch"), "last")
+        .otherwise("middle"))
+      .withColumn("credit_fixed",
+        when(col("role") === "solo", lit(1000000L))
+          .when(col("role") === "first" || col("role") === "last",
+            when(col("n_touch") === 2, lit(500000L)).otherwise(lit(400000L)))
+          .otherwise(expr("200000 DIV (n_touch - 2)")))
+    credited.groupBy("role", "touch_type")
+      .agg(count(lit(1)).as("n_credited"),
+        sum(col("credit_fixed")).as("credit_micros"))
+      .select(col("role"), col("touch_type"), col("n_credited"),
+        col("credit_micros"),
+        (col("credit_micros").cast("double") / 1000000.0).as("conversions"))
+      .orderBy("role", "touch_type")
+  }
+
+  val attributionUSql: String =
+    """WITH touches AS MATERIALIZED (
+      |  SELECT user_id, event_type AS touch_type, ts AS touch_ts,
+      |    event_id AS touch_id
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |purchases AS MATERIALIZED (
+      |  SELECT user_id, ts AS p_ts, event_id AS p_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |ranked AS MATERIALIZED (
+      |  SELECT p.p_id, t.touch_type,
+      |    CAST(row_number() OVER (PARTITION BY p.p_id
+      |      ORDER BY t.touch_ts, t.touch_id) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS n_touch
+      |  FROM purchases p JOIN touches t USING (user_id)
+      |  WHERE t.touch_ts <= p.p_ts
+      |    AND t.touch_ts > p.p_ts - INTERVAL 24 HOURS),
+      |credited AS MATERIALIZED (
+      |  SELECT touch_type,
+      |    CASE WHEN n_touch = 1 THEN 'solo'
+      |         WHEN rn = 1 THEN 'first'
+      |         WHEN rn = n_touch THEN 'last'
+      |         ELSE 'middle' END AS role,
+      |    CASE WHEN n_touch = 1 THEN 1000000
+      |         WHEN rn = 1 OR rn = n_touch THEN
+      |           CASE WHEN n_touch = 2 THEN 500000 ELSE 400000 END
+      |         ELSE 200000 // (n_touch - 2) END AS credit_fixed
+      |  FROM ranked)
+      |SELECT role, touch_type,
+      |  count(*) AS n_credited,
+      |  CAST(sum(credit_fixed) AS BIGINT) AS credit_micros,
+      |  CAST(sum(credit_fixed) AS BIGINT)::DOUBLE / 1000000.0 AS conversions
+      |FROM credited
+      |GROUP BY role, touch_type
+      |ORDER BY role, touch_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_attribution" -> (attribution _),
+    "q_ev_attribution_u" -> (attributionU _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -1234,6 +1317,7 @@ object Analytics {
     "q_ag_incr_merge" -> incrMergeSql,
     "q_ag_incr_join" -> incrJoinSql,
     "q_ev_attribution" -> attributionSql,
+    "q_ev_attribution_u" -> attributionUSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

@@ -1814,6 +1814,144 @@ object Similarity {
        |WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  // --- q_sim_mmr ------------------------------------------------------------
+  // MAXIMAL MARGINAL RELEVANCE diversified retrieval: greedily re-rank
+  // the query's top-C brute candidates so each pick maximizes
+  // λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s) — the standard redundancy
+  // screen between dense retrieval and a context window (near-
+  // duplicate passages burn tokens that a diverse set spends on new
+  // evidence). The greedy recursion is inherently sequential in k, so
+  // it runs as MmrK bounded relational rounds over the checkpointed
+  // C-row candidate frame (exactly the Lloyd-iteration shape): each
+  // round one broadcast join against the ≤k selected rows, a per-
+  // candidate max-similarity, and a TakeOrdered argmax with vec_id
+  // tie-break. All score arithmetic is the same double expression on
+  // bit-identical cosines in both engines; the oracle replays the k
+  // rounds as chained MATERIALIZED CTEs with correlated max-subqueries.
+  // Scale: C bounds every frame after the brute top-C (which itself is
+  // TakeOrdered over the scan); rounds cost k tiny joins, nothing
+  // data-proportional moves.
+  private val MmrC = 12
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  def mmr(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === QueryId).select(col("v").as("qv"))
+    val cands = e.filter(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), Vectors.cosine(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrC)
+      .localCheckpoint() // C rows, reused by every greedy round
+    var selected = cands
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("rel"),
+        (lit(MmrLambda) * col("rel")).as("mmr_score"), lit(1L).as("rank"))
+    for (j <- 2 to MmrK) {
+      val pick = cands
+        .join(broadcast(selected.select(col("vec_id").as("s_id"))),
+          col("vec_id") === col("s_id"), "left_anti")
+        .crossJoin(broadcast(selected.select(col("v").as("sv"))))
+        .groupBy(col("vec_id"), col("v"), col("rel"))
+        .agg(max(Vectors.cosine(col("v"), col("sv"))).as("pen"))
+        .select(col("vec_id"), col("v"), col("rel"),
+          (lit(MmrLambda) * col("rel") -
+            lit(1.0 - MmrLambda) * col("pen")).as("mmr_score"))
+        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+        .withColumn("rank", lit(j.toLong))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("rank"), col("vec_id"), col("rel"), col("mmr_score"))
+      .orderBy("rank")
+  }
+
+  lazy val mmrSql: String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val oneMinus = s"CAST(${1.0 - MmrLambda} AS DOUBLE)"
+    val rounds = (2 to MmrK).map { j =>
+      val prev = s"sel${j - 1}"
+      s"""pick$j AS MATERIALIZED (
+         |  SELECT vec_id, embedding, rel, mmr_score, CAST($j AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT c.vec_id, c.embedding, c.rel,
+         |      $lam * c.rel - $oneMinus *
+         |        (SELECT max(${Vectors.cosineSql("c.embedding", "s.embedding")})
+         |         FROM $prev s) AS mmr_score
+         |    FROM cands c
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev))
+         |  ORDER BY mmr_score DESC, vec_id LIMIT 1),
+         |sel$j AS MATERIALIZED (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cands AS MATERIALIZED (
+       |  SELECT b.vec_id, b.embedding,
+       |    ${Vectors.cosineSql("b.embedding", "q.embedding")} AS rel
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> $QueryId) b,
+       |    (SELECT embedding FROM embeddings WHERE vec_id = $QueryId) q
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrC),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, rel, $lam * rel AS mmr_score,
+       |    CAST(1 AS BIGINT) AS rank
+       |  FROM cands ORDER BY rel DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT rank, vec_id, rel, mmr_score FROM sel$MmrK
+       |ORDER BY rank""".stripMargin
+  }
+
+  // --- q_sim_hard_neg -------------------------------------------------------
+  // HARD-NEGATIVE MINING for contrastive training: for every vector,
+  // its top-2 most-cosine-similar CELL-MATES carrying a DIFFERENT
+  // label — the "looks like me, isn't me" pairs that dominate the
+  // training signal in embedding fine-tuning. Same IVF blocking as
+  // the k-NN graph (candidates are the k-means cell equi-join, never
+  // an all-pairs cross), plus the label-mismatch predicate pushed
+  // into the pair scan so matched-label pairs never reach the window.
+  // Ties break by neighbor id on bit-identical cosines. Vectors whose
+  // cell holds no other-label member emit no rows — the blocked
+  // trade, same as the k-NN graph's singleton cells.
+  private val HardNegK = 2
+
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", clusterOf(col("v")))
+    val pairs = e.toDF("vec_id", "label", "v", "cell")
+      .join(e.toDF("nb_id", "nb_label", "nv", "cell"), "cell")
+      .filter(col("vec_id") =!= col("nb_id") &&
+        col("label") =!= col("nb_label"))
+      .select(col("vec_id"), col("label"), col("nb_id"), col("nb_label"),
+        Vectors.cosine(col("v"), col("nv")).as("cosine"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("nb_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= HardNegK)
+      .select(col("vec_id"), col("label"), col("rank"),
+        col("nb_id").as("negative_id"), col("nb_label").as("negative_label"),
+        col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  lazy val hardNegativesSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding, ${clusterOfSql("embedding")} AS cell
+       |  FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id, a.label, b.vec_id AS negative_id,
+       |    b.label AS negative_label,
+       |    ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cosine
+       |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |    AND a.label <> b.label)
+       |SELECT vec_id, label, rank, negative_id, negative_label, cosine FROM (
+       |  SELECT vec_id, label, negative_id, negative_label, cosine,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, negative_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |WHERE rank <= $HardNegK
+       |ORDER BY vec_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_linear_probe" -> (linearProbe _),
     "q_sim_probe_weights" -> (linearProbeWeights _),
@@ -1826,6 +1964,8 @@ object Similarity {
     "q_sim_pq_adc" -> (pqAdcTopK _),
     "q_sim_topk_brute" -> (bruteTopK _),
     "q_sim_knn_graph" -> (knnGraph _),
+    "q_sim_hard_neg" -> (hardNegatives _),
+    "q_sim_mmr" -> (mmr _),
     "q_sim_matryoshka" -> (matryoshka _),
     "q_sim_sq8" -> (sq8 _),
     "q_sim_recall" -> (recallEval _),
@@ -1849,6 +1989,8 @@ object Similarity {
     "q_sim_pq_adc" -> pqAdcTopKSql,
     "q_sim_topk_brute" -> bruteTopKSql,
     "q_sim_knn_graph" -> knnGraphSql,
+    "q_sim_hard_neg" -> hardNegativesSql,
+    "q_sim_mmr" -> mmrSql,
     "q_sim_matryoshka" -> matryoshkaSql,
     "q_sim_sq8" -> sq8Sql,
     "q_sim_recall" -> recallEvalSql,

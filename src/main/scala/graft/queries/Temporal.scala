@@ -758,9 +758,67 @@ object Temporal {
       |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
       |FROM walk ORDER BY event_type, day""".stripMargin
 
+  // --- q_t16_dow_volume -----------------------------------------------------
+  // WEEKDAY-SEASONAL BASELINE + exact-integer z-score anomaly: the
+  // screen that catches "this Tuesday is wild FOR A TUESDAY" where the
+  // global MAD/CUSUM screens see only the overall level. Per
+  // (event_type, weekday) the daily counts give n, S=Σx, Q=Σx² — all
+  // BIGINT, so μ = S/n and z = (n·x − S)/√(n·Q − S²) are one exact
+  // integer expression cast to double at the last step: identical
+  // operands in both engines ⇒ identical bits, no variance-of-doubles
+  // parity risk. The weekday index is pure date arithmetic
+  // (days-since-epoch mod 7, 0 = Thursday) rather than each engine's
+  // differently-anchored dayofweek(). Degenerate cells (constant
+  // weekday history, n·Q = S²) define z = 0, never NaN. Scale: two
+  // scan-shaped aggregations (day grain, then 7×types cells joined
+  // back broadcast) — nothing holds more than the day-grain digest.
+  private val SeasonalZ = 2.0
+
+  def dowVolume(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("wd", pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("bigint"))
+    val cells = daily.groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    daily.join(broadcast(cells), Seq("event_type", "wd"))
+      .select(col("event_type"), col("day"), col("x"), col("wd"),
+        (col("s").cast("double") / col("n").cast("double")).as("seasonal_avg"),
+        when(col("n") * col("q") > col("s") * col("s"),
+          (col("n") * col("x") - col("s")).cast("double") /
+            sqrt((col("n") * col("q") - col("s") * col("s")).cast("double")))
+          .otherwise(lit(0.0)).as("z"))
+      .withColumn("alarm",
+        when(col("z") > lit(SeasonalZ), 1L).otherwise(0L))
+      .orderBy("event_type", "day")
+  }
+
+  val dowVolumeSql: String =
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST((date_trunc('day', ts)::DATE - DATE '1970-01-01') % 7 AS BIGINT) AS wd
+       |  FROM events GROUP BY 1, 2),
+       |cells AS MATERIALIZED (
+       |  SELECT event_type, wd, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+       |  FROM daily GROUP BY 1, 2)
+       |SELECT d.event_type, d.day, d.x, d.wd,
+       |  s::DOUBLE / n::DOUBLE AS seasonal_avg,
+       |  CASE WHEN n * q > s * s
+       |    THEN (n * d.x - s)::DOUBLE / sqrt((n * q - s * s)::DOUBLE)
+       |    ELSE 0.0 END AS z,
+       |  CAST(CASE WHEN (CASE WHEN n * q > s * s
+       |      THEN (n * d.x - s)::DOUBLE / sqrt((n * q - s * s)::DOUBLE)
+       |      ELSE 0.0 END) > $SeasonalZ THEN 1 ELSE 0 END AS BIGINT) AS alarm
+       |FROM daily d JOIN cells c USING (event_type, wd)
+       |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_t14_mad" -> (madOutliers _),
     "q_t15_ewma" -> (ewma _),
+    "q_t16_dow_volume" -> (dowVolume _),
     "q_t13_cusum" -> (cusum _),
     "q_t12_band_join" -> (bandJoin _),
     "q_t11_debounce" -> (debounce _),
@@ -778,6 +836,7 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     "q_t14_mad" -> madOutliersSql,
     "q_t15_ewma" -> ewmaSql,
+    "q_t16_dow_volume" -> dowVolumeSql,
     "q_t13_cusum" -> cusumSql,
     "q_t12_band_join" -> bandJoinSql,
     "q_t11_debounce" -> debounceSql,

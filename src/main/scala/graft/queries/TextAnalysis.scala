@@ -468,6 +468,78 @@ object TextAnalysis {
        |GROUP BY 1, 2
        |ORDER BY phrase, doc_id""".stripMargin
 
+  // --- q_tx_heaps -----------------------------------------------------------
+  // VOCABULARY GROWTH CURVE (Heaps'-law table): cumulative distinct
+  // token types vs cumulative token occurrences at 10 doc_id-range
+  // checkpoints — the table behind "how much new vocabulary does the
+  // next corpus slice buy", i.e. tokenizer vocab sizing and corpus
+  // saturation checks. Everything is one exact-integer shape: a
+  // token's contribution point is its FIRST document (min doc_id per
+  // type — one aggregation, no cumulative-distinct scan), checkpoint
+  // buckets are integer range arithmetic off the max doc_id (no global
+  // row_number), and the cumulative sums run over the 10-row checkpoint
+  // digest. The type-token ratio divides exact integers in double
+  // space. Scale: two scan-shaped aggregations (per-type min, per-
+  // bucket counts) — the corpus text never reaches an exchange.
+  def heaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val mx = docs.agg(max(col("doc_id")).as("maxd"))
+    val base = docs.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr("(doc_id * 10) DIV (maxd + 1) + 1"))
+    val bucketAgg = base.groupBy("bucket")
+      .agg(count(lit(1)).as("docs"), sum(size(col("toks"))).as("toks_n"))
+    val newTypes = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .select(expr("(fd * 10) DIV (maxd + 1) + 1").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketAgg.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .select(col("bucket"),
+        sum(col("docs")).over(w).as("docs_cum"),
+        sum(col("toks_n")).over(w).as("tokens_cum"),
+        sum(col("new_types")).over(w).as("types_cum"),
+        col("new_types"))
+      .withColumn("ttr",
+        col("types_cum").cast("double") / col("tokens_cum").cast("double"))
+      .orderBy("bucket")
+  }
+
+  lazy val heapsSql: String =
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |mx AS MATERIALIZED (SELECT max(doc_id) AS maxd FROM docs),
+       |base AS MATERIALIZED (
+       |  SELECT doc_id, toks, (doc_id * 10) // (maxd + 1) + 1 AS bucket
+       |  FROM docs, mx),
+       |bucket_agg AS MATERIALIZED (
+       |  SELECT bucket, count(*) AS docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS toks_n
+       |  FROM base GROUP BY 1),
+       |occ AS MATERIALIZED (
+       |  SELECT unnest(toks) AS tok, doc_id FROM base),
+       |first_occ AS MATERIALIZED (
+       |  SELECT tok, min(doc_id) AS fd FROM occ GROUP BY 1),
+       |new_t AS MATERIALIZED (
+       |  SELECT (fd * 10) // (maxd + 1) + 1 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS new_types
+       |  FROM first_occ, mx GROUP BY 1),
+       |cum AS MATERIALIZED (
+       |  SELECT b.bucket,
+       |    CAST(sum(b.docs) OVER (ORDER BY b.bucket) AS BIGINT) AS docs_cum,
+       |    CAST(sum(b.toks_n) OVER (ORDER BY b.bucket) AS BIGINT) AS tokens_cum,
+       |    CAST(sum(coalesce(n.new_types, 0)) OVER (ORDER BY b.bucket) AS BIGINT)
+       |      AS types_cum,
+       |    CAST(coalesce(n.new_types, 0) AS BIGINT) AS new_types
+       |  FROM bucket_agg b LEFT JOIN new_t n USING (bucket))
+       |SELECT bucket, docs_cum, tokens_cum, types_cum, new_types,
+       |  types_cum::DOUBLE / tokens_cum::DOUBLE AS ttr
+       |FROM cum ORDER BY bucket""".stripMargin
+
   // --- q_tx_ngram_top -----------------------------------------------------
   // Corpus-wide top-k vocabulary extraction: the 100 most frequent word
   // bigrams with document frequencies — the table behind tokenizer
@@ -1299,6 +1371,7 @@ object TextAnalysis {
     "q_tx_repetition" -> (repetition _),
     "q_tx_ngram_top" -> (ngramTop _),
     "q_tx_phrase" -> (phrase _),
+    "q_tx_heaps" -> (heaps _),
     "q_tx_corpus_stats" -> (corpusStats _),
     "q_tx_drift" -> (drift _),
     "q_tx_lm_filter" -> (lmFilter _),
@@ -1321,6 +1394,7 @@ object TextAnalysis {
     "q_tx_repetition" -> repetitionSql,
     "q_tx_ngram_top" -> ngramTopSql,
     "q_tx_phrase" -> phraseSql,
+    "q_tx_heaps" -> heapsSql,
     "q_tx_corpus_stats" -> corpusStatsSql,
     "q_tx_drift" -> driftSql,
     "q_tx_lm_filter" -> lmFilterSql,

@@ -149,6 +149,122 @@ class PipelineOpsSpec extends SparkSpec {
       "click" -> ((1L, 333333L))), s"got $out")
   }
 
+  test("U-shaped attribution: 40/20/40 roles, solo=100%, pair=50/50, exact micro-credits") {
+    import ss.implicits._
+    val hr = 3600L * 1000
+    val dir = Files.createTempDirectory("graft-attr-u").toString
+    val rows = Seq(
+      // user 1: 5 touches → first 400k, last 400k, 3 middles 66666 each
+      (1L, new java.sql.Timestamp(0L), 1L, "view", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(1 * hr), 1L, "click", 1.0, "{}"),
+      (3L, new java.sql.Timestamp(2 * hr), 1L, "click", 1.0, "{}"),
+      (4L, new java.sql.Timestamp(3 * hr), 1L, "click", 1.0, "{}"),
+      (5L, new java.sql.Timestamp(4 * hr), 1L, "view", 1.0, "{}"),
+      (6L, new java.sql.Timestamp(5 * hr), 1L, "purchase", 1.0, "{}"),
+      // user 2: single touch → solo 1e6
+      (7L, new java.sql.Timestamp(0L), 2L, "click", 1.0, "{}"),
+      (8L, new java.sql.Timestamp(1 * hr), 2L, "purchase", 1.0, "{}"),
+      // user 3: exactly two touches → 500k each (first + last roles)
+      (9L, new java.sql.Timestamp(0L), 3L, "view", 1.0, "{}"),
+      (10L, new java.sql.Timestamp(1 * hr), 3L, "click", 1.0, "{}"),
+      (11L, new java.sql.Timestamp(2 * hr), 3L, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.attributionU(spark, dir).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[String]("touch_type")) ->
+        (r.getAs[Long]("n_credited"), r.getAs[Long]("credit_micros"))).toMap
+    assert(out === Map(
+      ("first", "view") -> ((2L, 900000L)),  // u1 first 400k + u3 first 500k
+      ("last", "view") -> ((1L, 400000L)),   // u1 last
+      ("last", "click") -> ((1L, 500000L)),  // u3 last
+      ("middle", "click") -> ((3L, 199998L)), // 3 × floor(200k/3)
+      ("solo", "click") -> ((1L, 1000000L))), s"got $out")
+  }
+
+  test("hard negatives: labels differ, cell-mates only, top-similar other-label pairs") {
+    val byId = Similarity.kmeansAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Int]("label"))).toMap
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id"); val nb = r.getAs[Long]("negative_id")
+      assert(r.getAs[Int]("label") !== r.getAs[Int]("negative_label"),
+        s"$v -> $nb shares a label — not a negative")
+      assert(byId(v)._1 === byId(nb)._1, s"$v -> $nb crosses cells")
+      assert(byId(nb)._2 === r.getAs[Int]("negative_label"))
+    }
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rs.length.toLong), s"vec $v ranks not dense")
+    }
+  }
+
+  test("MMR: first pick is the relevance argmax; every later pick maximizes the objective") {
+    // recompute the greedy objective from the brute candidate frame
+    import ss.implicits._
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val picks = Similarity.mmr(spark, sf).collect().sortBy(_.getAs[Long]("rank"))
+    assert(picks.length === 5)
+    assert(picks.map(_.getAs[Long]("vec_id")).distinct.length === 5)
+    val rels = picks.map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("rel")).toMap
+    // candidate pool: top-12 by cosine to the query (vec 0)
+    val q = e(0L)
+    val cands = e.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(12)
+    assert(picks.head.getAs[Long]("vec_id") === cands.head._1,
+      "rank 1 must be the plain relevance argmax")
+    // each later pick maximizes 0.7*rel − 0.3*maxSim(selected) over remaining
+    var selected = List(picks.head.getAs[Long]("vec_id"))
+    picks.tail.foreach { p =>
+      val scores = cands.filterNot(c => selected.contains(c._1)).map {
+        case (id, rel) =>
+          val pen = selected.map(sid => cos(e(id), e(sid))).max
+          (id, 0.7 * rel - (1.0 - 0.7) * pen)
+      }
+      val best = scores.minBy { case (id, sc) => (-sc, id) }
+      assert(p.getAs[Long]("vec_id") === best._1,
+        s"rank ${p.getAs[Long]("rank")} pick is not the greedy argmax")
+      selected ::= p.getAs[Long]("vec_id")
+    }
+    assert(rels(picks.head.getAs[Long]("vec_id")) >=
+      picks.tail.map(r => r.getAs[Double]("rel")).max - 1e-12)
+  }
+
+  test("heaps curve: cumulative counts monotone, types bounded by tokens, totals exact") {
+    import ss.implicits._
+    val rows = graft.queries.TextAnalysis.heaps(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(r => r.getAs[Long]("bucket") >= 1 && r.getAs[Long]("bucket") <= 10))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.queries.Text.tokens(col("text")).as("t"))
+    val totalTokens = docs.select(sum(size(col("t")))).head().getLong(0)
+    val totalTypes = docs.select(explode(col("t"))).distinct().count()
+    val last = rows.last
+    assert(last.getAs[Long]("tokens_cum") === totalTokens)
+    assert(last.getAs[Long]("types_cum") === totalTypes)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("docs_cum") > a.getAs[Long]("docs_cum"))
+        assert(b.getAs[Long]("tokens_cum") >= a.getAs[Long]("tokens_cum"))
+        assert(b.getAs[Long]("types_cum") >= a.getAs[Long]("types_cum"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("types_cum") <= r.getAs[Long]("tokens_cum"))
+      assert(math.abs(r.getAs[Double]("ttr") -
+        r.getAs[Long]("types_cum").toDouble / r.getAs[Long]("tokens_cum")) < 1e-12)
+    }
+  }
+
   test("drift screen: dense ranks, nonincreasing stat, df floor respected, planted token tops") {
     import ss.implicits._
     val dir = Files.createTempDirectory("graft-drift").toString

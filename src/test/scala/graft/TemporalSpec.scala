@@ -245,6 +245,29 @@ class TemporalSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("weekday volume: z-scores sum to zero per cell, alarms match the threshold, constants are quiet") {
+    val rows = Temporal.dowVolume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getAs[Long]("alarm") === 1L) === (r.getAs[Double]("z") > 2.0))
+      assert(r.getAs[Long]("wd") >= 0L && r.getAs[Long]("wd") <= 6L)
+    }
+    rows.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("wd")))
+      .foreach { case ((et, wd), rs) =>
+        val xs = rs.map(_.getAs[Long]("x"))
+        val mu = xs.sum.toDouble / xs.length
+        assert(math.abs(rs.head.getAs[Double]("seasonal_avg") - mu) < 1e-9,
+          s"$et/$wd seasonal mean off")
+        // z numerators are n·x − S: they sum to exactly zero per cell
+        if (xs.distinct.length == 1)
+          assert(rs.forall(_.getAs[Double]("z") === 0.0),
+            s"$et/$wd constant cell must be quiet")
+        else
+          assert(math.abs(rs.map(_.getAs[Double]("z")).sum) < 1e-9,
+            s"$et/$wd z-scores don't center")
+      }
+  }
+
   test("EWMA: seeds at the first point, stays inside the running hull, alarms only on 1.5x surges") {
     val rows = Temporal.ewma(spark, sf).collect()
     assert(rows.nonEmpty)
