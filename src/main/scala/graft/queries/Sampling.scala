@@ -504,7 +504,77 @@ object Sampling {
        |ORDER BY domain""".stripMargin
   }
 
+  // --- q_sm_kcenter ---------------------------------------------------------
+  // GREEDY k-CENTER CORESET over the embedding space — the diversity
+  // sampler (farthest-point traversal): each pick is the vector
+  // farthest from everything already selected, giving the 2-approx
+  // cover that "maximally spread" eval/annotation subsets use where
+  // hash sampling would oversample dense regions. Inherently
+  // sequential in k, so it runs as k bounded relational rounds (the
+  // MMR/Lloyd shape): one scan of the vectors per round, min squared
+  // distance to the ≤k broadcast centers via three codegen'd vec_dot
+  // terms (d² = aa − 2ab + bb, one fixed operand order in both
+  // engines), TakeOrdered argmax with vec_id tie-break. The seed is
+  // vec 0 (deterministic, not a rand() draw). d2_nearest records each
+  // pick's coverage radius at selection time — the monotone
+  // nonincreasing curve the spec gates. Scale: k scans, never a
+  // pairwise materialization; centers ride as broadcast literals.
+  private val KCenterK = 5
+
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    Vectors.dot(a, a) - lit(2.0) * Vectors.dot(a, b) + Vectors.dot(b, b)
+
+  private def sqDistSql(a: String, b: String): String =
+    s"(${Vectors.dotSql(a, a)}) - CAST(2.0 AS DOUBLE) * (${Vectors.dotSql(a, b)}) + (${Vectors.dotSql(b, b)})"
+
+  def kcenter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    var selected = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("v"),
+        lit(null).cast("double").as("d2_nearest"), lit(1L).as("rank"))
+    for (j <- 2 to KCenterK) {
+      val pick = e
+        .join(broadcast(selected.select(col("vec_id").as("s_id"))),
+          col("vec_id") === col("s_id"), "left_anti")
+        .crossJoin(broadcast(selected.select(col("v").as("sv"))))
+        .groupBy(col("vec_id"), col("v"))
+        .agg(min(sqDist(col("v"), col("sv"))).as("d2_nearest"))
+        .orderBy(col("d2_nearest").desc, col("vec_id")).limit(1)
+        .withColumn("rank", lit(j.toLong))
+        .select("vec_id", "v", "d2_nearest", "rank")
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("rank"), col("vec_id"), col("d2_nearest"))
+      .orderBy("rank")
+  }
+
+  lazy val kcenterSql: String = {
+    val rounds = (2 to KCenterK).map { j =>
+      val prev = s"sel${j - 1}"
+      s"""pick$j AS MATERIALIZED (
+         |  SELECT vec_id, embedding, d2_nearest, CAST($j AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      (SELECT min(${sqDistSql("e.embedding", "s.embedding")})
+         |       FROM $prev s) AS d2_nearest
+         |    FROM embeddings e
+         |    WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev))
+         |  ORDER BY d2_nearest DESC, vec_id LIMIT 1),
+         |sel$j AS MATERIALIZED (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sel1 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, CAST(NULL AS DOUBLE) AS d2_nearest,
+       |    CAST(1 AS BIGINT) AS rank
+       |  FROM embeddings WHERE vec_id = 0),
+       |$rounds
+       |SELECT rank, vec_id, d2_nearest FROM sel$KCenterK
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sm_kcenter" -> (kcenter _),
     "q_sm_weighted" -> (weighted _),
     "q_sm_temperature" -> (temperature _),
     "q_sm_systematic" -> (systematic _),
@@ -517,6 +587,7 @@ object Sampling {
     "q_sm_token_budget_bpe" -> (tokenBudgetBpe _))
 
   val oracles: Map[String, String] = Map(
+    "q_sm_kcenter" -> kcenterSql,
     "q_sm_weighted" -> weightedSql,
     "q_sm_temperature" -> temperatureSql,
     "q_sm_systematic" -> systematicSql,

@@ -238,6 +238,40 @@ class PipelineOpsSpec extends SparkSpec {
       picks.tail.map(r => r.getAs[Double]("rel")).max - 1e-12)
   }
 
+  test("k-center coreset: radii nonincreasing, every pick is the farthest-point argmax") {
+    import ss.implicits._
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      val aa = a.map(x => x * x).sum
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      val bb = b.map(x => x * x).sum
+      aa - 2.0 * ab + bb
+    }
+    val picks = graft.queries.Sampling.kcenter(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(picks.length === 5)
+    assert(picks.head.getAs[Long]("vec_id") === 0L)
+    assert(picks.head.isNullAt(picks.head.fieldIndex("d2_nearest")))
+    assert(picks.map(_.getAs[Long]("vec_id")).distinct.length === 5)
+    // replay the greedy: each pick maximizes min-d2 to the selected set,
+    // and the recorded radius equals that max-min
+    var selected = List(0L)
+    var prevRadius = Double.MaxValue
+    picks.tail.foreach { p =>
+      val best = e.keys.filterNot(selected.contains).map { id =>
+        (id, selected.map(s => d2(e(id), e(s))).min)
+      }.minBy { case (id, r) => (-r, id) }
+      assert(p.getAs[Long]("vec_id") === best._1,
+        s"rank ${p.getAs[Long]("rank")} is not the farthest point")
+      assert(math.abs(p.getAs[Double]("d2_nearest") - best._2) < 1e-9)
+      assert(best._2 <= prevRadius + 1e-9, "coverage radius increased")
+      prevRadius = best._2
+      selected ::= best._1
+    }
+  }
+
   test("heaps curve: cumulative counts monotone, types bounded by tokens, totals exact") {
     import ss.implicits._
     val rows = graft.queries.TextAnalysis.heaps(spark, sf).collect()
