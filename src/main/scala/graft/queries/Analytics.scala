@@ -1185,6 +1185,43 @@ object Analytics {
       |GROUP BY a.touch_type
       |ORDER BY touch_type""".stripMargin
 
+  // --- q_ag_mode ------------------------------------------------------------
+  // EXACT PER-GROUP MODE (most frequent value) — the order statistic
+  // the selection family (median/quantiles/MAD) still lacked. Values
+  // route through the cents fixed-point (round·100 → BIGINT) so
+  // equality grouping is exact cross-engine, the argmax is a
+  // (count DESC, value ASC) window with a total tie-break, and the
+  // group-bounded window means no global sort. Scale: one map-side-
+  // combinable count aggregation on (g, value), then a window over
+  // value-cardinality-bounded groups.
+  def mode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      .groupBy("flag", "qty_c").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("flag").orderBy(col("n").desc, col("qty_c"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("flag"),
+        (col("qty_c").cast("double") / 100.0).as("mode_qty"),
+        col("n").as("n_mode"))
+      .orderBy("flag")
+  }
+
+  val modeSql: String =
+    """WITH counts AS MATERIALIZED (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT flag, qty_c::DOUBLE / 100.0 AS mode_qty, n AS n_mode FROM (
+      |  SELECT flag, qty_c, n, row_number() OVER (
+      |    PARTITION BY flag ORDER BY n DESC, qty_c) AS rk
+      |  FROM counts)
+      |WHERE rk = 1
+      |ORDER BY flag""".stripMargin
+
   // --- q_ev_attribution_u ---------------------------------------------------
   // POSITION-BASED (U-shaped) multi-touch attribution, completing the
   // linear model above: first and last touch take 40% each, the middle
@@ -1270,6 +1307,7 @@ object Analytics {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_attribution" -> (attribution _),
     "q_ev_attribution_u" -> (attributionU _),
+    "q_ag_mode" -> (mode _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -1318,6 +1356,7 @@ object Analytics {
     "q_ag_incr_join" -> incrJoinSql,
     "q_ev_attribution" -> attributionSql,
     "q_ev_attribution_u" -> attributionUSql,
+    "q_ag_mode" -> modeSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

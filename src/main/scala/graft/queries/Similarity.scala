@@ -1814,6 +1814,109 @@ object Similarity {
        |WHERE rank <= $KnnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  // --- q_sim_jl -------------------------------------------------------------
+  // JOHNSON–LINDENSTRAUSS random-projection retrieval: project the
+  // 64-dim embeddings onto 16 signed-sum dimensions (a ±1 Achlioptas
+  // matrix — dense Gaussian is unnecessary, the sign matrix carries
+  // the JL guarantee) and measure recall@10 of projected-cosine
+  // retrieval against full-dim — the fifth memory/latency knob next
+  // to PQ / IVF-PQ / SQ8 / Matryoshka truncation, and the one whose
+  // transform is pure codegen arithmetic (16 vec_dot calls against
+  // LITERAL sign vectors — constants baked at build time from md5
+  // parity, so both engines embed the identical matrix; no runtime
+  // randomness, no cross-engine hash). Cosine is scale-invariant, so
+  // the 1/√k normalization is dropped. Scale: the projection is a
+  // scan-side projection (16 fused dot products/row); everything
+  // after is the shared recall harness on the 20 broadcast queries.
+  private val JlDims = 32
+  private val JlSrcDims = 64 // the fixture's embedding dimensionality
+
+  /** Deterministic ±1 sign matrix: parity of md5("jl_<j>_<i>"). */
+  private lazy val jlSigns: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlDims).map { j =>
+      (0 until JlSrcDims).map { i =>
+        md.reset()
+        val dg = md.digest(s"jl_${j}_$i".getBytes("UTF-8"))
+        if ((dg(0) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  private def jlProject(v: org.apache.spark.sql.Column) =
+    array(jlSigns.map(row => Vectors.dot(v, typedLit(row))): _*)
+
+  private def jlProjectSql(c: String): String =
+    "[" + jlSigns.map { row =>
+      Vectors.dotSql(c, "[" + row.map(x => s"${x}::DOUBLE").mkString(",") + "]")
+    }.mkString(",\n    ") + "]"
+
+  def jl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("p", jlProject(col("v")))
+    val q = e.filter(col("vec_id") < RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("p").as("qp"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosine(col("v"), col("qv")).as("cos_full"),
+        Vectors.cosine(col("p"), col("qp")).as("cos_proj"))
+      .localCheckpoint() // two rankings read it
+    val wf = Window.partitionBy("qid")
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wp = Window.partitionBy("qid")
+      .orderBy(col("cos_proj").desc, col("vec_id"))
+    val full = scored.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= K).select("qid", "vec_id")
+    val proj = scored.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= K).select("qid", "vec_id")
+    val common = full.join(proj, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_common"))
+    full.groupBy("qid").agg(count(lit(1)).as("n_full"))
+      .join(common, Seq("qid"), "left")
+      .select(col("qid"), col("n_full"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          lit(K.toDouble)).as("recall"))
+      .orderBy("qid")
+  }
+
+  lazy val jlSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS emb,
+       |    ${jlProjectSql("embedding")} AS p
+       |  FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, emb AS qemb, p AS qp
+       |  FROM e WHERE vec_id < $RecallQ),
+       |scored AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id,
+       |    ${Vectors.cosineSql("e.emb", "q.qemb")} AS cos_full,
+       |    ${Vectors.cosineSql("e.p", "q.qp")} AS cos_proj
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |fullr AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos_full DESC, vec_id) AS rk
+       |    FROM scored) WHERE rk <= $K),
+       |projr AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cos_proj DESC, vec_id) AS rk
+       |    FROM scored) WHERE rk <= $K),
+       |common AS MATERIALIZED (
+       |  SELECT f.qid, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM fullr f JOIN projr p USING (qid, vec_id) GROUP BY f.qid)
+       |SELECT f.qid, CAST(count(*) AS BIGINT) AS n_full,
+       |  CAST(coalesce(max(c.n_common), 0) AS BIGINT) AS n_common,
+       |  CAST(coalesce(max(c.n_common), 0) AS BIGINT)::DOUBLE / ${K}.0
+       |    AS recall
+       |FROM fullr f LEFT JOIN common c USING (qid)
+       |GROUP BY f.qid
+       |ORDER BY qid""".stripMargin
+
   // --- q_sim_mmr ------------------------------------------------------------
   // MAXIMAL MARGINAL RELEVANCE diversified retrieval: greedily re-rank
   // the query's top-C brute candidates so each pick maximizes
@@ -1966,6 +2069,7 @@ object Similarity {
     "q_sim_knn_graph" -> (knnGraph _),
     "q_sim_hard_neg" -> (hardNegatives _),
     "q_sim_mmr" -> (mmr _),
+    "q_sim_jl" -> (jl _),
     "q_sim_matryoshka" -> (matryoshka _),
     "q_sim_sq8" -> (sq8 _),
     "q_sim_recall" -> (recallEval _),
@@ -1991,6 +2095,7 @@ object Similarity {
     "q_sim_knn_graph" -> knnGraphSql,
     "q_sim_hard_neg" -> hardNegativesSql,
     "q_sim_mmr" -> mmrSql,
+    "q_sim_jl" -> jlSql,
     "q_sim_matryoshka" -> matryoshkaSql,
     "q_sim_sq8" -> sq8Sql,
     "q_sim_recall" -> recallEvalSql,

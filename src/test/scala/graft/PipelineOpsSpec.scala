@@ -272,6 +272,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("JL projection harness: full lists complete, recall consistent and bounded") {
+    val rows = Similarity.jl(spark, sf).collect()
+    assert(rows.length === 20) // one row per query vector
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_full") === 10L)
+      val c = r.getAs[Long]("n_common")
+      assert(c >= 0L && c <= 10L)
+      assert(math.abs(r.getAs[Double]("recall") - c.toDouble / 10.0) < 1e-12)
+    }
+  }
+
+  test("exact mode equals a brute-force recount per group") {
+    import ss.implicits._
+    val brute = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_quantity") * 100).cast("long").as("q"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (f, rs) =>
+        val counts = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val best = counts.toSeq.minBy { case (q, n) => (-n, q) }
+        f -> best
+      }
+    val got = Analytics.mode(spark, sf).collect()
+      .map(r => r.getAs[String]("flag") ->
+        ((math.round(r.getAs[Double]("mode_qty") * 100), r.getAs[Long]("n_mode")))).toMap
+    assert(got === brute, s"got $got expected $brute")
+  }
+
   test("heaps curve: cumulative counts monotone, types bounded by tokens, totals exact") {
     import ss.implicits._
     val rows = graft.queries.TextAnalysis.heaps(spark, sf).collect()
