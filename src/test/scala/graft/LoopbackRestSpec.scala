@@ -1,14 +1,8 @@
 package graft
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
 import java.time.LocalDate
 
 import scala.collection.mutable
-import scala.jdk.CollectionConverters._
-
-import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-import org.apache.spark.sql.functions._
 
 import graft.sources.{HttpRetry, HttpTransport}
 import graft.sources.v2.ChunkedRestSource
@@ -22,56 +16,13 @@ import graft.sources.v2.ChunkedRestSource
   */
 class LoopbackRestSpec extends SparkSpec {
 
-  /** Fixture server: GET /gas?from=YYYY-MM-DD&toExclusive=YYYY-MM-DD.
-    * Pops the next scripted status for the chunk (default 200); 200
-    * serves the SAME deterministic rows as the no-url stub, so the live
-    * path's results are comparable row-for-row against the generator.
-    */
-  private final class FixtureServer {
-    private val server =
-      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val script = mutable.Map.empty[String, mutable.Queue[Int]]
-    val calls = mutable.Map.empty[String, Int].withDefaultValue(0)
-
-    server.createContext("/gas", new HttpHandler {
-      override def handle(x: HttpExchange): Unit = FixtureServer.this.synchronized {
-        val q = Option(x.getRequestURI.getQuery).getOrElse("")
-        val params = q.split("&").filter(_.contains("="))
-          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
-        val key = params("from")
-        calls(key) = calls(key) + 1
-        val status = script.get(key).filter(_.nonEmpty)
-          .map(_.dequeue()).getOrElse(200)
-        if (status != 200) {
-          x.sendResponseHeaders(status, -1)
-          x.close()
-        } else {
-          val rows = ChunkedRestSource.fetchChunk(
-            LocalDate.parse(params("from")),
-            LocalDate.parse(params("toExclusive")))
-          val items = rows.map { case (us, site, metric, v) =>
-            val inst = java.time.Instant.EPOCH.plusNanos(us * 1000L)
-            s"""{"applicableAt":"$inst","site":"$site","metric":"$metric","value":$v}"""
-          }.mkString(",")
-          val body = s"""{"data":[$items]}""".getBytes(StandardCharsets.UTF_8)
-          x.getResponseHeaders.add("Content-Type", "application/json")
-          x.sendResponseHeaders(200, body.length.toLong)
-          val os = x.getResponseBody
-          try os.write(body) finally os.close()
-        }
-      }
-    })
-    server.start()
-    def url: String = s"http://127.0.0.1:${server.getAddress.getPort}/gas"
-    def stop(): Unit = server.stop(0)
-  }
-
-  private def withServer[A](body: FixtureServer => A): A = {
-    val fx = new FixtureServer
+  // fixture server shared with QueryServerSpec — see GasFixture.scala
+  private def withServer[A](body: GasFixtureServer => A): A = {
+    val fx = new GasFixtureServer
     try body(fx) finally fx.stop()
   }
 
-  private def liveRead(fx: FixtureServer, from: String, to: String) =
+  private def liveRead(fx: GasFixtureServer, from: String, to: String) =
     spark.read.format("graft.sources.v2.ChunkedRestSource")
       .option("from", from).option("to", to).option("chunkDays", "3")
       .option("url", fx.url)
@@ -156,7 +107,7 @@ class LoopbackRestSpec extends SparkSpec {
 
   test("connection refused is retried like a 5xx, then surfaces the synthetic status") {
     // a closed server: every attempt is a transport-level failure
-    val fx = new FixtureServer
+    val fx = new GasFixtureServer
     val deadUrl = fx.url
     fx.stop()
     val sleeps = mutable.Buffer.empty[Long]

@@ -140,6 +140,40 @@ class QueryServerSpec extends SparkSpec {
     }
   }
 
+  test("full reference loop over real sockets: 202 ingest fetches the live REST API with retries") {
+    // the serving edge AND the chunked REST transport composed: the
+    // background job fetches over an actual loopback connection with a
+    // scripted 429 storm on the first chunk — the complete
+    // POST /v2/ingest/gas → NationalGas API → warehouse → GET /v2/data
+    // reference loop, every hop a real socket
+    val fx = new GasFixtureServer
+    try {
+      fx.synchronized {
+        fx.script("2024-03-01") = scala.collection.mutable.Queue(429, 503)
+      }
+      val root = Files.createTempDirectory("graft-serve-live").toString
+      val wh = Warehouse(root)
+      val srv = new QueryServer(spark, wh, restUrl = Some(fx.url)).start()
+      try {
+        val (st, body) = http("POST",
+          s"${srv.url}/v2/ingest/gas?from_date=2024-03-01&to_date=2024-03-04")
+        assert(st === 202)
+        val jobId = "\"job_id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+        assert(await {
+          http("GET", s"${srv.url}/v2/ingest/jobs/$jobId")._2.contains("done")
+        }, "live-socket ingest did not finish")
+        // the scripted storm forced two retries on chunk 1; chunk 2 clean
+        assert(fx.calls("2024-03-01") === 3, s"calls=${fx.calls}")
+        assert(fx.calls("2024-03-03") === 1)
+        // 4 days × 3 sites × 3 metrics through the live transport
+        assert(spark.read.parquet(wh.observations).count() === 4L * 3 * 3)
+        val (ds, all) = http("GET", s"${srv.url}/v2/data?limit=1000")
+        assert(ds === 200)
+        assert("\"timestamp\"".r.findAllIn(all).length === 36)
+      } finally srv.stop()
+    } finally fx.stop()
+  }
+
   test("site-filtered ingest registers only the requested site's series") {
     withServer { (srv, wh) =>
       val (st, body) = http("POST",
