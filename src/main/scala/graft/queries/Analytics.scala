@@ -1185,6 +1185,148 @@ object Analytics {
       |GROUP BY a.touch_type
       |ORDER BY touch_type""".stripMargin
 
+  // --- q_ag_bootstrap -------------------------------------------------------
+  // DETERMINISTIC POISSON-BOOTSTRAP confidence intervals for the
+  // per-type mean value — the error bar every "metric moved" claim
+  // needs, computed without rand(): replica b reweights each row by a
+  // Poisson(1) draw taken from the inverse CDF of
+  // u = md5Int48(event_id ∥ b)/2^48 (the standard streaming-bootstrap
+  // reweighting — sampling WITH replacement becomes independent
+  // per-row counts, which is the only formulation that scales and the
+  // only one an oracle can replay bit-for-bit: same integer hash →
+  // same double u → same thresholds → same weight in both engines).
+  // Replica means are exact-integer weighted cent sums divided once in
+  // double space; the CI is the ceiling-rank 2.5%/97.5% order
+  // statistics of the B=64 replica means (rank window over a
+  // 64-row-per-type digest, b tie-break). Scale: the explode is
+  // scan-side ×B, the aggregation is map-side-combinable to
+  // (type, b) digests — B bounds everything after.
+  private val BootB = 64
+  // P(Pois(1) ≤ k) thresholds, k = 0..5; draws cap at 6
+  private val PoisCdf: Seq[Double] = {
+    val lam = 1.0
+    val probs = Iterator.iterate((0, math.exp(-lam))) { case (k, p) =>
+      (k + 1, p * lam / (k + 1)) }.take(6).map(_._2).toSeq
+    probs.scanLeft(0.0)(_ + _).tail
+  }
+
+  def bootstrap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val u = Hashes.md5Int48(concat(col("event_id").cast("string"),
+      lit("_"), col("b").cast("string"))).cast("double") /
+      lit(281474976710656.0) // 2^48
+    val weighted = base
+      .withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
+      .withColumn("w", PoisCdf.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
+        case ((t, k), rest) => when(u < lit(t), lit(k.toLong)).otherwise(rest)
+      })
+    val reps = weighted.groupBy("event_type", "b")
+      .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("wn"))
+      .select(col("event_type"), col("b"),
+        (col("wc").cast("double") / col("wn").cast("double") / 100.0).as("m"))
+    val wr = Window.partitionBy("event_type").orderBy(col("m"), col("b"))
+    val ranked = reps.withColumn("rk", row_number().over(wr))
+    val loRk = math.ceil(0.025 * BootB).toInt // 2
+    val hiRk = math.ceil(0.975 * BootB).toInt // 63
+    val ci = ranked.filter(col("rk") === loRk || col("rk") === hiRk)
+      .groupBy("event_type")
+      .agg(min(when(col("rk") === loRk, col("m"))).as("ci_lo"),
+        min(when(col("rk") === hiRk, col("m"))).as("ci_hi"))
+    val full = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .select(col("event_type"), col("n"),
+        (col("sc").cast("double") / col("n").cast("double") / 100.0).as("mean_value"))
+    full.join(ci, "event_type")
+      .select(col("event_type"), col("n"), col("mean_value"),
+        col("ci_lo"), col("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  lazy val bootstrapSql: String = {
+    val cdf = PoisCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < CAST(${t} AS DOUBLE) THEN $k" }
+      .mkString("\n      ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT event_type, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |drawn AS MATERIALIZED (
+       |  SELECT event_type, cents, b,
+       |    ${Hashes.md5Int48Sql("event_id::VARCHAR || '_' || b::VARCHAR")}::DOUBLE
+       |      / CAST(281474976710656.0 AS DOUBLE) AS u
+       |  FROM base, unnest(generate_series(0, ${BootB - 1})) AS g(b)),
+       |weighted AS MATERIALIZED (
+       |  SELECT event_type, cents, b,
+       |    CAST(CASE $cdf ELSE 6 END AS BIGINT) AS w
+       |  FROM drawn),
+       |reps AS MATERIALIZED (
+       |  SELECT event_type, b,
+       |    CAST(sum(w * cents) AS BIGINT)::DOUBLE
+       |      / CAST(sum(w) AS BIGINT)::DOUBLE / 100.0 AS m
+       |  FROM weighted GROUP BY 1, 2),
+       |ranked AS MATERIALIZED (
+       |  SELECT event_type, m, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY m, b) AS rk
+       |  FROM reps),
+       |ci AS MATERIALIZED (
+       |  SELECT event_type,
+       |    min(CASE WHEN rk = ${math.ceil(0.025 * BootB).toInt} THEN m END) AS ci_lo,
+       |    min(CASE WHEN rk = ${math.ceil(0.975 * BootB).toInt} THEN m END) AS ci_hi
+       |  FROM ranked GROUP BY 1)
+       |SELECT b.event_type, count(*) AS n,
+       |  CAST(sum(b.cents) AS BIGINT)::DOUBLE / count(*)::DOUBLE / 100.0
+       |    AS mean_value,
+       |  min(ci.ci_lo) AS ci_lo, min(ci.ci_hi) AS ci_hi
+       |FROM base b JOIN ci USING (event_type)
+       |GROUP BY b.event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // --- q_ev_dau_cum ---------------------------------------------------------
+  // DAILY ACTIVE USERS + CUMULATIVE UNIQUE USERS — the growth-curve
+  // pair every events product tracks. Cumulative-distinct is
+  // re-expressed as each user's FIRST active day (one aggregation)
+  // so the running total is a window over the day-grain digest —
+  // never a distinct-so-far rescan (the q_tx_heaps trick on the user
+  // dimension). All counts exact integers.
+  def dauCum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val dau = e.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val firstDay = e.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firstDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select("day", "dau", "new_users", "cum_users")
+      .orderBy("day")
+  }
+
+  val dauCumSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      |dau AS MATERIALIZED (
+      |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM e GROUP BY 1),
+      |first_day AS MATERIALIZED (
+      |  SELECT min(day) AS day FROM e GROUP BY user_id),
+      |newu AS MATERIALIZED (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      |  FROM first_day GROUP BY 1)
+      |SELECT d.day, d.dau,
+      |  CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT)
+      |    AS cum_users
+      |FROM dau d LEFT JOIN newu n USING (day)
+      |ORDER BY d.day""".stripMargin
+
   // --- q_ag_mode ------------------------------------------------------------
   // EXACT PER-GROUP MODE (most frequent value) — the order statistic
   // the selection family (median/quantiles/MAD) still lacked. Values
@@ -1308,6 +1450,8 @@ object Analytics {
     "q_ev_attribution" -> (attribution _),
     "q_ev_attribution_u" -> (attributionU _),
     "q_ag_mode" -> (mode _),
+    "q_ag_bootstrap" -> (bootstrap _),
+    "q_ev_dau_cum" -> (dauCum _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -1357,6 +1501,8 @@ object Analytics {
     "q_ev_attribution" -> attributionSql,
     "q_ev_attribution_u" -> attributionUSql,
     "q_ag_mode" -> modeSql,
+    "q_ag_bootstrap" -> bootstrapSql,
+    "q_ev_dau_cum" -> dauCumSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

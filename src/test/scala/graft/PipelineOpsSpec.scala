@@ -300,6 +300,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === brute, s"got $got expected $brute")
   }
 
+  test("bootstrap CI: brackets the mean, widens with spread, deterministic across runs") {
+    val a = Analytics.bootstrap(spark, sf).collect()
+    val b = Analytics.bootstrap(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "hash-derived bootstrap must be bit-deterministic")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (lo, m, hi) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("mean_value"), r.getAs[Double]("ci_hi"))
+      assert(lo <= m && m <= hi,
+        s"${r.getAs[String]("event_type")}: CI [$lo,$hi] must bracket mean $m")
+      assert(hi - lo > 0.0, "interval must have width")
+      // a 95% Poisson-bootstrap CI of a mean over n>1000 draws is
+      // narrow relative to the value scale — sanity ceiling
+      assert(hi - lo < m, "interval implausibly wide")
+    }
+  }
+
+  test("DAU + cumulative uniques: running total matches a brute union scan") {
+    import ss.implicits._
+    val rows = Analytics.dauCum(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(rows.nonEmpty)
+    val byDay = graft.Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .as[(java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seen = scala.collection.mutable.Set.empty[Long]
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Timestamp]("day")
+      val users = byDay(day)
+      assert(r.getAs[Long]("dau") === users.size.toLong, s"$day dau")
+      val fresh = users.diff(seen)
+      assert(r.getAs[Long]("new_users") === fresh.size.toLong, s"$day new")
+      seen ++= users
+      assert(r.getAs[Long]("cum_users") === seen.size.toLong, s"$day cum")
+    }
+  }
+
   test("heaps curve: cumulative counts monotone, types bounded by tokens, totals exact") {
     import ss.implicits._
     val rows = graft.queries.TextAnalysis.heaps(spark, sf).collect()
