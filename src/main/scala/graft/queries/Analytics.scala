@@ -676,6 +676,87 @@ object Analytics {
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  // --- q_ev_funnel_time -----------------------------------------------------
+  // TIME-TO-CONVERT percentiles per funnel edge — "how long does the
+  // median user take from view to click, and the p90 from click to
+  // purchase", the latency companion of the stage-count funnel.
+  // Composes the funnel shape with the distributed exact-selection
+  // core: advance times are exact integer micros (no float
+  // durations), both funnel edges ride ONE selectAtRanks walk as two
+  // groups × two ceiling ranks, and the output converts micros to
+  // seconds in one double division. The advance window is 24 h —
+  // wider than the strict 1 h stage funnel, deliberately: a latency
+  // percentile must ADMIT the tail it measures, where the stage
+  // funnel's tight window is the conversion-rate definition. Scale:
+  // user-bounded joins + the selection core's three bounded passes —
+  // no per-group sort, no driver state.
+  private def funnelFrame(s: SparkSession, d: String,
+                          window: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("view_ts"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("view_ts") &&
+        col("ts") <= col("view_ts") + expr(s"INTERVAL $window"))
+      .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("click_ts") &&
+        col("ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+  }
+
+  def funnelTime(s: SparkSession, d: String): DataFrame = {
+    val f = funnelFrame(s, d, "24 HOUR")
+    val d1 = f.filter(col("click_ts").isNotNull)
+      .select(lit("view_to_click").as("g"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("v"))
+    val d2 = f.filter(col("purchase_ts").isNotNull)
+      .select(lit("click_to_purchase").as("g"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("v"))
+    selectAtRanks(d1.unionByName(d2).localCheckpoint(),
+      Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))
+      .select(col("g").as("stage"), col("quantile"), col("n"),
+        col("value_cents").as("micros"),
+        (col("value_cents").cast("double") / 1000000.0).as("seconds"))
+      .orderBy("stage", "quantile")
+  }
+
+  val funnelTimeSql: String =
+    """WITH v AS MATERIALIZED (
+      |  SELECT user_id, min(ts) AS view_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS MATERIALIZED (
+      |  SELECT e.user_id, min(e.ts) AS click_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click'
+      |    AND e.ts > v.view_ts AND e.ts <= v.view_ts + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id),
+      |p AS MATERIALIZED (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id),
+      |d AS MATERIALIZED (
+      |  SELECT 'view_to_click' AS stage,
+      |    epoch_us(c.click_ts) - epoch_us(v.view_ts) AS v
+      |  FROM c JOIN v USING (user_id)
+      |  UNION ALL
+      |  SELECT 'click_to_purchase',
+      |    epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+      |  FROM p JOIN c USING (user_id)),
+      |ranked AS MATERIALIZED (
+      |  SELECT stage, v,
+      |    row_number() OVER (PARTITION BY stage ORDER BY v) AS rk,
+      |    count(*) OVER (PARTITION BY stage) AS n
+      |  FROM d),
+      |q(quantile, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10))
+      |SELECT stage, quantile, CAST(n AS BIGINT) AS n,
+      |  CAST(v AS BIGINT) AS micros, v::DOUBLE / 1000000.0 AS seconds
+      |FROM ranked r JOIN q ON r.rk = (r.n * q.num + q.den - 1) // q.den
+      |ORDER BY stage, quantile""".stripMargin
+
   // --- q_ag_incr_merge ------------------------------------------------------
   // INCREMENTAL aggregate maintenance — the rollup counterpart of
   // q_dd_incremental's staged dedup index: a daily per-(user_id, day)
@@ -1452,6 +1533,7 @@ object Analytics {
     "q_ag_mode" -> (mode _),
     "q_ag_bootstrap" -> (bootstrap _),
     "q_ev_dau_cum" -> (dauCum _),
+    "q_ev_funnel_time" -> (funnelTime _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -1503,6 +1585,7 @@ object Analytics {
     "q_ag_mode" -> modeSql,
     "q_ag_bootstrap" -> bootstrapSql,
     "q_ev_dau_cum" -> dauCumSql,
+    "q_ev_funnel_time" -> funnelTimeSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

@@ -300,6 +300,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === brute, s"got $got expected $brute")
   }
 
+  test("funnel time-to-convert: percentiles equal brute ceiling-rank sort per edge") {
+    val rows = Analytics.funnelTime(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byEdge = rows.groupBy(_.getAs[String]("stage"))
+    byEdge.foreach { case (stage, rs) =>
+      assert(rs.map(_.getAs[String]("quantile")).sorted.toSeq === Seq("p50", "p90"))
+      val n = rs.head.getAs[Long]("n")
+      assert(rs.forall(_.getAs[Long]("n") === n))
+      val p50 = rs.find(_.getAs[String]("quantile") == "p50").get.getAs[Long]("micros")
+      val p90 = rs.find(_.getAs[String]("quantile") == "p90").get.getAs[Long]("micros")
+      assert(p50 <= p90, s"$stage p50 must not exceed p90")
+      rs.foreach { r =>
+        assert(math.abs(r.getAs[Double]("seconds") -
+          r.getAs[Long]("micros").toDouble / 1e6) < 1e-9)
+      }
+    }
+    assert(byEdge.keySet === Set("view_to_click", "click_to_purchase"))
+    // the view_to_click edge must dominate in population: every
+    // click_to_purchase converter first converted view->click
+    assert(byEdge("view_to_click").head.getAs[Long]("n") >=
+      byEdge("click_to_purchase").head.getAs[Long]("n"))
+  }
+
   test("bootstrap CI: brackets the mean, widens with spread, deterministic across runs") {
     val a = Analytics.bootstrap(spark, sf).collect()
     val b = Analytics.bootstrap(spark, sf).collect()
