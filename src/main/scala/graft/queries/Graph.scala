@@ -558,7 +558,78 @@ object Graph {
        |SELECT node, label FROM l$LpRounds ORDER BY node""".stripMargin
   }
 
+  // --- q_gr_item_sim --------------------------------------------------------
+  // ITEM-ITEM JACCARD RECOMMENDATIONS — the co-occurrence recommender
+  // ("customers who bought a also bought b") over the same capped
+  // basket frame the graph family derives its edges from, but with
+  // CO-COUNTS instead of the distinct edge set: jaccard(a, b) =
+  // |orders(a) ∩ orders(b)| / (|orders(a)| + |orders(b)| − ∩), all
+  // exact integers divided once in double space. Top-3 per item by a
+  // (jaccard DESC, neighbor) window over co-degree-bounded groups;
+  // the pair fan-out is bounded by the ≤16 basket cap (≤120 pairs per
+  // order), degrees ride a broadcast join. Items whose baskets never
+  // overlap emit no rows.
+  private val ItemSimK = 3
+
+  def itemSim(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val basket = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val okOrders = basket.groupBy("ok").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= MaxBasket).select("ok")
+    val b = basket.join(okOrders, "ok")
+    val deg = b.groupBy("pk").agg(count(lit(1)).as("deg"))
+    val pairs = b.as("x").join(b.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("co")))
+    val scored = sym
+      .join(broadcast(deg.select(col("pk").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("pk").as("b"), col("deg").as("db"))), "b")
+      .select(col("a").as("part_id"), col("b").as("rec_id"), col("co"),
+        (col("co").cast("double") /
+          (col("da") + col("db") - col("co")).cast("double")).as("jaccard"))
+    val w = Window.partitionBy("part_id")
+      .orderBy(col("jaccard").desc, col("rec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= ItemSimK)
+      .select("part_id", "rank", "rec_id", "co", "jaccard")
+      .orderBy("part_id", "rank")
+  }
+
+  val itemSimSql: String =
+    s"""WITH basket AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |oko AS MATERIALIZED (
+       |  SELECT ok FROM basket GROUP BY ok HAVING count(*) <= $MaxBasket),
+       |b AS MATERIALIZED (
+       |  SELECT basket.ok, basket.pk FROM basket JOIN oko USING (ok)),
+       |deg AS MATERIALIZED (
+       |  SELECT pk, CAST(count(*) AS BIGINT) AS deg FROM b GROUP BY 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS co
+       |  FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT a, b, co FROM pairs
+       |  UNION ALL SELECT b, a, co FROM pairs),
+       |scored AS MATERIALIZED (
+       |  SELECT s.a AS part_id, s.b AS rec_id, s.co,
+       |    s.co::DOUBLE / (dA.deg + dB.deg - s.co)::DOUBLE AS jaccard
+       |  FROM sym s JOIN deg dA ON s.a = dA.pk JOIN deg dB ON s.b = dB.pk)
+       |SELECT part_id, rank, rec_id, co, jaccard FROM (
+       |  SELECT part_id, rec_id, co, jaccard,
+       |    CAST(row_number() OVER (PARTITION BY part_id
+       |      ORDER BY jaccard DESC, rec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $ItemSimK
+       |ORDER BY part_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gr_item_sim" -> (itemSim _),
     "q_gr_pagerank" -> (pageRank _),
     "q_gr_ppr" -> (personalizedPageRank _),
     "q_gr_hits" -> (hits _),
@@ -566,6 +637,7 @@ object Graph {
     "q_gr_labelprop" -> (labelProp _))
 
   val oracles: Map[String, String] = Map(
+    "q_gr_item_sim" -> itemSimSql,
     "q_gr_pagerank" -> pageRankSql,
     "q_gr_ppr" -> personalizedPageRankSql,
     "q_gr_hits" -> hitsSql,

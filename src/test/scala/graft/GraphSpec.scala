@@ -123,6 +123,39 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.size < got.size)
   }
 
+  test("item-sim recs: ranks dense, jaccard ordered and in (0,1], symmetric co-counts") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.itemSim(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+      assert(r.getAs[Long]("co") >= 1L)
+      assert(r.getAs[Long]("part_id") !== r.getAs[Long]("rec_id"))
+    }
+    rows.groupBy(_.getAs[Long]("part_id")).foreach { case (p, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to rs.length.toLong), s"part $p ranks not dense")
+      val js = byRank.map(_.getAs[Double]("jaccard"))
+      assert(js.zip(js.tail).forall { case (a, b) => a >= b },
+        s"part $p jaccard increases down the ranking")
+    }
+    // spot-check one pair's jaccard against a brute basket recount
+    val r0 = rows.head
+    val (a, b) = (r0.getAs[Long]("part_id"), r0.getAs[Long]("rec_id"))
+    val basket = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val keep = basket.groupBy("ok").count().filter(col("count") <= 16).select("ok")
+    val kept = basket.join(keep, "ok")
+    val oa = kept.filter(col("pk") === a).select("ok").collect().map(_.getLong(0)).toSet
+    val ob = kept.filter(col("pk") === b).select("ok").collect().map(_.getLong(0)).toSet
+    val co = oa.intersect(ob).size.toLong
+    assert(r0.getAs[Long]("co") === co)
+    assert(math.abs(r0.getAs[Double]("jaccard") -
+      co.toDouble / (oa.size + ob.size - co)) < 1e-12)
+  }
+
   test("HITS: unit-norm sides, positive scores, bipartite counts") {
     val rows = Graph.hits(spark, sf).collect()
     val (auth, hub) = rows.partition(_.getAs[String]("side") == "authority")
