@@ -1366,6 +1366,82 @@ object Analytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  // --- q_ag_ttest -----------------------------------------------------------
+  // WELCH'S TWO-SAMPLE t-TEST on per-type mean values — the parametric
+  // companion of the bootstrap CI (same question, closed form): are
+  // click and view values drawn from the same mean? Every moment
+  // (n, Σc, Σc²) is an exact BIGINT; the t statistic and the
+  // Welch–Satterthwaite df are then a fixed tree of double operations
+  // over those exact integers, written with IDENTICAL operand order in
+  // both engines so the statistic matches bit-for-bit. Sample variance
+  // uses the exact-integer form (n·Q − S²)/(n·(n−1)). The alarm flags
+  // |t| > 1.96 (the 95% two-sided normal threshold — with n ≈ 2000 the
+  // t and normal quantiles agree to three decimals). Scale: one
+  // map-side-combinable moment aggregation; everything after is a
+  // 2-row digest.
+  def ttest(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("q"))
+    val a = m.filter(col("g") === "click")
+      .select(col("n").as("n1"), col("sc").as("s1"), col("q").as("q1"))
+    val b = m.filter(col("g") === "view")
+      .select(col("n").as("n2"), col("sc").as("s2"), col("q").as("q2"))
+    a.crossJoin(b)
+      .withColumn("m1", col("s1").cast("double") / col("n1").cast("double") / 100.0)
+      .withColumn("m2", col("s2").cast("double") / col("n2").cast("double") / 100.0)
+      .withColumn("v1", (col("n1") * col("q1") - col("s1") * col("s1")).cast("double") /
+        (col("n1") * (col("n1") - 1)).cast("double") / 10000.0)
+      .withColumn("v2", (col("n2") * col("q2") - col("s2") * col("s2")).cast("double") /
+        (col("n2") * (col("n2") - 1)).cast("double") / 10000.0)
+      .withColumn("se1", col("v1") / col("n1").cast("double"))
+      .withColumn("se2", col("v2") / col("n2").cast("double"))
+      .withColumn("t", (col("m1") - col("m2")) / sqrt(col("se1") + col("se2")))
+      .withColumn("df", (col("se1") + col("se2")) * (col("se1") + col("se2")) /
+        (col("se1") * col("se1") / (col("n1").cast("double") - 1.0) +
+          col("se2") * col("se2") / (col("n2").cast("double") - 1.0)))
+      .select(lit("click_vs_view").as("pair"),
+        col("n1"), col("n2"), col("m1").as("mean_1"), col("m2").as("mean_2"),
+        col("t"), col("df"),
+        when(abs(col("t")) > lit(1.96), 1L).otherwise(0L).as("significant"))
+      .orderBy("pair")
+  }
+
+  val ttestSql: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+      |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+      |ab AS MATERIALIZED (
+      |  SELECT a.n AS n1, a.sc AS s1, a.q AS q1,
+      |         b.n AS n2, b.sc AS s2, b.q AS q2
+      |  FROM (SELECT * FROM m WHERE g = 'click') a,
+      |       (SELECT * FROM m WHERE g = 'view') b),
+      |calc AS MATERIALIZED (
+      |  SELECT n1, n2,
+      |    s1::DOUBLE / n1::DOUBLE / 100.0 AS m1,
+      |    s2::DOUBLE / n2::DOUBLE / 100.0 AS m2,
+      |    (n1 * q1 - s1 * s1)::DOUBLE / (n1 * (n1 - 1))::DOUBLE / 10000.0 AS v1,
+      |    (n2 * q2 - s2 * s2)::DOUBLE / (n2 * (n2 - 1))::DOUBLE / 10000.0 AS v2
+      |  FROM ab),
+      |se AS MATERIALIZED (
+      |  SELECT n1, n2, m1, m2,
+      |    v1 / n1::DOUBLE AS se1, v2 / n2::DOUBLE AS se2
+      |  FROM calc)
+      |SELECT 'click_vs_view' AS pair, n1, n2, m1 AS mean_1, m2 AS mean_2,
+      |  (m1 - m2) / sqrt(se1 + se2) AS t,
+      |  (se1 + se2) * (se1 + se2) /
+      |    (se1 * se1 / (n1::DOUBLE - 1.0) + se2 * se2 / (n2::DOUBLE - 1.0)) AS df,
+      |  CAST(CASE WHEN abs((m1 - m2) / sqrt(se1 + se2)) > 1.96
+      |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM se ORDER BY pair""".stripMargin
+
   // --- q_ev_dau_cum ---------------------------------------------------------
   // DAILY ACTIVE USERS + CUMULATIVE UNIQUE USERS — the growth-curve
   // pair every events product tracks. Cumulative-distinct is
@@ -1534,6 +1610,7 @@ object Analytics {
     "q_ag_bootstrap" -> (bootstrap _),
     "q_ev_dau_cum" -> (dauCum _),
     "q_ev_funnel_time" -> (funnelTime _),
+    "q_ag_ttest" -> (ttest _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -1586,6 +1663,7 @@ object Analytics {
     "q_ag_bootstrap" -> bootstrapSql,
     "q_ev_dau_cum" -> dauCumSql,
     "q_ev_funnel_time" -> funnelTimeSql,
+    "q_ag_ttest" -> ttestSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

@@ -323,6 +323,32 @@ class PipelineOpsSpec extends SparkSpec {
       byEdge("click_to_purchase").head.getAs[Long]("n"))
   }
 
+  test("Welch t-test: statistic matches a brute moment recompute; df in the Welch range") {
+    import ss.implicits._
+    val r = Analytics.ttest(spark, sf).collect().head
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def stats(xs: Array[Long]): (Long, Double, Double) = {
+      val n = xs.length.toLong
+      val s = xs.sum; val q = xs.map(x => x * x).sum
+      val m = s.toDouble / n / 100.0
+      val v = (n * q - s * s).toDouble / (n * (n - 1)) / 10000.0
+      (n, m, v)
+    }
+    val (n1, m1, v1) = stats(vals("click").toArray)
+    val (n2, m2, v2) = stats(vals("view").toArray)
+    val se = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / math.sqrt(se)
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+    assert(math.abs(r.getAs[Double]("t") - t) < 1e-9, s"t mismatch: ${r.getAs[Double]("t")} vs $t")
+    val df = r.getAs[Double]("df")
+    assert(df >= math.min(n1, n2) - 1.0 && df <= (n1 + n2 - 2).toDouble,
+      s"Welch df $df outside [min(n)-1, n1+n2-2]")
+    assert((r.getAs[Long]("significant") === 1L) === (math.abs(t) > 1.96))
+  }
+
   test("bootstrap CI: brackets the mean, widens with spread, deterministic across runs") {
     val a = Analytics.bootstrap(spark, sf).collect()
     val b = Analytics.bootstrap(spark, sf).collect()
