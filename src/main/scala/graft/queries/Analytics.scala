@@ -1442,6 +1442,175 @@ object Analytics {
       |    THEN 1 ELSE 0 END AS BIGINT) AS significant
       |FROM se ORDER BY pair""".stripMargin
 
+  // --- q_ag_ks --------------------------------------------------------------
+  // TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the NONPARAMETRIC member of
+  // the stats trio (bootstrap = resampling, t-test = parametric means,
+  // KS = whole-distribution): D = max |F₁(v) − F₂(v)| over the pooled
+  // support, sensitive to shape differences a mean test cannot see.
+  // The empirical CDFs are EXACT integer cumulative counts: one
+  // aggregation to the per-cent-value (cnt₁, cnt₂) digest, then
+  // cumulative sums by a window ordered by value. Each CDF point is
+  // one division of exact integers cast to double (identical operands
+  // ⇒ identical bits in both engines) and D is a MAX of those
+  // deterministic doubles — order-independent, unlike a sum, so
+  // parallel aggregation cannot move it. The max carries its argmax
+  // via the (diff, −value) struct-max (ties resolve to the SMALLEST
+  // value in both engines). Reject at α = 0.05 via the asymptotic
+  // critical value 1.358·√((n₁+n₂)/(n₁·n₂)). Scale: like q_ev_dau_cum
+  // the global window rides the VALUE-DOMAIN digest (distinct cent
+  // values — bounded by the price domain, not the row count); the raw
+  // scan never leaves its one map-side-combinable aggregation.
+  def ks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("c"))
+    val byVal = e.groupBy("c")
+      .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("cnt1"),
+        sum(when(col("g") === "view", 1L).otherwise(0L)).as("cnt2"))
+    val wCum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byVal
+      .withColumn("cum1", sum(col("cnt1")).over(wCum))
+      .withColumn("cum2", sum(col("cnt2")).over(wCum))
+      .withColumn("n1", sum(col("cnt1")).over(wAll))
+      .withColumn("n2", sum(col("cnt2")).over(wAll))
+      .withColumn("diff",
+        abs(col("cum1").cast("double") / col("n1").cast("double")
+          - col("cum2").cast("double") / col("n2").cast("double")))
+      .groupBy()
+      .agg(max(struct(col("diff"), (-col("c")).as("negc"))).as("m"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(lit("click_vs_view").as("pair"), col("n1"), col("n2"),
+        col("m.diff").as("d_stat"), (-col("m.negc")).as("at_cents"),
+        (lit(1.358) * sqrt((col("n1").cast("double") + col("n2").cast("double"))
+          / (col("n1").cast("double") * col("n2").cast("double")))).as("d_crit"))
+      .withColumn("significant",
+        when(col("d_stat") > col("d_crit"), 1L).otherwise(0L))
+      .orderBy("pair")
+  }
+
+  val ksSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |bv AS MATERIALIZED (
+      |  SELECT c,
+      |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt1,
+      |    CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cnt2
+      |  FROM e GROUP BY 1),
+      |cum AS MATERIALIZED (
+      |  SELECT c,
+      |    sum(cnt1) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    sum(cnt2) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    sum(cnt1) OVER () AS n1, sum(cnt2) OVER () AS n2
+      |  FROM bv),
+      |diffs AS MATERIALIZED (
+      |  SELECT c, n1, n2,
+      |    abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS diff
+      |  FROM cum),
+      |agg AS MATERIALIZED (
+      |  SELECT max({'diff': diff, 'negc': -c}) AS m,
+      |    CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+      |  FROM diffs)
+      |SELECT 'click_vs_view' AS pair, n1, n2, m.diff AS d_stat,
+      |  CAST(-m.negc AS BIGINT) AS at_cents,
+      |  1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS d_crit,
+      |  CAST(CASE WHEN m.diff > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM agg ORDER BY pair""".stripMargin
+
+  // --- q_ag_linreg ----------------------------------------------------------
+  // PER-GROUP ORDINARY LEAST SQUARES — slope / intercept / r² / Pearson
+  // correlation of extended price against quantity per return flag, the
+  // closed-form regression every pricing dashboard fits. Spark ships
+  // regr_slope/regr_r2 built-ins, but they accumulate DOUBLE moments
+  // whose summation order varies with parallelism — the bits would
+  // drift between runs and engines. Instead the five moments
+  // (Σx, Σy, Σx², Σxy, Σy²) are EXACT: per-row products stay in BIGINT
+  // (x ≤ 50, y ≤ ~10⁷ cents ⇒ xy ≤ 5·10⁸ — no per-row wrap at any
+  // scale), and the SUMS ride DECIMAL(38,0), which cannot wrap until
+  // ~10³⁸ — at 100 TB (≈10¹¹ rows · y² ≈ 10¹⁴) Σy² ≈ 10²⁵, fifteen
+  // orders of magnitude of headroom, where BIGINT sums would overflow
+  // near sf0.3 (the q_tx_drift lesson applied before it bites). Each
+  // exact decimal moment casts to double ONCE (correctly rounded in
+  // both engines), then slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²ᵉ) and
+  // friends are a fixed tree of double ops with identical operand
+  // order in both engines ⇒ identical bits. Degenerate groups
+  // (constant x or constant y) define slope/r²/corr = 0, never NaN.
+  // Scale: one map-side-combinable moment aggregation over the scan;
+  // everything after is a 3-row digest.
+  def linreg(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    m.withColumn("nd", col("n").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("syd", col("sy").cast("double"))
+      .withColumn("cxy", col("nd") * col("sxy").cast("double") - col("sxd") * col("syd"))
+      .withColumn("cxx", col("nd") * col("sxx").cast("double") - col("sxd") * col("sxd"))
+      .withColumn("cyy", col("nd") * col("syy").cast("double") - col("syd") * col("syd"))
+      .withColumn("slope",
+        when(col("cxx") > 0.0, col("cxy") / col("cxx") / 100.0).otherwise(0.0))
+      .withColumn("intercept",
+        when(col("cxx") > 0.0,
+          (col("syd") - col("cxy") / col("cxx") * col("sxd")) / col("nd") / 100.0)
+          .otherwise(0.0))
+      .withColumn("r2",
+        when(col("cxx") > 0.0 && col("cyy") > 0.0,
+          col("cxy") * col("cxy") / (col("cxx") * col("cyy"))).otherwise(0.0))
+      .withColumn("corr",
+        when(col("cxx") > 0.0 && col("cyy") > 0.0,
+          col("cxy") / sqrt(col("cxx") * col("cyy"))).otherwise(0.0))
+      .select(col("g"), col("n"), col("slope"), col("intercept"),
+        col("r2"), col("corr"))
+      .orderBy("g")
+  }
+
+  val linregSql: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+      |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(round(l_quantity) AS BIGINT) AS x,
+      |          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |        FROM lineitem) GROUP BY 1),
+      |c AS MATERIALIZED (
+      |  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+      |  FROM m)
+      |SELECT g, n,
+      |  CASE WHEN cxx > 0.0 THEN cxy / cxx / 100.0 ELSE 0.0 END AS slope,
+      |  CASE WHEN cxx > 0.0
+      |    THEN (syd - cxy / cxx * sxd) / nd / 100.0 ELSE 0.0 END AS intercept,
+      |  CASE WHEN cxx > 0.0 AND cyy > 0.0
+      |    THEN cxy * cxy / (cxx * cyy) ELSE 0.0 END AS r2,
+      |  CASE WHEN cxx > 0.0 AND cyy > 0.0
+      |    THEN cxy / sqrt(cxx * cyy) ELSE 0.0 END AS corr
+      |FROM c ORDER BY g""".stripMargin
+
   // --- q_ev_dau_cum ---------------------------------------------------------
   // DAILY ACTIVE USERS + CUMULATIVE UNIQUE USERS — the growth-curve
   // pair every events product tracks. Cumulative-distinct is
@@ -1611,6 +1780,8 @@ object Analytics {
     "q_ev_dau_cum" -> (dauCum _),
     "q_ev_funnel_time" -> (funnelTime _),
     "q_ag_ttest" -> (ttest _),
+    "q_ag_linreg" -> (linreg _),
+    "q_ag_ks" -> (ks _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -1664,6 +1835,8 @@ object Analytics {
     "q_ev_dau_cum" -> dauCumSql,
     "q_ev_funnel_time" -> funnelTimeSql,
     "q_ag_ttest" -> ttestSql,
+    "q_ag_linreg" -> linregSql,
+    "q_ag_ks" -> ksSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

@@ -153,6 +153,89 @@ object Dedup {
        |    / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- q_dd_containment -----------------------------------------------------
+  // ASYMMETRIC CONTAINMENT near-dup — C(A→B) = |A∩B| / |A| (Broder's
+  // containment, the measure behind "doc A is a near-SUBSET of doc B"):
+  // a 50-shingle snippet fully embedded in a 500-shingle page scores
+  // C = 1.0 but Jaccard ≈ 0.1, so the symmetric screens
+  // (q_dd_ngram_jaccard and every LSH family) structurally miss it —
+  // this is the operator that catches quote-farms, boilerplate
+  // wrappers, and "expanded edition" training-set leaks. Candidates
+  // and exact intersections reuse the SAME staged machinery as the
+  // Jaccard join (one shingle scan via [[Text.shingleRows]], rare-group
+  // pair counting + bounded hot-side completion — identical doc-freq
+  // cap and identical recall precondition: a qualifying pair must
+  // share ≥ 1 under-cap shingle); each UNORDERED candidate then fans
+  // out into its two DIRECTED containments, normalized by the inner
+  // doc's own shingle count. Since C(A→B) ≥ J(A,B) pointwise, the
+  // τ = 0.7 screen is a strict superset of a 0.7-Jaccard one. Scale:
+  // no new shuffle beyond the Jaccard plan — the direction fan-out is
+  // a 2× projection of the already-bounded candidate digest.
+  val ContainTau = 0.7
+
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val ex = shingleRows(s, d).localCheckpoint()
+    val groups = ex.groupBy("s")
+      .agg(graft.functions.BoundedCollectFunctions
+        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
+      .localCheckpoint()
+    val hotS = groups.filter(size(col("ds")) > MaxShingleDf).select("s")
+    val commonRare = groups
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
+      .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("common_rare"))
+    val hotEx = ex.join(broadcast(hotS), Seq("s"))
+    val commonHot = commonRare.select("da", "db")
+      .join(hotEx.toDF("s", "da"), "da")
+      .join(hotEx.toDF("s", "db"), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common_hot"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val undirected = commonRare
+      .join(commonHot, Seq("da", "db"), "left")
+      .select(col("da"), col("db"),
+        (col("common_rare") + coalesce(col("common_hot"), lit(0L))).as("common"))
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+    undirected
+      .select(col("da").as("doc_inner"), col("db").as("doc_outer"),
+        col("common"), col("na").as("n_inner"),
+        (col("common").cast("double") / col("na").cast("double")).as("containment"))
+      .unionAll(undirected
+        .select(col("db").as("doc_inner"), col("da").as("doc_outer"),
+          col("common"), col("nb").as("n_inner"),
+          (col("common").cast("double") / col("nb").cast("double")).as("containment")))
+      .filter(col("containment") >= ContainTau)
+      .orderBy("doc_inner", "doc_outer")
+  }
+
+  val containmentSql: String =
+    s"""WITH sh AS ($shingleSetsSql),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |grp AS (
+       |  SELECT s FROM ex GROUP BY s
+       |  HAVING count(*) > 1 AND count(*) <= $MaxShingleDf),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN grp ON grp.s = a.s),
+       |sized AS (
+       |  SELECT da, db,
+       |    len(list_intersect(x.shingles, y.shingles)) AS common,
+       |    len(x.shingles) AS na, len(y.shingles) AS nb
+       |  FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id),
+       |directed AS (
+       |  SELECT da AS doc_inner, db AS doc_outer, CAST(common AS BIGINT) AS common,
+       |    CAST(na AS BIGINT) AS n_inner,
+       |    common::DOUBLE / na::DOUBLE AS containment FROM sized
+       |  UNION ALL
+       |  SELECT db AS doc_inner, da AS doc_outer, CAST(common AS BIGINT) AS common,
+       |    CAST(nb AS BIGINT) AS n_inner,
+       |    common::DOUBLE / nb::DOUBLE AS containment FROM sized)
+       |SELECT doc_inner, doc_outer, common, n_inner, containment
+       |FROM directed WHERE containment >= $ContainTau
+       |ORDER BY doc_inner, doc_outer""".stripMargin
+
   // --- q_dd_prefix_join -----------------------------------------------------
   // PPJoin-style PREFIX-FILTERED exact similarity join (Chaudhuri et al.
   // 2006 prefix filtering; Xiao et al. 2008 PPJoin — public): the same
@@ -1461,6 +1544,7 @@ object Dedup {
     "q_dd_bloom_probe" -> (bloomProbe _),
     "q_dd_cluster_keeper" -> (clusterKeeper _),
     "q_dd_ngram_jaccard" -> (ngramJaccard _),
+    "q_dd_containment" -> (containment _),
     "q_dd_prefix_join" -> (prefixJoin _),
     "q_dd_minhash_lsh" -> (minhashLsh _),
     "q_dd_simhash" -> (simhash _),
@@ -1478,6 +1562,7 @@ object Dedup {
     "q_dd_bloom_probe" -> bloomProbeSql,
     "q_dd_cluster_keeper" -> clusterKeeperSql,
     "q_dd_ngram_jaccard" -> ngramJaccardSql,
+    "q_dd_containment" -> containmentSql,
     "q_dd_prefix_join" -> prefixJoinSql,
     "q_dd_minhash_lsh" -> minhashLshSql,
     "q_dd_simhash" -> simhashSql,

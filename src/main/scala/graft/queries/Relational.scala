@@ -543,6 +543,65 @@ object Relational {
       |GROUP BY probe
       |ORDER BY probe""".stripMargin
 
+  // --- q_er_blocked -------------------------------------------------------
+  // BLOCKED ENTITY RESOLUTION — the at-scale step-up the q_j11_fuzzy
+  // comment promises: instead of broadcasting a dictionary and paying
+  // |records| × |dict| edit distances, records meet candidates through
+  // an EQUI-JOIN on a blocking key, and only same-block pairs are
+  // scored. Dirty probes are a deterministic OCR-style corruption
+  // (the last two ID digits transposed — an involution, so probe
+  // values stay unique and both engines build them identically); the
+  // blocking key is the intact HIGH-ORDER digit prefix
+  // (substring(id, 10, 6)), which bounds every block at the 10³
+  // combinations of the three free low digits — block size is a
+  // CONSTANT of the key design, not of corpus size, so the pairwise
+  // fan-out grows linearly with records at any SF (the property that
+  // makes blocked ER the web-scale linkage shape; skewed natural keys
+  // would add the salting/cap guards of the dedup family). Survivor
+  // per probe is the deterministic (distance, name) struct-min;
+  // `rematch` audits precision against the known source record —
+  // honest about transposition collisions, where a swapped ID equals
+  // ANOTHER real record (distance 0) and outranks the true one
+  // (distance 2): linkage ambiguity is data, not noise. Scale: one
+  // bounded-fan-out shuffle join + one digest aggregation.
+  def erBlocked(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_name").as("name"))
+    val probes = c.select(col("name").as("src"),
+      concat(expr("substring(name, 1, 16)"), expr("substring(name, 18, 1)"),
+        expr("substring(name, 17, 1)")).as("probe"))
+      .withColumn("blk", expr("substring(probe, 10, 6)"))
+    val dict = c.withColumn("blk", expr("substring(name, 10, 6)"))
+    probes.join(dict, "blk")
+      .select(col("src"), col("probe"),
+        struct(levenshtein(col("probe"), col("name")).as("dist"),
+          col("name").as("name")).as("cand"))
+      .groupBy("src", "probe")
+      .agg(min(col("cand")).as("best"), count(lit(1)).as("n_candidates"))
+      .select(col("probe"), col("best.name").as("matched"),
+        col("best.dist").cast("long").as("distance"), col("n_candidates"),
+        when(col("best.name") === col("src"), 1L).otherwise(0L).as("rematch"))
+      .orderBy("probe")
+  }
+
+  val erBlockedSql: String =
+    """WITH c AS (SELECT c_name AS name FROM customer),
+      |probes AS (
+      |  SELECT name AS src,
+      |    substring(name, 1, 16) || substring(name, 18, 1)
+      |      || substring(name, 17, 1) AS probe
+      |  FROM c),
+      |pk AS (SELECT src, probe, substring(probe, 10, 6) AS blk FROM probes),
+      |dk AS (SELECT name, substring(name, 10, 6) AS blk FROM c),
+      |cand AS (
+      |  SELECT src, probe,
+      |    {'dist': levenshtein(probe, name), 'name': name} AS cand
+      |  FROM pk JOIN dk USING (blk))
+      |SELECT probe, min(cand).name AS matched,
+      |  min(cand).dist::BIGINT AS distance,
+      |  CAST(count(*) AS BIGINT) AS n_candidates,
+      |  CAST(CASE WHEN min(cand).name = src THEN 1 ELSE 0 END AS BIGINT) AS rematch
+      |FROM cand GROUP BY src, probe ORDER BY probe""".stripMargin
+
   // --- q_a7_unpivot -------------------------------------------------------
   // SURVEY §2.5 A7: wide→long unpivot of the lineitem measures — the
   // set-oriented replacement for the reference's per-metric Python loop
@@ -793,6 +852,7 @@ object Relational {
     "q_o1_window_rank" -> (windowRank _),
     "q_o5_ntile" -> (ntileProfile _),
     "q_j11_fuzzy" -> (fuzzyDictionary _),
+    "q_er_blocked" -> (erBlocked _),
     "q_a7_unpivot" -> (unpivotMeasures _),
     "q_set_ops" -> (setOps _))
 
@@ -818,6 +878,7 @@ object Relational {
     "q_o1_window_rank" -> windowRankSql,
     "q_o5_ntile" -> ntileProfileSql,
     "q_j11_fuzzy" -> fuzzyDictionarySql,
+    "q_er_blocked" -> erBlockedSql,
     "q_a7_unpivot" -> unpivotMeasuresSql,
     "q_set_ops" -> setOpsSql)
 }

@@ -59,6 +59,29 @@ object Subqueries {
       |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin)
 
+  // --- q_sq_exists: correlated EXISTS / NOT EXISTS ------------------------
+  // The remaining quantified-subquery form: customers holding at least
+  // one high-value order (correlated EXISTS) but no urgent one
+  // (correlated NOT EXISTS), with a correlated scalar count alongside.
+  // Catalyst decorrelates both predicates to one LEFT SEMI and one
+  // LEFT ANTI hash join on c_custkey — set-oriented plans, no
+  // per-row re-execution of the inner query (the decorrelation is the
+  // whole point of declaring EXISTS instead of looping). Both engines
+  // run the identical SQL, so decorrelation differences can't move
+  // results.
+  private val (existsFn, existsSql) = sqlBoth(
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |  (SELECT count(*) FROM orders o2
+      |   WHERE o2.o_custkey = c_custkey AND o2.o_totalprice > 300000) AS n_big
+      |FROM customer
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders u
+      |    WHERE u.o_custkey = c_custkey AND u.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin)
+
   // --- q_tpch_q3: shipping-priority join-planning query -------------------
   // customer(seg) ⋈ orders(early) ⋈ lineitem(late-ship): the dim filter
   // broadcasts, the fact-fact join shuffles on orderkey, then one
@@ -695,6 +718,7 @@ object Subqueries {
     "q_sq_scalar" -> scalarFn,
     "q_sq_in" -> inFn,
     "q_sq_not_in" -> notInFn,
+    "q_sq_exists" -> existsFn,
     "q_tpch_q3" -> (tpchQ3 _),
     "q_tpch_q1" -> tpchQ1Fn,
     "q_tpch_q18" -> tpchQ18Fn,
@@ -722,6 +746,7 @@ object Subqueries {
     "q_sq_scalar" -> scalarSql,
     "q_sq_in" -> inSql,
     "q_sq_not_in" -> notInSql,
+    "q_sq_exists" -> existsSql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q1" -> tpchQ1SqlText,
     "q_tpch_q18" -> tpchQ18SqlText,

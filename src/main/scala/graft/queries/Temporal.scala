@@ -758,6 +758,90 @@ object Temporal {
       |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
       |FROM walk ORDER BY event_type, day""".stripMargin
 
+  // --- q_t17_holt -----------------------------------------------------------
+  // HOLT DOUBLE-EXPONENTIAL SMOOTHING — the forecasting step up from the
+  // EWMA level tracker: a per-series (level, trend) pair
+  //   L_t = α·x_t + (1−α)·(L_{t−1} + T_{t−1})
+  //   T_t = β·(L_t − L_{t−1}) + (1−β)·T_{t−1}
+  // (seeds L₁ = x₁, T₁ = 0; α = 0.5, β = 0.25 — both exact binary
+  // fractions, so every step is correctly-rounded double arithmetic in
+  // BOTH engines) plus the one-step-ahead forecast f = L + T that a
+  // trending series' capacity alarm actually wants (EWMA lags a ramp by
+  // construction; Holt's trend term closes that gap). Like EWMA the
+  // recursion stays A RECURSION — per-series sequential fold
+  // (sort_array + aggregate HOF carrying a (level, trend) accumulator)
+  // on the Spark side, WITH RECURSIVE day-walk in DuckDB; identical
+  // operand order ⇒ identical bits. The residual alarm flags
+  // |x_t − f_{t−1}| > 0.5·f_{t−1} (50% forecast miss — scale-free, so
+  // one threshold serves every series). Scale: per-series fold over
+  // day-grain digests (bounded length), shard-parallel across series;
+  // nothing data-proportional leaves its partition.
+  def holt(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val folded = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("pts"))
+      .select(col("event_type"), expr(
+        """aggregate(pts,
+          |  cast(array() as array<struct<day:timestamp,x:bigint,level:double,trend:double>>),
+          |  (acc, p) -> array_append(acc, named_struct(
+          |    'day', p.day, 'x', p.x,
+          |    'level', CASE WHEN size(acc) = 0 THEN cast(p.x as double)
+          |      ELSE 0.5D * p.x + 0.5D *
+          |        (element_at(acc, -1).level + element_at(acc, -1).trend) END,
+          |    'trend', CASE WHEN size(acc) = 0 THEN 0.0D
+          |      ELSE 0.25D * ((0.5D * p.x + 0.5D *
+          |          (element_at(acc, -1).level + element_at(acc, -1).trend))
+          |            - element_at(acc, -1).level)
+          |        + 0.75D * element_at(acc, -1).trend END)))""".stripMargin).as("walk"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    folded
+      .select(col("event_type"), explode(col("walk")).as("p"))
+      .select(col("event_type"), col("p.day").as("day"),
+        col("p.x").as("x"), col("p.level").as("level"), col("p.trend").as("trend"))
+      .withColumn("forecast", col("level") + col("trend"))
+      .withColumn("prev_forecast", lag("forecast", 1).over(w))
+      .withColumn("alarm",
+        when(col("prev_forecast").isNotNull &&
+          abs(col("x") - col("prev_forecast")) > lit(0.5) * col("prev_forecast"), 1L)
+          .otherwise(0L))
+      .drop("prev_forecast")
+      .orderBy("event_type", "day")
+  }
+
+  val holtSql: String =
+    """WITH RECURSIVE daily AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |numbered AS MATERIALIZED (
+      |  SELECT event_type, day, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |walk AS (
+      |  SELECT event_type, day, x, rn,
+      |    CAST(x AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend
+      |  FROM numbered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.event_type, n.day, n.x, n.rn,
+      |    CAST(0.5 AS DOUBLE) * n.x + CAST(0.5 AS DOUBLE) * (w.level + w.trend),
+      |    CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * n.x
+      |        + CAST(0.5 AS DOUBLE) * (w.level + w.trend)) - w.level)
+      |      + CAST(0.75 AS DOUBLE) * w.trend
+      |  FROM numbered n JOIN walk w
+      |    ON n.event_type = w.event_type AND n.rn = w.rn + 1)
+      |SELECT event_type, day, x, level, trend, level + trend AS forecast,
+      |  CAST(CASE WHEN lag(level + trend) OVER
+      |      (PARTITION BY event_type ORDER BY day) IS NOT NULL
+      |    AND abs(x - lag(level + trend) OVER
+      |      (PARTITION BY event_type ORDER BY day)) >
+      |      CAST(0.5 AS DOUBLE) * lag(level + trend) OVER
+      |      (PARTITION BY event_type ORDER BY day)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
+      |FROM walk ORDER BY event_type, day""".stripMargin
+
   // --- q_t16_dow_volume -----------------------------------------------------
   // WEEKDAY-SEASONAL BASELINE + exact-integer z-score anomaly: the
   // screen that catches "this Tuesday is wild FOR A TUESDAY" where the
@@ -818,6 +902,7 @@ object Temporal {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_t14_mad" -> (madOutliers _),
     "q_t15_ewma" -> (ewma _),
+    "q_t17_holt" -> (holt _),
     "q_t16_dow_volume" -> (dowVolume _),
     "q_t13_cusum" -> (cusum _),
     "q_t12_band_join" -> (bandJoin _),
@@ -836,6 +921,7 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     "q_t14_mad" -> madOutliersSql,
     "q_t15_ewma" -> ewmaSql,
+    "q_t17_holt" -> holtSql,
     "q_t16_dow_volume" -> dowVolumeSql,
     "q_t13_cusum" -> cusumSql,
     "q_t12_band_join" -> bandJoinSql,

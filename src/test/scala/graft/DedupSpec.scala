@@ -333,4 +333,41 @@ class DedupSpec extends SparkSpec {
     assert(fp.toDouble / negatives < 0.01,
       s"FP rate ${fp.toDouble / negatives} above the 1% design point")
   }
+
+  test("containment: brute-force exact per pair, directed, and ≥ jaccard pointwise") {
+    val rows = Dedup.containment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute shingle sets for every referenced doc
+    val ids = rows.flatMap(r => Seq(r.getAs[Long]("doc_inner"),
+      r.getAs[Long]("doc_outer"))).distinct
+    val sets = graft.queries.Text.shingleRows(spark, sf)
+      .filter(col("doc_id").isin(ids: _*))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("s")))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    rows.foreach { r =>
+      val a = sets(r.getAs[Long]("doc_inner"))
+      val b = sets(r.getAs[Long]("doc_outer"))
+      val common = (a & b).size.toLong
+      val c = r.getAs[Double]("containment")
+      assert(r.getAs[Long]("common") === common, "intersection size")
+      assert(r.getAs[Long]("n_inner") === a.size.toLong, "inner size")
+      assert(c === common.toDouble / a.size.toDouble, "containment bits")
+      assert(c >= Dedup.ContainTau, "threshold")
+      val jac = common.toDouble / (a.size + b.size - common).toDouble
+      assert(c >= jac - 1e-15, "containment dominates jaccard")
+    }
+    // the asymmetric screen supersets the symmetric one at the same τ:
+    // every jaccard ≥ τ pair must appear in BOTH directions
+    val dirPairs = rows.map(r =>
+      (r.getAs[Long]("doc_inner"), r.getAs[Long]("doc_outer"))).toSet
+    Dedup.ngramJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= Dedup.ContainTau)
+      .foreach { p =>
+        val x = p.getAs[Long]("doc_a")
+        val y = p.getAs[Long]("doc_b")
+        assert(dirPairs.contains((x, y)) && dirPairs.contains((y, x)),
+          s"high-jaccard pair ($x,$y) missing a direction")
+      }
+  }
 }

@@ -984,4 +984,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits >= (3 * base * 50).toInt,
       s"trained probe must enrich the target class: $hits/50 vs base ${base * 50}/50")
   }
+
+  test("linreg: exact-moment OLS matches a brute-force scalar fit, r2 = corr², bounded") {
+    val rows = Analytics.linreg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val pts = raw(g).map { case (_, x, y) => (x.toDouble, y.toDouble / 100.0) }
+      val n = pts.length.toDouble
+      val mx = pts.map(_._1).sum / n
+      val my = pts.map(_._2).sum / n
+      val cxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val cxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      val bruteSlope = cxy / cxx
+      val bruteIntercept = my - bruteSlope * mx
+      assert(r.getAs[Long]("n") === pts.length.toLong)
+      assert(math.abs(r.getAs[Double]("slope") - bruteSlope) < 1e-6 *
+        math.max(1.0, math.abs(bruteSlope)), s"$g slope off")
+      assert(math.abs(r.getAs[Double]("intercept") - bruteIntercept) < 1e-4 *
+        math.max(1.0, math.abs(bruteIntercept)), s"$g intercept off")
+      val r2 = r.getAs[Double]("r2"); val corr = r.getAs[Double]("corr")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"$g r2 out of range")
+      assert(math.abs(corr * corr - r2) < 1e-9, s"$g corr² != r2")
+      // corr carries the slope's sign (both are cxy over a positive norm)
+      assert(corr.sign === r.getAs[Double]("slope").sign, s"$g sign")
+    }
+  }
+
+  test("KS: D equals a brute-force CDF sweep and sits inside [0, 1]") {
+    val Array(r) = Analytics.ks(spark, sf).collect()
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val s1 = vals.filter(_._1 == "click").map(_._2).sorted
+    val s2 = vals.filter(_._1 == "view").map(_._2).sorted
+    assert(r.getAs[Long]("n1") === s1.length.toLong)
+    assert(r.getAs[Long]("n2") === s2.length.toLong)
+    val support = (s1 ++ s2).distinct.sorted
+    val brute = support.map { v =>
+      val f1 = s1.count(_ <= v).toDouble / s1.length
+      val f2 = s2.count(_ <= v).toDouble / s2.length
+      (math.abs(f1 - f2), v)
+    }
+    val (bd, bv) = brute.maxBy { case (d, v) => (d, -v) }
+    val d = r.getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(math.abs(d - bd) < 1e-12, s"D: $d vs brute $bd")
+    assert(r.getAs[Long]("at_cents") === bv, "argmax value")
+    val crit = r.getAs[Double]("d_crit")
+    assert(crit > 0.0 && ((d > crit) === (r.getAs[Long]("significant") == 1L)))
+  }
 }

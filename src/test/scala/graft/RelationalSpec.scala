@@ -80,4 +80,55 @@ class RelationalSpec extends SparkSpec {
     val ts = rows.map(r => String.valueOf(r.getAs[Any]("ts")))
     assert(ts.sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("blocked ER: every record links, winner never scores worse than its source") {
+    val rows = Relational.erBlocked(spark, sf).collect()
+    val names = Tables.customer(spark, sf).select("c_name").collect()
+      .map(_.getString(0)).toSet
+    // one output row per customer: the corruption is an involution, so
+    // probes are unique and none is lost to the blocking stage
+    assert(rows.length === names.size)
+    rows.foreach { r =>
+      val probe = r.getAs[String]("probe")
+      val matched = r.getAs[String]("matched")
+      val dist = r.getAs[Long]("distance")
+      assert(names.contains(matched), "matched a real record")
+      // the true source shares the block and sits at distance ≤ 2, so
+      // the struct-min winner can never score worse
+      assert(dist <= 2L, s"$probe linked at distance $dist")
+      assert(r.getAs[Long]("n_candidates") >= 1L &&
+        r.getAs[Long]("n_candidates") <= 1000L, "block bound")
+      // the source is recoverable from the probe (the swap is an
+      // involution); the winner must never score WORSE than it, and on
+      // a distance tie the struct-min breaks toward the smaller name
+      val src = probe.substring(0, 16) + probe(17) + probe(16)
+      val selfDist = if (probe == src) 0L else 2L
+      assert(dist <= selfDist, s"$probe: winner worse than its source")
+      if (r.getAs[Long]("rematch") === 0L)
+        assert(dist < selfDist || (dist === selfDist && matched < src),
+          s"miss not justified by score or tie-break: $probe -> $matched")
+    }
+    // the swap fixes palindromic digit pairs: those must rematch at 0
+    rows.filter(r => { val p = r.getAs[String]("probe")
+      p(16) == p(17) }).foreach { r =>
+      assert(r.getAs[Long]("rematch") === 1L && r.getAs[Long]("distance") === 0L)
+    }
+  }
+
+  test("correlated EXISTS/NOT EXISTS: survivors verified by brute joins, counts positive") {
+    import graft.queries.Subqueries
+    val rows = Subqueries.all("q_sq_exists")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+      .select("o_custkey", "o_totalprice", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val big = orders.filter(_._2 > 300000).groupBy(_._1).map { case (k, v) => (k, v.length.toLong) }
+    val urgent = orders.filter(_._3 == "1-URGENT").map(_._1).toSet
+    val expected = big.keySet -- urgent
+    assert(rows.map(_.getAs[Long]("c_custkey")).toSet === expected)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("c_custkey")
+      assert(r.getAs[Long]("n_big") === big(k), s"customer $k n_big")
+    }
+  }
 }

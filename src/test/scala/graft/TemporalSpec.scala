@@ -268,6 +268,35 @@ class TemporalSpec extends SparkSpec {
       }
   }
 
+  test("Holt: exact sequential recompute, trend seeds at zero, forecast = level + trend") {
+    val rows = Temporal.holt(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val seq = rs.sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+      // exact scalar replay of the recursion — same operand order
+      var level = 0.0; var trend = 0.0; var first = true
+      var prevForecast = Double.NaN
+      seq.foreach { r =>
+        val x = r.getAs[Long]("x").toDouble
+        if (first) { level = x; trend = 0.0; first = false }
+        else {
+          val nl = 0.5 * x + 0.5 * (level + trend)
+          trend = 0.25 * (nl - level) + 0.75 * trend
+          level = nl
+        }
+        assert(r.getAs[Double]("level") === level, s"$et: level bits moved")
+        assert(r.getAs[Double]("trend") === trend, s"$et: trend bits moved")
+        assert(r.getAs[Double]("forecast") ===
+          r.getAs[Double]("level") + r.getAs[Double]("trend"), s"$et: forecast")
+        val alarm = r.getAs[Long]("alarm")
+        if (prevForecast.isNaN) assert(alarm === 0L, s"$et: no alarm at seed")
+        else assert((alarm === 1L) ===
+          (math.abs(x - prevForecast) > 0.5 * prevForecast), s"$et: alarm rule")
+        prevForecast = level + trend
+      }
+    }
+  }
+
   test("EWMA: seeds at the first point, stays inside the running hull, alarms only on 1.5x surges") {
     val rows = Temporal.ewma(spark, sf).collect()
     assert(rows.nonEmpty)
