@@ -1442,6 +1442,75 @@ object Analytics {
       |    THEN 1 ELSE 0 END AS BIGINT) AS significant
       |FROM se ORDER BY pair""".stripMargin
 
+  // --- q_ev_pattern ---------------------------------------------------------
+  // EVENT-PATTERN MATCHING (the MATCH_RECOGNIZE / CEP shape): every
+  // view that converts DIRECTLY to a purchase within one hour with NO
+  // intervening click by the same user — the "A then B, without C
+  // between" pattern the funnel family cannot express (funnels admit
+  // any interleaving; negation-between is the defining CEP feature).
+  // NOT a self-join: one window pass per user computes, for every
+  // event, the NEXT purchase and NEXT click as reverse-running
+  // struct-mins over (ts, event_id) — the total order that makes
+  // simultaneous-timestamp semantics deterministic in both engines (a
+  // click at the exact purchase timestamp blocks the match iff its
+  // event_id is smaller, i.e. iff it sorts strictly between). A view
+  // matches iff its next purchase exists, lands within 1 h, and sorts
+  // BEFORE the next click. Scale: one shuffle on user_id feeds both
+  // window columns and the projection — match volume never exceeds
+  // the view count, and nothing is ever joined row-to-row across the
+  // full event stream (the self-join formulation is O(views ×
+  // purchases) per user; this is O(events log events) per user
+  // partition, the streaming-friendly shape).
+  def pattern(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("next_purchase",
+        min(when(col("event_type") === "purchase",
+          struct(col("ts"), col("event_id")))).over(w))
+      .withColumn("next_click",
+        min(when(col("event_type") === "click",
+          struct(col("ts"), col("event_id")))).over(w))
+      .filter(col("event_type") === "view" &&
+        col("next_purchase").isNotNull &&
+        col("next_purchase.ts") <= col("ts") + expr("INTERVAL 1 HOUR") &&
+        (col("next_click").isNull || col("next_purchase") < col("next_click")))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"),
+        col("next_purchase.event_id").as("purchase_id"),
+        col("next_purchase.ts").as("purchase_ts"),
+        (unix_micros(col("next_purchase.ts")) - unix_micros(col("ts")))
+          .as("gap_us"))
+      .orderBy("user_id", "view_id")
+  }
+
+  val patternSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT user_id, event_type, ts, event_id FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |nxt AS MATERIALIZED (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN {'ts': ts, 'event_id': event_id} END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+      |    min(CASE WHEN event_type = 'click'
+      |        THEN {'ts': ts, 'event_id': event_id} END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+      |  FROM e)
+      |SELECT user_id, event_id AS view_id, ts AS view_ts,
+      |  np.event_id AS purchase_id, np.ts AS purchase_ts,
+      |  CAST(epoch_us(np.ts) - epoch_us(ts) AS BIGINT) AS gap_us
+      |FROM nxt
+      |WHERE event_type = 'view' AND np IS NOT NULL
+      |  AND np.ts <= ts + INTERVAL 1 HOUR
+      |  AND (nc IS NULL OR np < nc)
+      |ORDER BY user_id, view_id""".stripMargin
+
   // --- q_ag_ks --------------------------------------------------------------
   // TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the NONPARAMETRIC member of
   // the stats trio (bootstrap = resampling, t-test = parametric means,
@@ -1523,6 +1592,94 @@ object Analytics {
       |  CAST(CASE WHEN m.diff > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
       |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) THEN 1 ELSE 0 END AS BIGINT) AS significant
       |FROM agg ORDER BY pair""".stripMargin
+
+  // --- q_ag_mwu -------------------------------------------------------------
+  // MANN–WHITNEY U (Wilcoxon rank-sum) — the rank-based location test
+  // beside KS's whole-distribution one: robust to outliers a t-test
+  // chases, sensitive to median shifts KS dilutes. Ranks are never
+  // materialized per row: over the same per-cent-value (cnt₁, cnt₂)
+  // digest as q_ag_ks, the EXCLUSIVE running total cb gives every
+  // value's tie-averaged rank in doubled form (2·r̄ = 2·cb + t + 1 —
+  // doubling keeps the ½ exact in integers), so 2·R₁ is one
+  // Σ cnt₁·(2cb + t + 1) with the per-row product in BIGINT and the
+  // SUM in DECIMAL(38,0) (the linreg accumulator discipline). The
+  // tie-corrected normal approximation uses Σ(t³ − t) the same way
+  // (per-row BIGINT is safe to ~2·10⁶ ties per cent value — ≈ sf2000
+  // on this fixture's value spread — with the decimal sum wrap-free
+  // beyond); z is then a fixed double tree over exact moments,
+  // identical operand order in both engines. Scale: one aggregation
+  // to the value-domain digest + the bounded domain-grain window —
+  // the q_ag_ks posture exactly.
+  def mwu(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("c"))
+    val byVal = e.groupBy("c")
+      .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("cnt1"),
+        sum(when(col("g") === "view", 1L).otherwise(0L)).as("cnt2"))
+    val wEx = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    val t = byVal
+      .withColumn("t", col("cnt1") + col("cnt2"))
+      .withColumn("cb", coalesce(sum(col("t")).over(wEx), lit(0L)))
+    t.groupBy()
+      .agg(sum(col("cnt1")).as("n1"), sum(col("cnt2")).as("n2"),
+        sum((col("cnt1") * (lit(2L) * col("cb") + col("t") + lit(1L)))
+          .cast("decimal(38,0)")).as("r2s"),
+        sum((col("t") * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)")).as("tcorr"))
+      .withColumn("n1d", col("n1").cast("double"))
+      .withColumn("n2d", col("n2").cast("double"))
+      .withColumn("nd", (col("n1") + col("n2")).cast("double"))
+      // 2·U₁ = 2·R₁ − n₁(n₁+1), still exact
+      .withColumn("u2", (col("r2s") - (col("n1") * (col("n1") + 1))
+        .cast("decimal(38,0)")).cast("double"))
+      .withColumn("varu", col("n1d") * col("n2d") / 12.0 *
+        ((col("nd") + 1.0) - col("tcorr").cast("double")
+          / (col("nd") * (col("nd") - 1.0))))
+      .withColumn("z", (col("u2") - col("n1d") * col("n2d"))
+        / (lit(2.0) * sqrt(col("varu"))))
+      .select(lit("click_vs_view").as("pair"), col("n1"), col("n2"),
+        (col("u2") / 2.0).as("u"), col("z"),
+        when(abs(col("z")) > lit(1.96), 1L).otherwise(0L).as("significant"))
+      .orderBy("pair")
+  }
+
+  val mwuSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |bv AS MATERIALIZED (
+      |  SELECT c,
+      |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt1,
+      |    CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cnt2
+      |  FROM e GROUP BY 1),
+      |tt AS MATERIALIZED (
+      |  SELECT c, cnt1, cnt2, cnt1 + cnt2 AS t,
+      |    CAST(coalesce(sum(cnt1 + cnt2) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |  FROM bv),
+      |m AS MATERIALIZED (
+      |  SELECT CAST(sum(cnt1) AS BIGINT) AS n1, CAST(sum(cnt2) AS BIGINT) AS n2,
+      |    sum(CAST(cnt1 * (2 * cb + t + 1) AS DECIMAL(38,0))) AS r2s,
+      |    sum(CAST(t * t * t - t AS DECIMAL(38,0))) AS tcorr
+      |  FROM tt),
+      |calc AS MATERIALIZED (
+      |  SELECT n1, n2, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+      |    CAST(n1 + n2 AS DOUBLE) AS nd,
+      |    CAST(r2s - CAST(n1 * (n1 + 1) AS DECIMAL(38,0)) AS DOUBLE) AS u2,
+      |    CAST(tcorr AS DOUBLE) AS tcorrd
+      |  FROM m),
+      |zc AS MATERIALIZED (
+      |  SELECT n1, n2, u2,
+      |    (u2 - n1d * n2d) /
+      |      (2.0 * sqrt(n1d * n2d / 12.0 *
+      |        ((nd + 1.0) - tcorrd / (nd * (nd - 1.0))))) AS z
+      |  FROM calc)
+      |SELECT 'click_vs_view' AS pair, n1, n2, u2 / 2.0 AS u, z,
+      |  CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM zc ORDER BY pair""".stripMargin
 
   // --- q_ag_linreg ----------------------------------------------------------
   // PER-GROUP ORDINARY LEAST SQUARES — slope / intercept / r² / Pearson
@@ -1782,6 +1939,8 @@ object Analytics {
     "q_ag_ttest" -> (ttest _),
     "q_ag_linreg" -> (linreg _),
     "q_ag_ks" -> (ks _),
+    "q_ev_pattern" -> (pattern _),
+    "q_ag_mwu" -> (mwu _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -1837,6 +1996,8 @@ object Analytics {
     "q_ag_ttest" -> ttestSql,
     "q_ag_linreg" -> linregSql,
     "q_ag_ks" -> ksSql,
+    "q_ev_pattern" -> patternSql,
+    "q_ag_mwu" -> mwuSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

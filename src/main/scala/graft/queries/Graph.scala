@@ -397,6 +397,82 @@ object Graph {
        |  JOIN basket y ON x.ok = y.ok AND x.pk < y.pk
        |  WHERE x.ok IN (SELECT ok FROM oko))""".stripMargin
 
+  // --- q_gr_bfs -------------------------------------------------------------
+  // BREADTH-FIRST HOP DISTANCES from a deterministic source (the
+  // minimum node id carrying an edge) over the staged co-purchase
+  // graph — the reachability/radius primitive under "how connected is
+  // this catalog" questions, and the missing companion of the
+  // PageRank/CC/HITS iterative family. MaxHops = 6 frontier rounds:
+  // each round joins ONLY the previous frontier against the symmetric
+  // adjacency (never the full visited set), then a min-dist merge;
+  // localCheckpoint truncates the growing lineage exactly like the
+  // other iterative operators. Fully relational — the source is a
+  // 1-row aggregate frame cross-joined in, no driver scalar. Output
+  // is the per-hop digest (count + id range per distance) with an
+  // unreached row at dist = -1, so the verified surface is O(hops),
+  // not O(nodes). Scale: round k's join fan-out is |frontier_k| ×
+  // avg-degree — the textbook distributed BFS cost; the hop bound
+  // caps total work at diameter × |E|, and the staged edge
+  // materialization means no round re-derives the graph.
+  private val MaxHops = 6
+
+  def bfs(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // probed by every round
+    val srcDf = und.agg(min(col("a")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    var dist = srcDf.localCheckpoint()
+    for (k <- 1 to MaxHops) {
+      val frontier = dist.filter(col("dist") === (k - 1).toLong)
+      val next = frontier.join(adj, col("node") === col("u"))
+        .select(col("v").as("node"), lit(k.toLong).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    val nodes = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node"))).distinct()
+    val perHop = dist.groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+    val unreached = nodes.join(dist, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .select(lit(-1L).as("dist"), col("n_nodes"), col("min_node"), col("max_node"))
+      .filter(col("n_nodes") > 0)
+    perHop.unionAll(unreached).orderBy("dist")
+  }
+
+  lazy val bfsSql: String =
+    s"""WITH RECURSIVE $coEdgesSql,
+       |adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |walk AS (
+       |  SELECT (SELECT min(a) FROM und) AS node, 0 AS d
+       |  UNION
+       |  SELECT adj.v, w.d + 1 FROM walk w JOIN adj ON adj.u = w.node
+       |  WHERE w.d < $MaxHops),
+       |reached AS MATERIALIZED (
+       |  SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node),
+       |nodes AS MATERIALIZED (
+       |  SELECT a AS node FROM und UNION SELECT b AS node FROM und),
+       |per_hop AS MATERIALIZED (
+       |  SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    min(node) AS min_node, max(node) AS max_node
+       |  FROM reached GROUP BY dist),
+       |unreached AS MATERIALIZED (
+       |  SELECT CAST(-1 AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    min(node) AS min_node, max(node) AS max_node
+       |  FROM nodes WHERE node NOT IN (SELECT node FROM reached)
+       |  HAVING count(*) > 0)
+       |SELECT dist, n_nodes, min_node, max_node FROM per_hop
+       |UNION ALL
+       |SELECT dist, n_nodes, min_node, max_node FROM unreached
+       |ORDER BY dist""".stripMargin
+
   def triangles(s: SparkSession, d: String): DataFrame = {
     val und = coEdges(s, d)
     // deg is node-grain (catalogue-sized) — broadcast, the edge list
@@ -630,6 +706,7 @@ object Graph {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gr_item_sim" -> (itemSim _),
+    "q_gr_bfs" -> (bfs _),
     "q_gr_pagerank" -> (pageRank _),
     "q_gr_ppr" -> (personalizedPageRank _),
     "q_gr_hits" -> (hits _),
@@ -638,6 +715,7 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "q_gr_item_sim" -> itemSimSql,
+    "q_gr_bfs" -> bfsSql,
     "q_gr_pagerank" -> pageRankSql,
     "q_gr_ppr" -> personalizedPageRankSql,
     "q_gr_hits" -> hitsSql,

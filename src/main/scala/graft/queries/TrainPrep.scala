@@ -16,6 +16,98 @@ import graft.Tables
   */
 object TrainPrep {
 
+  // --- q_tp_dataset_card ----------------------------------------------------
+  // PER-SOURCE DATASET CARD — the one-row-per-shard summary a corpus
+  // release ships (and that mixture/epoch decisions read): doc and
+  // token volumes, length spread, duplicate pressure, and the dominant
+  // language with its share. All counts exact integers from TWO
+  // scan-shaped aggregations (doc grain → source grain); the exact-dup
+  // rate reuses the corpus-wide md5 group (a doc is "duplicated" iff
+  // its content hash occurs more than once ANYWHERE — cross-source
+  // duplication must count, it is the interesting kind) via a
+  // digest-grain join, never a second text pass. The dominant language
+  // is a (count DESC, lang) struct-max over the per-(source, lang)
+  // digest — the q_ag_mode argmax with a total tie-break. Ratios are
+  // exact-int divisions, one per output column. Scale: the widest
+  // thing shuffled is the (hash, doc_id) digest the exact-dedup family
+  // already stages; every aggregation is map-side combinable.
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val dupHashes = docs.groupBy("h").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") > 1).select("h")
+    val flagged = docs.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    val base = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+    val langTop = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("nl"))
+      .groupBy("source")
+      .agg(max(struct(col("nl"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        col("m.nl").as("top_lang_docs"))
+    base
+      .join(flagged, Seq("source"), "left")
+      .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+      .join(langTop, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("min_tokens"), col("max_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        col("top_lang"), col("top_lang_docs"),
+        (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
+          .as("top_lang_share"))
+      .orderBy("source")
+  }
+
+  lazy val datasetCardSql: String = {
+    val toks = TextAnalysis.tokensSql
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, md5(text) AS h,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |dup_h AS MATERIALIZED (
+       |  SELECT h FROM docs GROUP BY h HAVING count(*) > 1),
+       |flagged AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+       |  FROM docs WHERE h IN (SELECT h FROM dup_h) GROUP BY source),
+       |base AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       |    CAST(max(n_tokens) AS BIGINT) AS max_tokens
+       |  FROM docs GROUP BY source),
+       |lt AS MATERIALIZED (
+       |  SELECT source, max({'nl': nl, 'lang': lang}) AS m FROM (
+       |    SELECT source, lang, CAST(count(*) AS BIGINT) AS nl
+       |    FROM docs GROUP BY source, lang)
+       |  GROUP BY source)
+       |SELECT b.source, n_docs, total_chars, total_tokens, min_tokens,
+       |  max_tokens,
+       |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+       |  CAST(coalesce(f.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       |  CAST(coalesce(f.n_dup_docs, 0) AS DOUBLE)
+       |    / CAST(n_docs AS DOUBLE) AS dup_rate,
+       |  lt.m.lang AS top_lang, lt.m.nl AS top_lang_docs,
+       |  CAST(lt.m.nl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share
+       |FROM base b
+       |LEFT JOIN flagged f ON b.source = f.source
+       |JOIN lt ON b.source = lt.source
+       |ORDER BY b.source""".stripMargin
+  }
+
   // --- q_tp_pack ------------------------------------------------------------
   // Concat-and-chunk sequence packing: documents are concatenated in a
   // stable order and cut into fixed token-budget chunks (the layout GPT
@@ -720,6 +812,7 @@ object TrainPrep {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_epochs" -> (epochs _),
+    "q_tp_dataset_card" -> (datasetCard _),
     "q_llm_e2e" -> (llmPipeline _),
     "q_tp_bpe_vocab" -> (bpeVocab _),
     "q_tp_pack" -> (pack _),
@@ -732,6 +825,7 @@ object TrainPrep {
 
   val oracles: Map[String, String] = Map(
     "q_tp_epochs" -> epochsSql,
+    "q_tp_dataset_card" -> datasetCardSql,
     "q_llm_e2e" -> llmPipelineSql,
     "q_tp_bpe_vocab" -> bpeVocabSql,
     "q_tp_pack" -> packSql,

@@ -169,4 +169,38 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(norm - 1.0) < 1e-9, s"L2 norm drifted: $norm")
     }
   }
+
+  test("BFS hop digest matches a brute single-machine BFS over the staged edges") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.bfs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2)) }
+    val src = edges.map(_._1).min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Set(src)
+    for (k <- 1 to 6) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = k.toLong)
+    }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val expected = dist.toSeq.groupBy(_._2).map { case (d, ns) =>
+      (d, (ns.size.toLong, ns.map(_._1).min, ns.map(_._1).max))
+    } ++ {
+      val un = nodes -- dist.keySet
+      if (un.isEmpty) Map.empty
+      else Map(-1L -> ((un.size.toLong, un.min, un.max)))
+    }
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dist")
+      val (n, lo, hi) = expected(d)
+      assert(r.getAs[Long]("n_nodes") === n, s"hop $d count")
+      assert(r.getAs[Long]("min_node") === lo && r.getAs[Long]("max_node") === hi,
+        s"hop $d id range")
+    }
+  }
 }

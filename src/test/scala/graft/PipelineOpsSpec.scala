@@ -1041,4 +1041,94 @@ class PipelineOpsSpec extends SparkSpec {
     val crit = r.getAs[Double]("d_crit")
     assert(crit > 0.0 && ((d > crit) === (r.getAs[Long]("significant") == 1L)))
   }
+
+  test("MWU: rank-sum recomputed brute-force with tie-averaged ranks matches exactly") {
+    val Array(r) = Analytics.mwu(spark, sf).collect()
+    val vals = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val pooled = vals.map(_._2).sorted
+    // tie-averaged rank per value, doubled to stay in integers
+    val rank2 = pooled.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      (v, xs.map(_._2 + 1).sum * 2L / xs.length) // 2·mean of consecutive ints is exact
+    }
+    val s1 = vals.filter(_._1 == "click").map(_._2)
+    val n1 = s1.length.toLong; val n2 = vals.length.toLong - n1
+    val r2s = s1.map(rank2).sum
+    val u2 = r2s - n1 * (n1 + 1)
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("n2") === n2)
+    assert(r.getAs[Double]("u") === u2.toDouble / 2.0, "U off the brute rank-sum")
+    // U is bounded by n1·n2 and z's significance flag matches the gate
+    assert(r.getAs[Double]("u") >= 0.0 && r.getAs[Double]("u") <= (n1 * n2).toDouble)
+    assert((math.abs(r.getAs[Double]("z")) > 1.96) ===
+      (r.getAs[Long]("significant") == 1L))
+    // coherence with the KS verdict on the same pair: both compare the
+    // same samples; we only require the flags to be well-defined, not
+    // equal (they test different alternatives)
+  }
+
+  test("event pattern: per-user brute scan finds the same direct view->purchase matches") {
+    val rows = Analytics.pattern(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      sorted.zipWithIndex.flatMap { case ((_, et, vts, vid), i) =>
+        if (et != "view") None
+        else {
+          val after = sorted.drop(i + 1)
+          val np = after.find(_._2 == "purchase")
+          val nc = after.find(_._2 == "click")
+          np match {
+            case Some((_, _, pts, pid))
+              if pts <= vts + 3600L * 1000000L &&
+                nc.forall(c => pts < c._3 || (pts == c._3 && pid < c._4)) =>
+              Some((uid, vid, pid))
+            case _ => None
+          }
+        }
+      }
+    }.toSet
+    assert(rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+      r.getAs[Long]("purchase_id"))).toSet === expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_us") >= 0L &&
+        r.getAs[Long]("gap_us") <= 3600L * 1000000L, "gap inside the window")
+    }
+  }
+
+  test("dataset card: every source row reconciles against a brute doc-grain recompute") {
+    import graft.queries.TrainPrep
+    val rows = TrainPrep.datasetCard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("nc"),
+        size(when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(col("text")), "\\s+"))).cast("long").as("nt"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[String]("h"), r.getAs[Long]("nc"), r.getAs[Long]("nt")))
+    val dupH = docs.groupBy(_._3).filter(_._2.length > 1).keySet
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = docs.filter(_._1 == src)
+      assert(r.getAs[Long]("n_docs") === mine.length.toLong)
+      assert(r.getAs[Long]("total_chars") === mine.map(_._4).sum)
+      assert(r.getAs[Long]("total_tokens") === mine.map(_._5).sum)
+      assert(r.getAs[Long]("n_dup_docs") === mine.count(d => dupH.contains(d._3)).toLong)
+      val byLang = mine.groupBy(_._2).map { case (l, xs) => (xs.length.toLong, l) }
+      val (topN, topL) = byLang.max
+      assert(r.getAs[String]("top_lang") === topL)
+      assert(r.getAs[Long]("top_lang_docs") === topN)
+      assert(r.getAs[Double]("dup_rate") ===
+        r.getAs[Long]("n_dup_docs").toDouble / r.getAs[Long]("n_docs").toDouble)
+    }
+    assert(rows.map(_.getAs[String]("source")).toSet ===
+      docs.map(_._1).toSet, "every source has a card row")
+  }
 }
