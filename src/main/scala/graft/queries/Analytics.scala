@@ -264,6 +264,75 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // --- q_ev_cohort_ltv ------------------------------------------------------
+  // COHORT LTV TRIANGLE — the revenue companion of q_ev_retention:
+  // per (signup-week cohort × age-in-weeks) cell, active users,
+  // purchase revenue, and the RUNNING lifetime value per cohort
+  // (cumulative revenue over age, divided by cohort size — the curve
+  // growth teams actually plot). Revenue is exact integer cents
+  // (sum in BIGINT, documented headroom: ≤ 10⁷ cents/purchase means
+  // wrap needs ~10¹¹ purchases per cohort; the DECIMAL(38,0) step-up
+  // is the linreg pattern if a real deploy gets there); cohort size
+  // is the distinct-user count of the cohort's week-0 cell by
+  // definition. The cumulative window partitions by cohort and rides
+  // the (cohorts × ages) digest — bounded by the calendar, not the
+  // event count. Scale: one shuffle to the user grain for first-week,
+  // one broadcast-joinable cohort-size digest, one cell aggregation.
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        floor(col("ts").cast("long") / (7L * 86400)).as("week"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val first = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sized = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = ev.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("revenue_cents"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sized), "cohort_week")
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+        col("n_active"), col("revenue_cents"), col("cum_revenue_cents"),
+        (col("cum_revenue_cents").cast("double")
+          / col("cohort_users").cast("double") / 100.0).as("ltv"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
+  val cohortLtvSql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, event_type,
+      |    FLOOR((epoch_us(ts) // 1000000) / (7 * 86400))::BIGINT AS week,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |first AS MATERIALIZED (
+      |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+      |sized AS MATERIALIZED (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      |  FROM first GROUP BY 1),
+      |cells AS MATERIALIZED (
+      |  SELECT cohort_week, week - cohort_week AS age_weeks,
+      |    CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+      |      AS BIGINT) AS revenue_cents
+      |  FROM ev JOIN first ON ev.user_id = first.user_id
+      |  GROUP BY 1, 2),
+      |cum AS MATERIALIZED (
+      |  SELECT c.cohort_week, age_weeks, cohort_users, n_active, revenue_cents,
+      |    CAST(sum(revenue_cents) OVER (PARTITION BY c.cohort_week
+      |      ORDER BY age_weeks ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_revenue_cents
+      |  FROM cells c JOIN sized s ON c.cohort_week = s.cohort_week)
+      |SELECT cohort_week, age_weeks, cohort_users, n_active, revenue_cents,
+      |  cum_revenue_cents,
+      |  CAST(cum_revenue_cents AS DOUBLE) / CAST(cohort_users AS DOUBLE)
+      |    / 100.0 AS ltv
+      |FROM cum ORDER BY cohort_week, age_weeks""".stripMargin
+
   // --- q_ag_rollup --------------------------------------------------------
   // ROLLUP (flag, status): detail + per-flag subtotal + grand total in
   // one pass. NULLS FIRST everywhere: Spark's asc default and DuckDB's
@@ -1941,6 +2010,7 @@ object Analytics {
     "q_ag_ks" -> (ks _),
     "q_ev_pattern" -> (pattern _),
     "q_ag_mwu" -> (mwu _),
+    "q_ev_cohort_ltv" -> (cohortLtv _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -1998,6 +2068,7 @@ object Analytics {
     "q_ag_ks" -> ksSql,
     "q_ev_pattern" -> patternSql,
     "q_ag_mwu" -> mwuSql,
+    "q_ev_cohort_ltv" -> cohortLtvSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

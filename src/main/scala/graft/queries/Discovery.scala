@@ -121,6 +121,106 @@ object Discovery {
       |GROUP BY event_type, field_name
       |ORDER BY event_type, field_name""".stripMargin
 
+  // --- q_ds_schema_drift ----------------------------------------------------
+  // SCHEMA DRIFT between ingest batches — the alert a discovery
+  // pipeline raises BEFORE a downstream cast breaks: re-run the A5
+  // field inference on two deterministic batches (event_id parity —
+  // the stand-in for yesterday/today) and diff per (event_type,
+  // field): `added` / `removed` / `type_changed` / `stable`, plus the
+  // null-rate movement that precedes most type breaks. ONE
+  // aggregation, not a join of two discovery runs: the batch flag
+  // rides the kv rows and each side's type set / counts are
+  // conditional aggregates — the same single-pass trick as the
+  // incremental-merge family, so the props scan happens once. Exact
+  // integer counts; null rates are one int division each; the drift
+  // flag fires on |Δ| > 0.05 or any non-stable status. Scale: one
+  // map-side-combinable aggregation over the exploded kv stream —
+  // field cardinality (the output) is schema-sized, not data-sized.
+  def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val kv = Tables.events(s, d)
+      .select(col("event_type"), (col("event_id") % 2).as("b"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))).as(Seq("field_name", "v")))
+      .withColumn("vtype",
+        when(col("v").isNull, "null")
+          .when(col("v").rlike("^-?[0-9]+$"), "integer")
+          .when(col("v").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+          .when(col("v").isin("true", "false"), "boolean")
+          .otherwise("string"))
+    kv.groupBy("event_type", "field_name")
+      .agg(
+        concat_ws(",", array_sort(collect_set(when(col("b") === 0, col("vtype")))))
+          .as("types_a"),
+        concat_ws(",", array_sort(collect_set(when(col("b") === 1, col("vtype")))))
+          .as("types_b"),
+        count(when(col("b") === 0, 1)).as("n_a"),
+        count(when(col("b") === 1, 1)).as("n_b"),
+        count(when(col("b") === 0 && col("v").isNull, 1)).as("null_a"),
+        count(when(col("b") === 1 && col("v").isNull, 1)).as("null_b"))
+      .withColumn("status",
+        when(col("n_a") === 0, "added")
+          .when(col("n_b") === 0, "removed")
+          .when(col("types_a") =!= col("types_b"), "type_changed")
+          .otherwise("stable"))
+      .withColumn("null_rate_a",
+        when(col("n_a") > 0,
+          col("null_a").cast("double") / col("n_a").cast("double")))
+      .withColumn("null_rate_b",
+        when(col("n_b") > 0,
+          col("null_b").cast("double") / col("n_b").cast("double")))
+      .withColumn("drifted",
+        when(col("status") =!= "stable" ||
+          abs(coalesce(col("null_rate_b"), lit(0.0))
+            - coalesce(col("null_rate_a"), lit(0.0))) > 0.05, 1L)
+          .otherwise(0L))
+      .select("event_type", "field_name", "status", "types_a", "types_b",
+        "n_a", "n_b", "null_rate_a", "null_rate_b", "drifted")
+      .orderBy("event_type", "field_name")
+  }
+
+  val schemaDriftSql: String =
+    """WITH kv AS MATERIALIZED (
+      |  SELECT event_type, event_id % 2 AS b, k.key AS field_name,
+      |    json_extract_string(props, '$.' || k.key) AS v
+      |  FROM events, unnest(json_keys(props)) k(key)),
+      |typed AS MATERIALIZED (
+      |  SELECT event_type, b, field_name, v,
+      |    CASE WHEN v IS NULL THEN 'null'
+      |         WHEN regexp_matches(v, '^-?[0-9]+$') THEN 'integer'
+      |         WHEN regexp_matches(v, '^-?[0-9]+\.[0-9]+$') THEN 'float'
+      |         WHEN v IN ('true', 'false') THEN 'boolean'
+      |         ELSE 'string' END AS vtype
+      |  FROM kv),
+      |agg AS MATERIALIZED (
+      |  SELECT event_type, field_name,
+      |    array_to_string(list_sort(list_distinct(
+      |      list(CASE WHEN b = 0 THEN vtype END))), ',') AS types_a,
+      |    array_to_string(list_sort(list_distinct(
+      |      list(CASE WHEN b = 1 THEN vtype END))), ',') AS types_b,
+      |    CAST(count(CASE WHEN b = 0 THEN 1 END) AS BIGINT) AS n_a,
+      |    CAST(count(CASE WHEN b = 1 THEN 1 END) AS BIGINT) AS n_b,
+      |    CAST(count(CASE WHEN b = 0 AND v IS NULL THEN 1 END) AS BIGINT) AS null_a,
+      |    CAST(count(CASE WHEN b = 1 AND v IS NULL THEN 1 END) AS BIGINT) AS null_b
+      |  FROM typed GROUP BY event_type, field_name),
+      |st AS MATERIALIZED (
+      |  SELECT event_type, field_name,
+      |    CASE WHEN n_a = 0 THEN 'added'
+      |         WHEN n_b = 0 THEN 'removed'
+      |         WHEN types_a <> types_b THEN 'type_changed'
+      |         ELSE 'stable' END AS status,
+      |    types_a, types_b, n_a, n_b,
+      |    CASE WHEN n_a > 0 THEN CAST(null_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS null_rate_a,
+      |    CASE WHEN n_b > 0 THEN CAST(null_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS null_rate_b
+      |  FROM agg)
+      |SELECT event_type, field_name, status, types_a, types_b, n_a, n_b,
+      |  null_rate_a, null_rate_b,
+      |  CAST(CASE WHEN status <> 'stable'
+      |    OR abs(coalesce(null_rate_b, 0.0) - coalesce(null_rate_a, 0.0)) > 0.05
+      |    THEN 1 ELSE 0 END AS BIGINT) AS drifted
+      |FROM st ORDER BY event_type, field_name""".stripMargin
+
   // --- q_ds_group_collect -------------------------------------------------
   // The reference's nest-points-under-series serving shape
   // (`routes.py:40-61`): group, collect the time-ordered point list, and
@@ -443,6 +543,7 @@ object Discovery {
     "q_ds_json_pred" -> (jsonPred _),
     "q_ds_shredded" -> (shredded _),
     "q_ds_field_discovery" -> (fieldDiscovery _),
+    "q_ds_schema_drift" -> (schemaDrift _),
     "q_ds_group_collect" -> (groupCollect _),
     "q_ds_profile" -> (profile _),
     "q_ds_variant" -> (variantGet _),
@@ -456,6 +557,7 @@ object Discovery {
     "q_ds_json_pred" -> jsonPredSql,
     "q_ds_shredded" -> jsonPredSql,
     "q_ds_field_discovery" -> fieldDiscoverySql,
+    "q_ds_schema_drift" -> schemaDriftSql,
     "q_ds_group_collect" -> groupCollectSql,
     "q_ds_profile" -> profileSql,
     "q_ds_variant" -> variantGetSql,

@@ -1255,6 +1255,125 @@ object Parity {
        |GROUP BY media_id, win_idx
        |ORDER BY media_id, win_idx""".stripMargin
 
+  // --- q_mm_haar_fp ---------------------------------------------------------
+  // AUDIO FINGERPRINTING by Haar band energies — the Haitsma–Kalker
+  // (2002, public) robust-hash SHAPE on an exact-integer transform:
+  // DCT/FFT fingerprints need irrational basis constants whose
+  // rounding could drift cross-engine, but the 4-level HAAR transform
+  // is pure integer lifting (sums/differences of sample pairs), so
+  // band energies are exact BIGINTs and the oracle replays them
+  // bit-for-bit from raw character codes. Per 16-sample window the
+  // four detail-band energies e₁..e₄ (Σ coef² per level) yield three
+  // band-contrast deltas d_m = e_m − e_{m+1}; the per-window 3-bit
+  // code takes the SIGN OF THE TEMPORAL DERIVATIVE of each delta
+  // (code bit = d_m rose vs the previous window — the H–K trick that
+  // makes the hash robust to level/gain shifts, since any
+  // per-media gain scales every band equally and cancels in the
+  // comparison). Codes pack little-endian into one BIGINT per media;
+  // equal fingerprints bucket by hash-groupBy exactly like exact
+  // dedup (keeper = min media_id). Scale: decode is the documented
+  // per-partition binary exception; everything after the window-grain
+  // band digest is relational — the payload never reaches a shuffle.
+  def haarFp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.documents(s, d)
+      .filter(length(col("text")) >= PcmBytes)
+      .filter(octet_length(substring(col("text"), 1, PcmBytes)) === PcmBytes)
+      .select(col("doc_id").as("media_id"),
+        substring(col("text"), 1, PcmBytes).cast("binary").as("payload"))
+    val bands = media.as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val ws = 16; val bpw = ws * 2; val nWin = b.length / bpw
+        (0 until nWin).map { w =>
+          val v = Array.tabulate(ws) { i =>
+            val lo = b(w * bpw + 2 * i) & 0xff
+            val hi = b(w * bpw + 2 * i + 1) & 0xff
+            var x = lo | (hi << 8); if (x >= 32768) x -= 65536; x.toLong
+          }
+          def energy(level: Int): Long = {
+            val block = 1 << level; val half = block >> 1
+            (0 until ws by block).map { j =>
+              var c = 0L
+              var p = j
+              while (p < j + block) { c += (if (p - j < half) v(p) else -v(p)); p += 1 }
+              c * c
+            }.sum
+          }
+          (id, w.toLong, energy(1), energy(2), energy(3), energy(4))
+        }
+      }
+      .toDF("media_id", "win_idx", "e1", "e2", "e3", "e4")
+    val wv = Window.partitionBy("media_id").orderBy("win_idx")
+    val coded = bands
+      .withColumn("d1", col("e1") - col("e2"))
+      .withColumn("d2", col("e2") - col("e3"))
+      .withColumn("d3", col("e3") - col("e4"))
+      .withColumn("code",
+        when(col("d1") - coalesce(lag("d1", 1).over(wv), lit(0L)) > 0, 1L).otherwise(0L)
+          + when(col("d2") - coalesce(lag("d2", 1).over(wv), lit(0L)) > 0, 2L).otherwise(0L)
+          + when(col("d3") - coalesce(lag("d3", 1).over(wv), lit(0L)) > 0, 4L).otherwise(0L))
+    val fps = coded.groupBy("media_id")
+      .agg(sum(col("code") * call_function("shiftleft", lit(1L),
+        (col("win_idx") * 3).cast("int"))).as("fp"),
+        count(lit(1)).as("n_windows"))
+    val buckets = fps.groupBy("fp")
+      .agg(count(lit(1)).as("n_same_fp"), min(col("media_id")).as("keeper"))
+    fps.join(buckets, "fp")
+      .select(col("media_id"), col("fp"), col("n_windows"),
+        col("n_same_fp"), col("keeper"))
+      .orderBy("media_id")
+  }
+
+  val haarFpSql: String =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, substring(text, 1, $PcmBytes) AS s
+       |  FROM documents WHERE length(text) >= $PcmBytes
+       |    AND octet_length(encode(substring(text, 1, $PcmBytes))) = $PcmBytes),
+       |sv AS MATERIALIZED (
+       |  SELECT media_id, CAST((i - 1) // 16 AS BIGINT) AS win_idx,
+       |    CAST((i - 1) % 16 AS BIGINT) AS pos,
+       |    CAST(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS BIGINT) AS v
+       |  FROM (
+       |    SELECT media_id, i,
+       |      ord(substring(s, 2 * i - 1, 1)) + 256 * ord(substring(s, 2 * i, 1)) AS raw
+       |    FROM d, unnest(generate_series(1, ${PcmBytes / 2})) g(i))),
+       |coefs AS MATERIALIZED (
+       |  SELECT media_id, win_idx, l.l AS lev, pos // (1::BIGINT << l.l) AS blk,
+       |    CAST(sum(CASE WHEN pos % (1::BIGINT << l.l) < (1::BIGINT << (l.l - 1))
+       |      THEN v ELSE -v END) AS BIGINT) AS c
+       |  FROM sv, unnest([1, 2, 3, 4]) l(l)
+       |  GROUP BY media_id, win_idx, l.l, pos // (1::BIGINT << l.l)),
+       |bands AS MATERIALIZED (
+       |  SELECT media_id, win_idx,
+       |    CAST(sum(CASE WHEN lev = 1 THEN c * c ELSE 0 END) AS BIGINT) AS e1,
+       |    CAST(sum(CASE WHEN lev = 2 THEN c * c ELSE 0 END) AS BIGINT) AS e2,
+       |    CAST(sum(CASE WHEN lev = 3 THEN c * c ELSE 0 END) AS BIGINT) AS e3,
+       |    CAST(sum(CASE WHEN lev = 4 THEN c * c ELSE 0 END) AS BIGINT) AS e4
+       |  FROM coefs GROUP BY media_id, win_idx),
+       |coded AS MATERIALIZED (
+       |  SELECT media_id, win_idx,
+       |    CAST(CASE WHEN (e1 - e2) - coalesce(lag(e1 - e2) OVER w, 0) > 0
+       |        THEN 1 ELSE 0 END
+       |      + CASE WHEN (e2 - e3) - coalesce(lag(e2 - e3) OVER w, 0) > 0
+       |        THEN 2 ELSE 0 END
+       |      + CASE WHEN (e3 - e4) - coalesce(lag(e3 - e4) OVER w, 0) > 0
+       |        THEN 4 ELSE 0 END AS BIGINT) AS code
+       |  FROM bands
+       |  WINDOW w AS (PARTITION BY media_id ORDER BY win_idx)),
+       |fps AS MATERIALIZED (
+       |  SELECT media_id,
+       |    CAST(sum(code * (1::BIGINT << CAST(3 * win_idx AS INT))) AS BIGINT) AS fp,
+       |    CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM coded GROUP BY media_id),
+       |buckets AS MATERIALIZED (
+       |  SELECT fp, CAST(count(*) AS BIGINT) AS n_same_fp,
+       |    min(media_id) AS keeper
+       |  FROM fps GROUP BY fp)
+       |SELECT media_id, f.fp, n_windows, n_same_fp, keeper
+       |FROM fps f JOIN buckets b ON f.fp = b.fp
+       |ORDER BY media_id""".stripMargin
+
   // --- q_mm_png_decode ------------------------------------------------------
   // The COMPRESSED image codec, driver-verified by construction: each
   // doc's first 96 bytes become the pixels of an 8×4 truecolour PNG
@@ -2345,6 +2464,7 @@ object Parity {
     "q_mm_ulaw_windows" -> (ulawWindowsQ _),
     "q_mm_resize" -> (pnmResize _),
     "q_mm_pcm_windows" -> (pcmWindows _),
+    "q_mm_haar_fp" -> (haarFp _),
     "q_mm_pnm_featurize" -> (pnmFeaturize _),
     "q_st_anomaly" -> (anomalyBatch _),
     "q_st_anomaly_v2" -> (anomalyBatchV2 _),
@@ -2395,6 +2515,7 @@ object Parity {
     "q_mm_ulaw_windows" -> ulawWindowsSql,
     "q_mm_resize" -> pnmResizeSql,
     "q_mm_pcm_windows" -> pcmWindowsSql,
+    "q_mm_haar_fp" -> haarFpSql,
     "q_mm_pnm_featurize" -> pnmFeaturizeSql,
     "q_st_anomaly" -> anomalyBatchSql,
     "q_st_anomaly_v2" -> anomalyBatchSql, // same semantics, same oracle

@@ -516,4 +516,56 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Long]("n_active")))
     assert(segs.toSeq === Seq((0, 2, 2L), (5, 6, 2L)), segs.mkString(","))
   }
+
+  test("Haar fingerprint: brute transform replay, bucket stats consistent, dup payloads collide") {
+    val rows = graft.queries.Parity.haarFp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute scalar replay of decode → Haar bands → temporal code → pack
+    val texts = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(col("text"), 1, 96).as("head"))
+      .filter(length(col("text")) >= 96 && octet_length(col("head")) === 96)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("head"))).toMap
+    def bruteFp(sx: String): Long = {
+      val bytes = sx.getBytes("UTF-8")
+      val wins = (0 until bytes.length / 32).map { w =>
+        val v = Array.tabulate(16) { i =>
+          val lo = bytes(w * 32 + 2 * i) & 0xff; val hi = bytes(w * 32 + 2 * i + 1) & 0xff
+          var x = lo | (hi << 8); if (x >= 32768) x -= 65536; x.toLong
+        }
+        (1 to 4).map { lev =>
+          val blk = 1 << lev; val half = blk >> 1
+          (0 until 16 by blk).map { j =>
+            val c = (j until j + blk).map(p => if (p - j < half) v(p) else -v(p)).sum
+            c * c
+          }.sum
+        }
+      }
+      var fp = 0L
+      var prev: Option[IndexedSeq[Long]] = None
+      wins.zipWithIndex.foreach { case (e, w) =>
+        val d = IndexedSeq(e(0) - e(1), e(1) - e(2), e(2) - e(3))
+        val pd = prev.getOrElse(IndexedSeq(0L, 0L, 0L))
+        var code = 0L
+        for (m <- 0 until 3) if (d(m) - pd(m) > 0) code |= (1L << m)
+        fp |= code << (3 * w)
+        prev = Some(d)
+      }
+      fp
+    }
+    val byId = rows.map(r => (r.getAs[Long]("media_id"), r)).toMap
+    assert(byId.keySet === texts.keySet, "one fingerprint row per eligible doc")
+    texts.foreach { case (id, sx) =>
+      assert(byId(id).getAs[Long]("fp") === bruteFp(sx), s"media $id fp")
+    }
+    // bucket stats: n_same_fp is the true bucket size, keeper its min
+    rows.groupBy(_.getAs[Long]("fp")).foreach { case (fp, rs) =>
+      assert(rs.forall(_.getAs[Long]("n_same_fp") === rs.length.toLong))
+      assert(rs.forall(_.getAs[Long]("keeper") === rs.map(_.getAs[Long]("media_id")).min))
+    }
+    // identical payloads MUST collide (determinism of the whole chain)
+    texts.groupBy(_._2).values.filter(_.size > 1).foreach { g =>
+      assert(g.map(x => byId(x._1).getAs[Long]("fp")).toSet.size === 1,
+        "equal payloads produced different fingerprints")
+    }
+  }
 }

@@ -1102,6 +1102,69 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("cohort LTV: cells reconcile against a brute event replay, curve is monotone") {
+    val rows = Analytics.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        floor(col("ts").cast("long") / (7L * 86400)).cast("long").as("week"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("week"), r.getAs[Long]("cents")))
+    val firstWeek = ev.groupBy(_._1).map { case (u, es) => (u, es.map(_._3).min) }
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (cw, rs) =>
+      val cohortUsers = firstWeek.count(_._2 == cw).toLong
+      assert(rs.forall(_.getAs[Long]("cohort_users") === cohortUsers), s"cohort $cw size")
+      // week-0 active count is the cohort size by definition
+      rs.find(_.getAs[Long]("age_weeks") == 0L).foreach { r0 =>
+        assert(r0.getAs[Long]("n_active") === cohortUsers, s"cohort $cw week-0")
+      }
+      var cum = 0L
+      rs.sortBy(_.getAs[Long]("age_weeks")).foreach { r =>
+        val age = r.getAs[Long]("age_weeks")
+        val mine = ev.filter(e => firstWeek(e._1) == cw && e._3 - cw == age)
+        assert(r.getAs[Long]("n_active") === mine.map(_._1).distinct.length.toLong,
+          s"cohort $cw age $age actives")
+        val rev = mine.filter(_._2 == "purchase").map(_._4).sum
+        assert(r.getAs[Long]("revenue_cents") === rev, s"cohort $cw age $age revenue")
+        cum += rev
+        assert(r.getAs[Long]("cum_revenue_cents") === cum, s"cohort $cw age $age cum")
+        assert(r.getAs[Double]("ltv") ===
+          cum.toDouble / cohortUsers.toDouble / 100.0, s"cohort $cw age $age ltv")
+      }
+    }
+  }
+
+  test("schema drift: statuses and null-rate movements reconcile against a brute diff") {
+    import graft.queries.Discovery
+    val rows = Discovery.schemaDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val status = r.getAs[String]("status")
+      assert(na > 0 || nb > 0)
+      if (na == 0) assert(status === "added")
+      else if (nb == 0) assert(status === "removed")
+      else if (r.getAs[String]("types_a") != r.getAs[String]("types_b"))
+        assert(status === "type_changed")
+      else assert(status === "stable")
+      Seq("null_rate_a", "null_rate_b").foreach { c =>
+        if (!r.isNullAt(r.fieldIndex(c))) {
+          val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c out of range")
+        }
+      }
+      val shift = math.abs(
+        (if (r.isNullAt(r.fieldIndex("null_rate_b"))) 0.0 else r.getAs[Double]("null_rate_b"))
+          - (if (r.isNullAt(r.fieldIndex("null_rate_a"))) 0.0 else r.getAs[Double]("null_rate_a")))
+      assert((r.getAs[Long]("drifted") == 1L) === (status != "stable" || shift > 0.05))
+    }
+    // both batches together must cover exactly the A5 discovery fields
+    val discovered = Discovery.fieldDiscovery(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("field_name"))).toSet
+    assert(rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[String]("field_name"))).toSet === discovered)
+  }
+
   test("dataset card: every source row reconciles against a brute doc-grain recompute") {
     import graft.queries.TrainPrep
     val rows = TrainPrep.datasetCard(spark, sf).collect()
