@@ -423,15 +423,28 @@ object Graph {
       .localCheckpoint() // probed by every round
     val srcDf = und.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
-    var dist = srcDf.localCheckpoint()
-    for (k <- 1 to MaxHops) {
-      val frontier = dist.filter(col("dist") === (k - 1).toLong)
+    // frontier/visited split: each round joins ONLY the new frontier
+    // against the adjacency and anti-joins the visited set — the
+    // visited rows are never re-grouped (the first cut re-aggregated
+    // the full dist set every round: 6 full passes, 10.5 s at sf0.1
+    // for a 2-hop graph; this shape converges in diameter rounds).
+    // The empty-frontier early exit reads one checkpointed count per
+    // round — the standard iterative-driver convergence probe, same
+    // cost class as Lloyd's/pagerank round actions.
+    var visited = srcDf.localCheckpoint()
+    var frontier = visited
+    var k = 1
+    while (k <= MaxHops && frontier.limit(1).count() > 0) {
       val next = frontier.join(adj, col("node") === col("u"))
-        .select(col("v").as("node"), lit(k.toLong).as("dist"))
-      dist = dist.unionAll(next)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("dist"))
         .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+      k += 1
     }
+    val dist = visited
     val nodes = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node"))).distinct()
     val perHop = dist.groupBy("dist")
