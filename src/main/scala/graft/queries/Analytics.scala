@@ -264,6 +264,82 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // --- q_ag_winsorize -------------------------------------------------------
+  // WINSORIZED + TRIMMED MEANS — the robust location estimates between
+  // the raw mean (outlier-hostage) and the median (throws information
+  // away): clamp (winsorize) or drop (trim) everything outside the
+  // exact per-group [p05, p95], then one exact integer mean each. The
+  // percentile bounds come from the SAME distributed selection core as
+  // median/quantiles/MAD ([[selectAtRanks]], ceiling-rank
+  // k = ⌈p·n⌉ via (n·num + den − 1) DIV den) — this operator exists
+  // partly to show the selection machinery COMPOSES: two ranks, one
+  // histogram walk, bounds broadcast back, a second scan aggregates
+  // clamped/trimmed cent sums in DECIMAL(38,0) (the linreg
+  // accumulator discipline) with one division at the end. Scale:
+  // three bounded passes from the selection core + one
+  // map-side-combinable aggregation; the bounds digest is
+  // groups-sized and broadcasts.
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("bigint").as("v"))
+      .localCheckpoint()
+    val qs = selectAtRanks(base, Seq(("p05", 5L, 100L), ("p95", 95L, 100L)))
+    val bounds = qs.groupBy("g").agg(
+      max(when(col("quantile") === "p05", col("value_cents"))).as("lo"),
+      max(when(col("quantile") === "p95", col("value_cents"))).as("hi"))
+    base.join(broadcast(bounds), "g")
+      .select(col("g"), col("v"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("v"))).as("w"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        sum(col("w").cast("decimal(38,0)")).as("ws"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"), col("v"))
+          .otherwise(0L).cast("decimal(38,0)")).as("ts"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"), 1L)
+          .otherwise(0L)).as("tn"),
+        max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"))
+      .select(col("g"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clamped_lo"), col("n_clamped_hi"),
+        (col("ws").cast("double") / col("n").cast("double") / 100.0)
+          .as("winsorized_mean"),
+        (col("ts").cast("double") / col("tn").cast("double") / 100.0)
+          .as("trimmed_mean"))
+      .orderBy("g")
+  }
+
+  val winsorizeSql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem),
+      |ranked AS MATERIALIZED (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM base),
+      |bounds AS MATERIALIZED (
+      |  SELECT g,
+      |    max(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS lo,
+      |    max(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS hi
+      |  FROM ranked GROUP BY g),
+      |agg AS MATERIALIZED (
+      |  SELECT b.g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+      |    CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+      |    sum(CAST(greatest(lo, least(hi, v)) AS DECIMAL(38,0))) AS ws,
+      |    sum(CAST(CASE WHEN v >= lo AND v <= hi THEN v ELSE 0 END
+      |      AS DECIMAL(38,0))) AS ts,
+      |    CAST(sum(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      |    max(lo) AS lo_cents, max(hi) AS hi_cents
+      |  FROM base b JOIN bounds USING (g) GROUP BY b.g)
+      |SELECT g, n, lo_cents, hi_cents, n_clamped_lo, n_clamped_hi,
+      |  CAST(ws AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS winsorized_mean,
+      |  CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) / 100.0 AS trimmed_mean
+      |FROM agg ORDER BY g""".stripMargin
+
   // --- q_ev_cohort_ltv ------------------------------------------------------
   // COHORT LTV TRIANGLE — the revenue companion of q_ev_retention:
   // per (signup-week cohort × age-in-weeks) cell, active users,
@@ -2011,6 +2087,7 @@ object Analytics {
     "q_ev_pattern" -> (pattern _),
     "q_ag_mwu" -> (mwu _),
     "q_ev_cohort_ltv" -> (cohortLtv _),
+    "q_ag_winsorize" -> (winsorize _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -2069,6 +2146,7 @@ object Analytics {
     "q_ev_pattern" -> patternSql,
     "q_ag_mwu" -> mwuSql,
     "q_ev_cohort_ltv" -> cohortLtvSql,
+    "q_ag_winsorize" -> winsorizeSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

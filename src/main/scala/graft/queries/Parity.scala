@@ -723,6 +723,71 @@ object Parity {
       .orderBy("sig")
   }
 
+  // --- q_st_pattern ---------------------------------------------------------
+  // STREAMING CEP: the stateful twin of the batch q_ev_pattern window
+  // query — view→purchase within 1 h with no click between, over the
+  // landed event backlog through MicroBatch.PatternProcessor
+  // (ListState buffer + event-time timers; see the processor's
+  // scaladoc for why negation forbids eager emission). The drain
+  // emits exactly the views whose DECISION POINT (min(next purchase,
+  // view + 1 h)) fell behind the final watermark, at millisecond
+  // grain — the oracle replays the batch pattern query and applies
+  // the identical ms-integer cutoff dp_ms < wm_ms with wm = max
+  // admitted ts − 1 h, so the emit/withhold boundary is the same
+  // exact-integer comparison on both sides (StreamingSpec pins the
+  // boundary semantics with constructed ±1 ms cases).
+  def streamingPattern(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream", d) // shares the landed events backlog
+    landOnce(ev, s"$root/src")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_cep_$runId"
+    withStreamSession(s, 8) { ss =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = graft.streaming.MicroBatch.patternV2(
+        graft.streaming.MicroBatch.readEvents(ss, s"$root/src", ev))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+    }.orderBy("user_id", "view_id")
+  }
+
+  val streamingPatternSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT user_id, event_type, ts, event_id FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |wm AS MATERIALIZED (
+      |  SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM e),
+      |nxt AS MATERIALIZED (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN {'ts': ts, 'event_id': event_id} END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np,
+      |    min(CASE WHEN event_type = 'click'
+      |        THEN {'ts': ts, 'event_id': event_id} END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+      |  FROM e),
+      |decided AS MATERIALIZED (
+      |  SELECT user_id, event_id AS view_id, ts AS view_ts, np, nc,
+      |    (CASE WHEN np IS NOT NULL AND np.ts <= ts + INTERVAL 1 HOUR
+      |      THEN epoch_us(np.ts) ELSE epoch_us(ts) + 3600000000 END) // 1000 AS dp_ms
+      |  FROM nxt WHERE event_type = 'view')
+      |SELECT user_id, view_id, view_ts,
+      |  np.event_id AS purchase_id, np.ts AS purchase_ts,
+      |  CAST(epoch_us(np.ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+      |FROM decided, wm
+      |WHERE dp_ms < wm_ms
+      |  AND np IS NOT NULL AND np.ts <= view_ts + INTERVAL 1 HOUR
+      |  AND (nc IS NULL OR np < nc)
+      |ORDER BY user_id, view_id""".stripMargin
+
   // --- q_st_upsert ----------------------------------------------------------
   // SURVEY §2.9: the foreachBatch → idempotent-upsert sink (the streaming
   // form of loader.py:20-30), driver-verified end-to-end. The backlog is
@@ -2245,7 +2310,7 @@ object Parity {
     "q_st_windowed", "q_st_dedup", "q_st_neardup", "q_st_neardup_v2", "q_st_upsert",
     "q_st_stream_join", "q_st_semi_join", "q_st_outer_join", "q_st_full_outer", "q_st_static_join",
     "q_st_anomaly_v2", // a real RocksDB drain, unlike the batch twin q_st_anomaly
-    "q_st_rolling_v2", "q_st_chained", "q_st_leaderboard")
+    "q_st_rolling_v2", "q_st_chained", "q_st_leaderboard", "q_st_pattern")
 
   // --- q_mm_scene_cut -------------------------------------------------------
   // SCENE-CUT detection — the video-curation step after decode: a
@@ -2446,6 +2511,7 @@ object Parity {
     "q_st_neardup_v2" -> (streamingNeardupV2 _),
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_cdc" -> (streamingCdc _),
+    "q_st_pattern" -> (streamingPattern _),
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_semi_join" -> (streamSemiJoin _),
     "q_st_outer_join" -> (streamOuterJoin _),
@@ -2497,6 +2563,7 @@ object Parity {
     "q_st_neardup_v2" -> streamingNeardupSql,
     "q_st_upsert" -> streamingUpsertSql,
     "q_st_cdc" -> streamingCdcSql,
+    "q_st_pattern" -> streamingPatternSql,
     "q_st_stream_join" -> streamStreamJoinSql,
     "q_st_semi_join" -> streamSemiJoinSql,
     "q_st_outer_join" -> streamOuterJoinSql,

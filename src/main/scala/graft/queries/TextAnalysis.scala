@@ -468,6 +468,93 @@ object TextAnalysis {
        |GROUP BY 1, 2
        |ORDER BY phrase, doc_id""".stripMargin
 
+  // --- q_tx_rake ------------------------------------------------------------
+  // RAKE KEYPHRASE EXTRACTION (Rose et al. 2010, public) — the
+  // unsupervised keyword step of a curation pipeline: candidate
+  // phrases are the maximal stopword-free token runs (the corpus's
+  // own 'a'/'the' function words are the delimiters), each word
+  // scores deg/freq over the candidate-phrase co-occurrence graph,
+  // and a phrase scores the sum of its member words. The one numeric
+  // subtlety: RAKE's phrase score is a SUM of word ratios, and a sum
+  // of doubles is aggregation-order-dependent — so word scores are
+  // QUANTIZED to exact integer micros (deg·10⁶ DIV freq, truncating
+  // — floor ≡ truncate for positive operands in both engines) and
+  // the phrase sum is a BIGINT, order-free and bit-identical
+  // cross-engine. Phrase identity is its text (same words ⇒ same
+  // score), so the corpus-level rollup is a hash aggregation and the
+  // top-20 is a TakeOrderedAndProject, never a global sort. Scale:
+  // phrase ids are per-doc windows (doc-partitioned), word stats are
+  // vocabulary-sized and broadcast back; the members digest is
+  // checkpointed once for its three consumers.
+  private val RakeStops = Seq("a", "the")
+  private val RakeTopK = 20
+
+  def rake(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(RakeStops: _*))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val members = tk
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+      .select("doc_id", "pid", "pos", "w")
+      .localCheckpoint()
+    val phrases = members.groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("phrase"))
+    val wordScores = members
+      .join(phrases.select("doc_id", "pid", "plen"), Seq("doc_id", "pid"))
+      .groupBy("w").agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("score_u", expr("deg * 1000000 DIV freq"))
+    val phraseScores = members
+      .join(broadcast(wordScores.select("w", "score_u")), "w")
+      .groupBy("doc_id", "pid").agg(sum(col("score_u")).as("score_micros"))
+    phrases.join(phraseScores, Seq("doc_id", "pid"))
+      .groupBy("phrase")
+      .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n_occurrences"),
+        max(col("score_micros")).as("score_micros"))
+      .withColumn("score", col("score_micros").cast("double") / 1000000.0)
+      .orderBy(col("score_micros").desc, col("phrase"))
+      .limit(RakeTopK)
+  }
+
+  lazy val rakeSql: String = {
+    val stops = RakeStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |tk AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, t[i] AS w,
+       |    CASE WHEN t[i] IN ($stops) THEN 1 ELSE 0 END AS is_stop
+       |  FROM toks, unnest(generate_series(1, len(t))) g(i)),
+       |mem AS MATERIALIZED (
+       |  SELECT doc_id, pos, w, pid FROM (
+       |    SELECT doc_id, pos, w, is_stop,
+       |      sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+       |    FROM tk) WHERE is_stop = 0),
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase
+       |  FROM mem GROUP BY doc_id, pid),
+       |ws AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(sum(plen) AS BIGINT) AS deg
+       |  FROM mem JOIN ph USING (doc_id, pid) GROUP BY w),
+       |wsc AS MATERIALIZED (
+       |  SELECT w, CAST(deg * 1000000 // freq AS BIGINT) AS score_u FROM ws),
+       |ps AS MATERIALIZED (
+       |  SELECT doc_id, pid, CAST(sum(score_u) AS BIGINT) AS score_micros
+       |  FROM mem JOIN wsc USING (w) GROUP BY doc_id, pid)
+       |SELECT ph.phrase, max(ph.plen) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  max(score_micros) AS score_micros,
+       |  CAST(max(score_micros) AS DOUBLE) / 1000000.0 AS score
+       |FROM ph JOIN ps USING (doc_id, pid)
+       |GROUP BY ph.phrase
+       |ORDER BY score_micros DESC, phrase LIMIT $RakeTopK""".stripMargin
+  }
+
   // --- q_tx_heaps -----------------------------------------------------------
   // VOCABULARY GROWTH CURVE (Heaps'-law table): cumulative distinct
   // token types vs cumulative token occurrences at 10 doc_id-range
@@ -1371,6 +1458,7 @@ object TextAnalysis {
     "q_tx_repetition" -> (repetition _),
     "q_tx_ngram_top" -> (ngramTop _),
     "q_tx_phrase" -> (phrase _),
+    "q_tx_rake" -> (rake _),
     "q_tx_heaps" -> (heaps _),
     "q_tx_corpus_stats" -> (corpusStats _),
     "q_tx_drift" -> (drift _),
@@ -1394,6 +1482,7 @@ object TextAnalysis {
     "q_tx_repetition" -> repetitionSql,
     "q_tx_ngram_top" -> ngramTopSql,
     "q_tx_phrase" -> phraseSql,
+    "q_tx_rake" -> rakeSql,
     "q_tx_heaps" -> heapsSql,
     "q_tx_corpus_stats" -> corpusStatsSql,
     "q_tx_drift" -> driftSql,

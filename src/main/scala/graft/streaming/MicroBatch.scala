@@ -815,4 +815,144 @@ object MicroBatch {
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** One CEP match: a view converting DIRECTLY to a purchase. Same
+    * output surface as the batch `Analytics.pattern` query. */
+  case class PatternMatch(user_id: Long, view_id: Long,
+                          view_ts: java.sql.Timestamp, purchase_id: Long,
+                          purchase_ts: java.sql.Timestamp, gap_us: Long)
+
+  /** Buffered event awaiting pattern decisions: kind 0 = view (the
+    * pattern's A), 1 = click (the forbidden C), 2 = purchase (B). */
+  case class PatternEv(tsUs: Long, eventId: Long, kind: Int)
+
+  /** STREAMING CEP — the "A then B within W, with NO C between"
+    * matcher (the stateful twin of the batch q_ev_pattern window
+    * query; this is the operator class MATCH_RECOGNIZE / Flink CEP
+    * ship as a primitive). Events buffer per user in ListState until
+    * the watermark promises order-completeness, because the NEGATION
+    * is what makes eager emission wrong: a purchase may look like a
+    * direct conversion until an out-of-order click lands between it
+    * and its view. A view's DECISION POINT is min(next purchase, view
+    * + W): once the watermark passes it, no admissible event can sort
+    * before it, so the match verdict is final.
+    *
+    * Decision arithmetic runs at WATERMARK GRANULARITY (milliseconds,
+    * `floorDiv(dp, 1000)` vs the ms watermark Spark reports) so the
+    * emit/withhold boundary is the same exact-integer comparison in
+    * the operator, the oracle, and the spec — micro-grain timestamps
+    * never meet the ms watermark directly. One event-time timer per
+    * key tracks the earliest pending decision (dpMs + 1, the first
+    * watermark value that can decide it); eviction keeps only
+    * undecided views, events after the earliest undecided view, and
+    * the ≤ W tail the next batch's views may need — state is bounded
+    * by ~2 W of events per key regardless of history length.
+    */
+  class PatternProcessor(windowUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp, Int), PatternMatch] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var buf: ListState[PatternEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[PatternEv]("pattern_buf",
+        org.apache.spark.sql.Encoders.product[PatternEv], TTLConfig.NONE)
+
+    /** Decide every view whose decision point is behind the watermark,
+      * emit its match if the next event in the pattern alphabet is a
+      * purchase inside the window, rewrite the buffer to the undecided
+      * tail, and re-arm the timer at the earliest pending decision. */
+    private def sweep(uid: Long, wmMs: Long,
+                      expiredTimerMs: Long = Long.MinValue): Iterator[PatternMatch] = {
+      val evs = buf.get().toArray.sortBy(e => (e.tsUs, e.eventId))
+      if (evs.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer[PatternMatch]()
+      val pendingFrom = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var minPendingDpMs = Long.MaxValue
+      evs.zipWithIndex.foreach { case (e, i) =>
+        if (e.kind == 0) {
+          val after = evs.view.slice(i + 1, evs.length)
+          val np = after.find(_.kind == 2)
+          val nc = after.find(_.kind == 1)
+          val dpUs = np match {
+            case Some(p) if p.tsUs <= e.tsUs + windowUs => p.tsUs
+            case _ => e.tsUs + windowUs
+          }
+          val dpMs = math.floorDiv(dpUs, 1000L)
+          if (dpMs < wmMs) {
+            np match {
+              case Some(p) if p.tsUs <= e.tsUs + windowUs &&
+                nc.forall(c => p.tsUs < c.tsUs ||
+                  (p.tsUs == c.tsUs && p.eventId < c.eventId)) =>
+                out += PatternMatch(uid, e.eventId, microsTs(e.tsUs),
+                  p.eventId, microsTs(p.tsUs), p.tsUs - e.tsUs)
+              case _ => () // decided: no direct conversion
+            }
+          } else {
+            pendingFrom += ((e.tsUs, e.eventId))
+            minPendingDpMs = math.min(minPendingDpMs, dpMs)
+          }
+        }
+      }
+      // eviction: undecided views; non-views after the earliest
+      // undecided view; and the trailing window a late-arriving view
+      // could still reference (ts within W of the watermark)
+      val keepFrom = if (pendingFrom.nonEmpty) pendingFrom.min else (Long.MaxValue, Long.MaxValue)
+      val horizonUs = wmMs * 1000L - windowUs
+      val kept = evs.filter { e =>
+        if (e.kind == 0) pendingFrom.contains((e.tsUs, e.eventId))
+        else e.tsUs > keepFrom._1 ||
+          (e.tsUs == keepFrom._1 && e.eventId >= keepFrom._2) ||
+          e.tsUs >= horizonUs
+      }
+      buf.clear()
+      kept.foreach(buf.appendValue)
+      // the just-expired timer is removed by the framework — deleting
+      // it again only logs a warning per key, so skip it
+      getHandle.listTimers().map(_.asInstanceOf[Long])
+        .filter(_ != expiredTimerMs)
+        .foreach(getHandle.deleteTimer)
+      if (minPendingDpMs != Long.MaxValue)
+        getHandle.registerTimer(minPendingDpMs + 1L)
+      else if (kept.nonEmpty)
+        // no pending views but buffered C/B events: arm a cleanup
+        // sweep one window ahead so view-less keys cannot hoard state
+        getHandle.registerTimer(wmMs + windowUs / 1000L + 1L)
+      out.iterator
+    }
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Int)],
+        timerValues: TimerValues): Iterator[PatternMatch] = {
+      rows.foreach(r => buf.appendValue(PatternEv(tsMicros(r._3), r._2, r._4)))
+      sweep(uid, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+    : Iterator[PatternMatch] =
+      sweep(uid, timerValues.getCurrentWatermarkInMs(),
+        expiredTimerInfo.getExpiryTimeInMs())
+  }
+
+  /** Watermarked CEP drain over (user_id, event_id, ts, event_type):
+    * view→purchase within `window` with no click between. RocksDB
+    * provider required, like every transformWithState query. */
+  def patternV2(events: DataFrame, windowUs: Long = 3600L * 1000000L,
+                watermark: String = "1 hour")
+  : org.apache.spark.sql.Dataset[PatternMatch] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where("event_type IN ('view', 'click', 'purchase')")
+      .selectExpr("user_id", "event_id", "ts",
+        "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS kind")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, java.sql.Timestamp, Int)]
+      .groupByKey(_._1)
+      .transformWithState(new PatternProcessor(windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -1102,6 +1102,71 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: bounds, clamp counts and both means match a brute sorted recompute") {
+    val rows = Analytics.winsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cents = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val vs = cents(g).map(_._2).sorted
+      val n = vs.length
+      def rank(num: Long, den: Long) = ((num * n + den - 1) / den).toInt
+      val lo = vs(rank(5, 100) - 1); val hi = vs(rank(95, 100) - 1)
+      assert(r.getAs[Long]("lo_cents") === lo && r.getAs[Long]("hi_cents") === hi,
+        s"$g bounds")
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("n_clamped_lo") === vs.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_clamped_hi") === vs.count(_ > hi).toLong)
+      val wmean = vs.map(v => math.max(lo, math.min(hi, v))).sum.toDouble / n / 100.0
+      val trimmed = vs.filter(v => v >= lo && v <= hi)
+      val tmean = trimmed.sum.toDouble / trimmed.length / 100.0
+      assert(math.abs(r.getAs[Double]("winsorized_mean") - wmean) < 1e-9, s"$g wmean")
+      assert(math.abs(r.getAs[Double]("trimmed_mean") - tmean) < 1e-9, s"$g tmean")
+      // robustness ordering: both robust means sit inside [lo, hi]
+      assert(r.getAs[Double]("winsorized_mean") * 100 >= lo &&
+        r.getAs[Double]("winsorized_mean") * 100 <= hi)
+    }
+  }
+
+  test("RAKE: phrase scores replay a brute deg/freq computation; top list is consistent") {
+    val rows = TextAnalysis.rake(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    val stops = Set("a", "the")
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[String]("text")).toSeq
+    // brute candidate phrases
+    val phrases = docs.flatMap { t =>
+      val toks = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val runs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      toks.foreach { w =>
+        if (stops.contains(w)) { if (cur.nonEmpty) { runs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer() } }
+        else cur += w
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+    val deg = phrases.flatMap(p => p.map(w => (w, p.length.toLong)))
+      .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
+    def scoreU(w: String): Long = deg(w) * 1000000L / freq(w)
+    val phraseScore = phrases.map(p => (p.mkString(" "), p.map(scoreU).sum))
+      .groupBy(_._1).map { case (t, xs) => (t, xs.head._2, xs.size.toLong) }
+    val top = phraseScore.toSeq.sortBy(x => (-x._2, x._1)).take(20)
+    assert(rows.map(r => (r.getAs[String]("phrase"), r.getAs[Long]("score_micros"),
+      r.getAs[Long]("n_occurrences"))).toSeq === top.map(x => (x._1, x._2, x._3)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") ===
+        r.getAs[String]("phrase").split(" ").length.toLong)
+      assert(r.getAs[Double]("score") ===
+        r.getAs[Long]("score_micros").toDouble / 1000000.0)
+    }
+  }
+
   test("cohort LTV: cells reconcile against a brute event replay, curve is monotone") {
     val rows = Analytics.cohortLtv(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1271,6 +1271,85 @@ class StreamingSpec extends SparkSpec {
         s"evolved restart must preserve semantics: got=${got.size} twin=${twin.size}")
     } finally events.unpersist()
   }
+
+  test("CEP pattern drain: negation waits for the watermark, matches span ticks, tail withheld") {
+    import ss.implicits._
+    val root = dir("cep-root")
+    val src = s"$root/events.parquet" // Tables.events-compatible layout
+    val cp = dir("cep-cp")
+    val sink = dir("cep-sink")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def row(id: Long, uid: Long, et: String, ts: String) =
+      (id, t(ts), uid, et, 0.0, "{}")
+    // u1: clean direct conversion (view 10 -> purchase 11)
+    // u2: click 21 between view 20 and purchase 22 -> NO match
+    // u3: the negation trap — tick1 ends with view 30 then purchase 31
+    //     looking like a match; tick2 lands click 32 BETWEEN them
+    //     (event-time), still admissible because tick1's watermark
+    //     (02:30 − 1 h) is behind it. Eager emission would be wrong;
+    //     the buffered decision must kill the match.
+    // u4: view 40 whose decision point (04:50 + 1 h) is past the final
+    //     watermark (max 06:40 − 1 h = 05:40) -> withheld
+    // u5: purchase 51 at view 50 + exactly 1 h -> inside the closed
+    //     window boundary, must match
+    val tick1 = Seq(
+      row(10, 1, "view", "2024-01-01 01:00:00"),
+      row(11, 1, "purchase", "2024-01-01 01:30:00"),
+      row(20, 2, "view", "2024-01-01 01:00:00"),
+      row(21, 2, "click", "2024-01-01 01:10:00"),
+      row(22, 2, "purchase", "2024-01-01 01:20:00"),
+      row(30, 3, "view", "2024-01-01 02:00:00"),
+      row(31, 3, "purchase", "2024-01-01 02:30:00"))
+    val tick2 = Seq(
+      row(32, 3, "click", "2024-01-01 02:10:00"), // between 30 and 31
+      row(40, 4, "view", "2024-01-01 04:50:00"),
+      row(50, 5, "view", "2024-01-01 04:30:00"),
+      row(51, 5, "purchase", "2024-01-01 05:30:00"), // +1 h exactly; dp 05:30 < wm 05:40
+      row(60, 6, "view", "2024-01-01 06:40:00")) // watermark driver
+    val schemaFrom = tick1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ssn = spark.newSession()
+    ssn.conf.set("spark.sql.shuffle.partitions", "4")
+    ssn.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def drain(): Unit = {
+      val q = MicroBatch.patternV2(MicroBatch.readEvents(ssn, src, schemaFrom))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    tick1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(src)
+    drain()
+    // after tick1 the watermark is 01:30: NOTHING is decided yet (u1's
+    // decision point 01:30.000 is not strictly behind it at ms grain)
+    val afterTick1 = spark.read.parquet(sink).count()
+    assert(afterTick1 === 0L, s"tick-1 emitted $afterTick1 rows before the watermark allowed")
+    tick2.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(src)
+    drain()
+    val got = spark.read.parquet(sink)
+      .select("user_id", "view_id", "purchase_id", "gap_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 10L, 11L, 1800L * 1000000L), // clean conversion
+      (5L, 50L, 51L, 3600L * 1000000L)) // purchase at +1 h exactly: in-window
+    // u2 killed by the in-tick click; u3 killed by the CROSS-TICK click
+    // (the eager-emission trap); u4 withheld past the final watermark;
+    // u6 has no purchase
+    assert(got === expected, s"got $got")
+    // the streaming verdicts agree with the batch operator on the
+    // decided prefix (dp < final watermark 05:40)
+    val batch = graft.queries.Analytics.pattern(spark, root).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id")))
+      .toSet
+    assert(got.map(x => (x._1, x._2, x._3)).subsetOf(batch),
+      "every streamed match must be a batch match")
+  }
 }
 
 /** Evolved state for the schema-evolution restart proof: adds a running
