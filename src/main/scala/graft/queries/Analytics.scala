@@ -264,6 +264,166 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // --- q_ev_rfm -------------------------------------------------------------
+  // RFM SEGMENTATION — the workhorse customer taxonomy: per user,
+  // Recency (days since last activity vs the corpus max day),
+  // Frequency (event count) and Monetary (exact purchase cents), each
+  // scored into quintiles by ntile(5) over a TOTAL order (metric +
+  // user_id tiebreak — both engines fill ntile buckets by row order,
+  // so the tiebreak makes assignment deterministic, and both use the
+  // same first-(n mod k)-buckets-larger fill rule). Score direction:
+  // 5 is always best (most recent / most frequent / highest spend).
+  // The segment label is the standard R×F matrix collapse. Scale
+  // note: the global ntile windows ride the USER-GRAIN digest; at
+  // billions of users the swap is exact quintile BOUNDS from the
+  // selection core broadcast back (the q_ag_winsorize pattern) —
+  // same result, no single-partition window.
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val maxDay = e.agg(max(date_trunc("day", col("ts"))).as("max_day"))
+    val users = e.groupBy("user_id").agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("monetary_cents"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days",
+        datediff(col("max_day"), date_trunc("day", col("last_ts"))).cast("long"))
+    val scored = users
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))).cast("long"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency").asc, col("user_id"))).cast("long"))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary_cents").asc, col("user_id"))).cast("long"))
+    scored.withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champion")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new_or_promising")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("core"))
+      .select("user_id", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", "segment")
+      .orderBy("user_id")
+  }
+
+  val rfmSql: String =
+    """WITH mx AS MATERIALIZED (
+      |  SELECT date_trunc('day', max(ts)) AS max_day FROM events),
+      |users AS MATERIALIZED (
+      |  SELECT user_id, max(ts) AS last_ts,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS monetary_cents
+      |  FROM events GROUP BY user_id),
+      |rec AS MATERIALIZED (
+      |  SELECT user_id, frequency, monetary_cents,
+      |    CAST(max_day::DATE - date_trunc('day', last_ts)::DATE AS BIGINT)
+      |      AS recency_days
+      |  FROM users, mx),
+      |scored AS MATERIALIZED (
+      |  SELECT user_id, recency_days, frequency, monetary_cents,
+      |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
+      |    CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS BIGINT) AS f_score,
+      |    CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, user_id) AS BIGINT) AS m_score
+      |  FROM rec)
+      |SELECT user_id, recency_days, frequency, monetary_cents,
+      |  r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_promising'
+      |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+      |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+      |       ELSE 'core' END AS segment
+      |FROM scored ORDER BY user_id""".stripMargin
+
+  // --- q_ag_benford ---------------------------------------------------------
+  // BENFORD'S-LAW FIRST-DIGIT SCREEN — the classic fraud / synthetic-
+  // data detector: leading digits of naturally-occurring amounts
+  // follow p(d) = log₁₀(1 + 1/d); fabricated or truncated feeds
+  // don't. Two cross-engine traps designed out: (1) the digit comes
+  // from the INTEGER cents string (`substring(cast(cents), 1, 1)`) —
+  // never from formatting a DOUBLE, whose rendering differs between
+  // engines (and Benford is scale-invariant, so cents ≡ dollars);
+  // (2) the expected probabilities are nine shared DECIMAL LITERALS
+  // (same text ⇒ same double in both engines — no engine evaluates
+  // log10 at run time), and the χ² statistic is a FIXED nine-term
+  // expression chain over pivoted per-digit counts — never a SUM
+  // aggregate over double terms, whose order could move bits. Verdict
+  // gates on the df = 8, α = 0.05 critical value 15.507. Scale: one
+  // map-side-combinable 9-cell aggregation; everything after is a
+  // 1-row digest. (The fixture's uniform synthetic prices FAIL
+  // Benford loudly — the screen working as designed on data that is,
+  // in fact, synthetic.)
+  private val BenfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .select(substring(round(col("l_extendedprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("dig"))
+      .groupBy("dig").agg(count(lit(1)).as("c"))
+    val aggs = sum(col("c")).as("n") +:
+      BenfordP.map { case (dg, _) =>
+        sum(when(col("dig") === dg, col("c")).otherwise(0L)).as(s"c$dg")
+      }
+    val row = counts.groupBy().agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    def term(dg: Int, p: String): Column = {
+      val e = nd * lit(p.toDouble)
+      (col(s"c$dg").cast("double") - e) * (col(s"c$dg").cast("double") - e) / e
+    }
+    val chi2 = BenfordP.map { case (dg, p) => term(dg, p) }.reduce(_ + _)
+    val worst = greatest(BenfordP.map { case (dg, p) =>
+      struct(abs(col(s"c$dg").cast("double") / nd - lit(p.toDouble)).as("dev"),
+        lit(dg.toLong).as("dig"))
+    }: _*)
+    row.select(col("n"), chi2.as("chi2"),
+        when(chi2 > 15.507, 1L).otherwise(0L).as("significant"),
+        worst.getField("dig").as("worst_digit"),
+        worst.getField("dev").as("worst_dev"))
+      .orderBy("n")
+  }
+
+  lazy val benfordSql: String = {
+    val cs = BenfordP.map { case (dg, _) =>
+      s"CAST(sum(CASE WHEN dig = $dg THEN c ELSE 0 END) AS BIGINT) AS c$dg"
+    }.mkString(",\n      |    ")
+    val terms = BenfordP.map { case (dg, p) =>
+      s"(CAST(c$dg AS DOUBLE) - CAST(n AS DOUBLE) * CAST('$p' AS DOUBLE)) * (CAST(c$dg AS DOUBLE) - CAST(n AS DOUBLE) * CAST('$p' AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST('$p' AS DOUBLE))"
+    }.mkString("\n      |    + ")
+    // DuckDB 1.0 has no greatest() over STRUCTs; max() over an
+    // unnested struct list is the supported argmax form
+    val devs = BenfordP.map { case (dg, p) =>
+      s"{'dev': abs(CAST(c$dg AS DOUBLE) / CAST(n AS DOUBLE) - CAST('$p' AS DOUBLE)), 'dig': CAST($dg AS BIGINT)}"
+    }.mkString(",\n      |      ")
+    s"""WITH digs AS MATERIALIZED (
+       |  SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INT) AS dig
+       |  FROM lineitem),
+       |counts AS MATERIALIZED (
+       |  SELECT dig, CAST(count(*) AS BIGINT) AS c FROM digs GROUP BY dig),
+       |pivoted AS MATERIALIZED (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    $cs
+       |  FROM counts),
+       |scored AS MATERIALIZED (
+       |  SELECT n,
+       |    $terms AS chi2,
+       |    (SELECT max(x.s) FROM (SELECT unnest([$devs]) AS s) x) AS worst
+       |  FROM pivoted)
+       |SELECT n, chi2,
+       |  CAST(CASE WHEN chi2 > 15.507 THEN 1 ELSE 0 END AS BIGINT) AS significant,
+       |  worst.dig AS worst_digit, worst.dev AS worst_dev
+       |FROM scored ORDER BY n""".stripMargin
+  }
+
   // --- q_ag_winsorize -------------------------------------------------------
   // WINSORIZED + TRIMMED MEANS — the robust location estimates between
   // the raw mean (outlier-hostage) and the median (throws information
@@ -2088,6 +2248,8 @@ object Analytics {
     "q_ag_mwu" -> (mwu _),
     "q_ev_cohort_ltv" -> (cohortLtv _),
     "q_ag_winsorize" -> (winsorize _),
+    "q_ag_benford" -> (benford _),
+    "q_ev_rfm" -> (rfm _),
     "q_ag_exact_median" -> (exactMedian _),
     "q_ag_exact_quantiles" -> (exactQuantiles _),
     "q_ag_kmv_sets" -> (kmvSets _),
@@ -2147,6 +2309,8 @@ object Analytics {
     "q_ag_mwu" -> mwuSql,
     "q_ev_cohort_ltv" -> cohortLtvSql,
     "q_ag_winsorize" -> winsorizeSql,
+    "q_ag_benford" -> benfordSql,
+    "q_ev_rfm" -> rfmSql,
     "q_ag_exact_median" -> exactMedianSql,
     "q_ag_exact_quantiles" -> exactQuantilesSql,
     "q_ag_kmv_sets" -> kmvSetsSql,

@@ -1102,6 +1102,71 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("Benford screen: chi2 replays a brute digit histogram; synthetic prices flagged") {
+    val Array(r) = Analytics.benford(spark, sf).collect()
+    val digs = graft.Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100).cast("long")).collect()
+      .map(_.getLong(0).toString.head.asDigit)
+    assert(r.getAs[Long]("n") === digs.length.toLong)
+    val p = Array(0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val n = digs.length.toDouble
+    var chi2 = 0.0
+    var worst = (0.0, 0L)
+    for (d <- 1 to 9) {
+      val c = digs.count(_ == d).toDouble
+      val e = n * p(d - 1)
+      chi2 += (c - e) * (c - e) / e
+      val dev = math.abs(c / n - p(d - 1))
+      if (dev > worst._1 || (dev == worst._1 && d.toLong > worst._2))
+        worst = (dev, d.toLong)
+    }
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-6 * math.max(1.0, chi2))
+    assert((r.getAs[Long]("significant") == 1L) === (r.getAs[Double]("chi2") > 15.507))
+    assert(r.getAs[Long]("worst_digit") === worst._2)
+    assert(math.abs(r.getAs[Double]("worst_dev") - worst._1) < 1e-12)
+    // uniform synthetic prices are exactly what the screen exists to
+    // catch: the verdict must fire here
+    assert(r.getAs[Long]("significant") === 1L, "synthetic prices must fail Benford")
+  }
+
+  test("RFM: metrics replay brute, quintiles are balanced, segments follow the matrix") {
+    val rows = Analytics.rfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val n = rows.length
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val mine = ev.filter(_._1 == uid)
+      assert(r.getAs[Long]("frequency") === mine.length.toLong, s"u$uid freq")
+      assert(r.getAs[Long]("monetary_cents") ===
+        mine.filter(_._2 == "purchase").map(_._4).sum, s"u$uid monetary")
+      assert(r.getAs[Long]("recency_days") >= 0L)
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1L && v <= 5L, s"$c range")
+      }
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      val expected =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs >= 4 && fs <= 2) "new_or_promising"
+        else if (rs <= 2 && fs >= 4) "at_risk"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "core"
+      assert(r.getAs[String]("segment") === expected, s"u$uid segment")
+    }
+    // ntile balance: bucket sizes differ by at most 1
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"$c quintiles unbalanced: $sizes")
+      assert(sizes.sum === n)
+    }
+  }
+
   test("winsorize: bounds, clamp counts and both means match a brute sorted recompute") {
     val rows = Analytics.winsorize(spark, sf).collect()
     assert(rows.nonEmpty)
