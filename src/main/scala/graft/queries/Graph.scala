@@ -486,6 +486,83 @@ object Graph {
        |SELECT dist, n_nodes, min_node, max_node FROM unreached
        |ORDER BY dist""".stripMargin
 
+  // --- q_gr_kcore -----------------------------------------------------------
+  // K-CORE DECOMPOSITION (k = 3) by iterative peeling — the standard
+  // "dense backbone" extractor (community seeds, spam-farm detection,
+  // the graph family's missing subgraph operator): repeatedly delete
+  // every node with degree < k until none remains; what survives is
+  // the maximal subgraph of minimum degree ≥ k. Each round is one
+  // degree aggregation + two anti-joins over the current edge set,
+  // with the same empty-delta early exit as BFS (one checkpointed
+  // count per round — peeling on this graph converges in 1–2 rounds).
+  // The ORACLE replays a FIXED 8-round peel: peeling is IDEMPOTENT at
+  // the fixpoint (no low-degree nodes remain ⇒ later rounds are
+  // no-ops), so fixed-R equals the converged result whenever R ≥ the
+  // real round count — and if a corpus ever needed more than 8, the
+  // hash compare fails loudly rather than silently truncating
+  // (GraphSpec also pins convergence within the oracle bound). Scale:
+  // round cost is |current edges| — monotonically shrinking; the
+  // classic distributed k-core shape.
+  private val CoreK = 3
+  private val CoreMaxRounds = 8
+
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOf(coEdges(s, d))
+
+  /** Peeling core over any undirected (a, b) edge frame — split out so
+    * specs can drive constructed graphs where peeling actually
+    * cascades (the co-purchase graph is dense enough to be a 3-core
+    * already). */
+  private[graft] def kcoreOf(und: DataFrame): DataFrame = {
+    var edges = und.select("a", "b").localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < CoreMaxRounds) {
+      val deg = edges.select(col("a").as("n"))
+        .unionAll(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val low = deg.filter(col("deg") < CoreK).select("n").localCheckpoint()
+      if (low.limit(1).count() == 0) converged = true
+      else {
+        edges = edges
+          .join(low.toDF("a"), Seq("a"), "left_anti")
+          .join(low.toDF("b"), Seq("b"), "left_anti")
+          .select("a", "b").localCheckpoint()
+        rounds += 1
+      }
+    }
+    lastKcoreRounds = rounds
+    edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
+  /** Rounds the Spark side actually needed on the last run — GraphSpec
+    * asserts this stays within the oracle's fixed peel depth. */
+  @volatile private[graft] var lastKcoreRounds: Int = -1
+
+  lazy val kcoreSql: String = {
+    val peels = (1 to CoreMaxRounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""low$i AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT a AS n FROM $prev UNION ALL SELECT b AS n FROM $prev)
+         |  GROUP BY n HAVING count(*) < $CoreK),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM $prev
+         |  WHERE a NOT IN (SELECT n FROM low$i)
+         |    AND b NOT IN (SELECT n FROM low$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coEdgesSql,
+       |e0 AS MATERIALIZED (SELECT a, b FROM und),
+       |$peels
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS node FROM e$CoreMaxRounds
+       |  UNION ALL SELECT b AS node FROM e$CoreMaxRounds)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   def triangles(s: SparkSession, d: String): DataFrame = {
     val und = coEdges(s, d)
     // deg is node-grain (catalogue-sized) — broadcast, the edge list
@@ -720,6 +797,7 @@ object Graph {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gr_item_sim" -> (itemSim _),
     "q_gr_bfs" -> (bfs _),
+    "q_gr_kcore" -> (kcore _),
     "q_gr_pagerank" -> (pageRank _),
     "q_gr_ppr" -> (personalizedPageRank _),
     "q_gr_hits" -> (hits _),
@@ -729,6 +807,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "q_gr_item_sim" -> itemSimSql,
     "q_gr_bfs" -> bfsSql,
+    "q_gr_kcore" -> kcoreSql,
     "q_gr_pagerank" -> pageRankSql,
     "q_gr_ppr" -> personalizedPageRankSql,
     "q_gr_hits" -> hitsSql,

@@ -19,6 +19,108 @@ object Sampling {
   private def bucket(c: org.apache.spark.sql.Column, mod: Int) =
     Hashes.md5Int32(c.cast("string")) % mod
 
+  // --- q_sm_neyman ----------------------------------------------------------
+  // NEYMAN-OPTIMAL STRATIFIED ALLOCATION — the estimator-variance-
+  // minimizing way to spend a fixed sample budget: stratum h gets
+  // n_h ∝ N_h·S_h (big AND noisy strata earn more budget than either
+  // alone), the allocation every survey-sampling text derives and the
+  // step up from q_sm_stratified's hand-set rates. Per-stratum
+  // moments (N, Σc, Σc²) are exact — per-row c² in BIGINT with the
+  // SUMS in DECIMAL(38,0) (lineitem cents square to ~10¹⁴ per row, so
+  // BIGINT sums wrap near sf0.1 — the linreg accumulator discipline);
+  // each moment casts to double once and S_h is the usual exact-int
+  // variance tree. The denominator ΣN_h·S_h is a FIXED three-term
+  // chain over the known flag values (A, N, R) — never a double-sum
+  // aggregate. Realized rows come from the same deterministic
+  // md5-uniform the whole sampling family uses, at rate n_h/N_h per
+  // stratum — reproducible across runs, engines and scale-ups.
+  // Scale: one moment aggregation, a 3-row broadcast of rates, one
+  // scan-side filter; nothing data-proportional converges anywhere.
+  private val NeymanBudget = 1000L
+  private val NeymanSpace = 281474976710656.0 // 2^48
+
+  def neyman(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+      round(col("l_extendedprice") * 100).cast("long").as("c"),
+      concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string")).as("key"))
+    val m = base.groupBy("g").agg(count(lit(1)).as("nh"),
+        sum(col("c").cast("decimal(38,0)")).as("sc"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      .withColumn("nhd", col("nh").cast("double"))
+      .withColumn("sd", sqrt((col("nhd") * col("q").cast("double")
+        - col("sc").cast("double") * col("sc").cast("double"))
+        / (col("nhd") * (col("nhd") - 1.0))))
+      .withColumn("w", col("nhd") * col("sd"))
+    val tot = m.groupBy().agg(
+        max(when(col("g") === "A", col("w"))).as("wa"),
+        max(when(col("g") === "N", col("w"))).as("wn"),
+        max(when(col("g") === "R", col("w"))).as("wr"))
+      .select((coalesce(col("wa"), lit(0.0)) + coalesce(col("wn"), lit(0.0))
+        + coalesce(col("wr"), lit(0.0))).as("wtot"))
+    val rates = m.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        round(lit(NeymanBudget.toDouble) * col("w") / col("wtot")).cast("long"))
+      .withColumn("rate", col("alloc").cast("double") / col("nhd"))
+      .select("g", "nh", "sd", "alloc", "rate")
+    val kept = base.join(broadcast(rates.select("g", "rate")), "g")
+      .filter(Hashes.md5Int48(concat(col("key"), lit("_ney"))).cast("double")
+        / lit(NeymanSpace) < col("rate"))
+      .groupBy("g").agg(count(lit(1)).as("realized_n"),
+        sum(col("c").cast("decimal(38,0)")).as("rs"))
+    rates.join(kept, Seq("g"), "left")
+      .select(col("g"), col("nh"), col("sd"), col("alloc"),
+        coalesce(col("realized_n"), lit(0L)).as("realized_n"),
+        when(col("realized_n") > 0,
+          col("rs").cast("double") / col("realized_n").cast("double") / 100.0)
+          .as("realized_mean"))
+      .orderBy("g")
+  }
+
+  lazy val neymanSql: String = {
+    val h = Hashes.md5Int48Sql("key || '_ney'")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT l_returnflag AS g,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+       |    l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS key
+       |  FROM lineitem),
+       |m AS MATERIALIZED (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS nh,
+       |    sum(CAST(c AS DECIMAL(38,0))) AS sc,
+       |    sum(CAST(c * c AS DECIMAL(38,0))) AS q
+       |  FROM base GROUP BY g),
+       |sds AS MATERIALIZED (
+       |  SELECT g, nh, CAST(nh AS DOUBLE) AS nhd,
+       |    sqrt((CAST(nh AS DOUBLE) * CAST(q AS DOUBLE)
+       |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+       |      / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1.0))) AS sd
+       |  FROM m),
+       |wts AS MATERIALIZED (SELECT g, nh, nhd, sd, nhd * sd AS w FROM sds),
+       |tot AS MATERIALIZED (
+       |  SELECT coalesce(max(CASE WHEN g = 'A' THEN w END), 0.0)
+       |    + coalesce(max(CASE WHEN g = 'N' THEN w END), 0.0)
+       |    + coalesce(max(CASE WHEN g = 'R' THEN w END), 0.0) AS wtot
+       |  FROM wts),
+       |rates AS MATERIALIZED (
+       |  SELECT g, nh, sd,
+       |    CAST(round($NeymanBudget.0 * w / wtot) AS BIGINT) AS alloc,
+       |    CAST(round($NeymanBudget.0 * w / wtot) AS BIGINT)::DOUBLE / nhd AS rate
+       |  FROM wts, tot),
+       |kept AS MATERIALIZED (
+       |  SELECT b.g, CAST(count(*) AS BIGINT) AS realized_n,
+       |    sum(CAST(c AS DECIMAL(38,0))) AS rs
+       |  FROM base b JOIN rates r ON b.g = r.g
+       |  WHERE $h::DOUBLE / $NeymanSpace < r.rate
+       |  GROUP BY b.g)
+       |SELECT r.g, nh, sd, alloc,
+       |  CAST(coalesce(k.realized_n, 0) AS BIGINT) AS realized_n,
+       |  CASE WHEN k.realized_n > 0
+       |    THEN CAST(k.rs AS DOUBLE) / CAST(k.realized_n AS DOUBLE) / 100.0
+       |  END AS realized_mean
+       |FROM rates r LEFT JOIN kept k ON r.g = k.g
+       |ORDER BY r.g""".stripMargin
+  }
+
   // --- q_sm_hash_sample ---------------------------------------------------
   // Uniform 10% sample by key hash: stable under re-runs and corpus
   // growth (a kept doc stays kept), unlike rand()-based sampling.
@@ -581,6 +683,7 @@ object Sampling {
     "q_sm_group_sample" -> (groupSample _),
     "q_sm_hash_sample" -> (hashSample _),
     "q_sm_stratified" -> (stratified _),
+    "q_sm_neyman" -> (neyman _),
     "q_sm_split" -> (split _),
     "q_sm_mixture" -> (mixture _),
     "q_sm_token_budget" -> (tokenBudget _),
@@ -594,6 +697,7 @@ object Sampling {
     "q_sm_group_sample" -> groupSampleSql,
     "q_sm_hash_sample" -> hashSampleSql,
     "q_sm_stratified" -> stratifiedSql,
+    "q_sm_neyman" -> neymanSql,
     "q_sm_split" -> splitSql,
     "q_sm_mixture" -> mixtureSql,
     "q_sm_token_budget" -> tokenBudgetSql,

@@ -170,6 +170,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("k-core: cascading peel strips a pendant chain, keeps the clique, converges in bound") {
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    // K4 clique (1-2-3-4) + a CASCADING tail: 5 (→3,4,6) and 6 (→4,5,7)
+    // start at degree 3, so only 7 (deg 1) peels in round 1 — which
+    // drops 6 to degree 2 (round 2), which drops 5 (round 3). A
+    // one-shot "remove all low nodes" pass would stop early; true
+    // peeling needs the per-round fixpoint loop.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L)).toDF("a", "b")
+    val core = Graph.kcoreOf(edges).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("deg"))).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the K4: $core")
+    assert(Graph.lastKcoreRounds <= 8, "spec graph must converge within the oracle bound")
+    assert(Graph.lastKcoreRounds === 3, "pendant chain peels one node per round")
+    // the real corpus converges within the oracle's fixed peel depth
+    Graph.kcore(spark, sf).collect()
+    assert(Graph.lastKcoreRounds >= 0 && Graph.lastKcoreRounds <= 8,
+      s"corpus peeling must fit the oracle's ${8} rounds: ${Graph.lastKcoreRounds}")
+    // fixpoint: every surviving node has degree >= 3 by definition
+    Graph.kcore(spark, sf).collect().foreach(r =>
+      assert(r.getAs[Long]("deg") >= 3L))
+  }
+
   test("BFS hop digest matches a brute single-machine BFS over the staged edges") {
     import org.apache.spark.sql.functions._
     val rows = Graph.bfs(spark, sf).collect()

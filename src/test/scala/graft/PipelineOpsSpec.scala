@@ -1102,6 +1102,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("Neyman: sd from brute moments, allocation proportional to Nh·Sh, realized tracks alloc") {
+    import graft.queries.Sampling
+    val rows = Sampling.neyman(spark, sf).collect()
+    assert(rows.length === 3)
+    val cents = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val w = rows.map { r =>
+      val g = r.getAs[String]("g")
+      val vs = cents(g).map(_._2.toDouble)
+      val n = vs.length.toDouble
+      val mean = vs.sum / n
+      val sd = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+      assert(r.getAs[Long]("nh") === vs.length.toLong)
+      assert(math.abs(r.getAs[Double]("sd") - sd) < 1e-6 * sd, s"$g sd off")
+      (g, n * sd)
+    }.toMap
+    val wtot = w.values.sum
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val expectedAlloc = math.round(1000.0 * w(g) / wtot)
+      assert(math.abs(r.getAs[Long]("alloc") - expectedAlloc) <= 1L, s"$g alloc")
+      val alloc = r.getAs[Long]("alloc")
+      val realized = r.getAs[Long]("realized_n")
+      assert(realized >= 0L && realized <= r.getAs[Long]("nh"))
+      // the hash filter realizes a binomial(nh, alloc/nh) draw: allow a
+      // generous 5-sigma-ish band so the check is stable, not vacuous
+      val tol = math.max(30.0, 5.0 * math.sqrt(alloc.toDouble))
+      assert(math.abs(realized - alloc) <= tol,
+        s"$g realized $realized vs alloc $alloc beyond tolerance $tol")
+    }
+    // the budget is spent: allocations sum to ~1000 (rounding slack 2)
+    assert(math.abs(rows.map(_.getAs[Long]("alloc")).sum - 1000L) <= 2L)
+  }
+
   test("Benford screen: chi2 replays a brute digit histogram; synthetic prices flagged") {
     val Array(r) = Analytics.benford(spark, sf).collect()
     val digs = graft.Tables.lineitem(spark, sf)
