@@ -817,6 +817,57 @@ class PlanSpec extends SparkSpec {
     assert(q.collect().toSeq === viaJson)
   }
 
+  test("CEP pattern is one window pass: a single user-key exchange, no join at all") {
+    // The self-join formulation is O(views × purchases) per user; the
+    // window formulation's only wide step is one shuffle on user_id.
+    val df = graft.queries.Analytics.pattern(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"pattern must not plan any join:\n${p.take(1500)}")
+    val userShuffles = shuffleOutputs(df)
+      .filter(_.output.exists(_.name == "user_id"))
+    assert(userShuffles.nonEmpty, "expected the user-key window exchange")
+  }
+
+  test("EXISTS/NOT EXISTS decorrelate to one semi + one anti join") {
+    val p = plan(Subqueries.all("q_sq_exists")(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS should plan a semi join:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan an anti join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must not fall back to nested loops:\n${p.take(1500)}")
+  }
+
+  test("RAKE: word scores broadcast back to members; no vocabulary shuffle join") {
+    // The word-score table is vocabulary-sized by construction — a
+    // shuffled join on the token key would re-partition the member
+    // stream by a skewed word key for no reason.
+    val p = plan(graft.queries.TextAnalysis.rake(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"word scores must broadcast:\n${p.take(1500)}")
+  }
+
+  test("blocked ER: candidates come from an equi-join on the block key, no cartesian") {
+    val p = plan(Relational.erBlocked(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked linkage must never go all-pairs:\n${p.take(1500)}")
+  }
+
+  test("Benford and the rank tests collapse to value-domain digests before any window") {
+    // The raw scan must reduce in ONE map-side-combinable aggregation;
+    // a window or join below the first aggregate would drag row-grain
+    // data through an exchange.
+    for ((name, fn) <- Seq(
+      ("q_ag_benford", graft.queries.Analytics.benford _),
+      ("q_ag_ks", graft.queries.Analytics.ks _),
+      ("q_ag_mwu", graft.queries.Analytics.mwu _),
+      ("q_ag_linreg", graft.queries.Analytics.linreg _))) {
+      val df = fn(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$name must not shuffle-join row-grain data:\n${p.take(1500)}")
+    }
+  }
+
   private implicit class Let[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }
