@@ -2073,6 +2073,117 @@ object Analytics {
       |    THEN cxy / sqrt(cxx * cyy) ELSE 0.0 END AS corr
       |FROM c ORDER BY g""".stripMargin
 
+  // --- q_ag_spearman ----------------------------------------------------
+  // PER-GROUP SPEARMAN RANK CORRELATION of extended price against
+  // quantity — the monotone-association companion of q_ag_linreg's
+  // Pearson: immune to the outliers and curvature a product-moment
+  // correlation chases. Ranks are never materialized per row: each
+  // variable gets a tie-averaged rank PER DISTINCT VALUE from its own
+  // (g, value)-grain digest (the q_ag_mwu exclusive-cumsum form, with
+  // the ½ kept exact as a DOUBLED rank 2r̄ = 2·cb + t + 1), and the
+  // row-grain pairing collapses to the (g, x, y) PAIR digest, so the
+  // five rank moments are Σ cnt·f(2rx, 2ry) over pair-grain rows.
+  // Spearman is Pearson of the ranks and Pearson is scale-invariant,
+  // so the doubled ranks drop straight into the q_ag_linreg moment
+  // tree — per-pair products 2rx·2ry stay in BIGINT (wrap-free to
+  // n ≈ 1.5·10⁹ rows per group; beyond that the product itself must
+  // go DECIMAL), multiplied by the pair count only after the DECIMAL
+  // cast, sums in DECIMAL(38,0), one cast to double per moment, fixed
+  // double tree ⇒ identical bits in both engines. Scale: the windows
+  // run at VALUE-DOMAIN grain per group — x is a 50-value domain, y
+  // is catalogue×quantity grain (grows with the part catalogue, three
+  // orders slower than the fact table); the only fact-grain pass is
+  // the pair-digest aggregation, map-side combinable.
+  def spearman(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+    def rankDigest(v: String): DataFrame = {
+      val wEx = Window.partitionBy("g").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy("g", v).agg(count(lit(1)).as("t"))
+        .withColumn("cb", coalesce(sum(col("t")).over(wEx), lit(0L)))
+        .select(col("g"), col(v),
+          (lit(2L) * col("cb") + col("t") + lit(1L)).as(s"r$v"))
+    }
+    val pairs = rows.groupBy("g", "x", "y").agg(count(lit(1)).as("c"))
+    val m = pairs
+      .join(rankDigest("x"), Seq("g", "x"))
+      .join(rankDigest("y"), Seq("g", "y"))
+      .groupBy("g")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("rx")).as("sx"),
+        sum(col("c").cast("decimal(38,0)") * col("ry")).as("sy"),
+        sum(col("c").cast("decimal(38,0)") * (col("rx") * col("rx"))).as("sxx"),
+        sum(col("c").cast("decimal(38,0)") * (col("rx") * col("ry"))).as("sxy"),
+        sum(col("c").cast("decimal(38,0)") * (col("ry") * col("ry"))).as("syy"))
+    m.withColumn("nd", col("n").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("syd", col("sy").cast("double"))
+      .withColumn("cxy",
+        col("nd") * col("sxy").cast("double") - col("sxd") * col("syd"))
+      .withColumn("cxx",
+        col("nd") * col("sxx").cast("double") - col("sxd") * col("sxd"))
+      .withColumn("cyy",
+        col("nd") * col("syy").cast("double") - col("syd") * col("syd"))
+      .select(col("g"), col("n"),
+        when(col("cxx") > 0.0 && col("cyy") > 0.0,
+          col("cxy") / sqrt(col("cxx") * col("cyy"))).otherwise(0.0)
+          .as("spearman"))
+      .orderBy("g")
+  }
+
+  val spearmanSql: String =
+    """WITH rows_ AS MATERIALIZED (
+      |  SELECT l_returnflag AS g,
+      |    CAST(round(l_quantity) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |xd AS MATERIALIZED (
+      |  SELECT g, x,
+      |    2 * CAST(coalesce(sum(t) OVER (PARTITION BY g ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      + t + 1 AS rx
+      |  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+      |        FROM rows_ GROUP BY g, x) xt),
+      |yd AS MATERIALIZED (
+      |  SELECT g, y,
+      |    2 * CAST(coalesce(sum(t) OVER (PARTITION BY g ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      + t + 1 AS ry
+      |  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t
+      |        FROM rows_ GROUP BY g, y) yt),
+      |pd AS MATERIALIZED (
+      |  SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+      |  FROM rows_ GROUP BY g, x, y),
+      |m AS MATERIALIZED (
+      |  SELECT pd.g AS g, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(CAST(c AS DECIMAL(38,0)) * rx) AS sx,
+      |    sum(CAST(c AS DECIMAL(38,0)) * ry) AS sy,
+      |    sum(CAST(c AS DECIMAL(38,0)) * (rx * rx)) AS sxx,
+      |    sum(CAST(c AS DECIMAL(38,0)) * (rx * ry)) AS sxy,
+      |    sum(CAST(c AS DECIMAL(38,0)) * (ry * ry)) AS syy
+      |  FROM pd
+      |  JOIN xd ON pd.g = xd.g AND pd.x = xd.x
+      |  JOIN yd ON pd.g = yd.g AND pd.y = yd.y
+      |  GROUP BY pd.g),
+      |c_ AS MATERIALIZED (
+      |  SELECT g, n, CAST(n AS DOUBLE) AS nd,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+      |  FROM m)
+      |SELECT g, n,
+      |  CASE WHEN cxx > 0.0 AND cyy > 0.0
+      |    THEN cxy / sqrt(cxx * cyy) ELSE 0.0 END AS spearman
+      |FROM c_ ORDER BY g""".stripMargin
+
   // --- q_ev_dau_cum ---------------------------------------------------------
   // DAILY ACTIVE USERS + CUMULATIVE UNIQUE USERS — the growth-curve
   // pair every events product tracks. Cumulative-distinct is
@@ -2114,6 +2225,56 @@ object Analytics {
       |    AS cum_users
       |FROM dau d LEFT JOIN newu n USING (day)
       |ORDER BY d.day""".stripMargin
+
+  // --- q_ev_stickiness ------------------------------------------------------
+  // DAU/WAU STICKINESS — "what fraction of this week's users showed up
+  // today", the engagement-depth ratio beside q_ev_dau_cum's growth
+  // curve. Sliding-window COUNT(DISTINCT) is re-expressed as a bounded
+  // SCATTER: each (user, active-day) row of the distinct user-day
+  // digest contributes to exactly the 7 window anchor days it falls
+  // into, so WAU is explode(0..6) → distinct → count — a fixed 7×
+  // fan-out of the DIGEST (already distinct-compressed), never a
+  // per-day rescan of the event log, and never a row-grain
+  // distinct-over-window (which Spark cannot plan incrementally
+  // anyway). Counts are exact integers; the ratio is one double
+  // division. Output keeps only days with activity (the DAU join).
+  // Scale: two aggregations at user-day grain + a constant fan-out —
+  // at 100 TB the digest is ~|users|·|days|, orders below the fact
+  // table, and both groupBys are map-side combinable.
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(col("user_id"), date_add(col("day"), col("i")).as("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val stickinessSql: String =
+    """WITH ud AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |dau AS MATERIALIZED (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |w AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, day + CAST(g.i AS INTEGER) AS wday
+      |  FROM ud, unnest(generate_series(0, 6)) g(i)),
+      |wau AS MATERIALIZED (
+      |  SELECT wday, CAST(count(*) AS BIGINT) AS wau FROM w GROUP BY wday)
+      |SELECT dau.day AS day, dau, wau,
+      |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+      |FROM dau JOIN wau ON dau.day = wau.wday
+      |ORDER BY day""".stripMargin
 
   // --- q_ag_mode ------------------------------------------------------------
   // EXACT PER-GROUP MODE (most frequent value) — the order statistic
@@ -2240,9 +2401,11 @@ object Analytics {
     "q_ag_mode" -> (mode _),
     "q_ag_bootstrap" -> (bootstrap _),
     "q_ev_dau_cum" -> (dauCum _),
+    "q_ev_stickiness" -> (stickiness _),
     "q_ev_funnel_time" -> (funnelTime _),
     "q_ag_ttest" -> (ttest _),
     "q_ag_linreg" -> (linreg _),
+    "q_ag_spearman" -> (spearman _),
     "q_ag_ks" -> (ks _),
     "q_ev_pattern" -> (pattern _),
     "q_ag_mwu" -> (mwu _),
@@ -2301,9 +2464,11 @@ object Analytics {
     "q_ag_mode" -> modeSql,
     "q_ag_bootstrap" -> bootstrapSql,
     "q_ev_dau_cum" -> dauCumSql,
+    "q_ev_stickiness" -> stickinessSql,
     "q_ev_funnel_time" -> funnelTimeSql,
     "q_ag_ttest" -> ttestSql,
     "q_ag_linreg" -> linregSql,
+    "q_ag_spearman" -> spearmanSql,
     "q_ag_ks" -> ksSql,
     "q_ev_pattern" -> patternSql,
     "q_ag_mwu" -> mwuSql,

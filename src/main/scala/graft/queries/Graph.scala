@@ -486,6 +486,78 @@ object Graph {
        |SELECT dist, n_nodes, min_node, max_node FROM unreached
        |ORDER BY dist""".stripMargin
 
+  // --- q_gr_connected -------------------------------------------------------
+  // CONNECTED COMPONENTS by min-label propagation to FIXPOINT — the
+  // partition primitive under dedup-cluster assembly, blast-radius
+  // questions, and any "how many islands" audit; labelprop finds
+  // communities INSIDE a component, this finds the components. Every
+  // round each node adopts the minimum label among itself and its
+  // neighbors — a pure function of the previous state (bit-stable
+  // across engines/partitionings); convergence is detected by the
+  // standard checkpointed moved-count probe (one scalar per round,
+  // the BFS/Lloyd discipline), reached in at most diameter rounds
+  // with a safety bound. Per round: one join at edge grain + one min
+  // aggregation at node grain; the static adjacency is checkpointed
+  // once and never re-derived. The ORACLE is the recursive
+  // min-reachable walk: propagating only labels smaller than the
+  // receiving node keeps the recursion state at (node, smaller
+  // component member) pairs — every node's min over that set is the
+  // component minimum, because a simple path from the component's
+  // min node never revisits it. 100 TB shape: rounds × |E| join work,
+  // node-grain state, no driver materialization; the large-star/
+  // small-star variant is the constant-factor upgrade when diameters
+  // grow, same state shape. The round cap is a runaway backstop well
+  // above any plausible diameter here — the moved-count early exit is
+  // what actually ends the loop, so a small-diameter graph never pays
+  // for the headroom (and the oracle is the UNCAPPED fixpoint, so an
+  // undersized cap would be a correctness bug, not a perf knob).
+  private val CcMaxRounds = 50
+
+  def connected(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    var changed = 1L
+    var k = 0
+    while (changed > 0L && k < CcMaxRounds) {
+      val nbmin = adj.join(labels, adj("u") === labels("node"))
+        .groupBy(col("v")).agg(min(col("lab")).as("nb"))
+      val next = labels.join(nbmin, labels("node") === nbmin("v"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nb"), col("lab"))).as("lab"),
+          (col("nb").isNotNull && col("nb") < col("lab"))
+            .cast("long").as("moved"))
+        .localCheckpoint()
+      changed = next.agg(sum(col("moved"))).first().getLong(0)
+      labels = next.select("node", "lab")
+      k += 1
+    }
+    labels.groupBy(col("lab").as("component"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+      .orderBy("component")
+  }
+
+  lazy val connectedSql: String =
+    s"""WITH RECURSIVE $coEdgesSql,
+       |adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj),
+       |reach AS (
+       |  SELECT node, node AS lab FROM nodes
+       |  UNION
+       |  SELECT adj.v AS node, r.lab
+       |  FROM reach r JOIN adj ON adj.u = r.node
+       |  WHERE r.lab < adj.v),
+       |comp AS MATERIALIZED (
+       |  SELECT node, min(lab) AS component FROM reach GROUP BY node)
+       |SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  max(node) AS max_node
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
   // --- q_gr_kcore -----------------------------------------------------------
   // K-CORE DECOMPOSITION (k = 3) by iterative peeling — the standard
   // "dense backbone" extractor (community seeds, spam-farm detection,
@@ -797,6 +869,7 @@ object Graph {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gr_item_sim" -> (itemSim _),
     "q_gr_bfs" -> (bfs _),
+    "q_gr_connected" -> (connected _),
     "q_gr_kcore" -> (kcore _),
     "q_gr_pagerank" -> (pageRank _),
     "q_gr_ppr" -> (personalizedPageRank _),
@@ -807,6 +880,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "q_gr_item_sim" -> itemSimSql,
     "q_gr_bfs" -> bfsSql,
+    "q_gr_connected" -> connectedSql,
     "q_gr_kcore" -> kcoreSql,
     "q_gr_pagerank" -> pageRankSql,
     "q_gr_ppr" -> personalizedPageRankSql,

@@ -1761,6 +1761,161 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  /** Shared oracle prefix: the full GD training replay ending in a
+    * `scored(vec_id, score, is_target)` CTE — the linearProbeSql body
+    * factored so AUC/calibration oracles pin the same trajectory. */
+  private lazy val probeScoredCtes: String = {
+    val iterCtes = (1 to ProbeRounds).map { i =>
+      val prev = s"w${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT vec_id, x,
+         |    (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS r
+         |  FROM (SELECT e.vec_id, e.x, e.y,
+         |      (${Vectors.dotSql("e.x", "w.w")}) AS z
+         |    FROM e, $prev w) zz),
+         |g$i AS MATERIALIZED (
+         |  SELECT g.i AS dim,
+         |    SUM(CAST(round(r.r * r.x[g.i] * 1e9) AS BIGINT)) AS gf
+         |  FROM r$i r, unnest(generate_series(1, len(r.x))) g(i)
+         |  GROUP BY g.i),
+         |w$i AS MATERIALIZED (
+         |  SELECT list(wj ORDER BY dim) AS w FROM (
+         |    SELECT g.dim,
+         |      wp.w[g.dim] - 25.0 * (CAST(g.gf AS DOUBLE) / 1e9 / nn.n) AS wj
+         |    FROM g$i g, $prev wp, nn) u)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_prepend(1.0::DOUBLE, list_transform(embedding, t -> t::DOUBLE)) AS x,
+       |    CASE WHEN label = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+       |w0 AS MATERIALIZED (
+       |  SELECT list_transform(generate_series(1, 65), i -> 0.0::DOUBLE) AS w),
+       |$iterCtes,
+       |scored AS MATERIALIZED (
+       |  SELECT vec_id, 0.5 + 0.5 * (z / (1.0 + abs(z))) AS score,
+       |    CAST(y AS BIGINT) AS is_target
+       |  FROM (SELECT e.vec_id, e.y, (${Vectors.dotSql("e.x", "w.w")}) AS z
+       |    FROM e, w$ProbeRounds w) e)""".stripMargin
+  }
+
+  // --- q_sim_auc --------------------------------------------------------
+  // ROC AUC OF THE TRAINED PROBE — the one-number eval every scored
+  // quality filter ships with: the probability a random target
+  // document outranks a random non-target under the probe's score,
+  // ties counted half. Ranks are never materialized per row: over the
+  // per-SCORE-VALUE (pos, neg) digest, the exclusive running negative
+  // total cnb turns the rank-sum into Σ pos·(2·cnb + neg) — the
+  // q_ag_mwu doubling discipline, so the ½-credit for ties stays an
+  // exact integer; the sum rides DECIMAL(38,0) (per-value product
+  // wrap-free to n ≈ 1.5·10⁹ rows) and AUC is ONE double division
+  // with fixed operand order ⇒ identical bits in both engines (the
+  // scores themselves are bit-identical by the probe's softsign
+  // construction — no exp anywhere). Gini = 2·AUC − 1 rides along.
+  // Scale: one aggregation to the score-value digest + the
+  // domain-grain window — fact-grain data crosses the wire once.
+  def probeAuc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = probeWeights(s, d)
+    val scored = probeRows(s, d).select(
+      probeScore(col("x"), w).as("score"), col("y").cast("long").as("pos"))
+    val byVal = scored.groupBy("score")
+      .agg(sum(col("pos")).as("pos"), sum(lit(1L) - col("pos")).as("neg"))
+    val wEx = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal.withColumn("cnb", coalesce(sum(col("neg")).over(wEx), lit(0L)))
+      .groupBy()
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum((col("pos") * (lit(2L) * col("cnb") + col("neg")))
+          .cast("decimal(38,0)")).as("a2"))
+      .withColumn("auc", col("a2").cast("double") /
+        (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+      .select(col("n_pos"), col("n_neg"), col("auc"),
+        (lit(2.0) * col("auc") - lit(1.0)).as("gini"))
+  }
+
+  lazy val probeAucSql: String =
+    s"""WITH $probeScoredCtes,
+       |bv AS MATERIALIZED (
+       |  SELECT score, CAST(sum(is_target) AS BIGINT) AS pos,
+       |    CAST(sum(1 - is_target) AS BIGINT) AS neg
+       |  FROM scored GROUP BY score),
+       |tt AS MATERIALIZED (
+       |  SELECT pos, neg,
+       |    CAST(coalesce(sum(neg) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cnb
+       |  FROM bv),
+       |m AS MATERIALIZED (
+       |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       |    CAST(sum(neg) AS BIGINT) AS n_neg,
+       |    sum(CAST(pos * (2 * cnb + neg) AS DECIMAL(38,0))) AS a2
+       |  FROM tt)
+       |SELECT n_pos, n_neg,
+       |  CAST(a2 AS DOUBLE)
+       |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+       |  2.0 * (CAST(a2 AS DOUBLE)
+       |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0
+       |    AS gini
+       |FROM m""".stripMargin
+
+  // --- q_sim_reliability ------------------------------------------------
+  // CALIBRATION RELIABILITY BINS + ECE for the trained probe — "when
+  // the filter says 0.8, is it right 80% of the time": scores bucket
+  // into 10 fixed-width bins; per bin the hit rate (exact integers)
+  // meets the mean score, and the expected calibration error weights
+  // the gaps by bin mass. Mean scores are NOT summed as doubles
+  // (parallel order would move bits): each score rounds at 1e-9 to a
+  // BIGINT once — the probe-gradient fixed-point discipline — sums
+  // ride DECIMAL(38,0), and conf is one double division. ECE is exact
+  // until its single final division too: Σ_b |1e9·pos_b − s_b| is an
+  // exact integer identity for Σ_b n_b·|acc_b − conf_b| · N·1e9, so
+  // engines can't drift in the weighting. The global ECE joins back
+  // onto the 10-row digest by broadcast. Scale: one aggregation to a
+  // 10-row digest; everything after is constant-size.
+  def probeReliability(s: SparkSession, d: String): DataFrame = {
+    val w = probeWeights(s, d)
+    val scored = probeRows(s, d).select(
+      probeScore(col("x"), w).as("score"), col("y").cast("long").as("pos"))
+    val bins = scored
+      .select(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"),
+        col("pos"),
+        round(col("score") * lit(1.0e9)).cast("long").as("s_fixed"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("s_fixed").cast("decimal(38,0)")).as("s"))
+    val ece = bins.groupBy()
+      .agg((sum(abs((col("n_pos") * lit(1000000000L)).cast("decimal(38,0)")
+          - col("s"))).cast("double")
+        / lit(1.0e9) / sum(col("n")).cast("double")).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("acc"),
+        (col("s").cast("double") / lit(1.0e9) / col("n").cast("double"))
+          .as("conf"),
+        col("ece"))
+      .orderBy("bin")
+  }
+
+  lazy val probeReliabilitySql: String =
+    s"""WITH $probeScoredCtes,
+       |bins AS MATERIALIZED (
+       |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(is_target) AS BIGINT) AS n_pos,
+       |    sum(CAST(CAST(round(score * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS s
+       |  FROM scored GROUP BY 1),
+       |ece AS MATERIALIZED (
+       |  SELECT CAST(sum(abs(CAST(n_pos * 1000000000 AS DECIMAL(38,0)) - s))
+       |      AS DOUBLE) / 1e9 / CAST(sum(n) AS DOUBLE) AS ece
+       |  FROM bins)
+       |SELECT bin, n, n_pos,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+       |  CAST(s AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) AS conf,
+       |  ece.ece AS ece
+       |FROM bins, ece ORDER BY bin""".stripMargin
+
   // --- q_sim_knn_graph ------------------------------------------------------
   // K-NEAREST-NEIGHBOR GRAPH construction, IVF-blocked — the substrate
   // under SemDedup-style semantic clustering, label-noise screens, and
@@ -2058,6 +2213,8 @@ object Similarity {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_linear_probe" -> (linearProbe _),
     "q_sim_probe_weights" -> (linearProbeWeights _),
+    "q_sim_auc" -> (probeAuc _),
+    "q_sim_reliability" -> (probeReliability _),
     "q_sim_ivf_pruned" -> (ivfPrunedTopK _),
     "q_sim_ivfpq_residual" -> (ivfPqResidualTopK _),
     "q_sim_ivfpq_full" -> (ivfPqFullTopK _),
@@ -2084,6 +2241,8 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_sim_linear_probe" -> linearProbeSql,
     "q_sim_probe_weights" -> linearProbeWeightsSql,
+    "q_sim_auc" -> probeAucSql,
+    "q_sim_reliability" -> probeReliabilitySql,
     "q_sim_ivf_pruned" -> ivfPrunedSql,
     "q_sim_ivfpq_residual" -> ivfPqResidualSql,
     "q_sim_ivfpq_full" -> ivfPqFullSql,

@@ -1445,8 +1445,97 @@ object TextAnalysis {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // --- q_tx_zipf ----------------------------------------------------------
+  // ZIPF SLOPE of the corpus — the log-log OLS fit of frequency
+  // against rank over the top-K tokens, the dataset-card statistic
+  // that flags template/boilerplate corpora (slope far from −1) and
+  // complements q_tx_heaps' vocabulary-growth curve. Ranks come from
+  // ONE TakeOrderedAndProject top-K (per-partition heaps, never a
+  // global sort of the vocabulary), and the window that numbers them
+  // runs over the K surviving rows only (the q_tx_drift shape). Both
+  // log axes quantize at 1e-6 into BIGINT — the q_tx_bm25 ln
+  // discipline, absorbing cross-engine ulp drift in ln() — so the
+  // five OLS moments are exact integers in DECIMAL(38,0) and the
+  // slope/intercept/r² tree is fixed-order doubles ⇒ identical bits.
+  // Slope and r² are invariant to the common 1e6 axis scaling; the
+  // intercept divides it back out once. Scale: one token-grain
+  // aggregation + a K-row digest; K is constant.
+  private val ZipfTopK = 1000
+
+  def zipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val topk = counts.orderBy(col("f").desc, col("w")).limit(ZipfTopK)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("f").desc, col("w"))).cast("long"))
+    val m = topk.select(
+        round(log(col("r").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("f").cast("double")) * 1e6).cast("long").as("y"))
+      .groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    m.withColumn("nd", col("n").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("syd", col("sy").cast("double"))
+      .withColumn("cxy",
+        col("nd") * col("sxy").cast("double") - col("sxd") * col("syd"))
+      .withColumn("cxx",
+        col("nd") * col("sxx").cast("double") - col("sxd") * col("sxd"))
+      .withColumn("cyy",
+        col("nd") * col("syy").cast("double") - col("syd") * col("syd"))
+      .select(col("n").as("n_tokens"),
+        (col("cxy") / col("cxx")).as("slope"),
+        ((col("syd") - col("cxy") / col("cxx") * col("sxd")) / col("nd")
+          / lit(1.0e6)).as("intercept"),
+        (col("cxy") * col("cxy") / (col("cxx") * col("cyy"))).as("r2"))
+  }
+
+  val zipfSql: String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT unnest($tokensSql) AS w FROM documents),
+       |counts AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+       |topk AS MATERIALIZED (
+       |  SELECT w, f, CAST(rn AS BIGINT) AS r FROM (
+       |    SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS rn
+       |    FROM counts)
+       |  WHERE rn <= $ZipfTopK),
+       |xy AS MATERIALIZED (
+       |  SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+       |  FROM topk),
+       |m AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+       |  FROM xy),
+       |c_ AS MATERIALIZED (
+       |  SELECT n, CAST(n AS DOUBLE) AS nd,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+       |  FROM m)
+       |SELECT n AS n_tokens, cxy / cxx AS slope,
+       |  (syd - cxy / cxx * sxd) / nd / 1e6 AS intercept,
+       |  cxy * cxy / (cxx * cyy) AS r2
+       |FROM c_""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_bm25" -> (bm25 _),
+    "q_tx_zipf" -> (zipf _),
     "q_tx_hybrid_rrf" -> (hybridRrf _),
     "q_tx_bm25_incr" -> (bm25Incr _),
     "q_tx_heavy_hitters" -> (heavyHittersQ _),
@@ -1473,6 +1562,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_tx_bm25" -> bm25Sql,
+    "q_tx_zipf" -> zipfSql,
     "q_tx_hybrid_rrf" -> hybridRrfSql,
     "q_tx_bm25_incr" -> bm25Sql, // oracle = FULL recompute: merge ≡ rebuild
     "q_tx_trigram_backoff" -> trigramBackoffSql,

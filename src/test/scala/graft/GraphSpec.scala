@@ -229,4 +229,34 @@ class GraphSpec extends SparkSpec {
         s"hop $d id range")
     }
   }
+
+  test("connected components equal a union-find over the collected edge set") {
+    val rows = Graph.connected(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // larger root attaches under smaller, so every final root is its
+      // component's minimum — the operator's component id convention
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = parent.keys.toSeq.map(n => (find(n), n)).groupBy(_._1)
+    assert(rows.length === comps.size, "component count")
+    rows.foreach { r =>
+      val c = r.getAs[Long]("component")
+      val members = comps(c).map(_._2)
+      assert(members.min === c, s"component id $c is not its minimum node")
+      assert(r.getAs[Long]("n_nodes") === members.size.toLong, s"size of $c")
+      assert(r.getAs[Long]("max_node") === members.max, s"max of $c")
+    }
+    // partition property: sizes sum to the node universe
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum === nodes.length.toLong)
+  }
 }

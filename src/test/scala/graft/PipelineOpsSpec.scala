@@ -1359,4 +1359,135 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("source")).toSet ===
       docs.map(_._1).toSet, "every source has a card row")
   }
+
+  test("spearman: matches Pearson over brute tie-averaged ranks per group") {
+    val rows = Analytics.spearman(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    def ranks(vs: Seq[Long]): Map[Long, Double] =
+      vs.sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+        (v, xs.map(_._2 + 1).sum.toDouble / xs.length)
+      }
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val pts = raw(g)
+      val rx = ranks(pts.map(_._2)); val ry = ranks(pts.map(_._3))
+      val pairs = pts.map(p => (rx(p._2), ry(p._3)))
+      val n = pairs.length.toDouble
+      val mx = pairs.map(_._1).sum / n; val my = pairs.map(_._2).sum / n
+      val cxy = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val cxx = pairs.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      val cyy = pairs.map { case (_, y) => (y - my) * (y - my) }.sum
+      val brute = cxy / math.sqrt(cxx * cyy)
+      assert(r.getAs[Long]("n") === pts.length.toLong)
+      val got = r.getAs[Double]("spearman")
+      assert(math.abs(got - brute) < 1e-9, s"$g: $got vs brute $brute")
+      assert(got >= -1.0 - 1e-12 && got <= 1.0 + 1e-12)
+    }
+  }
+
+  test("probe AUC equals the brute pairwise win rate over probe scores") {
+    val Array(r) = Similarity.probeAuc(spark, sf).collect()
+    val scored = Similarity.linearProbe(spark, sf).collect()
+      .map(x => (x.getAs[Double]("score"), x.getAs[Long]("is_target")))
+    val pos = scored.filter(_._2 == 1L).map(_._1)
+    val neg = scored.filter(_._2 == 0L).map(_._1)
+    assert(r.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") === neg.length.toLong)
+    var wins2 = 0L // doubled: 2 per strict win, 1 per tie
+    for (p <- pos; q <- neg)
+      wins2 += (if (p > q) 2L else if (p == q) 1L else 0L)
+    val brute = wins2.toDouble / (2.0 * pos.length * neg.length)
+    val auc = r.getAs[Double]("auc")
+    assert(math.abs(auc - brute) < 1e-12, s"auc $auc vs brute $brute")
+    assert(math.abs(r.getAs[Double]("gini") - (2.0 * auc - 1.0)) < 1e-12)
+    // the trained probe must actually rank: well above coin-flip
+    assert(auc > 0.7, s"trained probe AUC too low: $auc")
+  }
+
+  test("probe reliability: bin partition exact, ECE equals the weighted gap sum") {
+    val rows = Similarity.probeReliability(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scored = Similarity.linearProbe(spark, sf).collect()
+      .map(x => (x.getAs[Double]("score"), x.getAs[Long]("is_target")))
+    val n = scored.length.toLong
+    assert(rows.map(_.getAs[Long]("n")).sum === n, "bins partition the corpus")
+    var wgap = 0.0
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      val mine = scored.filter(s => math.min(math.floor(s._1 * 10).toLong, 9L) == b)
+      assert(r.getAs[Long]("n") === mine.length.toLong, s"bin $b n")
+      assert(r.getAs[Long]("n_pos") === mine.count(_._2 == 1L).toLong, s"bin $b pos")
+      val acc = r.getAs[Double]("acc"); val conf = r.getAs[Double]("conf")
+      assert(acc >= 0.0 && acc <= 1.0 && conf >= 0.0 && conf <= 1.0)
+      // conf is the fixed-point mean: within a half-quantum of the double mean
+      val meanS = mine.map(_._1).sum / mine.length
+      assert(math.abs(conf - meanS) < 1e-8, s"bin $b conf")
+      wgap += mine.length.toDouble / n.toDouble * math.abs(acc - conf)
+    }
+    val ece = rows.head.getAs[Double]("ece")
+    assert(rows.forall(r => r.getAs[Double]("ece") === ece), "ece constant")
+    assert(math.abs(ece - wgap) < 1e-8, s"ece $ece vs brute $wgap")
+  }
+
+  test("stickiness: WAU is the brute 7-day distinct union; ratio bounded by 1") {
+    val rows = Analytics.stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toLocalDate))
+    val activeDays = ud.map(_._2).distinct
+    assert(rows.length === activeDays.length, "one row per active day")
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toLocalDate
+      val dau = ud.filter(_._2 == day).map(_._1).distinct.length
+      val wau = ud.filter(u => {
+        val delta = java.time.temporal.ChronoUnit.DAYS.between(u._2, day)
+        delta >= 0 && delta <= 6
+      }).map(_._1).distinct.length
+      assert(r.getAs[Long]("dau") === dau.toLong, s"$day dau")
+      assert(r.getAs[Long]("wau") === wau.toLong, s"$day wau")
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0 + 1e-12, s"$day stickiness $st")
+    }
+  }
+
+  test("zipf: OLS over quantized log-log moments matches a BigInt recompute; slope negative") {
+    val Array(r) = TextAnalysis.zipf(spark, sf).collect()
+    val counts = graft.Tables.documents(spark, sf)
+      .select(explode(when(length(trim(col("text"))) === 0,
+          array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(x => (x.getAs[String]("w"), x.getAs[Long]("f")))
+    val topk = counts.sortBy(t => (-t._2, t._1)).take(1000)
+    assert(r.getAs[Long]("n_tokens") === topk.length.toLong)
+    val xy = topk.zipWithIndex.map { case ((_, f), i) =>
+      (BigInt(math.round(math.log((i + 1).toDouble) * 1e6)),
+        BigInt(math.round(math.log(f.toDouble) * 1e6)))
+    }
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val nd = n.toDouble
+    val cxy = nd * sxy.toDouble - sx.toDouble * sy.toDouble
+    val cxx = nd * sxx.toDouble - sx.toDouble * sx.toDouble
+    val cyy = nd * syy.toDouble - sy.toDouble * sy.toDouble
+    val slope = r.getAs[Double]("slope")
+    assert(math.abs(slope - cxy / cxx) < 1e-9, "slope")
+    assert(math.abs(r.getAs[Double]("r2") - cxy * cxy / (cxx * cyy)) < 1e-9, "r2")
+    assert(slope < 0.0, "Zipf slope must be negative")
+    // the synthetic corpus is deliberately NOT Zipfian (near-uniform
+    // frequencies -> weak fit); that weak r2 is exactly the signal the
+    // screen exists to surface, so only bound it
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, "r2 range")
+  }
 }
