@@ -1445,6 +1445,91 @@ object TextAnalysis {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // --- q_tx_dsir ----------------------------------------------------------
+  // DSIR-STYLE IMPORTANCE RESAMPLING (Xie et al. 2023, public paper) —
+  // select raw-corpus documents whose hashed-unigram distribution
+  // looks most like a TARGET domain: the standard domain-targeted
+  // data-selection operator beside the perplexity filter
+  // (q_tx_lm_filter ranks by fluency under ONE model; this ranks by
+  // the LIKELIHOOD RATIO between two). Features are md5-hashed
+  // unigram buckets (B = 4096, the portable md5Int32 both engines
+  // share); the per-bucket add-one log ratio
+  // ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)) quantizes at 1e-6 into
+  // BIGINT — the q_tx_bm25 ln discipline — so each document's
+  // importance weight is an EXACT integer sum of its tokens' bucket
+  // scores (wrap-free to ~10¹² tokens per document) and the top-K cut
+  // is bit-stable. The normalizers stay inside the per-bucket ln (not
+  // factored out): they weight by document LENGTH, which is the
+  // paper's actual ratio. Scale: one token-grain aggregation to the
+  // 4096-bucket table (broadcast back to the token stream — the
+  // model is bucket-grain, never joined by shuffle), one map-side
+  // combinable per-doc sum, TakeOrderedAndProject for the cut.
+  private val DsirBuckets = 4096L
+  private val DsirTopK = 100
+  private val DsirTargetSrcs = Seq("src0", "src1")
+
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .withColumn("b", Hashes.md5Int32(col("w")) % DsirBuckets)
+    val isT = col("source").isin(DsirTargetSrcs: _*)
+    val counts = tok.groupBy("b")
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        sum(when(isT, 0L).otherwise(1L)).as("cr"))
+    val tot = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lr = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((col("ct") + lit(1L)).cast("double") /
+            (col("nt") + lit(DsirBuckets)).cast("double"))
+          - log((col("cr") + lit(1L)).cast("double") /
+            (col("nr") + lit(DsirBuckets)).cast("double"))) * 1e6)
+          .cast("long").as("lr"))
+    tok.filter(!isT)
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("lw"))
+      .orderBy(col("lw").desc, col("doc_id")).limit(DsirTopK)
+      .select(col("doc_id"), col("n_tokens"), col("lw"),
+        (col("lw").cast("double") / 1e6).as("log_ratio"))
+      .orderBy(col("lw").desc, col("doc_id"))
+  }
+
+  lazy val dsirSql: String = {
+    val targets = DsirTargetSrcs.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, source, unnest($tokensSql) AS w FROM documents),
+       |tb AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    ${Hashes.md5Int32Sql("w")} % $DsirBuckets AS b
+       |  FROM tok),
+       |counts AS MATERIALIZED (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN source IN ($targets) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN source IN ($targets) THEN 0 ELSE 1 END)
+       |      AS BIGINT) AS cr
+       |  FROM tb GROUP BY b),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS nt,
+       |    CAST(sum(cr) AS BIGINT) AS nr FROM counts),
+       |lr AS MATERIALIZED (
+       |  SELECT b,
+       |    CAST(round((ln(CAST(ct + 1 AS DOUBLE)
+       |        / CAST(nt + $DsirBuckets AS DOUBLE))
+       |      - ln(CAST(cr + 1 AS DOUBLE)
+       |        / CAST(nr + $DsirBuckets AS DOUBLE))) * 1e6) AS BIGINT) AS lr
+       |  FROM counts, tot),
+       |cand AS MATERIALIZED (
+       |  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(lr.lr) AS BIGINT) AS lw
+       |  FROM tb JOIN lr USING (b)
+       |  WHERE tb.source NOT IN ($targets)
+       |  GROUP BY tb.doc_id)
+       |SELECT doc_id, n_tokens, lw, CAST(lw AS DOUBLE) / 1e6 AS log_ratio
+       |FROM cand ORDER BY lw DESC, doc_id LIMIT $DsirTopK""".stripMargin
+  }
+
   // --- q_tx_zipf ----------------------------------------------------------
   // ZIPF SLOPE of the corpus — the log-log OLS fit of frequency
   // against rank over the top-K tokens, the dataset-card statistic
@@ -1536,6 +1621,7 @@ object TextAnalysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_bm25" -> (bm25 _),
     "q_tx_zipf" -> (zipf _),
+    "q_tx_dsir" -> (dsir _),
     "q_tx_hybrid_rrf" -> (hybridRrf _),
     "q_tx_bm25_incr" -> (bm25Incr _),
     "q_tx_heavy_hitters" -> (heavyHittersQ _),
@@ -1563,6 +1649,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_tx_bm25" -> bm25Sql,
     "q_tx_zipf" -> zipfSql,
+    "q_tx_dsir" -> dsirSql,
     "q_tx_hybrid_rrf" -> hybridRrfSql,
     "q_tx_bm25_incr" -> bm25Sql, // oracle = FULL recompute: merge ≡ rebuild
     "q_tx_trigram_backoff" -> trigramBackoffSql,
