@@ -1575,19 +1575,34 @@ object Analytics {
   // DETERMINISTIC POISSON-BOOTSTRAP confidence intervals for the
   // per-type mean value — the error bar every "metric moved" claim
   // needs, computed without rand(): replica b reweights each row by a
-  // Poisson(1) draw taken from the inverse CDF of
-  // u = md5Int48(event_id ∥ b)/2^48 (the standard streaming-bootstrap
-  // reweighting — sampling WITH replacement becomes independent
-  // per-row counts, which is the only formulation that scales and the
-  // only one an oracle can replay bit-for-bit: same integer hash →
-  // same double u → same thresholds → same weight in both engines).
+  // Poisson(1) draw taken from the inverse CDF of a per-(row, b)
+  // uniform (the standard streaming-bootstrap reweighting — sampling
+  // WITH replacement becomes independent per-row counts, which is the
+  // only formulation that scales and the only one an oracle can
+  // replay bit-for-bit). The uniform is derived from ONE md5 per row
+  // plus a cheap integer substream mix per replica: the first cut
+  // hashed (event_id ∥ b) with md5 per replica, which made this the
+  // suite's most expensive query (64 full md5s per input row for what
+  // is one bit-depth of entropy). Now: h48 = md5Int48(event_id) once,
+  // then s = LCG(LCG(seed(h48, b)) ⊞ midsquare) — two affine rounds
+  // around a squaring step. The squaring is load-bearing: a purely
+  // affine chain would make the 64 per-row uniforms an arithmetic
+  // progression of each other (affine maps preserve differences mod
+  // M), i.e. rotation sampling, not 64 decorrelated replicas. All ops
+  // are + * % and integer-div on values provably < 2^62, so DuckDB's
+  // checked BIGINT arithmetic replays the stream bit-for-bit.
   // Replica means are exact-integer weighted cent sums divided once in
   // double space; the CI is the ceiling-rank 2.5%/97.5% order
   // statistics of the B=64 replica means (rank window over a
-  // 64-row-per-type digest, b tie-break). Scale: the explode is
-  // scan-side ×B, the aggregation is map-side-combinable to
-  // (type, b) digests — B bounds everything after.
+  // 64-row-per-type digest, b tie-break). Scale: the md5 is once per
+  // row pre-explode, the explode is scan-side ×B, the aggregation is
+  // map-side-combinable to (type, b) digests — B bounds everything
+  // after.
   private val BootB = 64
+  private val BootM = 2147483648L // 2^31: state space; a*s < 2^62 stays exact
+  private val BootA = 1103515245L // classic LCG multiplier (< 2^31)
+  private val BootC = 12345L
+  private val BootBMix = 1327217885L // odd 31-bit golden-ratio-ish b stride
   // P(Pois(1) ≤ k) thresholds, k = 0..5; draws cap at 6
   private val PoisCdf: Seq[Double] = {
     val lam = 1.0
@@ -1599,13 +1614,23 @@ object Analytics {
   def bootstrap(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.events(s, d)
-      .select(col("event_type"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-    val u = Hashes.md5Int48(concat(col("event_id").cast("string"),
-      lit("_"), col("b").cast("string"))).cast("double") /
-      lit(281474976710656.0) // 2^48
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        Hashes.md5Int48(col("event_id").cast("string")).as("h48"))
+    // Substream mix (see header): seed folds the high 17 bits of h48
+    // and the replica index into the low 31; two LCG rounds bracket a
+    // mid-square step so replicas are not affine images of each other.
+    val s0 = (col("h48") % lit(BootM) + expr(s"h48 div $BootM") * lit(65537L)
+      + col("b") * lit(BootBMix)) % lit(BootM)
+    val s1 = (lit(BootA) * s0 + lit(BootC)) % lit(BootM)
+    val sq = expr(s"(s1 * s1) div 32768") % lit(BootM)
+    val s2 = (lit(BootA) * ((col("s1") + sq) % lit(BootM)) + lit(BootC)) %
+      lit(BootM)
+    val u = col("s2").cast("double") / lit(BootM.toDouble)
     val weighted = base
       .withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
+      .withColumn("s1", s1)
+      .withColumn("s2", s2)
       .withColumn("w", PoisCdf.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
         case ((t, k), rest) => when(u < lit(t), lit(k.toLong)).otherwise(rest)
       })
@@ -1636,14 +1661,21 @@ object Analytics {
       .map { case (t, k) => s"WHEN u < CAST(${t} AS DOUBLE) THEN $k" }
       .mkString("\n      ")
     s"""WITH base AS MATERIALIZED (
-       |  SELECT event_type, event_id,
-       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    ${Hashes.md5Int48Sql("event_id::VARCHAR")} AS h48
        |  FROM events),
+       |seeded AS MATERIALIZED (
+       |  SELECT event_type, cents, b,
+       |    ($BootA * ((h48 % $BootM + (h48 // $BootM) * 65537
+       |      + b * $BootBMix) % $BootM) + $BootC) % $BootM AS s1
+       |  FROM base, unnest(generate_series(0, ${BootB - 1})) AS g(b)),
        |drawn AS MATERIALIZED (
        |  SELECT event_type, cents, b,
-       |    ${Hashes.md5Int48Sql("event_id::VARCHAR || '_' || b::VARCHAR")}::DOUBLE
-       |      / CAST(281474976710656.0 AS DOUBLE) AS u
-       |  FROM base, unnest(generate_series(0, ${BootB - 1})) AS g(b)),
+       |    (($BootA * ((s1 + (s1 * s1) // 32768 % $BootM) % $BootM)
+       |      + $BootC) % $BootM)::DOUBLE
+       |      / CAST(${BootM.toDouble} AS DOUBLE) AS u
+       |  FROM seeded),
        |weighted AS MATERIALIZED (
        |  SELECT event_type, cents, b,
        |    CAST(CASE $cdf ELSE 6 END AS BIGINT) AS w

@@ -535,6 +535,12 @@ object Graph {
       labels = next.select("node", "lab")
       k += 1
     }
+    // The oracle is the UNCAPPED fixpoint: exiting with labels still
+    // moving would silently return a wrong partition, so an undersized
+    // cap must fail loudly here rather than downstream in a hash diff.
+    require(changed == 0L,
+      s"connected(): label propagation still moving after $CcMaxRounds " +
+        "rounds - raise CcMaxRounds (graph eccentricity exceeds the cap)")
     labels.groupBy(col("lab").as("component"))
       .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
       .orderBy("component")

@@ -834,8 +834,11 @@ object Similarity {
   /** Run `iters` Lloyd rounds; returns the trained centroids. */
   private[graft] def lloydCentroids(s: SparkSession, d: String,
       iters: Int): IndexedSeq[IndexedSeq[Double]] = {
+    // Pinned once for all rounds: each round is a separate job, and
+    // without the pin every one re-reads + re-casts the parquet scan.
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
     var cents: IndexedSeq[IndexedSeq[Double]] =
       (0 until NumCentroids).map(centroidWeights)
     for (_ <- 1 to iters) {
@@ -862,7 +865,12 @@ object Similarity {
   }
 
   def kmeansLloyd(s: SparkSession, d: String): DataFrame = {
-    val cents = lloydCentroids(s, d, LloydIters)
+    // Through the per-fingerprint cache: the first cut retrained the
+    // 3 Lloyd rounds on EVERY call (3 extra jobs + 3 Janino compiles
+    // of the K×dim literal-dot tree per bench run — the r11 3×
+    // regression); training is an index-build artifact shared with
+    // the IVF family, so pay it once per staged dataset.
+    val cents = trainedCentroids(s, d)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // final assignment carries the FULL squared distance (v·v + c·c −
@@ -1813,8 +1821,20 @@ object Similarity {
   // with fixed operand order ⇒ identical bits in both engines (the
   // scores themselves are bit-identical by the probe's softsign
   // construction — no exp anywhere). Gini = 2·AUC − 1 rides along.
-  // Scale: one aggregation to the score-value digest + the
-  // domain-grain window — fact-grain data crosses the wire once.
+  // Scale: probe scores are near-unique doubles, so the score-value
+  // digest is ~row-grain — a single global ORDER BY score window
+  // would funnel it through one partition. The exclusive prefix cnb
+  // is therefore a RANGE-PARTITIONED TWO-PASS PREFIX SUM: scores
+  // (∈ (0,1) by the softsign construction) land in B=1024 fixed range
+  // buckets; pass 1 aggregates per-bucket negative totals and windows
+  // the ≤B-row digest into exclusive bucket offsets; pass 2
+  // broadcasts the offsets back and finishes with a PARTITIONED
+  // within-bucket window — every window either runs over a
+  // constant-size digest or is partitioned, so no single-node sort at
+  // any grain. The cnb longs are identical to the one-window form, so
+  // the oracle keeps the simple global-window SQL.
+  private val AucBuckets = 1024
+
   def probeAuc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = probeWeights(s, d)
@@ -1822,9 +1842,17 @@ object Similarity {
       probeScore(col("x"), w).as("score"), col("y").cast("long").as("pos"))
     val byVal = scored.groupBy("score")
       .agg(sum(col("pos")).as("pos"), sum(lit(1L) - col("pos")).as("neg"))
-    val wEx = Window.orderBy("score")
+      .withColumn("bk", least(floor(col("score") * AucBuckets).cast("long"),
+        lit(AucBuckets - 1L)))
+    val wBk = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byVal.groupBy("bk").agg(sum(col("neg")).as("bneg"))
+      .withColumn("off", coalesce(sum(col("bneg")).over(wBk), lit(0L)))
+      .select("bk", "off")
+    val wIn = Window.partitionBy("bk").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
-    byVal.withColumn("cnb", coalesce(sum(col("neg")).over(wEx), lit(0L)))
+    byVal.join(broadcast(offsets), Seq("bk"))
+      .withColumn("cnb",
+        col("off") + coalesce(sum(col("neg")).over(wIn), lit(0L)))
       .groupBy()
       .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
         sum((col("pos") * (lit(2L) * col("cnb") + col("neg")))

@@ -1574,11 +1574,20 @@ object TextAnalysis {
         col("nd") * col("sxx").cast("double") - col("sxd") * col("sxd"))
       .withColumn("cyy",
         col("nd") * col("syy").cast("double") - col("syd") * col("syd"))
+      // Degenerate-corpus guards (the linreg/spearman discipline): a
+      // single-rank or all-equal-frequency top-K makes cxx or cyy
+      // zero, and the unguarded ratios would emit NaN — define slope/
+      // intercept as the flat fit and r² as 0 there instead.
       .select(col("n").as("n_tokens"),
-        (col("cxy") / col("cxx")).as("slope"),
-        ((col("syd") - col("cxy") / col("cxx") * col("sxd")) / col("nd")
-          / lit(1.0e6)).as("intercept"),
-        (col("cxy") * col("cxy") / (col("cxx") * col("cyy"))).as("r2"))
+        when(col("cxx") > 0, col("cxy") / col("cxx"))
+          .otherwise(lit(0.0)).as("slope"),
+        when(col("cxx") > 0,
+          (col("syd") - col("cxy") / col("cxx") * col("sxd")) / col("nd")
+            / lit(1.0e6))
+          .otherwise(col("syd") / col("nd") / lit(1.0e6)).as("intercept"),
+        when(col("cxx") > 0 && col("cyy") > 0,
+          col("cxy") * col("cxy") / (col("cxx") * col("cyy")))
+          .otherwise(lit(0.0)).as("r2"))
   }
 
   val zipfSql: String =
@@ -1613,9 +1622,12 @@ object TextAnalysis {
        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
        |  FROM m)
-       |SELECT n AS n_tokens, cxy / cxx AS slope,
-       |  (syd - cxy / cxx * sxd) / nd / 1e6 AS intercept,
-       |  cxy * cxy / (cxx * cyy) AS r2
+       |SELECT n AS n_tokens,
+       |  CASE WHEN cxx > 0 THEN cxy / cxx ELSE 0.0 END AS slope,
+       |  CASE WHEN cxx > 0 THEN (syd - cxy / cxx * sxd) / nd / 1e6
+       |       ELSE syd / nd / 1e6 END AS intercept,
+       |  CASE WHEN cxx > 0 AND cyy > 0 THEN cxy * cxy / (cxx * cyy)
+       |       ELSE 0.0 END AS r2
        |FROM c_""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
