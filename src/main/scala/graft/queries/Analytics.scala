@@ -1389,10 +1389,12 @@ object Analytics {
     * Long.MinValue). Width comes from the per-group range in
     * DECIMAL(38,0) on the O(groups) stats frame only (never per
     * datum), giving ≤ 4098 aligned buckets per group over ANY Long
-    * domain. The per-(group, label) target frame is localCheckpointed:
-    * it is tiny (|groups|·|spec| rows), read by both output arms, and
-    * lives on executors — not the driver. Output columns:
-    * (g, quantile, n, value_cents).
+    * domain. Width 1 needs no special arm: bucket id == value there,
+    * so pass C's residual rank trivially returns the bucket id —
+    * keeping the target frame single-consumer (no checkpoint, no
+    * eager job; the r11 two-arm union pinned it for nothing and the
+    * extra job per selection was most of q_t14_mad's wall time).
+    * Output columns: (g, quantile, n, value_cents).
     */
   private[graft] def selectAtRanks(
       base: DataFrame, spec: Seq[(String, Long, Long)]): DataFrame = {
@@ -1423,31 +1425,31 @@ object Analytics {
       .filter(col("cum") >= col("k") && col("cum") - col("c") < col("k"))
       .select(col("g"), col("quantile"), col("gn"), col("gw"),
         col("b").as("bstar"), (col("k") - col("cum") + col("c")).as("gr"))
-      .localCheckpoint()
-    // width 1 means bucket id == value: emit directly, no pass C
-    val direct = targets.filter(col("gw") === 1L)
-      .select(col("g"), col("quantile"), col("gn").as("n"),
-        col("bstar").as("value_cents"))
     val wrk = Window.partitionBy("g", "quantile").orderBy("v")
-    val narrowed = base.join(targets.filter(col("gw") > 1L), "g")
+    base.join(targets, "g")
       .filter(bucketOf === col("bstar"))
       .withColumn("rk", row_number().over(wrk))
       .filter(col("rk") === col("gr"))
       .select(col("g"), col("quantile"), col("gn").as("n"),
         col("v").as("value_cents"))
-    direct.unionByName(narrowed)
   }
 
   /** Selection core over any (g: string, v: bigint) frame — the lower
     * median is rank ⌈n/2⌉, i.e. the (label, 1, 2) spec entry. */
-  def exactMedianOf(s: SparkSession, input: DataFrame): DataFrame = {
-    val base = input.localCheckpoint() // three bounded passes read it
+  def exactMedianOf(s: SparkSession, input: DataFrame): DataFrame =
+    exactMedianOfPinned(input.localCheckpoint()) // 3 bounded passes read it
+
+  /** exactMedianOf for inputs the CALLER already pinned (q_t14_mad
+    * checkpoints its daily/dev frames for its own reuse — a second
+    * checkpoint of a projection of a pinned frame is a pure extra
+    * materialization job, and at two selections per query that
+    * overhead dominated the whole screen). */
+  def exactMedianOfPinned(base: DataFrame): DataFrame =
     selectAtRanks(base, Seq(("m", 1L, 2L)))
       .select(col("g"), col("n"),
         col("value_cents").as("median_cents"),
         (col("value_cents").cast("double") / 100.0).as("median"))
       .orderBy("g")
-  }
 
   // --- q_ag_exact_quantiles -------------------------------------------------
   // The selection machinery generalized: p25/p50/p75/p95/p99 per group

@@ -650,13 +650,13 @@ object Temporal {
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
       .localCheckpoint() // two selection passes + the final join read it
-    val med = Analytics.exactMedianOf(s,
+    val med = Analytics.exactMedianOfPinned(
         daily.select(col("event_type").as("g"), col("x").as("v")))
       .select(col("g").as("event_type"), col("median_cents").as("med"))
     val dev = daily.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("x") - col("med")))
       .localCheckpoint()
-    val mad = Analytics.exactMedianOf(s,
+    val mad = Analytics.exactMedianOfPinned(
         dev.select(col("event_type").as("g"), col("dev").as("v")))
       .select(col("g").as("event_type"), col("median_cents").as("mad"))
     dev.join(broadcast(mad), "event_type")
