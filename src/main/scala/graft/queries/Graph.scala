@@ -513,8 +513,14 @@ object Graph {
   // undersized cap would be a correctness bug, not a perf knob).
   private val CcMaxRounds = 50
 
-  def connected(s: SparkSession, d: String): DataFrame = {
-    val und = coEdges(s, d)
+  def connected(s: SparkSession, d: String): DataFrame =
+    connectedOf(coEdges(s, d))
+
+  /** Propagation core over any undirected (a, b) edge frame — exposed
+    * so specs can drive multi-component fixtures (the testdata
+    * co-purchase graph is one giant component at every SF, which never
+    * exercises the labeling across components). */
+  private[graft] def connectedOf(und: DataFrame): DataFrame = {
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()

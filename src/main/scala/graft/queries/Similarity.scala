@@ -1904,8 +1904,15 @@ object Similarity {
   // 10-row digest; everything after is constant-size.
   def probeReliability(s: SparkSession, d: String): DataFrame = {
     val w = probeWeights(s, d)
-    val scored = probeRows(s, d).select(
-      probeScore(col("x"), w).as("score"), col("y").cast("long").as("pos"))
+    reliabilityBinsOf(probeRows(s, d).select(
+      probeScore(col("x"), w).as("score"), col("y").cast("long").as("pos")))
+  }
+
+  /** Binning core over any (score ∈ [0,1), pos ∈ {0,1}) frame —
+    * exposed so specs can drive a distribution spanning all 10 bins
+    * (the trained probe concentrates scores near 0.5 at small SF,
+    * leaving most bins empty). */
+  private[graft] def reliabilityBinsOf(scored: DataFrame): DataFrame = {
     val bins = scored
       .select(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"),
         col("pos"),

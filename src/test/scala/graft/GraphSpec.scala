@@ -259,4 +259,25 @@ class GraphSpec extends SparkSpec {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     assert(rows.map(_.getAs[Long]("n_nodes")).sum === nodes.length.toLong)
   }
+
+  test("connected components label a multi-component fixture correctly") {
+    // The testdata co-purchase graph is one giant component at every
+    // SF, so the sf-driven test above never exercises labeling ACROSS
+    // components: drive the propagation core on a fixture with three
+    // components of different shapes — a 5-node chain (forces several
+    // propagation rounds: eccentricity from the min node is 4), a
+    // triangle with a tail, and an isolated pair — and check the
+    // id-is-min convention, sizes, and maxima per component.
+    import ss.implicits._
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), // chain 1-2-3-4-5
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L), // triangle + tail
+      (21L, 20L)) // pair
+      .toDF("a", "b")
+    val rows = graft.queries.Graph.connectedOf(edges)
+      .collect().map(r => (r.getAs[Long]("component"),
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("max_node")))).toMap
+    assert(rows === Map(1L -> ((5L, 5L)), 10L -> ((4L, 13L)),
+      20L -> ((2L, 21L))))
+  }
 }

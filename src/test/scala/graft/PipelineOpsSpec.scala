@@ -1434,6 +1434,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(ece - wgap) < 1e-8, s"ece $ece vs brute $wgap")
   }
 
+  test("reliability bins: all 10 bins populated on a spanning fixture") {
+    // The trained probe concentrates scores near 0.5 at small SF, so
+    // the sf-driven test above populates one bin: drive the binning
+    // core on a fixture spanning all 10 bins with a known per-bin
+    // (acc, conf) so the ECE identity is checked across bins — bin b
+    // gets 3 scores {b.02, b.05, b.08}/10 with pos = (b odd, b odd, 1).
+    import ss.implicits._
+    val scored = (0 until 10).flatMap { b =>
+      Seq(0.02, 0.05, 0.08).zip(Seq(b % 2, b % 2, 1)).map {
+        case (f, p) => (b / 10.0 + f, p.toLong)
+      }
+    }.toDF("score", "pos")
+    val rows = Similarity.reliabilityBinsOf(scored).collect()
+    assert(rows.length === 10, "all 10 bins populated")
+    var wgap = 0.0
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(r.getAs[Long]("n") === 3L)
+      val expPos = if (b % 2 == 1) 3L else 1L
+      assert(r.getAs[Long]("n_pos") === expPos, s"bin $b pos")
+      val acc = r.getAs[Double]("acc"); val conf = r.getAs[Double]("conf")
+      assert(math.abs(acc - expPos / 3.0) < 1e-12, s"bin $b acc")
+      assert(math.abs(conf - (b / 10.0 + 0.05)) < 1e-9, s"bin $b conf")
+      wgap += 3.0 / 30.0 * math.abs(acc - conf)
+    }
+    assert(math.abs(rows.head.getAs[Double]("ece") - wgap) < 1e-8, "ece")
+  }
+
   test("stickiness: WAU is the brute 7-day distinct union; ratio bounded by 1") {
     val rows = Analytics.stickiness(spark, sf).collect()
     assert(rows.nonEmpty)
