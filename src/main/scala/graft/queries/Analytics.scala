@@ -2429,7 +2429,304 @@ object Analytics {
       |GROUP BY role, touch_type
       |ORDER BY role, touch_type""".stripMargin
 
+  // --- q_ag_chi2 ------------------------------------------------------------
+  // CHI-SQUARE TEST OF INDEPENDENCE between the two document
+  // categoricals (lang × source) + CRAMÉR'S V effect size — the
+  // dataset-card screen for "is my corpus's language mix uniform
+  // across sources, or does one crawl dominate a language?". The
+  // contingency table INCLUDES structurally-empty cells (O = 0
+  // contributes E to the statistic — dropping them understates χ²),
+  // built as the row-margin × column-margin cross of the two tiny
+  // marginal digests left-joined against observed cells. Margins and
+  // observations are exact BIGINTs; each cell's expected count and
+  // term are a fixed-order double tree over those integers (scale-safe
+  // where an all-integer (O·N − rt·ct)² formulation overflows any
+  // fixed decimal at web scale), and the cross-cell sum rides the
+  // 1e-9 fixed-point re-round so parallel order can't move bits.
+  // Scale: one doc-grain aggregation to |langs|·|sources| cells;
+  // everything after is digest-grain. V = sqrt(χ²/(N·min(r−1,c−1)))
+  // normalizes to [0,1] for cross-corpus comparison.
+  def chi2(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("source").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("c"))
+    val full = rt.crossJoin(ct)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"))
+    full.groupBy("n", "r", "c")
+      .agg(sum(round(col("term") * 1e9).cast("long")).as("s9"))
+      .select(col("n"), col("r"), col("c"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        (col("s9").cast("double") / 1.0e9).as("chi2"),
+        sqrt(col("s9").cast("double") / 1.0e9 /
+          (col("n").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double")))
+          .as("cramers_v"))
+  }
+
+  val chi2Sql: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS MATERIALIZED (
+      |  SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS MATERIALIZED (
+      |  SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |tot AS MATERIALIZED (
+      |  SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS r,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS c
+      |  FROM cells),
+      |full_cells AS MATERIALIZED (
+      |  SELECT coalesce(cl.o, 0) AS o,
+      |    rt.rt::DOUBLE * ct.ct::DOUBLE / tot.n::DOUBLE AS e,
+      |    tot.n, tot.r, tot.c
+      |  FROM rt CROSS JOIN ct CROSS JOIN tot
+      |  LEFT JOIN cells cl ON cl.lang = rt.lang AND cl.source = ct.source),
+      |summed AS MATERIALIZED (
+      |  SELECT n, r, c,
+      |    CAST(sum(CAST(round((o::DOUBLE - e) * (o::DOUBLE - e) / e * 1e9)
+      |      AS BIGINT)) AS BIGINT) AS s9
+      |  FROM full_cells GROUP BY 1, 2, 3)
+      |SELECT n, r, c, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+      |  s9::DOUBLE / 1e9 AS chi2,
+      |  sqrt(s9::DOUBLE / 1e9 /
+      |    (n::DOUBLE * CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+      |FROM summed""".stripMargin
+
+  // --- q_ag_anova -----------------------------------------------------------
+  // ONE-WAY ANOVA F-TEST of event value across ALL event types — the
+  // k-group generalization of q_ag_ttest ("do any of the five types
+  // differ in mean value?"). Values quantize to cents once (the ttest
+  // discipline), so the per-group moments (n, Σc, Σc²) are exact
+  // BIGINTs; the per-group S²/n terms are fixed-order doubles re-summed
+  // through the 1e6 fixed point in DECIMAL(38,0) (a group's S² already
+  // tops 10¹⁸ here, and the re-round absorbs both parallel order and
+  // the ulp of the division), and SSB/SSW/F are a fixed double tree.
+  // Scale: one map-side-combinable moment aggregation to a k-row
+  // digest; k = |event types|.
+  def anova(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.events(s, d)
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("qg"))
+      .withColumn("tg", // cast sg to decimal BEFORE squaring: long² overflows
+        (col("sg").cast("decimal(38,0)") * col("sg")).cast("double") /
+          col("ng").cast("double"))
+    m.groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("stot"), sum(col("qg")).as("qtot"),
+        sum(round(col("tg") / 1e6).cast("decimal(38,0)")).as("t6"))
+      .withColumn("t",
+        col("t6").cast("double") * 1e6) // Σ S_g²/n_g, 1e6-quantized
+      .withColumn("grand",
+        (col("stot").cast("decimal(38,0)") * col("stot")).cast("double") /
+          col("n").cast("double"))
+      .withColumn("ssb", (col("t") - col("grand")) / 1e4) // cents² → units²
+      .withColumn("ssw", (col("qtot").cast("double") - col("t")) / 1e4)
+      .select(col("k"), col("n"),
+        col("ssb").as("ss_between"), col("ssw").as("ss_within"),
+        (col("ssb") / (col("k").cast("double") - 1.0) /
+          (col("ssw") / (col("n").cast("double") - col("k").cast("double"))))
+          .as("f"))
+  }
+
+  val anovaSql: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+      |    sum(CAST(CAST(round(value * 100) AS BIGINT)
+      |      * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS qg
+      |  FROM events GROUP BY 1),
+      |terms AS MATERIALIZED (
+      |  SELECT ng, sg, qg,
+      |    CAST(CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE) / ng::DOUBLE AS tg
+      |  FROM m),
+      |agg AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+      |    CAST(sum(sg) AS BIGINT) AS stot, sum(qg) AS qtot,
+      |    sum(CAST(round(tg / 1e6) AS DECIMAL(38,0))) AS t6
+      |  FROM terms),
+      |calc AS MATERIALIZED (
+      |  SELECT k, n,
+      |    t6::DOUBLE * 1e6 AS t,
+      |    CAST(CAST(stot AS DECIMAL(38,0)) * stot AS DOUBLE) / n::DOUBLE
+      |      AS grand,
+      |    qtot::DOUBLE AS q
+      |  FROM agg)
+      |SELECT k, n,
+      |  (t - grand) / 1e4 AS ss_between,
+      |  (q - t) / 1e4 AS ss_within,
+      |  ((t - grand) / 1e4) / (k::DOUBLE - 1.0) /
+      |    (((q - t) / 1e4) / (n::DOUBLE - k::DOUBLE)) AS f
+      |FROM calc""".stripMargin
+
+  // --- q_ag_kendall ---------------------------------------------------------
+  // KENDALL'S τ-b per language between document length (25-char
+  // buckets) and token count (10-token buckets) — the rank-association
+  // screen that, unlike Spearman, is exact under heavy ties because it
+  // counts pairs, not ranks. NEVER pairs rows: documents reduce to the
+  // per-(lang, x, y) VALUE-DOMAIN digest first (bounded by bucket
+  // granularity — length caps and token caps bound it at ANY corpus
+  // size), and concordant/discordant pair counts come from the digest
+  // self-join on x₁ < x₂ (each unordered cell pair once; x-ties
+  // excluded from both C and D by construction). Tie corrections n₁/n₂
+  // come from the x- and y-marginal digests. Everything is exact
+  // integers in DECIMAL(38,0) (pair counts are O(n²)) until the single
+  // final division by the sqrt of the tie-corrected pair products.
+  // Scale: doc-grain aggregation → ≤(len/25)·(tok/10) cells per lang;
+  // the digest self-join is broadcast-size regardless of corpus rows.
+  def kendall(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .select(col("lang").as("g"),
+        floor(col("n_chars") / 25).cast("long").as("x"),
+        floor(size(split(col("text"), " ")) / 10).cast("long").as("y"))
+      .groupBy("g", "x", "y").agg(count(lit(1)).as("m"))
+      .localCheckpoint() // read by 4 digest passes
+    val cd = cells.as("p").join(cells.as("q"),
+        col("p.g") === col("q.g") && col("p.x") < col("q.x"))
+      .groupBy(col("p.g").as("g"))
+      .agg(
+        sum(when(col("p.y") < col("q.y"), (col("p.m") * col("q.m"))
+          .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("conc"),
+        sum(when(col("p.y") > col("q.y"), (col("p.m") * col("q.m"))
+          .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("disc"))
+    val nTot = cells.groupBy("g").agg(sum(col("m")).as("n"))
+    val tx = cells.groupBy("g", "x").agg(sum(col("m")).as("t"))
+      .groupBy("g").agg(sum(expr("(t * (t - 1)) DIV 2")
+        .cast("decimal(38,0)")).as("n1"))
+    val ty = cells.groupBy("g", "y").agg(sum(col("m")).as("t"))
+      .groupBy("g").agg(sum(expr("(t * (t - 1)) DIV 2")
+        .cast("decimal(38,0)")).as("n2"))
+    nTot.join(cd, "g").join(tx, "g").join(ty, "g")
+      .withColumn("n0", expr("(n * (n - 1)) DIV 2").cast("decimal(38,0)"))
+      .select(col("g"), col("n"),
+        col("conc").cast("long").as("concordant"),
+        col("disc").cast("long").as("discordant"),
+        ((col("conc") - col("disc")).cast("double") /
+          sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+            .cast("double"))).as("tau_b"))
+      .orderBy("g")
+  }
+
+  val kendallSql: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT lang AS g, n_chars // 25 AS x,
+      |    len(string_split(text, ' ')) // 10 AS y,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM documents GROUP BY 1, 2, 3),
+      |cd AS MATERIALIZED (
+      |  SELECT p.g,
+      |    sum(CASE WHEN p.y < q.y
+      |      THEN CAST(p.m * q.m AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS conc,
+      |    sum(CASE WHEN p.y > q.y
+      |      THEN CAST(p.m * q.m AS DECIMAL(38,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS disc
+      |  FROM cells p JOIN cells q ON p.g = q.g AND p.x < q.x
+      |  GROUP BY 1),
+      |ntot AS MATERIALIZED (
+      |  SELECT g, CAST(sum(m) AS BIGINT) AS n FROM cells GROUP BY 1),
+      |tx AS MATERIALIZED (
+      |  SELECT g, sum(CAST(t * (t - 1) // 2 AS DECIMAL(38,0))) AS n1
+      |  FROM (SELECT g, x, CAST(sum(m) AS BIGINT) AS t
+      |        FROM cells GROUP BY 1, 2) GROUP BY 1),
+      |ty AS MATERIALIZED (
+      |  SELECT g, sum(CAST(t * (t - 1) // 2 AS DECIMAL(38,0))) AS n2
+      |  FROM (SELECT g, y, CAST(sum(m) AS BIGINT) AS t
+      |        FROM cells GROUP BY 1, 2) GROUP BY 1)
+      |SELECT ntot.g AS g, ntot.n,
+      |  CAST(cd.conc AS BIGINT) AS concordant,
+      |  CAST(cd.disc AS BIGINT) AS discordant,
+      |  CAST(cd.conc - cd.disc AS DOUBLE) /
+      |    sqrt(CAST((CAST(ntot.n * (ntot.n - 1) // 2 AS DECIMAL(38,0)) - n1)
+      |      * (CAST(ntot.n * (ntot.n - 1) // 2 AS DECIMAL(38,0)) - n2)
+      |      AS DOUBLE)) AS tau_b
+      |FROM ntot JOIN cd ON ntot.g = cd.g JOIN tx ON ntot.g = tx.g
+      |JOIN ty ON ntot.g = ty.g
+      |ORDER BY g""".stripMargin
+
+  // --- q_ev_gini ------------------------------------------------------------
+  // GINI CONCENTRATION of per-user activity, per event type — the
+  // "does 1% of users generate 90% of the clicks" screen every
+  // engagement dashboard and bot-detection pass needs. The sorted
+  // rank-weighted sum G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n never
+  // materializes ranks per user: user counts reduce to the per-(type,
+  // count-VALUE) digest with multiplicity m, and a run of m equal
+  // values starting after cumulative position c contributes
+  // v·(m·c + m(m+1)/2) — exact integers via a window over the digest
+  // (count values are bounded; the digest is value-domain, not
+  // user-domain). One final fixed-order double expression per type.
+  def gini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uc = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("v"))
+    val digest = uc.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    digest
+      .withColumn("c", coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("wsum",
+        expr("v * (m * c + (m * (m + 1)) DIV 2)").cast("decimal(38,0)"))
+      .groupBy("event_type")
+      .agg(sum(col("m")).as("n_users"),
+        sum((col("v") * col("m")).cast("decimal(38,0)")).as("total"),
+        sum(col("wsum")).as("rw"))
+      .select(col("event_type"), col("n_users"),
+        col("total").cast("long").as("n_events"),
+        ((lit(2.0) * col("rw").cast("double")) /
+          (col("n_users").cast("double") * col("total").cast("double")) -
+          (col("n_users").cast("double") + 1.0) /
+            col("n_users").cast("double")).as("gini"))
+      .orderBy("event_type")
+  }
+
+  val giniSql: String =
+    """WITH uc AS MATERIALIZED (
+      |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |digest AS MATERIALIZED (
+      |  SELECT event_type, v, CAST(count(*) AS BIGINT) AS m
+      |  FROM uc GROUP BY 1, 2),
+      |runs AS MATERIALIZED (
+      |  SELECT event_type, v, m,
+      |    CAST(coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS c
+      |  FROM digest)
+      |SELECT event_type, CAST(sum(m) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(v * m AS DECIMAL(38,0))) AS BIGINT) AS n_events,
+      |  2.0 * CAST(sum(CAST(v * (m * c + m * (m + 1) // 2)
+      |      AS DECIMAL(38,0))) AS DOUBLE) /
+      |    (CAST(sum(m) AS DOUBLE)
+      |      * CAST(sum(CAST(v * m AS DECIMAL(38,0))) AS DOUBLE)) -
+      |  (CAST(sum(m) AS DOUBLE) + 1.0) / CAST(sum(m) AS DOUBLE) AS gini
+      |FROM runs
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ag_chi2" -> (chi2 _),
+    "q_ag_anova" -> (anova _),
+    "q_ag_kendall" -> (kendall _),
+    "q_ev_gini" -> (gini _),
     "q_ev_attribution" -> (attribution _),
     "q_ev_attribution_u" -> (attributionU _),
     "q_ag_mode" -> (mode _),
@@ -2476,6 +2773,10 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ag_chi2" -> chi2Sql,
+    "q_ag_anova" -> anovaSql,
+    "q_ag_kendall" -> kendallSql,
+    "q_ev_gini" -> giniSql,
     "q_ag_hll_relational" -> hllRelationalSql,
     "q_ag_cms" -> cmsSql,
     "q_ag_topk_group" -> topkGroupSql,

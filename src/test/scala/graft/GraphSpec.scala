@@ -280,4 +280,25 @@ class GraphSpec extends SparkSpec {
     assert(rows === Map(1L -> ((5L, 5L)), 10L -> ((4L, 13L)),
       20L -> ((2L, 21L))))
   }
+
+  test("assortativity equals a brute Pearson over collected edge endpoints") {
+    val r = Graph.assortativity(spark, sf).collect()
+    assert(r.length === 1)
+    val edges = Graph.coEdges(spark, sf).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")))
+    assert(r.head.getAs[Long]("n_edges") === edges.length.toLong)
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    // directed endpoints: both orientations of every undirected edge
+    val pts = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val brute = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    val got = r.head.getAs[Double]("assortativity")
+    assert(math.abs(got - brute) < 1e-9, s"$got vs brute $brute")
+    assert(got >= -1.0 - 1e-12 && got <= 1.0 + 1e-12)
+  }
 }

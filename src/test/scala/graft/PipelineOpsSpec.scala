@@ -1462,6 +1462,118 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("ece") - wgap) < 1e-8, "ece")
   }
 
+  test("chi2: statistic equals a brute contingency recompute with empty cells") {
+    val r = Analytics.chi2(spark, sf).collect()
+    assert(r.length === 1)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = docs.length.toDouble
+    val langs = docs.map(_._1).distinct.sorted
+    val srcs = docs.map(_._2).distinct.sorted
+    val obs = docs.groupBy(identity).map { case (k, v) => k -> v.length }
+    var chi2 = 0.0
+    for (l <- langs; s <- srcs) {
+      val o = obs.getOrElse((l, s), 0).toDouble
+      val e = docs.count(_._1 == l) * docs.count(_._2 == s) / n
+      chi2 += math.round((o - e) * (o - e) / e * 1e9) / 1e9
+    }
+    val row = r.head
+    assert(row.getAs[Long]("n") === docs.length.toLong)
+    assert(row.getAs[Long]("dof") ===
+      (langs.length - 1).toLong * (srcs.length - 1).toLong)
+    assert(math.abs(row.getAs[Double]("chi2") - chi2) < 1e-6)
+    val v = row.getAs[Double]("cramers_v")
+    val vb = math.sqrt(chi2 / (n * math.min(langs.length - 1, srcs.length - 1)))
+    assert(math.abs(v - vb) < 1e-9 && v >= 0.0 && v <= 1.0 + 1e-12)
+  }
+
+  test("anova: F equals a brute moment recompute over cents-quantized values") {
+    val r = Analytics.anova(spark, sf).collect()
+    assert(r.length === 1)
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    val groups = ev.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val k = groups.length
+    val n = ev.length
+    // replay the engine's exact arithmetic: per-group S²/n terms
+    // re-rounded at the 1e6 fixed point before the cross-group sum
+    val t = groups.map { g =>
+      val s = g.map(BigInt(_)).sum
+      math.round((s * s).toDouble / g.length / 1e6).toDouble * 1e6
+    }.sum
+    val stot = ev.map(e => BigInt(e._2)).sum
+    val grand = (stot * stot).toDouble / n
+    val q = ev.map(e => BigInt(e._2) * BigInt(e._2)).sum.toDouble
+    val ssb = (t - grand) / 1e4
+    val ssw = (q - t) / 1e4
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val row = r.head
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Long]("n") === n.toLong)
+    assert(math.abs(row.getAs[Double]("ss_between") - ssb) / ssb < 1e-9, "ssb")
+    assert(math.abs(row.getAs[Double]("ss_within") - ssw) / ssw < 1e-9, "ssw")
+    assert(math.abs(row.getAs[Double]("f") - f) / f < 1e-9, "f")
+    assert(row.getAs[Double]("f") > 0.0)
+  }
+
+  test("kendall: tau-b equals a brute pair count per language") {
+    val rows = Analytics.kendall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("tk")).collect()
+      .map(x => (x.getString(0), x.getAs[Long]("n_chars") / 25,
+        x.getAs[Int]("tk").toLong / 10))
+    rows.foreach { r =>
+      val g = r.getAs[String]("g")
+      val pts = docs.filter(_._1 == g).map(p => (p._2, p._3))
+      var conc = 0L; var disc = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.length) {
+        val (x1, y1) = pts(i); val (x2, y2) = pts(j)
+        if (x1 != x2 && y1 != y2) {
+          if ((x1 < x2) == (y1 < y2)) conc += 1 else disc += 1
+        }
+      }
+      assert(r.getAs[Long]("concordant") === conc, s"$g concordant")
+      assert(r.getAs[Long]("discordant") === disc, s"$g discordant")
+      val nn = pts.length.toLong
+      val n0 = nn * (nn - 1) / 2
+      val n1 = pts.groupBy(_._1).values
+        .map(v => v.length.toLong * (v.length - 1) / 2).sum
+      val n2 = pts.groupBy(_._2).values
+        .map(v => v.length.toLong * (v.length - 1) / 2).sum
+      val tb = (conc - disc).toDouble /
+        math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+      assert(math.abs(r.getAs[Double]("tau_b") - tb) < 1e-12, s"$g tau")
+      // length and token count are near-perfectly associated
+      assert(r.getAs[Double]("tau_b") > 0.5, s"$g tau magnitude")
+    }
+  }
+
+  test("gini: matches a brute sorted rank-weighted sum per event type") {
+    val rows = Analytics.gini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(x => (x.getString(0), x.getAs[Long]("user_id")))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val counts = ev.filter(_._1 == t).groupBy(_._2).values
+        .map(_.length.toLong).toSeq.sorted
+      val n = counts.length.toLong
+      val tot = counts.sum
+      assert(r.getAs[Long]("n_users") === n, s"$t users")
+      assert(r.getAs[Long]("n_events") === tot, s"$t events")
+      val rw = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val brute = 2.0 * rw / (n.toDouble * tot.toDouble) - (n + 1.0) / n
+      val got = r.getAs[Double]("gini")
+      assert(math.abs(got - brute) < 1e-12, s"$t gini $got vs $brute")
+      assert(got >= 0.0 - 1e-12 && got < 1.0, s"$t gini range")
+    }
+  }
+
   test("stickiness: WAU is the brute 7-day distinct union; ratio bounded by 1") {
     val rows = Analytics.stickiness(spark, sf).collect()
     assert(rows.nonEmpty)
