@@ -608,6 +608,67 @@ object Similarity {
        |GROUP BY cluster_id, dim
        |ORDER BY cluster_id, dim""".stripMargin
 
+  // --- q_sim_silhouette -----------------------------------------------------
+  // SIMPLIFIED SILHOUETTE per cluster — the O(n·k) cluster-validity
+  // audit (Hruschka 2004) every curation clustering ships with: for
+  // each vector, a = distance to its OWN centroid, b = distance to the
+  // nearest OTHER centroid, s = (b − a)/max(a, b). The full silhouette
+  // is O(n²) pairwise and dead at scale; the centroid form is a pure
+  // scan — and because the seed centroids are equal-norm ±1 vectors,
+  // both distances come from the SAME per-centroid dot products as the
+  // E-step: dist² = v·v − 2·dot + 64, so the best and second-best
+  // struct scores (one sorted 8-element literal array per row, inside
+  // codegen) give a and b with no extra passes. b ≥ a by construction
+  // ⇒ s = 1 − a/b, a fixed-order double tree over correctly-rounded
+  // sqrt — bit-identical across engines. Per-row s re-rounds at 1e-9
+  // into exact integers so the per-cluster mean is order-stable.
+  // Scale: one scan, one k-row aggregation; zero shuffle beyond the
+  // 8-row digest exchange.
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val arr = array((0 until NumCentroids).map { cid =>
+      val w = array(centroidWeights(cid).map(lit): _*)
+      struct(Vectors.dot(col("v"), w).as("score"), lit(-cid).as("ncid"))
+    }: _*)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vv", Vectors.dot(col("v"), col("v")))
+      .withColumn("sorted", sort_array(arr))
+      .withColumn("best", element_at(col("sorted"), NumCentroids))
+      .withColumn("second", element_at(col("sorted"), NumCentroids - 1))
+      .withColumn("a", sqrt(greatest(lit(0.0),
+        col("vv") - lit(2.0) * col("best.score") + lit(64.0))))
+      .withColumn("b", sqrt(greatest(lit(0.0),
+        col("vv") - lit(2.0) * col("second.score") + lit(64.0))))
+      .withColumn("sil", lit(1.0) - col("a") / col("b"))
+    e.groupBy((-col("best.ncid")).cast("long").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("sil") * 1.0e9).cast("long")).as("s9"))
+      .select(col("cluster_id"), col("n"),
+        (col("s9").cast("double") / 1.0e9 / col("n").cast("double"))
+          .as("mean_silhouette"))
+      .orderBy("cluster_id")
+  }
+
+  lazy val silhouetteSql: String =
+    s"""WITH scored AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    ${Vectors.dotSql("embedding", "embedding")} AS vv,
+       |    list_sort($clusterStructsSql) AS srt
+       |  FROM embeddings),
+       |ab AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    (-(srt[$NumCentroids].ncid))::BIGINT AS cluster_id,
+       |    sqrt(greatest(0.0, vv - 2.0 * srt[$NumCentroids].score + 64.0))
+       |      AS a,
+       |    sqrt(greatest(0.0, vv - 2.0 * srt[${NumCentroids - 1}].score
+       |      + 64.0)) AS b
+       |  FROM scored)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round((1.0 - a / b) * 1e9) AS BIGINT)) AS BIGINT)::DOUBLE
+       |    / 1e9 / count(*)::DOUBLE AS mean_silhouette
+       |FROM ab GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+
   // --- q_sim_quantize -------------------------------------------------------
   // Int8 scalar quantization of the embedding store — the compression
   // step that makes a 100 TB float32 vector corpus a 25 TB int8 one
@@ -2270,6 +2331,7 @@ object Similarity {
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
     "q_sim_kmeans_update" -> (kmeansUpdate _),
+    "q_sim_silhouette" -> (silhouette _),
     "q_sim_kmeans_lloyd" -> (kmeansLloyd _),
     "q_sim_quantize" -> (quantize _))
 
@@ -2298,6 +2360,7 @@ object Similarity {
     "q_sim_ivf_topk" -> ivfTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,
     "q_sim_kmeans_update" -> kmeansUpdateSql,
+    "q_sim_silhouette" -> silhouetteSql,
     "q_sim_kmeans_lloyd" -> kmeansLloydSql,
     "q_sim_quantize" -> quantizeSql)
 }

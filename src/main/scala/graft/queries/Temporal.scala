@@ -899,7 +899,95 @@ object Temporal {
        |FROM daily d JOIN cells c USING (event_type, wd)
        |ORDER BY event_type, day""".stripMargin
 
+  // --- q_t18_changepoint ------------------------------------------------------
+  // SINGLE CHANGEPOINT DETECTION per series (the first step of binary
+  // segmentation / PELT): the split k of the daily-count series that
+  // maximizes the between-segment SSE reduction gain(k) = S₁²/n₁ +
+  // S₂²/n₂ − S²/n — the level-shift locator behind "when did this
+  // event type's volume regime change". Candidate gains come from ONE
+  // prefix-sum window over the per-(type, day) digest (day-grain, so
+  // the window partition is bounded by the calendar, not the event
+  // count); every S is an exact BIGINT, each candidate's gain is a
+  // fixed-order double over decimal-cast squares, and the argmax is a
+  // struct max over (1e-6-fixed gain, −k) — deterministic tie-break to
+  // the EARLIEST split, no second pass, no collect. Output recomputes
+  // the segment means from the exact integers the struct carries.
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wtot = Window.partitionBy("event_type")
+    val word = Window.partitionBy("event_type").orderBy("day")
+    val cand = daily
+      .withColumn("dn", count(lit(1)).over(wtot))
+      .withColumn("st", sum("x").over(wtot))
+      .withColumn("k", row_number().over(word).cast("bigint"))
+      .withColumn("s1", sum("x").over(
+        word.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k") < col("dn")) // split AFTER day k needs a right segment
+      .withColumn("s2", col("st") - col("s1"))
+      .withColumn("n2", col("dn") - col("k"))
+      .withColumn("gain",
+        (col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
+          col("k").cast("double") +
+          (col("s2").cast("decimal(38,0)") * col("s2")).cast("double") /
+            col("n2").cast("double") -
+          (col("st").cast("decimal(38,0)") * col("st")).cast("double") /
+            col("dn").cast("double"))
+    cand
+      .groupBy("event_type")
+      .agg(max(struct(
+        round(col("gain") * 1e6).cast("long").as("gf"),
+        (-col("k")).as("nk"), col("day").as("day"),
+        col("s1").as("s1"), col("s2").as("s2"),
+        col("n2").as("n2"), col("dn").as("dn"))).as("m"))
+      .select(col("event_type"), col("m.dn").as("n_days"),
+        (-col("m.nk")).as("split_k"), col("m.day").as("split_day"),
+        (col("m.gf").cast("double") / 1e6).as("gain"),
+        (col("m.s1").cast("double") / (-col("m.nk")).cast("double"))
+          .as("mean_left"),
+        (col("m.s2").cast("double") / col("m.n2").cast("double"))
+          .as("mean_right"))
+      .orderBy("event_type")
+  }
+
+  val changepointSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pre AS MATERIALIZED (
+      |  SELECT event_type, day, x,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS dn,
+      |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS k,
+      |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS s1
+      |  FROM daily),
+      |cand AS MATERIALIZED (
+      |  SELECT event_type, day, k, s1, st - s1 AS s2, dn - k AS n2, dn,
+      |    CAST(CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE) / k::DOUBLE
+      |      + CAST(CAST(st - s1 AS DECIMAL(38,0)) * (st - s1) AS DOUBLE)
+      |        / (dn - k)::DOUBLE
+      |      - CAST(CAST(st AS DECIMAL(38,0)) * st AS DOUBLE) / dn::DOUBLE
+      |      AS gain
+      |  FROM pre WHERE k < dn),
+      |best AS MATERIALIZED (
+      |  SELECT event_type,
+      |    max({'gf': CAST(round(gain * 1e6) AS BIGINT), 'nk': -k,
+      |         'day': day, 's1': s1, 's2': s2, 'n2': n2, 'dn': dn}) AS m
+      |  FROM cand GROUP BY 1)
+      |SELECT event_type, m.dn AS n_days,
+      |  -m.nk AS split_k, m.day AS split_day,
+      |  m.gf::DOUBLE / 1e6 AS gain,
+      |  m.s1::DOUBLE / (-m.nk)::DOUBLE AS mean_left,
+      |  m.s2::DOUBLE / m.n2::DOUBLE AS mean_right
+      |FROM best ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t18_changepoint" -> (changepoint _),
     "q_t14_mad" -> (madOutliers _),
     "q_t15_ewma" -> (ewma _),
     "q_t17_holt" -> (holt _),
@@ -919,6 +1007,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t18_changepoint" -> changepointSql,
     "q_t14_mad" -> madOutliersSql,
     "q_t15_ewma" -> ewmaSql,
     "q_t17_holt" -> holtSql,

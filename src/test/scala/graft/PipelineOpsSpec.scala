@@ -1552,6 +1552,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("silhouette: per-cluster means replay brute a/b distances; s in [0,1)") {
+    val rows = Similarity.silhouette(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val embs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents = (0 until 8).map(Similarity.centroidWeights)
+    val per = embs.map { case (_, v) =>
+      val scored = cents.zipWithIndex.map { case (c, cid) =>
+        (v.zip(c).map(p => p._1 * p._2).sum, -cid) }.sorted
+      val (s1, ncid) = scored.last
+      val s2 = scored(scored.length - 2)._1
+      val vv = v.map(x => x * x).sum
+      val a = math.sqrt(math.max(0.0, vv - 2.0 * s1 + 64.0))
+      val b = math.sqrt(math.max(0.0, vv - 2.0 * s2 + 64.0))
+      (-ncid, math.round((1.0 - a / b) * 1e9))
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum === embs.length.toLong)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id").toInt
+      val mine = per.filter(_._1 == cid)
+      assert(r.getAs[Long]("n") === mine.length.toLong, s"cluster $cid n")
+      val brute = mine.map(_._2).sum / 1e9 / mine.length
+      val got = r.getAs[Double]("mean_silhouette")
+      assert(math.abs(got - brute) < 1e-9, s"cluster $cid: $got vs $brute")
+      assert(got >= 0.0 && got < 1.0, s"cluster $cid range") // b >= a
+    }
+  }
+
   test("gini: matches a brute sorted rank-weighted sum per event type") {
     val rows = Analytics.gini(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -321,4 +321,38 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("changepoint: split equals the brute argmax of SSE gain per series") {
+    val rows = Temporal.changepoint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Long]("x")))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val xs = daily.filter(_._1 == et).sortBy(_._2.getTime).map(_._3)
+      val dn = xs.length
+      assert(r.getAs[Long]("n_days") === dn.toLong, s"$et days")
+      val st = xs.sum
+      val tot = (BigInt(st) * BigInt(st)).toDouble / dn
+      // brute: every split k, same 1e-6 fixed-point argmax as the engine
+      val gains = (1 until dn).map { k =>
+        val s1 = xs.take(k).sum
+        val s2 = st - s1
+        val g = (BigInt(s1) * BigInt(s1)).toDouble / k +
+          (BigInt(s2) * BigInt(s2)).toDouble / (dn - k) - tot
+        (math.round(g * 1e6), k)
+      }
+      val (bgf, bk) = gains.maxBy { case (gf, k) => (gf, -k) }
+      assert(r.getAs[Long]("split_k") === bk.toLong, s"$et split")
+      assert(math.abs(r.getAs[Double]("gain") - bgf / 1e6) < 1e-9, s"$et gain")
+      val ml = xs.take(bk).sum.toDouble / bk
+      val mr = (st - xs.take(bk).sum).toDouble / (dn - bk)
+      assert(math.abs(r.getAs[Double]("mean_left") - ml) < 1e-9, s"$et ml")
+      assert(math.abs(r.getAs[Double]("mean_right") - mr) < 1e-9, s"$et mr")
+      assert(r.getAs[Double]("gain") >= -1e-6, s"$et gain nonneg")
+    }
+  }
 }
