@@ -283,6 +283,8 @@ class PlanSpec extends SparkSpec {
     val inner = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
       case _ => Nil
     }
     p +: (p.children ++ inner).flatMap(allNodes)
@@ -866,6 +868,73 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
         s"$name must not shuffle-join row-grain data:\n${p.take(1500)}")
     }
+  }
+
+  test("chi2/anova/gini collapse to digests before anything wide") {
+    // Each reduces the raw scan in ONE map-side-combinable aggregation;
+    // everything after runs at digest grain, so no row-grain data may
+    // reach a shuffle join.
+    for ((name, fn) <- Seq(
+      ("q_ag_chi2", graft.queries.Analytics.chi2 _),
+      ("q_ag_anova", graft.queries.Analytics.anova _),
+      ("q_ev_gini", graft.queries.Analytics.gini _))) {
+      val df = fn(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$name must not shuffle-join row-grain data:\n${p.take(1500)}")
+    }
+  }
+
+  test("kendall pairs the value-domain digest, never rows; no nested loop on rows") {
+    // The concordant/discordant join must run over the bounded
+    // (g, x, y) digest. A BroadcastNestedLoopJoin is acceptable ONLY
+    // because both sides are digests; a cartesian or a row-grain SMJ
+    // below the first aggregate is the O(n²) plan that dies at scale.
+    val df = graft.queries.Analytics.kendall(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"kendall must not plan a cartesian:\n${p.take(1500)}")
+    // the digest is produced by an aggregate BELOW every join
+    val lines = p.linesIterator.toVector
+    val firstJoin = lines.indexWhere(_.contains("Join"))
+    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(firstJoin < 0 || lastAgg > firstJoin,
+      s"expected the digest aggregate below the pair join:\n${p.take(1500)}")
+  }
+
+  test("silhouette is one scan + one k-row aggregate: no join, no window") {
+    val df = graft.queries.Similarity.silhouette(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"no join expected:\n${p.take(1500)}")
+    assert(!p.contains("Window"), s"no window expected:\n${p.take(1500)}")
+    // count scans in the FINAL plan only (the AQE string re-renders the
+    // initial plan below a marker line)
+    val scans = p.split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"silhouette must be one scan, found $scans")
+  }
+
+  test("changepoint and assortativity windows/joins stay at digest grain") {
+    // changepoint: both windows partition by event_type over the
+    // day-grain digest — no empty-partition (single-node) window.
+    val cp = graft.queries.Temporal.changepoint(spark, sf)
+    cp.collect()
+    val wins = allNodes(cp.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the prefix-sum windows")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "changepoint windows must be partitioned"))
+    // assortativity: degree joins are equi-joins, never cartesian
+    val as = graft.queries.Graph.assortativity(spark, sf)
+    as.collect()
+    val ap = as.queryExecution.executedPlan.toString
+    assert(!ap.contains("CartesianProduct") &&
+      !ap.contains("BroadcastNestedLoopJoin"),
+      s"assortativity joins must be equi-joins:\n${ap.take(1500)}")
   }
 
   private implicit class Let[A](a: A) {
