@@ -2722,7 +2722,251 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --- q_ag_proptest ----------------------------------------------------------
+  // TWO-PROPORTION Z-TEST — the A/B-test primitive: assignment is the
+  // standard deterministic id-hash bucketing (arm = user_id mod 2, the
+  // production A/B mechanic), outcome is "the user's FIRST event is a
+  // purchase" — a rate that stays interior at every corpus size where
+  // "ever purchased" saturates to 1 (and a pooled rate of 0 or 1 is a
+  // division by zero in the z denominator). The first event is the
+  // deterministic struct min over (ts, event_id, type). Arm flags and
+  // outcomes come from ONE user-grain aggregation (map-side
+  // combinable); the four arm counts are exact BIGINTs in a 2-row
+  // digest, and z is a fixed-order double tree over them
+  // (pooled-variance form). |z| > 1.96 flags 95% two-sided
+  // significance — the sample-ratio-mismatch-style screen an
+  // experimentation platform runs on every assignment key (a firing
+  // A/A split is evidence of id-correlated behavior or a logging
+  // bug, which the synthetic generator here in fact exhibits). Scale:
+  // one shuffle on user_id, then constant-size arithmetic.
+  def proptest(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("first"))
+      .select(col("user_id"),
+        when(col("first.event_type") === "purchase", 1L).otherwise(0L)
+          .as("converted"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("long"))
+    val m = u.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val a = m.filter(col("arm") === 1L)
+      .select(col("n").as("n1"), col("x").as("x1"))
+    val b = m.filter(col("arm") === 0L)
+      .select(col("n").as("n2"), col("x").as("x2"))
+    a.crossJoin(b)
+      .withColumn("p1", col("x1").cast("double") / col("n1").cast("double"))
+      .withColumn("p2", col("x2").cast("double") / col("n2").cast("double"))
+      .withColumn("pp", (col("x1") + col("x2")).cast("double") /
+        (col("n1") + col("n2")).cast("double"))
+      .withColumn("z", (col("p1") - col("p2")) /
+        sqrt(col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / col("n1").cast("double") +
+            lit(1.0) / col("n2").cast("double"))))
+      .select(lit("arm1_vs_arm0").as("pair"),
+        col("n1"), col("x1"), col("n2"), col("x2"),
+        col("p1").as("rate_1"), col("p2").as("rate_2"), col("z"),
+        when(abs(col("z")) > lit(1.96), 1L).otherwise(0L).as("significant"))
+      .orderBy("pair")
+  }
+
+  val proptestSql: String =
+      // user_id ≥ 0 so % and pmod agree between the engines
+    """WITH u AS MATERIALIZED (
+      |  SELECT user_id % 2 AS arm,
+      |    CASE WHEN min({'ts': ts, 'event_id': event_id,
+      |        'event_type': event_type}).event_type = 'purchase'
+      |      THEN 1 ELSE 0 END AS converted
+      |  FROM events GROUP BY user_id),
+      |m AS MATERIALIZED (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(converted) AS BIGINT) AS x
+      |  FROM u GROUP BY 1),
+      |ab AS MATERIALIZED (
+      |  SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2
+      |  FROM (SELECT * FROM m WHERE arm = 1) a,
+      |       (SELECT * FROM m WHERE arm = 0) b),
+      |calc AS MATERIALIZED (
+      |  SELECT n1, x1, n2, x2,
+      |    x1::DOUBLE / n1::DOUBLE AS p1, x2::DOUBLE / n2::DOUBLE AS p2,
+      |    (x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE AS pp
+      |  FROM ab)
+      |SELECT 'arm1_vs_arm0' AS pair, n1, x1, n2, x2,
+      |  p1 AS rate_1, p2 AS rate_2,
+      |  (p1 - p2) / sqrt(pp * (1.0 - pp)
+      |    * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)) AS z,
+      |  CAST(CASE WHEN abs((p1 - p2) / sqrt(pp * (1.0 - pp)
+      |    * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))) > 1.96
+      |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM calc ORDER BY pair""".stripMargin
+
+  // --- q_ag_entropy -----------------------------------------------------------
+  // SHANNON ENTROPY of the source mix per language (+ the 0–1
+  // normalized form) — the dataset-card diversity stat: a language fed
+  // by one crawl scores 0, a uniform mix scores 1. H = ln S −
+  // (Σ c·ln c)/S over the per-(lang, source) count digest; each ln c
+  // quantizes at 1e-6 into a BIGINT (the q_tx_zipf/bm25 discipline,
+  // absorbing cross-engine ulp drift in ln), the c-weighted sum rides
+  // DECIMAL(38,0), and the final expression is a fixed-order double
+  // tree. Scale: one doc-grain aggregation to ≤|langs|·|sources|
+  // cells; everything after is digest-grain.
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    cells.groupBy("lang")
+      .agg(count(lit(1)).as("k"), sum(col("c")).as("n"),
+        sum((col("c") *
+          round(log(col("c").cast("double")) * 1e6).cast("long"))
+          .cast("decimal(38,0)")).as("cl6"))
+      .withColumn("h",
+        round(log(col("n").cast("double")) * 1e6).cast("long")
+          .cast("double") / 1e6 -
+          col("cl6").cast("double") / 1e6 / col("n").cast("double"))
+      .select(col("lang"), col("n").as("n_docs"), col("k").as("k_sources"),
+        col("h").as("entropy"),
+        when(col("k") > 1L, col("h") /
+          (round(log(col("k").cast("double")) * 1e6).cast("long")
+            .cast("double") / 1e6)).otherwise(lit(0.0))
+          .as("norm_entropy"))
+      .orderBy("lang")
+  }
+
+  val entropySql: String =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |agg AS MATERIALIZED (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(c) AS BIGINT) AS n,
+      |    sum(CAST(c * CAST(round(ln(c::DOUBLE) * 1e6) AS BIGINT)
+      |      AS DECIMAL(38,0))) AS cl6
+      |  FROM cells GROUP BY 1),
+      |calc AS MATERIALIZED (
+      |  SELECT lang, n, k,
+      |    CAST(round(ln(n::DOUBLE) * 1e6) AS BIGINT)::DOUBLE / 1e6
+      |      - cl6::DOUBLE / 1e6 / n::DOUBLE AS h
+      |  FROM agg)
+      |SELECT lang, n AS n_docs, k AS k_sources, h AS entropy,
+      |  CASE WHEN k > 1 THEN h /
+      |    (CAST(round(ln(k::DOUBLE) * 1e6) AS BIGINT)::DOUBLE / 1e6)
+      |    ELSE 0.0 END AS norm_entropy
+      |FROM calc ORDER BY lang""".stripMargin
+
+  // --- q_ev_paths -------------------------------------------------------------
+  // TOP 3-STEP BEHAVIOR PATHS — the path-analysis table behind "what do
+  // users actually do": the 20 most frequent consecutive event-type
+  // trigrams, per-user ordered by (ts, event_id) so simultaneous
+  // events are deterministic. Two leads over ONE user-key window pass
+  // (the CEP shape — no self-join), map-side-combined counts at
+  // path-vocabulary grain, and the top-20 is a TakeOrderedAndProject
+  // heap, never a global sort.
+  def paths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val pathsSql: String =
+    """WITH seq AS MATERIALIZED (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |  count(*) AS n
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 20""".stripMargin
+
+  // --- q_ev_survival ----------------------------------------------------------
+  // KAPLAN–MEIER RETENTION CURVE over user lifetimes (days from first
+  // to last event), right-censored for users still active in the final
+  // week of the window. S(t) = Π_{i≤t} (1 − dᵢ/nᵢ) is a SEQUENTIAL
+  // product no parallel aggregate reproduces bit-for-bit — so it runs
+  // as an ordered fold over the day-grain digest: the per-day factors
+  // (exact integer divisions, bit-identical) collect into ONE sorted
+  // array per curve and each row's prefix folds left-to-right with
+  // the aggregate HOF (DuckDB: list_reduce with the init element
+  // prepended). The digest is calendar-bounded, so the O(D²) prefix
+  // folds are constant work at any corpus size; at-risk counts come
+  // from one descending cumulative sum, never a per-user scan per day.
+  def survival(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val life = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(datediff(max(col("ts")), min(col("ts"))).cast("long").as("t"),
+        max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(Tables.events(s, d)
+        .agg(max(col("ts")).as("maxts"))))
+      .select(col("t"),
+        (col("last_ts") > col("maxts") - expr("INTERVAL 7 DAYS"))
+          .cast("long").as("censored"))
+    val byDay = life.groupBy("t")
+      .agg(sum(lit(1L) - col("censored")).as("d"),
+        sum(col("censored")).as("c"))
+    // n_t (at risk at t) = users with lifetime >= t: a descending cumsum
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val digest = byDay
+      .withColumn("n", sum(col("d") + col("c")).over(wDesc))
+      .withColumn("q", (col("n") - col("d")).cast("double") /
+        col("n").cast("double"))
+    val folded = digest
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("t"), col("q")))).as("qs"))
+    digest.crossJoin(broadcast(folded))
+      .withColumn("surv", expr(
+        "aggregate(filter(qs, x -> x.t <= t), CAST(1.0 AS DOUBLE), " +
+          "(acc, x) -> acc * x.q)"))
+      .select(col("t"), col("n").as("n_at_risk"), col("d").as("churned"),
+        col("c").as("censored"), col("surv").as("survival"))
+      .orderBy("t")
+  }
+
+  val survivalSql: String =
+    """WITH mx AS MATERIALIZED (SELECT max(ts) AS maxts FROM events),
+      |life AS MATERIALIZED (
+      |  SELECT date_diff('day', min(ts)::DATE, max(ts)::DATE) AS t,
+      |    CASE WHEN max(ts) > (SELECT maxts FROM mx) - INTERVAL 7 DAY
+      |      THEN 1 ELSE 0 END AS censored
+      |  FROM events GROUP BY user_id),
+      |by_day AS MATERIALIZED (
+      |  SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d,
+      |    CAST(sum(censored) AS BIGINT) AS c
+      |  FROM life GROUP BY 1),
+      |digest AS MATERIALIZED (
+      |  SELECT t, d, c,
+      |    CAST(sum(d + c) OVER (ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n
+      |  FROM by_day),
+      |qs AS MATERIALIZED (
+      |  SELECT list_sort(list({'t': t,
+      |    'q': (n - d)::DOUBLE / n::DOUBLE})) AS qs
+      |  FROM digest)
+      |SELECT t, n AS n_at_risk, d AS churned, c AS censored,
+      |  list_reduce(list_prepend(1.0::DOUBLE,
+      |    list_transform(list_filter(qs.qs, x -> x.t <= digest.t),
+      |      x -> x.q)), (acc, x) -> acc * x) AS survival
+      |FROM digest, qs
+      |ORDER BY t""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ag_proptest" -> (proptest _),
+    "q_ag_entropy" -> (entropy _),
+    "q_ev_paths" -> (paths _),
+    "q_ev_survival" -> (survival _),
     "q_ag_chi2" -> (chi2 _),
     "q_ag_anova" -> (anova _),
     "q_ag_kendall" -> (kendall _),
@@ -2773,6 +3017,10 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ag_proptest" -> proptestSql,
+    "q_ag_entropy" -> entropySql,
+    "q_ev_paths" -> pathsSql,
+    "q_ev_survival" -> survivalSql,
     "q_ag_chi2" -> chi2Sql,
     "q_ag_anova" -> anovaSql,
     "q_ag_kendall" -> kendallSql,

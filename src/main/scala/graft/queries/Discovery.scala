@@ -538,7 +538,61 @@ object Discovery {
       |WHERE rnk <= 3
       |ORDER BY event_type, rnk""".stripMargin
 
+  // --- q_ds_skew_audit --------------------------------------------------------
+  // JOIN-KEY SKEW PROFILE — the pre-flight audit a 100 TB planner runs
+  // before choosing between plain, salted, and skew-hinted joins: for
+  // each candidate join key, the key cardinality, the heaviest key and
+  // its share, and the max/mean skew ratio. One map-side-combinable
+  // count per key column to the key digest, then a second aggregation
+  // to a 1-row-per-column summary — the heavy key rides a struct max
+  // (count, key), deterministic under ties. The audited columns are
+  // the engine's own join keys (orders.o_custkey, lineitem.l_partkey,
+  // events.user_id), so the output is exactly the table q_j12's
+  // salting and AQE-skew thresholds would be tuned from.
+  def skewAudit(s: SparkSession, d: String): DataFrame = {
+    def audit(df: DataFrame, table: String, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(struct(col("c"), col("k"))).as("top"))
+        .select(lit(s"$table.$key").as("join_key"),
+          col("n_keys"), col("n_rows"),
+          col("top.k").as("heaviest_key"), col("top.c").as("heaviest_n"),
+          (col("top.c").cast("double") / col("n_rows").cast("double"))
+            .as("heaviest_share"),
+          (col("top.c").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys").cast("double")))
+            .as("skew_ratio"))
+    audit(Tables.orders(s, d), "orders", "o_custkey")
+      .unionByName(audit(Tables.lineitem(s, d), "lineitem", "l_partkey"))
+      .unionByName(audit(Tables.events(s, d), "events", "user_id"))
+      .orderBy("join_key")
+  }
+
+  val skewAuditSql: String = {
+    def one(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS join_key,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(c) AS BIGINT) AS n_rows,
+         |  max({'c': c, 'k': k}).k AS heaviest_key,
+         |  max({'c': c, 'k': k}).c AS heaviest_n,
+         |  max({'c': c, 'k': k}).c::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE
+         |    AS heaviest_share,
+         |  max({'c': c, 'k': k}).c::DOUBLE /
+         |    (CAST(sum(c) AS BIGINT)::DOUBLE / count(*)::DOUBLE)
+         |    AS skew_ratio
+         |FROM (SELECT $key AS k, CAST(count(*) AS BIGINT) AS c
+         |      FROM $table GROUP BY 1)""".stripMargin
+    s"""${one("orders", "o_custkey")}
+       |UNION ALL
+       |${one("lineitem", "l_partkey")}
+       |UNION ALL
+       |${one("events", "user_id")}
+       |ORDER BY join_key""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_skew_audit" -> (skewAudit _),
     "q_ds_sample_preview" -> (samplePreview _),
     "q_ds_json_pred" -> (jsonPred _),
     "q_ds_shredded" -> (shredded _),
@@ -553,6 +607,7 @@ object Discovery {
     "q_ds_observe" -> (observeAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_ds_skew_audit" -> skewAuditSql,
     "q_ds_sample_preview" -> samplePreviewSql,
     "q_ds_json_pred" -> jsonPredSql,
     "q_ds_shredded" -> jsonPredSql,

@@ -1630,7 +1630,56 @@ object TextAnalysis {
        |       ELSE 0.0 END AS r2
        |FROM c_""".stripMargin
 
+  // --- q_tx_source_overlap --------------------------------------------------
+  // PAIRWISE SOURCE VOCABULARY OVERLAP — the dataset-card matrix behind
+  // "are these two crawls the same corpus wearing different names":
+  // Jaccard similarity of the distinct-token vocabularies of every
+  // source pair. The corpus reduces to the (source, token) DISTINCT
+  // digest first (vocabulary-grain — bounded by |vocab|·|sources|, not
+  // by corpus rows); intersections come from the digest self-join on
+  // the token key (per-token fan-out bounded by |sources|²), sizes
+  // broadcast back, and jaccard divides exact integers once. The s1 <
+  // s2 guard emits each unordered pair exactly once. Scale: one
+  // doc-grain explode + distinct, then everything is vocabulary-grain.
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .distinct().localCheckpoint() // sizes + both join sides read it
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
+    vocab.as("a").join(vocab.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("s1"),
+        col("sz").as("sz1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"),
+        col("sz").as("sz2"))), "s2")
+      .select(col("s1"), col("s2"), col("sz1"), col("sz2"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("sz1") + col("sz2") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
+  lazy val sourceOverlapSql: String =
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT DISTINCT source, w
+       |  FROM (SELECT source, unnest($tokensSql) AS w FROM documents)),
+       |sizes AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS sz FROM vocab GROUP BY 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.source AS s1, b.source AS s2,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, z1.sz AS sz1, z2.sz AS sz2, n_common,
+       |  n_common::DOUBLE / (z1.sz + z2.sz - n_common)::DOUBLE AS jaccard
+       |FROM pairs JOIN sizes z1 ON pairs.s1 = z1.source
+       |JOIN sizes z2 ON pairs.s2 = z2.source
+       |ORDER BY s1, s2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_source_overlap" -> (sourceOverlap _),
     "q_tx_bm25" -> (bm25 _),
     "q_tx_zipf" -> (zipf _),
     "q_tx_dsir" -> (dsir _),
@@ -1659,6 +1708,7 @@ object TextAnalysis {
     "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
+    "q_tx_source_overlap" -> sourceOverlapSql,
     "q_tx_bm25" -> bm25Sql,
     "q_tx_zipf" -> zipfSql,
     "q_tx_dsir" -> dsirSql,

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Analytics, Dedup, Similarity, TextAnalysis}
+import graft.queries.{Analytics, Dedup, Discovery, Similarity, TextAnalysis}
 
 /** Semantic guarantees for the curation/analytics operators added on top
   * of the oracle hash checks: funnel stage anchoring, repetition
@@ -1578,6 +1578,150 @@ class PipelineOpsSpec extends SparkSpec {
       val got = r.getAs[Double]("mean_silhouette")
       assert(math.abs(got - brute) < 1e-9, s"cluster $cid: $got vs $brute")
       assert(got >= 0.0 && got < 1.0, s"cluster $cid range") // b >= a
+    }
+  }
+
+  test("proptest: z equals the brute pooled-variance recompute over arm counts") {
+    val r = Analytics.proptest(spark, sf).collect()
+    assert(r.length === 1)
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(x => (x.getAs[Long]("user_id"),
+        (x.getAs[java.sql.Timestamp]("ts").getTime,
+          x.getAs[Long]("event_id"), x.getAs[String]("event_type"))))
+    val firsts = ev.groupBy(_._1).toSeq.map { case (uid, rows) =>
+      (uid % 2, if (rows.map(_._2).min._3 == "purchase") 1L else 0L) }
+    val (n1, x1) = (firsts.count(_._1 == 1L).toLong,
+      firsts.filter(_._1 == 1L).map(_._2).sum)
+    val (n2, x2) = (firsts.count(_._1 == 0L).toLong,
+      firsts.filter(_._1 == 0L).map(_._2).sum)
+    val row = r.head
+    assert(row.getAs[Long]("n1") === n1 && row.getAs[Long]("x1") === x1)
+    assert(row.getAs[Long]("n2") === n2 && row.getAs[Long]("x2") === x2)
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-12)
+    assert(row.getAs[Long]("significant") === (if (math.abs(z) > 1.96) 1L else 0L))
+  }
+
+  test("entropy: per-lang H replays brute quantized-ln sums; normalized in [0,1]") {
+    val rows = Analytics.entropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    rows.foreach { r =>
+      val g = r.getAs[String]("lang")
+      val cells = docs.filter(_._1 == g).groupBy(_._2).values
+        .map(_.length.toLong).toSeq
+      val n = cells.sum
+      assert(r.getAs[Long]("n_docs") === n, s"$g n")
+      assert(r.getAs[Long]("k_sources") === cells.length.toLong, s"$g k")
+      val cl6 = cells.map(c => c * math.round(math.log(c.toDouble) * 1e6)).sum
+      val h = math.round(math.log(n.toDouble) * 1e6).toDouble / 1e6 -
+        cl6.toDouble / 1e6 / n
+      assert(math.abs(r.getAs[Double]("entropy") - h) < 1e-9, s"$g H")
+      val ne = r.getAs[Double]("norm_entropy")
+      assert(ne >= 0.0 && ne <= 1.0 + 1e-9, s"$g norm range")
+    }
+  }
+
+  test("paths: top-20 trigram counts equal a brute per-user sequence scan") {
+    val rows = Analytics.paths(spark, sf).collect()
+    assert(rows.length === 20)
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(x => (x.getAs[Long]("user_id"),
+        (x.getAs[java.sql.Timestamp]("ts").getTime, x.getAs[Long]("event_id")),
+        x.getAs[String]("event_type")))
+    val counts = scala.collection.mutable.Map[String, Long]()
+    ev.groupBy(_._1).values.foreach { seq =>
+      val types = seq.sortBy(_._2).map(_._3)
+      types.sliding(3).filter(_.length == 3)
+        .foreach(t => counts(t.mkString(">")) =
+          counts.getOrElse(t.mkString(">"), 0L) + 1L)
+    }
+    val brute = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    rows.zip(brute).foreach { case (r, (p, n)) =>
+      assert(r.getAs[String]("path") === p)
+      assert(r.getAs[Long]("n") === n)
+    }
+  }
+
+  test("survival: KM curve equals the brute censored replay, monotone in [0,1]") {
+    val rows = Analytics.survival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[java.sql.Timestamp]("ts")))
+    val maxTs = ev.map(_._2.getTime).max
+    val sevenDays = 7L * 86400L * 1000L
+    val lives = ev.groupBy(_._1).values.map { rs =>
+      val f = rs.map(_._2).minBy(_.getTime); val l = rs.map(_._2).maxBy(_.getTime)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(
+        f.toLocalDateTime.toLocalDate, l.toLocalDateTime.toLocalDate)
+      (t, if (l.getTime > maxTs - sevenDays) 1L else 0L)
+    }.toSeq
+    var prev = 1.0
+    rows.foreach { r =>
+      val t = r.getAs[Long]("t")
+      val d = lives.count(x => x._1 == t && x._2 == 0L).toLong
+      val c = lives.count(x => x._1 == t && x._2 == 1L).toLong
+      val n = lives.count(_._1 >= t).toLong
+      assert(r.getAs[Long]("churned") === d, s"t=$t d")
+      assert(r.getAs[Long]("censored") === c, s"t=$t c")
+      assert(r.getAs[Long]("n_at_risk") === n, s"t=$t n")
+      val surv = r.getAs[Double]("survival")
+      assert(surv >= 0.0 && surv <= prev + 1e-12, s"t=$t monotone")
+      prev = surv
+    }
+    // brute sequential product for the last row
+    val ts = rows.map(_.getAs[Long]("t")).sorted
+    val brute = ts.foldLeft(1.0) { (acc, t) =>
+      val d = lives.count(x => x._1 == t && x._2 == 0L).toDouble
+      val n = lives.count(_._1 >= t).toDouble
+      acc * ((n - d) / n)
+    }
+    assert(math.abs(rows.last.getAs[Double]("survival") - brute) < 1e-12)
+  }
+
+  test("skew audit: per-key stats equal brute counts; heaviest share bounded") {
+    val rows = Discovery.skewAudit(spark, sf).collect()
+    assert(rows.length === 3)
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_custkey").collect().map(_.getLong(0))
+    val byKey = orders.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val r = rows.find(_.getAs[String]("join_key") == "orders.o_custkey").get
+    assert(r.getAs[Long]("n_keys") === byKey.size.toLong)
+    assert(r.getAs[Long]("n_rows") === orders.length.toLong)
+    val (hk, hn) = byKey.toSeq.maxBy { case (k, c) => (c, k) }
+    assert(r.getAs[Long]("heaviest_key") === hk)
+    assert(r.getAs[Long]("heaviest_n") === hn)
+    rows.foreach { x =>
+      val share = x.getAs[Double]("heaviest_share")
+      assert(share > 0.0 && share <= 1.0)
+      assert(x.getAs[Double]("skew_ratio") >= 1.0 - 1e-12)
+    }
+  }
+
+  test("source overlap: jaccard replays brute vocabulary sets for a sample pair") {
+    val rows = TextAnalysis.sourceOverlap(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val srcs = docs.map(_._1).distinct.sorted
+    assert(rows.length === srcs.length * (srcs.length - 1) / 2, "all pairs")
+    def vocab(s: String): Set[String] =
+      docs.filter(_._1 == s).flatMap(_._2.trim.split("\\s+")).toSet
+    // spot-check every pair involving the first source
+    rows.filter(_.getAs[String]("s1") == srcs.head).foreach { r =>
+      val (v1, v2) = (vocab(r.getAs[String]("s1")), vocab(r.getAs[String]("s2")))
+      assert(r.getAs[Long]("sz1") === v1.size.toLong)
+      assert(r.getAs[Long]("sz2") === v2.size.toLong)
+      assert(r.getAs[Long]("n_common") === v1.intersect(v2).size.toLong)
+      val j = v1.intersect(v2).size.toDouble / v1.union(v2).size
+      assert(math.abs(r.getAs[Double]("jaccard") - j) < 1e-12)
     }
   }
 
