@@ -986,7 +986,156 @@ object Temporal {
       |  m.s2::DOUBLE / m.n2::DOUBLE AS mean_right
       |FROM best ORDER BY event_type""".stripMargin
 
+  // --- q_t19_rolling_corr -----------------------------------------------------
+  // 7-DAY ROLLING PEARSON between the click and purchase daily series —
+  // the co-movement monitor behind "did the conversion relationship
+  // break this week". The two series pivot out of ONE day-grain
+  // conditional aggregation; all five correlation moments are exact
+  // BIGINT window sums over the 7-row frame, and r is the fixed-order
+  // double tree with the linreg-style degenerate guards (a flat window
+  // on either side → 0.0, not NaN). The frame windows run over the
+  // calendar-bounded day digest; first 6 days emit with their partial
+  // frames (n < 7 rides the same formula).
+  def rollingCorr(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("cxx", (col("n") * col("sxx") - col("sx") * col("sx"))
+        .cast("double"))
+      .withColumn("cyy", (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast("double"))
+      .select(col("day"), col("n"), col("x").as("clicks"),
+        col("y").as("purchases"),
+        when(col("cxx") > 0.0 && col("cyy") > 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("cxx") * col("cyy"))).otherwise(lit(0.0)).as("corr"))
+      .orderBy("day")
+  }
+
+  val rollingCorrSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |win AS MATERIALIZED (
+      |  SELECT day, x, y,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+      |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |calc AS MATERIALIZED (
+      |  SELECT day, n, x, y, sxy, sx, sy,
+      |    (n * sxx - sx * sx)::DOUBLE AS cxx,
+      |    (n * syy - sy * sy)::DOUBLE AS cyy
+      |  FROM win)
+      |SELECT day, n, x AS clicks, y AS purchases,
+      |  CASE WHEN cxx > 0.0 AND cyy > 0.0
+      |    THEN (n * sxy - sx * sy)::DOUBLE / sqrt(cxx * cyy)
+      |    ELSE 0.0 END AS corr
+      |FROM calc ORDER BY day""".stripMargin
+
+  // --- q_t20_acf --------------------------------------------------------------
+  // AUTOCORRELATION FUNCTION (lags 1–7) of each event type's daily
+  // series — the seasonality detector feeding the q_t8 day-of-week
+  // screen (a weekly cycle shows as an ACF spike at lag 7). Lagged
+  // pairs come from seven LEADs over one series-key window pass (never
+  // a self-join on day arithmetic); the per-type moments (n, S, Q)
+  // broadcast back, each pair's centered product is a fixed-order
+  // double over exact integers re-rounded at 1e-9, and r_k divides by
+  // the full-series centered sum of squares (the standard ACF
+  // denominator). Day-grain digest throughout.
+  def acf(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily.select(
+      col("event_type") +: col("x").as("x0") +:
+        (1 to 7).map(k => lead("x", k).over(wd).as(s"x$k")): _*)
+      .localCheckpoint() // one pass feeds all 7 lag aggregates + moments
+    val m = lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x0")).as("ssum"),
+        sum((col("x0") * col("x0")).cast("decimal(38,0)")).as("q"))
+      .withColumn("xbar", col("ssum").cast("double") / col("n").cast("double"))
+      .withColumn("den",
+        col("q").cast("double") - col("n").cast("double") *
+          col("xbar") * col("xbar"))
+    val perLag = (1 to 7).map { k =>
+      lagged.join(broadcast(m), "event_type")
+        .filter(col(s"x$k").isNotNull)
+        .groupBy(col("event_type"), lit(k.toLong).as("lag"))
+        .agg(sum(round(((col("x0").cast("double") - col("xbar")) *
+          (col(s"x$k").cast("double") - col("xbar"))) * 1e9).cast("long"))
+          .as("num9"), max(col("den")).as("den"))
+        .select(col("event_type"), col("lag"),
+          when(col("den") > 0.0,
+            col("num9").cast("double") / 1e9 / col("den"))
+            .otherwise(lit(0.0)).as("acf"))
+    }
+    perLag.reduce(_ unionByName _).orderBy("event_type", "lag")
+  }
+
+  val acfSql: String = {
+    val leadCols = (1 to 7).map(k => s"lead(x, $k) OVER wd AS x$k")
+      .mkString(",\n      |    ")
+    val lagSelects = (1 to 7).map { k =>
+      s"""SELECT l.event_type, CAST($k AS BIGINT) AS lag,
+         |  CASE WHEN m.den > 0.0 THEN
+         |    CAST(sum(CAST(round((l.x0::DOUBLE - m.xbar)
+         |      * (l.x$k::DOUBLE - m.xbar) * 1e9) AS BIGINT)) AS BIGINT)::DOUBLE
+         |      / 1e9 / m.den
+         |    ELSE 0.0 END AS acf
+         |FROM lagged l JOIN m ON l.event_type = m.event_type
+         |WHERE l.x$k IS NOT NULL
+         |GROUP BY l.event_type, m.den""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS MATERIALIZED (
+       |  SELECT event_type, x AS x0,
+       |    $leadCols
+       |  FROM daily
+       |  WINDOW wd AS (PARTITION BY event_type ORDER BY day)),
+       |m AS MATERIALIZED (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x0) AS BIGINT) AS ssum,
+       |    sum(CAST(x0 * x0 AS DECIMAL(38,0))) AS q,
+       |    CAST(sum(x0) AS BIGINT)::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE
+       |      AS xbar,
+       |    CAST(sum(CAST(x0 * x0 AS DECIMAL(38,0))) AS DOUBLE)
+       |      - CAST(count(*) AS BIGINT)::DOUBLE
+       |        * (CAST(sum(x0) AS BIGINT)::DOUBLE
+       |           / CAST(count(*) AS BIGINT)::DOUBLE)
+       |        * (CAST(sum(x0) AS BIGINT)::DOUBLE
+       |           / CAST(count(*) AS BIGINT)::DOUBLE) AS den
+       |  FROM lagged GROUP BY 1)
+       |$lagSelects
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t19_rolling_corr" -> (rollingCorr _),
+    "q_t20_acf" -> (acf _),
     "q_t18_changepoint" -> (changepoint _),
     "q_t14_mad" -> (madOutliers _),
     "q_t15_ewma" -> (ewma _),
@@ -1007,6 +1156,8 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t19_rolling_corr" -> rollingCorrSql,
+    "q_t20_acf" -> acfSql,
     "q_t18_changepoint" -> changepointSql,
     "q_t14_mad" -> madOutliersSql,
     "q_t15_ewma" -> ewmaSql,

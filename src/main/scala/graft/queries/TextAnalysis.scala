@@ -136,6 +136,56 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- q_tx_langid_eval -----------------------------------------------------
+  // CONFUSION MATRIX + ACCURACY for the language-ID classifier against
+  // the labeled corpus — the eval table every classifier in the
+  // pipeline ships with (the probe has AUC/calibration; the langid
+  // heuristic gets its cells here). One doc-grain aggregation to the
+  // ≤|langs|² cell digest; accuracy is exact-integer correct/total
+  // divided once and broadcast back onto the cells (every row carries
+  // it, the q_sim_reliability ECE shape). Scale: scan + digest.
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val scores = markers.map { case (lang, pats) =>
+      struct(
+        pats.map(p => occurrences(col("text"), p)).reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }
+    val pred = Tables.documents(s, d)
+      .select(col("lang").as("true_lang"),
+        array_max(array(scores: _*)).getField("lang").as("pred_lang"))
+    val cells = pred.groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+    val acc = cells.agg(
+      (sum(when(col("true_lang") === col("pred_lang"), col("n"))
+        .otherwise(0L)).cast("double") / sum(col("n")).cast("double"))
+        .as("accuracy"))
+    cells.crossJoin(broadcast(acc))
+      .select(col("true_lang"), col("pred_lang"), col("n"), col("accuracy"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
+  val langIdEvalSql: String = {
+    def occ(p: String) =
+      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
+    val structs = markers.map { case (lang, pats) =>
+      s"{'score': ${pats.map(occ).mkString(" + ")}, 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"""WITH pred AS MATERIALIZED (
+       |  SELECT lang AS true_lang, list_max($structs).lang AS pred_lang
+       |  FROM documents),
+       |cells AS MATERIALIZED (
+       |  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |acc AS MATERIALIZED (
+       |  SELECT CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+       |      AS BIGINT)::DOUBLE
+       |    / CAST(sum(n) AS BIGINT)::DOUBLE AS accuracy
+       |  FROM cells)
+       |SELECT true_lang, pred_lang, n, acc.accuracy AS accuracy
+       |FROM cells, acc
+       |ORDER BY true_lang, pred_lang""".stripMargin
+  }
+
   // --- q_tx_fingerprint ---------------------------------------------------
   // Polynomial rolling hash over token stream (content-defined document
   // fingerprint): h = fold(h*31 + md5_32(token) mod p). Token-level, so
@@ -1680,6 +1730,7 @@ object TextAnalysis {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_source_overlap" -> (sourceOverlap _),
+    "q_tx_langid_eval" -> (langIdEval _),
     "q_tx_bm25" -> (bm25 _),
     "q_tx_zipf" -> (zipf _),
     "q_tx_dsir" -> (dsir _),
@@ -1709,6 +1760,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_tx_source_overlap" -> sourceOverlapSql,
+    "q_tx_langid_eval" -> langIdEvalSql,
     "q_tx_bm25" -> bm25Sql,
     "q_tx_zipf" -> zipfSql,
     "q_tx_dsir" -> dsirSql,

@@ -1725,6 +1725,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("langid eval: confusion cells partition the corpus; accuracy is the diagonal share") {
+    val rows = TextAnalysis.langIdEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val preds = TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang")))
+    assert(rows.map(_.getAs[Long]("n")).sum === preds.length.toLong)
+    rows.foreach { r =>
+      val cell = (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"))
+      assert(r.getAs[Long]("n") === preds.count(_ == cell).toLong, s"$cell")
+    }
+    val acc = preds.count(p => p._1 == p._2).toDouble / preds.length
+    rows.foreach(r =>
+      assert(math.abs(r.getAs[Double]("accuracy") - acc) < 1e-12))
+  }
+
   test("gini: matches a brute sorted rank-weighted sum per event type") {
     val rows = Analytics.gini(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -355,4 +355,55 @@ class TemporalSpec extends SparkSpec {
       assert(r.getAs[Double]("gain") >= -1e-6, s"$et gain nonneg")
     }
   }
+
+  test("rolling corr: every frame equals a brute 7-day Pearson; bounded in [-1,1]") {
+    val rows = Temporal.rollingCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = rows.map(r => (r.getAs[java.sql.Timestamp]("day").getTime,
+      r.getAs[Long]("clicks"), r.getAs[Long]("purchases"))).sortBy(_._1)
+    rows.foreach { r =>
+      val t = r.getAs[java.sql.Timestamp]("day").getTime
+      val idx = daily.indexWhere(_._1 == t)
+      val frame = daily.slice(math.max(0, idx - 6), idx + 1)
+      assert(r.getAs[Long]("n") === frame.length.toLong)
+      val n = frame.length.toDouble
+      val (sx, sy) = (frame.map(_._2).sum.toDouble, frame.map(_._3).sum.toDouble)
+      val sxy = frame.map(p => p._2 * p._3).sum.toDouble
+      val sxx = frame.map(p => p._2 * p._2).sum.toDouble
+      val syy = frame.map(p => p._3 * p._3).sum.toDouble
+      val (cxx, cyy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val brute = if (cxx > 0 && cyy > 0)
+        (n * sxy - sx * sy) / math.sqrt(cxx * cyy) else 0.0
+      val got = r.getAs[Double]("corr")
+      assert(math.abs(got - brute) < 1e-9, s"day $t: $got vs $brute")
+      assert(got >= -1.0 - 1e-12 && got <= 1.0 + 1e-12)
+    }
+  }
+
+  test("acf: lag-k autocorrelations equal a brute centered-product replay") {
+    val rows = Temporal.acf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("x")))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val k = r.getAs[Long]("lag").toInt
+      val xs = daily.filter(_._1 == et).sortBy(_._2).map(_._3.toDouble)
+      val xbar = xs.sum / xs.length
+      val den = xs.map(x => x * x).sum - xs.length * xbar * xbar
+      val num = (0 until xs.length - k)
+        .map(i => math.round((xs(i) - xbar) * (xs(i + k) - xbar) * 1e9))
+        .sum / 1e9
+      val brute = if (den > 0) num / den else 0.0
+      val got = r.getAs[Double]("acf")
+      assert(math.abs(got - brute) < 1e-9, s"$et lag $k: $got vs $brute")
+      assert(got >= -1.0 - 1e-9 && got <= 1.0 + 1e-9, s"$et lag $k range")
+    }
+    // every (type, lag 1..7) pair with enough days must be present
+    assert(rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("lag"))).distinct.length === rows.length)
+  }
 }
