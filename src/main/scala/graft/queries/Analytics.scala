@@ -2962,7 +2962,83 @@ object Analytics {
       |FROM digest, qs
       |ORDER BY t""".stripMargin
 
+  // --- q_ag_boxplot -----------------------------------------------------------
+  // TUKEY BOXPLOT DIGEST per event type — q1/median/q3, the IQR
+  // fences, and the exact outlier count: the five-number summary every
+  // distribution dashboard draws. The three quartiles come from ONE
+  // selectAtRanks pass (the sort-free two-phase histogram walk, shared
+  // with q_ag_exact_quantiles), pivoted to a k-row digest; the 1.5·IQR
+  // fences stay EXACT INTEGERS by doubling — 2v < 5·q1 − 3·q3 is
+  // outlier-low and 2v > 5·q3 − 3·q1 outlier-high, so the flag pass is
+  // pure integer comparison against broadcast bounds with no
+  // fractional fence to drift. Scale: two bounded passes over the
+  // cents column + digest arithmetic.
+  def boxplot(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("v"))
+      .localCheckpoint() // selection passes + the outlier pass read it
+    val qs = selectAtRanks(base,
+      Seq(("q1", 1L, 4L), ("med", 1L, 2L), ("q3", 3L, 4L)))
+    val piv = qs.groupBy("g", "n")
+      .agg(max(when(col("quantile") === "q1", col("value_cents"))).as("q1c"),
+        max(when(col("quantile") === "med", col("value_cents"))).as("medc"),
+        max(when(col("quantile") === "q3", col("value_cents"))).as("q3c"))
+    val outliers = base.join(broadcast(piv.select("g", "q1c", "q3c")), "g")
+      .filter(col("v") * 2 < col("q1c") * 5 - col("q3c") * 3 ||
+        col("v") * 2 > col("q3c") * 5 - col("q1c") * 3)
+      .groupBy("g").agg(count(lit(1)).as("n_outliers"))
+    piv.join(outliers, Seq("g"), "left")
+      .select(col("g").as("event_type"), col("n"),
+        (col("q1c").cast("double") / 100.0).as("q1"),
+        (col("medc").cast("double") / 100.0).as("median"),
+        (col("q3c").cast("double") / 100.0).as("q3"),
+        ((col("q3c") - col("q1c")).cast("double") / 100.0).as("iqr"),
+        ((col("q1c") * 5 - col("q3c") * 3).cast("double") / 200.0)
+          .as("lo_fence"),
+        ((col("q3c") * 5 - col("q1c") * 3).cast("double") / 200.0)
+          .as("hi_fence"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val boxplotSql: String =
+    """WITH b AS MATERIALIZED (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |r AS MATERIALIZED (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM b),
+      |q(label, num, den) AS (VALUES ('q1', 1, 4), ('med', 1, 2), ('q3', 3, 4)),
+      |sel AS MATERIALIZED (
+      |  SELECT g, n, label, v FROM r JOIN q
+      |  ON rk = (n * num + den - 1) // den),
+      |piv AS MATERIALIZED (
+      |  SELECT g, n,
+      |    max(CASE WHEN label = 'q1' THEN v END) AS q1c,
+      |    max(CASE WHEN label = 'med' THEN v END) AS medc,
+      |    max(CASE WHEN label = 'q3' THEN v END) AS q3c
+      |  FROM sel GROUP BY 1, 2),
+      |outl AS MATERIALIZED (
+      |  SELECT b.g, CAST(count(*) AS BIGINT) AS n_outliers
+      |  FROM b JOIN piv ON b.g = piv.g
+      |  WHERE b.v * 2 < piv.q1c * 5 - piv.q3c * 3
+      |     OR b.v * 2 > piv.q3c * 5 - piv.q1c * 3
+      |  GROUP BY 1)
+      |SELECT piv.g AS event_type, piv.n,
+      |  q1c::DOUBLE / 100.0 AS q1,
+      |  medc::DOUBLE / 100.0 AS median,
+      |  q3c::DOUBLE / 100.0 AS q3,
+      |  (q3c - q1c)::DOUBLE / 100.0 AS iqr,
+      |  (q1c * 5 - q3c * 3)::DOUBLE / 200.0 AS lo_fence,
+      |  (q3c * 5 - q1c * 3)::DOUBLE / 200.0 AS hi_fence,
+      |  coalesce(o.n_outliers, 0) AS n_outliers
+      |FROM piv LEFT JOIN outl o ON piv.g = o.g
+      |ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ag_boxplot" -> (boxplot _),
     "q_ag_proptest" -> (proptest _),
     "q_ag_entropy" -> (entropy _),
     "q_ev_paths" -> (paths _),
@@ -3017,6 +3093,7 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ag_boxplot" -> boxplotSql,
     "q_ag_proptest" -> proptestSql,
     "q_ag_entropy" -> entropySql,
     "q_ev_paths" -> pathsSql,

@@ -1133,7 +1133,72 @@ object Temporal {
        |ORDER BY event_type, lag""".stripMargin
   }
 
+  // --- q_t21_theil_sen --------------------------------------------------------
+  // THEIL–SEN ROBUST TREND per series — the median of all pairwise
+  // slopes of the daily-count series, the estimator that shrugs off
+  // the outliers OLS (q_ag_linreg) chases. Pairs live at DAY-DIGEST
+  // grain (the calendar bounds them at any corpus size): the digest
+  // self-joins on i < j, each slope is ONE correctly-rounded divide of
+  // exact integers (bit-identical cross-engine) quantized at 1e-9 into
+  // the value domain, and the median is the SAME distributed selection
+  // core as q_ag_exact_median (Analytics.selectAtRanks — the two-phase
+  // histogram walk, no sort, no collect), composing at a third grain
+  // after prices and deviations. Lower-median convention throughout.
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val idx = daily
+      .withColumn("i", row_number()
+        .over(Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .select("event_type", "i", "x")
+      .localCheckpoint() // both sides of the pair join read it
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.i") < col("b.i"))
+      .select(col("a.event_type").as("g"),
+        round((col("b.x") - col("a.x")).cast("double") /
+          (col("b.i") - col("a.i")).cast("double") * 1e9).cast("long")
+          .as("v"))
+      // PIN before the selection walk: selectAtRanks reads its input in
+      // three self-referencing passes, and an UNPINNED self-join-derived
+      // frame trips Spark's self-join attribute dedup into mis-bound
+      // branch columns (observed as a runtime v DIV gw=0) — the same
+      // contract exactMedianOf enforces by checkpointing its input.
+      .localCheckpoint()
+    Analytics.selectAtRanks(pairs, Seq(("m", 1L, 2L)))
+      .select(col("g").as("event_type"), col("n").as("n_pairs"),
+        (col("value_cents").cast("double") / 1e9).as("slope"))
+      .orderBy("event_type")
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |idx AS MATERIALIZED (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS i, x
+      |  FROM daily),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.event_type AS g,
+      |    CAST(round((b.x - a.x)::DOUBLE / (b.i - a.i)::DOUBLE * 1e9)
+      |      AS BIGINT) AS v
+      |  FROM idx a JOIN idx b
+      |    ON a.event_type = b.event_type AND a.i < b.i),
+      |med AS MATERIALIZED (
+      |  SELECT g, n, v FROM (
+      |    SELECT g, v,
+      |      row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+      |      CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |    FROM pairs) WHERE rk = (n + 1) // 2)
+      |SELECT g AS event_type, n AS n_pairs, v::DOUBLE / 1e9 AS slope
+      |FROM med ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t21_theil_sen" -> (theilSen _),
     "q_t19_rolling_corr" -> (rollingCorr _),
     "q_t20_acf" -> (acf _),
     "q_t18_changepoint" -> (changepoint _),
@@ -1156,6 +1221,7 @@ object Temporal {
     "q_t7_resample" -> (resample _))
 
   val oracles: Map[String, String] = Map(
+    "q_t21_theil_sen" -> theilSenSql,
     "q_t19_rolling_corr" -> rollingCorrSql,
     "q_t20_acf" -> acfSql,
     "q_t18_changepoint" -> changepointSql,

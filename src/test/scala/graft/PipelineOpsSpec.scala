@@ -1740,6 +1740,30 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("accuracy") - acc) < 1e-12))
   }
 
+  test("boxplot: quartiles, fences, and outlier counts replay a brute sorted scan") {
+    val rows = Analytics.boxplot(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vs = ev.filter(_._1 == et).map(_._2).sorted
+      val n = vs.length
+      assert(r.getAs[Long]("n") === n.toLong, s"$et n")
+      def rank(num: Int, den: Int): Long = vs((n * num + den - 1) / den - 1)
+      val (q1, med, q3) = (rank(1, 4), rank(1, 2), rank(3, 4))
+      assert(math.abs(r.getAs[Double]("q1") - q1 / 100.0) < 1e-12, s"$et q1")
+      assert(math.abs(r.getAs[Double]("median") - med / 100.0) < 1e-12)
+      assert(math.abs(r.getAs[Double]("q3") - q3 / 100.0) < 1e-12, s"$et q3")
+      assert(math.abs(r.getAs[Double]("iqr") - (q3 - q1) / 100.0) < 1e-12)
+      val nOut = vs.count(v => 2 * v < 5 * q1 - 3 * q3 ||
+        2 * v > 5 * q3 - 3 * q1).toLong
+      assert(r.getAs[Long]("n_outliers") === nOut, s"$et outliers")
+      assert(r.getAs[Double]("lo_fence") < r.getAs[Double]("hi_fence"))
+    }
+  }
+
   test("gini: matches a brute sorted rank-weighted sum per event type") {
     val rows = Analytics.gini(spark, sf).collect()
     assert(rows.nonEmpty)

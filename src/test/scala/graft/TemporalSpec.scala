@@ -406,4 +406,25 @@ class TemporalSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[String]("event_type"),
       r.getAs[Long]("lag"))).distinct.length === rows.length)
   }
+
+  test("theil-sen: slope equals the brute median of quantized pairwise slopes") {
+    val rows = Temporal.theilSen(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("x")))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val xs = daily.filter(_._1 == et).sortBy(_._2).map(_._3)
+      val slopes = (for {
+        i <- xs.indices; j <- (i + 1) until xs.length
+      } yield math.round((xs(j) - xs(i)).toDouble / (j - i) * 1e9)).sorted
+      assert(r.getAs[Long]("n_pairs") === slopes.length.toLong, s"$et pairs")
+      val lower = slopes((slopes.length + 1) / 2 - 1) // lower median
+      assert(math.abs(r.getAs[Double]("slope") - lower / 1e9) < 1e-12,
+        s"$et slope")
+    }
+  }
 }
