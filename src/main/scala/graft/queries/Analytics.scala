@@ -120,6 +120,82 @@ object Analytics {
       |FROM cnt c JOIN tot t ON c.from_type = t.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  // --- q_ev_markov_stationary -------------------------------------------------
+  // STATIONARY DISTRIBUTION of the behavior Markov chain — where the
+  // transition matrix says users spend their time in the long run (the
+  // long-run companion of q_ev_transitions, and the PageRank of the
+  // K-state behavior graph). The matrix is a K²-cell digest by
+  // construction, so the power iteration is DRIVER-SIDE arithmetic on
+  // a collected O(K²) artifact (the Lloyd/HITS collect discipline —
+  // K = |event types|, never data-grain); each round's terms
+  // π_f·p_{f,t} quantize at 1e-12 into exact integers before the
+  // per-state sum, so the iteration is order-free and the DuckDB
+  // replay (chained materialized CTEs) reproduces every bit. The ONLY
+  // corpus-scale work is the one window pass + aggregation that builds
+  // the matrix.
+  private val MarkovRounds = 20
+
+  def markovStationary(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cells = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("f").agg(sum(col("n")).as("row_n"))
+    val p = cells.join(totals, "f")
+      .select(col("f"), col("t"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("p"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val states = p.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    var pi = states.map(_ => 1.0 / states.length)
+    for (_ <- 1 to MarkovRounds) {
+      pi = states.map { t =>
+        states.zip(pi).map { case (f, pf) =>
+          math.round(pf * p.getOrElse((f, t), 0.0) * 1e12)
+        }.sum / 1e12
+      }
+    }
+    import s.implicits._
+    states.zip(pi).toDF("event_type", "stationary").orderBy("event_type")
+  }
+
+  lazy val markovStationarySql: String = {
+    val rounds = (1 to MarkovRounds).map { i =>
+      val prev = s"pi${i - 1}"
+      s"""pi$i AS MATERIALIZED (
+         |  SELECT p.t AS state,
+         |    CAST(sum(CAST(round(r.v * p.p * 1e12) AS BIGINT)) AS BIGINT)::DOUBLE
+         |      / 1e12 AS v
+         |  FROM p JOIN $prev r ON p.f = r.state
+         |  GROUP BY p.t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT event_type AS f,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS t
+       |  FROM events),
+       |cells AS MATERIALIZED (
+       |  SELECT f, t, CAST(count(*) AS BIGINT) AS n
+       |  FROM pairs WHERE t IS NOT NULL GROUP BY 1, 2),
+       |tot AS MATERIALIZED (
+       |  SELECT f, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+       |p AS MATERIALIZED (
+       |  SELECT c.f, c.t, c.n::DOUBLE / tot.row_n::DOUBLE AS p
+       |  FROM cells c JOIN tot USING (f)),
+       |states AS MATERIALIZED (
+       |  SELECT DISTINCT f AS state FROM p
+       |  UNION SELECT DISTINCT t AS state FROM p),
+       |k AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+       |pi0 AS MATERIALIZED (
+       |  SELECT state, 1.0 / (SELECT k FROM k) AS v FROM states),
+       |$rounds
+       |SELECT state AS event_type, v AS stationary
+       |FROM pi$MarkovRounds ORDER BY event_type""".stripMargin
+  }
+
   // --- q_ev_next_pred -------------------------------------------------------
   // The transition model APPLIED — train-then-score as one composed
   // relational op: each user's LAST observed event type (deterministic
@@ -3038,6 +3114,7 @@ object Analytics {
       |ORDER BY event_type""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_markov_stationary" -> (markovStationary _),
     "q_ag_boxplot" -> (boxplot _),
     "q_ag_proptest" -> (proptest _),
     "q_ag_entropy" -> (entropy _),
@@ -3093,6 +3170,7 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ev_markov_stationary" -> markovStationarySql,
     "q_ag_boxplot" -> boxplotSql,
     "q_ag_proptest" -> proptestSql,
     "q_ag_entropy" -> entropySql,

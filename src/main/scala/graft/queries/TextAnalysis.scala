@@ -136,6 +136,69 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- q_tx_ctfidf ------------------------------------------------------------
+  // CLASS-BASED TF-IDF (the BERTopic c-TF-IDF formulation): the top-5
+  // tokens that CHARACTERIZE each source — tf_{s,w} · ln(1 + A/cf_w),
+  // where cf_w is the token's corpus frequency and A the average
+  // per-source token mass, so corpus-ubiquitous tokens are damped and
+  // source-specific ones surface. This is the automatic topic-labeling
+  // table a curation pipeline prints next to each crawl. Token counts
+  // are ONE map-side-combinable aggregation; cf and A live at
+  // vocabulary/corpus grain; ln quantizes at 1e-6 (the zipf/bm25
+  // discipline) so the score is an exact integer product tf·l6 and the
+  // per-source top-5 is a window over vocabulary-grain rows with a
+  // deterministic (score, token) tie-break.
+  def ctfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // cf, A, and the scoring pass all read it
+    val cf = tf.groupBy("w").agg(sum(col("tf")).as("cf"))
+    val a = tf.groupBy("source").agg(sum(col("tf")).as("m"))
+      .agg((sum(col("m")).cast("double") / count(lit(1)).cast("double"))
+        .as("a"))
+    val scored = tf.join(broadcast(cf), "w").crossJoin(broadcast(a))
+      .withColumn("l6",
+        round(log(lit(1.0) + col("a") / col("cf").cast("double")) * 1e6)
+          .cast("long"))
+      .withColumn("score_fixed", col("tf") * col("l6"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_fixed").desc, col("w"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("w").as("token"), col("tf"),
+        (col("score_fixed").cast("double") / 1e6).as("ctfidf"))
+      .orderBy("source", "rank")
+  }
+
+  lazy val ctfidfSql: String =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT source, unnest($tokensSql) AS w FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |cf AS MATERIALIZED (
+       |  SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |a AS MATERIALIZED (
+       |  SELECT CAST(sum(m) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS a
+       |  FROM (SELECT source, CAST(sum(tf) AS BIGINT) AS m
+       |        FROM tf GROUP BY 1)),
+       |scored AS MATERIALIZED (
+       |  SELECT tf.source, tf.w, tf.tf,
+       |    tf.tf * CAST(round(ln(1.0 + a.a / cf.cf::DOUBLE) * 1e6) AS BIGINT)
+       |      AS score_fixed
+       |  FROM tf JOIN cf USING (w), a)
+       |SELECT source, rank, w AS token, tf,
+       |  score_fixed::DOUBLE / 1e6 AS ctfidf
+       |FROM (
+       |  SELECT source, w, tf, score_fixed,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY score_fixed DESC, w) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY source, rank""".stripMargin
+
   // --- q_tx_langid_eval -----------------------------------------------------
   // CONFUSION MATRIX + ACCURACY for the language-ID classifier against
   // the labeled corpus — the eval table every classifier in the
@@ -1731,6 +1794,7 @@ object TextAnalysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_source_overlap" -> (sourceOverlap _),
     "q_tx_langid_eval" -> (langIdEval _),
+    "q_tx_ctfidf" -> (ctfidf _),
     "q_tx_bm25" -> (bm25 _),
     "q_tx_zipf" -> (zipf _),
     "q_tx_dsir" -> (dsir _),
@@ -1761,6 +1825,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_tx_source_overlap" -> sourceOverlapSql,
     "q_tx_langid_eval" -> langIdEvalSql,
+    "q_tx_ctfidf" -> ctfidfSql,
     "q_tx_bm25" -> bm25Sql,
     "q_tx_zipf" -> zipfSql,
     "q_tx_dsir" -> dsirSql,

@@ -1764,6 +1764,69 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("markov stationary: replays the brute quantized power iteration; sums to 1") {
+    val rows = Analytics.markovStationary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(x => (x.getAs[Long]("user_id"),
+        (x.getAs[java.sql.Timestamp]("ts").getTime, x.getAs[Long]("event_id")),
+        x.getAs[String]("event_type")))
+    val cells = scala.collection.mutable.Map[(String, String), Long]()
+    ev.groupBy(_._1).values.foreach { seq =>
+      seq.sortBy(_._2).map(_._3).sliding(2).filter(_.length == 2)
+        .foreach(p => cells(p(0) -> p(1)) =
+          cells.getOrElse(p(0) -> p(1), 0L) + 1L)
+    }
+    val rowN = cells.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val p = cells.map { case ((f, t), n) => (f, t) -> n.toDouble / rowN(f) }
+    val states = cells.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    var pi = states.map(_ => 1.0 / states.length)
+    for (_ <- 1 to 20) {
+      pi = states.map { t =>
+        states.zip(pi).map { case (f, pf) =>
+          math.round(pf * p.getOrElse((f, t), 0.0) * 1e12) }.sum / 1e12
+      }
+    }
+    val got = rows.map(r =>
+      r.getAs[String]("event_type") -> r.getAs[Double]("stationary")).toMap
+    states.zip(pi).foreach { case (st, v) =>
+      assert(math.abs(got(st) - v) < 1e-12, s"$st: ${got(st)} vs $v")
+    }
+    val mass = got.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"stationary mass $mass")
+    assert(got.values.forall(_ >= 0.0))
+  }
+
+  test("c-TF-IDF: top-5 terms per source replay the brute class-based scoring") {
+    val rows = TextAnalysis.ctfidf(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val tf = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { case (src, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty)
+        .foreach(w => tf(src -> w) = tf.getOrElse(src -> w, 0L) + 1L)
+    }
+    val cf = tf.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val masses = tf.groupBy(_._1._1).map { case (_, m) => m.values.sum }
+    val a = masses.sum.toDouble / masses.size
+    val srcs = docs.map(_._1).distinct
+    assert(rows.length === srcs.length * 5, "5 terms per source")
+    srcs.foreach { src =>
+      val brute = tf.collect { case ((s0, w), t) if s0 == src =>
+        (w, t, t * math.round(math.log(1.0 + a / cf(w)) * 1e6))
+      }.toSeq.sortBy { case (w, _, sc) => (-sc, w) }.take(5)
+      val mine = rows.filter(_.getAs[String]("source") == src)
+        .sortBy(_.getAs[Long]("rank"))
+      mine.zip(brute).foreach { case (r, (w, t, sc)) =>
+        assert(r.getAs[String]("token") === w, s"$src token")
+        assert(r.getAs[Long]("tf") === t, s"$src tf")
+        assert(math.abs(r.getAs[Double]("ctfidf") - sc / 1e6) < 1e-9)
+      }
+    }
+  }
+
   test("gini: matches a brute sorted rank-weighted sum per event type") {
     val rows = Analytics.gini(spark, sf).collect()
     assert(rows.nonEmpty)
