@@ -937,6 +937,21 @@ class PlanSpec extends SparkSpec {
       s"assortativity joins must be equi-joins:\n${ap.take(1500)}")
   }
 
+  test("ctfidf: corpus stats broadcast; the only window runs at vocabulary grain") {
+    val df = graft.queries.TextAnalysis.ctfidf(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"cf/A must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+    // the ranking window partitions by source (never a global sort)
+    val wins = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "top-5 window must be partitioned by source")
+  }
+
   private implicit class Let[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }
