@@ -547,7 +547,18 @@ object Graph {
   /** Propagation core over any undirected (a, b) edge frame — exposed
     * so specs can drive multi-component fixtures (the testdata
     * co-purchase graph is one giant component at every SF, which never
-    * exercises the labeling across components). */
+    * exercises the labeling across components).
+    *
+    * Deliberately neighbor-min WITHOUT pointer jumping: the swap to
+    * the dedup family's O(log n) engine ([[Dedup.connectedComponents]])
+    * was MEASURED at sf0.1 and regressed — 3.75→6.0 MB shuffled and
+    * ~5.4→6.9 s — because the co-purchase graph's diameter is small
+    * (the moved-count loop ends in a handful of rounds) while the jump
+    * adds a second label-keyed join + checksum per round. The
+    * high-diameter regime (chains, long near-dup paths) is exactly
+    * where dedup's pointer-jumping variant IS the right engine; pick
+    * per graph shape, and the require() below turns an undersized cap
+    * into a loud failure instead of a silent wrong partition. */
   private[graft] def connectedOf(und: DataFrame): DataFrame = {
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
