@@ -2615,9 +2615,13 @@ object Analytics {
       .withColumn("ssw", (col("qtot").cast("double") - col("t")) / 1e4)
       .select(col("k"), col("n"),
         col("ssb").as("ss_between"), col("ssw").as("ss_within"),
-        (col("ssb") / (col("k").cast("double") - 1.0) /
-          (col("ssw") / (col("n").cast("double") - col("k").cast("double"))))
-          .as("f"))
+        // degenerate guards (the zipf/linreg discipline): one group
+        // (k = 1) or a flat corpus (ssw = 0) yields 0.0, never a
+        // divide-by-zero / NaN
+        when(col("k") > 1L && col("ssw") > 0.0,
+          col("ssb") / (col("k").cast("double") - 1.0) /
+            (col("ssw") / (col("n").cast("double") - col("k").cast("double"))))
+          .otherwise(lit(0.0)).as("f"))
   }
 
   val anovaSql: String =
@@ -2646,8 +2650,10 @@ object Analytics {
       |SELECT k, n,
       |  (t - grand) / 1e4 AS ss_between,
       |  (q - t) / 1e4 AS ss_within,
-      |  ((t - grand) / 1e4) / (k::DOUBLE - 1.0) /
-      |    (((q - t) / 1e4) / (n::DOUBLE - k::DOUBLE)) AS f
+      |  CASE WHEN k > 1 AND (q - t) / 1e4 > 0.0 THEN
+      |    ((t - grand) / 1e4) / (k::DOUBLE - 1.0) /
+      |      (((q - t) / 1e4) / (n::DOUBLE - k::DOUBLE))
+      |    ELSE 0.0 END AS f
       |FROM calc""".stripMargin
 
   // --- q_ag_kendall ---------------------------------------------------------
@@ -2694,9 +2700,12 @@ object Analytics {
       .select(col("g"), col("n"),
         col("conc").cast("long").as("concordant"),
         col("disc").cast("long").as("discordant"),
-        ((col("conc") - col("disc")).cast("double") /
-          sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
-            .cast("double"))).as("tau_b"))
+        // all-tied x or y (n0 = n1 or n0 = n2) zeroes the denominator:
+        // association is undefined, report 0.0 — never Inf/NaN
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          (col("conc") - col("disc")).cast("double") /
+            sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+              .cast("double"))).otherwise(lit(0.0)).as("tau_b"))
       .orderBy("g")
   }
 
@@ -2729,10 +2738,12 @@ object Analytics {
       |SELECT ntot.g AS g, ntot.n,
       |  CAST(cd.conc AS BIGINT) AS concordant,
       |  CAST(cd.disc AS BIGINT) AS discordant,
-      |  CAST(cd.conc - cd.disc AS DOUBLE) /
+      |  CASE WHEN CAST(ntot.n * (ntot.n - 1) // 2 AS DECIMAL(38,0)) > n1
+      |        AND CAST(ntot.n * (ntot.n - 1) // 2 AS DECIMAL(38,0)) > n2
+      |  THEN CAST(cd.conc - cd.disc AS DOUBLE) /
       |    sqrt(CAST((CAST(ntot.n * (ntot.n - 1) // 2 AS DECIMAL(38,0)) - n1)
       |      * (CAST(ntot.n * (ntot.n - 1) // 2 AS DECIMAL(38,0)) - n2)
-      |      AS DOUBLE)) AS tau_b
+      |      AS DOUBLE)) ELSE 0.0 END AS tau_b
       |FROM ntot JOIN cd ON ntot.g = cd.g JOIN tx ON ntot.g = tx.g
       |JOIN ty ON ntot.g = ty.g
       |ORDER BY g""".stripMargin
@@ -2835,10 +2846,13 @@ object Analytics {
       .withColumn("p2", col("x2").cast("double") / col("n2").cast("double"))
       .withColumn("pp", (col("x1") + col("x2")).cast("double") /
         (col("n1") + col("n2")).cast("double"))
-      .withColumn("z", (col("p1") - col("p2")) /
-        sqrt(col("pp") * (lit(1.0) - col("pp")) *
-          (lit(1.0) / col("n1").cast("double") +
-            lit(1.0) / col("n2").cast("double"))))
+      // a saturated pooled rate (everyone or no-one converted) zeroes
+      // the denominator: report z = 0, never Inf/NaN
+      .withColumn("z", when(col("pp") > 0.0 && col("pp") < 1.0,
+        (col("p1") - col("p2")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n1").cast("double") +
+              lit(1.0) / col("n2").cast("double")))).otherwise(lit(0.0)))
       .select(lit("arm1_vs_arm0").as("pair"),
         col("n1"), col("x1"), col("n2"), col("x2"),
         col("p1").as("rate_1"), col("p2").as("rate_2"), col("z"),
@@ -2869,10 +2883,12 @@ object Analytics {
       |  FROM ab)
       |SELECT 'arm1_vs_arm0' AS pair, n1, x1, n2, x2,
       |  p1 AS rate_1, p2 AS rate_2,
-      |  (p1 - p2) / sqrt(pp * (1.0 - pp)
-      |    * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)) AS z,
-      |  CAST(CASE WHEN abs((p1 - p2) / sqrt(pp * (1.0 - pp)
-      |    * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))) > 1.96
+      |  CASE WHEN pp > 0.0 AND pp < 1.0 THEN
+      |    (p1 - p2) / sqrt(pp * (1.0 - pp)
+      |      * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE)) ELSE 0.0 END AS z,
+      |  CAST(CASE WHEN pp > 0.0 AND pp < 1.0
+      |    AND abs((p1 - p2) / sqrt(pp * (1.0 - pp)
+      |      * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))) > 1.96
       |    THEN 1 ELSE 0 END AS BIGINT) AS significant
       |FROM calc ORDER BY pair""".stripMargin
 

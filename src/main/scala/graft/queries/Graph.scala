@@ -938,9 +938,13 @@ object Graph {
         sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
         sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"))
     m.select(expr("n DIV 2").as("n_edges"), // integer divide on both sides
-        ((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-          .as("assortativity"))
+        // a REGULAR graph (all degrees equal) has zero degree variance:
+        // assortativity is undefined, report 0.0 — never Inf/NaN
+        when((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") > 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .otherwise(lit(0.0)).as("assortativity"))
   }
 
   val assortativitySql: String =
@@ -956,8 +960,10 @@ object Graph {
        |    sum(CAST(dx.deg * dx.deg AS DECIMAL(38,0))) AS sxx
        |  FROM e2 JOIN deg dx ON e2.a = dx.n JOIN deg dy ON e2.b = dy.n)
        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
-       |  CAST(n * sxy - sx * sx AS DOUBLE) /
-       |  CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+       |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+       |    THEN CAST(n * sxy - sx * sx AS DOUBLE) /
+       |         CAST(n * sxx - sx * sx AS DOUBLE)
+       |    ELSE 0.0 END AS assortativity
        |FROM m""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

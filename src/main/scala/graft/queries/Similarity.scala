@@ -639,7 +639,11 @@ object Similarity {
         col("vv") - lit(2.0) * col("best.score") + lit(64.0))))
       .withColumn("b", sqrt(greatest(lit(0.0),
         col("vv") - lit(2.0) * col("second.score") + lit(64.0))))
-      .withColumn("sil", lit(1.0) - col("a") / col("b"))
+      // a vector sitting exactly ON its second-nearest centroid (b = 0,
+      // forcing a = 0 too) is perfectly ambiguous: s = 0, never NaN
+      .withColumn("sil",
+        when(col("b") > 0.0, lit(1.0) - col("a") / col("b"))
+          .otherwise(lit(0.0)))
     e.groupBy((-col("best.ncid")).cast("long").as("cluster_id"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("sil") * 1.0e9).cast("long")).as("s9"))
@@ -664,7 +668,9 @@ object Similarity {
        |      + 64.0)) AS b
        |  FROM scored)
        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(CAST(round((1.0 - a / b) * 1e9) AS BIGINT)) AS BIGINT)::DOUBLE
+       |  CAST(sum(CAST(round(
+       |      (CASE WHEN b > 0.0 THEN 1.0 - a / b ELSE 0.0 END) * 1e9)
+       |    AS BIGINT)) AS BIGINT)::DOUBLE
        |    / 1e9 / count(*)::DOUBLE AS mean_silhouette
        |FROM ab GROUP BY cluster_id
        |ORDER BY cluster_id""".stripMargin
