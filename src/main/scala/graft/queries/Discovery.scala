@@ -591,7 +591,57 @@ object Discovery {
        |ORDER BY join_key""".stripMargin
   }
 
+  // --- q_ds_kanon -------------------------------------------------------------
+  // K-ANONYMITY AUDIT over quasi-identifiers — the privacy pre-release
+  // screen: how many documents sit in a (lang, source, length-bucket)
+  // equivalence class smaller than k = 5, i.e. are re-identifiable by
+  // attributes that individually look harmless? One doc-grain
+  // aggregation to the QI-class digest, then a 1-row summary: class
+  // count, the smallest class (k_min — the corpus's actual anonymity
+  // level), risky class/doc counts, and the risky fraction. Exact
+  // integers with one final division. Scale: the QI digest is bounded
+  // by the attribute cross-product, not corpus rows.
+  private val KAnonThreshold = 5L
+
+  def kanon(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / 50).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("c"))
+    classes.groupBy()
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        min(col("c")).as("k_min"),
+        sum(when(col("c") < KAnonThreshold, 1L).otherwise(0L))
+          .as("n_risky_classes"),
+        sum(when(col("c") < KAnonThreshold, col("c")).otherwise(0L))
+          .as("n_risky_docs"))
+      .select(col("n_docs"), col("n_classes"), col("k_min"),
+        lit(KAnonThreshold).as("k_threshold"),
+        col("n_risky_classes"), col("n_risky_docs"),
+        (col("n_risky_docs").cast("double") / col("n_docs").cast("double"))
+          .as("risky_frac"))
+  }
+
+  val kanonSql: String =
+    s"""WITH classes AS MATERIALIZED (
+       |  SELECT lang, source, n_chars // 50 AS len_bucket,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2, 3)
+       |SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(c) AS BIGINT) AS k_min,
+       |  CAST($KAnonThreshold AS BIGINT) AS k_threshold,
+       |  CAST(sum(CASE WHEN c < $KAnonThreshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_risky_classes,
+       |  CAST(sum(CASE WHEN c < $KAnonThreshold THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_risky_docs,
+       |  CAST(sum(CASE WHEN c < $KAnonThreshold THEN c ELSE 0 END) AS BIGINT)
+       |    ::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE AS risky_frac
+       |FROM classes""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_kanon" -> (kanon _),
     "q_ds_skew_audit" -> (skewAudit _),
     "q_ds_sample_preview" -> (samplePreview _),
     "q_ds_json_pred" -> (jsonPred _),
@@ -607,6 +657,7 @@ object Discovery {
     "q_ds_observe" -> (observeAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_ds_kanon" -> kanonSql,
     "q_ds_skew_audit" -> skewAuditSql,
     "q_ds_sample_preview" -> samplePreviewSql,
     "q_ds_json_pred" -> jsonPredSql,

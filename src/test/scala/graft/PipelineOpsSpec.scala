@@ -1827,6 +1827,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity: class counts and risky tallies replay a brute QI grouping") {
+    val r = Discovery.kanon(spark, sf).collect()
+    assert(r.length === 1)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("lang", "source", "n_chars").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getAs[Long]("n_chars") / 50))
+    val classes = docs.groupBy(identity).map(_._2.length.toLong).toSeq
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(row.getAs[Long]("n_classes") === classes.length.toLong)
+    assert(row.getAs[Long]("k_min") === classes.min)
+    assert(row.getAs[Long]("n_risky_classes") === classes.count(_ < 5).toLong)
+    val riskyDocs = classes.filter(_ < 5).sum
+    assert(row.getAs[Long]("n_risky_docs") === riskyDocs)
+    assert(math.abs(row.getAs[Double]("risky_frac") -
+      riskyDocs.toDouble / docs.length) < 1e-12)
+  }
+
   test("gini: matches a brute sorted rank-weighted sum per event type") {
     val rows = Analytics.gini(spark, sf).collect()
     assert(rows.nonEmpty)
