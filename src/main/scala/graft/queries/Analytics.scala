@@ -3129,7 +3129,91 @@ object Analytics {
       |FROM piv LEFT JOIN outl o ON piv.g = o.g
       |ORDER BY event_type""".stripMargin
 
+  // --- q_ag_levene ------------------------------------------------------------
+  // BROWN–FORSYTHE VARIANCE-HOMOGENEITY TEST — the assumption check
+  // behind q_ag_anova ("equal variances" is what the F-test leans on):
+  // a one-way ANOVA on |x − median_g|, median-centered so the screen
+  // is robust to the same outliers it is hunting. COMPOSES the two
+  // existing engines end-to-end: group medians come from the
+  // distributed selection walk (selectAtRanks — sort-free at any group
+  // cardinality), deviations are exact integer cents, and the F tree
+  // is the q_ag_anova discipline (per-group S²/n re-rounded at 1e6 in
+  // DECIMAL(38,0), fixed-order doubles, degenerate guards). Scale: two
+  // bounded selection passes + one moment aggregation.
+  def levene(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("v"))
+      .localCheckpoint() // selection + deviation passes read it
+    val med = selectAtRanks(base, Seq(("m", 1L, 2L)))
+      .select(col("g"), col("value_cents").as("med"))
+    val m = base.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("qg"))
+      .withColumn("tg",
+        (col("sg").cast("decimal(38,0)") * col("sg")).cast("double") /
+          col("ng").cast("double"))
+    m.groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("stot"), sum(col("qg")).as("qtot"),
+        sum(round(col("tg") / 1e6).cast("decimal(38,0)")).as("t6"))
+      .withColumn("t", col("t6").cast("double") * 1e6)
+      .withColumn("grand",
+        (col("stot").cast("decimal(38,0)") * col("stot")).cast("double") /
+          col("n").cast("double"))
+      .withColumn("ssb", (col("t") - col("grand")) / 1e4)
+      .withColumn("ssw", (col("qtot").cast("double") - col("t")) / 1e4)
+      .select(col("k"), col("n"),
+        col("ssb").as("ss_between"), col("ssw").as("ss_within"),
+        when(col("k") > 1L && col("ssw") > 0.0,
+          col("ssb") / (col("k").cast("double") - 1.0) /
+            (col("ssw") / (col("n").cast("double") - col("k").cast("double"))))
+          .otherwise(lit(0.0)).as("f_bf"))
+  }
+
+  val leveneSql: String =
+    """WITH b AS MATERIALIZED (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |med AS MATERIALIZED (
+      |  SELECT g, v AS med FROM (
+      |    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+      |      CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |    FROM b) WHERE rk = (n + 1) // 2),
+      |m AS MATERIALIZED (
+      |  SELECT b.g, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(abs(b.v - med.med)) AS BIGINT) AS sg,
+      |    sum(CAST(abs(b.v - med.med) * abs(b.v - med.med)
+      |      AS DECIMAL(38,0))) AS qg
+      |  FROM b JOIN med ON b.g = med.g GROUP BY 1),
+      |terms AS MATERIALIZED (
+      |  SELECT ng, sg, qg,
+      |    CAST(CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE) / ng::DOUBLE AS tg
+      |  FROM m),
+      |agg AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+      |    CAST(sum(sg) AS BIGINT) AS stot, sum(qg) AS qtot,
+      |    sum(CAST(round(tg / 1e6) AS DECIMAL(38,0))) AS t6
+      |  FROM terms),
+      |calc AS MATERIALIZED (
+      |  SELECT k, n, t6::DOUBLE * 1e6 AS t,
+      |    CAST(CAST(stot AS DECIMAL(38,0)) * stot AS DOUBLE) / n::DOUBLE
+      |      AS grand,
+      |    qtot::DOUBLE AS q
+      |  FROM agg)
+      |SELECT k, n,
+      |  (t - grand) / 1e4 AS ss_between,
+      |  (q - t) / 1e4 AS ss_within,
+      |  CASE WHEN k > 1 AND (q - t) / 1e4 > 0.0 THEN
+      |    ((t - grand) / 1e4) / (k::DOUBLE - 1.0) /
+      |      (((q - t) / 1e4) / (n::DOUBLE - k::DOUBLE))
+      |    ELSE 0.0 END AS f_bf
+      |FROM calc""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ag_levene" -> (levene _),
     "q_ev_markov_stationary" -> (markovStationary _),
     "q_ag_boxplot" -> (boxplot _),
     "q_ag_proptest" -> (proptest _),
@@ -3186,6 +3270,7 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ag_levene" -> leveneSql,
     "q_ev_markov_stationary" -> markovStationarySql,
     "q_ag_boxplot" -> boxplotSql,
     "q_ag_proptest" -> proptestSql,

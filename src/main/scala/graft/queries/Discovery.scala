@@ -640,7 +640,57 @@ object Discovery {
        |    ::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE AS risky_frac
        |FROM classes""".stripMargin
 
+  // --- q_ds_ldiv --------------------------------------------------------------
+  // L-DIVERSITY AUDIT — k-anonymity's necessary companion: a large
+  // equivalence class is still a leak if every member shares the same
+  // SENSITIVE value (here: language as the stand-in sensitive
+  // attribute, classes keyed by the non-sensitive (source,
+  // length-bucket) pair). Per class, l = distinct sensitive values;
+  // the summary reports l_min (the corpus's actual diversity level)
+  // and how many classes/docs sit below l = 3. Exact integers, digest
+  // grain throughout (classes bounded by the attribute cross-product).
+  private val LDivThreshold = 3L
+
+  def ldiv(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.documents(s, d)
+      .groupBy(col("source"),
+        floor(col("n_chars") / 50).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("lang")).as("l"))
+    classes.groupBy()
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("l_min"),
+        sum(when(col("l") < LDivThreshold, 1L).otherwise(0L))
+          .as("n_risky_classes"),
+        sum(when(col("l") < LDivThreshold, col("c")).otherwise(0L))
+          .as("n_risky_docs"))
+      .select(col("n_docs"), col("n_classes"), col("l_min"),
+        lit(LDivThreshold).as("l_threshold"),
+        col("n_risky_classes"), col("n_risky_docs"),
+        (col("n_risky_docs").cast("double") / col("n_docs").cast("double"))
+          .as("risky_frac"))
+  }
+
+  val ldivSql: String =
+    s"""WITH classes AS MATERIALIZED (
+       |  SELECT source, n_chars // 50 AS len_bucket,
+       |    CAST(count(*) AS BIGINT) AS c,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS l
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(l) AS BIGINT) AS l_min,
+       |  CAST($LDivThreshold AS BIGINT) AS l_threshold,
+       |  CAST(sum(CASE WHEN l < $LDivThreshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_risky_classes,
+       |  CAST(sum(CASE WHEN l < $LDivThreshold THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_risky_docs,
+       |  CAST(sum(CASE WHEN l < $LDivThreshold THEN c ELSE 0 END) AS BIGINT)
+       |    ::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE AS risky_frac
+       |FROM classes""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_ldiv" -> (ldiv _),
     "q_ds_kanon" -> (kanon _),
     "q_ds_skew_audit" -> (skewAudit _),
     "q_ds_sample_preview" -> (samplePreview _),
@@ -657,6 +707,7 @@ object Discovery {
     "q_ds_observe" -> (observeAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_ds_ldiv" -> ldivSql,
     "q_ds_kanon" -> kanonSql,
     "q_ds_skew_audit" -> skewAuditSql,
     "q_ds_sample_preview" -> samplePreviewSql,

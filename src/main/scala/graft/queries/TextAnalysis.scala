@@ -199,6 +199,56 @@ object TextAnalysis {
        |WHERE rank <= 5
        |ORDER BY source, rank""".stripMargin
 
+  // --- q_tx_burstiness --------------------------------------------------------
+  // TOKEN BURSTINESS (Church–Gale): the Fano factor var/mean of a
+  // token's per-document counts, zeros included — content words burst
+  // (F ≫ 1: absent from most docs, repeated where present) while
+  // function words stay near-Poisson (F ≈ 1). The dataset-card screen
+  // that separates topical vocabulary from glue. Per-doc counts reduce
+  // to the (token, doc) digest once; moments fold in N (the corpus doc
+  // count) algebraically so zero-rows are never materialized:
+  // F = (N·Q − S²)/(N·S) over exact BIGINTs with ONE double division.
+  // Top-50 by corpus frequency via a TakeOrderedAndProject heap.
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("w")
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("df"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      .crossJoin(broadcast(n))
+      .select(col("w").as("token"), col("total"), col("df"),
+        ((col("nd") * col("q") -
+          (col("total").cast("decimal(38,0)") * col("total")))
+          .cast("double") /
+          (col("nd").cast("decimal(38,0)") * col("total")).cast("double"))
+          .as("fano"))
+      .orderBy(col("total").desc, col("token"))
+      .limit(50)
+  }
+
+  lazy val burstinessSql: String =
+    s"""WITH nd AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       |per_doc AS MATERIALIZED (
+       |  SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |m AS MATERIALIZED (
+       |  SELECT w, CAST(sum(c) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS df,
+       |    sum(CAST(c * c AS DECIMAL(38,0))) AS q
+       |  FROM per_doc GROUP BY 1)
+       |SELECT w AS token, total, df,
+       |  CAST(nd.nd * m.q - CAST(m.total AS DECIMAL(38,0)) * m.total
+       |    AS DOUBLE) /
+       |  CAST(CAST(nd.nd AS DECIMAL(38,0)) * m.total AS DOUBLE) AS fano
+       |FROM m, nd
+       |ORDER BY total DESC, token
+       |LIMIT 50""".stripMargin
+
   // --- q_tx_langid_eval -----------------------------------------------------
   // CONFUSION MATRIX + ACCURACY for the language-ID classifier against
   // the labeled corpus — the eval table every classifier in the
@@ -1795,6 +1845,7 @@ object TextAnalysis {
     "q_tx_source_overlap" -> (sourceOverlap _),
     "q_tx_langid_eval" -> (langIdEval _),
     "q_tx_ctfidf" -> (ctfidf _),
+    "q_tx_burstiness" -> (burstiness _),
     "q_tx_bm25" -> (bm25 _),
     "q_tx_zipf" -> (zipf _),
     "q_tx_dsir" -> (dsir _),
@@ -1826,6 +1877,7 @@ object TextAnalysis {
     "q_tx_source_overlap" -> sourceOverlapSql,
     "q_tx_langid_eval" -> langIdEvalSql,
     "q_tx_ctfidf" -> ctfidfSql,
+    "q_tx_burstiness" -> burstinessSql,
     "q_tx_bm25" -> bm25Sql,
     "q_tx_zipf" -> zipfSql,
     "q_tx_dsir" -> dsirSql,

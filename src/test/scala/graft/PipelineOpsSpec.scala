@@ -1845,6 +1845,85 @@ class PipelineOpsSpec extends SparkSpec {
       riskyDocs.toDouble / docs.length) < 1e-12)
   }
 
+  test("levene: F replays a brute median-centered recompute; deviations exact") {
+    val r = Analytics.levene(spark, sf).collect()
+    assert(r.length === 1)
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(x => (x.getString(0), math.round(x.getDouble(1) * 100)))
+    val groups = ev.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val devs = groups.map { g =>
+      val sorted = g.sorted
+      val med = sorted((sorted.length + 1) / 2 - 1) // lower median
+      g.map(v => math.abs(v - med))
+    }
+    val k = devs.length
+    val n = ev.length
+    val t = devs.map { g =>
+      val s = g.map(BigInt(_)).sum
+      math.round((s * s).toDouble / g.length / 1e6).toDouble * 1e6
+    }.sum
+    val stot = devs.flatten.map(BigInt(_)).sum
+    val grand = (stot * stot).toDouble / n
+    val q = devs.flatten.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+    val ssb = (t - grand) / 1e4
+    val ssw = (q - t) / 1e4
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val row = r.head
+    assert(row.getAs[Long]("k") === k.toLong)
+    assert(row.getAs[Long]("n") === n.toLong)
+    assert(math.abs(row.getAs[Double]("ss_between") - ssb) / ssb < 1e-9)
+    assert(math.abs(row.getAs[Double]("ss_within") - ssw) / ssw < 1e-9)
+    assert(math.abs(row.getAs[Double]("f_bf") - f) / f < 1e-9)
+  }
+
+  test("l-diversity: class diversity tallies replay a brute sensitive grouping") {
+    val r = Discovery.ldiv(spark, sf).collect()
+    assert(r.length === 1)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "n_chars", "lang").collect()
+      .map(x => ((x.getString(0), x.getAs[Long]("n_chars") / 50),
+        x.getString(2)))
+    val classes = docs.groupBy(_._1).values
+      .map(v => (v.length.toLong, v.map(_._2).distinct.length.toLong)).toSeq
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(row.getAs[Long]("n_classes") === classes.length.toLong)
+    assert(row.getAs[Long]("l_min") === classes.map(_._2).min)
+    assert(row.getAs[Long]("n_risky_classes") ===
+      classes.count(_._2 < 3).toLong)
+    assert(row.getAs[Long]("n_risky_docs") ===
+      classes.filter(_._2 < 3).map(_._1).sum)
+  }
+
+  test("burstiness: fano factors replay brute zero-inclusive per-doc moments") {
+    val rows = TextAnalysis.burstiness(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val nd = docs.length
+    val perDoc = scala.collection.mutable.Map[(String, Long), Long]()
+    docs.foreach { case (id, text) =>
+      text.trim.split("\\s+").filter(_.nonEmpty)
+        .foreach(w => perDoc(w -> id) = perDoc.getOrElse(w -> id, 0L) + 1L)
+    }
+    // totals ordered like the engine: top-50 by (total desc, token)
+    val byTok = perDoc.groupBy(_._1._1).map { case (w, m) =>
+      (w, m.values.sum, m.size.toLong,
+        m.values.map(c => BigInt(c) * BigInt(c)).sum)
+    }.toSeq.sortBy { case (w, t, _, _) => (-t, w) }.take(50)
+    rows.zip(byTok).foreach { case (r, (w, total, df, q)) =>
+      assert(r.getAs[String]("token") === w)
+      assert(r.getAs[Long]("total") === total)
+      assert(r.getAs[Long]("df") === df)
+      val fano = (BigInt(nd) * q - BigInt(total) * BigInt(total)).toDouble /
+        (BigInt(nd) * BigInt(total)).toDouble
+      assert(math.abs(r.getAs[Double]("fano") - fano) < 1e-9, s"$w fano")
+      assert(r.getAs[Double]("fano") >= 0.0)
+    }
+  }
+
   test("gini: matches a brute sorted rank-weighted sum per event type") {
     val rows = Analytics.gini(spark, sf).collect()
     assert(rows.nonEmpty)
