@@ -3212,7 +3212,104 @@ object Analytics {
       |    ELSE 0.0 END AS f_bf
       |FROM calc""".stripMargin
 
+  // --- q_ev_gap_quantiles -------------------------------------------------------
+  // INTER-EVENT GAP QUANTILES per event type — the latency-of-behavior
+  // distribution (p50/p90/p99 seconds between consecutive same-type
+  // events of a user) that calibrates session timeouts (q_t4's 30-min
+  // gap) and debounce windows (q_t11) from data instead of folklore.
+  // Gaps come from ONE user+type-keyed window pass (lag — the CEP
+  // shape, never a self-join); whole-second gaps are exact BIGINTs in
+  // the value domain, and the three quantiles ride the SHARED
+  // distributed selection walk at its fourth call site (prices,
+  // deviations, slopes, now gaps). Ceiling-rank order statistics, so
+  // every reported value is an actually-observed gap.
+  def gapQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val base = Tables.events(s, d)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type").as("g"),
+        // integer micros divide on BOTH sides: a double→BIGINT cast
+        // truncates in Spark but rounds in DuckDB (the histogram trap)
+        expr("(unix_micros(ts) - unix_micros(prev)) DIV 1000000").as("v"))
+      .localCheckpoint() // three selection passes read it
+    selectAtRanks(base,
+      Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+      .select(col("g").as("event_type"), col("quantile"), col("n"),
+        col("value_cents").as("gap_seconds"))
+      .orderBy("event_type", "quantile")
+  }
+
+  val gapQuantilesSql: String =
+    """WITH gaps AS MATERIALIZED (
+      |  SELECT event_type AS g,
+      |    (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) // 1000000 AS v,
+      |    lag(ts, 1) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+      |b AS MATERIALIZED (SELECT g, v FROM gaps WHERE prev IS NOT NULL),
+      |r AS MATERIALIZED (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |  FROM b),
+      |q(label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10),
+      |  ('p99', 99, 100))
+      |SELECT g AS event_type, label AS quantile, n, v AS gap_seconds
+      |FROM r JOIN q ON rk = (n * num + den - 1) // den
+      |ORDER BY event_type, quantile""".stripMargin
+
+  // --- q_ev_growth ------------------------------------------------------------
+  // GROWTH ACCOUNTING — the daily new-vs-returning user split every
+  // product dashboard leads with: per day, how many active users are
+  // seen for the FIRST time ever vs returning. Each user's first-ever
+  // day is one user-grain aggregation (min over the deterministic
+  // timestamp); the (user, day) activity digest left-classifies
+  // against it with a broadcast, and the day-grain rollup is exact
+  // integers. Scale: two aggregations + a user-keyed broadcast join —
+  // no window over the event stream, nothing row-grain after the
+  // first groupBy.
+  def growth(s: SparkSession, d: String): DataFrame = {
+    val byDay = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val firstDay = byDay.groupBy("user_id").agg(min(col("day")).as("fd"))
+    byDay.join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(sum(when(col("day") === col("fd"), 1L).otherwise(0L))
+        .as("new_users"),
+        sum(when(col("day") =!= col("fd"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .select(col("day"),
+        (col("new_users") + col("returning_users")).as("active_users"),
+        col("new_users"), col("returning_users"),
+        (col("new_users").cast("double") /
+          (col("new_users") + col("returning_users")).cast("double"))
+          .as("new_frac"))
+      .orderBy("day")
+  }
+
+  val growthSql: String =
+    """WITH by_day AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |fd AS MATERIALIZED (
+      |  SELECT user_id, min(day) AS fd FROM by_day GROUP BY 1),
+      |cls AS MATERIALIZED (
+      |  SELECT b.day,
+      |    CAST(sum(CASE WHEN b.day = fd.fd THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS new_users,
+      |    CAST(sum(CASE WHEN b.day <> fd.fd THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS returning_users
+      |  FROM by_day b JOIN fd USING (user_id) GROUP BY 1)
+      |SELECT day, new_users + returning_users AS active_users,
+      |  new_users, returning_users,
+      |  new_users::DOUBLE / (new_users + returning_users)::DOUBLE AS new_frac
+      |FROM cls ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_gap_quantiles" -> (gapQuantiles _),
+    "q_ev_growth" -> (growth _),
     "q_ag_levene" -> (levene _),
     "q_ev_markov_stationary" -> (markovStationary _),
     "q_ag_boxplot" -> (boxplot _),
@@ -3270,6 +3367,8 @@ object Analytics {
   /** q_ag_approx_distinct intentionally absent: sketches have no exact
     * cross-engine oracle. */
   val oracles: Map[String, String] = Map(
+    "q_ev_gap_quantiles" -> gapQuantilesSql,
+    "q_ev_growth" -> growthSql,
     "q_ag_levene" -> leveneSql,
     "q_ev_markov_stationary" -> markovStationarySql,
     "q_ag_boxplot" -> boxplotSql,

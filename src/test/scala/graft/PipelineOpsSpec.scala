@@ -1924,6 +1924,56 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("gap quantiles: order statistics replay a brute per-user lag scan") {
+    val rows = Analytics.gapQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(x => ((x.getAs[Long]("user_id"), x.getAs[String]("event_type")),
+        (x.getAs[java.sql.Timestamp]("ts"), x.getAs[Long]("event_id"))))
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case ((_, et), rs) =>
+      val sorted = rs.map(_._2).sortBy(t => (t._1.getTime, t._2))
+      sorted.sliding(2).filter(_.length == 2).map { p =>
+        val us = p(1)._1.getTime * 1000 + p(1)._1.getNanos / 1000 % 1000 -
+          (p(0)._1.getTime * 1000 + p(0)._1.getNanos / 1000 % 1000)
+        (et, us / 1000000L)
+      }
+    }
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val vs = gaps.filter(_._1 == et).map(_._2).sorted
+      assert(r.getAs[Long]("n") === vs.length.toLong, s"$et n")
+      val (num, den) = r.getAs[String]("quantile") match {
+        case "p50" => (1, 2); case "p90" => (9, 10); case _ => (99, 100)
+      }
+      val expect = vs((vs.length * num + den - 1) / den - 1)
+      assert(r.getAs[Long]("gap_seconds") === expect,
+        s"$et ${r.getAs[String]("quantile")}")
+    }
+  }
+
+  test("growth: daily new/returning splits replay a brute first-day scan") {
+    val rows = Analytics.growth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("day").getTime))
+    val firstDay = ud.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).min }
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Timestamp]("day").getTime
+      val active = ud.filter(_._2 == day)
+      val nw = active.count(a => firstDay(a._1) == day).toLong
+      assert(r.getAs[Long]("active_users") === active.length.toLong)
+      assert(r.getAs[Long]("new_users") === nw)
+      assert(r.getAs[Long]("returning_users") === active.length - nw)
+    }
+    // everyone is new on their first day: new counts sum to the user count
+    assert(rows.map(_.getAs[Long]("new_users")).sum ===
+      firstDay.size.toLong)
+  }
+
   test("gini: matches a brute sorted rank-weighted sum per event type") {
     val rows = Analytics.gini(spark, sf).collect()
     assert(rows.nonEmpty)
