@@ -48,8 +48,6 @@ object Graph {
   private val Rounds = 3
   private val Fixed = 1000000000000.0 // 1e12: rank quanta for exact sums
 
-  /** Directed edge list: both orientations of every distinct
-    * (supplier, customer) pair sharing an order line. */
   /** Distinct customer↔supplier interaction pairs — the bipartite
     * substrate under PageRank/PPR/HITS. STAGED once per dataset
     * fingerprint (the coEdges pattern): three iterative operators
