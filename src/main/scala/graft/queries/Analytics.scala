@@ -163,14 +163,22 @@ object Analytics {
   }
 
   lazy val markovStationarySql: String = {
+    // Each round anchors on the FULL state set (LEFT JOIN from states),
+    // not on p.t: a state with no incoming transition cells (an event
+    // type that only ever appears as a predecessor) must stay in every
+    // pi_i with mass 0.0 — exactly what the Spark side's
+    // states.zip(pi) emits — or the exact row-set compare breaks on
+    // any corpus with a degenerate (non-dense) transition matrix.
     val rounds = (1 to MarkovRounds).map { i =>
       val prev = s"pi${i - 1}"
       s"""pi$i AS MATERIALIZED (
-         |  SELECT p.t AS state,
-         |    CAST(sum(CAST(round(r.v * p.p * 1e12) AS BIGINT)) AS BIGINT)::DOUBLE
+         |  SELECT s.state,
+         |    coalesce(CAST(sum(CAST(round(r.v * p.p * 1e12) AS BIGINT)) AS BIGINT), 0)::DOUBLE
          |      / 1e12 AS v
-         |  FROM p JOIN $prev r ON p.f = r.state
-         |  GROUP BY p.t)""".stripMargin
+         |  FROM states s
+         |  LEFT JOIN p ON p.t = s.state
+         |  LEFT JOIN $prev r ON p.f = r.state
+         |  GROUP BY s.state)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS MATERIALIZED (
        |  SELECT event_type AS f,
@@ -1165,10 +1173,10 @@ object Analytics {
     def partials(df: DataFrame): DataFrame =
       df.groupBy("user_id", "day")
         .agg(count(lit(1)).as("n"), sum(dec("value")).as("sum_partial"))
-    // staged once per SF dir; immutable after _SUCCESS (cf. LayoutQueries)
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
-      partials(ev.filter(col("event_id") % 5 =!= 0))
-        .write.mode("overwrite").parquet(root)
+    // staged once per SF dir; immutable after publish (cf. LayoutQueries)
+    graft.Stage.ensure(root) { tmp =>
+      partials(ev.filter(col("event_id") % 5 =!= 0)).write.parquet(tmp)
+    }
     val base = s.read.parquet(root)
     val delta = partials(ev.filter(col("event_id") % 5 === 0))
     base.unionByName(delta)
@@ -1215,9 +1223,10 @@ object Analytics {
       or.join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(count(lit(1)).as("n_lines"), sum(dec("l_quantity")).as("qty_partial"))
-    // staged once per SF dir; immutable after _SUCCESS (cf. incrMerge)
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
-      joinAgg(oBase, lBase).write.mode("overwrite").parquet(root)
+    // staged once per SF dir; immutable after publish (cf. incrMerge)
+    graft.Stage.ensure(root) { tmp =>
+      joinAgg(oBase, lBase).write.parquet(tmp)
+    }
     val base = s.read.parquet(root)
     val delta = joinAgg(oDelta, lBase)
       .unionByName(joinAgg(oBase, lDelta))
@@ -1662,8 +1671,17 @@ object Analytics {
   // hashed (event_id ∥ b) with md5 per replica, which made this the
   // suite's most expensive query (64 full md5s per input row for what
   // is one bit-depth of entropy). Now: h48 = md5Int48(event_id) once,
-  // then s = LCG(LCG(seed(h48, b)) ⊞ midsquare) — two affine rounds
-  // around a squaring step. The squaring is load-bearing: a purely
+  // then TWO parallel 31-bit streams — A seeded from h48's low 31
+  // bits, B from its high 17 (spread by BootHiK so the seed stays
+  // < 2^31 without wraparound) — each run through
+  // LCG(LCG(seed) ⊞ midsquare), combined as a 62-bit word and
+  // truncated to 53 bits so the BIGINT→DOUBLE cast is exact in both
+  // engines. The PAIR of seeds is injective in h48 (low31 fixes seed
+  // A, hi17 fixes seed B), so distinct rows get distinct substream
+  // families — a single 31-bit fold would give ~2^-31 cross-row
+  // collisions where two rows draw bit-identical uniforms across ALL
+  // 64 replicas (perfectly correlated weights silently narrowing the
+  // CI at 100 TB row counts). The squaring is load-bearing: a purely
   // affine chain would make the 64 per-row uniforms an arithmetic
   // progression of each other (affine maps preserve differences mod
   // M), i.e. rotation sampling, not 64 decorrelated replicas. All ops
@@ -1677,10 +1695,15 @@ object Analytics {
   // map-side-combinable to (type, b) digests — B bounds everything
   // after.
   private val BootB = 64
-  private val BootM = 2147483648L // 2^31: state space; a*s < 2^62 stays exact
+  private val BootM = 2147483648L // 2^31: per-stream state; a*s < 2^62 stays exact
   private val BootA = 1103515245L // classic LCG multiplier (< 2^31)
   private val BootC = 12345L
+  private val BootC2 = 54321L // B-stream increment (decouples the two streams)
   private val BootBMix = 1327217885L // odd 31-bit golden-ratio-ish b stride
+  private val BootBMix2 = 1812433253L % BootM // odd b stride for the B stream
+  // High-17-bit spread for the B-stream seed: hi17 * BootHiK < 2^31 for
+  // all hi17 < 2^17 (no wraparound), so distinct hi17 → distinct seed.
+  private val BootHiK = 16381L
   // P(Pois(1) ≤ k) thresholds, k = 0..5; draws cap at 6
   private val PoisCdf: Seq[Double] = {
     val lam = 1.0
@@ -1695,20 +1718,29 @@ object Analytics {
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"),
         Hashes.md5Int48(col("event_id").cast("string")).as("h48"))
-    // Substream mix (see header): seed folds the high 17 bits of h48
-    // and the replica index into the low 31; two LCG rounds bracket a
+    // Substream mix (see header): stream A is seeded from h48's low 31
+    // bits, stream B from its high 17 — the seed pair is injective in
+    // h48 — and each stream runs two LCG rounds bracketing a
     // mid-square step so replicas are not affine images of each other.
-    val s0 = (col("h48") % lit(BootM) + expr(s"h48 div $BootM") * lit(65537L)
-      + col("b") * lit(BootBMix)) % lit(BootM)
-    val s1 = (lit(BootA) * s0 + lit(BootC)) % lit(BootM)
-    val sq = expr(s"(s1 * s1) div 32768") % lit(BootM)
-    val s2 = (lit(BootA) * ((col("s1") + sq) % lit(BootM)) + lit(BootC)) %
-      lit(BootM)
-    val u = col("s2").cast("double") / lit(BootM.toDouble)
+    val M = lit(BootM)
+    val s0a = (col("h48") % M + col("b") * lit(BootBMix)) % M
+    val s0b = (expr(s"h48 div $BootM") * lit(BootHiK)
+      + col("b") * lit(BootBMix2)) % M
+    val s1a = (lit(BootA) * s0a + lit(BootC)) % M
+    val s1b = (lit(BootA) * s0b + lit(BootC2)) % M
+    val s2a = (lit(BootA) * ((col("s1a") + expr(s"(s1a * s1a) div 32768") % M) % M)
+      + lit(BootC)) % M
+    val s2b = (lit(BootA) * ((col("s1b") + expr(s"(s1b * s1b) div 32768") % M) % M)
+      + lit(BootC2)) % M
+    // 62-bit combine, truncated to 53 bits: the double cast is exact.
+    val u = expr(s"(s2a * $BootM + s2b) div 512").cast("double") /
+      lit(9007199254740992.0) // 2^53
     val weighted = base
       .withColumn("b", explode(sequence(lit(0), lit(BootB - 1))))
-      .withColumn("s1", s1)
-      .withColumn("s2", s2)
+      .withColumn("s1a", s1a)
+      .withColumn("s1b", s1b)
+      .withColumn("s2a", s2a)
+      .withColumn("s2b", s2b)
       .withColumn("w", PoisCdf.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
         case ((t, k), rest) => when(u < lit(t), lit(k.toLong)).otherwise(rest)
       })
@@ -1745,14 +1777,18 @@ object Analytics {
        |  FROM events),
        |seeded AS MATERIALIZED (
        |  SELECT event_type, cents, b,
-       |    ($BootA * ((h48 % $BootM + (h48 // $BootM) * 65537
-       |      + b * $BootBMix) % $BootM) + $BootC) % $BootM AS s1
+       |    ($BootA * ((h48 % $BootM + b * $BootBMix) % $BootM)
+       |      + $BootC) % $BootM AS s1a,
+       |    ($BootA * (((h48 // $BootM) * $BootHiK + b * $BootBMix2) % $BootM)
+       |      + $BootC2) % $BootM AS s1b
        |  FROM base, unnest(generate_series(0, ${BootB - 1})) AS g(b)),
        |drawn AS MATERIALIZED (
        |  SELECT event_type, cents, b,
-       |    (($BootA * ((s1 + (s1 * s1) // 32768 % $BootM) % $BootM)
-       |      + $BootC) % $BootM)::DOUBLE
-       |      / CAST(${BootM.toDouble} AS DOUBLE) AS u
+       |    (((($BootA * ((s1a + (s1a * s1a) // 32768 % $BootM) % $BootM)
+       |        + $BootC) % $BootM) * $BootM
+       |      + ($BootA * ((s1b + (s1b * s1b) // 32768 % $BootM) % $BootM)
+       |        + $BootC2) % $BootM) // 512)::DOUBLE
+       |      / CAST(9007199254740992.0 AS DOUBLE) AS u
        |  FROM seeded),
        |weighted AS MATERIALIZED (
        |  SELECT event_type, cents, b,

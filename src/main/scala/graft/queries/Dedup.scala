@@ -344,7 +344,7 @@ object Dedup {
     val tag = graft.Tables.stageTag(d)
     val root =
       s"${sys.props("java.io.tmpdir")}/graft_text_$tag/prefix_active_3"
-    if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+    graft.Stage.ensure(root) { tmp =>
       val ex = shingleRows(s, d)
       val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
@@ -365,7 +365,7 @@ object Dedup {
         .filter(col("c") >= 2).select("s")
       pref.join(active, "s")
         .repartition(8, col("s"))
-        .write.mode("overwrite").parquet(root)
+        .write.parquet(tmp)
     }
     s.read.parquet(root)
   }
@@ -379,11 +379,12 @@ object Dedup {
     val tag = graft.Tables.stageTag(d)
     val root =
       s"${sys.props("java.io.tmpdir")}/graft_text_$tag/hot_shingles_3"
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
+    graft.Stage.ensure(root) { tmp =>
       shingleRows(s, d).groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxShingleDf).select("s")
         .coalesce(1)
-        .write.mode("overwrite").parquet(root)
+        .write.parquet(tmp)
+    }
     s.read.parquet(root)
   }
 
@@ -1621,9 +1622,10 @@ object Text {
       val tag = graft.Tables.stageTag(d)
       val root =
         s"${sys.props("java.io.tmpdir")}/graft_text_$tag/shingle_rows_3"
-      if (!new java.io.File(s"$root/_SUCCESS").exists())
+      graft.Stage.ensure(root) { tmp =>
         shingleRowsDerive(s, d, 3).repartition(8, col("doc_id"))
-          .write.mode("overwrite").parquet(root)
+          .write.parquet(tmp)
+      }
       s.read.parquet(root)
     }
 

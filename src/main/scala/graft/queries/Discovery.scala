@@ -58,11 +58,12 @@ object Discovery {
   private[graft] def shreddedEvents(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_events_$tag/shredded"
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
+    graft.Stage.ensure(root) { tmp =>
       Tables.events(s, d)
         .withColumn("k_typed",
           get_json_object(col("props"), "$.k").cast("int"))
-        .write.mode("overwrite").parquet(root)
+        .write.parquet(tmp)
+    }
     s.read.parquet(root)
   }
 
@@ -484,10 +485,19 @@ object Discovery {
         count(lit(1)).as("n_rows"),
         sum(round(col("value") * 100).cast("long")).as("cents"),
         count(when(col("props").isNull, 1)).as("null_props"))
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    out.write.mode("overwrite")
-      .parquet(s"${sys.props("java.io.tmpdir")}/graft_observe_$tag")
+    // The write is a sink that forces the action (Observation needs
+    // one); the data is never read back. A per-call unique dir keeps
+    // concurrent sessions from racing on one overwrite target, and is
+    // deleted as soon as the metrics are in.
+    val sink = s"${sys.props("java.io.tmpdir")}/graft_observe_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    out.write.parquet(sink)
     val m = obs.get
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(sink))
     // SUM over zero rows is SQL NULL; a bare asInstanceOf[Long] would
     // unbox that null to 0 while the oracle's SUM stays NULL — Option
     // keeps the degenerate empty-slice case defined identically in both

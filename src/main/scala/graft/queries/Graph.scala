@@ -58,13 +58,13 @@ object Graph {
   private[graft] def bipartite(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_graph_$tag/bipartite"
-    if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+    graft.Stage.ensure(root) { tmp =>
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct().repartition(8, col("cust"))
-        .write.mode("overwrite").parquet(root)
+        .write.parquet(tmp)
     }
     s.read.parquet(root)
   }
@@ -378,9 +378,9 @@ object Graph {
   private[graft] def coEdges(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_graph_$tag/co_edges"
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
-      coEdgesDerive(s, d).repartition(8, col("a"))
-        .write.mode("overwrite").parquet(root)
+    graft.Stage.ensure(root) { tmp =>
+      coEdgesDerive(s, d).repartition(8, col("a")).write.parquet(tmp)
+    }
     s.read.parquet(root)
   }
 
@@ -391,14 +391,14 @@ object Graph {
   private[graft] def cappedBasket(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_graph_$tag/basket"
-    if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+    graft.Stage.ensure(root) { tmp =>
       val basket = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val okOrders = basket.groupBy("ok").agg(count(lit(1)).as("bs"))
         .filter(col("bs") <= MaxBasket).select("ok")
       basket.join(okOrders, "ok").repartition(8, col("ok"))
-        .write.mode("overwrite").parquet(root)
+        .write.parquet(tmp)
     }
     s.read.parquet(root)
   }

@@ -97,10 +97,11 @@ object LayoutQueries {
   private[graft] def eventsByDay(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_by_day"
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
+    graft.Stage.ensure(root) { tmp =>
       Layout.writeDatePartitioned(
         Tables.events(s, d).select("event_id", "user_id", "ts", "event_type", "value"),
-        root, "ts", Seq("user_id", "ts"))
+        tmp, "ts", Seq("user_id", "ts"))
+    }
     s.read.parquet(root)
   }
 
@@ -169,7 +170,7 @@ object LayoutQueries {
   def zorderScan(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_zorder"
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
+    graft.Stage.ensure(root) { tmp =>
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .withColumn("day_idx",
@@ -177,7 +178,8 @@ object LayoutQueries {
         .withColumn("z", Layout.zValue(col("user_id"), col("day_idx")))
         .repartitionByRange(16, col("z"))
         .sortWithinPartitions("z")
-        .write.mode("overwrite").parquet(root)
+        .write.parquet(tmp)
+    }
     s.read.parquet(root)
       .filter(col("user_id").between(3, 9) && col("day_idx").between(10, 19))
       .select("event_id", "user_id", "day_idx", "z", "value")
@@ -219,14 +221,17 @@ object LayoutQueries {
   def compactedScan(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_compacted"
-    val done = new java.io.File(s"$root.compacted") // marker AFTER the swap
-    if (!done.exists()) {
+    // The fragment→compact cycle runs against the UNPUBLISHED temp dir
+    // and lands atomically: _COMPACTED (underscore-prefixed, invisible
+    // to parquet scans) marks that the swap finished, so a reader can
+    // never observe the fragmented intermediate.
+    graft.Stage.ensure(root, marker = "_COMPACTED") { tmp =>
       Tables.events(s, d).select("event_id", "user_id", "ts", "event_type", "value")
         .repartition(40)
-        .write.mode("overwrite").parquet(root)
-      Layout.compact(s, root, targetBytes = 512L << 20,
+        .write.parquet(tmp)
+      Layout.compact(s, tmp, targetBytes = 512L << 20,
         sortCols = Seq("user_id", "ts"))
-      done.createNewFile()
+      new java.io.File(s"$tmp/_COMPACTED").createNewFile(): Unit
     }
     s.read.parquet(root)
       .filter(col("user_id") === 7 &&
@@ -267,12 +272,13 @@ object LayoutQueries {
   private[graft] def minMaxStage(s: SparkSession, d: String): String = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_layout_$tag/events_minmax"
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
+    graft.Stage.ensure(root) { tmp =>
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .repartitionByRange(16, col("user_id"))
         .sortWithinPartitions("user_id", "ts")
-        .write.mode("overwrite").parquet(root)
+        .write.parquet(tmp)
+    }
     root
   }
 

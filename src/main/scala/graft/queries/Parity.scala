@@ -163,10 +163,9 @@ object Parity {
 
   /** Land `df` at `dir` once per tmp lifetime: _SUCCESS marks a complete
     * landing (immutable input data), so repeat verify/bench calls skip
-    * the write. */
+    * the write. Atomic via [[graft.Stage]] (temp-write + rename). */
   private def landOnce(df: DataFrame, dir: String): Unit =
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      df.write.mode("overwrite").parquet(dir)
+    graft.Stage.ensure(dir) { tmp => df.write.parquet(tmp) }
 
   private def exportDir(d: String, kind: String): String =
     tmpRoot(s"export_$kind", d)
@@ -223,11 +222,12 @@ object Parity {
     val out = exportDir(d, "orc_m3")
     // modulo slice: non-empty at EVERY SF (user_id tops out at 14 at
     // sf0.001, so a range slice would round-trip zero rows there)
-    if (!new java.io.File(s"$out/_SUCCESS").exists())
+    graft.Stage.ensure(out) { tmp =>
       Tables.events(s, d).filter(col("user_id") % 3 === 2)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"), col("value"))
-        .write.mode("overwrite").option("compression", "zlib").orc(out)
+        .write.option("compression", "zlib").orc(tmp)
+    }
     s.read.orc(out)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
@@ -1018,8 +1018,9 @@ object Parity {
       .select(col("doc_id"), when(col("doc_id") % 17 === 3,
         expr("substring(line, 1, length(line) - 2)")).otherwise(col("line"))
         .as("value"))
-    if (!new java.io.File(s"$root/_SUCCESS").exists())
-      lines.select("value").write.mode("overwrite").text(root)
+    graft.Stage.ensure(root) { tmp =>
+      lines.select("value").write.text(tmp)
+    }
     val parsed = s.read.text(root)
       .select(col("value"),
         from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(
@@ -1841,13 +1842,13 @@ object Parity {
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     val root = tmpRoot("schemaevo", d)
     val o = Tables.orders(s, d)
-    if (!new java.io.File(s"$root/gen=2/_SUCCESS").exists()) {
+    graft.Stage.ensure(root, marker = "gen=2/_SUCCESS") { tmp =>
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$root/gen=1")
+        .write.parquet(s"$tmp/gen=1")
       o.filter(col("o_orderkey") % 2 === 1)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-        .write.mode("overwrite").parquet(s"$root/gen=2")
+        .write.parquet(s"$tmp/gen=2")
     }
     s.read.option("mergeSchema", "true").parquet(root)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "gen")

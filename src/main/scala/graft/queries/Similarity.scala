@@ -1618,12 +1618,12 @@ object Similarity {
   private[graft] def corpusByCell(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
     val root = s"${sys.props("java.io.tmpdir")}/graft_ivf_$tag/corpus_by_cell"
-    if (!new java.io.File(s"$root/_SUCCESS").exists()) {
+    graft.Stage.ensure(root) { tmp =>
       val cents = trainedCentroids(s, d)
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("cell", lloydBest(col("v"), cents).getField("cid").cast("long"))
-        .write.partitionBy("cell").mode("overwrite").parquet(root)
+        .write.partitionBy("cell").parquet(tmp)
     }
     s.read.parquet(root)
   }

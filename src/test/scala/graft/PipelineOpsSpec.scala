@@ -1764,6 +1764,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("markov stationary: a no-incoming state survives every round at 0.0") {
+    // Degenerate-chain gate: 'start' only ever appears as a predecessor
+    // (never as next_type), so it has NO cells in the transition matrix
+    // column direction. Both engines must emit it with stationary 0.0 —
+    // an oracle whose power-iteration rounds build pi_i from p.t alone
+    // (INNER JOIN) silently drops such states and the row-set compare
+    // breaks on any non-dense corpus.
+    val dir = writeEvents(Seq(
+      (1L, 1000000000L, 1L, "start"), (2L, 2000000000L, 1L, "view"),
+      (3L, 3000000000L, 1L, "click"),
+      (4L, 1000000000L, 2L, "start"), (5L, 2000000000L, 2L, "view"),
+      (6L, 1000000000L, 4L, "click"), (7L, 2000000000L, 4L, "view"),
+      (8L, 3000000000L, 4L, "click"), (9L, 4000000000L, 4L, "view")))
+    val got = Analytics.markovStationary(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("stationary"))
+      .toMap
+    assert(got.keySet === Set("start", "view", "click"))
+    assert(got("start") === 0.0)
+    assert(got("view") > 0.0 && got("click") > 0.0)
+  }
+
   test("markov stationary: replays the brute quantized power iteration; sums to 1") {
     val rows = Analytics.markovStationary(spark, sf).collect()
     assert(rows.nonEmpty)

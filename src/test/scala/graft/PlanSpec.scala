@@ -896,12 +896,32 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"kendall must not plan a cartesian:\n${p.take(1500)}")
-    // the digest is produced by an aggregate BELOW every join
-    val lines = p.linesIterator.toVector
-    val firstJoin = lines.indexWhere(_.contains("Join"))
-    val lastAgg = lines.lastIndexWhere(_.contains("HashAggregate"))
-    assert(firstJoin < 0 || lastAgg > firstJoin,
-      s"expected the digest aggregate below the pair join:\n${p.take(1500)}")
+    // Walk the TREE, not the plan string: every join input must be
+    // digest-grain. Two legitimate shapes exist — an aggregate beneath
+    // the input, or the checkpointed digest itself (an ExistingRDD
+    // scan whose lineage was truncated AFTER the cell aggregation). A
+    // row-grain regression would surface as a FILE scan reaching a
+    // join input with no aggregate between them — which a scan-side
+    // partial aggregate elsewhere in the plan string can't mask.
+    val joins = allNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected the digest pair join:\n${p.take(1500)}")
+    for (j <- joins; c <- j.children) {
+      val sub = allNodes(c)
+      val hasAgg = sub.exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }
+      val hasFileScan = sub.exists {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
+        case _ => false
+      }
+      assert(hasAgg || !hasFileScan,
+        s"row-grain file scan reaches a join input with no digest " +
+          s"aggregate between them:\n${j.nodeName}\n${c.treeString.take(1200)}")
+    }
   }
 
   test("silhouette is one scan + one k-row aggregate: no join, no window") {
