@@ -51,7 +51,8 @@ import graft.warehouse.Ingest.Warehouse
   * every point); raw payloads are served by /v2/discovery/sample.
   */
 final class QueryServer(spark: SparkSession, wh: Warehouse,
-                        restUrl: Option[String] = None) {
+                        restUrl: Option[String] = None,
+                        gieUrl: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   // request pool sized for a test/API edge; the heavy lifting is Spark's
@@ -74,6 +75,13 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     server.createContext("/v2/ingest/gas", handler(ingestGas))
     server.createContext("/v2/ingest/jobs/", handler(jobStatus))
     server.createContext("/v2/export/data.csv", handler(exportCsv))
+    server.createContext("/v2/export/raw/json", handler(exportRawJson))
+    server.createContext("/v2/export/raw/csv", handler(exportRawCsv))
+    server.createContext("/v2/gie/agsi",
+      handler(gieIngest(graft.warehouse.Gie.DatasetAgsi, graft.warehouse.Gie.SourceAgsi)))
+    server.createContext("/v2/gie/alsi",
+      handler(gieIngest(graft.warehouse.Gie.DatasetAlsi, graft.warehouse.Gie.SourceAlsi)))
+    server.createContext("/v2/gie/data", handler(gieData))
     server.start()
     this
   }
@@ -91,8 +99,13 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
                              path: String) {
     def first(k: String): Option[String] = params.get(k).flatMap(_.headOption)
   }
+  /** `chunks` set → chunked transfer encoding: the body streams from
+    * the iterator (one Spark partition in flight via toLocalIterator),
+    * so a 50k-row export never materializes on the edge heap. */
   private case class Response(status: Int, body: String,
-                              contentType: String = "application/json")
+                              contentType: String = "application/json",
+                              headers: Map[String, String] = Map.empty,
+                              chunks: Option[Iterator[String]] = None)
 
   private def handler(f: Request => Response): HttpHandler = new HttpHandler {
     override def handle(x: HttpExchange): Unit = {
@@ -111,12 +124,22 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
             Response(500, jsonObj("detail" -> jsonStr(
               Option(e.getMessage).getOrElse(e.getClass.getSimpleName))))
         }
-      val bytes = resp.body.getBytes(StandardCharsets.UTF_8)
       x.getResponseHeaders.add("Content-Type", resp.contentType)
-      x.sendResponseHeaders(resp.status, if (bytes.isEmpty) -1 else bytes.length.toLong)
-      if (bytes.nonEmpty) {
-        val os = x.getResponseBody
-        try os.write(bytes) finally os.close()
+      resp.headers.foreach { case (k, v) => x.getResponseHeaders.add(k, v) }
+      resp.chunks match {
+        case Some(it) =>
+          // length 0 = chunked transfer encoding on JDK HttpServer
+          x.sendResponseHeaders(resp.status, 0L)
+          val os = x.getResponseBody
+          try it.foreach(c => os.write(c.getBytes(StandardCharsets.UTF_8)))
+          finally os.close()
+        case None =>
+          val bytes = resp.body.getBytes(StandardCharsets.UTF_8)
+          x.sendResponseHeaders(resp.status, if (bytes.isEmpty) -1 else bytes.length.toLong)
+          if (bytes.nonEmpty) {
+            val os = x.getResponseBody
+            try os.write(bytes) finally os.close()
+          }
       }
       x.close()
     }
@@ -301,7 +324,10 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
   }
 
   /** `export.py`: the filtered observation page as a CSV attachment —
-    * same filter surface as /v2/data, same 50k hard cap as Exports. */
+    * same filter surface as /v2/data, same 50k hard cap as Exports.
+    * STREAMED: the body goes out chunked from toLocalIterator (one
+    * partition resident at a time), so the edge never holds the full
+    * export — the reference's StreamingResponse contract. */
   private def exportCsv(r: Request): Response = {
     val limit = math.min(
       r.first("limit").map(_.toInt).getOrElse(1000),
@@ -315,10 +341,126 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
         date_format(col("observation_time"), "yyyy-MM-dd'T'HH:mm:ss").as("observation_time"),
         col("value").cast("string"), col("quality_flag"))
     val header = "series_id,observation_time,value,quality_flag"
-    val lines = filtered.collect().map { row =>
-      (0 until 4).map(i => Option(row.getString(i)).getOrElse("")).mkString(",")
+    val lines = filtered.toLocalIterator.asScala.map { row =>
+      "\n" + (0 until 4).map(i => Option(row.getString(i)).getOrElse("")).mkString(",")
     }
-    Response(200, (header +: lines).mkString("\n"), contentType = "text/csv")
+    Response(200, "", contentType = "text/csv",
+      chunks = Some(Iterator(header) ++ lines))
+  }
+
+  /** Shared validation + newest-first raw page for the raw exports
+    * (`export.py:14-31` / `36-62`): dataset_id required, limit in
+    * [1, 50000], payloads ordered ingested_at DESC (event_id tie-break
+    * for a stable page — the second-grain stamp alone isn't an order). */
+  private def rawPage(r: Request): Either[Response, Array[String]] = {
+    val limit = r.first("limit").map(_.toInt).getOrElse(1000)
+    if (limit < 1 || limit > 50000)
+      return Left(Response(400,
+        jsonObj("detail" -> jsonStr("limit must be in [1, 50000]"))))
+    r.first("dataset_id") match {
+      case None =>
+        Left(Response(400, jsonObj("detail" -> jsonStr("dataset_id is required"))))
+      case Some(ds) =>
+        Right(spark.read.parquet(wh.rawEvents)
+          .filter(col("dataset_id") === ds)
+          .orderBy(col("ingested_at").desc, col("event_id").desc)
+          .limit(limit)
+          .select("raw_payload").collect().map(_.getString(0)))
+    }
+  }
+
+  /** `export.py:13-31`: newest-first raw payloads as a JSON array. The
+    * payloads ARE JSON (zero-loss landing), so they splice verbatim —
+    * the exact JSONResponse(content=[payload, ...]) the reference
+    * returns, no re-encode. */
+  private def exportRawJson(r: Request): Response = rawPage(r) match {
+    case Left(resp) => resp
+    case Right(payloads) => Response(200, payloads.mkString("[", ",", "]"))
+  }
+
+  /** `export.py:36-62`: the raw page flattened json_normalize-style —
+    * nested objects become dot-joined columns, the header is the union
+    * of every payload's leaves (Spark's JSON schema union), missing
+    * fields render empty — streamed as a CSV attachment with the
+    * reference's Content-Disposition. */
+  private def exportRawCsv(r: Request): Response = rawPage(r) match {
+    case Left(resp) => resp
+    case Right(payloads) =>
+      val ds = r.first("dataset_id").get
+      val disposition =
+        Map("Content-Disposition" -> s"attachment; filename=${ds}_raw.csv")
+      if (payloads.isEmpty)
+        return Response(200, "", contentType = "text/csv", headers = disposition)
+      import spark.implicits._
+      // the page is already capped at 50k strings; one partition keeps
+      // the newest-first row order through the JSON parse
+      val parsed = spark.read.json(
+        spark.createDataset(payloads.toIndexedSeq).coalesce(1))
+      def leaves(prefix: String,
+                 t: org.apache.spark.sql.types.StructType): Seq[String] =
+        t.fields.toSeq.flatMap { f =>
+          val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+          f.dataType match {
+            case st: org.apache.spark.sql.types.StructType => leaves(name, st)
+            case _ => Seq(name)
+          }
+        }
+      val cols = leaves("", parsed.schema)
+      val flat = parsed.select(cols.map(c => col(c).cast("string").as(c)): _*)
+      def cell(v: String): String =
+        if (v == null) ""
+        else if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+      val header = cols.map(cell).mkString(",")
+      val lines = flat.toLocalIterator.asScala.map { row =>
+        "\n" + cols.indices.map(i => cell(row.getString(i))).mkString(",")
+      }
+      Response(200, "", contentType = "text/csv", headers = disposition,
+        chunks = Some(Iterator(header) ++ lines))
+  }
+
+  /** `gie.py:10-19`: synchronous delete-then-reload GIE ingest — the
+    * handler returns only after the star is refreshed (no 202 here;
+    * that asymmetry with /v2/ingest/gas is the reference's). */
+  private def gieIngest(dataset: String, source: String)(r: Request): Response = {
+    if (r.method != "POST")
+      return Response(405, jsonObj("detail" -> jsonStr("use POST")))
+    val country = r.first("country")
+    graft.warehouse.Gie.ingest(spark, wh, dataset, source, country, gieUrl)
+    Response(200, jsonObj(
+      "status" -> jsonStr("completed"),
+      "dataset" -> jsonStr(dataset),
+      "country" -> country.map(jsonStr).getOrElse("null")))
+  }
+
+  /** `gie.py:22-58`: the 3-way star read with the F2 dynamic WHERE —
+    * source required, country/variable/date-range optional, page
+    * capped at the reference's le=5000, newest first. */
+  private def gieData(r: Request): Response = {
+    val limit = r.first("limit").map(_.toInt).getOrElse(100)
+    if (limit > 5000 || limit < 0)
+      return Response(400, jsonObj("detail" -> jsonStr("limit must be in [0, 5000]")))
+    r.first("source") match {
+      case None =>
+        Response(400, jsonObj("detail" -> jsonStr("source is required")))
+      case Some(src) =>
+        // an un-ingested star serves the empty page, like empty tables
+        if (!graft.warehouse.Upsert.tableExists(
+            spark, graft.warehouse.Gie.dailyPath(wh)))
+          return Response(200, "[]")
+        val rows = graft.warehouse.Gie.dataQuery(spark, wh, src,
+          r.first("country"), r.first("variable"),
+          r.first("start_date"), r.first("end_date"), limit).collect()
+        val body = rows.map { row =>
+          jsonObj(
+            "date" -> jsonStr(row.getDate(0).toString),
+            "value" -> (if (row.isNullAt(1)) "null" else row.getDouble(1).toString),
+            "variable" -> jsonStr(row.getString(2)),
+            "country" -> jsonStr(row.getString(3)))
+        }.mkString("[", ",", "]")
+        Response(200, body)
+    }
   }
 
   // ------------------------------------------------------------------ json

@@ -35,6 +35,30 @@ class QueryServerSpec extends SparkSpec {
     (status, new String(out.toByteArray, StandardCharsets.UTF_8))
   }
 
+  /** Like [[http]] but also returns the response headers (for the
+    * chunked-transfer and attachment-disposition assertions). */
+  private def httpFull(method: String, url: String): (Int, String, Map[String, String]) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(120000)
+    val status = conn.getResponseCode
+    import scala.jdk.CollectionConverters._
+    // header-name case varies by JDK response path: normalize to lower
+    val headers = conn.getHeaderFields.asScala.collect {
+      case (k, vs) if k != null => k.toLowerCase -> vs.asScala.mkString(",")
+    }.toMap
+    val is = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val out = new ByteArrayOutputStream()
+    if (is != null) {
+      val buf = new Array[Byte](8192)
+      var n = is.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+      is.close()
+    }
+    (status, new String(out.toByteArray, StandardCharsets.UTF_8), headers)
+  }
+
   private def await(cond: => Boolean, ms: Long = 120000): Boolean = {
     val deadline = System.currentTimeMillis() + ms
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
@@ -119,9 +143,13 @@ class QueryServerSpec extends SparkSpec {
         s"${srv.url}/v2/discovery/sample?dataset_id=GAS_QUALITY&limit=3")
       assert("\\\\\"site\\\\\"".r.findAllIn(smp).length === 3)
 
-      // -- CSV export (export.py): header + capped rows
-      val (_, csv) = http("GET",
+      // -- CSV export (export.py): header + capped rows, STREAMED —
+      // chunked transfer encoding, bytes identical to the buffered form
+      val (csvSt, csv, csvHdr) = httpFull("GET",
         s"${srv.url}/v2/export/data.csv?series_id=$sid&limit=2")
+      assert(csvSt === 200)
+      assert(csvHdr.get("transfer-encoding").exists(_.contains("chunked")),
+        s"export must stream chunked: $csvHdr")
       val lines = csv.split("\n")
       assert(lines.head === "series_id,observation_time,value,quality_flag")
       assert(lines.length === 3)
@@ -172,6 +200,117 @@ class QueryServerSpec extends SparkSpec {
         assert("\"timestamp\"".r.findAllIn(all).length === 36)
       } finally srv.stop()
     } finally fx.stop()
+  }
+
+  test("GIE routes: synchronous delete+reload ingest → star-join read with dynamic WHERE") {
+    withServer { (srv, wh) =>
+      import graft.warehouse.Gie
+      // source is required; an un-ingested star serves the empty page
+      assert(http("GET", s"${srv.url}/v2/gie/data")._1 === 400)
+      assert(http("GET", s"${srv.url}/v2/gie/data?source=GIE_AGSI")._2 === "[]")
+      assert(http("GET", s"${srv.url}/v2/gie/agsi")._1 === 405)
+
+      // -- synchronous ingest (gie.py:10-13): response IS completion
+      val (s1, b1) = http("POST", s"${srv.url}/v2/gie/agsi")
+      assert(s1 === 200, b1)
+      assert(b1.contains("\"status\":\"completed\"") && b1.contains("\"AGSI\""))
+      assert(b1.contains("\"country\":null"))
+
+      // get-or-create registered the full dimension set: 3 countries ×
+      // 6 variables; the fact holds 54 rows minus the one unparseable
+      // ('n/a' consumption) the transformer skips, with the NULL-like
+      // trend kept as value null
+      assert(spark.read.parquet(Gie.assetsPath(wh)).count() === 3)
+      assert(spark.read.parquet(Gie.seriesPath(wh)).count() === 18)
+      assert(spark.read.parquet(Gie.dailyPath(wh)).count() === 53)
+
+      val (ds, all) = http("GET", s"${srv.url}/v2/gie/data?source=GIE_AGSI&limit=5000")
+      assert(ds === 200)
+      assert("\"date\"".r.findAllIn(all).length === 53)
+      assert(all.contains("\"value\":null"), "NULL-like trend must surface as null")
+      assert(!all.contains("\"variable\":\"info\""), "excluded keys must not become series")
+
+      // dynamic WHERE: country + variable + date range pins one row
+      val (_, one) = http("GET", s"${srv.url}/v2/gie/data?source=GIE_AGSI" +
+        "&country=Austria&variable=gasInStorage&start_date=2024-02-02&end_date=2024-02-02")
+      assert("\"date\"".r.findAllIn(one).length === 1)
+      assert(one.contains("\"value\":101.5") && one.contains("\"country\":\"Austria\""), one)
+
+      // newest-first page: a limit-5 page is all from the last gas day
+      val (_, top) = http("GET", s"${srv.url}/v2/gie/data?source=GIE_AGSI&limit=5")
+      assert("\"date\":\"2024-02-03\"".r.findAllIn(top).length === 5)
+      assert(http("GET", s"${srv.url}/v2/gie/data?source=GIE_AGSI&limit=6000")._1 === 400)
+
+      // -- replaying the ingest is idempotent (delete-then-reload)
+      assert(http("POST", s"${srv.url}/v2/gie/agsi")._1 === 200)
+      assert(spark.read.parquet(Gie.dailyPath(wh)).count() === 53)
+
+      // -- a country-scoped re-ingest REPLACES the whole source slice
+      // (service.py deletes by source, not by country): only Austria
+      // remains — 3 days × 6 variables
+      assert(http("POST", s"${srv.url}/v2/gie/agsi?country=Austria")._1 === 200)
+      val (_, scoped) = http("GET", s"${srv.url}/v2/gie/data?source=GIE_AGSI&limit=5000")
+      assert("\"date\"".r.findAllIn(scoped).length === 18)
+      assert(!scoped.contains("Belgium") && !scoped.contains("Germany"))
+
+      // -- ALSI coexists: its nested transmission dict flattens to
+      // key_subkey variables, its unparseable 'note' never becomes a
+      // series, and its delete-reload leaves the AGSI slice untouched
+      assert(http("POST", s"${srv.url}/v2/gie/alsi")._1 === 200)
+      val (_, alsi) = http("GET", s"${srv.url}/v2/gie/data?source=GIE_ALSI&limit=5000")
+      assert("\"date\"".r.findAllIn(alsi).length === 36) // 3 countries × 3 days × 4 vars
+      assert(alsi.contains("\"variable\":\"transmission_entry\""))
+      assert(alsi.contains("\"variable\":\"transmission_exit\""))
+      assert(!alsi.contains("transmission_note"))
+      val (_, agsiAfter) = http("GET", s"${srv.url}/v2/gie/data?source=GIE_AGSI&limit=5000")
+      assert("\"date\"".r.findAllIn(agsiAfter).length === 18, "ALSI reload must not touch AGSI")
+    }
+  }
+
+  test("raw exports: verbatim JSON array; json_normalize CSV attachment, both validated") {
+    withServer { (srv, wh) =>
+      // validation (export.py Query bounds)
+      assert(http("GET", s"${srv.url}/v2/export/raw/json")._1 === 400)
+      assert(http("GET", s"${srv.url}/v2/export/raw/json?dataset_id=AGSI&limit=0")._1 === 400)
+      assert(http("GET", s"${srv.url}/v2/export/raw/json?dataset_id=AGSI&limit=60000")._1 === 400)
+
+      // two raw landings, second country-scoped (the newer one)
+      assert(http("POST", s"${srv.url}/v2/gie/agsi")._1 === 200)
+      assert(http("POST", s"${srv.url}/v2/gie/agsi?country=Austria")._1 === 200)
+
+      val (js, jb) = http("GET", s"${srv.url}/v2/export/raw/json?dataset_id=AGSI")
+      assert(js === 200)
+      assert(jb.startsWith("[{\"data\":["), "payloads must splice verbatim")
+      assert("\\{\"data\":".r.findAllIn(jb).length === 2)
+      // newest-first: limit=1 returns the Austria-scoped payload
+      val (_, newest) = http("GET", s"${srv.url}/v2/export/raw/json?dataset_id=AGSI&limit=1")
+      assert(newest.contains("Austria") && !newest.contains("Belgium"))
+
+      // nested payloads land directly for the CSV flatten proof
+      import ss.implicits._
+      Seq(
+        ("e1", "NESTED", """{"a":"1","b":{"c":"x,y","d":"2"}}"""),
+        ("e2", "NESTED", """{"a":"3","b":{"c":"z","d":""}}"""))
+        .toDF("event_id", "dataset_id", "raw_payload")
+        .withColumn("series_hint", org.apache.spark.sql.functions.lit(null).cast("string"))
+        .withColumn("ingested_at", org.apache.spark.sql.functions.current_timestamp())
+        .select("event_id", "dataset_id", "series_hint", "raw_payload", "ingested_at")
+        .write.mode("append").parquet(wh.rawEvents)
+
+      val (cs, cb, ch) = httpFull("GET",
+        s"${srv.url}/v2/export/raw/csv?dataset_id=NESTED")
+      assert(cs === 200)
+      assert(ch.get("transfer-encoding").exists(_.contains("chunked")),
+        s"raw CSV must stream chunked: $ch")
+      assert(ch.get("content-disposition")
+        .exists(_ == "attachment; filename=NESTED_raw.csv"), ch.toString)
+      val lines = cb.split("\n")
+      // json_normalize shape: nested keys dot-joined, union header
+      assert(lines.head === "a,b.c,b.d", lines.head)
+      assert(lines.toSet.contains("1,\"x,y\",2"), cb) // comma value quoted
+      assert(lines.toSet.contains("3,z,"), cb) // empty string renders empty
+      assert(lines.length === 3)
+    }
   }
 
   test("site-filtered ingest registers only the requested site's series") {
