@@ -256,22 +256,35 @@ object Dedup {
   // filter 2·min(|A|,|B|) ≥ max(|A|,|B|) prunes cross-size candidates
   // before the verify join. Hot shingles (df > MaxShingleDf) are
   // excluded from candidate generation like every generator here but
-  // still count in the exact verify. RECALL CONDITION (precise): the
-  // cap removes prefix members, so the τ-prefix guarantee — and hence
-  // equality with q_dd_ngram_jaccard — holds iff every qualifying pair
-  // shares at least one SUB-CAP shingle lying in both prefixes.
-  // Because hot shingles sort LAST (df ascending), a hot shingle can
-  // occupy a prefix position (rk ≤ ⌊n/2⌋+1) only when the doc has
-  // ≥ ⌈n/2⌉ globally-hot shingles; so a sufficient corpus-level
-  // precondition is "no document draws more than half its shingles
-  // from the hot set" — DedupSpec checks exactly this precondition on
-  // the fixture (zero hot prefix members) AND proves output equality
-  // with q_dd_ngram_jaccard plus a strict candidate-volume reduction.
-  // (q_dd_ngram_jaccard has the mirrored cap blind spot for pairs
-  // whose ONLY shared shingles are hot; both twins document it, and a
-  // corpus that violates the precondition should raise MaxShingleDf
-  // or pre-strip boilerplate — the cap is a cost guard, not a
-  // semantic knob.)
+  // still count in the exact verify.
+  //
+  // RECALL THEOREM (unconditional over sub-cap intersections): the
+  // kept set `rk <= n DIV 2 + 1 AND df <= cap` IS the hot-extended
+  // prefix — "the first p = n − ⌈τn⌉ + 1 SUB-CAP shingles in the
+  // global (df, s) order, with n still counting hot members" —
+  // because every hot shingle (df > cap) sorts strictly AFTER every
+  // sub-cap one, so hot members can never displace a sub-cap shingle
+  // from a prefix slot; they only pad the tail the df-filter drops.
+  // Claim: any pair with J(A,B) ≥ τ whose intersection C contains at
+  // least one sub-cap shingle collides on a prefix member. Proof:
+  // J ≥ τ gives |C| ≥ ⌈τ·n_A⌉ =: t_A (and symmetrically t_B). Let c
+  // be the globally smallest member of C; c is sub-cap (hot sort
+  // last, and C has a sub-cap member). If c were outside A's prefix,
+  // every member of C would sit at-or-after c in A's order, and A
+  // holds at most (m_A − p_A) + h_A = t_A − 1 such elements (m =
+  // sub-cap count, h = hot count, m + h = n) — fewer than |C|.
+  // Contradiction; symmetric for B; so c is in BOTH prefixes. ∎
+  // No per-document precondition: a doc may draw ANY share of its
+  // shingles from the hot set (DedupSpec drives a fixture whose
+  // qualifying docs are two-thirds hot and the pair is still caught).
+  // The only residual class is a qualifying pair whose ENTIRE
+  // intersection is hot — which forces h ≥ ⌈τn⌉ on BOTH docs — and
+  // there q_dd_ngram_jaccard is identically blind (its rare-candidate
+  // generation sees the same nothing), so twin equality holds on that
+  // class too: both report the miss, and q_dd_cap_audit MEASURES it.
+  // A corpus where that class matters should raise MaxShingleDf or
+  // pre-strip boilerplate — the cap is a cost guard, not a semantic
+  // knob.
   //
   // Cost shape vs q_dd_ngram_jaccard: the prefix RANK needs a doc-grain
   // window — the PPJoin literature's "index construction" phase — so it

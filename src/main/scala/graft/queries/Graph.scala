@@ -589,6 +589,94 @@ object Graph {
       .orderBy("component")
   }
 
+  // --- q_gr_connected_lss ----------------------------------------------------
+  // CONNECTED COMPONENTS by alternating LARGE-STAR / SMALL-STAR rounds
+  // (Kiveris et al. 2014, "Connected Components in MapReduce and
+  // Beyond" — public) — the O(log n)-round engine the min-label header
+  // names as the upgrade for high-diameter graphs. Min-label
+  // propagation moves a component's minimum ONE hop per round (rounds
+  // = graph diameter — a 1000-link chain needs 999); the star rounds
+  // instead REWRITE the edge set so trees flatten geometrically:
+  //   large-star(u): every neighbor v > u re-attaches to
+  //     m = min(Γ(u) ∪ {u});
+  //   small-star(u): every neighbor v ≤ u (edges oriented toward the
+  //     larger endpoint) plus u itself attaches to m.
+  // Both keep edges within the component (m is always a member) and
+  // never grow the edge count past the original, so the fixpoint —
+  // reached when a round leaves the edge set unchanged — is the star
+  // graph child → component-min. GraphSpec proves label-set equality
+  // with the min-label fixpoint on a multi-component fixture AND
+  // drives a 1000-node chain to convergence in ≤ 2·⌈log2 n⌉ + 2
+  // rounds (min-label's cap would trip at diameter 999). Per round:
+  // two edge-grain joins + a distinct — the same shuffle shape as one
+  // min-label round, paid O(log n) instead of O(diameter) times.
+  // Convergence probe is one (count, xor-of-hashes) scalar pair per
+  // round — the moved-count discipline, no driver data. Output and
+  // oracle are identical to q_gr_connected (same partition, same SQL).
+  private val LssMaxRounds = 64
+
+  def connectedLss(s: SparkSession, d: String): DataFrame =
+    connectedLssOf(coEdges(s, d))._1
+
+  /** Star-contraction core over any undirected (a, b) edge frame;
+    * returns (result, rounds) so specs can pin the O(log n) bound. */
+  private[graft] def connectedLssOf(und: DataFrame): (DataFrame, Int) = {
+    val nodes = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .distinct().localCheckpoint()
+    // canonical (lo, hi) pairs, self-loops dropped
+    var edges = und
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
+    def probe(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: an order-free combine that cannot overflow
+      // under ANSI arithmetic
+      val r = e.agg(count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L)).as("h")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = probe(edges)
+    var converged = false
+    var k = 0
+    while (!converged && k < LssMaxRounds) {
+      // LARGE-STAR over the full symmetric neighborhood
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(least(col("v"), col("m")).as("lo"),
+          greatest(col("v"), col("m")).as("hi"))
+        .distinct()
+      // SMALL-STAR over the child→parent orientation (lo < hi always)
+      val grp = ls.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+      val attachU = grp.select(col("m").as("lo"), col("u").as("hi"))
+      val attachV = ls.join(grp, ls("hi") === grp("u"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), ls("lo").as("hi"))
+      val next = attachU.unionAll(attachV).distinct().localCheckpoint()
+      val nsig = probe(next)
+      converged = nsig == sig
+      sig = nsig
+      edges = next
+      k += 1
+    }
+    require(converged,
+      s"connectedLss(): star rounds still rewriting after $LssMaxRounds " +
+        "rounds - raise LssMaxRounds")
+    // fixpoint edges are (component-min, node) stars; min nodes label
+    // themselves
+    val labels = nodes.join(edges, nodes("node") === edges("hi"), "left")
+      .select(col("node"), coalesce(col("lo"), col("node")).as("lab"))
+    val out = labels.groupBy(col("lab").as("component"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+      .orderBy("component")
+    (out, k)
+  }
+
   lazy val connectedSql: String =
     s"""WITH RECURSIVE $coEdgesSql,
        |adj AS MATERIALIZED (
@@ -969,6 +1057,7 @@ object Graph {
     "q_gr_item_sim" -> (itemSim _),
     "q_gr_bfs" -> (bfs _),
     "q_gr_connected" -> (connected _),
+    "q_gr_connected_lss" -> (connectedLss _),
     "q_gr_kcore" -> (kcore _),
     "q_gr_pagerank" -> (pageRank _),
     "q_gr_ppr" -> (personalizedPageRank _),
@@ -981,6 +1070,9 @@ object Graph {
     "q_gr_item_sim" -> itemSimSql,
     "q_gr_bfs" -> bfsSql,
     "q_gr_connected" -> connectedSql,
+    // same partition, same oracle: the star engine must agree with the
+    // min-label fixpoint bit-for-bit
+    "q_gr_connected_lss" -> connectedSql,
     "q_gr_kcore" -> kcoreSql,
     "q_gr_pagerank" -> pageRankSql,
     "q_gr_ppr" -> personalizedPageRankSql,

@@ -97,15 +97,53 @@ class DedupSpec extends SparkSpec {
       .filter(col("rk") <= expr("n DIV 2 + 1"))
     val (cp, cr) = (bucketPairs(prefixRows), bucketPairs(rareRows))
     assert(cp < cr, s"prefix candidates $cp should undercut rare candidates $cr")
-    // recall-condition PRECONDITION (documented at Dedup.prefixJoin):
-    // the hot-shingle cap may only drop NON-prefix members, which with
-    // rarest-first ordering holds when no doc draws half its shingles
-    // from the hot set. Assert it directly — zero hot prefix members —
-    // so the equality above is known to run under a satisfied
-    // precondition rather than vacuously.
+    // fixture characterization: this corpus has zero hot prefix
+    // members, so the equality above exercises the cap-free path; the
+    // adversarial hot-heavy path is driven by the dedicated fixture
+    // test below (the recall THEOREM at Dedup.prefixJoin needs no
+    // per-document precondition).
     val hotPrefix = prefixRows.filter(col("df") > 100).count()
     assert(hotPrefix === 0L,
-      s"fixture violates the prefix-recall precondition: $hotPrefix hot prefix members")
+      s"fixture unexpectedly has $hotPrefix hot prefix members")
+  }
+
+  test("prefix recall is unconditional: a two-thirds-hot qualifying pair is still caught") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-hotprefix").toString
+    // 110 filler docs push (hot,alpha,beta) and (alpha,beta,gamma) over
+    // the df cap. The planted pair is IDENTICAL docs with 3 shingles —
+    // 2 hot + 1 sub-cap — i.e. two-thirds of their shingles are hot,
+    // violating the old documented "less than half hot" precondition.
+    // The recall theorem says the sub-cap shared shingle lands in both
+    // prefixes, so the pair must still be caught at jaccard 1.0.
+    val fillers = (1 to 110).map(i => (i.toLong, s"hot alpha beta gamma tail$i"))
+    val planted = Seq(
+      (9001L, "hot alpha beta gamma zeta"),
+      (9002L, "hot alpha beta gamma zeta"))
+    (fillers ++ planted).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // characterize the adversarial shape: each planted doc draws 2 of
+    // its 3 shingles from the hot set (df > 100)
+    val ex = graft.queries.Text.shingleRows(spark, dir)
+    val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val plantedHot = ex.join(dfq, "s")
+      .filter(col("doc_id") === 9001L && col("df") > 100).count()
+    assert(plantedHot === 2L, s"fixture must be 2/3 hot, got $plantedHot of 3")
+
+    val viaPrefix = Dedup.prefixJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaRare = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // twin equality holds on the adversarial corpus too
+    assert(viaPrefix === viaRare, s"prefix=$viaPrefix rare=$viaRare")
+    // the two-thirds-hot qualifying pair IS caught, exactly
+    assert(viaPrefix.contains((9001L, 9002L, 1.0)), viaPrefix.toString)
+    // and the documented residual class — filler pairs qualify at
+    // J = 2/(3+3-2) = 0.5 but their ENTIRE intersection is hot — is
+    // missed by BOTH twins identically (the cap-audit's territory):
+    // the planted pair is the only output row
+    assert(viaPrefix.size === 1, s"expected only the planted pair: $viaPrefix")
   }
 
   test("exact substring duplication: shared spans merge, unique text scores zero") {

@@ -281,6 +281,41 @@ class GraphSpec extends SparkSpec {
       20L -> ((2L, 21L))))
   }
 
+  test("large-star/small-star equals the min-label fixpoint on a multi-component fixture") {
+    import ss.implicits._
+    // the same three-shape fixture the min-label test uses, PLUS
+    // reversed/duplicated edges to prove canonicalization
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), // chain 1-2-3-4-5
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L), // triangle + tail
+      (3L, 2L), (2L, 3L), // duplicates, both orientations
+      (21L, 20L)) // pair
+      .toDF("a", "b")
+    val viaLabels = graft.queries.Graph.connectedOf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (lss, _) = graft.queries.Graph.connectedLssOf(edges)
+    val viaStars = lss.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaStars === viaLabels)
+  }
+
+  test("large-star/small-star converges in O(log n) rounds on a 1000-node chain") {
+    // THE case the star engine exists for: min-label propagation needs
+    // diameter rounds (999 here — past its cap), star contraction
+    // flattens the chain geometrically. Bound: 2·ceil(log2 n) + 2
+    // alternating rounds.
+    import ss.implicits._
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("a", "b")
+    val (out, rounds) = graft.queries.Graph.connectedLssOf(chain)
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L) // component id = min node
+    assert(rows.head.getLong(1) === 1000L)
+    assert(rows.head.getLong(2) === 1000L)
+    val bound = 2 * (math.ceil(math.log(1000.0) / math.log(2.0)).toInt) + 2
+    assert(rounds <= bound, s"$rounds rounds exceeds the O(log n) bound $bound")
+  }
+
   test("assortativity equals a brute Pearson over collected edge endpoints") {
     val r = Graph.assortativity(spark, sf).collect()
     assert(r.length === 1)
