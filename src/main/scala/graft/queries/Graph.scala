@@ -885,33 +885,53 @@ object Graph {
 
   def labelProp(s: SparkSession, d: String): DataFrame = {
     val und = coEdges(s, d)
-    val e2 = und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    // PRE-PARTITION the doubled adjacency on the aggregation key and
+    // pin it with cache(), NOT localCheckpoint: a checkpoint's
+    // LogicalRDD reports UnknownPartitioning (measured — this is why
+    // the r10 repartition+checkpoint attempt regressed), while an
+    // InMemoryRelation PRESERVES hash(a). The broadcast join and the
+    // projection both keep the streamed side's partitioning, and
+    // hash(a) satisfies the clustering requirement of BOTH in-round
+    // aggregations (a subset of (a, nl), and exactly (a)) — so every
+    // iteration round plans ZERO exchanges (PlanSpec-gated): the one
+    // edge-grain shuffle is the REPARTITION_BY_COL inside the cached
+    // build, paid once instead of once per round (the r12 shape
+    // repartitioned inside the loop — LpRounds × |E| exchange volume).
+    val e2 = lpAdjacency(und)
     var labels = e2.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to LpRounds) {
       // labels are node-grain and the node set here is the PART
       // catalogue — the same catalogue-dimension grain as triangles'
       // deg table, so the label vector broadcasts and the static edge
-      // list never re-shuffles per round (localCheckpoint hides size
-      // stats from AQE, which would otherwise plan a full e2 exchange
-      // every round — measured 157 MB over 3 rounds). A user-grain
-      // node set (PageRank's) would keep the keyed join instead.
-      // ONE exchange per round: hash(a) satisfies the clustering
-      // requirements of BOTH aggregations (a subset of (a, nl) and
-      // exactly (a)), so the count and the argmax run shuffle-free on
-      // the repartitioned stream instead of exchanging twice
-      labels = e2.join(broadcast(labels), e2("b") === labels("node"))
-        .select(col("a"), col("label").as("nl"))
-        .repartition(col("a"))
-        .groupBy("a", "nl").agg(count(lit(1)).as("c"))
-        .groupBy("a")
-        .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("m"))
-        .select(col("a").as("node"), col("m.l").as("label"))
-        .localCheckpoint()
+      // list never re-shuffles per round. A user-grain node set
+      // (PageRank's) would keep the keyed join instead.
+      labels = lpRound(e2, labels).localCheckpoint()
     }
+    // every round's labels are eagerly checkpointed, so the returned
+    // frame no longer references the cached adjacency — release it
+    e2.unpersist(blocking = false)
     labels.orderBy("node")
   }
+
+  /** The pre-partitioned cached adjacency the rounds iterate over —
+    * split out so PlanSpec can gate the round body's exchange count. */
+  private[graft] def lpAdjacency(und: DataFrame): DataFrame =
+    und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .cache()
+
+  /** One synchronous-LPA round: neighbor label counts, then the
+    * deterministic (count desc, label asc) argmax — both aggregations
+    * clustered by a subset of hash(a), so the round plans no exchange
+    * of its own. */
+  private[graft] def lpRound(e2: DataFrame, labels: DataFrame): DataFrame =
+    e2.join(broadcast(labels), e2("b") === labels("node"))
+      .select(col("a"), col("label").as("nl"))
+      .groupBy("a", "nl").agg(count(lit(1)).as("c"))
+      .groupBy("a")
+      .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("m"))
+      .select(col("a").as("node"), col("m.l").as("label"))
 
   val labelPropSql: String = {
     val rounds = (1 to LpRounds).map { i =>

@@ -924,6 +924,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("labelprop rounds are exchange-free: the adjacency pre-partition is paid once") {
+    // The cached adjacency carries hash(a) (an InMemoryRelation
+    // preserves partitioning where a localCheckpoint's LogicalRDD
+    // reports Unknown), the label side broadcasts, and both in-round
+    // aggregations cluster on a subset of {a} — so a round's executed
+    // plan must contain ZERO shuffle exchanges of its own (the one
+    // REPARTITION_BY_COL lives inside the cached build, behind the
+    // InMemoryTableScan leaf). This is the gate on the r13 change that
+    // took q_gr_labelprop from one edge-grain exchange PER ROUND to
+    // one total (68 MB → ~0 in-round shuffle at sf0.1).
+    import org.apache.spark.sql.functions.col
+    val und = graft.queries.Graph.coEdges(spark, sf)
+    val e2 = graft.queries.Graph.lpAdjacency(und)
+    try {
+      val labels0 = e2.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      val round = graft.queries.Graph.lpRound(e2, labels0)
+      round.collect()
+      val exchanges = allNodes(round.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"labelprop round must plan no shuffle exchange:\n" +
+          s"${round.queryExecution.executedPlan.toString.take(2000)}")
+      // and the round really is digest-correct: one label per node
+      assert(round.groupBy("node").count().filter(col("count") > 1).count() === 0L)
+    } finally { e2.unpersist(blocking = false); () }
+  }
+
   test("silhouette is one scan + one k-row aggregate: no join, no window") {
     val df = graft.queries.Similarity.silhouette(spark, sf)
     df.collect()
