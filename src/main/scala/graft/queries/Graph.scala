@@ -566,9 +566,15 @@ object Graph {
     var changed = 1L
     var k = 0
     while (changed > 0L && k < CcMaxRounds) {
-      val nbmin = adj.join(labels, adj("u") === labels("node"))
+      // labels and nbmin are node-grain (the part catalogue here, like
+      // labelProp's vector) — both BROADCAST, so a round pays exactly
+      // ONE exchange: the state-side groupBy(v). The r12 shape let the
+      // planner exchange both sides of both joins (the checkpoint's
+      // UnknownPartitioning hides co-location), ~4 stages/round of
+      // pure latency on a ~4 MB shuffle query.
+      val nbmin = adj.join(broadcast(labels), adj("u") === labels("node"))
         .groupBy(col("v")).agg(min(col("lab")).as("nb"))
-      val next = labels.join(nbmin, labels("node") === nbmin("v"), "left")
+      val next = labels.join(broadcast(nbmin), labels("node") === nbmin("v"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nb"), col("lab"))).as("lab"),
           (col("nb").isNotNull && col("nb") < col("lab"))
