@@ -461,9 +461,14 @@ object Graph {
     var frontier = visited
     var k = 1
     while (k <= MaxHops && frontier.limit(1).count() > 0) {
-      val next = frontier.join(adj, col("node") === col("u"))
+      // frontier and visited are node-grain — BROADCAST both, so the
+      // probe join and the anti-join leave the edge list in place and
+      // a round's only exchange is the frontier distinct (the
+      // connected/labelprop discipline; the r12 shape let the planner
+      // exchange the adjacency side of both joins every round)
+      val next = broadcast(frontier).join(adj, col("node") === col("u"))
         .select(col("v").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(broadcast(visited), Seq("node"), "left_anti")
         .select(col("node"), lit(k.toLong).as("dist"))
         .localCheckpoint()
       visited = visited.unionAll(next).localCheckpoint()
@@ -646,13 +651,17 @@ object Graph {
     var converged = false
     var k = 0
     while (!converged && k < LssMaxRounds) {
-      // LARGE-STAR over the full symmetric neighborhood
+      // LARGE-STAR over the full symmetric neighborhood. The per-node
+      // min digests are node-grain — BROADCAST them back onto the
+      // edge-grain stream (the connected/labelprop discipline), so a
+      // round's exchanges are only the two state-side aggregations and
+      // the dedup distincts, never the edge list itself.
       val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
         .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
       val mins = sym.groupBy("u")
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val ls = sym.join(mins, "u")
+      val ls = sym.join(broadcast(mins), "u")
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(least(col("v"), col("m")).as("lo"),
           greatest(col("v"), col("m")).as("hi"))
@@ -660,7 +669,7 @@ object Graph {
       // SMALL-STAR over the child→parent orientation (lo < hi always)
       val grp = ls.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
       val attachU = grp.select(col("m").as("lo"), col("u").as("hi"))
-      val attachV = ls.join(grp, ls("hi") === grp("u"))
+      val attachV = ls.join(broadcast(grp), ls("hi") === grp("u"))
         .filter(col("lo") =!= col("m"))
         .select(col("m").as("lo"), ls("lo").as("hi"))
       val next = attachU.unionAll(attachV).distinct().localCheckpoint()
