@@ -204,6 +204,54 @@ object Analytics {
        |FROM pi$MarkovRounds ORDER BY event_type""".stripMargin
   }
 
+  // --- q_ev_seq_support -------------------------------------------------------
+  // GAPPED sequence support mining — "a THEN b within an hour", counted
+  // in DISTINCT USERS (support), the sequential-pattern primitive under
+  // "what do users do after an error" and next-feature analyses. This
+  // is NOT q_ev_transitions: transitions counts ADJACENT steps; here b
+  // may occur any number of events after a, as long as it lands inside
+  // the gap window — the classic SPAM/PrefixSpan length-2 support, and
+  // the only formulation robust to interleaved noise events. The pair
+  // join is BANDED on (user, hour-bucket): each left event joins only
+  // its own and the next bucket (the q_t12 band-join trick), so
+  // candidate volume is Σ per-(user, hour) counts² — never the
+  // per-user cross product a plain time-range join degenerates to
+  // (~|events/user|² ≈ 90k pairs per user at sf0.1). Support dedups at
+  // (user, a, b) grain first, so the final aggregation is bounded by
+  // users × |types|². The oracle replays the naive time-range form —
+  // tractable at oracle SF, and the band decomposition is provably the
+  // same predicate ((tb − ta) ∈ (0, 1h] ⟹ hb ∈ {ha, ha+1}).
+  def seqSupport(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).as("h"))
+    val x = e.select(col("user_id"), col("ts").as("ta"),
+        col("event_type").as("a"),
+        explode(array(col("h"), col("h") + 1)).as("hj"))
+    val y = e.select(col("user_id").as("u2"), col("ts").as("tb"),
+        col("event_type").as("b"), col("h").as("hb"))
+    val pairs = x.join(y,
+        x("user_id") === y("u2") && x("hj") === y("hb") &&
+          y("tb") > x("ta") &&
+          y("tb") <= x("ta") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("a"), col("b"))
+      .distinct()
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .orderBy("a", "b")
+  }
+
+  val seqSupportSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT user_id, ts, event_type FROM events),
+      |p AS MATERIALIZED (
+      |  SELECT DISTINCT x.user_id, x.event_type AS a, y.event_type AS b
+      |  FROM e x JOIN e y
+      |    ON y.user_id = x.user_id
+      |   AND y.ts > x.ts AND y.ts <= x.ts + INTERVAL 1 HOUR)
+      |SELECT a, b, CAST(count(*) AS BIGINT) AS support
+      |FROM p GROUP BY a, b
+      |ORDER BY a, b""".stripMargin
+
   // --- q_ev_next_pred -------------------------------------------------------
   // The transition model APPLIED — train-then-score as one composed
   // relational op: each user's LAST observed event type (deterministic
@@ -3382,6 +3430,7 @@ object Analytics {
     "q_ev_transitions" -> (transitions _),
     "q_w12_snapshot_diff" -> (snapshotDiff _),
     "q_ev_next_pred" -> (nextPred _),
+    "q_ev_seq_support" -> (seqSupport _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
@@ -3423,6 +3472,7 @@ object Analytics {
     "q_ev_transitions" -> transitionsSql,
     "q_w12_snapshot_diff" -> snapshotDiffSql,
     "q_ev_next_pred" -> nextPredSql,
+    "q_ev_seq_support" -> seqSupportSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,

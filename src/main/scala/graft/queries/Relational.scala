@@ -376,6 +376,36 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |ORDER BY o_custkey, quartile, o_orderkey""".stripMargin
 
+  // --- q_o6_rank_ties ---------------------------------------------------------
+  // percent_rank / cume_dist UNDER TIES — q_o5's trio is tie-free by
+  // construction, so it never pins the tie semantics that differ
+  // between rank families: percent_rank places every tied row at the
+  // FIRST peer's rank ((rank−1)/(n−1)) while cume_dist counts the
+  // WHOLE peer group (rows ≤ current / n). Bucketing the value to an
+  // integer (floor — NOT a bare cast or round, the engines disagree on
+  // those) guarantees real peer groups at every SF, and the
+  // (type, bucket, event_id) output order is total. Both quotients are
+  // single integer→double divisions with identical operands, so the
+  // doubles match bit-for-bit. One window shuffle, like every per-key
+  // analytic.
+  def rankTies(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("v")
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value")).cast("long").as("v"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy("event_type", "v", "event_id")
+  }
+
+  val rankTiesSql: String =
+    """SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS v,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(value) AS BIGINT))
+      |ORDER BY event_type, v, event_id""".stripMargin
+
   // --- q_f12_keyset_page ----------------------------------------------------
   // KEYSET pagination — the at-scale replacement for q_f1's
   // OFFSET/LIMIT: OFFSET n still produces and discards n rows on the
@@ -851,6 +881,7 @@ object Relational {
     "q_w13_time_travel" -> (timeTravel _),
     "q_o1_window_rank" -> (windowRank _),
     "q_o5_ntile" -> (ntileProfile _),
+    "q_o6_rank_ties" -> (rankTies _),
     "q_j11_fuzzy" -> (fuzzyDictionary _),
     "q_er_blocked" -> (erBlocked _),
     "q_a7_unpivot" -> (unpivotMeasures _),
@@ -877,6 +908,7 @@ object Relational {
     "q_w13_time_travel" -> timeTravelSql,
     "q_o1_window_rank" -> windowRankSql,
     "q_o5_ntile" -> ntileProfileSql,
+    "q_o6_rank_ties" -> rankTiesSql,
     "q_j11_fuzzy" -> fuzzyDictionarySql,
     "q_er_blocked" -> erBlockedSql,
     "q_a7_unpivot" -> unpivotMeasuresSql,

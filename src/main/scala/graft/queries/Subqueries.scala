@@ -38,6 +38,24 @@ object Subqueries {
       |WHERE o_orderkey < 1000
       |ORDER BY o_orderkey""".stripMargin)
 
+  // --- q_sq_lateral: correlated LATERAL derived table ----------------------
+  // The per-entity top-k as a LATERAL subquery — the SQL surface users
+  // reach for before they learn window functions, and the shape ORMs
+  // emit for "latest N per parent". Catalyst decorrelates the
+  // correlated ORDER BY + LIMIT into a ranked window join (no per-row
+  // re-execution — the same reason the other subquery forms decorrelate);
+  // DuckDB runs the identical text natively. Ties in o_totalprice are
+  // broken by o_orderkey INSIDE the lateral so the page is
+  // deterministic, and the slice keeps the output bounded at any SF.
+  private val (lateralFn, lateralSql) = sqlBoth(
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey % 10 = 0
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+
   // --- q_sq_in: IN subquery → left semi join ------------------------------
   private val (inFn, inSql) = sqlBoth(
     """SELECT c_custkey, c_name, c_mktsegment
@@ -716,6 +734,7 @@ object Subqueries {
     "q_tpch_q21" -> tpchQ21Fn,
     "q_tpch_q5" -> (tpchQ5 _),
     "q_sq_scalar" -> scalarFn,
+    "q_sq_lateral" -> lateralFn,
     "q_sq_in" -> inFn,
     "q_sq_not_in" -> notInFn,
     "q_sq_exists" -> existsFn,
@@ -744,6 +763,7 @@ object Subqueries {
     "q_tpch_q21" -> tpchQ21SqlText,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_sq_scalar" -> scalarSql,
+    "q_sq_lateral" -> lateralSql,
     "q_sq_in" -> inSql,
     "q_sq_not_in" -> notInSql,
     "q_sq_exists" -> existsSql,

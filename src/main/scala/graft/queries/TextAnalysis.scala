@@ -299,6 +299,183 @@ object TextAnalysis {
        |ORDER BY true_lang, pred_lang""".stripMargin
   }
 
+  // --- q_tx_kappa -------------------------------------------------------------
+  // COHEN'S KAPPA for the langid classifier — the chance-corrected
+  // agreement scalar that complements q_tx_langid_eval's confusion
+  // cells: accuracy alone flatters any classifier on a skewed label
+  // mix, κ subtracts the agreement the marginals produce by chance.
+  // po = Σ diag / n; pe = Σ_l row_l·col_l / n²; κ = (po − pe)/(1 − pe),
+  // with the pe = 1 degenerate case (all mass in one cell) reported as
+  // κ = 0 in both engines. Every count is an exact BIGINT from ONE
+  // doc-grain aggregation to the ≤|langs|² digest; the marginal
+  // product sum rides DECIMAL(38,0) so n ~ 10¹² corpora cannot
+  // overflow; the three doubles are built with one fixed operand
+  // order. Scale: scan + digest, like the eval table.
+  def kappa(s: SparkSession, d: String): DataFrame = {
+    val scores = markers.map { case (lang, pats) =>
+      struct(
+        pats.map(p => occurrences(col("text"), p)).reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }
+    val cells = Tables.documents(s, d)
+      .select(col("lang").as("true_lang"),
+        array_max(array(scores: _*)).getField("lang").as("pred_lang"))
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // totals, marginals, and the product read it
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("true_lang") === col("pred_lang"), col("n"))
+        .otherwise(0L)).as("diag"))
+    val rows = cells.groupBy("true_lang").agg(sum(col("n")).as("r"))
+    val colsM = cells.groupBy("pred_lang").agg(sum(col("n")).as("c"))
+    val pe = rows.join(colsM, rows("true_lang") === colsM("pred_lang"))
+      .agg(coalesce(sum((col("r") * col("c")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("pec"))
+    tot.crossJoin(pe)
+      .select(col("nn").as("n"),
+        (col("diag").cast("double") / col("nn").cast("double")).as("po"),
+        (col("pec").cast("double") /
+          (col("nn").cast("decimal(38,0)") * col("nn")).cast("double"))
+          .as("pe"))
+      .select(col("n"), col("po"), col("pe"),
+        when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
+
+  val kappaSql: String = {
+    def occ(p: String) =
+      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
+    val structs = markers.map { case (lang, pats) =>
+      s"{'score': ${pats.map(occ).mkString(" + ")}, 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT lang AS true_lang, list_max($structs).lang AS pred_lang
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+       |      AS BIGINT) AS diag
+       |  FROM cells),
+       |marg AS MATERIALIZED (
+       |  SELECT coalesce(sum(CAST(r.r * c.c AS DECIMAL(38,0))),
+       |      CAST(0 AS DECIMAL(38,0))) AS pec
+       |  FROM (SELECT true_lang, CAST(sum(n) AS BIGINT) AS r
+       |        FROM cells GROUP BY 1) r
+       |  JOIN (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS c
+       |        FROM cells GROUP BY 1) c
+       |    ON r.true_lang = c.pred_lang),
+       |s AS MATERIALIZED (
+       |  SELECT nn AS n,
+       |    CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE) AS po,
+       |    CAST(pec AS DOUBLE)
+       |      / CAST(CAST(nn AS DECIMAL(38,0)) * nn AS DOUBLE) AS pe
+       |  FROM tot, marg)
+       |SELECT n, po, pe,
+       |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) ELSE 0.0 END AS kappa
+       |FROM s""".stripMargin
+  }
+
+  // --- q_tx_textrank ------------------------------------------------------------
+  // TEXTRANK keyword extraction (Mihalcea & Tarau 2004 — public): the
+  // graph-centrality companion of RAKE. Content tokens (length ≥ 4)
+  // become nodes; ADJACENT content-token pairs become undirected
+  // weighted edges (corpus co-occurrence counts); 3 damped power-
+  // iteration rounds over the weighted graph score each word, top-20
+  // win. Unlike tf/c-TF-IDF, a word scores high for being adjacent to
+  // OTHER high-scoring words — the recommendation-by-association that
+  // makes TextRank robust to raw frequency skew. Numerics follow the
+  // PageRank discipline exactly: contributions quantize at 1e12 into
+  // exact integers, sum in DECIMAL(38,0), rebuild as doubles with one
+  // fixed operand order, and the DuckDB twin replays every round as a
+  // MATERIALIZED CTE chain. Scale: adjacency derives from one lead()
+  // window over token positions (no self-join), rounds are edge-grain
+  // joins against the vocabulary-grain rank vector, and the top-20 is
+  // a TakeOrderedAndProject heap.
+  private val TrRounds = 3
+  private val TrMinLen = 4
+
+  def textrank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "w")
+    val wd0 = Window.partitionBy("doc_id").orderBy("pos")
+    val adj = tk.withColumn("w2", lead(col("w"), 1).over(wd0))
+      .filter(col("w2").isNotNull &&
+        length(col("w")) >= TrMinLen && length(col("w2")) >= TrMinLen &&
+        col("w") =!= col("w2"))
+    val und = adj
+      .groupBy(least(col("w"), col("w2")).as("lo"),
+        greatest(col("w"), col("w2")).as("hi"))
+      .agg(count(lit(1)).as("wt"))
+    val e = und.select(col("lo").as("src"), col("hi").as("dst"), col("wt"))
+      .unionAll(und.select(col("hi").as("src"), col("lo").as("dst"), col("wt")))
+      .localCheckpoint()
+    val wdeg = e.groupBy("src").agg(sum(col("wt")).as("wdg"))
+      .localCheckpoint()
+    var r = wdeg.select(col("src").as("word"), lit(1.0).as("v"))
+    for (_ <- 1 to TrRounds) {
+      val contrib = e.join(wdeg, "src")
+        .join(r, e("src") === r("word"))
+        .select(col("dst"),
+          round(col("v") * (col("wt").cast("double") / col("wdg").cast("double"))
+            * lit(1e12)).cast("long").cast("decimal(38,0)").as("q"))
+        .groupBy("dst").agg(sum(col("q")).as("sq"))
+      r = wdeg.select(col("src").as("word"))
+        .join(contrib, col("word") === col("dst"), "left")
+        .select(col("word"),
+          (lit(0.15) + lit(0.85) *
+            (coalesce(col("sq"), lit(0).cast("decimal(38,0)")).cast("double")
+              / lit(1e12))).as("v"))
+        .localCheckpoint()
+    }
+    r.orderBy(col("v").desc, col("word")).limit(20)
+      .select(col("word"), col("v").as("score"))
+  }
+
+  lazy val textrankSql: String = {
+    val rounds = (1 to TrRounds).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst,
+         |    sum(CAST(CAST(round(r.v * (e.wt::DOUBLE / w.wdg::DOUBLE) * 1e12)
+         |      AS BIGINT) AS DECIMAL(38,0))) AS sq
+         |  FROM e JOIN wdeg w USING (src) JOIN $prev r ON r.word = e.src
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT w.src AS word,
+         |    0.15 + 0.85 * (CAST(coalesce(c.sq, CAST(0 AS DECIMAL(38,0)))
+         |      AS DOUBLE) / 1e12) AS v
+         |  FROM wdeg w LEFT JOIN c$i c ON c.dst = w.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT unnest(list_zip(toks, toks[2:])) AS p
+       |  FROM (SELECT $tokensSql AS toks FROM documents)),
+       |adj AS MATERIALIZED (
+       |  SELECT struct_extract(p, 1) AS w, struct_extract(p, 2) AS w2
+       |  FROM pairs
+       |  WHERE struct_extract(p, 2) IS NOT NULL
+       |    AND length(struct_extract(p, 1)) >= $TrMinLen
+       |    AND length(struct_extract(p, 2)) >= $TrMinLen
+       |    AND struct_extract(p, 1) <> struct_extract(p, 2)),
+       |und AS MATERIALIZED (
+       |  SELECT least(w, w2) AS lo, greatest(w, w2) AS hi,
+       |    CAST(count(*) AS BIGINT) AS wt
+       |  FROM adj GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT lo AS src, hi AS dst, wt FROM und
+       |  UNION ALL SELECT hi AS src, lo AS dst, wt FROM und),
+       |wdeg AS MATERIALIZED (
+       |  SELECT src, CAST(sum(wt) AS BIGINT) AS wdg FROM e GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT src AS word, 1.0 AS v FROM wdeg),
+       |$rounds
+       |SELECT word, v AS score FROM r$TrRounds
+       |ORDER BY score DESC, word LIMIT 20""".stripMargin
+  }
+
   // --- q_tx_fingerprint ---------------------------------------------------
   // Polynomial rolling hash over token stream (content-defined document
   // fingerprint): h = fold(h*31 + md5_32(token) mod p). Token-level, so
@@ -1844,6 +2021,8 @@ object TextAnalysis {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_source_overlap" -> (sourceOverlap _),
     "q_tx_langid_eval" -> (langIdEval _),
+    "q_tx_kappa" -> (kappa _),
+    "q_tx_textrank" -> (textrank _),
     "q_tx_ctfidf" -> (ctfidf _),
     "q_tx_burstiness" -> (burstiness _),
     "q_tx_bm25" -> (bm25 _),
@@ -1876,6 +2055,8 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_tx_source_overlap" -> sourceOverlapSql,
     "q_tx_langid_eval" -> langIdEvalSql,
+    "q_tx_kappa" -> kappaSql,
+    "q_tx_textrank" -> textrankSql,
     "q_tx_ctfidf" -> ctfidfSql,
     "q_tx_burstiness" -> burstinessSql,
     "q_tx_bm25" -> bm25Sql,
