@@ -156,6 +156,47 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- q_sm_balanced ----------------------------------------------------------
+  // CLASS-BALANCED downsampling — every class capped at the SMALLEST
+  // class's size, the standard rebalance before training a classifier
+  // on skewed labels (and the deterministic cousin of "undersample the
+  // majority class"). Each class keeps its m lowest-hash docs (hash
+  // rank, doc_id tie-break), so membership is a pure function of the
+  // data: re-runs, engines, and partitionings all agree, and adding
+  // documents to OTHER classes never changes this class's picks. m is
+  // a one-row digest joined back (never driver state); the rank is one
+  // per-class window. Scale: scan + window; the window key is the
+  // class label — a salted two-level rank would shard a mega-class,
+  // same playbook as every skewed window here.
+  def balanced(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val m = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("m"))
+    val w = Window.partitionBy("lang")
+      .orderBy(Hashes.md5Int32(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .filter(col("rk") <= col("m"))
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val balancedSql: String = {
+    val h = Hashes.md5Int32Sql("doc_id::VARCHAR")
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT CAST(min(c) AS BIGINT) AS m FROM (
+       |    SELECT lang, count(*) AS c FROM documents GROUP BY 1)),
+       |ranked AS MATERIALIZED (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY $h, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT lang, doc_id, rk FROM ranked, m
+       |WHERE rk <= m
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   // --- q_sm_split ---------------------------------------------------------
   // Stable train/val/test assignment (80/10/10) + per-(lang, split)
   // counts: the audit query run before training to confirm split sizes
@@ -683,6 +724,7 @@ object Sampling {
     "q_sm_group_sample" -> (groupSample _),
     "q_sm_hash_sample" -> (hashSample _),
     "q_sm_stratified" -> (stratified _),
+    "q_sm_balanced" -> (balanced _),
     "q_sm_neyman" -> (neyman _),
     "q_sm_split" -> (split _),
     "q_sm_mixture" -> (mixture _),
@@ -697,6 +739,7 @@ object Sampling {
     "q_sm_group_sample" -> groupSampleSql,
     "q_sm_hash_sample" -> hashSampleSql,
     "q_sm_stratified" -> stratifiedSql,
+    "q_sm_balanced" -> balancedSql,
     "q_sm_neyman" -> neymanSql,
     "q_sm_split" -> splitSql,
     "q_sm_mixture" -> mixtureSql,

@@ -97,7 +97,7 @@ object TextAnalysis {
   // n-grams per language; argmax wins, ties broken by language name.
   // Occurrence counting via length-difference (needs no regex engine
   // agreement between Spark and DuckDB).
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[queries] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("th", "er"),
     "de" -> Seq("sch", "ein"),
     "es" -> Seq("ción", "que"),
@@ -107,6 +107,26 @@ object TextAnalysis {
   private def occurrences(text: Column, pat: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) /
       lit(pat.length)).cast("long")
+
+  /** The langid argmax as a reusable column expression — the single
+    * source of truth the kappa/eval queries and the curation funnel
+    * (TrainPrep) all classify with. */
+  private[queries] def langIdPred(text: Column): Column =
+    array_max(array(markers.map { case (lang, pats) =>
+      struct(
+        pats.map(p => occurrences(text, p)).reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }: _*)).getField("lang")
+
+  /** The DuckDB twin of [[langIdPred]] over a column named `text`. */
+  private[queries] lazy val langIdPredSql: String = {
+    def occ(p: String) =
+      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
+    val structs = markers.map { case (lang, pats) =>
+      s"{'score': ${pats.map(occ).mkString(" + ")}, 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"list_max($structs).lang"
+  }
 
   def langId(s: SparkSession, d: String): DataFrame = {
     val scores = markers.map { case (lang, pats) =>
@@ -298,6 +318,52 @@ object TextAnalysis {
        |FROM cells, acc
        |ORDER BY true_lang, pred_lang""".stripMargin
   }
+
+  // --- q_tx_diversity ----------------------------------------------------------
+  // LEXICAL DIVERSITY per source — type-token ratio and Simpson's
+  // repeat rate D = Σ n_w(n_w−1) / (N(N−1)): the probability two
+  // randomly drawn tokens are the same type. The dataset-card pair
+  // that separates template-stamped crawls (low TTR, high D) from
+  // genuinely varied prose — the corpus-level complement of
+  // q_tx_repetition's per-document screen. One explode + one
+  // vocabulary-grain aggregation; the pair counts ride DECIMAL(38,0)
+  // (n_w(n_w−1) is quadratic in token frequency) and each statistic is
+  // a single fixed-order double division over exact integers.
+  def diversity(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n"))
+    tf.groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum((col("n") * (col("n") - 1)).cast("decimal(38,0)")).as("rep"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        when(col("n_tokens") > 1,
+          col("rep").cast("double") /
+            (col("n_tokens").cast("decimal(38,0)") * (col("n_tokens") - 1))
+              .cast("double"))
+          .otherwise(lit(0.0)).as("simpson"))
+      .orderBy("source")
+  }
+
+  lazy val diversitySql: String =
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT source, unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |m AS MATERIALIZED (
+       |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    sum(CAST(n * (n - 1) AS DECIMAL(38,0))) AS rep
+       |  FROM tf GROUP BY 1)
+       |SELECT source, n_tokens, vocab,
+       |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+       |  CASE WHEN n_tokens > 1
+       |    THEN CAST(rep AS DOUBLE)
+       |      / CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1) AS DOUBLE)
+       |    ELSE 0.0 END AS simpson
+       |FROM m
+       |ORDER BY source""".stripMargin
 
   // --- q_tx_kappa -------------------------------------------------------------
   // COHEN'S KAPPA for the langid classifier — the chance-corrected
@@ -2022,6 +2088,7 @@ object TextAnalysis {
     "q_tx_source_overlap" -> (sourceOverlap _),
     "q_tx_langid_eval" -> (langIdEval _),
     "q_tx_kappa" -> (kappa _),
+    "q_tx_diversity" -> (diversity _),
     "q_tx_textrank" -> (textrank _),
     "q_tx_ctfidf" -> (ctfidf _),
     "q_tx_burstiness" -> (burstiness _),
@@ -2056,6 +2123,7 @@ object TextAnalysis {
     "q_tx_source_overlap" -> sourceOverlapSql,
     "q_tx_langid_eval" -> langIdEvalSql,
     "q_tx_kappa" -> kappaSql,
+    "q_tx_diversity" -> diversitySql,
     "q_tx_textrank" -> textrankSql,
     "q_tx_ctfidf" -> ctfidfSql,
     "q_tx_burstiness" -> burstinessSql,

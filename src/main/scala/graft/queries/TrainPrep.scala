@@ -16,6 +16,89 @@ import graft.Tables
   */
 object TrainPrep {
 
+  // --- q_tp_curation_funnel -----------------------------------------------------
+  // THE CURATION FUNNEL REPORT — how many documents survive each stage
+  // of a standard training-data cleanup (raw → length bounds → langid
+  // agreement → exact dedup → punctuation screen), the first table any
+  // dataset audit asks for and the one that catches a filter silently
+  // eating the corpus. Computed as ONE scan with cumulative pass
+  // flags, not five passes: stages 1–2 are row-local predicates;
+  // stage 3 (exact dedup among stage-2 survivors, keep min doc_id) is
+  // a single row_number window over the content hash with survivors
+  // ordered first — so the rank-1 row of a hash group is a survivor
+  // iff any survivor exists, and `pass2 ∧ rn = 1` IS the kept set;
+  // stage 4 reuses q_tx_quality's punctuation ratio. The five counts
+  // fold in one aggregation and unpivot via stack into the report
+  // rows. Scale: one text scan + one hash-keyed window (the exact-dup
+  // family's shuffle), aggregation map-side combinable — the funnel
+  // costs no more than the dedup it contains.
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .withColumn("pass1",
+        col("n_chars") >= 50 && col("n_chars") <= 5000)
+      .withColumn("pass2",
+        col("pass1") && TextAnalysis.langIdPred(col("text")) === col("lang"))
+      .withColumn("h", md5(col("text")))
+    val w = Window.partitionBy("h")
+      .orderBy(when(col("pass2"), lit(0)).otherwise(lit(1)), col("doc_id"))
+    val flagged = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pass3", col("pass2") && col("rn") === 1)
+      .withColumn("punct",
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+          .cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double"))
+      .withColumn("pass4", col("pass3") && col("punct") <= 0.1)
+    flagged.agg(
+        count(lit(1)).as("s0"),
+        sum(col("pass1").cast("long")).as("s1"),
+        sum(col("pass2").cast("long")).as("s2"),
+        sum(col("pass3").cast("long")).as("s3"),
+        sum(col("pass4").cast("long")).as("s4"))
+      .select(expr(
+        """stack(5,
+          |  0, 'raw', s0,
+          |  1, 'length_bounds', s1,
+          |  2, 'langid_agree', s2,
+          |  3, 'exact_dedup', s3,
+          |  4, 'punct_screen', s4) AS (stage_idx, stage, n_docs)"""
+          .stripMargin))
+      .select(col("stage_idx").cast("long"), col("stage"), col("n_docs"))
+      .orderBy("stage_idx")
+  }
+
+  lazy val curationFunnelSql: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, lang, text, n_chars,
+       |    (n_chars >= 50 AND n_chars <= 5000) AS pass1,
+       |    ((n_chars >= 50 AND n_chars <= 5000)
+       |      AND ${TextAnalysis.langIdPredSql} = lang) AS pass2,
+       |    md5(text) AS h
+       |  FROM documents),
+       |flagged AS MATERIALIZED (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY h
+       |      ORDER BY CASE WHEN pass2 THEN 0 ELSE 1 END, doc_id) AS rn,
+       |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+       |      / greatest(length(text), 1)::DOUBLE AS punct
+       |  FROM base),
+       |agg AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS s0,
+       |    CAST(sum(CASE WHEN pass1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN pass2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(sum(CASE WHEN pass2 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s3,
+       |    CAST(sum(CASE WHEN pass2 AND rn = 1 AND punct <= 0.1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS s4
+       |  FROM flagged)
+       |SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage, s0 AS n_docs FROM agg
+       |UNION ALL SELECT 1, 'length_bounds', s1 FROM agg
+       |UNION ALL SELECT 2, 'langid_agree', s2 FROM agg
+       |UNION ALL SELECT 3, 'exact_dedup', s3 FROM agg
+       |UNION ALL SELECT 4, 'punct_screen', s4 FROM agg
+       |ORDER BY stage_idx""".stripMargin
+
   // --- q_tp_dataset_card ----------------------------------------------------
   // PER-SOURCE DATASET CARD — the one-row-per-shard summary a corpus
   // release ships (and that mixture/epoch decisions read): doc and
@@ -813,6 +896,7 @@ object TrainPrep {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_epochs" -> (epochs _),
     "q_tp_dataset_card" -> (datasetCard _),
+    "q_tp_curation_funnel" -> (curationFunnel _),
     "q_llm_e2e" -> (llmPipeline _),
     "q_tp_bpe_vocab" -> (bpeVocab _),
     "q_tp_pack" -> (pack _),
@@ -826,6 +910,7 @@ object TrainPrep {
   val oracles: Map[String, String] = Map(
     "q_tp_epochs" -> epochsSql,
     "q_tp_dataset_card" -> datasetCardSql,
+    "q_tp_curation_funnel" -> curationFunnelSql,
     "q_llm_e2e" -> llmPipelineSql,
     "q_tp_bpe_vocab" -> bpeVocabSql,
     "q_tp_pack" -> packSql,
