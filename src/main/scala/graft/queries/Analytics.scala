@@ -204,6 +204,93 @@ object Analytics {
        |FROM pi$MarkovRounds ORDER BY event_type""".stripMargin
   }
 
+  // --- q_ev_pareto ------------------------------------------------------------
+  // CONCENTRATION DECILES — "the top 10% of users produce X% of
+  // events", the table behind every Pareto claim (q_ev_gini compresses
+  // it to one scalar; operators read the curve). Computed WITHOUT a
+  // global row sort: users collapse to the (activity n → user count u)
+  // VALUE-DOMAIN digest (distinct activity levels — bounded like every
+  // histogram here), a digest-grain cumulative window assigns each
+  // level its user-rank interval [lo, hi] in descending-activity
+  // order (users at the same level are interchangeable, so no
+  // tie-break is needed or meaningful), and each decile d overlaps
+  // those intervals with exact integer interval arithmetic:
+  // events(d) = Σ_levels n · |[lo,hi] ∩ [dlo,dhi]|. A 10^9-user corpus
+  // pays one user-grain aggregation + digest-grain math — never the
+  // ntile-over-everything single-partition sort. Shares are exact-int
+  // divisions; the cumulative share reuses the same 10-row window.
+  def pareto(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("u"))
+    val tot = grp.agg(sum(col("u")).as("uu"),
+      sum((col("n") * col("u")).cast("decimal(38,0)")).as("ee"))
+    // digest-grain window: rows = distinct activity levels, bounded
+    val spans = grp
+      .withColumn("before",
+        coalesce(sum(col("u")).over(Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n"), col("u"),
+        (col("before") + 1).as("lo"), (col("before") + col("u")).as("hi"))
+    val perDecile = spans.crossJoin(broadcast(tot))
+      .withColumn("d", explode(sequence(lit(0L), lit(9L))))
+      .withColumn("dlo", expr("(uu * d) DIV 10") + 1)
+      .withColumn("dhi", expr("(uu * (d + 1)) DIV 10"))
+      .withColumn("ov",
+        greatest(lit(0L), least(col("hi"), col("dhi")) -
+          greatest(col("lo"), col("dlo")) + 1))
+      .groupBy("d")
+      .agg(max(col("dhi") - col("dlo") + 1).as("n_users"),
+        sum((col("n") * col("ov")).cast("decimal(38,0)")).as("n_ev"),
+        max(col("ee")).as("ee"))
+    val wcum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .select(col("d").as("decile"), col("n_users"),
+        col("n_ev").cast("long").as("n_events"),
+        (col("n_ev").cast("double") / col("ee").cast("double")).as("share"),
+        (sum(col("n_ev")).over(wcum).cast("double") /
+          col("ee").cast("double")).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val paretoSql: String =
+    """WITH ua AS MATERIALIZED (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |grp AS MATERIALIZED (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS u FROM ua GROUP BY 1),
+      |tot AS MATERIALIZED (
+      |  SELECT CAST(sum(u) AS BIGINT) AS uu,
+      |    sum(CAST(n * u AS DECIMAL(38,0))) AS ee FROM grp),
+      |spans AS MATERIALIZED (
+      |  SELECT n, u,
+      |    coalesce(CAST(sum(u) OVER (ORDER BY n DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) + 1 AS lo,
+      |    coalesce(CAST(sum(u) OVER (ORDER BY n DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) + u AS hi
+      |  FROM grp),
+      |per_d AS MATERIALIZED (
+      |  SELECT d,
+      |    max((uu * (d + 1)) // 10 - (uu * d) // 10) AS n_users,
+      |    sum(CAST(n * greatest(0, least(hi, (uu * (d + 1)) // 10)
+      |      - greatest(lo, (uu * d) // 10 + 1) + 1) AS DECIMAL(38,0)))
+      |      AS n_ev,
+      |    max(ee) AS ee
+      |  FROM spans, tot, unnest(generate_series(0, 9)) AS g(d)
+      |  GROUP BY d)
+      |SELECT CAST(d AS BIGINT) AS decile, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_ev AS BIGINT) AS n_events,
+      |  CAST(n_ev AS DOUBLE) / CAST(ee AS DOUBLE) AS share,
+      |  CAST(sum(n_ev) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(ee AS DOUBLE) AS cum_share
+      |FROM per_d
+      |ORDER BY decile""".stripMargin
+
   // --- q_ev_seq_support -------------------------------------------------------
   // GAPPED sequence support mining — "a THEN b within an hour", counted
   // in DISTINCT USERS (support), the sequential-pattern primitive under
@@ -3431,6 +3518,7 @@ object Analytics {
     "q_w12_snapshot_diff" -> (snapshotDiff _),
     "q_ev_next_pred" -> (nextPred _),
     "q_ev_seq_support" -> (seqSupport _),
+    "q_ev_pareto" -> (pareto _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
@@ -3473,6 +3561,7 @@ object Analytics {
     "q_w12_snapshot_diff" -> snapshotDiffSql,
     "q_ev_next_pred" -> nextPredSql,
     "q_ev_seq_support" -> seqSupportSql,
+    "q_ev_pareto" -> paretoSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,

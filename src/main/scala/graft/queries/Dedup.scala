@@ -55,6 +55,46 @@ object Dedup {
       |GROUP BY md5(text)
       |ORDER BY content_hash""".stripMargin
 
+  // --- q_dd_novelty ---------------------------------------------------------
+  // CORPUS NOVELTY per document — the share of a doc's distinct
+  // 3-shingles that first appear IN that doc (minimum doc_id over the
+  // corpus), the curve a crawl audit reads to see marginal value decay:
+  // late documents in a template-heavy source contribute almost nothing
+  // new. This is the dedup family's "soft" screen — exact dedup asks
+  // "is it identical", near-dup asks "is it close to ONE other doc",
+  // novelty asks "how much of it exists ANYWHERE earlier". One
+  // shingle-grain min aggregation + one join back to the staged shingle
+  // table (the same materialization every dedup analytic reads); the
+  // per-doc reduction is map-side combinable. Scale: shingle-grain —
+  // the corpus's own dedup shuffle, nothing new.
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Text.shingleRows(s, d)
+    val firstDoc = sh.groupBy("s").agg(min(col("doc_id")).as("fd"))
+    sh.join(firstDoc, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("n_shingles"), col("novel"),
+        (col("novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  lazy val noveltySql: String =
+    s"""WITH sh AS MATERIALIZED (${Text.shingleSetsSql}),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |fd AS MATERIALIZED (
+       |  SELECT s, min(doc_id) AS fd FROM ex GROUP BY s)
+       |SELECT e.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS novel,
+       |  CAST(sum(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+       |    / CAST(count(*) AS BIGINT)::DOUBLE AS novelty
+       |FROM ex e JOIN fd f USING (s)
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   // --- q_dd_ngram_jaccard -------------------------------------------------
   // 3-word-shingle Jaccard near-dup: candidate pairs share >=1 RARE
   // shingle (doc-freq <= MaxShingleDf); the exact intersection is
@@ -1557,6 +1597,7 @@ object Dedup {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dd_substring_dup" -> (substringDup _),
     "q_dd_exact" -> (exact _),
+    "q_dd_novelty" -> (novelty _),
     "q_dd_split_leakage" -> (splitLeakage _),
     "q_dd_contamination" -> (contamination _),
     "q_dd_bloom_probe" -> (bloomProbe _),
@@ -1575,6 +1616,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dd_substring_dup" -> substringDupSql,
     "q_dd_exact" -> exactSql,
+    "q_dd_novelty" -> noveltySql,
     "q_dd_split_leakage" -> splitLeakageSql,
     "q_dd_contamination" -> contaminationSql,
     "q_dd_bloom_probe" -> bloomProbeSql,
