@@ -1164,6 +1164,93 @@ object Parity {
        |GROUP BY media_id
        |ORDER BY media_id""".stripMargin
 
+  // --- q_mm_dhash -------------------------------------------------------------
+  // PERCEPTUAL IMAGE DEDUP end-to-end through the REAL codec: each 8×4
+  // PPM (the q_mm_pnm_decode fixtures) decodes, collapses to integer
+  // luma ((299R + 587G + 114B) div 1000 — the BT.601 weights in exact
+  // integer form), and hashes by horizontal GRADIENT SIGNS — the
+  // classic dHash: bit (y·7+x) set iff gray[y][x] > gray[y][x+1],
+  // 7 × 4 = 28 bits. Identical-looking images collide exactly; the
+  // query then groups by hash — the visual exact-dup clustering a
+  // media pipeline runs before any expensive embedding pass. Every
+  // step is integer arithmetic, so the header-blind DuckDB oracle
+  // reproduces the hash bit-for-bit from character codes; a bug in the
+  // decode, the luma weights, the gradient orientation, or the bit
+  // order breaks it. Scale: decode + hash are per-row map work (the
+  // documented mapPartitions batch shape); the grouping is one
+  // hash-keyed aggregation — the exact-dedup shuffle at media grain.
+  def dhashQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = PnmW * PnmH * 3
+    val header = s"P6\n$PnmW $PnmH\n255\n".getBytes("US-ASCII")
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= n)
+      .filter(octet_length(substring(col("text"), 1, n)) === n)
+      .select(col("doc_id"),
+        concat(lit(header), substring(col("text"), 1, n).cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val img = graft.multimodal.Pnm.decode(bytes)
+          .getOrElse(sys.error(s"payload of doc $id failed to decode"))
+        val w = img.width
+        val gray = new Array[Int](w * img.height)
+        var p = 0
+        while (p < gray.length) {
+          val r = img.pixels(3 * p) & 0xff
+          val g = img.pixels(3 * p + 1) & 0xff
+          val b = img.pixels(3 * p + 2) & 0xff
+          gray(p) = (299 * r + 587 * g + 114 * b) / 1000
+          p += 1
+        }
+        var hash = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < w - 1) {
+            if (gray(y * w + x) > gray(y * w + x + 1))
+              hash |= 1L << (y * (w - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        (id, hash)
+      }
+      .toDF("media_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("media_id")).as("keeper"),
+        max(col("media_id")).as("max_doc"))
+      .orderBy("dhash")
+  }
+
+  val dhashSql: String = {
+    val n = PnmW * PnmH * 3
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, substring(text, 1, $n) AS s
+       |  FROM documents WHERE length(text) >= $n
+       |    AND octet_length(encode(substring(text, 1, $n))) = $n),
+       |gray AS (
+       |  SELECT media_id, p,
+       |    (299 * ord(substring(s, 3 * p + 1, 1))
+       |     + 587 * ord(substring(s, 3 * p + 2, 1))
+       |     + 114 * ord(substring(s, 3 * p + 3, 1))) // 1000 AS g
+       |  FROM d, unnest(generate_series(0, ${PnmW * PnmH - 1})) t(p)),
+       |bits AS (
+       |  SELECT a.media_id,
+       |    CAST(sum(CASE WHEN a.g > b.g
+       |      THEN 1::BIGINT << ((a.p // $PnmW) * ${PnmW - 1} + a.p % $PnmW)
+       |      ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM gray a JOIN gray b
+       |    ON b.media_id = a.media_id AND b.p = a.p + 1
+       |  WHERE a.p % $PnmW < ${PnmW - 1}
+       |  GROUP BY a.media_id)
+       |SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(media_id) AS keeper, max(media_id) AS max_doc
+       |FROM bits
+       |GROUP BY dhash
+       |ORDER BY dhash""".stripMargin
+  }
+
   // --- q_mm_pnm_featurize ---------------------------------------------------
   // The PRODUCTION decode path end-to-end: q_mm_pnm_decode proves the
   // codec in isolation; this row proves [[Multimodal.decodeFeatures]] —
@@ -2521,6 +2608,7 @@ object Parity {
     "q_st_static_join" -> (streamStaticJoin _),
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
+    "q_mm_dhash" -> (dhashQ _),
     "q_mm_png_decode" -> (pngDecode _),
     "q_mm_wav_windows" -> (wavWindowsQ _),
     "q_mm_wav_resample" -> (wavResampleQ _),
@@ -2573,6 +2661,7 @@ object Parity {
     "q_st_static_join" -> streamStaticJoinSql,
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,
+    "q_mm_dhash" -> dhashSql,
     "q_mm_png_decode" -> pngDecodeSql,
     "q_mm_wav_windows" -> wavWindowsSql,
     "q_mm_wav_resample" -> wavResampleSql,
