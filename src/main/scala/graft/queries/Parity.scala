@@ -1164,6 +1164,58 @@ object Parity {
        |GROUP BY media_id
        |ORDER BY media_id""".stripMargin
 
+  // --- q_gie_transform ----------------------------------------------------------
+  // The GIE transformer (`gie/transformer.py:5-63`) in the CORRECTNESS
+  // gate, not just specs: the deterministic ALSI stub payload — the
+  // engine's own client fixture, exercising every transformer branch
+  // (scalars, a one-level nested dict flattened to `key_subkey`,
+  // NULL-like values kept as null, unparseable members skipped,
+  // excluded keys dropped) — runs the schema-driven Spark unpivot,
+  // while DuckDB replays the per-record Python loop faithfully over
+  // the SAME embedded JSON literal: json_keys iterates each record's
+  // keys, OBJECT-typed values expand a second level, NULL-like →
+  // null-kept, TRY_CAST-fail → dropped. Either engine mis-handling
+  // any branch breaks the hash. (The table input is the fixture
+  // payload by design — this row pins the TRANSFORM, the warehouse
+  // tables pin the ingest around it.)
+  def gieTransform(s: SparkSession, d: String): DataFrame =
+    graft.warehouse.Gie.transform(s,
+        graft.warehouse.Gie.stubPayload(graft.warehouse.Gie.DatasetAlsi, None))
+      .orderBy("country", "date", "variable")
+
+  lazy val gieTransformSql: String = {
+    val payload = graft.warehouse.Gie
+      .stubPayload(graft.warehouse.Gie.DatasetAlsi, None)
+      .replace("'", "''")
+    val excluded = (graft.warehouse.Gie.ExcludedKeys + "status")
+      .toSeq.sorted.map(k => s"'$k'").mkString(", ")
+    s"""WITH raw AS MATERIALIZED (SELECT '$payload' AS j),
+       |entries AS MATERIALIZED (
+       |  SELECT unnest(from_json(json_extract(j, '$$.data'), '["json"]')) AS e
+       |  FROM raw),
+       |kv AS MATERIALIZED (
+       |  SELECT e, k FROM (SELECT e, unnest(json_keys(e)) AS k FROM entries)
+       |  WHERE k NOT IN ($excluded)
+       |    AND json_extract_string(e, '$$.gasDayStart') IS NOT NULL),
+       |leaves AS MATERIALIZED (
+       |  SELECT e, k AS variable, json_extract_string(e, '$$.' || k) AS v
+       |  FROM kv WHERE json_type(json_extract(e, '$$.' || k)) <> 'OBJECT'
+       |  UNION ALL
+       |  SELECT e, k || '_' || k2 AS variable,
+       |    json_extract_string(e, '$$.' || k || '.' || k2) AS v
+       |  FROM (SELECT e, k, unnest(json_keys(json_extract(e, '$$.' || k))) AS k2
+       |        FROM kv WHERE json_type(json_extract(e, '$$.' || k)) = 'OBJECT'))
+       |SELECT json_extract_string(e, '$$.name') AS country,
+       |  CAST(json_extract_string(e, '$$.gasDayStart') AS DATE) AS date,
+       |  variable,
+       |  CASE WHEN v IS NULL OR trim(v) = '' THEN NULL
+       |       ELSE TRY_CAST(v AS DOUBLE) END AS value,
+       |  json_extract_string(e, '$$.status') AS quality
+       |FROM leaves
+       |WHERE (v IS NULL OR trim(v) = '') OR TRY_CAST(v AS DOUBLE) IS NOT NULL
+       |ORDER BY country, date, variable""".stripMargin
+  }
+
   // --- q_mm_dhash -------------------------------------------------------------
   // PERCEPTUAL IMAGE DEDUP end-to-end through the REAL codec: each 8×4
   // PPM (the q_mm_pnm_decode fixtures) decodes, collapses to integer
@@ -2609,6 +2661,7 @@ object Parity {
     "q_w8_schema_evolution" -> (schemaEvolution _),
     "q_mm_pnm_decode" -> (pnmDecode _),
     "q_mm_dhash" -> (dhashQ _),
+    "q_gie_transform" -> (gieTransform _),
     "q_mm_png_decode" -> (pngDecode _),
     "q_mm_wav_windows" -> (wavWindowsQ _),
     "q_mm_wav_resample" -> (wavResampleQ _),
@@ -2662,6 +2715,7 @@ object Parity {
     "q_w8_schema_evolution" -> schemaEvolutionSql,
     "q_mm_pnm_decode" -> pnmDecodeSql,
     "q_mm_dhash" -> dhashSql,
+    "q_gie_transform" -> gieTransformSql,
     "q_mm_png_decode" -> pngDecodeSql,
     "q_mm_wav_windows" -> wavWindowsSql,
     "q_mm_wav_resample" -> wavResampleSql,
