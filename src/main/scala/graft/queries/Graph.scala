@@ -948,7 +948,10 @@ object Graph {
       .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("m"))
       .select(col("a").as("node"), col("m.l").as("label"))
 
-  val labelPropSql: String = {
+  /** The labelprop CTE chain (through l{LpRounds}) — shared by the
+    * labelprop oracle and the modularity oracle that scores its
+    * communities. */
+  private lazy val labelPropCtes: String = {
     val rounds = (1 to LpRounds).map { i =>
       val prev = s"l${i - 1}"
       s"""cnt$i AS MATERIALIZED (
@@ -959,14 +962,83 @@ object Graph {
          |  SELECT a AS node, min({'nc': -c, 'l': nl}).l AS label
          |  FROM cnt$i GROUP BY a)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $coEdgesSql,
+    s"""$coEdgesSql,
        |e2 AS MATERIALIZED (
        |  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
        |l0 AS MATERIALIZED (
        |  SELECT DISTINCT a AS node, a AS label FROM e2),
-       |$rounds
-       |SELECT node, label FROM l$LpRounds ORDER BY node""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  lazy val labelPropSql: String =
+    s"""WITH $labelPropCtes
+       |SELECT node, label FROM l$LpRounds ORDER BY node""".stripMargin
+
+  // --- q_gr_modularity --------------------------------------------------------
+  // NEWMAN MODULARITY of the labelprop communities — the quality score
+  // that tells you whether the partition means anything: Q = Σ_c
+  // (e_c/m − (d_c/2m)²), internal-edge share minus the share a random
+  // degree-preserving rewiring would produce. Community detection
+  // without its modularity is a number nobody can act on. All inputs
+  // are exact integers (internal edge counts, degree sums, m); each
+  // community's term quantizes at 1e12 into a BIGINT before the sum —
+  // the sum over communities is otherwise a float reduction whose
+  // order neither engine pins. The labels come from the SAME
+  // propagation the oracle replays as CTEs, so the score is
+  // cross-engine exact end-to-end. Scale: two broadcast joins of the
+  // node-grain label vector onto the edge list + digest-grain math.
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
+    val lab = labelProp(s, d).localCheckpoint() // (node, label) — 3 readers
+    val deg = und.select(col("a")).unionAll(und.select(col("b").as("a")))
+      .groupBy("a").agg(count(lit(1)).as("deg"))
+    val dc = deg.join(broadcast(lab), deg("a") === lab("node"))
+      .groupBy("label").agg(sum(col("deg")).as("dc"))
+    val ecc = und
+      .join(broadcast(lab.select(col("node").as("a"), col("label").as("la"))), "a")
+      .join(broadcast(lab.select(col("node").as("b"), col("label").as("lb"))), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("ec"))
+    val m = und.agg(count(lit(1)).as("m"))
+    def md = col("m").cast("double")
+    val terms = dc.join(ecc, Seq("label"), "left").crossJoin(broadcast(m))
+      .select(round((coalesce(col("ec"), lit(0L)).cast("double") / md
+        - (col("dc").cast("double") / (lit(2.0) * md))
+          * (col("dc").cast("double") / (lit(2.0) * md))) * lit(1e12))
+        .cast("long").as("q"))
+    terms.agg(count(lit(1)).as("n_communities"), sum(col("q")).as("sq"))
+      .crossJoin(broadcast(m.select(col("m").as("m_edges"))))
+      .select(col("n_communities"), col("m_edges"),
+        (col("sq").cast("double") / lit(1e12)).as("modularity"))
+  }
+
+  lazy val modularitySql: String =
+    s"""WITH $labelPropCtes,
+       |deg AS MATERIALIZED (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a FROM und UNION ALL SELECT b AS a FROM und)
+       |  GROUP BY 1),
+       |dc AS MATERIALIZED (
+       |  SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS dc
+       |  FROM deg d JOIN l$LpRounds l ON l.node = d.a GROUP BY 1),
+       |ecc AS MATERIALIZED (
+       |  SELECT la.label, CAST(count(*) AS BIGINT) AS ec
+       |  FROM und u
+       |  JOIN l$LpRounds la ON la.node = u.a
+       |  JOIN l$LpRounds lb ON lb.node = u.b
+       |  WHERE la.label = lb.label
+       |  GROUP BY 1),
+       |mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |terms AS MATERIALIZED (
+       |  SELECT CAST(round((CAST(coalesce(e.ec, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+       |      - (CAST(d.dc AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+       |        * (CAST(d.dc AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))))
+       |      * 1e12) AS BIGINT) AS q
+       |  FROM dc d LEFT JOIN ecc e USING (label), mm)
+       |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |  (SELECT m FROM mm) AS m_edges,
+       |  CAST(sum(q) AS BIGINT)::DOUBLE / 1e12 AS modularity
+       |FROM terms""".stripMargin
 
   // --- q_gr_item_sim --------------------------------------------------------
   // ITEM-ITEM JACCARD RECOMMENDATIONS — the co-occurrence recommender
@@ -1098,7 +1170,8 @@ object Graph {
     "q_gr_ppr" -> (personalizedPageRank _),
     "q_gr_hits" -> (hits _),
     "q_gr_triangles" -> (triangles _),
-    "q_gr_labelprop" -> (labelProp _))
+    "q_gr_labelprop" -> (labelProp _),
+    "q_gr_modularity" -> (modularity _))
 
   val oracles: Map[String, String] = Map(
     "q_gr_assortativity" -> assortativitySql,
@@ -1113,5 +1186,6 @@ object Graph {
     "q_gr_ppr" -> personalizedPageRankSql,
     "q_gr_hits" -> hitsSql,
     "q_gr_triangles" -> trianglesSql,
-    "q_gr_labelprop" -> labelPropSql)
+    "q_gr_labelprop" -> labelPropSql,
+    "q_gr_modularity" -> modularitySql)
 }
