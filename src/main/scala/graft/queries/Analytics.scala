@@ -204,6 +204,69 @@ object Analytics {
        |FROM pi$MarkovRounds ORDER BY event_type""".stripMargin
   }
 
+  // --- q_ev_theil -------------------------------------------------------------
+  // THEIL T INEQUALITY INDEX of per-user activity — gini's
+  // information-theoretic sibling, and the one that DECOMPOSES
+  // (between-group + within-group), which is why policy/ops analyses
+  // prefer it: T = (1/n) Σ (x/μ) ln(x/μ). Computed on the same
+  // (activity v → user count m) value-domain digest as gini: the
+  // ratio x/μ = v·n/total has an exact BIGINT numerator (v·n stays
+  // far below 2^62 at any horizon), so the only doubles are ONE
+  // division, one ln — quantized at 1e-6, the zipf/bm25 discipline —
+  // and one fixed-order rebuild; per-level terms multiply by exact m
+  // and sum as exact integers. Scale: user-grain aggregation + digest
+  // math, like every inequality screen here.
+  def theil(s: SparkSession, d: String): DataFrame = {
+    val digest = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("m"))
+    val tot = digest.groupBy("event_type")
+      .agg(sum(col("m")).as("n"),
+        sum((col("v") * col("m")).cast("decimal(38,0)")).as("total"))
+    val ratio = (col("v") * col("n")).cast("double") /
+      col("total").cast("double")
+    digest.join(broadcast(tot), "event_type")
+      .withColumn("l6", round(log(ratio) * 1e6).cast("long"))
+      .withColumn("q",
+        round(ratio * col("l6").cast("double")).cast("long") * col("m"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_users"),
+        max(col("total")).cast("long").as("n_events"),
+        sum(col("q")).as("sq"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        ((col("sq").cast("double") / 1e6) / col("n_users").cast("double"))
+          .as("theil"))
+      .orderBy("event_type")
+  }
+
+  val theilSql: String =
+    """WITH digest AS MATERIALIZED (
+      |  SELECT event_type, v, CAST(count(*) AS BIGINT) AS m FROM (
+      |    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS v
+      |    FROM events GROUP BY 1, 2)
+      |  GROUP BY 1, 2),
+      |tot AS MATERIALIZED (
+      |  SELECT event_type, CAST(sum(m) AS BIGINT) AS n,
+      |    sum(CAST(v * m AS DECIMAL(38,0))) AS total
+      |  FROM digest GROUP BY 1),
+      |terms AS MATERIALIZED (
+      |  SELECT d.event_type, t.n, t.total,
+      |    CAST(round(
+      |      (CAST(d.v * t.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+      |      * CAST(CAST(round(ln(CAST(d.v * t.n AS DOUBLE)
+      |          / CAST(t.total AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE))
+      |      AS BIGINT) * d.m AS q
+      |  FROM digest d JOIN tot t USING (event_type))
+      |SELECT event_type, max(n) AS n_users,
+      |  CAST(max(total) AS BIGINT) AS n_events,
+      |  (CAST(sum(q) AS BIGINT)::DOUBLE / 1e6) / CAST(max(n) AS DOUBLE)
+      |    AS theil
+      |FROM terms
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // --- q_ev_pareto ------------------------------------------------------------
   // CONCENTRATION DECILES — "the top 10% of users produce X% of
   // events", the table behind every Pareto claim (q_ev_gini compresses
@@ -3519,6 +3582,7 @@ object Analytics {
     "q_ev_next_pred" -> (nextPred _),
     "q_ev_seq_support" -> (seqSupport _),
     "q_ev_pareto" -> (pareto _),
+    "q_ev_theil" -> (theil _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
@@ -3562,6 +3626,7 @@ object Analytics {
     "q_ev_next_pred" -> nextPredSql,
     "q_ev_seq_support" -> seqSupportSql,
     "q_ev_pareto" -> paretoSql,
+    "q_ev_theil" -> theilSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,
