@@ -316,6 +316,30 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= bound, s"$rounds rounds exceeds the O(log n) bound $bound")
   }
 
+  test("modularity equals a brute recompute over collected edges and labels") {
+    val r = Graph.modularity(spark, sf).collect()
+    assert(r.length === 1)
+    val q = r.head.getAs[Double]("modularity")
+    assert(q >= -0.5 && q <= 1.0, s"modularity out of range: $q")
+    val edges = Graph.coEdges(spark, sf).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")))
+    val labels = Graph.labelProp(spark, sf).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Long]("label")).toMap
+    val m = edges.length.toDouble
+    val deg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val ec = edges.filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy { case (a, _) => labels(a) }.view.mapValues(_.length.toLong).toMap
+    val dc = deg.toSeq.groupBy { case (n, _) => labels(n) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val brute = dc.keys.toSeq.map { c =>
+      math.round((ec.getOrElse(c, 0L).toDouble / m -
+        (dc(c).toDouble / (2.0 * m)) * (dc(c).toDouble / (2.0 * m))) * 1e12)
+    }.sum / 1e12
+    assert(math.abs(q - brute) < 1e-12, s"$q vs brute $brute")
+    assert(r.head.getAs[Long]("n_communities") === dc.size.toLong)
+  }
+
   test("assortativity equals a brute Pearson over collected edge endpoints") {
     val r = Graph.assortativity(spark, sf).collect()
     assert(r.length === 1)

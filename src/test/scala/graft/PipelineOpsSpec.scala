@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Analytics, Dedup, Discovery, Similarity, TextAnalysis}
+import graft.queries.{Analytics, Dedup, Discovery, Sampling, Similarity, TextAnalysis, TrainPrep}
 
 /** Semantic guarantees for the curation/analytics operators added on top
   * of the oracle hash checks: funnel stage anchoring, repetition
@@ -1762,6 +1762,102 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_outliers") === nOut, s"$et outliers")
       assert(r.getAs[Double]("lo_fence") < r.getAs[Double]("hi_fence"))
     }
+  }
+
+  test("pareto deciles: partition of users, exact brute agreement, cum ends at 1") {
+    val rows = Analytics.pareto(spark, sf).collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length === 10)
+    // brute recompute: sort per-user activity desc, slice by the same
+    // floor decile bounds (per-user share is NOT monotone across
+    // deciles when users % 10 != 0 — a 2-user decile can out-share a
+    // higher-activity 1-user decile; the digest math must match the
+    // sorted-slice truth exactly, which is the real contract)
+    val ua = graft.Tables.events(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(_.getAs[Long]("count")).sortBy(-_)
+    val uu = ua.length
+    val tot = ua.sum
+    val expected = (0 until 10).map { d =>
+      val lo = uu * d / 10; val hi = uu * (d + 1) / 10
+      (hi - lo, ua.slice(lo, hi).sum)
+    }
+    assert(rows.map(_.getAs[Long]("n_users")).sum === uu.toLong,
+      "deciles must partition the user set")
+    rows.zip(expected).foreach { case (r, (nu, ne)) =>
+      assert(r.getAs[Long]("n_users") === nu.toLong, s"decile ${r.get(0)} users")
+      assert(r.getAs[Long]("n_events") === ne, s"decile ${r.get(0)} events")
+    }
+    val cum = rows.map(_.getAs[Double]("cum_share"))
+    assert(math.abs(cum.last - 1.0) < 1e-9, s"cum_share must end at 1: ${cum.last}")
+    // per-USER concentration is monotone even when per-decile share
+    // isn't: the top decile's events-per-user beats the bottom's
+    val perUser = rows.map(r =>
+      r.getAs[Long]("n_events").toDouble / r.getAs[Long]("n_users"))
+    assert(perUser.head > perUser.last, perUser.mkString(","))
+    assert(tot === rows.map(_.getAs[Long]("n_events")).sum)
+  }
+
+  test("theil: zero on a perfectly equal fixture, positive on a skewed one") {
+    // equal: every user has exactly 2 events per type
+    val eq = writeEvents((1 to 10).flatMap(u =>
+      Seq((u * 2L, u * 1000000000L, u.toLong, "view"),
+        (u * 2 + 1L, u * 1000000000L + 5, u.toLong, "view"))))
+    val t0 = Analytics.theil(spark, eq).collect()
+    assert(t0.forall(_.getAs[Double]("theil") === 0.0), t0.mkString(","))
+    // skew: one heavy user
+    val sk = writeEvents(((1 to 9).map(u =>
+      (u.toLong, u * 1000000000L, u.toLong, "view")) ++
+      (10 to 30).map(i => (i * 100L, i * 1000000000L, 99L, "view"))))
+    val t1 = Analytics.theil(spark, sk).collect()
+    assert(t1.forall(_.getAs[Double]("theil") > 0.0), t1.mkString(","))
+  }
+
+  test("curation funnel: stage survivors are monotonically nonincreasing from raw") {
+    val rows = TrainPrep.curationFunnel(spark, sf).collect()
+      .sortBy(_.getAs[Long]("stage_idx"))
+    assert(rows.length === 5)
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      counts.mkString(","))
+    assert(counts.head ===
+      graft.Tables.documents(spark, sf).count(), "stage 0 must be the raw count")
+    assert(counts.last > 0, "the fixture corpus must survive the funnel")
+  }
+
+  test("balanced downsample: every class lands at exactly the min class size") {
+    val rows = Sampling.balanced(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val trueCounts = graft.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val m = trueCounts.values.min
+    assert(byLang.keySet === trueCounts.keySet)
+    assert(byLang.values.forall(_ === m.toInt), byLang.toString)
+    // determinism: a re-run picks the identical doc set
+    val again = Sampling.balanced(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    assert(again === rows.map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet)
+  }
+
+  test("sequence support: the hour-band join equals the naive time-range join") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.seqSupport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("support")).toMap
+    // naive recompute over collected events (small at spec SF)
+    val ev = graft.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[String]("event_type")))
+    val naive = scala.collection.mutable.Set[(Long, String, String)]()
+    ev.groupBy(_._1).values.foreach { es =>
+      for ((u, ta, a) <- es; (_, tb, b) <- es
+           if tb > ta && tb <= ta + 3600000L)
+        naive += ((u, a, b))
+    }
+    val expected = naive.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    assert(got === expected,
+      s"band=${got.size} pairs naive=${expected.size}")
   }
 
   test("markov stationary: a no-incoming state survives every round at 0.0") {
