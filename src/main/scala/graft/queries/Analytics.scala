@@ -2015,6 +2015,64 @@ object Analytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  // --- q_ag_power -------------------------------------------------------------
+  // SAMPLE-SIZE / POWER CALCULATOR — the experiment-design table that
+  // answers "how many users per arm to detect a 5% lift at 80% power,
+  // α = 0.05" from the MEASURED per-type value variance:
+  // n = 2(z_{α/2} + z_β)²σ²/δ², δ = 5% of the mean. The planning
+  // companion of q_ag_ab_ztest (that one judges a finished experiment;
+  // this one sizes the next). Moments are exact BIGINTs (the ttest
+  // discipline: n, Σc, Σc² in cents); the z constants are literals
+  // both engines parse to the same doubles; every double op has one
+  // fixed operand order, so the required-n integers match exactly.
+  // Scale: one map-side-combinable moment aggregation, 5-row digest.
+  private val ZAlpha = 1.959963984540054 // z_{0.975}
+  private val ZBeta = 0.8416212335729143 // z_{0.80}
+
+  def power(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+    val varC = (col("n").cast("decimal(38,0)") * col("q") -
+      col("sc").cast("decimal(38,0)") * col("sc")).cast("double") /
+      (col("n").cast("decimal(38,0)") * (col("n") - 1)).cast("double")
+    val meanC = col("sc").cast("double") / col("n").cast("double")
+    m.select(col("event_type"), col("n"),
+        (meanC / 100.0).as("mean_value"),
+        (varC / 10000.0).as("variance"),
+        (meanC * 0.05 / 100.0).as("mde"))
+      .withColumn("n_required",
+        ceil(lit(2.0) * (lit(ZAlpha) + lit(ZBeta)) * (lit(ZAlpha) + lit(ZBeta))
+          * col("variance") / (col("mde") * col("mde"))).cast("long"))
+      .orderBy("event_type")
+  }
+
+  val powerSql: String =
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(c) AS BIGINT) AS sc,
+       |    sum(CAST(c * c AS DECIMAL(38,0))) AS q
+       |  FROM (SELECT event_type,
+       |          CAST(round(value * 100) AS BIGINT) AS c FROM events)
+       |  GROUP BY 1),
+       |stats AS MATERIALIZED (
+       |  SELECT event_type, n,
+       |    (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_value,
+       |    (CAST(CAST(n AS DECIMAL(38,0)) * q
+       |        - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE)
+       |      / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)) / 10000.0
+       |      AS variance,
+       |    (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) * 0.05 / 100.0 AS mde
+       |  FROM m)
+       |SELECT event_type, n, mean_value, variance, mde,
+       |  CAST(ceil(2.0 * ($ZAlpha + $ZBeta) * ($ZAlpha + $ZBeta)
+       |    * variance / (mde * mde)) AS BIGINT) AS n_required
+       |FROM stats
+       |ORDER BY event_type""".stripMargin
+
   // --- q_ag_ttest -----------------------------------------------------------
   // WELCH'S TWO-SAMPLE t-TEST on per-type mean values — the parametric
   // companion of the bootstrap CI (same question, closed form): are
@@ -3583,6 +3641,7 @@ object Analytics {
     "q_ev_seq_support" -> (seqSupport _),
     "q_ev_pareto" -> (pareto _),
     "q_ev_theil" -> (theil _),
+    "q_ag_power" -> (power _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
@@ -3627,6 +3686,7 @@ object Analytics {
     "q_ev_seq_support" -> seqSupportSql,
     "q_ev_pareto" -> paretoSql,
     "q_ev_theil" -> theilSql,
+    "q_ag_power" -> powerSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,
