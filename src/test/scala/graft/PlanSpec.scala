@@ -922,6 +922,17 @@ class PlanSpec extends SparkSpec {
         s"row-grain file scan reaches a join input with no digest " +
           s"aggregate between them:\n${j.nodeName}\n${c.treeString.take(1200)}")
     }
+    // belt-and-braces: the (g, x, y) digest is value-domain-bounded
+    // (≤ ~cells per lang by bucket granularity), so EVERY join here is
+    // broadcastable — a shuffle join of any kind means row-grain data
+    // leaked into the pairing, even if a checkpoint hid its scan.
+    val shuffleJoins = joins.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffleJoins.isEmpty,
+      s"kendall must not plan a shuffle join over digests:\n" +
+        s"${shuffleJoins.map(_.nodeName).mkString(", ")}")
   }
 
   test("labelprop rounds are exchange-free: the adjacency pre-partition is paid once") {
