@@ -287,6 +287,96 @@ object Temporal {
       |GROUP BY 1, 2
       |ORDER BY bar_start, event_type""".stripMargin
 
+  // --- q_t22_seasonal_strength --------------------------------------------------
+  // DAY-OF-WEEK SEASONALITY STRENGTH per event type — the scalar that
+  // says HOW seasonal a series is, not just what its profile looks
+  // like (q_t8 scores residuals against the profile; this scores the
+  // profile itself): η² = SS_between/SS_total of daily counts grouped
+  // by dow — the share of daily variance the weekly cycle explains,
+  // the STL "seasonal strength" in its exact-arithmetic ANOVA form.
+  // All sums are exact (daily counts are integers; T_g², T², n·Q ride
+  // DECIMAL(38,0)); the only non-integer piece, Σ_g T_g²/n_g, is ONE
+  // division per dow cell quantized at 1e-6 (the zipf discipline), so
+  // both engines build identical doubles. The peak dow is a
+  // struct-max over the quantized per-dow means — total order, no
+  // first(). Scale: day-grain digest (the value-domain discipline);
+  // everything after the daily aggregation is ≤ 7 cells per type.
+  def seasonalStrength(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      // epoch-days mod 7, the q_t16 discipline — never dayofweek(),
+      // which the engines anchor differently
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).cast("long"))
+    val cells = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("tg"))
+      .withColumn("s6",
+        round((col("tg").cast("decimal(38,0)") * col("tg")).cast("double")
+          / col("ng").cast("double") * 1e6).cast("long"))
+      .withColumn("m6",
+        round(col("tg").cast("double") / col("ng").cast("double") * 1e6)
+          .cast("long"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("q"))
+    cells.groupBy("event_type")
+      .agg(sum(col("s6")).as("ss6"),
+        max(struct(col("m6"), col("dow"))).getField("dow").as("peak_dow"))
+      .join(tot, "event_type")
+      .select(col("event_type"), col("n").as("n_days"), col("peak_dow"),
+        {
+          val num = col("n").cast("double") *
+            (col("ss6").cast("double") / 1e6) -
+            (col("t").cast("decimal(38,0)") * col("t")).cast("double")
+          val den = (col("n").cast("decimal(38,0)") * col("q") -
+            col("t").cast("decimal(38,0)") * col("t")).cast("double")
+          when(den > 0.0, num / den).otherwise(lit(0.0))
+            .as("seasonal_strength")
+        })
+      .orderBy("event_type")
+  }
+
+  val seasonalStrengthSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |dd AS MATERIALIZED (
+      |  SELECT event_type, day, x,
+      |    CAST((day::DATE - DATE '1970-01-01') % 7 AS BIGINT) AS dow
+      |  FROM daily),
+      |cells AS MATERIALIZED (
+      |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(x) AS BIGINT) AS tg
+      |  FROM dd GROUP BY 1, 2),
+      |c2 AS MATERIALIZED (
+      |  SELECT event_type, dow, ng, tg,
+      |    CAST(round(CAST(CAST(tg AS DECIMAL(38,0)) * tg AS DOUBLE)
+      |      / CAST(ng AS DOUBLE) * 1e6) AS BIGINT) AS s6,
+      |    CAST(round(CAST(tg AS DOUBLE) / CAST(ng AS DOUBLE) * 1e6)
+      |      AS BIGINT) AS m6
+      |  FROM cells),
+      |agg AS MATERIALIZED (
+      |  SELECT event_type, CAST(sum(s6) AS BIGINT) AS ss6,
+      |    max({'m6': m6, 'dow': dow}).dow AS peak_dow
+      |  FROM c2 GROUP BY 1),
+      |tot AS MATERIALIZED (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS t,
+      |    sum(CAST(x * x AS DECIMAL(38,0))) AS q
+      |  FROM dd GROUP BY 1)
+      |SELECT a.event_type, tot.n AS n_days, a.peak_dow,
+      |  CASE WHEN CAST(CAST(tot.n AS DECIMAL(38,0)) * tot.q
+      |      - CAST(tot.t AS DECIMAL(38,0)) * tot.t AS DOUBLE) > 0.0
+      |    THEN (CAST(tot.n AS DOUBLE) * (CAST(a.ss6 AS DOUBLE) / 1e6)
+      |        - CAST(CAST(tot.t AS DECIMAL(38,0)) * tot.t AS DOUBLE))
+      |      / CAST(CAST(tot.n AS DECIMAL(38,0)) * tot.q
+      |        - CAST(tot.t AS DECIMAL(38,0)) * tot.t AS DOUBLE)
+      |    ELSE 0.0 END AS seasonal_strength
+      |FROM agg a JOIN tot USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   // --- q_t8_seasonal ------------------------------------------------------
   // Seasonal-profile residual outliers — the time-series screen the
   // family lacked: each event compares against its (event_type,
@@ -1222,6 +1312,7 @@ object Temporal {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_t21_theil_sen" -> (theilSen _),
+    "q_t22_seasonal_strength" -> (seasonalStrength _),
     "q_t19_rolling_corr" -> (rollingCorr _),
     "q_t20_acf" -> (acf _),
     "q_t18_changepoint" -> (changepoint _),
@@ -1245,6 +1336,7 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "q_t21_theil_sen" -> theilSenSql,
+    "q_t22_seasonal_strength" -> seasonalStrengthSql,
     "q_t19_rolling_corr" -> rollingCorrSql,
     "q_t20_acf" -> acfSql,
     "q_t18_changepoint" -> changepointSql,
