@@ -417,6 +417,46 @@ object Discovery {
   // at dim scale); the long-form output is a 3-row stack of the 1-row
   // summary. At 100 TB this is the cheap pre-publish pass whose
   // counters page someone before a bad batch goes live.
+  // --- q_ds_freshness -----------------------------------------------------------
+  // DATA FRESHNESS per stream — the first page of every pipeline ops
+  // dashboard: when did each event type last land, how far does it lag
+  // the freshest stream, and is it stale (> 24 h behind)? A stream
+  // silently stopping is the most common production failure and the
+  // one a correctness gate can't see (all the data that DID land is
+  // fine). Lag is exact integer arithmetic on epoch MICROS (second-
+  // grain truncation loses the fractional part differently per engine
+  // — unix_timestamp truncates each operand, epoch() keeps fractions;
+  // BIGINT micros subtract+div identically); the corpus watermark is
+  // a 1-row digest crossed back. Scale: one min/max aggregation — scan-shaped.
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
+    val wm = m.agg(max(col("last_seen")).as("watermark"))
+    m.crossJoin(broadcast(wm))
+      .select(col("event_type"), col("n_rows"),
+        col("first_seen"), col("last_seen"),
+        expr("(unix_micros(watermark) - unix_micros(last_seen)) DIV 3600000000")
+          .as("lag_hours"))
+      .withColumn("stale", (col("lag_hours") > 24L).cast("boolean"))
+      .orderBy("event_type")
+  }
+
+  val freshnessSql: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |    min(ts) AS first_seen, max(ts) AS last_seen
+      |  FROM events GROUP BY 1),
+      |wm AS MATERIALIZED (SELECT max(last_seen) AS watermark FROM m)
+      |SELECT event_type, n_rows, first_seen, last_seen,
+      |  CAST((epoch_us(wm.watermark) - epoch_us(m.last_seen)) // 3600000000
+      |    AS BIGINT) AS lag_hours,
+      |  (CAST((epoch_us(wm.watermark) - epoch_us(m.last_seen)) // 3600000000
+      |    AS BIGINT) > 24) AS stale
+      |FROM m, wm
+      |ORDER BY event_type""".stripMargin
+
   def dqAudit(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
     val dirty = ev.select(
@@ -714,6 +754,7 @@ object Discovery {
     "q_ds_variant_schema" -> (variantSchema _),
     "q_ds_variant_unpivot" -> (variantUnpivot _),
     "q_ds_dq_audit" -> (dqAudit _),
+    "q_ds_freshness" -> (freshness _),
     "q_ds_observe" -> (observeAudit _))
 
   val oracles: Map[String, String] = Map(
@@ -731,5 +772,6 @@ object Discovery {
     "q_ds_variant_schema" -> variantSchemaSql,
     "q_ds_variant_unpivot" -> variantUnpivotSql,
     "q_ds_dq_audit" -> dqAuditSql,
+    "q_ds_freshness" -> freshnessSql,
     "q_ds_observe" -> observeAuditSql)
 }
