@@ -46,9 +46,7 @@ import graft.warehouse.Ingest.Warehouse
   * exposes the background job's terminal state. The reference's 202
   * gives the caller no completion signal at all (fire-and-forget);
   * a pollable job row is the minimal deterministic contract a spec —
-  * or a real operator — needs. `include_raw` is accepted and rendered
-  * as the reference does for its default `False` (raw_payload: null on
-  * every point); raw payloads are served by /v2/discovery/sample.
+  * or a real operator — needs.
   */
 final class QueryServer(spark: SparkSession, wh: Warehouse,
                         restUrl: Option[String] = None,
@@ -72,7 +70,12 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     server.createContext("/v2/discovery/datasets", handler(datasets))
     server.createContext("/v2/discovery/fields", handler(fields))
     server.createContext("/v2/discovery/sample", handler(sample))
+    server.createContext("/v2/discovery/raw", handler(rawPreview))
     server.createContext("/v2/ingest/gas", handler(ingestGas))
+    server.createContext("/v2/ingest/entsog", handler(ingestEntsog))
+    server.createContext("/v2/ingest/instantaneous", handler(ingestInstantaneous))
+    server.createContext("/v2/ingest/gas-publications", handler(ingestPublications))
+    server.createContext("/v2/ingest/publication-catalogue", handler(publicationCatalogue))
     server.createContext("/v2/ingest/jobs/", handler(jobStatus))
     server.createContext("/v2/export/data.csv", handler(exportCsv))
     server.createContext("/v2/export/raw/json", handler(exportRawJson))
@@ -153,12 +156,16 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
 
   /** `routes.py:12-62`: optional-param filtered observation page, grouped
     * per series at the (bounded) edge exactly as the reference groups
-    * rows into SeriesResponse with a defaultdict after the SQL page. */
+    * rows into SeriesResponse with a defaultdict after the SQL page.
+    * `include_raw=true` serves each point's landed payload verbatim
+    * (`routes.py:57`); when false (the default) the payload column is
+    * never even selected, so the parquet scan stays narrow. */
   private def data(r: Request): Response = {
     val limit = r.first("limit").map(_.toInt).getOrElse(1000)
     if (limit > 5000 || limit < 0)
       return Response(400, jsonObj("detail" -> jsonStr("limit must be in [0, 5000]")))
     val offset = math.max(0, r.first("offset").map(_.toInt).getOrElse(0))
+    val includeRaw = r.first("include_raw").exists(_.equalsIgnoreCase("true"))
 
     val obs = spark.read.parquet(wh.observations)
     val meta = spark.read.parquet(wh.metaSeries)
@@ -173,13 +180,19 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
         r.first("end").map(lit(_).cast("timestamp"))),
       OptionalFilters.geOpt(col("value"), r.first("min_value").map(_.toDouble)),
       OptionalFilters.leOpt(col("value"), r.first("max_value").map(_.toDouble)))
+    // raw_payload is selected ONLY when asked for — column pruning keeps
+    // the default page's scan off the (wide) payload column entirely
+    val rawCol =
+      if (includeRaw && obs.columns.contains("raw_payload")) col("raw_payload")
+      else lit(null).cast("string")
     val joined = filtered
       .join(broadcast(OptionalFilters(meta,
         OptionalFilters.eqOpt(col("dataset_id"), r.first("dataset_id")))),
         Seq("series_id"))
       .orderBy("series_id", "observation_time")
-      .select("series_id", "dataset_id", "description",
-        "observation_time", "value", "quality_flag")
+      .select(col("series_id"), col("dataset_id"), col("description"),
+        col("observation_time"), col("value"), col("quality_flag"),
+        rawCol.as("raw_payload"))
     // the reference pages the FLAT rows (LIMIT/OFFSET in DATA_QUERY),
     // then groups the page in the handler — same here, and the page is
     // what bounds the edge collect
@@ -193,7 +206,9 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
             "timestamp" -> jsonStr(p.getTimestamp(3).toInstant.toString),
             "value" -> p.getDouble(4).toString,
             "quality_flag" -> Option(p.getString(5)).map(jsonStr).getOrElse("null"),
-            "raw_payload" -> "null")
+            // the landed payload IS JSON (zero-loss landing) — splice
+            // verbatim, the JSONB render the reference returns
+            "raw_payload" -> Option(p.getString(6)).getOrElse("null"))
         }
         jsonObj(
           "series_id" -> jsonStr(sid),
@@ -310,6 +325,123 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
       .agg(first(col("value")))
       .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
     Ingest.ingestWide(spark, wh, wide, "GAS_QUALITY", "ts", Seq("site"))
+  }
+
+  /** Shared 202-accepted contract: enqueue `work` on the single ingest
+    * worker (FastAPI BackgroundTasks semantics), return immediately with
+    * the dataset's response fields + the pollable job id. */
+  private def accepted(fields: (String, String)*)(work: => Unit): Response = {
+    val jobId = jobSeq.incrementAndGet()
+    jobs.put(jobId, "accepted")
+    ingestPool.submit(new Runnable {
+      override def run(): Unit = {
+        jobs.put(jobId, "running")
+        try { work; jobs.put(jobId, "done") }
+        catch {
+          case NonFatal(e) =>
+            jobs.put(jobId, s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+        }
+      }
+    })
+    Response(202, jsonObj(
+      (("status" -> jsonStr("accepted")) +: fields :+ ("job_id" -> jobId.toString)): _*))
+  }
+
+  /** `ingestion.py:53-87`: ENTSOG ingest — list-valued filter params,
+    * 202 with the filters echoed back. */
+  private def ingestEntsog(r: Request): Response = {
+    if (r.method != "POST")
+      return Response(405, jsonObj("detail" -> jsonStr("use POST")))
+    val (fromS, toS) = (r.first("from_date"), r.first("to_date"))
+    if (fromS.isEmpty || toS.isEmpty)
+      return Response(400, jsonObj("detail" -> jsonStr("from_date and to_date are required")))
+    val ops = r.params.getOrElse("operator_keys", Seq.empty)
+    val pts = r.params.getOrElse("point_keys", Seq.empty)
+    val dirs = r.params.getOrElse("direction_keys", Seq.empty)
+    val inds = r.params.getOrElse("indicators", Seq.empty)
+    // client.py:139-144's hard validation, surfaced as a 400 at the edge
+    // (the reference lets the background task throw into the void)
+    if (inds.isEmpty && (pts.isEmpty || dirs.isEmpty))
+      return Response(400, jsonObj("detail" -> jsonStr(
+        "ENTSOG requires at least one of: 1) indicator 2) pointKey + directionKey")))
+    def arr(v: Seq[String]) =
+      if (v.isEmpty) "null" else v.map(jsonStr).mkString("[", ",", "]")
+    accepted(
+      "dataset" -> jsonStr("ENTSOG"),
+      "from" -> jsonStr(fromS.get), "to" -> jsonStr(toS.get),
+      "filters" -> jsonObj(
+        "operator_keys" -> arr(ops), "point_keys" -> arr(pts),
+        "direction_keys" -> arr(dirs), "indicators" -> arr(inds))) {
+      graft.warehouse.NationalGas.ingestEntsog(spark, wh, fromS.get, toS.get,
+        ops, pts, dirs, inds)
+    }
+  }
+
+  /** `ingestion.py:90-101`: instantaneous-flow ingest, no params. */
+  private def ingestInstantaneous(r: Request): Response = {
+    if (r.method != "POST")
+      return Response(405, jsonObj("detail" -> jsonStr("use POST")))
+    accepted("dataset" -> jsonStr("INSTANTANEOUS_FLOW")) {
+      graft.warehouse.NationalGas.ingestInstantaneous(spark, wh)
+    }
+  }
+
+  /** `ingestion.py:133-155`: gas-publications ingest for a list of
+    * publication ids. */
+  private def ingestPublications(r: Request): Response = {
+    if (r.method != "POST")
+      return Response(405, jsonObj("detail" -> jsonStr("use POST")))
+    val (fromS, toS) = (r.first("from_date"), r.first("to_date"))
+    val pubIds = r.params.getOrElse("publication_ids", Seq.empty)
+    if (fromS.isEmpty || toS.isEmpty || pubIds.isEmpty)
+      return Response(400, jsonObj("detail" -> jsonStr(
+        "from_date, to_date and publication_ids are required")))
+    accepted("dataset" -> jsonStr("GAS_PUBLICATIONS")) {
+      graft.warehouse.NationalGas.ingestPublications(spark, wh,
+        fromS.get, toS.get, pubIds)
+    }
+  }
+
+  /** `ingestion.py:104-130`: the simplified publication catalogue — the
+    * triple unnest (S5) with null-publicationId entries dropped,
+    * synchronous like the reference. */
+  private def publicationCatalogue(r: Request): Response = {
+    val pubs = graft.warehouse.NationalGas
+      .catalogue(spark, graft.warehouse.NationalGas.fetchCatalogue())
+      .collect().map { row =>
+        jsonObj("publicationId" -> jsonStr(row.getString(0)),
+          "name" -> Option(row.getString(1)).map(jsonStr).getOrElse("null"))
+      }
+    Response(200, pubs.mkString("[", ",", "]"))
+  }
+
+  /** `discovery.py:59-87`: newest raw payloads with the optional F3
+    * JSON-path predicate (`(raw_payload ->> 'siteId')::int = :site_id`)
+    * — cap 500, default 20, still zero-loss (payloads splice verbatim).
+    * The predicate is a plan-side filter (get_json_object + try_cast),
+    * so only matching payloads reach the bounded edge collect. */
+  private def rawPreview(r: Request): Response = {
+    val limit = r.first("limit").map(_.toInt).getOrElse(20)
+    if (limit < 1 || limit > 500)
+      return Response(400, jsonObj("detail" -> jsonStr("limit must be in [1, 500]")))
+    r.first("dataset_id") match {
+      case None =>
+        Response(400, jsonObj("detail" -> jsonStr("dataset_id is required")))
+      case Some(ds) =>
+        val base = spark.read.parquet(wh.rawEvents)
+          .filter(col("dataset_id") === ds)
+        val filtered = r.first("site_id") match {
+          case Some(sid) =>
+            base.filter(get_json_object(col("raw_payload"), "$.siteId")
+              .try_cast("int") === sid.toInt)
+          case None => base
+        }
+        val payloads = filtered
+          .orderBy(col("ingested_at").desc, col("event_id").desc)
+          .limit(limit)
+          .select("raw_payload").collect().map(_.getString(0))
+        Response(200, payloads.mkString("[", ",", "]"))
+    }
   }
 
   /** Pollable terminal state for a 202 job (see class doc). */

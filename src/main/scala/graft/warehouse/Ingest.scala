@@ -49,17 +49,19 @@ object Ingest {
 
       // (2) field discovery — on THIS batch only, merged incrementally
       // (the reference rescans all history per ingest, field_discovery.py:21)
-      val increment = FieldDiscovery.discover(
-        JsonIngest.landRaw(batch, dataset).select("dataset_id", "raw_payload"))
-      val merged =
-        if (exists(spark, wh.fieldCatalog))
-          FieldDiscovery.merge(spark.read.parquet(wh.fieldCatalog), increment)
-        else increment
-      writeSwap(spark, wh.fieldCatalog, merged)
+      mergeFieldCatalog(spark, wh, batch, dataset)
 
       // (3) series auto-register: distinct (keys × numeric metric) not yet
-      // in the catalog (series_autoregister.py as one anti-join append)
-      val unpivoted = Normalize.unpivotNumeric(batch, idCols = timeCol +: keyCols)
+      // in the catalog (series_autoregister.py as one anti-join append).
+      // raw_payload = the source wide row's JSON, attached to every
+      // observation the row yields (transformer.py:36) — it rides the
+      // unpivot as an id column, so /v2/data?include_raw=true can serve
+      // each point's payload back (routes.py:57). NaN→null sanitization
+      // comes free from to_json, same as landRaw.
+      val withRaw = batch.withColumn("raw_payload",
+        to_json(struct(batch.columns.map(col).toIndexedSeq: _*)))
+      val unpivoted = Normalize.unpivotNumeric(withRaw,
+        idCols = (timeCol +: keyCols) :+ "raw_payload")
       val series = unpivoted
         .select((keyCols.map(col) :+ col("metric")): _*).distinct()
         .withColumn("series_id",
@@ -85,6 +87,19 @@ object Ingest {
         col("observation_time").between(lit(start).cast("timestamp"), lit(end).cast("timestamp")))
       .orderBy("observation_time")
       .select("observation_time", "value")
+
+  /** Field-discovery increment for one batch, folded into the standing
+    * catalog (shared by every dataset's ingest path — run_all.py:82). */
+  private[warehouse] def mergeFieldCatalog(spark: SparkSession, wh: Warehouse,
+                                           batch: DataFrame, dataset: String): Unit = {
+    val increment = FieldDiscovery.discover(
+      JsonIngest.landRaw(batch, dataset).select("dataset_id", "raw_payload"))
+    val merged =
+      if (exists(spark, wh.fieldCatalog))
+        FieldDiscovery.merge(spark.read.parquet(wh.fieldCatalog), increment)
+      else increment
+    writeSwap(spark, wh.fieldCatalog, merged)
+  }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

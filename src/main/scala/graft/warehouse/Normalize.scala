@@ -58,9 +58,17 @@ object Normalize {
     * narrow (series_id, observation_time, value) fact rows
     * (`transformer.py:26-39`), with unparseable values dropped the way
     * the reference's try/except-continue does.
+    *
+    * If the input carries a `raw_payload` column it rides through to the
+    * fact rows — the reference attaches each source row's JSON to every
+    * observation it yields (`transformer.py:36`:
+    * `clean_json_payload(row.to_dict())`), which is what `GET /v2/data
+    * ?include_raw=true` serves back per point (`routes.py:57`).
     */
   def toObservations(unpivoted: DataFrame, dataset: String,
-                     timeCol: String, partCols: Seq[String]): DataFrame =
+                     timeCol: String, partCols: Seq[String]): DataFrame = {
+    val carry =
+      if (unpivoted.columns.contains("raw_payload")) Seq("raw_payload") else Nil
     unpivoted
       .withColumn("series_id",
         makeSeriesId(lit(dataset), (partCols.map(col) :+ col("metric")): _*))
@@ -70,5 +78,6 @@ object Normalize {
       .withColumn("value", safeDouble(col("value")))
       .filter(col("value").isNotNull && !isnan(col("value")) &&
         col("observation_time").isNotNull)
-      .select("series_id", "observation_time", "value")
+      .select(("series_id" +: "observation_time" +: "value" +: carry).map(col): _*)
+  }
 }

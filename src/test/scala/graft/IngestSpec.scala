@@ -31,6 +31,14 @@ class IngestSpec extends SparkSpec {
       "NG_GAS_QUALITY_ST_FERGUS_CO2", "NG_GAS_QUALITY_ST_FERGUS_WOBBE"))
     assert(spark.read.parquet(wh.observations).count() == 6) // 3 rows × 2 metrics
 
+    // every observation carries its source wide row's JSON
+    // (transformer.py:36: clean_json_payload(row.to_dict())) — the
+    // payload /v2/data?include_raw=true serves back per point
+    val raws = spark.read.parquet(wh.observations)
+      .select("raw_payload").collect().map(_.getString(0))
+    assert(raws.forall(p => p != null && p.contains("\"wobbe\"") &&
+      p.contains("\"site\"")), raws.take(1).mkString)
+
     // re-ingest the same batch: raw grows (zero-loss by design),
     // catalog and observations stay fixed (idempotent upsert)
     Ingest.ingestWide(spark, wh, wideBatch, "GAS_QUALITY", "ts", Seq("site"))

@@ -111,6 +111,17 @@ class QueryServerSpec extends SparkSpec {
       assert("\"series_id\"".r.findAllIn(all).length === 9)
       assert("\"timestamp\"".r.findAllIn(all).length === 36)
 
+      // -- include_raw (routes.py:57): default null, true → each point
+      // serves its landed source-row JSON verbatim
+      assert("\"raw_payload\":null".r.findAllIn(all).length === 36,
+        "default include_raw=false must render raw_payload: null")
+      val (_, withRaw) = http("GET", s"${srv.url}/v2/data?limit=1000&include_raw=true")
+      assert(!withRaw.contains("\"raw_payload\":null"), "payloads must be served")
+      // the payload is the wide source row: time + site + the 3 metrics
+      assert("\"raw_payload\":\\{\"ts\":".r.findAllIn(withRaw).length === 36, withRaw.take(400))
+      for (m <- graft.sources.v2.ChunkedRestSource.Metrics)
+        assert(withRaw.contains(s""""$m":"""), s"payload must carry metric $m")
+
       // -- single-series filter + value band + paging
       val sid = "\"series_id\":\"([^\"]+)\"".r.findFirstMatchIn(all).get.group(1)
       val (_, one) = http("GET", s"${srv.url}/v2/data?series_id=$sid")
@@ -310,6 +321,207 @@ class QueryServerSpec extends SparkSpec {
       assert(lines.toSet.contains("1,\"x,y\",2"), cb) // comma value quoted
       assert(lines.toSet.contains("3,z,"), cb) // empty string renders empty
       assert(lines.length === 3)
+    }
+  }
+
+  test("per-dataset ingest routes: ENTSOG, instantaneous flow, publications, catalogue") {
+    withServer { (srv, wh) =>
+      def drain(body: String): Unit = {
+        val jobId = "\"job_id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+        assert(await {
+          http("GET", s"${srv.url}/v2/ingest/jobs/$jobId")._2.contains("done")
+        }, s"ingest job $jobId did not finish: " +
+          http("GET", s"${srv.url}/v2/ingest/jobs/$jobId")._2)
+      }
+
+      // -- validation: missing window, ENTSOG's hard filter rule
+      // (client.py:139-144), missing publication ids, wrong verb
+      assert(http("POST", s"${srv.url}/v2/ingest/entsog")._1 === 400)
+      val (es, eb) = http("POST",
+        s"${srv.url}/v2/ingest/entsog?from_date=2024-05-01&to_date=2024-05-03")
+      assert(es === 400 && eb.contains("pointKey + directionKey"), eb)
+      assert(http("GET", s"${srv.url}/v2/ingest/entsog")._1 === 405)
+      assert(http("POST", s"${srv.url}/v2/ingest/gas-publications?from_date=2024-06-01&to_date=2024-06-02")._1 === 400)
+      assert(http("GET", s"${srv.url}/v2/ingest/instantaneous")._1 === 405)
+
+      // -- ENTSOG (ingestion.py:53-87): indicator filter, 202 + filters
+      // echoed, then the warehouse serves 4 (indicator, point, direction)
+      // series — operator is NOT part of the series key, so same-key rows
+      // from both operators LWW-collapse, exactly like the reference's
+      // ON CONFLICT upsert over make_series_id(indicator, point, direction)
+      val (st1, b1) = http("POST", s"${srv.url}/v2/ingest/entsog" +
+        "?from_date=2024-05-01&to_date=2024-05-03&indicators=Physical%20Flow")
+      assert(st1 === 202, b1)
+      assert(b1.contains("\"dataset\":\"ENTSOG\"") &&
+        b1.contains("\"indicators\":[\"Physical Flow\"]") &&
+        b1.contains("\"operator_keys\":null"), b1)
+      drain(b1)
+      val series = spark.read.parquet(wh.metaSeries)
+        .filter(org.apache.spark.sql.functions.col("dataset_id") === "ENTSOG")
+        .collect().map(_.getString(0)).sorted
+      assert(series.toSeq === Seq(
+        "NG_ENTSOG_PHYSICAL_FLOW_ITP-00043_ENTRY",
+        "NG_ENTSOG_PHYSICAL_FLOW_ITP-00043_EXIT",
+        "NG_ENTSOG_PHYSICAL_FLOW_ITP-00091_ENTRY",
+        "NG_ENTSOG_PHYSICAL_FLOW_ITP-00091_EXIT"))
+      // 4 series × 3 days minus the 2 unparseable 'n/a' slots
+      // (point ITP-00091, day 2) the transformer skips
+      val obs = spark.read.parquet(wh.observations)
+      assert(obs.count() === 10)
+      // flowStatus rides as the quality flag (transformer.py:94)
+      val flags = obs.select("quality_flag").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(flags === Set("Confirmed", "Provisional"))
+      // the raw landing is zero-loss: every fetched record, including
+      // the skipped-value ones (24 records: 2 ops × 2 pts × 2 dirs × 3 days)
+      assert(spark.read.parquet(wh.rawEvents)
+        .filter(org.apache.spark.sql.functions.col("dataset_id") === "ENTSOG")
+        .count() === 24)
+      // /v2/data serves the dataset through the same edge
+      val (_, page) = http("GET", s"${srv.url}/v2/data?dataset_id=ENTSOG&limit=1000")
+      assert("\"series_id\"".r.findAllIn(page).length === 4)
+      assert("\"timestamp\"".r.findAllIn(page).length === 10)
+
+      // -- INSTANTANEOUS_FLOW (ingestion.py:90-101): 3-level unnest →
+      // 3 site series; the two blocks share applicableAt stamps so the
+      // 12 detail rows LWW-collapse to 6 observations
+      val (st2, b2) = http("POST", s"${srv.url}/v2/ingest/instantaneous")
+      assert(st2 === 202 && b2.contains("\"dataset\":\"INSTANTANEOUS_FLOW\""), b2)
+      drain(b2)
+      val instSeries = spark.read.parquet(wh.metaSeries)
+        .filter(org.apache.spark.sql.functions.col("dataset_id") === "INSTANTANEOUS_FLOW")
+        .collect().map(_.getString(0)).sorted
+      assert(instSeries.toSeq === Seq(
+        "NG_INSTANTANEOUS_FLOW_BACTON_IP_FLOWRATE",
+        "NG_INSTANTANEOUS_FLOW_EASINGTON_FLOWRATE",
+        "NG_INSTANTANEOUS_FLOW_ST_FERGUS_FLOWRATE"))
+      val (_, inst) = http("GET",
+        s"${srv.url}/v2/data?dataset_id=INSTANTANEOUS_FLOW&limit=1000")
+      assert("\"timestamp\"".r.findAllIn(inst).length === 6)
+
+      // -- GAS_PUBLICATIONS (ingestion.py:133-155): one series per
+      // publication id; the blank first value is skipped
+      val (st3, b3) = http("POST", s"${srv.url}/v2/ingest/gas-publications" +
+        "?from_date=2024-06-01&to_date=2024-06-02" +
+        "&publication_ids=PUBOB28&publication_ids=PUBOB29")
+      assert(st3 === 202 && b3.contains("\"dataset\":\"GAS_PUBLICATIONS\""), b3)
+      drain(b3)
+      val pubSeries = spark.read.parquet(wh.metaSeries)
+        .filter(org.apache.spark.sql.functions.col("dataset_id") === "GAS_PUBLICATIONS")
+        .collect().map(_.getString(0)).sorted
+      assert(pubSeries.toSeq === Seq(
+        "NG_GAS_PUBLICATIONS_PUBOB28", "NG_GAS_PUBLICATIONS_PUBOB29"))
+      val (_, pubs) = http("GET",
+        s"${srv.url}/v2/data?dataset_id=GAS_PUBLICATIONS&limit=1000")
+      assert("\"timestamp\"".r.findAllIn(pubs).length === 3)
+
+      // field discovery ran for every dataset (run_all.py:82)
+      val cataloged = spark.read.parquet(wh.fieldCatalog)
+        .select("dataset_id").distinct().collect().map(_.getString(0)).toSet
+      assert(cataloged === Set("ENTSOG", "INSTANTANEOUS_FLOW", "GAS_PUBLICATIONS"))
+
+      // -- publication catalogue (ingestion.py:104-130): triple unnest,
+      // the id-less draft entry dropped, synchronous GET
+      val (cs, cat) = http("GET", s"${srv.url}/v2/ingest/publication-catalogue")
+      assert(cs === 200)
+      assert("\"publicationId\"".r.findAllIn(cat).length === 3, cat)
+      for (p <- Seq("PUBOB28", "PUBOB29", "PUBOB85"))
+        assert(cat.contains(s"""\"publicationId\":\"$p\""""), cat)
+      assert(!cat.contains("unpublished draft"), "null-id entries must drop")
+    }
+  }
+
+  test("raw preview route: newest-first, JSON-path siteId predicate, cap 500") {
+    withServer { (srv, wh) =>
+      // validation (discovery.py:62-63 Query bounds)
+      assert(http("GET", s"${srv.url}/v2/discovery/raw")._1 === 400)
+      assert(http("GET", s"${srv.url}/v2/discovery/raw?dataset_id=GQ&limit=0")._1 === 400)
+      assert(http("GET", s"${srv.url}/v2/discovery/raw?dataset_id=GQ&limit=501")._1 === 400)
+
+      // land payloads with siteId keys directly (the reference's
+      // GAS_QUALITY payload shape, discovery.py:73)
+      import ss.implicits._
+      Seq(
+        ("e1", "GQ", """{"siteId":17,"wobbe":51.2}""", "2024-01-01 00:00:01"),
+        ("e2", "GQ", """{"siteId":17,"wobbe":51.4}""", "2024-01-01 00:00:02"),
+        ("e3", "GQ", """{"siteId":23,"wobbe":49.9}""", "2024-01-01 00:00:03"),
+        ("e4", "GQ", """{"wobbe":48.0}""", "2024-01-01 00:00:04"),
+        ("e5", "OTHER", """{"siteId":17,"x":1}""", "2024-01-01 00:00:05"))
+        .toDF("event_id", "dataset_id", "raw_payload", "t")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("dataset_id"),
+          org.apache.spark.sql.functions.lit(null).cast("string").as("series_hint"),
+          org.apache.spark.sql.functions.col("raw_payload"),
+          org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.col("t")).as("ingested_at"))
+        .write.mode("append").parquet(wh.rawEvents)
+
+      // unfiltered: newest first, dataset-scoped, verbatim payloads
+      val (s0, all) = http("GET", s"${srv.url}/v2/discovery/raw?dataset_id=GQ")
+      assert(s0 === 200)
+      assert(all === """[{"wobbe":48.0},{"siteId":23,"wobbe":49.9},""" +
+        """{"siteId":17,"wobbe":51.4},{"siteId":17,"wobbe":51.2}]""", all)
+
+      // siteId predicate: only matching payloads, still newest first
+      val (_, site) = http("GET",
+        s"${srv.url}/v2/discovery/raw?dataset_id=GQ&site_id=17")
+      assert(site ===
+        """[{"siteId":17,"wobbe":51.4},{"siteId":17,"wobbe":51.2}]""", site)
+
+      // limit bounds the newest-first page
+      val (_, one) = http("GET",
+        s"${srv.url}/v2/discovery/raw?dataset_id=GQ&site_id=17&limit=1")
+      assert(one === """[{"siteId":17,"wobbe":51.4}]""", one)
+
+      // no matches → empty array
+      assert(http("GET",
+        s"${srv.url}/v2/discovery/raw?dataset_id=GQ&site_id=99")._2 === "[]")
+    }
+  }
+
+  test("GasClient shim: get_history semantics over the live /v2/data route") {
+    withServer { (srv, wh) =>
+      val (st, body) = http("POST",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-01-01&to_date=2024-01-04")
+      assert(st === 202)
+      val jobId = "\"job_id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+      assert(await {
+        http("GET", s"${srv.url}/v2/ingest/jobs/$jobId")._2.contains("done")
+      })
+      val sid = "NG_GAS_QUALITY_STFERGUS_WOBBE"
+
+      // client.py:16-17: one of last_days / (start & end) is required,
+      // same message
+      val client = new graft.serving.GasClient(spark, srv.url)
+      val err = intercept[IllegalArgumentException] {
+        client.getHistory(sid, start = Some("2024-01-01"))
+      }
+      assert(err.getMessage.contains("Provide either last_days or start & end"))
+
+      // explicit window: sorted (observation_time, value) frame equal to
+      // the engine-side get_history operator (q_f1_get_history's op)
+      val viaClient = client.getHistory(sid,
+        start = Some("2024-01-01"), end = Some("2024-01-05")).collect()
+      val engine = graft.warehouse.Ingest.getHistory(spark, wh, sid,
+        "2024-01-01 00:00:00", "2024-01-05 00:00:00").collect()
+      assert(viaClient.length === 4)
+      assert(viaClient.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ===
+        engine.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq)
+
+      // last_days window against an injected clock (client.py:19-21):
+      // [now − 2 days, now] spans the last 3 stub days
+      val fixedNow = java.time.Instant.parse("2024-01-04T00:00:00Z")
+      val lookback = new graft.serving.GasClient(spark, srv.url, () => fixedNow)
+        .getHistory(sid, lastDays = Some(2)).collect()
+      assert(lookback.length === 3)
+      assert(lookback.map(_.getTimestamp(0).toInstant.toString).toSeq ===
+        Seq("2024-01-02T00:00:00Z", "2024-01-03T00:00:00Z", "2024-01-04T00:00:00Z"))
+
+      // empty page → empty, correctly-typed frame
+      val empty = client.getHistory("NO_SUCH_SERIES",
+        start = Some("2024-01-01"), end = Some("2024-01-05"))
+      assert(empty.count() === 0)
+      assert(empty.schema.fieldNames.toSeq === Seq("observation_time", "value"))
     }
   }
 
