@@ -135,14 +135,45 @@ object Analytics {
   // the matrix.
   private val MarkovRounds = 20
 
-  def markovStationary(s: SparkSession, d: String): DataFrame = {
+  /** The driver-side matrix iteration is only legal while K = |event
+    * types| stays digest-sized: the collect below is K² cells and each
+    * round is K² driver multiplications. 512 states = ≤262k cells ≈
+    * single-digit MB — comfortably a digest; a high-cardinality state
+    * column (user ids, urls...) must fail LOUDLY here instead of
+    * OOM-ing the driver. The distributed alternative at that grain is
+    * the keyed-join power iteration [[Graph.pageRank]] runs: keep the
+    * (f, t, p) cells as a DataFrame and make each round the
+    * cells ⋈ pi_prev join + groupBy(t) sum — rounds × |cells| cluster
+    * work, no driver matrix. */
+  private val MarkovMaxStates = 512
+
+  def markovStationary(s: SparkSession, d: String): DataFrame =
+    markovStationaryOf(s, Tables.events(s, d), MarkovMaxStates)
+
+  /** Core over any (user_id, ts, event_id, event_type) frame; exposed
+    * so PropertySpec can drive the cardinality guard with a
+    * high-cardinality fixture. */
+  private[graft] def markovStationaryOf(s: SparkSession,
+                                        events: DataFrame,
+                                        maxStates: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val cells = Tables.events(s, d)
+    // checkpointed: the guard agg, the row totals, and the collect all
+    // read the cell digest — never re-derive the corpus window pass
+    val cells = events
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("f"), col("next_type").as("t"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // guard BEFORE the K²-cell collect, at state grain (one tiny agg)
+    val nStates = cells.select(explode(array(col("f"), col("t"))).as("s"))
+      .agg(countDistinct(col("s"))).first().getLong(0)
+    require(nStates <= maxStates,
+      s"markovStationary: $nStates states exceeds the $maxStates-state driver-matrix cap - " +
+        "the K^2 transition digest no longer fits driver arithmetic; switch to the " +
+        "distributed power iteration (keep the (f, t, p) cells as a DataFrame and make " +
+        "each round a cells JOIN pi_prev + groupBy(t) sum, the Graph.pageRank shape)")
     val totals = cells.groupBy("f").agg(sum(col("n")).as("row_n"))
     val p = cells.join(totals, "f")
       .select(col("f"), col("t"),

@@ -264,9 +264,24 @@ object Graph {
   // collect pattern — O(1), not O(nodes)). Scores stay distributed.
   private val HitsRounds = 3
 
-  def hits(s: SparkSession, d: String): DataFrame = {
+  def hits(s: SparkSession, d: String): DataFrame =
+    hitsOf(bipartite(s, d), BroadcastNodeStateMax)
+
+  /** One HITS half-matvec: edges ⋈ the other side's score vector,
+    * aggregated at this side's grain in exact fixed point. `bc` routes
+    * the node-grain score vector through the broadcast-or-shuffle
+    * chooser. Exposed so PlanSpec can pin both shapes. */
+  private[graft] def hitsMatvec(e: DataFrame, scores: DataFrame,
+                                joinKey: String, outKey: String,
+                                scoreCol: String, bc: Boolean): DataFrame =
+    e.join(stateSide(scores, bc), joinKey).groupBy(outKey)
+      .agg(sum(round(col(scoreCol) * Fixed).cast("long")
+        .cast("decimal(38,0)")).as("f"))
+      .select(col(outKey), (col("f").cast("double") / Fixed).as("raw"))
+
+  private[graft] def hitsOf(edges: DataFrame, maxBroadcastNodes: Long): DataFrame = {
     // staged (no re-derivation) + pinned: six per-round joins probe it
-    val e = bipartite(s, d).localCheckpoint()
+    val e = edges.localCheckpoint()
     // All fixed-point sums accumulate in DECIMAL(38,0): the per-row
     // quanta are ~hr^2 x 1e12, and at sf0.1 the 15k-customer squared-sum
     // already exceeds Long.Max (ANSI overflow, caught by the bench) —
@@ -287,21 +302,22 @@ object Graph {
       df.agg(sqrt(sum(round(col(c) * col(c) * Fixed).cast("long")
         .cast("decimal(38,0)")).cast("double") / Fixed).as("nrm"))
     var auth = e.select("supp").distinct()
-      .select(col("supp"), lit(1.0).as("a"))
+      .select(col("supp"), lit(1.0).as("a")).localCheckpoint()
     var hub = e.select("cust").distinct()
-      .select(col("cust"), lit(1.0).as("h"))
+      .select(col("cust"), lit(1.0).as("h")).localCheckpoint()
+    // thresholded dispatch (see BroadcastNodeStateMax): the score
+    // vectors broadcast into the edge joins only while the larger side
+    // stays under the bound; the 1-row norm crossJoins stay broadcast
+    // at ANY scale (they are one row by construction)
+    val bc = math.max(auth.count(), hub.count()) <= maxBroadcastNodes
     for (_ <- 1 to HitsRounds) {
-      val hraw = e.join(broadcast(auth), "supp").groupBy("cust")
-        .agg(sum(round(col("a") * Fixed).cast("long")
-          .cast("decimal(38,0)")).as("hf"))
-        .select(col("cust"), (col("hf").cast("double") / Fixed).as("hr"))
+      val hraw = hitsMatvec(e, auth, "supp", "cust", "a", bc)
+        .select(col("cust"), col("raw").as("hr"))
         .localCheckpoint()
       hub = hraw.crossJoin(broadcast(l2col(hraw, "hr")))
         .select(col("cust"), (col("hr") / col("nrm")).as("h"))
-      val araw = e.join(broadcast(hub), "cust").groupBy("supp")
-        .agg(sum(round(col("h") * Fixed).cast("long")
-          .cast("decimal(38,0)")).as("af"))
-        .select(col("supp"), (col("af").cast("double") / Fixed).as("ar"))
+      val araw = hitsMatvec(e, hub, "cust", "supp", "h", bc)
+        .select(col("supp"), col("raw").as("ar"))
         .localCheckpoint()
       auth = araw.crossJoin(broadcast(l2col(araw, "ar")))
         .select(col("supp"), (col("ar") / col("nrm")).as("a"))
@@ -449,11 +465,47 @@ object Graph {
   // materialization means no round re-derives the graph.
   private val MaxHops = 6
 
-  def bfs(s: SparkSession, d: String): DataFrame = {
-    val und = coEdges(s, d)
+  /** Broadcast node-grain state into the edge joins only below this
+    * estimated node count. The broadcast-state round shape (labels /
+    * frontier / scores BROADCAST so the static edge list never
+    * exchanges) wins at catalogue-node-count graphs — but the broadcast
+    * is rebuilt on the driver EVERY round, so at web-graph cardinality
+    * (10⁹+ nodes) it is the thing that OOMs first. Above the threshold
+    * every engine below falls back to keyed shuffle rounds (CC: the
+    * large-star/small-star engine in shuffle mode; BFS/HITS: the same
+    * loop with planner-chosen shuffle joins), which exchange the edge
+    * list per round but hold no node-grain artifact anywhere. 2M nodes
+    * × ~32 B of (key, state) ≈ 64 MB per broadcast — the practical
+    * executor-heap comfort bound, with driver memory the binding
+    * constraint well before correctness. */
+  private[graft] val BroadcastNodeStateMax = 2000000L
+
+  /** The node-grain state side of an edge join, broadcast only when the
+    * engine's node-count probe cleared [[BroadcastNodeStateMax]]. */
+  private def stateSide(df: DataFrame, bc: Boolean): DataFrame =
+    if (bc) broadcast(df) else df
+
+  def bfs(s: SparkSession, d: String): DataFrame =
+    bfsOf(coEdges(s, d), BroadcastNodeStateMax)
+
+  /** One BFS expansion: probe the frontier against the adjacency,
+    * anti-join the visited set. Exposed so PlanSpec can pin both round
+    * shapes (broadcast state vs shuffle fallback). */
+  private[graft] def bfsRound(adj: DataFrame, frontier: DataFrame,
+                              visited: DataFrame, k: Int, bc: Boolean): DataFrame =
+    stateSide(frontier, bc).join(adj, col("node") === col("u"))
+      .select(col("v").as("node")).distinct()
+      .join(stateSide(visited, bc), Seq("node"), "left_anti")
+      .select(col("node"), lit(k.toLong).as("dist"))
+
+  private[graft] def bfsOf(und: DataFrame, maxBroadcastNodes: Long): DataFrame = {
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint() // probed by every round
+    val nodes = adj.select(col("u").as("node")).distinct().localCheckpoint()
+    // thresholded dispatch: frontier/visited broadcast only while the
+    // node count says the per-round broadcast is cheap (class doc above)
+    val bc = nodes.count() <= maxBroadcastNodes
     val srcDf = und.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("dist"))
     // frontier/visited split: each round joins ONLY the new frontier
@@ -468,23 +520,17 @@ object Graph {
     var frontier = visited
     var k = 1
     while (k <= MaxHops && frontier.limit(1).count() > 0) {
-      // frontier and visited are node-grain — BROADCAST both, so the
-      // probe join and the anti-join leave the edge list in place and
-      // a round's only exchange is the frontier distinct (the
-      // connected/labelprop discipline; the r12 shape let the planner
-      // exchange the adjacency side of both joins every round)
-      val next = broadcast(frontier).join(adj, col("node") === col("u"))
-        .select(col("v").as("node")).distinct()
-        .join(broadcast(visited), Seq("node"), "left_anti")
-        .select(col("node"), lit(k.toLong).as("dist"))
-        .localCheckpoint()
+      // frontier and visited are node-grain — BROADCAST both (below the
+      // threshold), so the probe join and the anti-join leave the edge
+      // list in place and a round's only exchange is the frontier
+      // distinct (the connected/labelprop discipline; the r12 shape let
+      // the planner exchange the adjacency side of both joins every round)
+      val next = bfsRound(adj, frontier, visited, k, bc).localCheckpoint()
       visited = visited.unionAll(next).localCheckpoint()
       frontier = next
       k += 1
     }
     val dist = visited
-    val nodes = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node"))).distinct()
     val perHop = dist.groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
@@ -554,6 +600,19 @@ object Graph {
   def connected(s: SparkSession, d: String): DataFrame =
     connectedOf(coEdges(s, d))
 
+  /** One min-label propagation round: per-node neighbor minimum,
+    * merged into the label vector with a moved flag. Exposed so
+    * PlanSpec can pin the broadcast-state round shape. */
+  private[graft] def ccRound(adj: DataFrame, labels: DataFrame, bc: Boolean): DataFrame = {
+    val nbmin = adj.join(stateSide(labels, bc), adj("u") === labels("node"))
+      .groupBy(col("v")).agg(min(col("lab")).as("nb"))
+    labels.join(stateSide(nbmin, bc), labels("node") === nbmin("v"), "left")
+      .select(col("node"),
+        least(col("lab"), coalesce(col("nb"), col("lab"))).as("lab"),
+        (col("nb").isNotNull && col("nb") < col("lab"))
+          .cast("long").as("moved"))
+  }
+
   /** Propagation core over any undirected (a, b) edge frame — exposed
     * so specs can drive multi-component fixtures (the testdata
     * co-purchase graph is one giant component at every SF, which never
@@ -568,13 +627,22 @@ object Graph {
     * high-diameter regime (chains, long near-dup paths) is exactly
     * where dedup's pointer-jumping variant IS the right engine; pick
     * per graph shape, and the require() below turns an undersized cap
-    * into a loud failure instead of a silent wrong partition. */
-  private[graft] def connectedOf(und: DataFrame): DataFrame = {
+    * into a loud failure instead of a silent wrong partition.
+    *
+    * Scale guard: above `maxBroadcastNodes` the per-round label
+    * broadcast is the bottleneck (see [[BroadcastNodeStateMax]]) — the
+    * engine dispatches to the large-star/small-star rounds in shuffle
+    * mode instead, which are O(log n) rounds of edge-grain keyed joins
+    * holding NO node-grain artifact. Same output, same oracle. */
+  private[graft] def connectedOf(und: DataFrame,
+                                 maxBroadcastNodes: Long = BroadcastNodeStateMax): DataFrame = {
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint()
+    if (labels.count() > maxBroadcastNodes)
+      return connectedLssOf(und, maxBroadcastNodes)._1
     var changed = 1L
     var k = 0
     while (changed > 0L && k < CcMaxRounds) {
@@ -584,14 +652,7 @@ object Graph {
       // planner exchange both sides of both joins (the checkpoint's
       // UnknownPartitioning hides co-location), ~4 stages/round of
       // pure latency on a ~4 MB shuffle query.
-      val nbmin = adj.join(broadcast(labels), adj("u") === labels("node"))
-        .groupBy(col("v")).agg(min(col("lab")).as("nb"))
-      val next = labels.join(broadcast(nbmin), labels("node") === nbmin("v"), "left")
-        .select(col("node"),
-          least(col("lab"), coalesce(col("nb"), col("lab"))).as("lab"),
-          (col("nb").isNotNull && col("nb") < col("lab"))
-            .cast("long").as("moved"))
-        .localCheckpoint()
+      val next = ccRound(adj, labels, bc = true).localCheckpoint()
       changed = next.agg(sum(col("moved"))).first().getLong(0)
       labels = next.select("node", "lab")
       k += 1
@@ -636,12 +697,44 @@ object Graph {
   def connectedLss(s: SparkSession, d: String): DataFrame =
     connectedLssOf(coEdges(s, d))._1
 
+  /** One alternating large-star + small-star rewrite of the canonical
+    * (lo, hi) edge set. `bc` routes the node-grain min digests through
+    * the broadcast-or-shuffle chooser: in shuffle mode (the >
+    * [[BroadcastNodeStateMax]] fallback) the round is pure edge-grain
+    * keyed joins — no node-grain artifact is ever built on the driver.
+    * Exposed so PlanSpec can pin both shapes. */
+  private[graft] def lssRound(edges: DataFrame, bc: Boolean): DataFrame = {
+    // LARGE-STAR over the full symmetric neighborhood
+    val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+      .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
+    val mins = sym.groupBy("u")
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    val ls = sym.join(stateSide(mins, bc), "u")
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(least(col("v"), col("m")).as("lo"),
+        greatest(col("v"), col("m")).as("hi"))
+      .distinct()
+    // SMALL-STAR over the child→parent orientation (lo < hi always)
+    val grp = ls.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+    val attachU = grp.select(col("m").as("lo"), col("u").as("hi"))
+    val attachV = ls.join(stateSide(grp, bc), ls("hi") === grp("u"))
+      .filter(col("lo") =!= col("m"))
+      .select(col("m").as("lo"), ls("lo").as("hi"))
+    attachU.unionAll(attachV).distinct()
+  }
+
   /** Star-contraction core over any undirected (a, b) edge frame;
-    * returns (result, rounds) so specs can pin the O(log n) bound. */
-  private[graft] def connectedLssOf(und: DataFrame): (DataFrame, Int) = {
+    * returns (result, rounds) so specs can pin the O(log n) bound.
+    * Below `maxBroadcastNodes` the per-node min digests broadcast back
+    * onto the edge stream (the connected/labelprop discipline); above
+    * it the rounds run in shuffle mode — the 100 TB shape. */
+  private[graft] def connectedLssOf(und: DataFrame,
+                                    maxBroadcastNodes: Long = BroadcastNodeStateMax): (DataFrame, Int) = {
     val nodes = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .distinct().localCheckpoint()
+    val bc = nodes.count() <= maxBroadcastNodes
     // canonical (lo, hi) pairs, self-loops dropped
     var edges = und
       .select(least(col("a"), col("b")).as("lo"),
@@ -658,28 +751,11 @@ object Graph {
     var converged = false
     var k = 0
     while (!converged && k < LssMaxRounds) {
-      // LARGE-STAR over the full symmetric neighborhood. The per-node
-      // min digests are node-grain — BROADCAST them back onto the
-      // edge-grain stream (the connected/labelprop discipline), so a
-      // round's exchanges are only the two state-side aggregations and
-      // the dedup distincts, never the edge list itself.
-      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
-        .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
-      val mins = sym.groupBy("u")
-        .agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val ls = sym.join(broadcast(mins), "u")
-        .filter(col("v") > col("u") && col("v") =!= col("m"))
-        .select(least(col("v"), col("m")).as("lo"),
-          greatest(col("v"), col("m")).as("hi"))
-        .distinct()
-      // SMALL-STAR over the child→parent orientation (lo < hi always)
-      val grp = ls.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
-      val attachU = grp.select(col("m").as("lo"), col("u").as("hi"))
-      val attachV = ls.join(broadcast(grp), ls("hi") === grp("u"))
-        .filter(col("lo") =!= col("m"))
-        .select(col("m").as("lo"), ls("lo").as("hi"))
-      val next = attachU.unionAll(attachV).distinct().localCheckpoint()
+      // Per-node min digests broadcast back onto the edge-grain stream
+      // only under the threshold (lssRound's chooser) — then a round's
+      // exchanges are only the two state-side aggregations and the
+      // dedup distincts, never the edge list itself.
+      val next = lssRound(edges, bc).localCheckpoint()
       val nsig = probe(next)
       converged = nsig == sig
       sig = nsig

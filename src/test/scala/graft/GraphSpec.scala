@@ -316,6 +316,44 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= bound, s"$rounds rounds exceeds the O(log n) bound $bound")
   }
 
+  test("scale guard: above the node cap CC, BFS and HITS fall back, results identical") {
+    // the broadcast-node-state round shape has a hard ceiling (the
+    // per-round broadcast rebuilds on the driver); the thresholded
+    // dispatch must swap engines WITHOUT changing a single output bit.
+    // Force the fallback with a 2-node cap on the same fixtures the
+    // broadcast shape is proven on.
+    import ss.implicits._
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), // chain 1-2-3-4-5
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L), // triangle + tail
+      (21L, 20L)) // pair
+      .toDF("a", "b")
+
+    // CC: broadcast min-label rounds vs the LSS-shuffle fallback
+    val ccBroadcast = graft.queries.Graph.connectedOf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ccFallback = graft.queries.Graph.connectedOf(edges, maxBroadcastNodes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ccFallback === ccBroadcast)
+
+    // BFS: hop digests identical under both round shapes
+    val bfsBroadcast = graft.queries.Graph.bfsOf(edges, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bfsFallback = graft.queries.Graph.bfsOf(edges, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bfsFallback.toSeq === bfsBroadcast.toSeq)
+
+    // HITS: the matvec sums are exact fixed point (order-free), so the
+    // shuffle fallback is BIT-identical, not just approximately equal
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L), (3L, 12L))
+      .toDF("cust", "supp")
+    val hitsBroadcast = graft.queries.Graph.hitsOf(bip, Long.MaxValue)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val hitsFallback = graft.queries.Graph.hitsOf(bip, 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(hitsFallback.toSeq === hitsBroadcast.toSeq)
+  }
+
   test("modularity equals a brute recompute over collected edges and labels") {
     val r = Graph.modularity(spark, sf).collect()
     assert(r.length === 1)

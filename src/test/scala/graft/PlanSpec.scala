@@ -1012,6 +1012,69 @@ class PlanSpec extends SparkSpec {
       "top-5 window must be partitioned by source")
   }
 
+  test("graph scale-guard: fallback rounds plan ZERO broadcast of node-grain state") {
+    // The thresholded dispatch's whole point: above the node cap, a
+    // round must hold NO node-grain broadcast anywhere — the state
+    // flows through keyed shuffle joins. Pin both shapes per engine
+    // round (CC min-label, large/small-star, BFS expansion, HITS
+    // matvec) with auto-broadcast off, so the only BroadcastExchange
+    // a plan can contain is one WE hinted: ≥1 in broadcast mode, 0 in
+    // fallback mode. (At real above-threshold scale the stats-based
+    // auto-broadcast wouldn't fire either — sides are huge.)
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val autoBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBc = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def broadcasts(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        allNodes(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }.size
+      }
+      val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      val labels = adj.select(col("u").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint()
+      assert(broadcasts(graft.queries.Graph.ccRound(adj, labels, bc = true)) >= 1)
+      assert(broadcasts(graft.queries.Graph.ccRound(adj, labels, bc = false)) === 0,
+        "CC fallback round must not broadcast the label vector")
+
+      val canon = und.select(col("a").as("lo"), col("b").as("hi")).localCheckpoint()
+      assert(broadcasts(graft.queries.Graph.lssRound(canon, bc = true)) >= 1)
+      assert(broadcasts(graft.queries.Graph.lssRound(canon, bc = false)) === 0,
+        "LSS fallback round must not broadcast the min digests")
+
+      val frontier = labels.select(col("node"), org.apache.spark.sql.functions
+        .lit(0L).as("dist")).limit(1).localCheckpoint()
+      assert(broadcasts(graft.queries.Graph.bfsRound(adj, frontier, frontier, 1, bc = true)) >= 1)
+      assert(broadcasts(graft.queries.Graph.bfsRound(adj, frontier, frontier, 1, bc = false)) === 0,
+        "BFS fallback round must not broadcast frontier/visited")
+
+      val bip = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("cust", "supp")
+        .localCheckpoint()
+      val auth = bip.select("supp").distinct()
+        .select(col("supp"), org.apache.spark.sql.functions.lit(1.0).as("a"))
+        .localCheckpoint()
+      assert(broadcasts(graft.queries.Graph.hitsMatvec(
+        bip, auth, "supp", "cust", "a", bc = true)) >= 1)
+      assert(broadcasts(graft.queries.Graph.hitsMatvec(
+        bip, auth, "supp", "cust", "a", bc = false)) === 0,
+        "HITS fallback matvec must not broadcast the score vector")
+    } finally {
+      def restore(key: String, v: Option[String]): Unit = v match {
+        case Some(s) => spark.conf.set(key, s)
+        case None => spark.conf.unset(key)
+      }
+      restore("spark.sql.autoBroadcastJoinThreshold", autoBc)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeBc)
+    }
+  }
+
   private implicit class Let[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }

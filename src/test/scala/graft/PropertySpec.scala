@@ -410,4 +410,30 @@ class PropertySpec extends SparkSpec {
     }
     assert(out === expect, s"got $out")
   }
+
+  test("markovStationary cardinality guard fails loudly on a high-cardinality state column") {
+    // The driver-matrix iteration is only legal at digest-sized K; a
+    // state column with corpus-grain cardinality must trip the guard
+    // BEFORE the K²-cell collect — loudly, with the distributed
+    // alternative named — instead of silently OOM-ing the driver.
+    import ss.implicits._
+    // a closed 60-state cycle (the 61st event returns to state_1), so
+    // the under-cap run below conserves probability mass exactly
+    val wide = (1 to 61).map(i =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i.toLong, if (i == 61) "state_1" else s"state_$i"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val err = intercept[IllegalArgumentException] {
+      graft.queries.Analytics.markovStationaryOf(spark, wide, maxStates = 16)
+    }
+    assert(err.getMessage.contains("driver-matrix cap"), err.getMessage)
+    assert(err.getMessage.contains("power iteration"), err.getMessage)
+
+    // under the cap the same fixture computes: a valid distribution
+    // (non-negative, sums to ~1 over the reachable chain)
+    val ok = graft.queries.Analytics.markovStationaryOf(spark, wide, maxStates = 60)
+      .collect().map(_.getDouble(1))
+    assert(ok.forall(_ >= 0.0))
+    assert(math.abs(ok.sum - 1.0) < 1e-9, s"mass ${ok.sum}")
+  }
 }
