@@ -995,19 +995,39 @@ object Analytics {
   }
 
   // --- q_ag_approx_distinct -----------------------------------------------
-  // Sketch cardinality (HLL++) next to the exact count. No DuckDB oracle
-  // (different HLL implementations can't hash-match) → the driver records
-  // the weaker rows-only check, which is the right contract for an
-  // approximate operator. At 100 TB the sketch is the only affordable
-  // distinct; the exact column is here to make the demo self-validating.
+  // Sketch cardinality (HLL++) BOUNDED against the exact count in-plan.
+  // The estimate itself can never hash-oracle (engine HLL
+  // implementations differ bit-for-bit), so the verified surface is the
+  // BOUND: |approx − exact| ≤ 3·rsd·exact, rendered as a boolean the
+  // DuckDB twin asserts as literal TRUE — a sketch drifting out of its
+  // documented 3σ envelope (rsd = 1.04/√m is HLL's standard error; the
+  // default 0.05 here) breaks the hash exactly like a wrong sum would.
+  // This is the r13 `no_oracle` exemption tightened into a bounded
+  // pass. At 100 TB the sketch is the only affordable distinct; the
+  // exact column rides along as the cross-engine-verified anchor.
+  private val HllRsd = 0.05
+
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        approx_count_distinct(col("user_id"), HllRsd).as("apx"),
         countDistinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_users_exact"), col("n_events"),
+        (abs(col("apx").cast("double") - col("n_users_exact").cast("double"))
+          <= lit(3.0 * HllRsd) * col("n_users_exact").cast("double"))
+          .as("within_3rsd"))
       .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users_exact,
+      |  count(*) AS n_events,
+      |  true AS within_3rsd
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   // --- q_ag_hll_relational --------------------------------------------------
   // A HyperLogLog built RELATIONALLY from a deterministic hash — the
@@ -1156,22 +1176,49 @@ object Analytics {
   }
 
   // --- q_ag_approx_percentile ---------------------------------------------
-  // The OTHER workhorse sketch: approx_percentile (a t-digest-style
-  // quantile summary) next to the exact sort-based percentile. Same
-  // contract as the HLL row — sketches have no cross-engine oracle, so
-  // the driver records rows-only and the spec bounds the error against
-  // the exact column. This is the 100 TB replacement for q_ag_percentiles
-  // (exact per-group sorts) and the incremental form of any holistic
-  // aggregate in the q_ag_incr_merge merge (sketches merge; sorts don't).
-  def approxPercentile(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  // The OTHER workhorse sketch: approx_percentile (Greenwald–Khanna
+  // quantile summary) BOUNDED by its own rank guarantee in-plan. The
+  // summary's contract is RANK accuracy — the returned value's rank r
+  // satisfies |r − p·n| ≤ ε·n with ε = 1/accuracy — so the audit joins
+  // the estimate back to the rows (the sketch side broadcasts, ≤1 row
+  // per group) and counts strictly-below / at-or-below: the value's
+  // rank interval [lo+1, hi] must intersect [p·n − εn, p·n + εn]. A
+  // literal-TRUE DuckDB twin turns any violation into a hash break —
+  // the r13 `no_oracle` exemption tightened into a bounded pass (the
+  // exact medians themselves are verified by q_ag_exact_quantiles).
+  // This is the 100 TB replacement for exact per-group sorts, and the
+  // incremental form of any holistic aggregate (sketches merge).
+  private val PctAccuracy = 10000
+
+  def approxPercentile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    val appx = li.groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(PctAccuracy))
+          .as("p50_approx"),
+        count(lit(1)).as("n"))
+    // ε·n rank window, +1 for the rank-interval rounding at either edge
+    val epsN = col("n").cast("double") / PctAccuracy + 1.0
+    li.join(broadcast(appx), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("p50_approx"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-        count(lit(1)).as("n"))
+        sum(when(col("l_extendedprice") < col("p50_approx"), 1L)
+          .otherwise(0L)).as("lo"),
+        sum(when(col("l_extendedprice") <= col("p50_approx"), 1L)
+          .otherwise(0L)).as("hi"),
+        max(col("n")).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("lo").cast("double") + 1.0 <= col("n").cast("double") / 2.0 + epsN) &&
+          (col("hi").cast("double") >= col("n").cast("double") / 2.0 - epsN))
+          .as("within_rank_eps"))
       .orderBy("l_returnflag")
+  }
+
+  val approxPercentileSql: String =
+    """SELECT l_returnflag, count(*) AS n, true AS within_rank_eps
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // --- q_j6_semijoin ------------------------------------------------------
   // LEFT SEMI: orders with at least one late-shipped line — the membership
@@ -3691,9 +3738,13 @@ object Analytics {
     "q_j7_outer_join" -> (outerJoin _),
     "q_o4_range_frame" -> (rangeFrame _))
 
-  /** q_ag_approx_distinct intentionally absent: sketches have no exact
-    * cross-engine oracle. */
+  /** The sketch rows (q_ag_approx_distinct, q_ag_approx_percentile)
+    * oracle their BOUNDS, not their estimates: the Spark side computes
+    * the documented error check in-plan and the twin asserts literal
+    * TRUE — a drifting sketch breaks the hash like any wrong value. */
   val oracles: Map[String, String] = Map(
+    "q_ag_approx_distinct" -> approxDistinctSql,
+    "q_ag_approx_percentile" -> approxPercentileSql,
     "q_ev_gap_quantiles" -> gapQuantilesSql,
     "q_ev_growth" -> growthSql,
     "q_ag_levene" -> leveneSql,

@@ -1560,31 +1560,55 @@ object TextAnalysis {
   // aggregate ([[graft.functions.HeavyHitters]]) holds HhK counters
   // total — O(k) state per stage, map-side combinable, merge-safe —
   // and guarantees every token with true frequency > N/HhK surfaces,
-  // each estimate within [true − N/HhK, true]. Like the HLL/quantile
-  // sketch rows there is no cross-engine oracle (MG counters depend
-  // on merge order by construction) → the driver records rows-only;
-  // BoundedCollectSpec pins the bound against the exact counts and a
-  // planted-key property. The exact count rides along per surfaced
-  // token (a broadcast-size join — the sketch output is ≤ HhK rows),
-  // making the row self-validating exactly like q_ag_approx_distinct —
-  // and it's the SKETCH side (≤ HhK rows) that broadcasts into that
-  // join, never the full-vocabulary exact side.
+  // each estimate within [true − N/HhK, true]. The estimates themselves
+  // depend on merge order by construction (no cross-engine oracle), so
+  // the verified surface is the GUARANTEE: for every token whose exact
+  // count exceeds N/HhK, it surfaced in the sketch AND its estimate
+  // sits inside the Misra–Gries envelope — two booleans a literal-TRUE
+  // DuckDB twin turns into hash breaks on any violation (the r13
+  // `no_oracle` exemption tightened into a bounded pass; the planted-
+  // key property stays in BoundedCollectSpec). The exact counts ride
+  // along as the cross-engine-verified anchor, and it's the SKETCH
+  // side (≤ HhK rows) that broadcasts into the audit join, never the
+  // full-vocabulary exact side.
   private val HhK = 64
 
   def heavyHittersQ(s: SparkSession, d: String): DataFrame = {
     import graft.functions.HeavyHittersFunctions.heavyHitters
     val tok = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
-    val sketch = tok
+      .localCheckpoint() // sketch + exact both read the token stream
+    // one pass builds (N, sketch); N rides a 1-row crossJoin so a heavy
+    // token the sketch MISSED still carries it (a left-join n_total
+    // would null out exactly the rows the coverage check must catch)
+    val agg1 = tok
       .agg(count(lit(1)).as("n_total"), heavyHitters(col("tok"), HhK).as("hh"))
-      .select(col("n_total"), explode(col("hh")).as("e"))
-      .select(col("e.item").as("token"), col("e.est").as("est_count"),
-        col("n_total"))
+      .localCheckpoint()
+    val sketch = agg1.select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("est_count"))
     val exact = tok.groupBy(col("tok").as("token"))
       .agg(count(lit(1)).as("exact_count"))
-    exact.join(broadcast(sketch), Seq("token"))
-      .orderBy(col("est_count").desc, col("token"))
+    exact.crossJoin(broadcast(agg1.select(col("n_total"))))
+      .join(broadcast(sketch), Seq("token"), "left")
+      .filter(col("exact_count") * HhK > col("n_total"))
+      .select(col("token"), col("exact_count"),
+        col("est_count").isNotNull.as("surfaced"),
+        (col("est_count").isNotNull &&
+          col("est_count") <= col("exact_count") &&
+          col("est_count") * HhK >= col("exact_count") * HhK - col("n_total"))
+          .as("within_bound"))
+      .orderBy("token")
   }
+
+  val heavyHittersSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tok AS (SELECT unnest(toks) AS token FROM t),
+       |e AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY token),
+       |n AS (SELECT count(*) AS n_total FROM tok)
+       |SELECT token, exact_count, true AS surfaced, true AS within_bound
+       |FROM e, n
+       |WHERE exact_count * $HhK > n_total
+       |ORDER BY token""".stripMargin
 
   // --- q_tx_bm25 ----------------------------------------------------------
   // Lexical retrieval — the missing modality next to the vector-ANN
@@ -2138,6 +2162,7 @@ object TextAnalysis {
     "q_tx_cdc_chunks" -> cdcChunksSql,
     "q_tx_repetition" -> repetitionSql,
     "q_tx_ngram_top" -> ngramTopSql,
+    "q_tx_heavy_hitters" -> heavyHittersSql,
     "q_tx_phrase" -> phraseSql,
     "q_tx_rake" -> rakeSql,
     "q_tx_heaps" -> heapsSql,

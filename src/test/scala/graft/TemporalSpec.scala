@@ -229,20 +229,18 @@ class TemporalSpec extends SparkSpec {
     assert(totals === Tables.events(spark, sf).count())
   }
 
-  test("approx distinct is within HLL tolerance of exact") {
-    val a = Analytics.approxDistinct(spark, sf)
-    val bad = a.filter(
-      abs(col("n_users_approx") - col("n_users_exact")) >
-        col("n_users_exact") * 0.15 + 5)
-    assert(bad.count() === 0)
+  test("approx distinct: the in-plan 3σ bound holds on every group") {
+    val a = Analytics.approxDistinct(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(_.getAs[Boolean]("within_3rsd")),
+      a.filterNot(_.getAs[Boolean]("within_3rsd")).mkString(", "))
   }
 
-  test("approx percentile is within sketch tolerance of exact") {
-    val a = Analytics.approxPercentile(spark, sf)
-    assert(a.count() > 0)
-    val bad = a.filter(
-      abs(col("p50_approx") - col("p50_exact")) > col("p50_exact") * 0.05)
-    assert(bad.count() === 0)
+  test("approx percentile: the in-plan rank-ε bound holds on every group") {
+    val a = Analytics.approxPercentile(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(_.getAs[Boolean]("within_rank_eps")),
+      a.filterNot(_.getAs[Boolean]("within_rank_eps")).mkString(", "))
   }
 
   test("weekday volume: z-scores sum to zero per cell, alarms match the threshold, constants are quiet") {
