@@ -37,6 +37,24 @@ import graft.core.OptionalFilters
   * live URL routes through [[graft.sources.HttpTransport]] under the
   * reference's exact retry policy (total=5, backoff ×2, on 429/5xx —
   * `client.py:16-21`).
+  *
+  * Crash consistency (the [[graft.Stage]] contract applied to the GIE
+  * star): the delete-then-reload publishes through `deleteRefresh`'s
+  * backup-first atomic swap — the merged fact lands in a `.staging`
+  * sibling (complete when Spark's `_SUCCESS` commit marker exists,
+  * Stage's marker rule), the old table moves to `.backup`, one rename
+  * publishes. A crash inside the two-rename window leaves the table's
+  * bytes in exactly one of those siblings, and [[Upsert.recoverSwap]]
+  * (run by every warehouse entry point, including the serving edge's
+  * existence probe) rolls forward to a committed staging or back to
+  * the backup before anything reads — so a crashed GIE reload costs at
+  * most the interrupted batch, never `energy.daily`. The dimension
+  * appends (`insertIfAbsent`) are plain parquet appends of NEW keys
+  * only: a replay re-derives the same deterministic xxhash64 ids and
+  * anti-joins them away, so a crashed append is healed by the next
+  * ingest rather than duplicated. WarehouseSpec drives all three crash
+  * states (stale staging / committed staging + missing table /
+  * uncommitted staging + backup).
   */
 object Gie {
 

@@ -103,11 +103,15 @@ object Upsert {
     * `.backup` sibling (not deleted) before the staging rename, every
     * rename result is checked (`FileSystem.rename` signals failure by
     * returning false, not by throwing), and the backup is restored if the
-    * final rename fails — no window where a crash loses the table. (With
-    * a real catalog this is `INSERT OVERWRITE` + dynamic partition
+    * final rename fails — no window where a crash loses the table's
+    * BYTES. The one non-atomic window (between the two renames: `dst`
+    * absent, old table in `.backup`, new table in `.staging`) is closed
+    * by [[recoverSwap]], which every warehouse entry point runs first.
+    * (With a real catalog this is `INSERT OVERWRITE` + dynamic partition
     * overwrite; the swap keeps plain-parquet tests honest.) */
   private[graft] def overwriteInPlace(spark: SparkSession, path: String, df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverSwap(spark, path)
     val staging = new Path(path + ".staging")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -124,7 +128,37 @@ object Upsert {
     fs.delete(backup, true)
   }
 
+  /** Complete an interrupted [[overwriteInPlace]] swap (the Stage.ensure
+    * crash-consistency contract, applied to the warehouse tables): when
+    * `path` is missing, either roll FORWARD to the staged table —
+    * `.staging` carrying Spark's `_SUCCESS` commit marker is a complete
+    * write, exactly Stage's marker rule — or roll BACK to `.backup`.
+    * Idempotent and cheap (two existence probes when healthy); runs at
+    * the head of [[tableExists]] so every warehouse read-modify-write
+    * AND the serving edge's existence probe self-heal before touching
+    * the table. A crash can therefore cost at most the interrupted
+    * batch, never the table. */
+  private[graft] def recoverSwap(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    if (fs.exists(dst)) return
+    val staging = new Path(path + ".staging")
+    val backup = new Path(path + ".backup")
+    if (fs.exists(new Path(staging, "_SUCCESS"))) {
+      if (!fs.rename(staging, dst))
+        throw new java.io.IOException(s"recoverSwap: rename $staging -> $dst failed")
+      fs.delete(backup, true)
+    } else if (fs.exists(backup)) {
+      if (!fs.rename(backup, dst))
+        throw new java.io.IOException(s"recoverSwap: rename $backup -> $dst failed")
+      fs.delete(staging, true)
+    }
+  }
+
   private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
+    recoverSwap(spark, path) // self-heal an interrupted swap (see doc)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     fs.exists(new org.apache.hadoop.fs.Path(path))

@@ -119,6 +119,70 @@ class WarehouseSpec extends SparkSpec {
     assert(out(1).getAs[Double]("value") == 5.0)  // other source untouched
   }
 
+  test("atomic-swap crash consistency: every interrupted-swap state recovers, no data lost") {
+    // The StageSpec contract applied to the warehouse swap: simulate the
+    // three crash states overwriteInPlace can leave behind and assert
+    // the next warehouse operation self-heals (recoverSwap runs at the
+    // head of tableExists and overwriteInPlace).
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val keys = Seq("series_id", "observation_time")
+    def mkTable(path: String, v: Double): Unit =
+      Upsert.upsert(spark, path, obsBatch(Seq(
+        ("s1", "2024-01-01 00:00:00", v, "2024-02-01 00:00:00"))),
+        keys, "ingestion_time")
+    def values(path: String): Seq[Double] =
+      spark.read.parquet(path).collect().map(_.getAs[Double]("value")).toSeq
+
+    // (A) stale .staging next to an intact table (crash after the
+    // staging write, before any rename): the next refresh overwrites it
+    // and publishes cleanly, no leftovers
+    val a = tmp()
+    mkTable(a, 1.0)
+    JFiles.createDirectories(Paths.get(a + ".staging"))
+    JFiles.writeString(Paths.get(a + ".staging/garbage"), "partial")
+    Upsert.deleteRefresh(spark, a, Seq("s1").toDF("series_id"),
+      Seq("series_id"), obsBatch(Seq(("s1", "2024-01-01 00:00:00", 2.0,
+        "2024-02-02 00:00:00"))))
+    assert(values(a) === Seq(2.0))
+    assert(!JFiles.exists(Paths.get(a + ".staging")) &&
+      !JFiles.exists(Paths.get(a + ".backup")))
+
+    // (B) crash BETWEEN the two renames with a COMMITTED staging
+    // (_SUCCESS present): table dir missing, old bytes in .backup, new
+    // bytes in .staging → recovery rolls FORWARD to the staged table
+    val b = tmp()
+    mkTable(b, 1.0)
+    // build a committed "new" table in .staging, then move the live
+    // table to .backup — exactly the interrupted-swap layout
+    obsBatch(Seq(("s1", "2024-01-01 00:00:00", 9.0, "2024-02-03 00:00:00")))
+      .write.parquet(b + ".staging")
+    JFiles.move(Paths.get(b), Paths.get(b + ".backup"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(Upsert.tableExists(spark, b), "probe must self-heal the swap")
+    assert(values(b) === Seq(9.0), "committed staging must roll forward")
+    assert(!JFiles.exists(Paths.get(b + ".staging")) &&
+      !JFiles.exists(Paths.get(b + ".backup")))
+
+    // (C) the same window with an UNCOMMITTED staging (no _SUCCESS):
+    // recovery rolls BACK to the backup — the table is never lost
+    val c = tmp()
+    mkTable(c, 1.0)
+    JFiles.move(Paths.get(c), Paths.get(c + ".backup"),
+      StandardCopyOption.ATOMIC_MOVE)
+    JFiles.createDirectories(Paths.get(c + ".staging"))
+    JFiles.writeString(Paths.get(c + ".staging/part-00000"), "torn write")
+    assert(Upsert.tableExists(spark, c))
+    assert(values(c) === Seq(1.0), "uncommitted staging must roll back")
+    assert(!JFiles.exists(Paths.get(c + ".staging")) &&
+      !JFiles.exists(Paths.get(c + ".backup")))
+
+    // and a subsequent read-modify-write over the healed table works
+    Upsert.upsert(spark, c, obsBatch(Seq(
+      ("s2", "2024-01-02 00:00:00", 3.0, "2024-02-04 00:00:00"))),
+      keys, "ingestion_time")
+    assert(values(c).sorted === Seq(1.0, 3.0))
+  }
+
   test("field discovery infers the reference type lattice and merges incrementally") {
     val raw1 = Seq(
       ("ds1", """{"a": 1, "b": "x"}"""),
