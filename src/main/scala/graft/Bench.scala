@@ -90,6 +90,20 @@ object Bench {
     // regression attributable without re-running — a plan regression
     // moves BOTH, a noise phase moves only the mean.
     val passes = scala.collection.mutable.Map[String, List[Double]]()
+    // Warm pass 0, UNCOUNTED: each query once before measurement, so
+    // every measured pass runs against JIT-compiled codegen and staged
+    // substrates. Without it, pass 1 systematically carries compilation
+    // + staging cost and best-of-N degrades to best-of-(N−1) — the r13
+    // driver-vs-snapshot wall jitter was dominated by exactly this
+    // (byte-identical shuffles, time-only trips). Disable with
+    // SPARK_GRAFT_BENCH_WARM=0 for quick targeted re-measures.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1")
+      for ((_, fn) <- queries) {
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    quiesce() // don't let warm-pass listener events bleed into pass 1
+    shuffleAcc.set(0L); spillAcc.set(0L)
     for (_ <- 1 to runs; (name, fn) <- queries) {
       val shuffle0 = shuffleAcc.get()
       val spill0 = spillAcc.get()

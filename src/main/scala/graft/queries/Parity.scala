@@ -2440,6 +2440,50 @@ object Parity {
       |FROM merged m JOIN meta ON meta.series_id = m.series_id
       |ORDER BY m.series_id, m.observation_time""".stripMargin
 
+  // --- q_ng_entsog_e2e -------------------------------------------------------
+  // The ENTSOG per-dataset ingest path END TO END through the driver's
+  // correctness gate: deterministic stub fetch → json_normalize →
+  // land raw → field discovery → (indicator, point, direction) series
+  // registration → normalize (blank/'n/a' values skipped, flowStatus as
+  // quality flag) → LWW upsert → serving join, hash-matched against a
+  // DuckDB replay of the stub's closed-form arithmetic
+  // (`reference run_all.py:44-53 × transformer.py:46-98 ×
+  // series_autoregister.py:63-100`). Scoped to ONE operator so every
+  // (series, day) cell has exactly one source record — the two-operator
+  // PK collision (resolved by the content-hash tie-break, not
+  // replayable cross-engine) is exercised by QueryServerSpec instead.
+  def entsogE2e(s: SparkSession, d: String): DataFrame = {
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = s"${tmpRoot("ng", d)}/run_$runId"
+    val wh = graft.warehouse.Ingest.Warehouse(root)
+    graft.warehouse.NationalGas.ingestEntsog(s, wh, "2024-05-01", "2024-05-03",
+      operatorKeys = Seq("UK-TSO-0001"), indicators = Seq("Physical Flow"))
+    val obs = s.read.parquet(wh.observations)
+      .select("series_id", "observation_time", "value", "quality_flag")
+    val meta = s.read.parquet(wh.metaSeries).select("series_id", "description")
+    val out = obs.join(meta, "series_id").localCheckpoint()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    out.orderBy("series_id", "observation_time")
+  }
+
+  val entsogE2eSql: String =
+    """WITH pts(pt, pi) AS (VALUES ('ITP-00043', 0), ('ITP-00091', 1)),
+      |dirs(dir, di) AS (VALUES ('entry', 0), ('exit', 1)),
+      |days(day, dayi) AS (VALUES (DATE '2024-05-01', 0),
+      |  (DATE '2024-05-02', 1), (DATE '2024-05-03', 2))
+      |SELECT
+      |  'NG_ENTSOG_PHYSICAL_FLOW_' || pt || '_' || upper(dir) AS series_id,
+      |  day::TIMESTAMP + INTERVAL 6 HOUR AS observation_time,
+      |  100 + pi * 5 + di * 2 + dayi + 0.25 AS value,
+      |  CASE WHEN dayi % 2 = 0 THEN 'Confirmed' ELSE 'Provisional' END
+      |    AS quality_flag,
+      |  'Physical Flow at ' || pt || ' (' || dir || ')' AS description
+      |FROM pts, dirs, days
+      |WHERE NOT (pi = 1 AND dayi = 1)
+      |ORDER BY series_id, observation_time""".stripMargin
+
   /** Query names whose execution is an AvailableNow streaming DRAIN
     * (fresh checkpoint + state store per run) — the set Bench uses to
     * split streaming fixed cost out of the relational total. Explicit
@@ -2638,6 +2682,7 @@ object Parity {
     "q_w9_orc_roundtrip" -> (orcRoundtrip _),
     "q_s8_xml_roundtrip" -> (xmlRoundtrip _),
     "q_wp_ingest_e2e" -> (ingestE2e _),
+    "q_ng_entsog_e2e" -> (entsogE2e _),
     "q_f5_normalized_match" -> (normalizedMatch _),
     "q_f8_safe_cast" -> (safeCast _),
     "q_f10_conditional" -> (conditionalColumn _),
@@ -2692,6 +2737,7 @@ object Parity {
     "q_w9_orc_roundtrip" -> orcRoundtripSql,
     "q_s8_xml_roundtrip" -> xmlRoundtripSql,
     "q_wp_ingest_e2e" -> ingestE2eSql,
+    "q_ng_entsog_e2e" -> entsogE2eSql,
     "q_f5_normalized_match" -> normalizedMatchSql,
     "q_f8_safe_cast" -> safeCastSql,
     "q_f10_conditional" -> conditionalColumnSql,
