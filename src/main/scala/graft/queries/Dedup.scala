@@ -1326,6 +1326,118 @@ object Dedup {
        |FROM reach GROUP BY u
        |ORDER BY doc_id""".stripMargin
 
+  // --- q_dd_hamming_join ------------------------------------------------------
+  // CHARACTER-LEVEL near-dup join at fixed width — the typo/OCR-noise
+  // class the set-similarity family can't see: PPJoin/minhash operate
+  // on token or shingle SETS, so two 40-char keys differing in 2
+  // characters are either identical shingle-wise (long shingles
+  // swallow the edit) or wildly different (short shingles at the edit
+  // site). The missing primitive is a Hamming-distance pair join over
+  // fixed-width keys (normalized titles, checksums, fingerprints, id
+  // slugs): all pairs at Hamming distance ≤ d.
+  //
+  // Candidate generation is the PIGEONHOLE SEGMENT JOIN (the PassJoin
+  // family's filter, public literature): split every key into d+1
+  // fixed segments — ≤ d substitutions can touch at most d of them,
+  // so some segment survives EXACTLY EQUAL in both strings of every
+  // true pair. One equi-join on (slot, segment) is therefore a
+  // COMPLETE filter (a theorem, not a heuristic — DedupSpec proves
+  // candidates ⊇ brute-force truth on randomized fixtures), and at
+  // scale it is one keyed shuffle on ~13-char segment buckets —
+  // vastly more selective than q-gram postings, immune to the
+  // hot-gram blowup a count-filter join suffers on natural text.
+  // Verification (the exact positional mismatch count) runs on
+  // CANDIDATES ONLY. The fixture plants variants with 1-2
+  // deterministic substitutions next to the corpus's natural
+  // shared-prefix duplicates; the oracle replays the identical
+  // segment join + hamming() in DuckDB.
+  private val HamD = 2 // pairs at Hamming distance <= 2
+  private val HamW = 40 // fixed key width: the 40-char text prefix
+
+  def hammingJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(length(col("text")) >= HamW)
+    val base = docs.select(col("doc_id").as("id"),
+      substring(col("text"), 1, HamW).as("s"))
+    // planted variants: 2 deterministic single-char substitutions (the
+    // positions may coincide → a distance-1 pair; both engines replay)
+    val mut = docs.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, HamW).as("s0"))
+      .withColumn("p1", (col("doc_id") % 31 + 3).cast("int"))
+      .withColumn("p2", (col("doc_id") % 13 + 1).cast("int"))
+      .withColumn("m1", concat(col("s0").substr(lit(1), col("p1") - 1),
+        lit("#"), col("s0").substr(col("p1") + 1, lit(HamW))))
+      .withColumn("m2", concat(col("m1").substr(lit(1), col("p2") - 1),
+        lit("@"), col("m1").substr(col("p2") + 1, lit(HamW))))
+      .select((col("doc_id") + 1000000L).as("id"), col("m2").as("s"))
+    hammingPairsOf(base.unionAll(mut), HamW, HamD)
+  }
+
+  /** Pigeonhole segment join over any fixed-width (id, s) frame —
+    * exposed so DedupSpec can prove the completeness theorem against
+    * a brute-force recompute on randomized fixtures. Segments: d+1
+    * pieces of width w, the first (w mod (d+1)) taking the extra
+    * character — e.g. 40 at d=2 → 14+13+13, the convention the
+    * DuckDB oracle replays. */
+  private[graft] def hammingPairsOf(strs: DataFrame, w: Int, dMax: Int): DataFrame = {
+    val k = dMax + 1
+    val base0 = w / k
+    val r = w % k
+    val bounds = (0 until k).map { i =>
+      val start = 1 + (0 until i).map(j => base0 + (if (j < r) 1 else 0)).sum
+      (start, base0 + (if (i < r) 1 else 0))
+    }
+    val segs = strs.select(col("id"), col("s"),
+      posexplode(array(bounds.map { case (st, ln) =>
+        substring(col("s"), st, ln) }: _*)).as(Seq("i", "seg")))
+      .localCheckpoint() // self-joined: pin to keep attributes disjoint
+    val cand = segs.as("a")
+      .join(segs.as("b"),
+        col("a.i") === col("b.i") && col("a.seg") === col("b.seg") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+    // exact positional mismatch count, candidates only
+    val dist = aggregate(
+      transform(sequence(lit(1), lit(w)),
+        i => when(col("sa").substr(i, lit(1)) === col("sb").substr(i, lit(1)),
+          lit(0L)).otherwise(lit(1L))),
+      lit(0L), (acc, x) => acc + x)
+    cand.select(col("a_id"), col("b_id"), dist.as("dist"))
+      .filter(col("dist") <= dMax)
+      .orderBy("a_id", "b_id")
+  }
+
+  val hammingJoinSql: String =
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, substr(text, 1, $HamW) AS s FROM documents
+       |  WHERE length(text) >= $HamW),
+       |mut AS MATERIALIZED (
+       |  SELECT doc_id + 1000000 AS id,
+       |    concat(substr(m1, 1, p2 - 1), '@', substr(m1, p2 + 1, $HamW)) AS s
+       |  FROM (
+       |    SELECT doc_id, p2,
+       |      concat(substr(s, 1, p1 - 1), '#', substr(s, p1 + 1, $HamW)) AS m1
+       |    FROM (SELECT doc_id, s,
+       |            CAST(doc_id % 31 + 3 AS INT) AS p1,
+       |            CAST(doc_id % 13 + 1 AS INT) AS p2
+       |          FROM docs WHERE doc_id % 9 = 0))),
+       |strs AS MATERIALIZED (
+       |  SELECT doc_id AS id, s FROM docs
+       |  UNION ALL SELECT id, s FROM mut),
+       |segs AS MATERIALIZED (
+       |  SELECT id, s, 0 AS i, substr(s, 1, 14) AS seg FROM strs
+       |  UNION ALL SELECT id, s, 1, substr(s, 15, 13) FROM strs
+       |  UNION ALL SELECT id, s, 2, substr(s, 28, 13) FROM strs),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS sa, b.s AS sb
+       |  FROM segs a JOIN segs b
+       |    ON a.i = b.i AND a.seg = b.seg AND a.id < b.id)
+       |SELECT a_id, b_id, CAST(hamming(sa, sb) AS BIGINT) AS dist
+       |FROM cand
+       |WHERE hamming(sa, sb) <= $HamD
+       |ORDER BY a_id, b_id""".stripMargin
+
   // --- q_dd_incremental -----------------------------------------------------
   // INCREMENTAL batch dedup — the deployment shape most production
   // pipelines actually run: dedup TODAY'S batch against the staged
@@ -1611,7 +1723,8 @@ object Dedup {
     "q_dd_embed_lsh" -> (embedLsh _),
     "q_dd_semdedup" -> (semDedup _),
     "q_dd_cap_audit" -> (capAudit _),
-    "q_dd_incremental" -> (incremental _))
+    "q_dd_incremental" -> (incremental _),
+    "q_dd_hamming_join" -> (hammingJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_dd_substring_dup" -> substringDupSql,
@@ -1630,7 +1743,8 @@ object Dedup {
     "q_dd_embed_lsh" -> embedLshSql,
     "q_dd_semdedup" -> semDedupSql,
     "q_dd_cap_audit" -> capAuditSql,
-    "q_dd_incremental" -> incrementalSql)
+    "q_dd_incremental" -> incrementalSql,
+    "q_dd_hamming_join" -> hammingJoinSql)
 }
 
 /** Shared text primitives with exact DuckDB twins. */

@@ -408,4 +408,36 @@ class DedupSpec extends SparkSpec {
           s"high-jaccard pair ($x,$y) missing a direction")
       }
   }
+
+  test("hamming join: pigeonhole candidates are COMPLETE vs brute force (randomized)") {
+    // the operator's load-bearing theorem: d+1 fixed segments, ≤ d
+    // substitutions → some segment untouched → the (slot, segment)
+    // equi-join misses NO true pair. Randomized over a small alphabet
+    // (so natural collisions occur too), checked against an exact
+    // O(n²) recompute.
+    import ss.implicits._
+    val rnd = new scala.util.Random(20240815L)
+    val w = 12
+    val alphabet = "abc"
+    def rndStr(): String = Seq.fill(w)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val baseStrs = Seq.fill(60)(rndStr())
+    val variants = baseStrs.zipWithIndex.collect { case (s0, idx) if idx % 3 == 0 =>
+      val nEdits = 1 + rnd.nextInt(2)
+      var s = s0.toCharArray
+      (1 to nEdits).foreach { _ =>
+        s(rnd.nextInt(w)) = alphabet(rnd.nextInt(alphabet.length))
+      }
+      new String(s)
+    }
+    val all = (baseStrs ++ variants).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = graft.queries.Dedup.hammingPairsOf(all.toDF("id", "s"), w, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (a, ia) <- all; (b, ib) <- all if a < b
+      d = ia.zip(ib).count { case (x, y) => x != y } if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got === brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must plant at least one true pair")
+  }
 }
