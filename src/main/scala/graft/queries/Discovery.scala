@@ -739,7 +739,88 @@ object Discovery {
        |    ::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE AS risky_frac
        |FROM classes""".stripMargin
 
+  // --- q_ds_tcloseness ---------------------------------------------------------
+  // T-CLOSENESS AUDIT — the third leg of the privacy triad: a class can
+  // be k-anonymous AND l-diverse yet still leak when its sensitive-value
+  // DISTRIBUTION diverges from the corpus (e.g. a class that is 90% one
+  // language in a 20%-prior corpus). t(class) is the distance between
+  // the class's sensitive distribution and the global one — for a
+  // categorical attribute the EMD under uniform ground distance is the
+  // total-variation distance (1/2)·Σ|p − q|. Arithmetic is EXACT: put
+  // both distributions over the common denominator n_class·N, so each
+  // term is |c_cl·N − c_g·n_class| (a DECIMAL(38,0) product — corpus
+  // grain would overflow a long), sum the integer numerators per class,
+  // divide ONCE at the end. Zero-count (class, lang) cells are
+  // materialized from the classes × langs digest grid (a missing lang
+  // still contributes its full global mass). Scale: everything after
+  // the one doc-grain aggregation is digest grain (classes ×
+  // languages); the global marginal broadcasts.
+  private val TCloseThreshold = 0.25
+
+  def tcloseness(s: SparkSession, d: String): DataFrame = {
+    val cl = Tables.documents(s, d)
+      .groupBy(col("source"),
+        floor(col("n_chars") / 50).cast("long").as("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("c_cl"))
+      .localCheckpoint() // feeds the grid, the class sizes, and the marginal
+    val classes = cl.groupBy("source", "len_bucket")
+      .agg(sum(col("c_cl")).cast("long").as("n_class"))
+    val global = cl.groupBy("lang").agg(sum(col("c_cl")).cast("long").as("c_g"))
+    val total = global.agg(sum(col("c_g")).cast("long").as("n_total"))
+    val num = (col("c_cl") * col("n_total")).cast("decimal(38,0)") -
+      (col("c_g") * col("n_class")).cast("decimal(38,0)")
+    classes.crossJoin(broadcast(global))
+      .join(cl, Seq("source", "len_bucket", "lang"), "left")
+      .na.fill(0L, Seq("c_cl"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("len_bucket"), col("n_class"), col("n_total"))
+      .agg(sum(abs(num)).as("t_num"))
+      .select(col("source"), col("len_bucket"), col("n_class"),
+        col("t_num").cast("long").as("t_num"),
+        (col("t_num").cast("double") /
+          (lit(2.0) * col("n_class").cast("double") * col("n_total").cast("double")))
+          .as("t"),
+        (col("t_num").cast("double") >
+          lit(2.0 * TCloseThreshold) * col("n_class").cast("double") *
+            col("n_total").cast("double")).as("risky"))
+      .orderBy("source", "len_bucket")
+  }
+
+  val tclosenessSql: String =
+    s"""WITH cl AS MATERIALIZED (
+       |  SELECT source, n_chars // 50 AS len_bucket, lang,
+       |    CAST(count(*) AS BIGINT) AS c_cl
+       |  FROM documents GROUP BY 1, 2, 3),
+       |classes AS MATERIALIZED (
+       |  SELECT source, len_bucket, CAST(sum(c_cl) AS BIGINT) AS n_class
+       |  FROM cl GROUP BY 1, 2),
+       |global AS MATERIALIZED (
+       |  SELECT lang, CAST(sum(c_cl) AS BIGINT) AS c_g FROM cl GROUP BY 1),
+       |total AS MATERIALIZED (
+       |  SELECT CAST(sum(c_g) AS BIGINT) AS n_total FROM global),
+       |grid AS MATERIALIZED (
+       |  SELECT k.source, k.len_bucket, k.n_class, g.lang, g.c_g,
+       |    COALESCE(cl.c_cl, 0) AS c_cl, t.n_total
+       |  FROM classes k CROSS JOIN global g CROSS JOIN total t
+       |  LEFT JOIN cl ON cl.source = k.source
+       |    AND cl.len_bucket = k.len_bucket AND cl.lang = g.lang)
+       |SELECT source, len_bucket, n_class,
+       |  CAST(sum(abs(CAST(c_cl AS DECIMAL(38,0)) * n_total
+       |    - CAST(c_g AS DECIMAL(38,0)) * n_class)) AS BIGINT) AS t_num,
+       |  CAST(sum(abs(CAST(c_cl AS DECIMAL(38,0)) * n_total
+       |    - CAST(c_g AS DECIMAL(38,0)) * n_class)) AS BIGINT)::DOUBLE
+       |    / (2.0 * n_class::DOUBLE * CAST(max(n_total) AS BIGINT)::DOUBLE)
+       |    AS t,
+       |  CAST(sum(abs(CAST(c_cl AS DECIMAL(38,0)) * n_total
+       |    - CAST(c_g AS DECIMAL(38,0)) * n_class)) AS BIGINT)::DOUBLE
+       |    > 2.0 * $TCloseThreshold * n_class::DOUBLE
+       |      * CAST(max(n_total) AS BIGINT)::DOUBLE AS risky
+       |FROM grid
+       |GROUP BY source, len_bucket, n_class
+       |ORDER BY source, len_bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ds_tcloseness" -> (tcloseness _),
     "q_ds_ldiv" -> (ldiv _),
     "q_ds_kanon" -> (kanon _),
     "q_ds_skew_audit" -> (skewAudit _),
@@ -758,6 +839,7 @@ object Discovery {
     "q_ds_observe" -> (observeAudit _))
 
   val oracles: Map[String, String] = Map(
+    "q_ds_tcloseness" -> tclosenessSql,
     "q_ds_ldiv" -> ldivSql,
     "q_ds_kanon" -> kanonSql,
     "q_ds_skew_audit" -> skewAuditSql,

@@ -1059,6 +1059,74 @@ object TextAnalysis {
       .limit(100)
   }
 
+  // --- q_tx_npmi ------------------------------------------------------------
+  // NPMI COLLOCATIONS — the statistically-principled upgrade of
+  // q_tx_ngram_top: raw bigram counts surface "of the"; normalized
+  // pointwise mutual information surfaces pairs that co-occur FAR more
+  // than their unigram frequencies predict (the standard collocation /
+  // multi-word-expression extractor for tokenizer and vocab work).
+  // npmi(x,y) = ln(N·c_xy / (c_x·c_y)) / −ln(c_xy / N) over the bigram
+  // table's own marginals, support-filtered (c_xy ≥ 5 kills the
+  // one-off noise PMI is notorious for). Cross-engine exactness: both
+  // ln() results quantize at 1e-6 into exact integers (the
+  // theil/zipf discipline), so npmi is ONE division of two exact
+  // longs. All digest grain after the bigram count: marginals and
+  // total derive from the bigram digest itself, joined back broadcast.
+  private val NpmiMinSupport = 5L
+
+  def npmi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = tok
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("x"), col("nxt").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint() // marginals + total + the scored rows read it
+    val mx = bi.groupBy("x").agg(sum(col("c_xy")).cast("long").as("c_x"))
+    val my = bi.groupBy("y").agg(sum(col("c_xy")).cast("long").as("c_y"))
+    val n = bi.agg(sum(col("c_xy")).cast("long").as("n_bigrams"))
+    val pmiQ = round(log((col("c_xy") * col("n_bigrams")).cast("double") /
+      (col("c_x") * col("c_y")).cast("double")) * 1e6).cast("long")
+    val selfQ = round(log(col("c_xy").cast("double") /
+      col("n_bigrams").cast("double")) * 1e6).cast("long")
+    bi.filter(col("c_xy") >= NpmiMinSupport)
+      .join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        (pmiQ.cast("double") / -selfQ.cast("double")).as("npmi"))
+      .orderBy(col("npmi").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
+  val npmiSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |bi AS MATERIALIZED (
+       |  SELECT toks[i] AS x, toks[i+1] AS y, CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
+       |  GROUP BY 1, 2),
+       |mx AS MATERIALIZED (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bi GROUP BY 1),
+       |my AS MATERIALIZED (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM bi GROUP BY 1),
+       |n AS MATERIALIZED (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM bi),
+       |scored AS MATERIALIZED (
+       |  SELECT bi.x, bi.y, bi.c_xy, mx.c_x, my.c_y,
+       |    CAST(round(ln(CAST(bi.c_xy * n.n_bigrams AS DOUBLE)
+       |        / CAST(mx.c_x * my.c_y AS DOUBLE)) * 1e6) AS BIGINT)::DOUBLE
+       |    / -CAST(round(ln(CAST(bi.c_xy AS DOUBLE)
+       |        / CAST(n.n_bigrams AS DOUBLE)) * 1e6) AS BIGINT)::DOUBLE AS npmi
+       |  FROM bi
+       |  JOIN mx ON mx.x = bi.x
+       |  JOIN my ON my.y = bi.y
+       |  CROSS JOIN n
+       |  WHERE bi.c_xy >= $NpmiMinSupport)
+       |SELECT x, y, c_xy, c_x, c_y, npmi
+       |FROM scored
+       |ORDER BY npmi DESC, x, y
+       |LIMIT 50""".stripMargin
+
   val ngramTopSql: String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |bi AS (
@@ -2129,6 +2197,7 @@ object TextAnalysis {
     "q_tx_nfc" -> (nfc _),
     "q_tx_repetition" -> (repetition _),
     "q_tx_ngram_top" -> (ngramTop _),
+    "q_tx_npmi" -> (npmi _),
     "q_tx_phrase" -> (phrase _),
     "q_tx_rake" -> (rake _),
     "q_tx_heaps" -> (heaps _),
@@ -2162,6 +2231,7 @@ object TextAnalysis {
     "q_tx_cdc_chunks" -> cdcChunksSql,
     "q_tx_repetition" -> repetitionSql,
     "q_tx_ngram_top" -> ngramTopSql,
+    "q_tx_npmi" -> npmiSql,
     "q_tx_heavy_hitters" -> heavyHittersSql,
     "q_tx_phrase" -> phraseSql,
     "q_tx_rake" -> rakeSql,

@@ -2013,6 +2013,64 @@ class PipelineOpsSpec extends SparkSpec {
       classes.filter(_._2 < 3).map(_._1).sum)
   }
 
+  test("t-closeness: per-class TV distance replays a brute distribution compare") {
+    val rows = Discovery.tcloseness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "n_chars", "lang").collect()
+      .map(x => ((x.getString(0), x.getAs[Long]("n_chars") / 50), x.getString(2)))
+    val nTotal = docs.length.toLong
+    val global = docs.groupBy(_._2).map { case (l, v) => l -> v.length.toLong }
+    val langs = global.keys.toSeq
+    val classes = docs.groupBy(_._1)
+    assert(rows.length === classes.size)
+    rows.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[Long]("len_bucket"))
+      val members = classes(key)
+      val nClass = members.length.toLong
+      assert(r.getAs[Long]("n_class") === nClass)
+      val inClass = members.groupBy(_._2).map { case (l, v) => l -> v.length.toLong }
+      val tNum = langs.map { l =>
+        (BigInt(inClass.getOrElse(l, 0L)) * nTotal -
+          BigInt(global(l)) * nClass).abs
+      }.sum
+      assert(BigInt(r.getAs[Long]("t_num")) === tNum, s"$key numerator")
+      val t = tNum.toDouble / (2.0 * nClass * nTotal)
+      assert(math.abs(r.getAs[Double]("t") - t) < 1e-12, s"$key t")
+      assert(r.getAs[Boolean]("risky") === (t > 0.25), s"$key risky")
+      assert(t >= 0.0 && t <= 1.0, s"$key TV distance range")
+    }
+  }
+
+  test("npmi: collocation scores replay brute quantized-ln marginal arithmetic") {
+    val rows = TextAnalysis.npmi(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(_.getString(1))
+    val bi = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { text =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      t.sliding(2).filter(_.length == 2)
+        .foreach(p => bi(p(0) -> p(1)) = bi.getOrElse(p(0) -> p(1), 0L) + 1L)
+    }
+    val n = bi.values.sum
+    val cx = bi.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+    val cy = bi.groupBy(_._1._2).map { case (y, m) => y -> m.values.sum }
+    def score(x: String, y: String, cxy: Long): Double = {
+      val pmiQ = math.round(math.log(cxy.toDouble * n / (cx(x).toDouble * cy(y))) * 1e6)
+      val selfQ = math.round(math.log(cxy.toDouble / n) * 1e6)
+      pmiQ.toDouble / -selfQ.toDouble
+    }
+    val brute = bi.collect { case ((x, y), c) if c >= 5 => (x, y, c, score(x, y, c)) }
+      .toSeq.sortBy { case (x, y, _, s) => (-s, x, y) }.take(50)
+    rows.zip(brute).foreach { case (r, (x, y, c, s)) =>
+      assert(r.getAs[String]("x") === x && r.getAs[String]("y") === y)
+      assert(r.getAs[Long]("c_xy") === c)
+      assert(math.abs(r.getAs[Double]("npmi") - s) < 1e-12, s"($x,$y)")
+      assert(r.getAs[Double]("npmi") <= 1.0 + 1e-9, "npmi is bounded above by 1")
+    }
+  }
+
   test("burstiness: fano factors replay brute zero-inclusive per-doc moments") {
     val rows = TextAnalysis.burstiness(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)
