@@ -2093,6 +2093,91 @@ object Analytics {
        |ORDER BY event_type""".stripMargin
   }
 
+  // --- q_ag_krippendorff ------------------------------------------------------
+  // KRIPPENDORFF'S ALPHA (nominal) — the inter-annotator agreement
+  // statistic labeling pipelines actually need: unlike Cohen's kappa
+  // (q_tx_kappa, exactly two complete raters) it handles ANY number of
+  // raters AND missing ratings — the normal state of a labeling queue.
+  // Raters here: the true lang column, the langid argmax, and a
+  // "lazy annotator" scoring only the first 120 chars who abstains on
+  // every third document (the missing-data case alpha exists for).
+  // Arithmetic is EXACT end to end: per unit u with m_u ratings, the
+  // disagreeing ordered coincidence mass is d_u/(m_u−1) with
+  // d_u = m_u² − Σ_c cnt_{u,c}² — m_u ∈ {2,3} makes 2·d_u/(m_u−1) an
+  // integer, so the observed-disagreement numerator S2 sums exactly;
+  // the expected side is n² − Σ_c n_c² over integer marginals; alpha
+  // = 1 − (n−1)·S2 / (2·(n² − Σn_c²)) — ONE division of exact
+  // DECIMAL(38,0) products. Scale: unit-grain aggregation → label
+  // digest; nothing wide.
+  def krippendorff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val r1 = docs.select(col("doc_id"), col("lang").as("label"))
+    val r2 = docs.select(col("doc_id"),
+      TextAnalysis.langIdPred(col("text")).as("label"))
+    val r3 = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        TextAnalysis.langIdPred(substring(col("text"), 1, 120)).as("label"))
+    val ratings = r1.unionAll(r2).unionAll(r3).localCheckpoint()
+    val perCell = ratings.groupBy("doc_id", "label").agg(count(lit(1)).as("c"))
+    val perUnit = perCell.groupBy("doc_id")
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("sumsq"))
+      .select(col("m"),
+        (col("m") * col("m") - col("sumsq")).as("dis"))
+      .select(col("m"),
+        when(col("m") === 2, col("dis") * 2).otherwise(col("dis")).as("s2u"))
+    val obs = perUnit.agg(count(lit(1)).as("n_units"),
+      sum(col("m")).cast("long").as("n"),
+      sum(col("s2u")).cast("long").as("s2"))
+    val marg = perCell.groupBy("label").agg(sum(col("c")).as("n_c"))
+      .agg(sum((col("n_c") * col("n_c")).cast("decimal(38,0)")).as("sum_nc2"))
+    obs.crossJoin(broadcast(marg))
+      .select(col("n_units"), col("n"), col("s2"),
+        ((col("n").cast("decimal(38,0)") * col("n")) - col("sum_nc2"))
+          .cast("long").as("de"),
+        (lit(1.0) -
+          ((col("n") - 1).cast("decimal(38,0)") * col("s2")).cast("double") /
+            (lit(2.0) *
+              ((col("n").cast("decimal(38,0)") * col("n")) - col("sum_nc2"))
+                .cast("double"))).as("alpha"))
+  }
+
+  lazy val krippendorffSql: String = {
+    def occ(c: String, p: String) =
+      s"(length($c) - length(replace($c, '$p', ''))) // ${p.length}"
+    def pred(c: String) = "list_max([" + TextAnalysis.markers.map {
+      case (lang, pats) =>
+        s"{'score': ${pats.map(p => occ(c, p)).mkString(" + ")}, 'lang': '$lang'}"
+    }.mkString(", ") + s"]).lang"
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT doc_id, lang AS label FROM documents
+       |  UNION ALL SELECT doc_id, ${pred("text")} FROM documents
+       |  UNION ALL SELECT doc_id, ${pred("substr(text, 1, 120)")}
+       |    FROM documents WHERE doc_id % 3 <> 0),
+       |per_cell AS MATERIALIZED (
+       |  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS c
+       |  FROM ratings GROUP BY 1, 2),
+       |per_unit AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS m,
+       |    CAST(sum(c * c) AS BIGINT) AS sumsq
+       |  FROM per_cell GROUP BY 1),
+       |obs AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(sum(m) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN m = 2 THEN 2 * (m * m - sumsq)
+       |             ELSE m * m - sumsq END) AS BIGINT) AS s2
+       |  FROM per_unit),
+       |marg AS MATERIALIZED (
+       |  SELECT sum(CAST(n_c * n_c AS DECIMAL(38,0))) AS sum_nc2
+       |  FROM (SELECT label, CAST(sum(c) AS BIGINT) AS n_c
+       |        FROM per_cell GROUP BY 1))
+       |SELECT n_units, n, s2,
+       |  CAST(CAST(n AS DECIMAL(38,0)) * n - sum_nc2 AS BIGINT) AS de,
+       |  1.0 - CAST(CAST(n - 1 AS DECIMAL(38,0)) * s2 AS DOUBLE)
+       |    / (2.0 * CAST(CAST(n AS DECIMAL(38,0)) * n - sum_nc2 AS DOUBLE))
+       |    AS alpha
+       |FROM obs CROSS JOIN marg""".stripMargin
+  }
+
   // --- q_ag_power -------------------------------------------------------------
   // SAMPLE-SIZE / POWER CALCULATOR — the experiment-design table that
   // answers "how many users per arm to detect a 5% lift at 80% power,
@@ -3720,6 +3805,7 @@ object Analytics {
     "q_ev_pareto" -> (pareto _),
     "q_ev_theil" -> (theil _),
     "q_ag_power" -> (power _),
+    "q_ag_krippendorff" -> (krippendorff _),
     "q_ev_retention" -> (retention _),
     "q_ag_histogram" -> (histogram _),
     "q_w7_scd2" -> (scd2 _),
@@ -3769,6 +3855,7 @@ object Analytics {
     "q_ev_pareto" -> paretoSql,
     "q_ev_theil" -> theilSql,
     "q_ag_power" -> powerSql,
+    "q_ag_krippendorff" -> krippendorffSql,
     "q_ev_retention" -> retentionSql,
     "q_ag_histogram" -> histogramSql,
     "q_w7_scd2" -> scd2Sql,

@@ -287,6 +287,84 @@ object Temporal {
       |GROUP BY 1, 2
       |ORDER BY bar_start, event_type""".stripMargin
 
+  // --- q_t23_mase -------------------------------------------------------------
+  // FORECAST-BASELINE EVALUATION by MASE (Hyndman & Koehler 2006, the
+  // scale-free forecast error the M-competitions standardized on) —
+  // the ops question behind every volume forecast: "is my model better
+  // than seasonal-naive?" answered with the metric that makes the
+  // comparison fair. Per event type's daily-count series (ordered
+  // observed days): hold out the last H=7 days, forecast each with
+  // the seasonal-naive lag-7 value, and scale the test MAE by the
+  // in-sample seasonal-naive MAE over the training rows. Counts are
+  // integers, so both MAE sums are exact BIGINTs and
+  // mase = (Σ|e_test| · (T_train − 7)) / (H · Σ|e_train|) is ONE
+  // division of exact DECIMAL(38,0) products. mase < 1 ⇔ the
+  // "model" (here: the baseline itself, = 1.0 only in expectation)
+  // beats naive — the row carries both raw sums so any other model's
+  // errors can be rescaled against the same denominator. Scale:
+  // day-grain digest after one corpus aggregation; windows ordered by
+  // (day) within type — never a global sort.
+  private val MaseH = 7
+  private val MaseSeason = 7
+
+  def mase(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wAsc = Window.partitionBy("event_type").orderBy("day")
+    val wDesc = Window.partitionBy("event_type").orderBy(col("day").desc)
+    val rows = daily
+      .withColumn("lag7", lag(col("x"), MaseSeason).over(wAsc))
+      .withColumn("from_end", row_number().over(wDesc))
+      .withColumn("err", abs(col("x") - col("lag7")))
+    rows.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("from_end") <= MaseH, col("err"))).as("test_abs_err"),
+        sum(when(col("from_end") > MaseH && col("lag7").isNotNull, col("err")))
+          .as("train_abs_err"),
+        sum(when(col("from_end") > MaseH && col("lag7").isNotNull, 1L)
+          .otherwise(0L)).as("n_train_terms"))
+      .select(col("event_type"), col("n_days"),
+        col("test_abs_err"), col("train_abs_err"), col("n_train_terms"),
+        ((col("test_abs_err").cast("decimal(38,0)") * col("n_train_terms"))
+          .cast("double") /
+          (col("train_abs_err").cast("decimal(38,0)") * MaseH).cast("double"))
+          .as("mase"))
+      .orderBy("event_type")
+  }
+
+  val maseSql: String =
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |r AS MATERIALIZED (
+       |  SELECT event_type, x,
+       |    lag(x, $MaseSeason) OVER (PARTITION BY event_type ORDER BY day)
+       |      AS lag7,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day DESC)
+       |      AS from_end
+       |  FROM daily)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |  CAST(sum(CASE WHEN from_end <= $MaseH THEN abs(x - lag7) END)
+       |    AS BIGINT) AS test_abs_err,
+       |  CAST(sum(CASE WHEN from_end > $MaseH AND lag7 IS NOT NULL
+       |    THEN abs(x - lag7) END) AS BIGINT) AS train_abs_err,
+       |  CAST(sum(CASE WHEN from_end > $MaseH AND lag7 IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train_terms,
+       |  CAST(CAST(sum(CASE WHEN from_end <= $MaseH THEN abs(x - lag7) END)
+       |      AS DECIMAL(38,0))
+       |    * CAST(sum(CASE WHEN from_end > $MaseH AND lag7 IS NOT NULL
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |  / CAST(CAST(sum(CASE WHEN from_end > $MaseH AND lag7 IS NOT NULL
+       |        THEN abs(x - lag7) END) AS DECIMAL(38,0)) * $MaseH AS DOUBLE)
+       |    AS mase
+       |FROM r
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // --- q_t22_seasonal_strength --------------------------------------------------
   // DAY-OF-WEEK SEASONALITY STRENGTH per event type — the scalar that
   // says HOW seasonal a series is, not just what its profile looks
@@ -1313,6 +1391,7 @@ object Temporal {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_t21_theil_sen" -> (theilSen _),
     "q_t22_seasonal_strength" -> (seasonalStrength _),
+    "q_t23_mase" -> (mase _),
     "q_t19_rolling_corr" -> (rollingCorr _),
     "q_t20_acf" -> (acf _),
     "q_t18_changepoint" -> (changepoint _),
@@ -1337,6 +1416,7 @@ object Temporal {
   val oracles: Map[String, String] = Map(
     "q_t21_theil_sen" -> theilSenSql,
     "q_t22_seasonal_strength" -> seasonalStrengthSql,
+    "q_t23_mase" -> maseSql,
     "q_t19_rolling_corr" -> rollingCorrSql,
     "q_t20_acf" -> acfSql,
     "q_t18_changepoint" -> changepointSql,

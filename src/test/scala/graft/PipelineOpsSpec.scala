@@ -2071,6 +2071,49 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("krippendorff alpha replays a brute coincidence-matrix recompute with missing ratings") {
+    val r = Analytics.krippendorff(spark, sf).collect()
+    assert(r.length === 1)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    // the langid argmax exactly as the engine computes it: replace-based
+    // occurrence counts, max by (score, lang) — the struct-max order
+    val markers = Seq(
+      "en" -> Seq("th", "er"), "de" -> Seq("sch", "ein"),
+      "es" -> Seq("ción", "que"), "fr" -> Seq("eau", "oux"),
+      "zh" -> Seq("的", "是"))
+    def occ(s: String, p: String): Long =
+      ((s.length - s.replace(p, "").length) / p.length).toLong
+    def pred(s: String): String =
+      markers.map { case (l, ps) => (ps.map(occ(s, _)).sum, l) }.max._2
+    val ratings = docs.flatMap { case (id, lang, text) =>
+      val r3 = if (id % 3 != 0)
+        Seq(id -> pred(text.substring(0, math.min(120, text.length)))) else Nil
+      Seq(id -> lang, id -> pred(text)) ++ r3
+    }
+    val units = ratings.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = units.map(_.size.toLong).sum
+    val s2 = units.map { ls =>
+      val m = ls.size.toLong
+      val sumsq = ls.groupBy(identity).values
+        .map(v => v.size.toLong * v.size).sum
+      val d = m * m - sumsq
+      if (m == 2) 2 * d else d // 2·d/(m−1) for m ∈ {2, 3}
+    }.sum
+    val margSq = ratings.map(_._2).groupBy(identity).values
+      .map(v => BigInt(v.size) * v.size).sum
+    val de = BigInt(n) * n - margSq
+    val alpha = 1.0 - (BigInt(n - 1) * s2).toDouble / (2.0 * de.toDouble)
+    val row = r.head
+    assert(row.getAs[Long]("n_units") === units.size.toLong)
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("s2") === s2)
+    assert(BigInt(row.getAs[Long]("de")) === de)
+    assert(math.abs(row.getAs[Double]("alpha") - alpha) < 1e-12)
+    assert(row.getAs[Double]("alpha") <= 1.0)
+  }
+
   test("burstiness: fano factors replay brute zero-inclusive per-doc moments") {
     val rows = TextAnalysis.burstiness(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 50)

@@ -243,6 +243,35 @@ class TemporalSpec extends SparkSpec {
       a.filterNot(_.getAs[Boolean]("within_rank_eps")).mkString(", "))
   }
 
+  test("mase: test/train seasonal-naive error sums replay a brute per-type recompute") {
+    val rows = Temporal.mase(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).as("day")).collect()
+      .map(x => (x.getString(0), x.getTimestamp(1)))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .toSeq
+    val byType = daily.groupBy(_._1)
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = byType(t).sortBy(_._2.getTime).map(_._3).toIndexedSeq
+      val n = xs.length
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      val errs = xs.indices.map(i => if (i >= 7) Some(math.abs(xs(i) - xs(i - 7))) else None)
+      val test = errs.drop(n - 7).flatten.sum
+      val train = errs.take(n - 7).flatten.sum
+      val terms = errs.take(n - 7).count(_.isDefined).toLong
+      assert(r.getAs[Long]("test_abs_err") === test, s"$t test")
+      assert(r.getAs[Long]("train_abs_err") === train, s"$t train")
+      assert(r.getAs[Long]("n_train_terms") === terms, s"$t terms")
+      val mase = (BigInt(test) * terms).toDouble / (BigInt(train) * 7).toDouble
+      assert(math.abs(r.getAs[Double]("mase") - mase) < 1e-12, s"$t mase")
+      assert(r.getAs[Double]("mase") >= 0.0)
+    }
+  }
+
   test("weekday volume: z-scores sum to zero per cell, alarms match the threshold, constants are quiet") {
     val rows = Temporal.dowVolume(spark, sf).collect()
     assert(rows.nonEmpty)
