@@ -365,6 +365,105 @@ object Temporal {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  // --- q_t24_conformal --------------------------------------------------------
+  // SPLIT-CONFORMAL PREDICTION INTERVALS for the q_t23 baseline — the
+  // distribution-free way to put an honest band around ANY point
+  // forecast (Vovk's conformal framework; the split variant is the one
+  // production systems run because it needs no refitting): calibrate
+  // q̂ = the ⌈(n_cal + 1)(1 − α)⌉-th smallest absolute residual of the
+  // seasonal-naive forecast on the calibration rows (all in-sample
+  // lag-7 residuals outside the 7-day holdout), then the interval
+  // f_t ± q̂ is guaranteed ≥ (1 − α) coverage on exchangeable data.
+  // The row reports q̂ (an EXACT integer — residuals are count
+  // differences; rank selection, never an interpolated quantile) and
+  // the realized holdout coverage (exact count ratio). α = 0.2.
+  // Scale: residuals are day-grain digests per type; the rank pick is
+  // a within-type window over that digest, not a corpus sort.
+  private val ConfAlphaNum = 2 // α = 2/10
+  private val ConfAlphaDen = 10
+
+  def conformal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wAsc = Window.partitionBy("event_type").orderBy("day")
+    val wDesc = Window.partitionBy("event_type").orderBy(col("day").desc)
+    val rows = daily
+      .withColumn("lag7", lag(col("x"), MaseSeason).over(wAsc))
+      .withColumn("from_end", row_number().over(wDesc))
+      .filter(col("lag7").isNotNull)
+      .withColumn("err", abs(col("x") - col("lag7")))
+      .localCheckpoint() // calibration ranks + holdout coverage read it
+    val cal = rows.filter(col("from_end") > MaseH)
+    // rank k = ceil((n_cal + 1) * (1 - α)); tie-break the residual
+    // order by day for a deterministic rank pick
+    val wErr = Window.partitionBy("event_type").orderBy(col("err"), col("day"))
+    val ranked = cal.withColumn("rk", row_number().over(wErr))
+    val nCal = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+      .withColumn("k",
+        ceil(((col("n_cal") + 1) * (ConfAlphaDen - ConfAlphaNum))
+          .cast("double") / ConfAlphaDen).cast("long"))
+    val qhat = ranked.join(nCal, "event_type")
+      // k can exceed n_cal at tiny n (q̂ = +∞); clamp to the max
+      // residual and flag — deterministic in both engines
+      .filter(col("rk") === least(col("k"), col("n_cal")))
+      .select(col("event_type"), col("n_cal"), col("k"),
+        col("err").as("qhat"))
+    rows.filter(col("from_end") <= MaseH)
+      .join(qhat, "event_type")
+      .groupBy(col("event_type"), col("n_cal"), col("k"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("err") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("n_cal"), col("k"), col("qhat"),
+        col("n_test"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+      .orderBy("event_type")
+  }
+
+  val conformalSql: String =
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |r AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT event_type, day, x,
+       |      lag(x, $MaseSeason) OVER (PARTITION BY event_type ORDER BY day)
+       |        AS lag7,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY day DESC)
+       |        AS from_end
+       |    FROM daily)
+       |  WHERE lag7 IS NOT NULL),
+       |e AS MATERIALIZED (
+       |  SELECT event_type, day, from_end, abs(x - lag7) AS err FROM r),
+       |cal AS MATERIALIZED (
+       |  SELECT event_type, err,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY err, day)
+       |      AS rk
+       |  FROM e WHERE from_end > $MaseH),
+       |nc AS MATERIALIZED (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+       |    CAST(ceil(CAST((count(*) + 1)
+       |      * (${ConfAlphaDen - ConfAlphaNum}) AS DOUBLE)
+       |      / $ConfAlphaDen) AS BIGINT) AS k
+       |  FROM cal GROUP BY 1),
+       |qhat AS MATERIALIZED (
+       |  SELECT cal.event_type, nc.n_cal, nc.k, cal.err AS qhat
+       |  FROM cal JOIN nc ON cal.event_type = nc.event_type
+       |  WHERE cal.rk = least(nc.k, nc.n_cal))
+       |SELECT e.event_type, q.n_cal, q.k, q.qhat,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(sum(CASE WHEN e.err <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_covered,
+       |  CAST(sum(CASE WHEN e.err <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+       |    ::DOUBLE / CAST(count(*) AS BIGINT)::DOUBLE AS coverage
+       |FROM e JOIN qhat q ON e.event_type = q.event_type
+       |WHERE e.from_end <= $MaseH
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY e.event_type""".stripMargin
+
   // --- q_t22_seasonal_strength --------------------------------------------------
   // DAY-OF-WEEK SEASONALITY STRENGTH per event type — the scalar that
   // says HOW seasonal a series is, not just what its profile looks
@@ -1392,6 +1491,7 @@ object Temporal {
     "q_t21_theil_sen" -> (theilSen _),
     "q_t22_seasonal_strength" -> (seasonalStrength _),
     "q_t23_mase" -> (mase _),
+    "q_t24_conformal" -> (conformal _),
     "q_t19_rolling_corr" -> (rollingCorr _),
     "q_t20_acf" -> (acf _),
     "q_t18_changepoint" -> (changepoint _),
@@ -1417,6 +1517,7 @@ object Temporal {
     "q_t21_theil_sen" -> theilSenSql,
     "q_t22_seasonal_strength" -> seasonalStrengthSql,
     "q_t23_mase" -> maseSql,
+    "q_t24_conformal" -> conformalSql,
     "q_t19_rolling_corr" -> rollingCorrSql,
     "q_t20_acf" -> acfSql,
     "q_t18_changepoint" -> changepointSql,

@@ -272,6 +272,43 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("conformal: the rank pick and holdout coverage replay a brute recompute") {
+    val rows = Temporal.conformal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).as("day")).collect()
+      .map(x => (x.getString(0), x.getTimestamp(1)))
+      .groupBy(identity).map { case ((t, d), v) => (t, d, v.length.toLong) }
+      .toSeq
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = daily.filter(_._1 == t).sortBy(_._2.getTime)
+      val xs = series.map(_._3).toIndexedSeq
+      val days = series.map(_._2).toIndexedSeq
+      val n = xs.length
+      // (err, day) for every lag-7 row, calibration = all but last 7
+      val errs = (7 until n).map(i => (math.abs(xs(i) - xs(i - 7)), days(i), i))
+      val cal = errs.filter { case (_, _, i) => i < n - 7 }
+        .sortBy { case (e, d, _) => (e, d.getTime) }
+      val k = math.ceil((cal.length + 1) * 8.0 / 10.0).toLong
+      val qhat = cal(math.min(k, cal.length.toLong).toInt - 1)._1
+      assert(r.getAs[Long]("n_cal") === cal.length.toLong)
+      assert(r.getAs[Long]("k") === k)
+      assert(r.getAs[Long]("qhat") === qhat, s"$t qhat")
+      val test = errs.filter { case (_, _, i) => i >= n - 7 }
+      val covered = test.count(_._1 <= qhat).toLong
+      assert(r.getAs[Long]("n_test") === test.length.toLong)
+      assert(r.getAs[Long]("n_covered") === covered)
+      assert(math.abs(r.getAs[Double]("coverage") -
+        covered.toDouble / test.length) < 1e-12)
+      // split-conformal's point: realized coverage should sit at or
+      // above (1 − α) up to the ±1/n_test discretization of 7 test days
+      assert(r.getAs[Double]("coverage") >= 0.8 - 1.0 / test.length - 1e-9,
+        s"$t coverage ${r.getAs[Double]("coverage")}")
+    }
+  }
+
   test("weekday volume: z-scores sum to zero per cell, alarms match the threshold, constants are quiet") {
     val rows = Temporal.dowVolume(spark, sf).collect()
     assert(rows.nonEmpty)
