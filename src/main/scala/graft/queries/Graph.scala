@@ -1188,6 +1188,79 @@ object Graph {
        |WHERE rank <= $ItemSimK
        |ORDER BY part_id, rank""".stripMargin
 
+  // --- q_gr_assoc_rules -------------------------------------------------------
+  // ASSOCIATION RULES over the capped co-purchase baskets — the
+  // market-basket classic itemSim's jaccard deliberately isn't:
+  // directed a→b rules with support / confidence / LIFT, the measure
+  // that separates "popular with everything" from "genuinely
+  // predictive" (lift = N·c_ab/(c_a·c_b) — co-occurrence against the
+  // independence baseline). All counts are exact integers from the
+  // staged basket (support floor kills one-off noise); confidence and
+  // lift are each ONE division of exact DECIMAL(38,0) products, so the
+  // double order keys are bit-identical across engines. Top-100 by
+  // (lift DESC, rule) is ORDER BY + LIMIT — TakeOrderedAndProject,
+  // never a global sort. Scale: same bounded pair fan-out as
+  // itemSim/triangles (≤ C(16,2) pairs per order); the 1-row order
+  // count rides a broadcast crossJoin, never a collect.
+  private val AssocMinSup = 3L
+  private val AssocTopK = 100
+
+  def assocRules(s: SparkSession, d: String): DataFrame = {
+    val b = cappedBasket(s, d) // staged — shared with the edge derivation
+    val nOrders = b.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val deg = b.groupBy("pk").agg(count(lit(1)).as("deg"))
+    val pairs = b.as("x").join(b.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= AssocMinSup)
+    val sym = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("co")))
+    sym
+      .join(broadcast(deg.select(col("pk").as("a"), col("deg").as("ca"))), "a")
+      .join(broadcast(deg.select(col("pk").as("b"), col("deg").as("cb"))), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("co").as("support_n"), col("ca"), col("cb"), col("n_orders"),
+        (col("co").cast("double") / col("ca").cast("double")).as("confidence"),
+        ((col("co") * col("n_orders")).cast("decimal(38,0)").cast("double") /
+          (col("ca") * col("cb")).cast("decimal(38,0)").cast("double"))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(AssocTopK)
+  }
+
+  val assocRulesSql: String =
+    s"""WITH basket AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |oko AS MATERIALIZED (
+       |  SELECT ok FROM basket GROUP BY ok HAVING count(*) <= $MaxBasket),
+       |b AS MATERIALIZED (
+       |  SELECT basket.ok, basket.pk FROM basket JOIN oko USING (ok)),
+       |n AS MATERIALIZED (
+       |  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+       |deg AS MATERIALIZED (
+       |  SELECT pk, CAST(count(*) AS BIGINT) AS deg FROM b GROUP BY 1),
+       |pairs AS MATERIALIZED (
+       |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS co
+       |  FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $AssocMinSup),
+       |sym AS MATERIALIZED (
+       |  SELECT a, b, co FROM pairs
+       |  UNION ALL SELECT b, a, co FROM pairs)
+       |SELECT s.a AS antecedent, s.b AS consequent, s.co AS support_n,
+       |  dA.deg AS ca, dB.deg AS cb, n.n_orders,
+       |  s.co::DOUBLE / dA.deg::DOUBLE AS confidence,
+       |  CAST(CAST(s.co * n.n_orders AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(CAST(dA.deg * dB.deg AS DECIMAL(38,0)) AS DOUBLE) AS lift
+       |FROM sym s
+       |JOIN deg dA ON s.a = dA.pk
+       |JOIN deg dB ON s.b = dB.pk
+       |CROSS JOIN n
+       |ORDER BY lift DESC, antecedent, consequent
+       |LIMIT $AssocTopK""".stripMargin
+
   // --- q_gr_assortativity ---------------------------------------------------
   // DEGREE ASSORTATIVITY (Newman 2002) of the co-purchase graph — do
   // high-degree parts co-occur with other high-degree parts (r > 0,
@@ -1245,6 +1318,7 @@ object Graph {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gr_assortativity" -> (assortativity _),
     "q_gr_item_sim" -> (itemSim _),
+    "q_gr_assoc_rules" -> (assocRules _),
     "q_gr_bfs" -> (bfs _),
     "q_gr_connected" -> (connected _),
     "q_gr_connected_lss" -> (connectedLss _),
@@ -1259,6 +1333,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "q_gr_assortativity" -> assortativitySql,
     "q_gr_item_sim" -> itemSimSql,
+    "q_gr_assoc_rules" -> assocRulesSql,
     "q_gr_bfs" -> bfsSql,
     "q_gr_connected" -> connectedSql,
     // same partition, same oracle: the star engine must agree with the

@@ -156,6 +156,43 @@ class GraphSpec extends SparkSpec {
       co.toDouble / (oa.size + ob.size - co)) < 1e-12)
   }
 
+  test("assoc rules: confidence/lift replay a brute basket recount, lift symmetric") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.assocRules(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // lift ordering is the presentation contract
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(r.getAs[Long]("support_n") >= 3L)
+    }
+    // directed pair symmetry: lift(a→b) = lift(b→a) whenever both made
+    // the page (support filter is symmetric; top-k may cut one side)
+    val byPair = rows.map(r => (r.getAs[Long]("antecedent"),
+      r.getAs[Long]("consequent")) -> r.getAs[Double]("lift")).toMap
+    byPair.foreach { case ((a, b), l) =>
+      byPair.get((b, a)).foreach(l2 => assert(l === l2, s"lift asym ($a,$b)"))
+    }
+    // brute recount of the top rule against the capped baskets
+    val r0 = rows.head
+    val (a, b) = (r0.getAs[Long]("antecedent"), r0.getAs[Long]("consequent"))
+    val basket = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val keep = basket.groupBy("ok").count().filter(col("count") <= 16).select("ok")
+    val kept = basket.join(keep, "ok").localCheckpoint()
+    val n = kept.select("ok").distinct().count()
+    val oa = kept.filter(col("pk") === a).select("ok").collect().map(_.getLong(0)).toSet
+    val ob = kept.filter(col("pk") === b).select("ok").collect().map(_.getLong(0)).toSet
+    val co = oa.intersect(ob).size.toLong
+    assert(r0.getAs[Long]("support_n") === co)
+    assert(r0.getAs[Long]("n_orders") === n)
+    assert(math.abs(r0.getAs[Double]("confidence") - co.toDouble / oa.size) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("lift") -
+      (BigInt(co) * n).toDouble / (BigInt(oa.size) * ob.size).toDouble) < 1e-12)
+  }
+
   test("HITS: unit-norm sides, positive scores, bipartite counts") {
     val rows = Graph.hits(spark, sf).collect()
     val (auth, hub) = rows.partition(_.getAs[String]("side") == "authority")
