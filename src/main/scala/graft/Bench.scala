@@ -170,9 +170,15 @@ object Bench {
     // queries (round 3's BENCH parsed:null), so the LAST line is a compact
     // summary (≤200 bytes — always fits any tail window): total + error
     // count + per-error names survive even if the detail line is clipped.
-    // Full per-query detail also lands in bench_detail.json for the judge.
+    // Full per-query detail also lands in bench_detail.json for the judge —
+    // FULL runs only: a targeted re-measure (BENCH_ONLY) must never
+    // clobber the committed full-suite snapshot (it did once — a
+    // 1-query detail file shipped as the round snapshot), so triage
+    // runs write a sibling file instead.
+    val detailFile =
+      if (only.isEmpty) "bench_detail.json" else "bench_detail_targeted.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"), fullLine + "\n")
+      java.nio.file.Paths.get(detailFile), fullLine + "\n")
     catch { case _: Throwable => () } // detail file is best-effort
     // cap the compact line's error payload (first 2 names, 40-char
     // messages) and ENFORCE the byte bound: escaping happens after the
