@@ -2484,6 +2484,44 @@ object Parity {
       |WHERE NOT (pi = 1 AND dayi = 1)
       |ORDER BY series_id, observation_time""".stripMargin
 
+  // --- q_ng_publications_e2e ---------------------------------------------------
+  // The GAS_PUBLICATIONS per-dataset path end to end (run_all.py:63-68 ×
+  // transformer.py:137-163 × series_autoregister.py:134-161): publication
+  // list → per-day entries → blank-value skip → one series per
+  // publication id → LWW upsert → serving join. Every (publication, day)
+  // cell has exactly one source entry, so the DuckDB replay of the
+  // stub's closed form is exact (the ENTSOG row covers the multi-source
+  // collision shape via its operator scope instead).
+  def publicationsE2e(s: SparkSession, d: String): DataFrame = {
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = s"${tmpRoot("ngp", d)}/run_$runId"
+    val wh = graft.warehouse.Ingest.Warehouse(root)
+    graft.warehouse.NationalGas.ingestPublications(s, wh,
+      "2024-06-01", "2024-06-03", Seq("PUBOB28", "PUBOB29", "PUBOB85"))
+    val obs = s.read.parquet(wh.observations)
+      .select("series_id", "observation_time", "value", "quality_flag")
+    val meta = s.read.parquet(wh.metaSeries).select("series_id", "description")
+    val out = obs.join(meta, "series_id").localCheckpoint()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    out.orderBy("series_id", "observation_time")
+  }
+
+  val publicationsE2eSql: String =
+    """WITH pubs(pid, pi) AS (VALUES ('PUBOB28', 0), ('PUBOB29', 1),
+      |  ('PUBOB85', 2)),
+      |days(day, di) AS (VALUES (DATE '2024-06-01', 0),
+      |  (DATE '2024-06-02', 1), (DATE '2024-06-03', 2))
+      |SELECT 'NG_GAS_PUBLICATIONS_' || pid AS series_id,
+      |  day::TIMESTAMP AS observation_time,
+      |  400 + pi * 20 + di + 0.75 AS value,
+      |  CASE WHEN di % 2 = 0 THEN 'A' ELSE 'E' END AS quality_flag,
+      |  'Publication ' || pid AS description
+      |FROM pubs, days
+      |WHERE NOT (pi = 0 AND di = 0)
+      |ORDER BY series_id, observation_time""".stripMargin
+
   /** Query names whose execution is an AvailableNow streaming DRAIN
     * (fresh checkpoint + state store per run) — the set Bench uses to
     * split streaming fixed cost out of the relational total. Explicit
@@ -2683,6 +2721,7 @@ object Parity {
     "q_s8_xml_roundtrip" -> (xmlRoundtrip _),
     "q_wp_ingest_e2e" -> (ingestE2e _),
     "q_ng_entsog_e2e" -> (entsogE2e _),
+    "q_ng_publications_e2e" -> (publicationsE2e _),
     "q_f5_normalized_match" -> (normalizedMatch _),
     "q_f8_safe_cast" -> (safeCast _),
     "q_f10_conditional" -> (conditionalColumn _),
@@ -2738,6 +2777,7 @@ object Parity {
     "q_s8_xml_roundtrip" -> xmlRoundtripSql,
     "q_wp_ingest_e2e" -> ingestE2eSql,
     "q_ng_entsog_e2e" -> entsogE2eSql,
+    "q_ng_publications_e2e" -> publicationsE2eSql,
     "q_f5_normalized_match" -> normalizedMatchSql,
     "q_f8_safe_cast" -> safeCastSql,
     "q_f10_conditional" -> conditionalColumnSql,
