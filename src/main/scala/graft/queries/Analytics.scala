@@ -2129,7 +2129,9 @@ object Analytics {
       sum(col("m")).cast("long").as("n"),
       sum(col("s2u")).cast("long").as("s2"))
     val marg = perCell.groupBy("label").agg(sum(col("c")).as("n_c"))
-      .agg(sum((col("n_c") * col("n_c")).cast("decimal(38,0)")).as("sum_nc2"))
+      // cast BEFORE the square (n_c is rating-count grain; long×long
+      // overflows under ANSI exactly where the decimal matters)
+      .agg(sum(col("n_c").cast("decimal(38,0)") * col("n_c")).as("sum_nc2"))
     obs.crossJoin(broadcast(marg))
       .select(col("n_units"), col("n"), col("s2"),
         ((col("n").cast("decimal(38,0)") * col("n")) - col("sum_nc2"))
@@ -2167,7 +2169,7 @@ object Analytics {
        |             ELSE m * m - sumsq END) AS BIGINT) AS s2
        |  FROM per_unit),
        |marg AS MATERIALIZED (
-       |  SELECT sum(CAST(n_c * n_c AS DECIMAL(38,0))) AS sum_nc2
+       |  SELECT sum(CAST(n_c AS DECIMAL(38,0)) * n_c) AS sum_nc2
        |  FROM (SELECT label, CAST(sum(c) AS BIGINT) AS n_c
        |        FROM per_cell GROUP BY 1))
        |SELECT n_units, n, s2,

@@ -767,8 +767,11 @@ object Discovery {
       .agg(sum(col("c_cl")).cast("long").as("n_class"))
     val global = cl.groupBy("lang").agg(sum(col("c_cl")).cast("long").as("c_g"))
     val total = global.agg(sum(col("c_g")).cast("long").as("n_total"))
-    val num = (col("c_cl") * col("n_total")).cast("decimal(38,0)") -
-      (col("c_g") * col("n_class")).cast("decimal(38,0)")
+    // cast BEFORE the multiply (matching the oracle): a long×long
+    // product overflows under ANSI exactly at the corpus grain the
+    // decimal is here for
+    val num = col("c_cl").cast("decimal(38,0)") * col("n_total") -
+      col("c_g").cast("decimal(38,0)") * col("n_class")
     classes.crossJoin(broadcast(global))
       .join(cl, Seq("source", "len_bucket", "lang"), "left")
       .na.fill(0L, Seq("c_cl"))

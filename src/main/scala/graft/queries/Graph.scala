@@ -1223,8 +1223,11 @@ object Graph {
       .select(col("a").as("antecedent"), col("b").as("consequent"),
         col("co").as("support_n"), col("ca"), col("cb"), col("n_orders"),
         (col("co").cast("double") / col("ca").cast("double")).as("confidence"),
-        ((col("co") * col("n_orders")).cast("decimal(38,0)").cast("double") /
-          (col("ca") * col("cb")).cast("decimal(38,0)").cast("double"))
+        // cast BEFORE the multiply (matching the oracle): ca·cb is
+        // bounded by n_orders² — long×long overflows under ANSI at
+        // exactly the warehouse grain the decimal is here for
+        ((col("co").cast("decimal(38,0)") * col("n_orders")).cast("double") /
+          (col("ca").cast("decimal(38,0)") * col("cb")).cast("double"))
           .as("lift"))
       .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
       .limit(AssocTopK)
@@ -1252,8 +1255,8 @@ object Graph {
        |SELECT s.a AS antecedent, s.b AS consequent, s.co AS support_n,
        |  dA.deg AS ca, dB.deg AS cb, n.n_orders,
        |  s.co::DOUBLE / dA.deg::DOUBLE AS confidence,
-       |  CAST(CAST(s.co * n.n_orders AS DECIMAL(38,0)) AS DOUBLE)
-       |    / CAST(CAST(dA.deg * dB.deg AS DECIMAL(38,0)) AS DOUBLE) AS lift
+       |  CAST(CAST(s.co AS DECIMAL(38,0)) * n.n_orders AS DOUBLE)
+       |    / CAST(CAST(dA.deg AS DECIMAL(38,0)) * dB.deg AS DOUBLE) AS lift
        |FROM sym s
        |JOIN deg dA ON s.a = dA.pk
        |JOIN deg dB ON s.b = dB.pk

@@ -2452,12 +2452,16 @@ object Parity {
   // (series, day) cell has exactly one source record — the two-operator
   // PK collision (resolved by the content-hash tie-break, not
   // replayable cross-engine) is exercised by QueryServerSpec instead.
-  def entsogE2e(s: SparkSession, d: String): DataFrame = {
+  /** Run-scoped warehouse scaffold shared by the NationalGas e2e rows:
+    * ingest into a fresh warehouse, join observations with the series
+    * catalog, materialize, reclaim the run dir (the ingestE2e cleanup
+    * discipline — a warehouse per bench pass would accrete otherwise). */
+  private def ngE2eRun(s: SparkSession, d: String, kind: String)
+                      (ingest: graft.warehouse.Ingest.Warehouse => Unit): DataFrame = {
     val runId = java.util.UUID.randomUUID().toString.replace("-", "")
-    val root = s"${tmpRoot("ng", d)}/run_$runId"
+    val root = s"${tmpRoot(kind, d)}/run_$runId"
     val wh = graft.warehouse.Ingest.Warehouse(root)
-    graft.warehouse.NationalGas.ingestEntsog(s, wh, "2024-05-01", "2024-05-03",
-      operatorKeys = Seq("UK-TSO-0001"), indicators = Seq("Physical Flow"))
+    ingest(wh)
     val obs = s.read.parquet(wh.observations)
       .select("series_id", "observation_time", "value", "quality_flag")
     val meta = s.read.parquet(wh.metaSeries).select("series_id", "description")
@@ -2467,6 +2471,12 @@ object Parity {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     out.orderBy("series_id", "observation_time")
   }
+
+  def entsogE2e(s: SparkSession, d: String): DataFrame =
+    ngE2eRun(s, d, "ng") { wh =>
+      graft.warehouse.NationalGas.ingestEntsog(s, wh, "2024-05-01", "2024-05-03",
+        operatorKeys = Seq("UK-TSO-0001"), indicators = Seq("Physical Flow"))
+    }
 
   val entsogE2eSql: String =
     """WITH pts(pt, pi) AS (VALUES ('ITP-00043', 0), ('ITP-00091', 1)),
@@ -2492,21 +2502,11 @@ object Parity {
   // cell has exactly one source entry, so the DuckDB replay of the
   // stub's closed form is exact (the ENTSOG row covers the multi-source
   // collision shape via its operator scope instead).
-  def publicationsE2e(s: SparkSession, d: String): DataFrame = {
-    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
-    val root = s"${tmpRoot("ngp", d)}/run_$runId"
-    val wh = graft.warehouse.Ingest.Warehouse(root)
-    graft.warehouse.NationalGas.ingestPublications(s, wh,
-      "2024-06-01", "2024-06-03", Seq("PUBOB28", "PUBOB29", "PUBOB85"))
-    val obs = s.read.parquet(wh.observations)
-      .select("series_id", "observation_time", "value", "quality_flag")
-    val meta = s.read.parquet(wh.metaSeries).select("series_id", "description")
-    val out = obs.join(meta, "series_id").localCheckpoint()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    out.orderBy("series_id", "observation_time")
-  }
+  def publicationsE2e(s: SparkSession, d: String): DataFrame =
+    ngE2eRun(s, d, "ngp") { wh =>
+      graft.warehouse.NationalGas.ingestPublications(s, wh,
+        "2024-06-01", "2024-06-03", Seq("PUBOB28", "PUBOB29", "PUBOB85"))
+    }
 
   val publicationsE2eSql: String =
     """WITH pubs(pid, pi) AS (VALUES ('PUBOB28', 0), ('PUBOB29', 1),

@@ -1089,8 +1089,12 @@ object TextAnalysis {
     val mx = bi.groupBy("x").agg(sum(col("c_xy")).cast("long").as("c_x"))
     val my = bi.groupBy("y").agg(sum(col("c_xy")).cast("long").as("c_y"))
     val n = bi.agg(sum(col("c_xy")).cast("long").as("n_bigrams"))
-    val pmiQ = round(log((col("c_xy") * col("n_bigrams")).cast("double") /
-      (col("c_x") * col("c_y")).cast("double")) * 1e6).cast("long")
+    // cast BEFORE the multiply (matching the oracle): c_xy·N and
+    // c_x·c_y are corpus-squared grain — long×long overflows under ANSI
+    val pmiQ = round(log(
+      (col("c_xy").cast("decimal(38,0)") * col("n_bigrams")).cast("double") /
+        (col("c_x").cast("decimal(38,0)") * col("c_y")).cast("double")) * 1e6)
+      .cast("long")
     val selfQ = round(log(col("c_xy").cast("double") /
       col("n_bigrams").cast("double")) * 1e6).cast("long")
     bi.filter(col("c_xy") >= NpmiMinSupport)
@@ -1113,8 +1117,8 @@ object TextAnalysis {
        |n AS MATERIALIZED (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM bi),
        |scored AS MATERIALIZED (
        |  SELECT bi.x, bi.y, bi.c_xy, mx.c_x, my.c_y,
-       |    CAST(round(ln(CAST(bi.c_xy * n.n_bigrams AS DOUBLE)
-       |        / CAST(mx.c_x * my.c_y AS DOUBLE)) * 1e6) AS BIGINT)::DOUBLE
+       |    CAST(round(ln(CAST(CAST(bi.c_xy AS DECIMAL(38,0)) * n.n_bigrams AS DOUBLE)
+       |        / CAST(CAST(mx.c_x AS DECIMAL(38,0)) * my.c_y AS DOUBLE)) * 1e6) AS BIGINT)::DOUBLE
        |    / -CAST(round(ln(CAST(bi.c_xy AS DOUBLE)
        |        / CAST(n.n_bigrams AS DOUBLE)) * 1e6) AS BIGINT)::DOUBLE AS npmi
        |  FROM bi

@@ -265,18 +265,10 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
   private def ingestGas(r: Request): Response = {
     if (r.method != "POST")
       return Response(405, jsonObj("detail" -> jsonStr("use POST")))
-    val fromS = r.first("from_date").getOrElse("")
-    val toS = r.first("to_date").getOrElse("")
-    val (from, to) =
-      try (LocalDate.parse(fromS), LocalDate.parse(toS))
-      catch {
-        case _: java.time.format.DateTimeParseException =>
-          return Response(400,
-            jsonObj("detail" -> jsonStr("Invalid date format. Use YYYY-MM-DD")))
-      }
-    if (to.isBefore(from))
-      return Response(400,
-        jsonObj("detail" -> jsonStr("to_date must be >= from_date")))
+    val (fromS, toS) = validWindow(r.first("from_date"), r.first("to_date")) match {
+      case Left(resp) => return resp
+      case Right(w) => w
+    }
     val siteIds = r.params.getOrElse("site_ids", Seq.empty)
 
     val jobId = jobSeq.incrementAndGet()
@@ -347,14 +339,37 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
       (("status" -> jsonStr("accepted")) +: fields :+ ("job_id" -> jobId.toString)): _*))
   }
 
+  /** Shared YYYY-MM-DD window validation (`ingestion.py:23-31` — the
+    * reference only guards /gas, but a 202 whose background job dies
+    * on an unparseable date is strictly worse than the 400 the class
+    * doc promises for every ingest route). Left = the 400 response. */
+  private def validWindow(fromS: Option[String], toS: Option[String])
+  : Either[Response, (String, String)] = {
+    if (fromS.isEmpty || toS.isEmpty)
+      return Left(Response(400,
+        jsonObj("detail" -> jsonStr("from_date and to_date are required"))))
+    val (from, to) =
+      try (LocalDate.parse(fromS.get), LocalDate.parse(toS.get))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          return Left(Response(400,
+            jsonObj("detail" -> jsonStr("Invalid date format. Use YYYY-MM-DD"))))
+      }
+    if (to.isBefore(from))
+      Left(Response(400,
+        jsonObj("detail" -> jsonStr("to_date must be >= from_date"))))
+    else Right((fromS.get, toS.get))
+  }
+
   /** `ingestion.py:53-87`: ENTSOG ingest — list-valued filter params,
     * 202 with the filters echoed back. */
   private def ingestEntsog(r: Request): Response = {
     if (r.method != "POST")
       return Response(405, jsonObj("detail" -> jsonStr("use POST")))
-    val (fromS, toS) = (r.first("from_date"), r.first("to_date"))
-    if (fromS.isEmpty || toS.isEmpty)
-      return Response(400, jsonObj("detail" -> jsonStr("from_date and to_date are required")))
+    val window = validWindow(r.first("from_date"), r.first("to_date")) match {
+      case Left(resp) => return resp
+      case Right(w) => w
+    }
     val ops = r.params.getOrElse("operator_keys", Seq.empty)
     val pts = r.params.getOrElse("point_keys", Seq.empty)
     val dirs = r.params.getOrElse("direction_keys", Seq.empty)
@@ -368,11 +383,11 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
       if (v.isEmpty) "null" else v.map(jsonStr).mkString("[", ",", "]")
     accepted(
       "dataset" -> jsonStr("ENTSOG"),
-      "from" -> jsonStr(fromS.get), "to" -> jsonStr(toS.get),
+      "from" -> jsonStr(window._1), "to" -> jsonStr(window._2),
       "filters" -> jsonObj(
         "operator_keys" -> arr(ops), "point_keys" -> arr(pts),
         "direction_keys" -> arr(dirs), "indicators" -> arr(inds))) {
-      graft.warehouse.NationalGas.ingestEntsog(spark, wh, fromS.get, toS.get,
+      graft.warehouse.NationalGas.ingestEntsog(spark, wh, window._1, window._2,
         ops, pts, dirs, inds)
     }
   }
@@ -391,14 +406,17 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
   private def ingestPublications(r: Request): Response = {
     if (r.method != "POST")
       return Response(405, jsonObj("detail" -> jsonStr("use POST")))
-    val (fromS, toS) = (r.first("from_date"), r.first("to_date"))
     val pubIds = r.params.getOrElse("publication_ids", Seq.empty)
-    if (fromS.isEmpty || toS.isEmpty || pubIds.isEmpty)
+    if (pubIds.isEmpty)
       return Response(400, jsonObj("detail" -> jsonStr(
-        "from_date, to_date and publication_ids are required")))
+        "publication_ids is required")))
+    val window = validWindow(r.first("from_date"), r.first("to_date")) match {
+      case Left(resp) => return resp
+      case Right(w) => w
+    }
     accepted("dataset" -> jsonStr("GAS_PUBLICATIONS")) {
       graft.warehouse.NationalGas.ingestPublications(spark, wh,
-        fromS.get, toS.get, pubIds)
+        window._1, window._2, pubIds)
     }
   }
 
@@ -424,16 +442,31 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     val limit = r.first("limit").map(_.toInt).getOrElse(20)
     if (limit < 1 || limit > 500)
       return Response(400, jsonObj("detail" -> jsonStr("limit must be in [1, 500]")))
+    // ALL parameter validation precedes any table access (a malformed
+    // site_id must 400 even against an empty warehouse)
+    val siteId = r.first("site_id") match {
+      case Some(sid) =>
+        sid.toIntOption match {
+          case None => // typed Query param parity: 4xx, not a 500
+            return Response(400,
+              jsonObj("detail" -> jsonStr("site_id must be an integer")))
+          case ok => ok
+        }
+      case None => None
+    }
     r.first("dataset_id") match {
       case None =>
         Response(400, jsonObj("detail" -> jsonStr("dataset_id is required")))
       case Some(ds) =>
+        // nothing landed yet → the empty page, like empty tables
+        if (!graft.warehouse.Upsert.tableExists(spark, wh.rawEvents))
+          return Response(200, "[]")
         val base = spark.read.parquet(wh.rawEvents)
           .filter(col("dataset_id") === ds)
-        val filtered = r.first("site_id") match {
-          case Some(sid) =>
+        val filtered = siteId match {
+          case Some(v) =>
             base.filter(get_json_object(col("raw_payload"), "$.siteId")
-              .try_cast("int") === sid.toInt)
+              .try_cast("int") === v)
           case None => base
         }
         val payloads = filtered

@@ -89,22 +89,21 @@ object Ingest {
       .select("observation_time", "value")
 
   /** Field-discovery increment for one batch, folded into the standing
-    * catalog (shared by every dataset's ingest path — run_all.py:82). */
+    * catalog (shared by every dataset's ingest path — run_all.py:82).
+    * The existence probe MUST be the self-healing [[Upsert.tableExists]]
+    * (not a raw fs.exists): after a crash inside the catalog swap's
+    * two-rename window the table dir is missing while its bytes sit in
+    * `.backup`/`.staging` — a raw probe would read that as "no catalog"
+    * and replace ALL history with this batch's increment. */
   private[warehouse] def mergeFieldCatalog(spark: SparkSession, wh: Warehouse,
                                            batch: DataFrame, dataset: String): Unit = {
     val increment = FieldDiscovery.discover(
       JsonIngest.landRaw(batch, dataset).select("dataset_id", "raw_payload"))
     val merged =
-      if (exists(spark, wh.fieldCatalog))
+      if (Upsert.tableExists(spark, wh.fieldCatalog))
         FieldDiscovery.merge(spark.read.parquet(wh.fieldCatalog), increment)
       else increment
     writeSwap(spark, wh.fieldCatalog, merged)
-  }
-
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(path))
   }
 
   private def writeSwap(spark: SparkSession, path: String, df: DataFrame): Unit =

@@ -55,6 +55,32 @@ class IngestSpec extends SparkSpec {
     assert(hist.map(_.getDouble(1)).toSeq == Seq(51.2, 51.4))
   }
 
+  test("field catalog survives an interrupted swap: the next ingest merges, not truncates") {
+    // the crash window recoverSwap closes, exercised on the INGEST
+    // entry point: field_catalog dir missing (mid-swap crash), its
+    // bytes in .backup — a raw existence probe would read "no catalog"
+    // and replace ALL history with the new batch's increment
+    val wh = Ingest.Warehouse(Files.createTempDirectory("graft-fcrash").toString)
+    Ingest.ingestWide(spark, wh, wideBatch, "GAS_QUALITY", "ts", Seq("site"))
+    val before = spark.read.parquet(wh.fieldCatalog).count()
+    assert(before > 0)
+    // simulate the interrupted swap: table moved to .backup, no staging
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(wh.fieldCatalog),
+      java.nio.file.Paths.get(wh.fieldCatalog + ".backup"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // a different dataset's ingest must MERGE with the recovered history
+    val other = Seq(("2024-02-01 00:00:00", "Bacton", 9.1))
+      .toDF("ts", "site", "ch4")
+    Ingest.ingestWide(spark, wh, other, "OTHER_DS", "ts", Seq("site"))
+    val after = spark.read.parquet(wh.fieldCatalog)
+    val datasets = after.select("dataset_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(datasets === Set("GAS_QUALITY", "OTHER_DS"),
+      "recovered catalog history must survive the next merge")
+    assert(after.filter(col("dataset_id") === "GAS_QUALITY").count() === before)
+  }
+
   test("readJson + flattenStruct + explodePath reproduce the nested unnest") {
     // shape of the instantaneous-flow response: 2 levels of nesting
     val raw = Seq(

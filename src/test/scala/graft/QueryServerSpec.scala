@@ -343,6 +343,15 @@ class QueryServerSpec extends SparkSpec {
       assert(http("GET", s"${srv.url}/v2/ingest/entsog")._1 === 405)
       assert(http("POST", s"${srv.url}/v2/ingest/gas-publications?from_date=2024-06-01&to_date=2024-06-02")._1 === 400)
       assert(http("GET", s"${srv.url}/v2/ingest/instantaneous")._1 === 405)
+      // malformed/inverted windows 400 SYNCHRONOUSLY on every ingest
+      // route — never a 202 whose background job dies unobserved
+      val (ms, mb) = http("POST", s"${srv.url}/v2/ingest/entsog" +
+        "?from_date=2024-99-01&to_date=2024-05-03&indicators=Physical%20Flow")
+      assert(ms === 400 && mb.contains("Invalid date format"), mb)
+      assert(http("POST", s"${srv.url}/v2/ingest/entsog" +
+        "?from_date=2024-05-09&to_date=2024-05-03&indicators=Physical%20Flow")._1 === 400)
+      assert(http("POST", s"${srv.url}/v2/ingest/gas-publications" +
+        "?from_date=bad&to_date=2024-06-02&publication_ids=PUBOB28")._1 === 400)
 
       // -- ENTSOG (ingestion.py:53-87): indicator filter, 202 + filters
       // echoed, then the warehouse serves 4 (indicator, point, direction)
@@ -437,6 +446,10 @@ class QueryServerSpec extends SparkSpec {
       assert(http("GET", s"${srv.url}/v2/discovery/raw")._1 === 400)
       assert(http("GET", s"${srv.url}/v2/discovery/raw?dataset_id=GQ&limit=0")._1 === 400)
       assert(http("GET", s"${srv.url}/v2/discovery/raw?dataset_id=GQ&limit=501")._1 === 400)
+      // typed-param parity: a non-numeric site_id is a 400, never a 500
+      val (ts, tb) = http("GET",
+        s"${srv.url}/v2/discovery/raw?dataset_id=GQ&site_id=abc")
+      assert(ts === 400 && tb.contains("site_id must be an integer"), tb)
 
       // land payloads with siteId keys directly (the reference's
       // GAS_QUALITY payload shape, discovery.py:73)

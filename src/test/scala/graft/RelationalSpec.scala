@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
   import graft.queries.Relational
 
-  test("every registered query runs and has an oracle or is exempt") {
-    // Exempt = approximate/sketch operators: no exact cross-engine oracle
-    // exists by construction; the driver records a rows-only check.
-    val exempt = Set("q_ag_approx_distinct", "q_ag_approx_percentile",
-      "q_tx_heavy_hitters")
+  test("EVERY registered query has an oracle — no exemptions remain") {
+    // The former sketch exemptions (approx_distinct / approx_percentile /
+    // heavy_hitters) now oracle their documented error BOUNDS in-plan,
+    // so the exempt set is gone: a query registered without an oracle
+    // entry is a regression, full stop.
     SparkEntry.queries.keys.foreach { name =>
-      assert(SparkEntry.oracleSql.contains(name) || exempt.contains(name),
+      assert(SparkEntry.oracleSql.contains(name),
         s"$name has no oracle entry")
+    }
+    // and no orphan oracles either (a typo'd key would verify nothing)
+    SparkEntry.oracleSql.keys.foreach { name =>
+      assert(SparkEntry.queries.contains(name),
+        s"oracle $name has no registered query")
     }
   }
 
