@@ -870,7 +870,13 @@ object Graph {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
-  def triangles(s: SparkSession, d: String): DataFrame = {
+  def triangles(s: SparkSession, d: String): DataFrame =
+    triangleCounts(s, d).orderBy(desc("n_triangles"), col("node"))
+
+  /** Per-node triangle counts (nodes in ≥ 1 triangle) — the
+    * degree-oriented engine, shared by the q_gr_triangles surface and
+    * the clustering-coefficient query. */
+  private[graft] def triangleCounts(s: SparkSession, d: String): DataFrame = {
     val und = coEdges(s, d)
     // deg is node-grain (catalogue-sized) — broadcast, the edge list
     // never moves for the degree attach
@@ -930,7 +936,33 @@ object Graph {
         pmod(col("vw"), lit(1L << 32)).as("w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-      .orderBy(desc("n_triangles"), col("node"))
+  }
+
+  // --- q_gr_clustering --------------------------------------------------------
+  // LOCAL CLUSTERING COEFFICIENT (Watts–Strogatz) — the per-node
+  // cohesion score the triangle counts exist to feed: C_v =
+  // 2·T_v / (deg_v·(deg_v − 1)), the fraction of a node's neighbor
+  // pairs that are themselves connected. High-C parts live in tight
+  // co-purchase cliques (bundle candidates); C ≈ 0 hubs are
+  // cross-category connectors. Exact arithmetic: T_v and deg_v are
+  // exact counts from the shared degree-oriented engine, the
+  // denominator product rides DECIMAL(38,0) (a web-scale hub's deg²
+  // outgrows a long), and C is ONE double division. Node grain
+  // throughout — the deg table and per-node triangle digest join at
+  // catalogue size, never edge grain.
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2) // C is defined only with ≥ 2 neighbors
+      .join(triangleCounts(s, d), Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("node"), col("deg"), col("n_triangles"),
+        ((col("n_triangles") * 2).cast("double") /
+          (col("deg").cast("decimal(38,0)") * (col("deg") - 1)).cast("double"))
+          .as("coeff"))
+      .orderBy("node")
   }
 
   val trianglesSql: String =
@@ -961,6 +993,43 @@ object Graph {
        |  UNION ALL SELECT w FROM tri)
        |GROUP BY node
        |ORDER BY n_triangles DESC, node""".stripMargin
+
+  val clusteringSql: String =
+    s"""WITH $coEdgesSql,
+       |deg AS MATERIALIZED (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+       |  GROUP BY n),
+       |oriented AS MATERIALIZED (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.a ELSE u.b END AS src,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN u.b ELSE u.a END AS dst,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |              THEN db.deg ELSE da.deg END AS ddst
+       |  FROM und u
+       |  JOIN deg da ON u.a = da.n
+       |  JOIN deg db ON u.b = db.n),
+       |tri AS MATERIALIZED (
+       |  SELECT p.src AS u, p.dst AS v, q.dst AS w
+       |  FROM oriented p
+       |  JOIN oriented q ON p.src = q.src
+       |   AND (p.ddst < q.ddst OR (p.ddst = q.ddst AND p.dst < q.dst))
+       |  JOIN oriented e ON e.src = p.dst AND e.dst = q.dst),
+       |pernode AS MATERIALIZED (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT u AS node FROM tri
+       |    UNION ALL SELECT v FROM tri
+       |    UNION ALL SELECT w FROM tri)
+       |  GROUP BY node)
+       |SELECT d.n AS node, d.deg,
+       |  CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  CAST(coalesce(p.n_triangles, 0) * 2 AS DOUBLE)
+       |    / CAST(CAST(d.deg AS DECIMAL(38,0)) * (d.deg - 1) AS DOUBLE)
+       |    AS coeff
+       |FROM deg d LEFT JOIN pernode p ON p.node = d.n
+       |WHERE d.deg >= 2
+       |ORDER BY node""".stripMargin
 
   // --- q_gr_labelprop: synchronous label-propagation communities ----------
   // Community detection (Raghavan et al. 2007, public literature) as the
@@ -1322,6 +1391,7 @@ object Graph {
     "q_gr_assortativity" -> (assortativity _),
     "q_gr_item_sim" -> (itemSim _),
     "q_gr_assoc_rules" -> (assocRules _),
+    "q_gr_clustering" -> (clusteringCoeff _),
     "q_gr_bfs" -> (bfs _),
     "q_gr_connected" -> (connected _),
     "q_gr_connected_lss" -> (connectedLss _),
@@ -1337,6 +1407,7 @@ object Graph {
     "q_gr_assortativity" -> assortativitySql,
     "q_gr_item_sim" -> itemSimSql,
     "q_gr_assoc_rules" -> assocRulesSql,
+    "q_gr_clustering" -> clusteringSql,
     "q_gr_bfs" -> bfsSql,
     "q_gr_connected" -> connectedSql,
     // same partition, same oracle: the star engine must agree with the

@@ -87,6 +87,37 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum % 3 === 0)
   }
 
+  test("clustering coefficient replays a brute neighbor-link recount") {
+    val rows = Graph.clusteringCoeff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute adjacency sets over the same capped-basket edges
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    val basket = li.collect().groupBy(_.getLong(0)).values
+      .filter(_.length <= 16).toSeq
+    val und = basket.flatMap { rows0 =>
+      val ps = rows0.map(_.getLong(1)).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = adj.collect { case (v, nb) if nb.size >= 2 =>
+      val ns = nb.toSeq.sorted
+      val links = (for (i <- ns.indices; j <- i + 1 until ns.length
+                        if adj(ns(i)).contains(ns(j))) yield 1).sum.toLong
+      v -> (nb.size.toLong, links,
+        2.0 * links / (nb.size.toLong * (nb.size - 1)))
+    }
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("node")
+      val (deg, tri, c) = expected(v)
+      assert(r.getAs[Long]("deg") === deg, s"node $v deg")
+      assert(r.getAs[Long]("n_triangles") === tri, s"node $v triangles")
+      assert(math.abs(r.getAs[Double]("coeff") - c) < 1e-12, s"node $v coeff")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   test("triangles plan: equi-joins only, no cartesian product") {
     val df = Graph.triangles(spark, sf)
     df.collect()
