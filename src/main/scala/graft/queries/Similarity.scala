@@ -2312,7 +2312,169 @@ object Similarity {
        |WHERE rank <= $HardNegK
        |ORDER BY vec_id, rank""".stripMargin
 
+  // --- q_sim_pca ------------------------------------------------------------
+  // Distributed PCA (top principal component by power iteration): the
+  // data-DEPENDENT dimensionality-reduction knob next to the
+  // data-independent JL projection above — whitening, drift detection
+  // and "is this corpus effectively low-rank" all start here.
+  //
+  // Split of labor, the markov/kmeans shape:
+  //  - CLUSTER: one scan emits the flattened fixed-point outer product
+  //    per row (dims² BIGINTs; round(x·y·1e12) is exact in both engines)
+  //    plus per-dimension fixed-point sums; both aggregate with map-side
+  //    combine to dims²(+dims) groups REGARDLESS of corpus size — the
+  //    shuffle is 4096 rows at any SF.
+  //  - DRIVER: covariance assembly + [[PcaRounds]] power-iteration
+  //    rounds on the dims×dims matrix. Bounded by dims², never by rows
+  //    (64² doubles here); [[PcaMaxDims]] guards the collect the same
+  //    way markovStationary caps its state matrix.
+  //
+  // Cross-engine exactness: the gram/mean sums are exact integers in
+  // any order; every double that follows (covariance cells, matvec,
+  // norm, Rayleigh quotient, trace) is a SEQUENTIAL left-to-right fold
+  // over identically-ordered inputs, so DuckDB's replay reproduces the
+  // iteration bit-for-bit — no rounding of the output is needed. The
+  // eigenvector sign is pinned by making the largest-|component|
+  // coordinate positive (first index on exact ties), the standard
+  // determinism rule. v0 = 1/8 exactly (1/√dims with dims=64), so both
+  // engines start from the same representable double.
+  //
+  // 100 TB: the scan is the only row-grain pass; PcaProdScale=1e12
+  // holds |Σ round(x·y·1e12)| < 2⁶³ up to ~10⁹ rows of unit-scale
+  // embeddings — past that, drop the scale a decade per 10× rows (the
+  // comment on MarkovMaxStates makes the same knob explicit).
+  private val PcaDims = 64
+  private val PcaRounds = 8
+  private val PcaMaxDims = 256
+  private val PcaProdScale = 1e12
+  private val PcaSumScale = 1e6
+
+  def pca(s: SparkSession, d: String): DataFrame = {
+    require(PcaDims <= PcaMaxDims,
+      s"pca: $PcaDims dims exceeds the $PcaMaxDims-dim driver-matrix cap - the dims^2 " +
+        "gram digest no longer fits driver arithmetic; block the matrix (per-block gram " +
+        "aggregates, dims/B^2 driver tiles) or switch to distributed randomized SVD")
+    val e = Tables.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("v"))
+    // one scan, two digests: dims² gram cells + dims mean sums, both
+    // exact-integer and map-side combined (groups are data-independent)
+    val gramRows = e
+      .select(posexplode(flatten(transform(col("v"), x =>
+        transform(col("v"), y =>
+          round(x * y * lit(PcaProdScale)).cast("long"))))))
+      .toDF("pos", "prod")
+      .groupBy("pos").agg(sum(col("prod")).as("g"))
+      .collect()
+    val sumRows = e.select(posexplode(col("v"))).toDF("dim", "x")
+      .groupBy("dim").agg(count(lit(1)).as("n"),
+        sum(round(col("x") * lit(PcaSumScale)).cast("long")).as("sx"))
+      .collect()
+    require(sumRows.nonEmpty, "pca: empty embeddings table")
+    val n = sumRows.head.getLong(1)
+    val sx = Array.ofDim[Long](PcaDims)
+    sumRows.foreach(r => sx(r.getInt(0)) = r.getLong(2))
+    val g = Array.ofDim[Long](PcaDims * PcaDims)
+    gramRows.foreach(r => g(r.getInt(0)) = r.getLong(1))
+    val mu = Array.tabulate(PcaDims)(i => sx(i).toDouble / PcaSumScale / n.toDouble)
+    val cov = Array.tabulate(PcaDims, PcaDims)((i, j) =>
+      g(i * PcaDims + j).toDouble / PcaProdScale / n.toDouble - mu(i) * mu(j))
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var k = 0
+      while (k < PcaDims) { acc += a(k) * b(k); k += 1 }
+      acc
+    }
+    var v = Array.fill(PcaDims)(0.125) // 1/sqrt(64), exactly representable
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(PcaDims)(i => dotSeq(cov(i), v))
+      val nrm = math.sqrt(dotSeq(w, w))
+      v = w.map(_ / nrm)
+    }
+    val cv = Array.tabulate(PcaDims)(i => dotSeq(cov(i), v))
+    val lambda = dotSeq(v, cv)
+    var trace = 0.0
+    (0 until PcaDims).foreach(i => trace += cov(i)(i))
+    var mi = 0
+    (1 until PcaDims).foreach(i => if (math.abs(v(i)) > math.abs(v(mi))) mi = i)
+    val sgn = if (v(mi) < 0.0) -1.0 else 1.0
+    val ratio = lambda / trace
+    import s.implicits._
+    (0 until PcaDims)
+      .map(i => (i.toLong, sgn * v(i), lambda, ratio))
+      .toDF("dim", "loading", "eigenvalue", "var_ratio")
+      .orderBy("dim")
+  }
+
+  lazy val pcaSql: String = {
+    val dot64 = (row: String, vec: String) =>
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, $PcaDims),
+         |      j -> $row[j] * $vec[j])), (x, y) -> x + y)""".stripMargin
+    val rounds = (1 to PcaRounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (
+         |  SELECT c.i, ${dot64("c.row", s"p.lst")} AS w
+         |  FROM cov c, $prev p),
+         |wl$r AS MATERIALIZED (
+         |  SELECT list(w ORDER BY i) AS lst FROM w$r),
+         |nr$r AS MATERIALIZED (
+         |  SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, $PcaDims), k -> lst[k] * lst[k])),
+         |    (x, y) -> x + y)) AS nrm
+         |  FROM wl$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT list_transform(wl.lst, x -> x / nr.nrm) AS lst
+         |  FROM wl$r wl, nr$r nr)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gram AS MATERIALIZED (
+       |  SELECT gi.i, gj.j,
+       |    sum(CAST(round(embedding[gi.i]::DOUBLE * embedding[gj.j]::DOUBLE
+       |      * ${PcaProdScale}) AS BIGINT)) AS g
+       |  FROM embeddings,
+       |    generate_series(1, $PcaDims) gi(i), generate_series(1, $PcaDims) gj(j)
+       |  GROUP BY gi.i, gj.j),
+       |mu AS MATERIALIZED (
+       |  SELECT gi.i, count(*) AS n,
+       |    (sum(CAST(round(embedding[gi.i]::DOUBLE * ${PcaSumScale}) AS BIGINT))::DOUBLE
+       |      / ${PcaSumScale}) / count(*) AS mu
+       |  FROM embeddings, generate_series(1, $PcaDims) gi(i)
+       |  GROUP BY gi.i),
+       |cov AS MATERIALIZED (
+       |  SELECT g.i, list((g.g::DOUBLE / ${PcaProdScale}) / mi.n - mi.mu * mj.mu
+       |    ORDER BY g.j) AS row
+       |  FROM gram g
+       |  JOIN mu mi ON mi.i = g.i
+       |  JOIN mu mj ON mj.i = g.j
+       |  GROUP BY g.i),
+       |v0 AS MATERIALIZED (
+       |  SELECT list_transform(generate_series(1, $PcaDims), i -> 0.125::DOUBLE) AS lst),
+       |$rounds,
+       |cv AS MATERIALIZED (
+       |  SELECT c.i, ${dot64("c.row", "p.lst")} AS w
+       |  FROM cov c, v$PcaRounds p),
+       |lam AS MATERIALIZED (
+       |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(generate_series(1, $PcaDims),
+       |      i -> p.lst[i] * cvl.lst[i])), (x, y) -> x + y) AS lambda
+       |  FROM v$PcaRounds p, (SELECT list(w ORDER BY i) AS lst FROM cv) cvl),
+       |tr AS MATERIALIZED (
+       |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+       |    list(c.row[c.i] ORDER BY c.i)), (x, y) -> x + y) AS trace
+       |  FROM cov c),
+       |sg AS MATERIALIZED (
+       |  SELECT CASE WHEN p.lst[(
+       |      SELECT i FROM generate_series(1, $PcaDims) g(i), v$PcaRounds q
+       |      ORDER BY abs(q.lst[i]) DESC, i LIMIT 1)] < 0.0
+       |    THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sgn
+       |  FROM v$PcaRounds p)
+       |SELECT (g.i - 1)::BIGINT AS dim, sg.sgn * p.lst[g.i] AS loading,
+       |  lam.lambda AS eigenvalue, lam.lambda / tr.trace AS var_ratio
+       |FROM generate_series(1, $PcaDims) g(i), v$PcaRounds p, lam, tr, sg
+       |ORDER BY dim""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_pca" -> (pca _),
     "q_sim_linear_probe" -> (linearProbe _),
     "q_sim_probe_weights" -> (linearProbeWeights _),
     "q_sim_auc" -> (probeAuc _),
@@ -2342,6 +2504,7 @@ object Similarity {
     "q_sim_quantize" -> (quantize _))
 
   val oracles: Map[String, String] = Map(
+    "q_sim_pca" -> pcaSql,
     "q_sim_linear_probe" -> linearProbeSql,
     "q_sim_probe_weights" -> linearProbeWeightsSql,
     "q_sim_auc" -> probeAucSql,

@@ -2270,4 +2270,43 @@ class PipelineOpsSpec extends SparkSpec {
     val r2 = r.getAs[Double]("r2")
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, "r2 range")
   }
+
+  test("PCA: unit-norm loadings, converged eigenpair vs brute covariance, sign pinned") {
+    val rows = Similarity.pca(spark, sf).collect().sortBy(_.getAs[Long]("dim"))
+    assert(rows.length === 64)
+    val v = rows.map(_.getAs[Double]("loading"))
+    val lambda = rows.head.getAs[Double]("eigenvalue")
+    val ratio = rows.head.getAs[Double]("var_ratio")
+    assert(rows.forall(r => r.getAs[Double]("eigenvalue") === lambda))
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12, "loadings unit norm")
+    // sign convention: the largest-|component| coordinate is positive
+    val mi = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    assert(v(mi) > 0.0, "sign not pinned")
+    // brute covariance from the raw vectors (plain double arithmetic —
+    // the oracle checks bit-exactness, this checks the LINEAR ALGEBRA)
+    val xs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = xs.length
+    val mu = Array.tabulate(64)(i => xs.map(_(i)).sum / n)
+    val cov = Array.tabulate(64, 64)((i, j) =>
+      xs.map(x => x(i) * x(j)).sum / n - mu(i) * mu(j))
+    val cv = Array.tabulate(64)(i => (0 until 64).map(j => cov(i)(j) * v(j)).sum)
+    val rayleigh = (0 until 64).map(i => v(i) * cv(i)).sum
+    // fixed-point rounding perturbs cells by <=1e-12 each; stay loose
+    assert(math.abs(rayleigh - lambda) < 1e-6, s"rayleigh $rayleigh vs $lambda")
+    // convergence: the residual ||Cv - lambda v|| is small relative to
+    // lambda. The synthetic embeddings are near-isotropic (tiny eigengap
+    // -> power iteration converges as (lambda2/lambda1)^rounds), so this
+    // is a sanity bound, not a tightness claim — cross-engine exactness
+    // is what the oracle hashes.
+    val resid = math.sqrt((0 until 64).map(i => {
+      val d = cv(i) - rayleigh * v(i); d * d
+    }).sum)
+    assert(resid < 0.1 * lambda, s"power iteration not converged: $resid vs $lambda")
+    val trace = (0 until 64).map(i => cov(i)(i)).sum
+    assert(math.abs(ratio - lambda / trace) < 1e-6, "explained variance ratio")
+    assert(lambda >= (0 until 64).map(i => cov(i)(i)).max - 1e-9,
+      "top eigenvalue must dominate every coordinate variance")
+  }
 }
