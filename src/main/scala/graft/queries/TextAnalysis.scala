@@ -2180,7 +2180,88 @@ object TextAnalysis {
        |JOIN sizes z2 ON pairs.s2 = z2.source
        |ORDER BY s1, s2""".stripMargin
 
+  // --- q_tx_boilerplate -----------------------------------------------------
+  // Corpus-frequent n-gram boilerplate screen (the RefinedWeb/CCNet
+  // "remove lines shared across many pages" filter, re-grained to
+  // n-grams because this corpus has no line structure): an n-gram is
+  // boilerplate when it appears in >= max(3, ceil(5% of docs)) DISTINCT
+  // documents, and each doc reports how much of it is made of such
+  // grams — the signal that downweights navigation chrome, license
+  // headers and template text before training.
+  //
+  // Shape: one explode to (doc, gram), df via distinct+count, and the
+  // boilerplate SET joined back by BROADCAST — the set is bounded by
+  // the threshold (each member needs >= 5% of all docs, so there are at
+  // most 20/0.05 = den/1 such grams per doc slot; in practice vocab-
+  // bounded), never corpus-sized, so the per-doc aggregation stays a
+  // map-side-combined scan. Docs shorter than the window keep a row
+  // (LEFT join from documents) with ratio 0 — silently dropping them
+  // would make the downstream keep-filter see a biased population.
+  // Integer threshold arithmetic ((n_docs + 19) div 20) keeps the two
+  // engines' boundary identical (double ceil could round apart).
+  private val BoilerWin = 2
+  private val BoilerMinDf = 3
+  private val BoilerDen = 20 // threshold = max(3, ceil(n_docs/20))
+
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val grams = docs
+      .select(col("doc_id"), explode(
+        when(size(col("t")) < BoilerWin, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("t")) - lit(BoilerWin)),
+            i => concat_ws(" ", slice(col("t"), i + lit(1), lit(BoilerWin)))))).as("g"))
+      .localCheckpoint() // df pass and occurrence pass both read it
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val boiler = grams.distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >=
+        greatest(lit(BoilerMinDf.toLong), expr(s"(n_docs + ${BoilerDen - 1}) div $BoilerDen")))
+      .select(col("g"), lit(1L).as("b"))
+    val perDoc = grams
+      .join(broadcast(boiler), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("b"), lit(0L))).as("n_boiler"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col("n_boiler").cast("double") /
+          nullif(col("n_grams"), lit(0L)), lit(0.0)).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
+  lazy val boilerplateSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |grams AS MATERIALIZED (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) < $BoilerWin THEN []
+       |    ELSE list_transform(generate_series(1, len(t) - ${BoilerWin - 1}),
+       |      i -> array_to_string(t[i:i + ${BoilerWin - 1}], ' ')) END) AS g
+       |  FROM toks),
+       |nd AS MATERIALIZED (SELECT count(*) AS n_docs FROM documents),
+       |dfc AS MATERIALIZED (
+       |  SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+       |boiler AS MATERIALIZED (
+       |  SELECT g FROM dfc, nd
+       |  WHERE df >= greatest($BoilerMinDf, (n_docs + ${BoilerDen - 1}) // $BoilerDen)),
+       |pd AS MATERIALIZED (
+       |  SELECT gr.doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+       |  FROM grams gr LEFT JOIN boiler b ON b.g = gr.g
+       |  GROUP BY gr.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_grams, 0) AS n_grams,
+       |  coalesce(pd.n_boiler, 0) AS n_boiler,
+       |  coalesce(pd.n_boiler::DOUBLE / nullif(pd.n_grams, 0), 0.0) AS boiler_ratio
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_boilerplate" -> (boilerplate _),
     "q_tx_source_overlap" -> (sourceOverlap _),
     "q_tx_langid_eval" -> (langIdEval _),
     "q_tx_kappa" -> (kappa _),
@@ -2217,6 +2298,7 @@ object TextAnalysis {
     "q_tx_redact" -> (redact _))
 
   val oracles: Map[String, String] = Map(
+    "q_tx_boilerplate" -> boilerplateSql,
     "q_tx_source_overlap" -> sourceOverlapSql,
     "q_tx_langid_eval" -> langIdEvalSql,
     "q_tx_kappa" -> kappaSql,

@@ -2271,6 +2271,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, "r2 range")
   }
 
+  test("boilerplate screen matches a brute per-doc recompute; short docs keep a zero row") {
+    val rows = TextAnalysis.boilerplate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"),
+          r.getAs[Double]("boiler_ratio")))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    assert(rows.size === docs.length, "every doc keeps a row")
+    val grams = docs.map { case (id, t) =>
+      id -> (if (t.length < 2) Seq.empty[String]
+             else t.sliding(2).map(_.mkString(" ")).toSeq)
+    }
+    val df = grams.flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    val thr = math.max(3L, (docs.length + 19L) / 20L)
+    val boiler = df.filter(_._2 >= thr).keySet
+    grams.foreach { case (id, gs) =>
+      val (ng, nb, ratio) = rows(id)
+      assert(ng === gs.length.toLong, s"doc $id n_grams")
+      val eb = gs.count(boiler.contains).toLong
+      assert(nb === eb, s"doc $id n_boiler")
+      val er = if (gs.isEmpty) 0.0 else eb.toDouble / gs.length
+      assert(math.abs(ratio - er) < 1e-12, s"doc $id ratio")
+    }
+    // the screen must actually discriminate on this corpus
+    val ratios = rows.values.map(_._3)
+    assert(ratios.max > ratios.min, "degenerate screen: all docs identical ratio")
+  }
+
   test("PCA: unit-norm loadings, converged eigenpair vs brute covariance, sign pinned") {
     val rows = Similarity.pca(spark, sf).collect().sortBy(_.getAs[Long]("dim"))
     assert(rows.length === 64)
