@@ -221,6 +221,57 @@ object Sampling {
        |ORDER BY lang, split""".stripMargin
   }
 
+  // --- q_sm_group_split -------------------------------------------------------
+  // GROUP-DISJOINT train/val/test split: the split key is the SOURCE
+  // hash, not the doc hash, so every document from one domain lands in
+  // the same split — the standard defense when near-duplicates cluster
+  // within a domain (doc-grain splits leak template siblings across
+  // the train/test boundary; q_dd_split_leakage measures that leak,
+  // this operator removes it by construction). The output carries its
+  // own audit: n_leaked_sources counts sources observed in more than
+  // one split among the DOC-grain assignments, which proves the
+  // assignment was purely source-determined (any per-doc salt sneaking
+  // into the hash would light it up) — structurally 0, verified, not
+  // assumed. Scale: two map-side-combined aggregations over one scan;
+  // the split arithmetic is the same salted-hash bucket as q_sm_split,
+  // so adding a source never reshuffles another source's split.
+  def groupSplit(s: SparkSession, d: String): DataFrame = {
+    val assigned = Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket(col("source"), 100) < 80, "train")
+          .when(bucket(col("source"), 100) < 90, "val")
+          .otherwise("test"))
+    val leaked = assigned.select("source", "split").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .agg(count(lit(1)).as("n_leaked_sources"))
+    assigned.groupBy("split")
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+      .crossJoin(broadcast(leaked))
+      .orderBy("split")
+  }
+
+  val groupSplitSql: String = {
+    val h = s"${Hashes.md5Int32Sql("source::VARCHAR")} % 100"
+    s"""WITH assigned AS MATERIALIZED (
+       |  SELECT source, n_chars,
+       |    CASE WHEN $h < 80 THEN 'train' WHEN $h < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |leaked AS MATERIALIZED (
+       |  SELECT count(*) AS n_leaked_sources FROM (
+       |    SELECT source FROM (SELECT DISTINCT source, split FROM assigned)
+       |    GROUP BY source HAVING count(*) > 1))
+       |SELECT split, count(DISTINCT source) AS n_sources,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  (SELECT n_leaked_sources FROM leaked) AS n_leaked_sources
+       |FROM assigned
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   // --- q_sm_mixture ---------------------------------------------------------
   // Balanced domain mixture: downsample every domain to (approximately)
   // the size of the SMALLEST domain — the data-dependent cousin of
@@ -727,6 +778,7 @@ object Sampling {
     "q_sm_balanced" -> (balanced _),
     "q_sm_neyman" -> (neyman _),
     "q_sm_split" -> (split _),
+    "q_sm_group_split" -> (groupSplit _),
     "q_sm_mixture" -> (mixture _),
     "q_sm_token_budget" -> (tokenBudget _),
     "q_sm_token_budget_bpe" -> (tokenBudgetBpe _))
@@ -742,6 +794,7 @@ object Sampling {
     "q_sm_balanced" -> balancedSql,
     "q_sm_neyman" -> neymanSql,
     "q_sm_split" -> splitSql,
+    "q_sm_group_split" -> groupSplitSql,
     "q_sm_mixture" -> mixtureSql,
     "q_sm_token_budget" -> tokenBudgetSql,
     "q_sm_token_budget_bpe" -> tokenBudgetBpeSql)

@@ -2271,6 +2271,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, "r2 range")
   }
 
+  test("group split is source-disjoint, covers every doc, and self-audits zero leakage") {
+    val rows = Sampling.groupSplit(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    assert(rows.forall(_.getAs[Long]("n_leaked_sources") === 0L))
+    // n_sources across splits partitions the distinct-source set:
+    // disjointness means the per-split counts sum to the total
+    val total = docs.map(_.getString(1)).distinct.length.toLong
+    assert(rows.map(_.getAs[Long]("n_sources")).sum === total,
+      "a source appears in more than one split")
+  }
+
   test("boilerplate screen matches a brute per-doc recompute; short docs keep a zero row") {
     val rows = TextAnalysis.boilerplate(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
