@@ -570,6 +570,91 @@ object Graph {
        |SELECT dist, n_nodes, min_node, max_node FROM unreached
        |ORDER BY dist""".stripMargin
 
+  // --- q_gr_closeness ---------------------------------------------------------
+  // SAMPLED-SOURCE CLOSENESS / HARMONIC CENTRALITY (Eppstein–Wang,
+  // 2001, public): exact all-pairs closeness is O(|V|·|E|) — at any
+  // interesting scale the estimator is a fixed handful of BFS sources,
+  // and the per-node estimate uses only distances to those sources.
+  // Undirected graph, so d(s, v) from a multi-source BFS IS d(v, s).
+  // Sources are the [[CloseSources]] smallest node ids carrying an edge
+  // (deterministic; a production run would hash-sample instead — same
+  // plan shape). State is (src, node, dist) — S×|V| at worst, S fixed —
+  // expanded frontier-only per round exactly like [[bfsOf]], with the
+  // hop cap bounding total work at hops × S × |E|.
+  //
+  // Cross-engine exactness: per-(node, dist) counts are exact integers;
+  // the harmonic sum Σ c_d/d is a FIXED d=1..CloseHops expression chain
+  // (the Neyman wtot discipline), never a float aggregate — so the
+  // doubles are identical in both engines regardless of row order.
+  private val CloseSources = 4
+  private val CloseHops = MaxHops
+
+  def closeness(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint() // probed by every round
+    val srcs = adj.select(col("u").as("src")).distinct()
+      .orderBy("src").limit(CloseSources) // TakeOrdered: k-row driver merge
+    var visited = srcs
+      .select(col("src"), col("src").as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    var k = 1
+    while (k <= CloseHops && frontier.limit(1).count() > 0) {
+      val next = frontier.join(adj, col("node") === col("u"))
+        .select(col("src"), col("v").as("node")).distinct()
+        .join(visited, Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+      k += 1
+    }
+    val cnt = visited.filter(col("dist") >= 1)
+      .groupBy("node", "dist").agg(count(lit(1)).as("c"))
+    val harmonic = (1 to CloseHops).map(h =>
+        coalesce(sum(when(col("dist") === h.toLong, col("c"))), lit(0L))
+          .cast("double") / lit(h.toDouble))
+      .reduce(_ + _) // fixed left-to-right chain, order-free exact ints inside
+    cnt.groupBy("node")
+      .agg(sum(col("c")).as("n_src_reached"),
+        sum(col("c") * col("dist")).as("sum_dist"),
+        harmonic.as("harmonic"))
+      .withColumn("closeness_hat",
+        col("n_src_reached").cast("double") / col("sum_dist").cast("double"))
+      .orderBy("node")
+  }
+
+  lazy val closenessSql: String = {
+    val harmonic = (1 to CloseHops).map(h =>
+      s"coalesce(sum(CASE WHEN dist = $h THEN c END), 0)::DOUBLE / $h.0")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $coEdgesSql,
+       |adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |srcs AS MATERIALIZED (
+       |  SELECT u AS src FROM adj GROUP BY u ORDER BY u LIMIT $CloseSources),
+       |walk AS (
+       |  SELECT src, src AS node, 0 AS d FROM srcs
+       |  UNION
+       |  SELECT w.src, adj.v, w.d + 1 FROM walk w JOIN adj ON adj.u = w.node
+       |  WHERE w.d < $CloseHops),
+       |reached AS MATERIALIZED (
+       |  SELECT src, node, min(d) AS dist FROM walk GROUP BY src, node),
+       |cnt AS MATERIALIZED (
+       |  SELECT node, dist, count(*) AS c FROM reached
+       |  WHERE dist >= 1 GROUP BY node, dist)
+       |SELECT node, CAST(sum(c) AS BIGINT) AS n_src_reached,
+       |  CAST(sum(c * dist) AS BIGINT) AS sum_dist,
+       |  $harmonic AS harmonic,
+       |  CAST(sum(c) AS BIGINT)::DOUBLE
+       |    / CAST(sum(c * dist) AS BIGINT)::DOUBLE AS closeness_hat
+       |FROM cnt GROUP BY node
+       |ORDER BY node""".stripMargin
+  }
+
   // --- q_gr_connected -------------------------------------------------------
   // CONNECTED COMPONENTS by min-label propagation to FIXPOINT — the
   // partition primitive under dedup-cluster assembly, blast-radius
@@ -1393,6 +1478,7 @@ object Graph {
     "q_gr_assoc_rules" -> (assocRules _),
     "q_gr_clustering" -> (clusteringCoeff _),
     "q_gr_bfs" -> (bfs _),
+    "q_gr_closeness" -> (closeness _),
     "q_gr_connected" -> (connected _),
     "q_gr_connected_lss" -> (connectedLss _),
     "q_gr_kcore" -> (kcore _),
@@ -1409,6 +1495,7 @@ object Graph {
     "q_gr_assoc_rules" -> assocRulesSql,
     "q_gr_clustering" -> clusteringSql,
     "q_gr_bfs" -> bfsSql,
+    "q_gr_closeness" -> closenessSql,
     "q_gr_connected" -> connectedSql,
     // same partition, same oracle: the star engine must agree with the
     // min-label fixpoint bit-for-bit

@@ -298,6 +298,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("closeness estimates match a brute multi-source BFS over the staged edges") {
+    val rows = Graph.closeness(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("n_src_reached"), r.getAs[Long]("sum_dist"),
+          r.getAs[Double]("harmonic"), r.getAs[Double]("closeness_hat")))).toMap
+    assert(rows.nonEmpty)
+    val edges = Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2)) }
+    val srcs = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted.take(4)
+    val dists = srcs.flatMap { s =>
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      var frontier = Set(s)
+      for (k <- 1 to 6) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+          .filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = k.toLong)
+      }
+      dist.toSeq.map { case (n, d) => (n, d) }
+    }.filter(_._2 >= 1)
+    val byNode = dists.groupBy(_._1)
+    assert(rows.keySet === byNode.keySet)
+    byNode.foreach { case (node, ds) =>
+      val (nr, sd, h, ch) = rows(node)
+      assert(nr === ds.length.toLong, s"node $node n_src_reached")
+      assert(sd === ds.map(_._2).sum, s"node $node sum_dist")
+      val eh = (1 to 6).map(d => ds.count(_._2 == d.toLong).toDouble / d).sum
+      assert(math.abs(h - eh) < 1e-12, s"node $node harmonic")
+      assert(math.abs(ch - nr.toDouble / sd.toDouble) < 1e-15, s"node $node closeness")
+    }
+  }
+
   test("connected components equal a union-find over the collected edge set") {
     val rows = Graph.connected(spark, sf).collect()
     assert(rows.nonEmpty)
