@@ -893,7 +893,79 @@ object TrainPrep {
        |ORDER BY doc_id, epoch""".stripMargin
   }
 
+  // --- q_tp_span_corruption ---------------------------------------------------
+  // T5-STYLE SPAN CORRUPTION PLAN (Raffel et al. 2020, public):
+  // deterministic noise-span selection for denoising objectives. Each
+  // token position draws a salted content hash; positions under
+  // [[SpanStartPct]]% START a [[SpanLen]]-token masked span, and
+  // overlapping spans merge — the per-doc output is the corruption
+  // plan digest (token count, merged span count, masked-token count,
+  // realized mask ratio), which is what a training run audits before
+  // committing to a (rate, mean-span-length) config. Hash-derived,
+  // not rand(): re-runs, retries and engine swaps mask the SAME spans,
+  // so eval perplexity deltas are attributable to the model, never the
+  // mask draw. Pure per-doc array arithmetic — one scan, no shuffle
+  // until the demo sort; the expected mask rate is pct×len = 15%.
+  private val SpanStartPct = 5
+  private val SpanLen = 3
+
+  def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    // starts(i): position i (1-based) opens a span; masked(i): any of
+    // the previous SpanLen-1 positions (or i itself) opened one
+    val withStarts = toks.withColumn("starts",
+      transform(sequence(lit(1), size(col("t"))),
+        i => Hashes.md5Int32(concat(col("doc_id").cast("string"),
+          lit("_span_"), i.cast("string"))) % 100 < SpanStartPct))
+    // when()-guarded lookbacks: element_at(_, 0) is an ANSI error, so
+    // the i<=k positions must never evaluate the shifted index
+    val withMask = withStarts.withColumn("masked",
+      transform(sequence(lit(1), size(col("t"))), i =>
+        element_at(col("starts"), i) ||
+          when(i > lit(1), element_at(col("starts"), i - 1)).otherwise(lit(false)) ||
+          when(i > lit(2), element_at(col("starts"), i - 2)).otherwise(lit(false))))
+    withMask.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("masked"), x => x)).cast("long").as("n_masked"),
+        size(filter(sequence(lit(1), size(col("t"))), i =>
+          element_at(col("masked"), i) &&
+            when(i > lit(1), !element_at(col("masked"), i - 1)).otherwise(lit(true))))
+          .cast("long").as("n_spans"))
+      .withColumn("mask_ratio",
+        coalesce(col("n_masked").cast("double") /
+          nullif(col("n_tokens"), lit(0L)), lit(0.0)))
+      .filter(col("n_tokens") > 0)
+      .orderBy("doc_id")
+  }
+
+  lazy val spanCorruptionSql: String = {
+    val h = Hashes.md5Int32Sql("doc_id::VARCHAR || '_span_' || i::VARCHAR")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, ${TextAnalysis.tokensSql} AS t FROM documents),
+       |st AS MATERIALIZED (
+       |  SELECT doc_id, len(t) AS n,
+       |    list_transform(generate_series(1, len(t)),
+       |      i -> $h % 100 < $SpanStartPct) AS starts
+       |  FROM toks WHERE len(t) > 0),
+       |mk AS MATERIALIZED (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(1, n), i -> starts[i]
+       |      OR (i > 1 AND starts[i - 1])
+       |      OR (i > 2 AND starts[i - 2])) AS masked
+       |  FROM st)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(masked, x -> x)) AS BIGINT) AS n_masked,
+       |  CAST(len(list_filter(generate_series(1, n), i -> masked[i]
+       |    AND (i = 1 OR NOT masked[i - 1]))) AS BIGINT) AS n_spans,
+       |  coalesce(len(list_filter(masked, x -> x))::DOUBLE
+       |    / nullif(n, 0), 0.0) AS mask_ratio
+       |FROM mk
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tp_span_corruption" -> (spanCorruption _),
     "q_tp_epochs" -> (epochs _),
     "q_tp_dataset_card" -> (datasetCard _),
     "q_tp_curation_funnel" -> (curationFunnel _),
@@ -908,6 +980,7 @@ object TrainPrep {
     "q_tp_row_ids" -> (rowIds _))
 
   val oracles: Map[String, String] = Map(
+    "q_tp_span_corruption" -> spanCorruptionSql,
     "q_tp_epochs" -> epochsSql,
     "q_tp_dataset_card" -> datasetCardSql,
     "q_tp_curation_funnel" -> curationFunnelSql,

@@ -267,4 +267,42 @@ class TrainPrepSpec extends SparkSpec {
     assert(merges == Seq("h" -> "e", "t" -> "he", "a" -> "t"),
       s"unexpected merge table: $merges")
   }
+
+  test("span corruption plan replays brute per-doc; spans merge, ratio is realized") {
+    val rows = TrainPrep.spanCorruption(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"),
+          r.getAs[Long]("n_spans"), r.getAs[Double]("mask_ratio")))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .filter(_._2.nonEmpty)
+    assert(rows.size === docs.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(sStr: String): Long = {
+      md.reset()
+      val dg = md.digest(sStr.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dg.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    docs.foreach { case (id, t) =>
+      val starts = (1 to t.length).map(i => h32(s"${id}_span_$i") % 100 < 5)
+      val masked = (1 to t.length).map(i =>
+        starts(i - 1) || (i > 1 && starts(i - 2)) || (i > 2 && starts(i - 3)))
+      val nSpans = masked.zipWithIndex.count { case (m, ix) =>
+        m && (ix == 0 || !masked(ix - 1))
+      }
+      val (nt, nm, ns, ratio) = rows(id)
+      assert(nt === t.length.toLong, s"doc $id n_tokens")
+      assert(nm === masked.count(identity).toLong, s"doc $id n_masked")
+      assert(ns === nSpans.toLong, s"doc $id n_spans")
+      assert(math.abs(ratio - masked.count(identity).toDouble / t.length) < 1e-12)
+      // each maximal run masks at least one token (runs can exceed
+      // SpanLen when overlapping starts merge — that's the point)
+      assert(ns <= nm)
+    }
+    // realized corpus rate is in the neighborhood of pct*len = 15%
+    val tot = rows.values.map(_._1).sum.toDouble
+    val msk = rows.values.map(_._2).sum.toDouble
+    assert(msk / tot > 0.08 && msk / tot < 0.25, s"corpus mask rate ${msk / tot}")
+  }
 }
