@@ -2473,8 +2473,73 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  // --- q_sim_centroid_drift ---------------------------------------------------
+  // EMBEDDING-CENTROID DRIFT MONITOR: per-label centroid of snapshot A
+  // (even vec_ids) vs snapshot B (odd vec_ids) — cosine and L2 between
+  // the two mean vectors, the "did my embedding distribution move
+  // between ingest ticks / model versions" check a retrieval pipeline
+  // runs before trusting a rebuilt index (q_tx_drift is the token-side
+  // twin; this is the vector side). The even/odd split stands in for
+  // two snapshot frames; production passes two real frames through the
+  // same plan. Means route through 1e-6 fixed point (the kmeansUpdate
+  // discipline): per-(label, half, dim) BIGINT sums are exact in any
+  // order, so both engines divide identical integers — and the
+  // cosine/L2 folds are sequential, making the doubles bit-identical.
+  // Scale: posexplode to a (label, half, dim) stream, ONE map-side-
+  // combined aggregation to labels×2×dims groups regardless of corpus
+  // size; the centroid frames that meet in the join are label-grain.
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val sums = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("label", "half", "dim", "x")
+      .groupBy("label", "half", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * 1000000.0).cast("long")).as("sx"))
+      .select(col("label"), col("half"), col("dim"), col("n"),
+        (col("sx").cast("double") / 1000000.0 / col("n").cast("double")).as("m"))
+    val cent = sums.groupBy("label", "half")
+      .agg(max(col("n")).as("n"),
+        collect_list(struct(col("dim"), col("m"))).as("dm"))
+      .select(col("label"), col("half"), col("n"),
+        transform(array_sort(col("dm")), x => x.getField("m")).as("c"))
+    val joined = cent.filter(col("half") === 0)
+      .select(col("label"), col("n").as("n_even"), col("c").as("ce"))
+      .join(cent.filter(col("half") === 1)
+        .select(col("label"), col("n").as("n_odd"), col("c").as("co")), "label")
+      .withColumn("dv", zip_with(col("ce"), col("co"), (a, b) => a - b))
+    joined.select(col("label"), col("n_even"), col("n_odd"),
+        Vectors.cosine(col("ce"), col("co")).as("cosine"),
+        sqrt(Vectors.dot(col("dv"), col("dv"))).as("l2"))
+      .orderBy("label")
+  }
+
+  lazy val centroidDriftSql: String =
+    s"""WITH sums AS MATERIALIZED (
+       |  SELECT label, vec_id % 2 AS half, gi.i AS dim, count(*) AS n,
+       |    sum(CAST(round(embedding[gi.i]::DOUBLE * 1000000.0) AS BIGINT)) AS sx
+       |  FROM embeddings, generate_series(1, $PcaDims) gi(i)
+       |  GROUP BY label, vec_id % 2, gi.i),
+       |cent AS MATERIALIZED (
+       |  SELECT label, half, max(n) AS n,
+       |    list(sx::DOUBLE / 1000000.0 / n::DOUBLE ORDER BY dim) AS c
+       |  FROM sums GROUP BY label, half),
+       |pairs AS MATERIALIZED (
+       |  SELECT e.label, e.n AS n_even, o.n AS n_odd, e.c AS ce, o.c AS co,
+       |    list_transform(generate_series(1, $PcaDims),
+       |      i -> e.c[i] - o.c[i]) AS dv
+       |  FROM cent e JOIN cent o ON e.label = o.label
+       |  WHERE e.half = 0 AND o.half = 1)
+       |SELECT label, CAST(n_even AS BIGINT) AS n_even,
+       |  CAST(n_odd AS BIGINT) AS n_odd,
+       |  ${Vectors.cosineSql("ce", "co")} AS cosine,
+       |  sqrt(${Vectors.dotSql("dv", "dv")}) AS l2
+       |FROM pairs
+       |ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pca" -> (pca _),
+    "q_sim_centroid_drift" -> (centroidDrift _),
     "q_sim_linear_probe" -> (linearProbe _),
     "q_sim_probe_weights" -> (linearProbeWeights _),
     "q_sim_auc" -> (probeAuc _),
@@ -2505,6 +2570,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_pca" -> pcaSql,
+    "q_sim_centroid_drift" -> centroidDriftSql,
     "q_sim_linear_probe" -> linearProbeSql,
     "q_sim_probe_weights" -> linearProbeWeightsSql,
     "q_sim_auc" -> probeAucSql,

@@ -2314,6 +2314,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ratios.max > ratios.min, "degenerate screen: all docs identical ratio")
   }
 
+  test("centroid drift replays a brute per-label recompute of both snapshot means") {
+    val rows = Similarity.centroidDrift(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_even"), r.getAs[Long]("n_odd"),
+          r.getAs[Double]("cosine"), r.getAs[Double]("l2")))).toMap
+    assert(rows.nonEmpty)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    e.groupBy(_._2).foreach { case (label, xs) =>
+      val ev = xs.filter(_._1 % 2 == 0).map(_._3)
+      val od = xs.filter(_._1 % 2 == 1).map(_._3)
+      if (ev.isEmpty || od.isEmpty) assert(!rows.contains(label))
+      else {
+        val (ne, no, cos, l2) = rows(label)
+        assert(ne === ev.length.toLong && no === od.length.toLong)
+        def mean(m: Array[Array[Double]]) =
+          Array.tabulate(64)(i => m.map(_(i)).sum / m.length)
+        val (ce, co) = (mean(ev), mean(od))
+        def dot(a: Array[Double], b: Array[Double]) =
+          (0 until 64).map(i => a(i) * b(i)).sum
+        val eCos = dot(ce, co) / (math.sqrt(dot(ce, ce)) * math.sqrt(dot(co, co)))
+        val dv = Array.tabulate(64)(i => ce(i) - co(i))
+        // fixed-point means differ from plain means by <=5e-7/dim
+        assert(math.abs(cos - eCos) < 1e-4, s"label $label cosine $cos vs $eCos")
+        assert(math.abs(l2 - math.sqrt(dot(dv, dv))) < 1e-4, s"label $label l2")
+      }
+    }
+  }
+
   test("PCA: unit-norm loadings, converged eigenpair vs brute covariance, sign pinned") {
     val rows = Similarity.pca(spark, sf).collect().sortBy(_.getAs[Long]("dim"))
     assert(rows.length === 64)
