@@ -589,7 +589,10 @@ object Graph {
   private val CloseSources = 4
   private val CloseHops = MaxHops
 
-  def closeness(s: SparkSession, d: String): DataFrame = {
+  /** The (src, node, dist) multi-source BFS frame shared by the
+    * closeness and diameter estimators: [[CloseSources]] deterministic
+    * seeds, frontier-only expansion, [[CloseHops]] cap. */
+  private def multiSourceBfs(s: SparkSession, d: String): DataFrame = {
     val und = coEdges(s, d)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))
@@ -611,7 +614,28 @@ object Graph {
       frontier = next
       k += 1
     }
-    val cnt = visited.filter(col("dist") >= 1)
+    visited
+  }
+
+  /** The same walk as DuckDB CTEs (expects und from coEdgesSql; names
+    * adj/srcs/walk/reached). */
+  private lazy val multiSourceBfsSql: String =
+    s"""adj AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM und
+       |  UNION ALL SELECT b AS u, a AS v FROM und),
+       |srcs AS MATERIALIZED (
+       |  SELECT u AS src FROM adj GROUP BY u ORDER BY u LIMIT $CloseSources),
+       |walk AS (
+       |  SELECT src, src AS node, 0 AS d FROM srcs
+       |  UNION
+       |  SELECT w.src, adj.v, w.d + 1 FROM walk w JOIN adj ON adj.u = w.node
+       |  WHERE w.d < $CloseHops),
+       |reached AS MATERIALIZED (
+       |  SELECT src, node, CAST(min(d) AS BIGINT) AS dist
+       |  FROM walk GROUP BY src, node)""".stripMargin
+
+  def closeness(s: SparkSession, d: String): DataFrame = {
+    val cnt = multiSourceBfs(s, d).filter(col("dist") >= 1)
       .groupBy("node", "dist").agg(count(lit(1)).as("c"))
     val harmonic = (1 to CloseHops).map(h =>
         coalesce(sum(when(col("dist") === h.toLong, col("c"))), lit(0L))
@@ -631,18 +655,7 @@ object Graph {
       s"coalesce(sum(CASE WHEN dist = $h THEN c END), 0)::DOUBLE / $h.0")
       .mkString(" + ")
     s"""WITH RECURSIVE $coEdgesSql,
-       |adj AS MATERIALIZED (
-       |  SELECT a AS u, b AS v FROM und
-       |  UNION ALL SELECT b AS u, a AS v FROM und),
-       |srcs AS MATERIALIZED (
-       |  SELECT u AS src FROM adj GROUP BY u ORDER BY u LIMIT $CloseSources),
-       |walk AS (
-       |  SELECT src, src AS node, 0 AS d FROM srcs
-       |  UNION
-       |  SELECT w.src, adj.v, w.d + 1 FROM walk w JOIN adj ON adj.u = w.node
-       |  WHERE w.d < $CloseHops),
-       |reached AS MATERIALIZED (
-       |  SELECT src, node, min(d) AS dist FROM walk GROUP BY src, node),
+       |$multiSourceBfsSql,
        |cnt AS MATERIALIZED (
        |  SELECT node, dist, count(*) AS c FROM reached
        |  WHERE dist >= 1 GROUP BY node, dist)
@@ -654,6 +667,60 @@ object Graph {
        |FROM cnt GROUP BY node
        |ORDER BY node""".stripMargin
   }
+
+  // --- q_gr_diameter ----------------------------------------------------------
+  // RADIUS/DIAMETER AUDIT off the same sampled multi-source BFS: per
+  // seed the hop-capped ECCENTRICITY estimate (max observed distance)
+  // and reach count, plus two corpus scalars — the diameter LOWER
+  // BOUND (max eccentricity over seeds; the standard cheap bound,
+  // exact diameter being infeasible past toy scale) and the EFFECTIVE
+  // DIAMETER (smallest d covering >= 90% of observed (src, node)
+  // distances, the graph-mining "how far is everything really"
+  // metric). The 90% threshold is pure integer arithmetic
+  // (10·cum >= 9·total ⟺ cum >= ceil(0.9·total)) so the two engines
+  // agree on the boundary bucket. The quantile window runs over the
+  // per-hop digest (<= hop-cap rows), never the distance multiset.
+  def diameter(s: SparkSession, d: String): DataFrame = {
+    val walk = multiSourceBfs(s, d).filter(col("dist") >= 1)
+      .localCheckpoint() // three digests read it
+    val perSrc = walk.groupBy("src")
+      .agg(max(col("dist")).as("ecc_hat"), count(lit(1)).as("n_reached"))
+    val dlb = perSrc.agg(max(col("ecc_hat")).as("diameter_lb"))
+    val counts = walk.groupBy("dist").agg(count(lit(1)).as("c"))
+    // single-partition window is fine HERE: its input is the per-hop
+    // digest (<= CloseHops rows), not a row-grain frame
+    val w = org.apache.spark.sql.expressions.Window.orderBy("dist")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val eff = counts.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("c")).as("tot"))))
+      .filter(col("cum") * 10 >= col("tot") * 9)
+      .agg(min(col("dist")).as("eff_diameter"))
+    perSrc.crossJoin(broadcast(dlb)).crossJoin(broadcast(eff))
+      .select("src", "ecc_hat", "n_reached", "diameter_lb", "eff_diameter")
+      .orderBy("src")
+  }
+
+  lazy val diameterSql: String =
+    s"""WITH RECURSIVE $coEdgesSql,
+       |$multiSourceBfsSql,
+       |d1 AS MATERIALIZED (
+       |  SELECT src, node, dist FROM reached WHERE dist >= 1),
+       |per_src AS MATERIALIZED (
+       |  SELECT src, max(dist) AS ecc_hat, count(*) AS n_reached
+       |  FROM d1 GROUP BY src),
+       |counts AS MATERIALIZED (
+       |  SELECT dist, CAST(count(*) AS BIGINT) AS c FROM d1 GROUP BY dist),
+       |cum AS MATERIALIZED (
+       |  SELECT dist, sum(c) OVER (ORDER BY dist) AS cum FROM counts),
+       |tot AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts),
+       |eff AS MATERIALIZED (
+       |  SELECT min(dist) AS eff_diameter FROM cum, tot
+       |  WHERE cum * 10 >= tot * 9),
+       |dlb AS MATERIALIZED (SELECT max(ecc_hat) AS diameter_lb FROM per_src)
+       |SELECT src, ecc_hat, CAST(n_reached AS BIGINT) AS n_reached,
+       |  dlb.diameter_lb, eff.eff_diameter
+       |FROM per_src, dlb, eff
+       |ORDER BY src""".stripMargin
 
   // --- q_gr_connected -------------------------------------------------------
   // CONNECTED COMPONENTS by min-label propagation to FIXPOINT — the
@@ -1479,6 +1546,7 @@ object Graph {
     "q_gr_clustering" -> (clusteringCoeff _),
     "q_gr_bfs" -> (bfs _),
     "q_gr_closeness" -> (closeness _),
+    "q_gr_diameter" -> (diameter _),
     "q_gr_connected" -> (connected _),
     "q_gr_connected_lss" -> (connectedLss _),
     "q_gr_kcore" -> (kcore _),
@@ -1496,6 +1564,7 @@ object Graph {
     "q_gr_clustering" -> clusteringSql,
     "q_gr_bfs" -> bfsSql,
     "q_gr_closeness" -> closenessSql,
+    "q_gr_diameter" -> diameterSql,
     "q_gr_connected" -> connectedSql,
     // same partition, same oracle: the star engine must agree with the
     // min-label fixpoint bit-for-bit

@@ -331,6 +331,36 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("diameter audit: eccentricities, lower bound and 90% effective diameter replay brute") {
+    val rows = Graph.diameter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2)) }
+    val srcs = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted.take(4)
+    val dists = srcs.map { s =>
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      var frontier = Set(s)
+      for (k <- 1 to 6) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+          .filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = k.toLong)
+      }
+      s -> dist.toSeq.filter(_._2 >= 1)
+    }.toMap
+    val allD = dists.values.flatten.map(_._2).toSeq.sorted
+    val thr = allD((math.ceil(0.9 * allD.size) - 1).toInt)
+    val dlb = dists.values.map(_.map(_._2).max).max
+    rows.foreach { r =>
+      val s = r.getAs[Long]("src")
+      assert(r.getAs[Long]("ecc_hat") === dists(s).map(_._2).max, s"src $s ecc")
+      assert(r.getAs[Long]("n_reached") === dists(s).size.toLong, s"src $s reach")
+      assert(r.getAs[Long]("diameter_lb") === dlb)
+      assert(r.getAs[Long]("eff_diameter") === thr)
+    }
+  }
+
   test("connected components equal a union-find over the collected edge set") {
     val rows = Graph.connected(spark, sf).collect()
     assert(rows.nonEmpty)
