@@ -591,8 +591,19 @@ object Graph {
 
   /** The (src, node, dist) multi-source BFS frame shared by the
     * closeness and diameter estimators: [[CloseSources]] deterministic
-    * seeds, frontier-only expansion, [[CloseHops]] cap. */
+    * seeds, frontier-only expansion, [[CloseHops]] cap. Staged per
+    * dataset fingerprint like [[coEdges]] — both consumers read ONE
+    * materialization instead of re-running the iterative walk. */
   private def multiSourceBfs(s: SparkSession, d: String): DataFrame = {
+    val tag = Tables.stageTag(d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_graph_$tag/msbfs"
+    graft.Stage.ensure(root) { tmp =>
+      multiSourceBfsDerive(s, d).repartition(4, col("src")).write.parquet(tmp)
+    }
+    s.read.parquet(root)
+  }
+
+  private def multiSourceBfsDerive(s: SparkSession, d: String): DataFrame = {
     val und = coEdges(s, d)
     val adj = und.select(col("a").as("u"), col("b").as("v"))
       .unionAll(und.select(col("b").as("u"), col("a").as("v")))

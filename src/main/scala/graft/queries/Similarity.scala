@@ -2356,12 +2356,18 @@ object Similarity {
         "aggregates, dims/B^2 driver tiles) or switch to distributed randomized SVD")
     val e = Tables.embeddings(s, d)
       .select(col("embedding").cast("array<double>").as("v"))
-    // one scan, two digests: dims² gram cells + dims mean sums, both
-    // exact-integer and map-side combined (groups are data-independent)
+    // one scan, two digests: gram cells + dims mean sums, both
+    // exact-integer and map-side combined (groups are data-independent).
+    // The gram is symmetric, so only the UPPER TRIANGLE (i <= j, 2080
+    // cells instead of 4096) is computed and exploded — the driver
+    // mirrors g(j,i) = g(i,j), and the oracle's full (i,j) grid matches
+    // because round(x_i*x_j*1e12) is symmetric in IEEE arithmetic.
     val gramRows = e
-      .select(posexplode(flatten(transform(col("v"), x =>
-        transform(col("v"), y =>
-          round(x * y * lit(PcaProdScale)).cast("long"))))))
+      .select(posexplode(flatten(transform(
+        sequence(lit(1), lit(PcaDims)), i =>
+          transform(sequence(i, lit(PcaDims)), j =>
+            round(element_at(col("v"), i) * element_at(col("v"), j)
+              * lit(PcaProdScale)).cast("long"))))))
       .toDF("pos", "prod")
       .groupBy("pos").agg(sum(col("prod")).as("g"))
       .collect()
@@ -2373,8 +2379,14 @@ object Similarity {
     val n = sumRows.head.getLong(1)
     val sx = Array.ofDim[Long](PcaDims)
     sumRows.foreach(r => sx(r.getInt(0)) = r.getLong(2))
+    // decode the flattened triangle position back to (i, j), mirror
     val g = Array.ofDim[Long](PcaDims * PcaDims)
-    gramRows.foreach(r => g(r.getInt(0)) = r.getLong(1))
+    val triIdx = (for { i <- 0 until PcaDims; j <- i until PcaDims } yield (i, j)).toArray
+    gramRows.foreach { r =>
+      val (i, j) = triIdx(r.getInt(0))
+      g(i * PcaDims + j) = r.getLong(1)
+      g(j * PcaDims + i) = r.getLong(1)
+    }
     val mu = Array.tabulate(PcaDims)(i => sx(i).toDouble / PcaSumScale / n.toDouble)
     val cov = Array.tabulate(PcaDims, PcaDims)((i, j) =>
       g(i * PcaDims + j).toDouble / PcaProdScale / n.toDouble - mu(i) * mu(j))
