@@ -32,6 +32,7 @@ object Tables {
     graft.functions.TextFunctions.register(spark)
     graft.functions.HeavyHittersFunctions.register(spark)
     graft.functions.MinhashFunctions.register(spark)
+    graft.functions.GramTriFunctions.register(spark)
   }
 
   /** Staged-artifact tag for SF dir `d`: the sanitized path plus a

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** `gram_tri(vec, scale)` — the exact fixed-point upper-triangle gram
+  * digest of an `array<double>` column: one flat `array<bigint>` of
+  * `dims*(dims+1)/2` cells where cell (i <= j) holds
+  * `Σ_rows round(v[i]*v[j]*scale)` in row-major triangle order.
+  *
+  * This is distributed PCA's hot path fused into a single native
+  * aggregate. The declarative form (nested `transform` building the
+  * per-row product array, `posexplode`, hash aggregate over dims²/2
+  * groups) evaluates interpreted HOFs per element and shuffles an
+  * exploded row per cell; this aggregate runs the same arithmetic as
+  * one tight JVM loop per row into a primitive long buffer, combines
+  * map-side like any TypedImperativeAggregate, and ships ONE
+  * 2080-cell digest per partition. Semantics are identical — the
+  * rounding is Spark's `round()` HALF_UP (away from zero), emulated
+  * with floor/ceil at ±0.5, which is exact for |v*scale| < 2^51 (the
+  * 0.5 increment is representable in every binade below that, and the
+  * verify gate re-checks the bit-equality at all three SFs).
+  *
+  * Sums are exact integers, so partial aggregation order cannot
+  * perturb the result — the retry/partitioning-stability contract all
+  * fixed-point digests in this engine carry.
+  */
+case class GramTri(
+    child: Expression,
+    scaleExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with BinaryLike[Expression] {
+
+  private lazy val scale: Double =
+    scaleExpr.eval(InternalRow.empty).asInstanceOf[Number].doubleValue()
+
+  override def left: Expression = child
+  override def right: Expression = scaleExpr
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (!scaleExpr.foldable || scaleExpr.dataType != DoubleType)
+        TypeCheckResult.TypeCheckFailure(
+          s"gram_tri scale must be a DOUBLE literal, got ${scaleExpr.sql}")
+      else TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_tri expects array<double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gram_tri"
+
+  /** Spark round() parity: HALF_UP = half away from zero. */
+  private def roundHalfUp(x: Double): Long =
+    if (x >= 0.0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData].toDoubleArray()
+    val dims = arr.length
+    val cells = dims * (dims + 1) / 2
+    val buf =
+      if (buffer.length == 0) new Array[Long](cells)
+      else {
+        require(buffer.length == cells,
+          s"gram_tri: inconsistent dims - buffer has ${buffer.length} cells, row needs $cells")
+        buffer
+      }
+    var p = 0
+    var i = 0
+    while (i < dims) {
+      val xi = arr(i)
+      var j = i
+      while (j < dims) {
+        buf(p) += roundHalfUp(xi * arr(j) * scale)
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    if (other.length == 0) return buffer
+    if (buffer.length == 0) return other
+    require(buffer.length == other.length,
+      s"gram_tri: merging digests of different dims (${buffer.length} vs ${other.length})")
+    var p = 0
+    while (p < buffer.length) { buffer(p) += other(p); p += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.length == 0) null
+    else new GenericArrayData(buffer)
+
+  override def serialize(obj: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * obj.length)
+    obj.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): GramTri =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): GramTri =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, scaleExpr = newRight)
+}
+
+/** Registry + Column surface, mirroring [[HeavyHittersFunctions]]. */
+object GramTriFunctions {
+
+  val info = new ExpressionInfo(classOf[GramTri].getName, "gram_tri")
+
+  val builder: Seq[Expression] => Expression = {
+    case Seq(v, s) => GramTri(v, s)
+    case other => throw new IllegalArgumentException(
+      s"gram_tri takes 2 arguments, got ${other.length}")
+  }
+
+  /** Install gram_tri into the session registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("gram_tri"), info, builder)
+
+  /** Fixed-point upper-triangle gram digest of an array<double> column.
+    * Requires [[register]] on the session (Tables.load does it). */
+  def gramTri(v: Column, scale: Double): Column =
+    org.apache.spark.sql.functions.call_function(
+      "gram_tri", v, org.apache.spark.sql.functions.lit(scale))
+}

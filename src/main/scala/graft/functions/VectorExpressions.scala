@@ -137,5 +137,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"), TextFunctions.info, TextFunctions.builder))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"), MinhashFunctions.info, MinhashFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("gram_tri"), GramTriFunctions.info, GramTriFunctions.builder))
   }
 }

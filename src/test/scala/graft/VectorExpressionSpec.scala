@@ -43,4 +43,42 @@ class VectorExpressionSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("gram_tri equals the declarative explode+sum digest, incl. negative products") {
+    import ss.implicits._
+    // negatives and half-way points exercise the HALF_UP emulation
+    val rows = Seq(
+      Array(0.5, -1.25, 2.0),
+      Array(-0.5, 0.0000005, -2.0),
+      Array(1.5, 2.5, -3.5))
+    val df = rows.map(Tuple1(_)).toDF("v")
+    val got = df.agg(graft.functions.GramTriFunctions
+        .gramTri(col("v"), 1000000.0).as("g"))
+      .head().getSeq[Long](0)
+    val expected = {
+      val acc = Array.ofDim[Long](6)
+      rows.foreach { v =>
+        var p = 0
+        for (i <- 0 until 3; j <- i until 3) {
+          acc(p) += java.math.BigDecimal.valueOf(v(i) * v(j) * 1000000.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          p += 1
+        }
+      }
+      acc.toSeq
+    }
+    assert(got === expected)
+    // the same digest through the declarative round()+explode plan
+    val declarative = df.select(posexplode(flatten(transform(
+        sequence(lit(1), lit(3)), i => transform(sequence(i, lit(3)), j =>
+          round(element_at(col("v"), i) * element_at(col("v"), j)
+            * lit(1000000.0)).cast("long"))))))
+      .toDF("pos", "prod").groupBy("pos").agg(sum("prod").as("s"))
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    assert(got === declarative)
+    // empty input -> null digest, and partial merges are size-checked
+    assert(df.filter(lit(false))
+      .agg(graft.functions.GramTriFunctions.gramTri(col("v"), 1000000.0))
+      .head().isNullAt(0))
+  }
 }
