@@ -2260,7 +2260,53 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- q_tx_template_prefix ---------------------------------------------------
+  // PER-SOURCE TEMPLATE-PREFIX DETECTION: the longest common prefix of
+  // ALL documents in a source — scraped corpora carry per-site
+  // headers/banners that depress downstream diversity, and the cheap
+  // exact detector is an order-statistics trick: over a lexicographically
+  // sorted set, LCP(min, max) = LCP of the whole set, so one min/max
+  // aggregation per source replaces any pairwise comparison — O(1)
+  // state per group at any corpus size (the same reason sorted SSTables
+  // store block-prefix deltas). The LCP itself counts positions i where
+  // the two i-char prefixes still agree (prefix equality is monotone in
+  // i, so the count IS the longest prefix length) — a few hundred
+  // substring compares on TWO strings per source, never per doc.
+  def templatePrefix(s: SparkSession, d: String): DataFrame = {
+    val mm = Tables.documents(s, d).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        min(col("text")).as("lo"), max(col("text")).as("hi"))
+    mm.withColumn("lcp_len",
+        size(filter(sequence(lit(1), least(length(col("lo")), length(col("hi")))),
+          i => col("lo").substr(lit(1), i) === col("hi").substr(lit(1), i)))
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("lcp_len"),
+        col("lo").substr(lit(1), col("lcp_len").cast("int")).as("template"),
+        (col("lcp_len").cast("double") /
+          (col("sum_chars").cast("double") / col("n_docs").cast("double")))
+          .as("template_ratio"))
+      .orderBy("source")
+  }
+
+  lazy val templatePrefixSql: String =
+    s"""WITH mm AS MATERIALIZED (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       |    min(text) AS lo, max(text) AS hi
+       |  FROM documents GROUP BY source),
+       |lcp AS MATERIALIZED (
+       |  SELECT source, n_docs, sum_chars, lo,
+       |    CAST(len(list_filter(generate_series(1, least(length(lo), length(hi))),
+       |      i -> lo[1:i] = hi[1:i])) AS BIGINT) AS lcp_len
+       |  FROM mm)
+       |SELECT source, n_docs, lcp_len, lo[1:lcp_len] AS template,
+       |  lcp_len::DOUBLE / (sum_chars::DOUBLE / n_docs::DOUBLE) AS template_ratio
+       |FROM lcp
+       |ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tx_template_prefix" -> (templatePrefix _),
     "q_tx_boilerplate" -> (boilerplate _),
     "q_tx_source_overlap" -> (sourceOverlap _),
     "q_tx_langid_eval" -> (langIdEval _),
@@ -2299,6 +2345,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_tx_boilerplate" -> boilerplateSql,
+    "q_tx_template_prefix" -> templatePrefixSql,
     "q_tx_source_overlap" -> sourceOverlapSql,
     "q_tx_langid_eval" -> langIdEvalSql,
     "q_tx_kappa" -> kappaSql,

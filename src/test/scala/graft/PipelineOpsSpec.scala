@@ -2284,6 +2284,31 @@ class PipelineOpsSpec extends SparkSpec {
       "a source appears in more than one split")
   }
 
+  test("template prefix finds the injected per-source banner; clean source reports zero") {
+    import ss.implicits._
+    val dir = Files.createTempDirectory("graft-tpl").toString
+    Seq(
+      (1L, "BANNER gas daily report alpha", "en", "tpl", 29L),
+      (2L, "BANNER gas daily report beta", "en", "tpl", 28L),
+      (3L, "BANNER gas daily zeta", "en", "tpl", 21L),
+      (4L, "free text one", "en", "clean", 13L),
+      (5L, "other words two", "en", "clean", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.templatePrefix(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("lcp_len"), r.getAs[String]("template")))).toMap
+    // sorted set: min="BANNER gas daily report alpha"? no — "BANNER gas daily zeta"
+    // sorts AFTER "...report..."; LCP(min,max) = "BANNER gas daily "
+    assert(rows("tpl")._2 === "BANNER gas daily ", s"got '${rows("tpl")._2}'")
+    assert(rows("tpl")._1 === 17L)
+    assert(rows("clean")._1 === 0L && rows("clean")._2 === "")
+    // and the real corpus runs clean end-to-end (no template by construction)
+    val corpus = TextAnalysis.templatePrefix(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getAs[Double]("template_ratio") >= 0.0))
+  }
+
   test("boilerplate screen matches a brute per-doc recompute; short docs keep a zero row") {
     val rows = TextAnalysis.boilerplate(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
