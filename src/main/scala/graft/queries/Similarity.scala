@@ -2349,7 +2349,9 @@ object Similarity {
   private val PcaProdScale = 1e12
   private val PcaSumScale = 1e6
 
-  def pca(s: SparkSession, d: String): DataFrame = {
+  /** Driver-side top eigenpair shared by [[pca]] and [[pcaScores]]:
+    * (sign-pinned loadings, eigenvalue, explained-variance ratio). */
+  private def pcaEigen(s: SparkSession, d: String): (Array[Double], Double, Double) = {
     require(PcaDims <= PcaMaxDims,
       s"pca: $PcaDims dims exceeds the $PcaMaxDims-dim driver-matrix cap - the dims^2 " +
         "gram digest no longer fits driver arithmetic; block the matrix (per-block gram " +
@@ -2409,15 +2411,21 @@ object Similarity {
     var mi = 0
     (1 until PcaDims).foreach(i => if (math.abs(v(i)) > math.abs(v(mi))) mi = i)
     val sgn = if (v(mi) < 0.0) -1.0 else 1.0
-    val ratio = lambda / trace
+    (v.map(_ * sgn), lambda, lambda / trace)
+  }
+
+  def pca(s: SparkSession, d: String): DataFrame = {
+    val (vs, lambda, ratio) = pcaEigen(s, d)
     import s.implicits._
     (0 until PcaDims)
-      .map(i => (i.toLong, sgn * v(i), lambda, ratio))
+      .map(i => (i.toLong, vs(i), lambda, ratio))
       .toDF("dim", "loading", "eigenvalue", "var_ratio")
       .orderBy("dim")
   }
 
-  lazy val pcaSql: String = {
+  /** The shared CTE chain replaying the gram, covariance, power
+    * iteration and sign pin — prefix of BOTH pca oracles. */
+  private lazy val pcaIterCtes: String = {
     val dot64 = (row: String, vec: String) =>
       s"""list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(generate_series(1, $PcaDims),
@@ -2438,7 +2446,7 @@ object Similarity {
          |  SELECT list_transform(wl.lst, x -> x / nr.nrm) AS lst
          |  FROM wl$r wl, nr$r nr)""".stripMargin
     }.mkString(",\n")
-    s"""WITH gram AS MATERIALIZED (
+    s"""gram AS MATERIALIZED (
        |  SELECT gi.i, gj.j,
        |    sum(CAST(round(embedding[gi.i]::DOUBLE * embedding[gj.j]::DOUBLE
        |      * ${PcaProdScale}) AS BIGINT)) AS g
@@ -2478,11 +2486,69 @@ object Similarity {
        |      SELECT i FROM generate_series(1, $PcaDims) g(i), v$PcaRounds q
        |      ORDER BY abs(q.lst[i]) DESC, i LIMIT 1)] < 0.0
        |    THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sgn
-       |  FROM v$PcaRounds p)
-       |SELECT (g.i - 1)::BIGINT AS dim, sg.sgn * p.lst[g.i] AS loading,
+       |  FROM v$PcaRounds p)""".stripMargin
+  }
+
+  lazy val pcaSql: String =
+    s"""WITH $pcaIterCtes
+       |SELECT (g.i - 1)::BIGINT AS dim, p.lst[g.i] * sg.sgn AS loading,
        |  lam.lambda AS eigenvalue, lam.lambda / tr.trace AS var_ratio
        |FROM generate_series(1, $PcaDims) g(i), v$PcaRounds p, lam, tr, sg
        |ORDER BY dim""".stripMargin
+
+  // --- q_sim_pca_scores -------------------------------------------------------
+  // PC1 SCORE DISTRIBUTION PER LABEL — the "does the top principal
+  // direction separate my classes" probe run right after [[pca]]:
+  // every vector projects onto the sign-pinned top loading and each
+  // label reports its score count/mean/variance. The projection is the
+  // codegen'd vec_dot against a LITERAL loading vector (the driver
+  // eigen result — identical doubles to the oracle's replayed v_rounds
+  // by the pca exactness argument), so the scan stays whole-stage
+  // codegen; per-label moments route through 1e-9 fixed point (exact
+  // integer sums in any order, the kmeansUpdate discipline). Scale:
+  // one scan, one map-side-combined label-grain aggregation.
+  private val PcaScoreScale = 1e9
+
+  def pcaScores(s: SparkSession, d: String): DataFrame = {
+    val (vs, _, _) = pcaEigen(s, d)
+    val p = Vectors.dot(col("v"), typedLit(vs.toSeq))
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .select(col("label"), p.as("p"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("p") * lit(PcaScoreScale)).cast("long")).as("sp"),
+        sum(round(col("p") * col("p") * lit(PcaScoreScale)).cast("long")).as("spp"))
+      .select(col("label"), col("n"),
+        ((col("sp").cast("double") / lit(PcaScoreScale)) /
+          col("n").cast("double")).as("mean_pc1"),
+        ((col("spp").cast("double") / lit(PcaScoreScale)) /
+          col("n").cast("double") -
+          ((col("sp").cast("double") / lit(PcaScoreScale)) /
+            col("n").cast("double")) *
+          ((col("sp").cast("double") / lit(PcaScoreScale)) /
+            col("n").cast("double"))).as("var_pc1"))
+      .orderBy("label")
+  }
+
+  lazy val pcaScoresSql: String = {
+    val mean = s"(sp::DOUBLE / ${PcaScoreScale}) / n::DOUBLE"
+    s"""WITH $pcaIterCtes,
+       |vsg AS MATERIALIZED (
+       |  SELECT list_transform(p.lst, x -> x * sg.sgn) AS lst
+       |  FROM v$PcaRounds p, sg),
+       |sc AS MATERIALIZED (
+       |  SELECT label, ${Vectors.dotSql("embedding", "vsg.lst")} AS p
+       |  FROM embeddings, vsg),
+       |agg AS MATERIALIZED (
+       |  SELECT label, count(*) AS n,
+       |    CAST(sum(CAST(round(p * ${PcaScoreScale}) AS BIGINT)) AS BIGINT) AS sp,
+       |    CAST(sum(CAST(round(p * p * ${PcaScoreScale}) AS BIGINT)) AS BIGINT) AS spp
+       |  FROM sc GROUP BY label)
+       |SELECT label, n, $mean AS mean_pc1,
+       |  (spp::DOUBLE / ${PcaScoreScale}) / n::DOUBLE - ($mean) * ($mean) AS var_pc1
+       |FROM agg
+       |ORDER BY label""".stripMargin
   }
 
   // --- q_sim_centroid_drift ---------------------------------------------------
@@ -2551,6 +2617,7 @@ object Similarity {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pca" -> (pca _),
+    "q_sim_pca_scores" -> (pcaScores _),
     "q_sim_centroid_drift" -> (centroidDrift _),
     "q_sim_linear_probe" -> (linearProbe _),
     "q_sim_probe_weights" -> (linearProbeWeights _),
@@ -2582,6 +2649,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_pca" -> pcaSql,
+    "q_sim_pca_scores" -> pcaScoresSql,
     "q_sim_centroid_drift" -> centroidDriftSql,
     "q_sim_linear_probe" -> linearProbeSql,
     "q_sim_probe_weights" -> linearProbeWeightsSql,

@@ -2370,6 +2370,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("PCA scores: per-label moments replay brute projections onto the pca loadings") {
+    val loadings = Similarity.pca(spark, sf).collect()
+      .sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("loading"))
+    val rows = Similarity.pcaScores(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_pc1"),
+          r.getAs[Double]("var_pc1")))).toMap
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("label", "cast(embedding as array<double>) v").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    e.groupBy(_._1).foreach { case (label, xs) =>
+      val ps = xs.map { case (_, v) =>
+        (0 until 64).map(i => v(i) * loadings(i)).sum
+      }
+      val (n, mean, variance) = rows(label)
+      assert(n === ps.length.toLong)
+      val em = ps.sum / ps.length
+      val ev = ps.map(p => p * p).sum / ps.length - em * em
+      // 1e-9 fixed point perturbs each score by <= 5e-10
+      assert(math.abs(mean - em) < 1e-7, s"label $label mean $mean vs $em")
+      assert(math.abs(variance - ev) < 1e-7, s"label $label var")
+      assert(variance >= 0.0)
+    }
+  }
+
   test("PCA: unit-norm loadings, converged eigenpair vs brute covariance, sign pinned") {
     val rows = Similarity.pca(spark, sf).collect().sortBy(_.getAs[Long]("dim"))
     assert(rows.length === 64)
