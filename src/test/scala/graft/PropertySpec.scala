@@ -436,4 +436,34 @@ class PropertySpec extends SparkSpec {
     assert(ok.forall(_ >= 0.0))
     assert(math.abs(ok.sum - 1.0) < 1e-9, s"mass ${ok.sum}")
   }
+
+  test("gram_tri digest equals the BigDecimal HALF_UP brute on any vector set") {
+    import org.apache.spark.sql.functions.col
+    import ss.implicits._
+    val gen: Gen[(Int, List[List[Double]])] = for {
+      dims <- Gen.choose(1, 8)
+      n <- Gen.choose(1, 20)
+      rows <- Gen.listOfN(n, Gen.listOfN(dims,
+        Gen.choose(-2000000, 2000000).map(_ / 1000000.0)))
+    } yield (dims, rows)
+    forAll(gen, n = 10) { case (dims, rows) =>
+      val df = rows.map(r => Tuple1(r.toArray)).toDF("v")
+        .repartition(3) // force partial buffers + a real merge
+      val got = df.agg(graft.functions.GramTriFunctions
+          .gramTri(col("v"), 1000000.0).as("g"))
+        .head().getSeq[Long](0)
+      val cells = dims * (dims + 1) / 2
+      assert(got.length === cells)
+      val expected = Array.ofDim[Long](cells)
+      rows.foreach { v =>
+        var p = 0
+        for (i <- 0 until dims; j <- i until dims) {
+          expected(p) += java.math.BigDecimal.valueOf(v(i) * v(j) * 1000000.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          p += 1
+        }
+      }
+      assert(got === expected.toSeq)
+    }
+  }
 }
