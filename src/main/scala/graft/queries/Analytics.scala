@@ -3764,7 +3764,100 @@ object Analytics {
       |  new_users::DOUBLE / (new_users + returning_users)::DOUBLE AS new_frac
       |FROM cls ORDER BY day""".stripMargin
 
+  // --- q_ev_cuped -------------------------------------------------------------
+  // CUPED VARIANCE REDUCTION (Deng et al. 2013, public — "Improving the
+  // Sensitivity of Online Controlled Experiments"): the pre-period
+  // covariate adjustment every experimentation platform applies before
+  // reading a metric. Users split their activity at the corpus
+  // midpoint timestamp (integer-micros arithmetic, in-plan scalar):
+  // pre-period spend is the covariate, post-period spend the metric;
+  // theta is the OLS slope of post on pre, and the variance reduction
+  // CUPED delivers equals the regression r² — reported as var(post),
+  // var(adjusted) and the reduction %. Moments ride the linreg
+  // discipline: per-user cent sums are exact BIGINTs, the five moments
+  // accumulate in DECIMAL(38,0) (user-grain squares ≈ 10¹² — BIGINT
+  // sums would wrap at ~10⁶ users), each casts to double ONCE, and the
+  // closed forms are fixed operand-order trees ⇒ identical bits in
+  // both engines. Scale: one scan → user-grain conditional sums
+  // (map-side combined) → a 1-row moment digest.
+  def cuped(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    // integer div on both sides: `/` is double division in BOTH engines
+    // and their double->int casts disagree (Spark truncates, DuckDB
+    // rounds) — the q_ag_histogram lesson
+    val mid = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select((col("lo") + expr("(hi - lo) div 2")).as("mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(lit(0L))).as("x"),
+        sum(when(col("us") >= col("mid"), col("cents")).otherwise(lit(0L))).as("y"))
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    m.withColumn("nd", col("n").cast("double"))
+      .withColumn("cxy", col("nd") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double"))
+      .withColumn("cxx", col("nd") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("cyy", col("nd") * col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double"))
+      .withColumn("theta",
+        when(col("cxx") > 0.0, col("cxy") / col("cxx")).otherwise(0.0))
+      .withColumn("r2",
+        when(col("cxx") > 0.0 && col("cyy") > 0.0,
+          col("cxy") / col("cxx") * col("cxy") / col("cyy")).otherwise(0.0))
+      .select(col("n").as("n_users"), col("theta"),
+        (col("cyy") / (col("nd") * col("nd")) / 10000.0).as("var_post"),
+        (col("cyy") / (col("nd") * col("nd")) / 10000.0 * (lit(1.0) - col("r2")))
+          .as("var_adj"),
+        (col("r2") * 100.0).as("reduction_pct"))
+  }
+
+  lazy val cupedSql: String =
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT user_id, epoch_us(ts) AS us,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |mid AS MATERIALIZED (
+       |  SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+       |pu AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+       |  FROM ev, mid GROUP BY user_id),
+       |m AS MATERIALIZED (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+       |  FROM pu),
+       |t AS MATERIALIZED (
+       |  SELECT n, CAST(n AS DOUBLE) AS nd,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+       |  FROM m)
+       |SELECT n AS n_users,
+       |  CASE WHEN cxx > 0.0 THEN cxy / cxx ELSE 0.0 END AS theta,
+       |  cyy / (nd * nd) / 10000.0 AS var_post,
+       |  cyy / (nd * nd) / 10000.0 * (1.0 - CASE WHEN cxx > 0.0 AND cyy > 0.0
+       |    THEN cxy / cxx * cxy / cyy ELSE 0.0 END) AS var_adj,
+       |  (CASE WHEN cxx > 0.0 AND cyy > 0.0
+       |    THEN cxy / cxx * cxy / cyy ELSE 0.0 END) * 100.0 AS reduction_pct
+       |FROM t""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_cuped" -> (cuped _),
     "q_ev_gap_quantiles" -> (gapQuantiles _),
     "q_ev_growth" -> (growth _),
     "q_ag_levene" -> (levene _),
@@ -3846,6 +3939,7 @@ object Analytics {
     "q_ag_anova" -> anovaSql,
     "q_ag_kendall" -> kendallSql,
     "q_ev_gini" -> giniSql,
+    "q_ev_cuped" -> cupedSql,
     "q_ag_hll_relational" -> hllRelationalSql,
     "q_ag_cms" -> cmsSql,
     "q_ag_topk_group" -> topkGroupSql,

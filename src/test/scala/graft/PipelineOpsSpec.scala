@@ -2271,6 +2271,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, "r2 range")
   }
 
+  test("CUPED: theta is the OLS slope of post on pre; reduction equals r2; var_adj <= var_post") {
+    val r = Analytics.cuped(spark, sf).head()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) us",
+        "cast(round(value * 100) as long) cents").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val mid = lo + (hi - lo) / 2
+    val byUser = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.filter(_._2 < mid).map(_._3).sum, xs.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    val n = byUser.length.toDouble
+    def s(f: ((Long, Long, Long)) => BigInt) = byUser.map(f).sum
+    val sx = s(t => BigInt(t._2)); val sy = s(t => BigInt(t._3))
+    val sxx = s(t => BigInt(t._2) * BigInt(t._2))
+    val sxy = s(t => BigInt(t._2) * BigInt(t._3))
+    val syy = s(t => BigInt(t._3) * BigInt(t._3))
+    val cxy = n * sxy.toDouble - sx.toDouble * sy.toDouble
+    val cxx = n * sxx.toDouble - sx.toDouble * sx.toDouble
+    val cyy = n * syy.toDouble - sy.toDouble * sy.toDouble
+    assert(r.getAs[Long]("n_users") === byUser.length.toLong)
+    assert(math.abs(r.getAs[Double]("theta") - cxy / cxx) < 1e-9, "theta")
+    val r2 = cxy / cxx * cxy / cyy
+    assert(math.abs(r.getAs[Double]("reduction_pct") - r2 * 100.0) < 1e-9)
+    assert(r.getAs[Double]("var_adj") <= r.getAs[Double]("var_post") + 1e-12,
+      "adjustment can never increase variance")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+  }
+
   test("group split is source-disjoint, covers every doc, and self-audits zero leakage") {
     val rows = Sampling.groupSplit(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
