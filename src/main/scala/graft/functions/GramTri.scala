@@ -22,11 +22,12 @@ import org.apache.spark.sql.{Column, SparkSession}
   * exploded row per cell; this aggregate runs the same arithmetic as
   * one tight JVM loop per row into a primitive long buffer, combines
   * map-side like any TypedImperativeAggregate, and ships ONE
-  * 2080-cell digest per partition. Semantics are identical — the
-  * rounding is Spark's `round()` HALF_UP (away from zero), emulated
-  * with floor/ceil at ±0.5, which is exact for |v*scale| < 2^51 (the
-  * 0.5 increment is representable in every binade below that, and the
-  * verify gate re-checks the bit-equality at all three SFs).
+  * 2080-cell digest per partition. Semantics are identical — rounding
+  * is Spark `round()`'s BigDecimal HALF_UP exactly: a floor/ceil ±0.5
+  * fast path for every unambiguous value, falling back to BigDecimal
+  * whenever the shifted value lands exactly on an integer (genuine
+  * ties AND boundary artifacts like nextDown(0.5), whose +0.5 sum
+  * tie-rounds up to 1.0 — the case a bare floor emulation gets wrong).
   *
   * Sums are exact integers, so partial aggregation order cannot
   * perturb the result — the retry/partitioning-stability contract all
@@ -60,9 +61,7 @@ case class GramTri(
   override def nullable: Boolean = true
   override def prettyName: String = "gram_tri"
 
-  /** Spark round() parity: HALF_UP = half away from zero. */
-  private def roundHalfUp(x: Double): Long =
-    if (x >= 0.0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+  private def roundHalfUp(x: Double): Long = GramTriFunctions.roundHalfUp(x)
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
@@ -130,6 +129,24 @@ case class GramTri(
 
 /** Registry + Column surface, mirroring [[HeavyHittersFunctions]]. */
 object GramTriFunctions {
+
+  /** Spark round() parity: HALF_UP = half away from zero.
+    *
+    * Fast path: floor(x+0.5) / ceil(x-0.5). The ±0.5 addition can cross
+    * an integer boundary only by LANDING on it exactly (the nearest
+    * representable below k+ulp is k itself), so whenever the shifted
+    * value is integral — a genuine tie like 2.5, or a boundary artifact
+    * like nextDown(0.5)+0.5 tie-rounding to 1.0 — the slow path resolves
+    * through the same BigDecimal HALF_UP Spark's round() uses. Every
+    * non-integral landing is unambiguous and stays on the fast path. */
+  private[graft] def roundHalfUp(x: Double): Long = {
+    val shifted = if (x >= 0.0) x + 0.5 else x - 0.5
+    val r = if (x >= 0.0) math.floor(shifted) else math.ceil(shifted)
+    if (shifted == r)
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    else r.toLong
+  }
 
   val info = new ExpressionInfo(classOf[GramTri].getName, "gram_tri")
 

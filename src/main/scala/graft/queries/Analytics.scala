@@ -3793,12 +3793,15 @@ object Analytics {
       .groupBy("user_id")
       .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(lit(0L))).as("x"),
         sum(when(col("us") >= col("mid"), col("cents")).otherwise(lit(0L))).as("y"))
+    // products cast to DECIMAL BEFORE multiplying: unlike linreg's
+    // per-ROW cents, x/y here are unbounded per-USER sums — a 64-bit
+    // x*x wraps silently in Spark past ~3e9 cents while DuckDB errors
     val m = perUser.agg(count(lit(1)).as("n"),
       sum(col("x").cast("decimal(38,0)")).as("sx"),
       sum(col("y").cast("decimal(38,0)")).as("sy"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)")).as("sxx"),
+      sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)")).as("sxy"),
+      sum(col("y").cast("decimal(18,0)") * col("y").cast("decimal(18,0)")).as("syy"))
     m.withColumn("nd", col("n").cast("double"))
       .withColumn("cxy", col("nd") * col("sxy").cast("double")
         - col("sx").cast("double") * col("sy").cast("double"))
@@ -3834,9 +3837,9 @@ object Analytics {
        |  SELECT count(*) AS n,
        |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
-       |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-       |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
-       |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+       |    sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+       |    sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy,
+       |    sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy
        |  FROM pu),
        |t AS MATERIALIZED (
        |  SELECT n, CAST(n AS DOUBLE) AS nd,

@@ -2349,16 +2349,25 @@ object Similarity {
   private val PcaProdScale = 1e12
   private val PcaSumScale = 1e6
 
-  /** Driver-side top eigenpair shared by [[pca]] and [[pcaScores]]:
-    * (sign-pinned loadings, eigenvalue, explained-variance ratio). */
-  private def pcaEigen(s: SparkSession, d: String): (Array[Double], Double, Double) = {
+  /** Driver-side top eigenpair shared by [[pca]] and [[pcaScores]],
+    * memoized per dataset fingerprint (the in-memory analogue of the
+    * Stage.ensure discipline — the result is 64 doubles + 2 scalars, so
+    * a driver map beats a parquet round-trip; a regenerated dataset gets
+    * a new tag and so a fresh derivation). */
+  private val eigenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double, Double)]()
+
+  private def pcaEigen(s: SparkSession, d: String): (Array[Double], Double, Double) =
+    eigenCache.computeIfAbsent(Tables.stageTag(d), _ => pcaEigenDerive(s, d))
+
+  private def pcaEigenDerive(s: SparkSession, d: String): (Array[Double], Double, Double) = {
     require(PcaDims <= PcaMaxDims,
       s"pca: $PcaDims dims exceeds the $PcaMaxDims-dim driver-matrix cap - the dims^2 " +
         "gram digest no longer fits driver arithmetic; block the matrix (per-block gram " +
         "aggregates, dims/B^2 driver tiles) or switch to distributed randomized SVD")
     val e = Tables.embeddings(s, d)
       .select(col("embedding").cast("array<double>").as("v"))
-    // one scan, two digests: gram cells + dims mean sums, both
+    // two digest jobs over the scan: gram cells + dims mean sums, both
     // exact-integer and map-side combined (groups are data-independent).
     // The gram is symmetric, so only the UPPER TRIANGLE (2080 cells) is
     // accumulated — by the native [[graft.functions.GramTri]] aggregate
@@ -2454,9 +2463,9 @@ object Similarity {
        |    generate_series(1, $PcaDims) gi(i), generate_series(1, $PcaDims) gj(j)
        |  GROUP BY gi.i, gj.j),
        |mu AS MATERIALIZED (
-       |  SELECT gi.i, count(*) AS n,
+       |  SELECT gi.i, count(embedding[gi.i]) AS n,
        |    (sum(CAST(round(embedding[gi.i]::DOUBLE * ${PcaSumScale}) AS BIGINT))::DOUBLE
-       |      / ${PcaSumScale}) / count(*) AS mu
+       |      / ${PcaSumScale}) / count(embedding[gi.i]) AS mu
        |  FROM embeddings, generate_series(1, $PcaDims) gi(i)
        |  GROUP BY gi.i),
        |cov AS MATERIALIZED (
@@ -2594,7 +2603,8 @@ object Similarity {
 
   lazy val centroidDriftSql: String =
     s"""WITH sums AS MATERIALIZED (
-       |  SELECT label, vec_id % 2 AS half, gi.i AS dim, count(*) AS n,
+       |  SELECT label, vec_id % 2 AS half, gi.i AS dim,
+       |    count(embedding[gi.i]) AS n,
        |    sum(CAST(round(embedding[gi.i]::DOUBLE * 1000000.0) AS BIGINT)) AS sx
        |  FROM embeddings, generate_series(1, $PcaDims) gi(i)
        |  GROUP BY label, vec_id % 2, gi.i),

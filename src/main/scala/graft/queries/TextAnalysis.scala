@@ -2207,11 +2207,7 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
     val grams = docs
-      .select(col("doc_id"), explode(
-        when(size(col("t")) < BoilerWin, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(col("t")) - lit(BoilerWin)),
-            i => concat_ws(" ", slice(col("t"), i + lit(1), lit(BoilerWin)))))).as("g"))
+      .select(col("doc_id"), explode(Text.shingles(col("t"), BoilerWin)).as("g"))
       .localCheckpoint() // df pass and occurrence pass both read it
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val boiler = grams.distinct()
@@ -2277,10 +2273,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("sum_chars"),
         min(col("text")).as("lo"), max(col("text")).as("hi"))
+    // empty-min guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]),
+    // and the i=0 probe compares "" == "" — an empty lo/hi must report 0
     mm.withColumn("lcp_len",
-        size(filter(sequence(lit(1), least(length(col("lo")), length(col("hi")))),
-          i => col("lo").substr(lit(1), i) === col("hi").substr(lit(1), i)))
-          .cast("long"))
+        when(least(length(col("lo")), length(col("hi"))) === 0, lit(0L))
+          .otherwise(size(filter(
+            sequence(lit(1), least(length(col("lo")), length(col("hi")))),
+            i => col("lo").substr(lit(1), i) === col("hi").substr(lit(1), i)))
+            .cast("long")))
       .select(col("source"), col("n_docs"), col("lcp_len"),
         col("lo").substr(lit(1), col("lcp_len").cast("int")).as("template"),
         (col("lcp_len").cast("double") /

@@ -910,8 +910,13 @@ object TrainPrep {
   private val SpanLen = 3
 
   def spanCorruption(s: SparkSession, d: String): DataFrame = {
+    // zero-token docs are dropped HERE, not by the trailing n_tokens
+    // filter: sequence(1, 0) is descending ([1, 0]) and would hand the
+    // transform lambdas an i=0 probe — an always-throwing array index
+    // that only optimizer pushdown was rescuing
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
     // starts(i): position i (1-based) opens a span; masked(i): any of
     // the previous SpanLen-1 positions (or i itself) opened one
     val withStarts = toks.withColumn("starts",
@@ -933,9 +938,7 @@ object TrainPrep {
             when(i > lit(1), !element_at(col("masked"), i - 1)).otherwise(lit(true))))
           .cast("long").as("n_spans"))
       .withColumn("mask_ratio",
-        coalesce(col("n_masked").cast("double") /
-          nullif(col("n_tokens"), lit(0L)), lit(0.0)))
-      .filter(col("n_tokens") > 0)
+        col("n_masked").cast("double") / col("n_tokens").cast("double"))
       .orderBy("doc_id")
   }
 
@@ -958,8 +961,7 @@ object TrainPrep {
        |  CAST(len(list_filter(masked, x -> x)) AS BIGINT) AS n_masked,
        |  CAST(len(list_filter(generate_series(1, n), i -> masked[i]
        |    AND (i = 1 OR NOT masked[i - 1]))) AS BIGINT) AS n_spans,
-       |  coalesce(len(list_filter(masked, x -> x))::DOUBLE
-       |    / nullif(n, 0), 0.0) AS mask_ratio
+       |  len(list_filter(masked, x -> x))::DOUBLE / n::DOUBLE AS mask_ratio
        |FROM mk
        |ORDER BY doc_id""".stripMargin
   }

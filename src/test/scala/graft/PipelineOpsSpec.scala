@@ -2321,7 +2321,9 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "BANNER gas daily report beta", "en", "tpl", 28L),
       (3L, "BANNER gas daily zeta", "en", "tpl", 21L),
       (4L, "free text one", "en", "clean", 13L),
-      (5L, "other words two", "en", "clean", 15L))
+      (5L, "other words two", "en", "clean", 15L),
+      (6L, "", "en", "hasempty", 0L), // empty min(text): LCP must be 0, not 1
+      (7L, "nonempty words", "en", "hasempty", 14L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = TextAnalysis.templatePrefix(spark, dir).collect()
@@ -2332,6 +2334,9 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows("tpl")._2 === "BANNER gas daily ", s"got '${rows("tpl")._2}'")
     assert(rows("tpl")._1 === 17L)
     assert(rows("clean")._1 === 0L && rows("clean")._2 === "")
+    // Spark's sequence(1, 0) is descending ([1, 0]); the i=0 ""=="" probe
+    // must not count — empty-min sources report no template
+    assert(rows("hasempty")._1 === 0L && rows("hasempty")._2 === "")
     // and the real corpus runs clean end-to-end (no template by construction)
     val corpus = TextAnalysis.templatePrefix(spark, sf).collect()
     assert(corpus.nonEmpty)

@@ -81,4 +81,21 @@ class VectorExpressionSpec extends SparkSpec {
       .agg(graft.functions.GramTriFunctions.gramTri(col("v"), 1000000.0))
       .head().isNullAt(0))
   }
+
+  test("roundHalfUp matches BigDecimal HALF_UP at ties and binade-boundary artifacts") {
+    val cases = Seq(
+      0.5, -0.5, 2.5, -2.5, 1.5, -1.5,
+      Math.nextDown(0.5), Math.nextUp(0.5),
+      -Math.nextDown(0.5), -Math.nextUp(0.5),
+      Math.nextDown(2.5), Math.nextUp(2.5),
+      0.49999999999999994, // +0.5 tie-rounds to 1.0: the bare-floor trap
+      1.4999999999999998, 0.0, -0.0, 1e15 + 0.5, -(1e15 + 0.5),
+      123456789.49999999, -123456789.49999999)
+    cases.foreach { x =>
+      val expected = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      assert(graft.functions.GramTriFunctions.roundHalfUp(x) === expected,
+        s"roundHalfUp($x)")
+    }
+  }
 }
