@@ -1075,6 +1075,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate: the boiler-set join broadcasts; the gram frame is paid once") {
+    val df = graft.queries.TextAnalysis.boilerplate(spark, sf)
+    df.collect()
+    // AQE re-renders the initial plan below the marker — gate the FINAL
+    // plan prefix only (the repo-wide AQE plan-string rule)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("""BroadcastHashJoin \[g#\d+\]""".r.findFirstIn(p).isDefined,
+      s"the gram-key boiler join must broadcast, never shuffle the gram stream:\n${p.take(1500)}")
+    assert(!"""SortMergeJoin \[g#\d+\]""".r.findFirstIn(p).isDefined,
+      "no gram-grain shuffle join may appear in the per-doc aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pca: the gram digest partial-aggregates map-side (one digest per partition)") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val df = e.agg(graft.functions.GramTriFunctions.gramTri(col("v"), 1e12).as("g"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // two aggregate operators (partial + final) around one exchange:
+    // the digest combines map-side, so the exchange carries ONE
+    // 2080-cell buffer per partition, never row-grain traffic
+    assert("(?i)partial_gram_tri".r.findFirstIn(p).isDefined,
+      s"gram_tri must plan a partial aggregate:\n${p.take(1500)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+  }
+
+  test("group split and span corruption stay scan-side: no join wider than the broadcast audit") {
+    val gs = graft.queries.Sampling.groupSplit(spark, sf)
+    gs.collect()
+    val pgs = gs.queryExecution.executedPlan.toString
+    assert(!pgs.contains("SortMergeJoin"),
+      "group split is two digests + a broadcast scalar; row-grain shuffle joins are wrong")
+    val sc = graft.queries.TrainPrep.spanCorruption(spark, sf)
+    sc.collect()
+    val psc = sc.queryExecution.executedPlan.toString
+    assert(!psc.contains("Join"), "span corruption is a pure per-doc projection")
+    assert(!psc.contains("Exchange hashpartitioning"),
+      s"no shuffle belongs in a per-doc projection:\n${psc.take(1200)}")
+  }
+
   private implicit class Let[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }
