@@ -555,7 +555,8 @@ object Graph {
        |reached AS MATERIALIZED (
        |  SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node),
        |nodes AS MATERIALIZED (
-       |  SELECT a AS node FROM und UNION SELECT b AS node FROM und),
+       |  SELECT DISTINCT node FROM (
+       |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)),
        |per_hop AS MATERIALIZED (
        |  SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
        |    min(node) AS min_node, max(node) AS max_node
@@ -732,6 +733,98 @@ object Graph {
        |  dlb.diameter_lb, eff.eff_diameter
        |FROM per_src, dlb, eff
        |ORDER BY src""".stripMargin
+
+  // --- q_gr_scc ---------------------------------------------------------------
+  // STRONGLY CONNECTED COMPONENT by FORWARD-BACKWARD reachability
+  // (Fleischer–Hendrickson–Pinar 2000, public — the standard
+  // distributed SCC primitive; Tarjan's stack walk does not
+  // parallelize): over the DIRECTED event-type transition graph, two
+  // bounded BFS sweeps from a deterministic pivot — forward along
+  // edges, backward along reversed edges — and SCC(pivot) = F ∩ B.
+  // The output labels every node with its FW-BW partition cell
+  // ('scc' / 'fwd' / 'bwd' / 'rest'), which is exactly the recursion
+  // structure of the full decomposition (each non-scc cell recurses
+  // independently), plus the pivot component's size. The undirected CC
+  // engines upstream cannot answer this: direction matters for "can a
+  // session return to this state". Rounds are frontier-only expansions
+  // with an early exit, ≤ diameter each sweep; state is node-grain.
+  def scc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(s, d)
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .filter(col("t2").isNotNull && col("t2") =!= col("event_type"))
+      .select(col("event_type").as("f"), col("t2").as("t")).distinct()
+      .localCheckpoint() // probed by every round of both sweeps
+    val nodes = e.select(col("f").as("node"))
+      .unionAll(e.select(col("t").as("node"))).distinct().localCheckpoint()
+    val pivot = nodes.agg(min(col("node")).as("node"))
+    def reach(srcCol: String, dstCol: String): DataFrame = {
+      var visited = pivot.localCheckpoint()
+      var frontier = visited
+      var rounds = 0
+      while (rounds < SccMaxRounds && frontier.limit(1).count() > 0) {
+        val next = frontier.join(e, col("node") === col(srcCol))
+          .select(col(dstCol).as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint()
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next
+        rounds += 1
+      }
+      require(frontier.limit(1).count() == 0,
+        s"scc: reachability did not converge within $SccMaxRounds rounds - raise the cap")
+      visited
+    }
+    val fwd = reach("f", "t").withColumn("in_f", lit(1L))
+    val bwd = reach("t", "f").withColumn("in_b", lit(1L))
+    val parts = nodes
+      .join(broadcast(fwd), Seq("node"), "left")
+      .join(broadcast(bwd), Seq("node"), "left")
+      .select(col("node").as("event_type"),
+        when(col("in_f").isNotNull && col("in_b").isNotNull, "scc")
+          .when(col("in_f").isNotNull, "fwd")
+          .when(col("in_b").isNotNull, "bwd")
+          .otherwise("rest").as("part"))
+    val sz = parts.filter(col("part") === "scc")
+      .agg(count(lit(1)).as("scc_size"))
+    parts.crossJoin(broadcast(sz)).orderBy("event_type")
+  }
+
+  private val SccMaxRounds = 64
+
+  lazy val sccSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT event_type AS f,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS t
+       |  FROM events),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT f, t FROM pairs WHERE t IS NOT NULL AND t <> f),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT n FROM (SELECT f AS n FROM e UNION ALL SELECT t FROM e)),
+       |piv AS MATERIALIZED (SELECT min(n) AS p FROM nodes),
+       |fw AS (
+       |  SELECT p AS node FROM piv
+       |  UNION
+       |  SELECT e.t FROM fw JOIN e ON e.f = fw.node),
+       |bw AS (
+       |  SELECT p AS node FROM piv
+       |  UNION
+       |  SELECT e.f FROM bw JOIN e ON e.t = bw.node),
+       |parts AS MATERIALIZED (
+       |  SELECT n.n AS event_type,
+       |    CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'scc'
+       |         WHEN f.node IS NOT NULL THEN 'fwd'
+       |         WHEN b.node IS NOT NULL THEN 'bwd'
+       |         ELSE 'rest' END AS part
+       |  FROM nodes n
+       |  LEFT JOIN (SELECT DISTINCT node FROM fw) f ON f.node = n.n
+       |  LEFT JOIN (SELECT DISTINCT node FROM bw) b ON b.node = n.n),
+       |sz AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS scc_size FROM parts WHERE part = 'scc')
+       |SELECT event_type, part, sz.scc_size FROM parts, sz
+       |ORDER BY event_type""".stripMargin
 
   // --- q_gr_connected -------------------------------------------------------
   // CONNECTED COMPONENTS by min-label propagation to FIXPOINT — the
@@ -1558,6 +1651,7 @@ object Graph {
     "q_gr_bfs" -> (bfs _),
     "q_gr_closeness" -> (closeness _),
     "q_gr_diameter" -> (diameter _),
+    "q_gr_scc" -> (scc _),
     "q_gr_connected" -> (connected _),
     "q_gr_connected_lss" -> (connectedLss _),
     "q_gr_kcore" -> (kcore _),
@@ -1576,6 +1670,7 @@ object Graph {
     "q_gr_bfs" -> bfsSql,
     "q_gr_closeness" -> closenessSql,
     "q_gr_diameter" -> diameterSql,
+    "q_gr_scc" -> sccSql,
     "q_gr_connected" -> connectedSql,
     // same partition, same oracle: the star engine must agree with the
     // min-label fixpoint bit-for-bit

@@ -361,6 +361,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("SCC forward-backward decomposition labels all four cells on a crafted digraph") {
+    import java.nio.file.Files
+    import ss.implicits._
+    // transitions: A<->B (the pivot SCC), A->C (forward-only),
+    // D->A (backward-only), E->F (disconnected => rest)
+    val dir = Files.createTempDirectory("graft-scc").toString
+    val seqs = Seq(
+      (1L, Seq("A", "B", "A")),
+      (2L, Seq("A", "C")),
+      (3L, Seq("D", "A")),
+      (4L, Seq("E", "F")))
+    seqs.flatMap { case (uid, evs) =>
+      evs.zipWithIndex.map { case (et, i) =>
+        (uid * 100 + i, (uid * 1000000L + i) * 1000000000L, uid, et, 0.0, "{}")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Graph.scc(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[String]("part"), r.getAs[Long]("scc_size")))).toMap
+    assert(rows("A")._1 === "scc" && rows("B")._1 === "scc")
+    assert(rows("C")._1 === "fwd", "reachable from pivot but not back")
+    assert(rows("D")._1 === "bwd", "reaches pivot but not reachable")
+    assert(rows("E")._1 === "rest" && rows("F")._1 === "rest")
+    assert(rows.values.forall(_._2 === 2L), "pivot SCC is exactly {A, B}")
+    // and the real corpus runs end-to-end
+    assert(Graph.scc(spark, sf).collect().nonEmpty)
+  }
+
   test("connected components equal a union-find over the collected edge set") {
     val rows = Graph.connected(spark, sf).collect()
     assert(rows.nonEmpty)
