@@ -759,25 +759,35 @@ object Graph {
     val nodes = e.select(col("f").as("node"))
       .unionAll(e.select(col("t").as("node"))).distinct().localCheckpoint()
     val pivot = nodes.agg(min(col("node")).as("node"))
-    def reach(srcCol: String, dstCol: String): DataFrame = {
-      var visited = pivot.localCheckpoint()
-      var frontier = visited
-      var rounds = 0
-      while (rounds < SccMaxRounds && frontier.limit(1).count() > 0) {
-        val next = frontier.join(e, col("node") === col(srcCol))
-          .select(col(dstCol).as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .localCheckpoint()
-        visited = visited.unionAll(next).localCheckpoint()
-        frontier = next
-        rounds += 1
-      }
-      require(frontier.limit(1).count() == 0,
-        s"scc: reachability did not converge within $SccMaxRounds rounds - raise the cap")
-      visited
+    // BOTH sweeps advance in the same rounds: the adjacency carries a
+    // direction tag ('F' = edges as-is, 'B' = reversed) and the state
+    // is (dir, node), so one frontier expansion per round serves
+    // forward AND backward reachability — max(diam_f, diam_b) rounds
+    // and half the driver-synchronized jobs of two sequential sweeps
+    val adj = e.select(lit("F").as("dir"), col("f").as("u"), col("t").as("v"))
+      .unionAll(e.select(lit("B").as("dir"), col("t").as("u"), col("f").as("v")))
+      .localCheckpoint()
+    var visited = pivot
+      .select(explode(array(lit("F"), lit("B"))).as("dir"), col("node"))
+      .localCheckpoint()
+    var frontier = visited
+    var rounds = 0
+    while (rounds < SccMaxRounds && frontier.limit(1).count() > 0) {
+      val next = frontier
+        .join(adj, frontier("dir") === adj("dir") && col("node") === col("u"))
+        .select(adj("dir").as("dir"), col("v").as("node")).distinct()
+        .join(visited, Seq("dir", "node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+      rounds += 1
     }
-    val fwd = reach("f", "t").withColumn("in_f", lit(1L))
-    val bwd = reach("t", "f").withColumn("in_b", lit(1L))
+    require(frontier.limit(1).count() == 0,
+      s"scc: reachability did not converge within $SccMaxRounds rounds - raise the cap")
+    val fwd = visited.filter(col("dir") === "F")
+      .select(col("node"), lit(1L).as("in_f"))
+    val bwd = visited.filter(col("dir") === "B")
+      .select(col("node"), lit(1L).as("in_b"))
     val parts = nodes
       .join(broadcast(fwd), Seq("node"), "left")
       .join(broadcast(bwd), Seq("node"), "left")
