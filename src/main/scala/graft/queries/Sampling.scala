@@ -272,6 +272,46 @@ object Sampling {
        |ORDER BY split""".stripMargin
   }
 
+  // --- q_sm_kfold -------------------------------------------------------------
+  // DETERMINISTIC K-FOLD CROSS-VALIDATION ASSIGNMENT + balance audit:
+  // fold = salted content hash mod k, so folds are stable under
+  // re-runs, engine swaps and corpus growth (a doc never migrates
+  // folds as data accretes — the property that keeps fold-held-out
+  // eval numbers comparable across pipeline versions). The audit row
+  // per fold reports doc/char mass and the relative deviation from the
+  // uniform share — the pre-training check that a hash hot-spot or a
+  // skewed upstream filter hasn't unbalanced the protocol. Integer
+  // deviation arithmetic (|n·k − total| over total) keeps the
+  // cross-engine boundary exact. One scan, one k-group aggregation.
+  private val KFolds = 5
+
+  def kfold(s: SparkSession, d: String): DataFrame = {
+    val assigned = Tables.documents(s, d)
+      .withColumn("fold",
+        Hashes.md5Int32(concat(col("doc_id").cast("string"), lit("_fold"))) % KFolds)
+    val tot = assigned.agg(count(lit(1)).as("total"))
+    assigned.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("n_chars"),
+        (abs(col("n_docs") * KFolds - col("total")).cast("double") /
+          col("total").cast("double")).as("dev_pct"))
+      .orderBy("fold")
+  }
+
+  val kfoldSql: String = {
+    val h = s"${Hashes.md5Int32Sql("doc_id::VARCHAR || '_fold'")} % $KFolds"
+    s"""WITH assigned AS MATERIALIZED (
+       |  SELECT $h AS fold, n_chars FROM documents),
+       |tot AS MATERIALIZED (SELECT count(*) AS total FROM assigned)
+       |SELECT fold, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  abs(count(*) * $KFolds - tot.total)::DOUBLE / tot.total::DOUBLE AS dev_pct
+       |FROM assigned, tot
+       |GROUP BY fold, tot.total
+       |ORDER BY fold""".stripMargin
+  }
+
   // --- q_sm_mixture ---------------------------------------------------------
   // Balanced domain mixture: downsample every domain to (approximately)
   // the size of the SMALLEST domain — the data-dependent cousin of
@@ -779,6 +819,7 @@ object Sampling {
     "q_sm_neyman" -> (neyman _),
     "q_sm_split" -> (split _),
     "q_sm_group_split" -> (groupSplit _),
+    "q_sm_kfold" -> (kfold _),
     "q_sm_mixture" -> (mixture _),
     "q_sm_token_budget" -> (tokenBudget _),
     "q_sm_token_budget_bpe" -> (tokenBudgetBpe _))
@@ -795,6 +836,7 @@ object Sampling {
     "q_sm_neyman" -> neymanSql,
     "q_sm_split" -> splitSql,
     "q_sm_group_split" -> groupSplitSql,
+    "q_sm_kfold" -> kfoldSql,
     "q_sm_mixture" -> mixtureSql,
     "q_sm_token_budget" -> tokenBudgetSql,
     "q_sm_token_budget_bpe" -> tokenBudgetBpeSql)

@@ -2300,6 +2300,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
   }
 
+  test("kfold: folds partition the corpus, deviations replay brute, assignment is stable") {
+    val rows = Sampling.kfold(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total, "folds must partition")
+    assert(rows.map(_.getAs[Long]("fold")).sorted.toSeq === (0L until 5L))
+    rows.foreach { r =>
+      val expected = math.abs(r.getAs[Long]("n_docs") * 5 - total).toDouble / total
+      assert(math.abs(r.getAs[Double]("dev_pct") - expected) < 1e-15)
+    }
+    // stability: a second run assigns identically (no rand() anywhere)
+    val again = Sampling.kfold(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("group split is source-disjoint, covers every doc, and self-audits zero leakage") {
     val rows = Sampling.groupSplit(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
