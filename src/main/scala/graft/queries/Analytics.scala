@@ -2283,6 +2283,83 @@ object Analytics {
       .orderBy("pair")
   }
 
+  // --- q_ag_cohens_d ----------------------------------------------------------
+  // COHEN'S d / HEDGES' g EFFECT SIZE for the same click-vs-view pair
+  // the Welch t-test judges — the "is it LARGE, not just detectable"
+  // companion every experiment readout needs once n is big enough that
+  // trivial differences go significant (the q_ag_power calculator's
+  // other half). Pooled SD uses the (n−1)-weighted exact-integer
+  // variance form; d = (m1 − m2)/s_pooled and Hedges' g applies the
+  // small-sample correction 1 − 3/(4(n1+n2)−9). Same discipline as
+  // ttest: exact BIGINT moments, one cast to double each, fixed
+  // operand-order trees ⇒ identical bits in both engines. Scale: one
+  // map-side-combinable moment aggregation, then a 2-row digest.
+  def cohensD(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("q"))
+    val a = m.filter(col("g") === "click")
+      .select(col("n").as("n1"), col("sc").as("s1"), col("q").as("q1"))
+    val b = m.filter(col("g") === "view")
+      .select(col("n").as("n2"), col("sc").as("s2"), col("q").as("q2"))
+    a.crossJoin(b)
+      .withColumn("m1", col("s1").cast("double") / col("n1").cast("double") / 100.0)
+      .withColumn("m2", col("s2").cast("double") / col("n2").cast("double") / 100.0)
+      .withColumn("v1", (col("n1") * col("q1") - col("s1") * col("s1")).cast("double") /
+        (col("n1") * (col("n1") - 1)).cast("double") / 10000.0)
+      .withColumn("v2", (col("n2") * col("q2") - col("s2") * col("s2")).cast("double") /
+        (col("n2") * (col("n2") - 1)).cast("double") / 10000.0)
+      .withColumn("sp", sqrt(
+        ((col("n1").cast("double") - 1.0) * col("v1") +
+          (col("n2").cast("double") - 1.0) * col("v2")) /
+          (col("n1").cast("double") + col("n2").cast("double") - 2.0)))
+      .withColumn("d", (col("m1") - col("m2")) / col("sp"))
+      .select(lit("click_vs_view").as("pair"),
+        col("n1"), col("n2"), col("sp").as("pooled_sd"), col("d").as("cohens_d"),
+        (col("d") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (col("n1") + col("n2")).cast("double") - lit(9.0))))
+          .as("hedges_g"))
+      .orderBy("pair")
+  }
+
+  val cohensDSql: String =
+    """WITH m AS MATERIALIZED (
+      |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+      |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+      |ab AS MATERIALIZED (
+      |  SELECT a.n AS n1, a.sc AS s1, a.q AS q1,
+      |         b.n AS n2, b.sc AS s2, b.q AS q2
+      |  FROM (SELECT * FROM m WHERE g = 'click') a,
+      |       (SELECT * FROM m WHERE g = 'view') b),
+      |calc AS MATERIALIZED (
+      |  SELECT n1, n2,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+      |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS m2,
+      |    CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+      |      / CAST(n1 * (n1 - 1) AS DOUBLE) / 10000.0 AS v1,
+      |    CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+      |      / CAST(n2 * (n2 - 1) AS DOUBLE) / 10000.0 AS v2
+      |  FROM ab),
+      |eff AS MATERIALIZED (
+      |  SELECT n1, n2,
+      |    sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1 + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+      |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS sp,
+      |    (m1 - m2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+      |      + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+      |      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS d
+      |  FROM calc)
+      |SELECT 'click_vs_view' AS pair, n1, n2, sp AS pooled_sd, d AS cohens_d,
+      |  d * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) AS hedges_g
+      |FROM eff
+      |ORDER BY pair""".stripMargin
+
   val ttestSql: String =
     """WITH m AS MATERIALIZED (
       |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
@@ -3861,6 +3938,7 @@ object Analytics {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_cuped" -> (cuped _),
+    "q_ag_cohens_d" -> (cohensD _),
     "q_ev_gap_quantiles" -> (gapQuantiles _),
     "q_ev_growth" -> (growth _),
     "q_ag_levene" -> (levene _),
@@ -3943,6 +4021,7 @@ object Analytics {
     "q_ag_kendall" -> kendallSql,
     "q_ev_gini" -> giniSql,
     "q_ev_cuped" -> cupedSql,
+    "q_ag_cohens_d" -> cohensDSql,
     "q_ag_hll_relational" -> hllRelationalSql,
     "q_ag_cms" -> cmsSql,
     "q_ag_topk_group" -> topkGroupSql,

@@ -2271,6 +2271,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, "r2 range")
   }
 
+  test("Cohen's d replays brute group moments; Hedges' g shrinks toward zero") {
+    val r = Analytics.cohensD(spark, sf).head()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "cast(round(value * 100) as long) c")
+      .where("event_type in ('click','view')").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    def stats(g: String) = {
+      val xs = ev.filter(_._1 == g).map(_._2.toDouble / 100.0)
+      val m = xs.sum / xs.length
+      (xs.length, m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (n1, m1, v1) = stats("click"); val (n2, m2, v2) = stats("view")
+    val sp = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2.0))
+    val d = (m1 - m2) / sp
+    assert(r.getAs[Long]("n1") === n1.toLong && r.getAs[Long]("n2") === n2.toLong)
+    assert(math.abs(r.getAs[Double]("pooled_sd") - sp) < 1e-9)
+    assert(math.abs(r.getAs[Double]("cohens_d") - d) < 1e-9)
+    val g = r.getAs[Double]("hedges_g")
+    assert(math.abs(g) < math.abs(r.getAs[Double]("cohens_d")),
+      "the small-sample correction must shrink |d|")
+    assert(math.abs(g - d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))) < 1e-12)
+  }
+
   test("CUPED: theta is the OLS slope of post on pre; reduction equals r2; var_adj <= var_post") {
     val r = Analytics.cuped(spark, sf).head()
     val ev = spark.read.parquet(s"$sf/events.parquet")
