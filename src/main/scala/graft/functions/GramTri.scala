@@ -65,10 +65,31 @@ case class GramTri(
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
+  // Static: does the child's TYPE admit null elements? (Most derived
+  // array<double> columns do even when the data is dense.)
+  private lazy val mayContainNulls: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) return buffer
-    val arr = v.asInstanceOf[ArrayData].toDoubleArray()
+    val ad = v.asInstanceOf[ArrayData]
+    // toDoubleArray materializes null ELEMENTS as 0.0 (or raw buffer
+    // bytes) silently, while the DuckDB oracle's round(NULL*x) drops
+    // the cell — a sparse vector must fail loudly, not diverge.
+    if (mayContainNulls) {
+      var k = 0
+      val n = ad.numElements()
+      while (k < n) {
+        if (ad.isNullAt(k)) throw new IllegalArgumentException(
+          s"gram_tri: null element at index $k - dense array<double> " +
+            "required; drop or impute null cells upstream")
+        k += 1
+      }
+    }
+    val arr = ad.toDoubleArray()
     val dims = arr.length
     val cells = dims * (dims + 1) / 2
     val buf =

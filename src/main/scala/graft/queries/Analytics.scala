@@ -2252,13 +2252,18 @@ object Analytics {
   // map-side-combinable moment aggregation; everything after is a
   // 2-row digest.
   def ttest(s: SparkSession, d: String): DataFrame = {
+    // Moments accumulate in DECIMAL(38,0) and the n·Q − S² products are
+    // formed in decimal space too: a LONG Σc² wraps silently past
+    // ~9.2e18 (Spark) while DuckDB steps up to HUGEINT — the exact
+    // cross-engine divergence the CUPED query documents. One cast to
+    // double at the end keeps the bit-for-bit parity discipline.
     val m = Tables.events(s, d)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_type").as("g"),
         round(col("value") * 100).cast("long").as("c"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("q"))
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
     val a = m.filter(col("g") === "click")
       .select(col("n").as("n1"), col("sc").as("s1"), col("q").as("q1"))
     val b = m.filter(col("g") === "view")
@@ -2266,10 +2271,12 @@ object Analytics {
     a.crossJoin(b)
       .withColumn("m1", col("s1").cast("double") / col("n1").cast("double") / 100.0)
       .withColumn("m2", col("s2").cast("double") / col("n2").cast("double") / 100.0)
-      .withColumn("v1", (col("n1") * col("q1") - col("s1") * col("s1")).cast("double") /
-        (col("n1") * (col("n1") - 1)).cast("double") / 10000.0)
-      .withColumn("v2", (col("n2") * col("q2") - col("s2") * col("s2")).cast("double") /
-        (col("n2") * (col("n2") - 1)).cast("double") / 10000.0)
+      .withColumn("v1", (col("n1").cast("decimal(38,0)") * col("q1") -
+        col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
+        (col("n1").cast("decimal(38,0)") * (col("n1") - 1)).cast("double") / 10000.0)
+      .withColumn("v2", (col("n2").cast("decimal(38,0)") * col("q2") -
+        col("s2").cast("decimal(38,0)") * col("s2")).cast("double") /
+        (col("n2").cast("decimal(38,0)") * (col("n2") - 1)).cast("double") / 10000.0)
       .withColumn("se1", col("v1") / col("n1").cast("double"))
       .withColumn("se2", col("v2") / col("n2").cast("double"))
       .withColumn("t", (col("m1") - col("m2")) / sqrt(col("se1") + col("se2")))
@@ -2295,13 +2302,16 @@ object Analytics {
   // operand-order trees ⇒ identical bits in both engines. Scale: one
   // map-side-combinable moment aggregation, then a 2-row digest.
   def cohensD(s: SparkSession, d: String): DataFrame = {
+    // Same DECIMAL(38,0) moment discipline as ttest/cuped: a LONG Σc²
+    // (and the n·Q − S² products) wraps silently at large SF while
+    // DuckDB errors — exact decimal accumulation, one double cast.
     val m = Tables.events(s, d)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_type").as("g"),
         round(col("value") * 100).cast("long").as("c"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("q"))
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
     val a = m.filter(col("g") === "click")
       .select(col("n").as("n1"), col("sc").as("s1"), col("q").as("q1"))
     val b = m.filter(col("g") === "view")
@@ -2309,10 +2319,12 @@ object Analytics {
     a.crossJoin(b)
       .withColumn("m1", col("s1").cast("double") / col("n1").cast("double") / 100.0)
       .withColumn("m2", col("s2").cast("double") / col("n2").cast("double") / 100.0)
-      .withColumn("v1", (col("n1") * col("q1") - col("s1") * col("s1")).cast("double") /
-        (col("n1") * (col("n1") - 1)).cast("double") / 10000.0)
-      .withColumn("v2", (col("n2") * col("q2") - col("s2") * col("s2")).cast("double") /
-        (col("n2") * (col("n2") - 1)).cast("double") / 10000.0)
+      .withColumn("v1", (col("n1").cast("decimal(38,0)") * col("q1") -
+        col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
+        (col("n1").cast("decimal(38,0)") * (col("n1") - 1)).cast("double") / 10000.0)
+      .withColumn("v2", (col("n2").cast("decimal(38,0)") * col("q2") -
+        col("s2").cast("decimal(38,0)") * col("s2")).cast("double") /
+        (col("n2").cast("decimal(38,0)") * (col("n2") - 1)).cast("double") / 10000.0)
       .withColumn("sp", sqrt(
         ((col("n1").cast("double") - 1.0) * col("v1") +
           (col("n2").cast("double") - 1.0) * col("v2")) /
@@ -2329,10 +2341,11 @@ object Analytics {
   val cohensDSql: String =
     """WITH m AS MATERIALIZED (
       |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
-      |    CAST(sum(CAST(round(value * 100) AS BIGINT)
-      |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
-      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+      |    CAST(sum(c) AS BIGINT) AS sc,
+      |    sum(CAST(c * c AS DECIMAL(38,0))) AS q
+      |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |        FROM events WHERE event_type IN ('click', 'view'))
+      |  GROUP BY 1),
       |ab AS MATERIALIZED (
       |  SELECT a.n AS n1, a.sc AS s1, a.q AS q1,
       |         b.n AS n2, b.sc AS s2, b.q AS q2
@@ -2342,10 +2355,12 @@ object Analytics {
       |  SELECT n1, n2,
       |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
       |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS m2,
-      |    CAST(n1 * q1 - s1 * s1 AS DOUBLE)
-      |      / CAST(n1 * (n1 - 1) AS DOUBLE) / 10000.0 AS v1,
-      |    CAST(n2 * q2 - s2 * s2 AS DOUBLE)
-      |      / CAST(n2 * (n2 - 1) AS DOUBLE) / 10000.0 AS v2
+      |    (CAST(CAST(n1 AS DECIMAL(38,0)) * q1
+      |        - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+      |      / CAST(CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) AS DOUBLE)) / 10000.0 AS v1,
+      |    (CAST(CAST(n2 AS DECIMAL(38,0)) * q2
+      |        - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)
+      |      / CAST(CAST(n2 AS DECIMAL(38,0)) * (n2 - 1) AS DOUBLE)) / 10000.0 AS v2
       |  FROM ab),
       |eff AS MATERIALIZED (
       |  SELECT n1, n2,
@@ -2363,10 +2378,11 @@ object Analytics {
   val ttestSql: String =
     """WITH m AS MATERIALIZED (
       |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
-      |    CAST(sum(CAST(round(value * 100) AS BIGINT)
-      |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
-      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+      |    CAST(sum(c) AS BIGINT) AS sc,
+      |    sum(CAST(c * c AS DECIMAL(38,0))) AS q
+      |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |        FROM events WHERE event_type IN ('click', 'view'))
+      |  GROUP BY 1),
       |ab AS MATERIALIZED (
       |  SELECT a.n AS n1, a.sc AS s1, a.q AS q1,
       |         b.n AS n2, b.sc AS s2, b.q AS q2
@@ -2376,8 +2392,12 @@ object Analytics {
       |  SELECT n1, n2,
       |    s1::DOUBLE / n1::DOUBLE / 100.0 AS m1,
       |    s2::DOUBLE / n2::DOUBLE / 100.0 AS m2,
-      |    (n1 * q1 - s1 * s1)::DOUBLE / (n1 * (n1 - 1))::DOUBLE / 10000.0 AS v1,
-      |    (n2 * q2 - s2 * s2)::DOUBLE / (n2 * (n2 - 1))::DOUBLE / 10000.0 AS v2
+      |    (CAST(CAST(n1 AS DECIMAL(38,0)) * q1
+      |        - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+      |      / CAST(CAST(n1 AS DECIMAL(38,0)) * (n1 - 1) AS DOUBLE)) / 10000.0 AS v1,
+      |    (CAST(CAST(n2 AS DECIMAL(38,0)) * q2
+      |        - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)
+      |      / CAST(CAST(n2 AS DECIMAL(38,0)) * (n2 - 1) AS DOUBLE)) / 10000.0 AS v2
       |  FROM ab),
       |se AS MATERIALIZED (
       |  SELECT n1, n2, m1, m2,

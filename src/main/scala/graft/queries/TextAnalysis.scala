@@ -2204,10 +2204,23 @@ object TextAnalysis {
   private val BoilerDen = 20 // threshold = max(3, ceil(n_docs/20))
 
   def boilerplate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
+    // Occurrence-grain (doc_id, gram) via the relational shingle
+    // derivation (posexplode + window lead, the Text.shingleRows shape
+    // minus its distinct): the HOF explode(shingles(...)) re-evaluates
+    // the free token array per element and falls out of whole-stage
+    // codegen — Text.shingles' own doc flags it as not-for-hot-path.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val nexts = (1 until BoilerWin).map(i => lead("tok", i).over(w))
     val grams = docs
-      .select(col("doc_id"), explode(Text.shingles(col("t"), BoilerWin)).as("g"))
+      .select(col("doc_id"), posexplode(col("t")))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("g", concat_ws(" ", (col("tok") +: nexts): _*))
+      .withColumn("last", nexts.last)
+      .filter(col("last").isNotNull) // only complete n-grams
+      .select(col("doc_id"), col("g"))
       .localCheckpoint() // df pass and occurrence pass both read it
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val boiler = grams.distinct()
@@ -2283,8 +2296,11 @@ object TextAnalysis {
             .cast("long")))
       .select(col("source"), col("n_docs"), col("lcp_len"),
         col("lo").substr(lit(1), col("lcp_len").cast("int")).as("template"),
-        (col("lcp_len").cast("double") /
-          (col("sum_chars").cast("double") / col("n_docs").cast("double")))
+        // all-empty-text source: mean chars is 0 and 0.0/0.0 is NaN in
+        // Spark but NULL in DuckDB — nullif/coalesce like boiler_ratio
+        coalesce(col("lcp_len").cast("double") /
+          nullif(col("sum_chars").cast("double") / col("n_docs").cast("double"),
+            lit(0.0)), lit(0.0))
           .as("template_ratio"))
       .orderBy("source")
   }
@@ -2301,7 +2317,9 @@ object TextAnalysis {
        |      i -> lo[1:i] = hi[1:i])) AS BIGINT) AS lcp_len
        |  FROM mm)
        |SELECT source, n_docs, lcp_len, lo[1:lcp_len] AS template,
-       |  lcp_len::DOUBLE / (sum_chars::DOUBLE / n_docs::DOUBLE) AS template_ratio
+       |  coalesce(lcp_len::DOUBLE
+       |    / nullif(sum_chars::DOUBLE / n_docs::DOUBLE, 0.0), 0.0)
+       |    AS template_ratio
        |FROM lcp
        |ORDER BY source""".stripMargin
 
