@@ -66,6 +66,38 @@ object Parity {
       .load()
       .orderBy("obs_time", "site", "metric")
 
+  // --- q_st_rest_poll -------------------------------------------------------
+  // SURVEY §2.9 + round-14 verdict item 2: the reference's hourly
+  // scheduler loop (`app/scheduler/scheduler.py:10-18` — hourly
+  // IntervalTrigger, max_instances=1, coalesce=True) as a STREAMING
+  // source: ChunkedRestSource's MICRO_BATCH_READ path, epoch-day
+  // offsets over the same date-chunk planning as the batch scan.
+  // maxDaysPerBatch=7 forces the AvailableNow drain through multiple
+  // admission-controlled micro-batches (31 days -> 5 batches), so the
+  // hash verifies batch-boundary bookkeeping, not just one pass: any
+  // skipped or re-landed day breaks it against the SAME oracle as the
+  // batch q_s1_chunked_rest. coalesce=True (missed ticks merge) IS
+  // AvailableNow catch-up from the checkpointed offset;
+  // RestPollStreamSpec drives the checkpoint-restart resume.
+  def streamingRestPoll(s: SparkSession, d: String): DataFrame = {
+    val root = tmpRoot("stream", d)
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"graft_stream_rp_$runId"
+    withStreamSession(s, 8) { ss =>
+      val q = ss.readStream.format("graft.sources.v2.ChunkedRestSource")
+        .option("from", S1From).option("to", S1To)
+        .option("chunkDays", "2").option("maxDaysPerBatch", "7")
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/cp_rp_$runId")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
+    }.orderBy("obs_time", "site", "metric")
+  }
+
   val chunkedRestSql: String = {
     import graft.sources.v2.ChunkedRestSource.{Metrics, Sites}
     // Java String.hashCode constants, precomputed here and embedded as
@@ -2728,6 +2760,7 @@ object Parity {
     "q_f11_unpivot_numeric" -> (unpivotNumericQ _),
     "q_j5_slug_roundtrip" -> (slugRoundtrip _),
     "q_tz_per_series" -> (tzPerSeries _),
+    "q_st_rest_poll" -> (streamingRestPoll _),
     "q_st_windowed" -> (streamingWindowed _),
     "q_st_chained" -> (streamingChained _),
     "q_st_dedup" -> (streamingDedup _),
@@ -2784,6 +2817,7 @@ object Parity {
     "q_f11_unpivot_numeric" -> unpivotNumericSql,
     "q_j5_slug_roundtrip" -> slugRoundtripSql,
     "q_tz_per_series" -> tzPerSeriesSql,
+    "q_st_rest_poll" -> chunkedRestSql,
     "q_st_windowed" -> streamingWindowedSql,
     "q_st_chained" -> streamingChainedSql,
     "q_st_dedup" -> streamingDedupSql,

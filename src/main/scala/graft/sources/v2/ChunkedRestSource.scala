@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -153,7 +154,7 @@ private class ChunkedRestTable(options: CaseInsensitiveStringMap)
   override def name(): String = "chunked_rest"
   override def schema(): StructType = ChunkedRestSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new ChunkedRestScanBuilder(options)
 }
@@ -239,7 +240,8 @@ private class ChunkedRestScanBuilder(options: CaseInsensitiveStringMap)
       math.max(1, options.getInt("chunkDays", 2)),
       required, minDay, maxDay, limit,
       Option(options.get("url")),
-      ChunkedRestSource.policyFromOptions(optMap))
+      ChunkedRestSource.policyFromOptions(optMap),
+      options.getInt("maxDaysPerBatch", 0))
   }
 }
 
@@ -248,10 +250,27 @@ private class ChunkedRestScan(from: LocalDate, to: LocalDate, chunkDays: Int,
                               minDay: Option[Long], maxDay: Option[Long],
                               limit: Option[Int],
                               url: Option[String],
-                              policy: graft.sources.HttpRetry.Policy)
+                              policy: graft.sources.HttpRetry.Policy,
+                              maxDaysPerBatch: Int = 0)
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** §2.9: the reference's hourly scheduler loop
+    * (`app/scheduler/scheduler.py:10-18` — `IntervalTrigger(hours=1)`,
+    * `max_instances=1`, `coalesce=True`) re-expressed as a Structured
+    * Streaming source: offsets are epoch-day high-water marks over the
+    * SAME date-chunk partition planning the batch scan uses, so each
+    * micro-batch lands exactly the chunks that became available since
+    * the last committed tick. `max_instances=1` is the engine's own
+    * serialized micro-batch execution; `coalesce=True` (missed ticks
+    * merge into one run) is precisely Trigger.AvailableNow catch-up
+    * from the checkpointed offset. `maxDaysPerBatch` bounds one batch's
+    * admission (SupportsAdmissionControl), so a long outage drains as
+    * several bounded batches instead of one giant catch-up job. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChunkedRestMicroBatchStream(from, to, chunkDays, required, url,
+      policy, maxDaysPerBatch)
 
   /** One InputPartition per date chunk — the reference's serial loop,
     * parallelized. [from, to] inclusive like the reference's API params.
@@ -326,4 +345,79 @@ private class ChunkReader(p: ChunkPartition, required: StructType,
   }
 
   override def close(): Unit = ()
+}
+
+/** Streaming offset: the EXCLUSIVE epoch-day high-water mark already
+  * landed. Restart-safe by construction — the day grid is absolute, so
+  * a checkpointed offset resumes mid-window without re-fetching or
+  * skipping a chunk. */
+private case class DayOffset(day: Long) extends Offset {
+  override def json(): String = day.toString
+}
+
+/** The chunked REST scan as a micro-batch source (see
+  * [[ChunkedRestScan.toMicroBatchStream]] for the scheduler mapping).
+  * Admission control is day-grain: `latestOffset(start, _)` returns
+  * `min(start + maxDaysPerBatch, available)`, and AvailableNow pins the
+  * available end at `prepareForTriggerAvailableNow` so the drain is
+  * bounded even while new days keep arriving. Each planned batch reuses
+  * the batch scan's [[ChunkReaderFactory]] — transport, retry schedule
+  * and column pruning are literally the same code path in both modes. */
+private class ChunkedRestMicroBatchStream(
+    from: LocalDate, to: LocalDate, chunkDays: Int,
+    required: StructType, url: Option[String],
+    policy: graft.sources.HttpRetry.Policy,
+    maxDaysPerBatch: Int)
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val endExclusiveDay: Long = to.plusDays(1).toEpochDay
+  // In stub/live terms "available" is the configured window's end; a
+  // live deployment would probe the remote publication clock here.
+  private def currentAvailableEnd: Long = endExclusiveDay
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def initialOffset(): Offset = DayOffset(from.toEpochDay)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(currentAvailableEnd)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DayOffset].day
+    val avail = availableNowEnd.getOrElse(currentAvailableEnd)
+    val capped =
+      if (maxDaysPerBatch > 0) math.min(s + maxDaysPerBatch.toLong, avail)
+      else avail
+    DayOffset(math.max(s, capped))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def reportLatestOffset(): Offset = DayOffset(currentAvailableEnd)
+
+  /** Same chunk-grain planning as the batch scan, over [start, end)
+    * epoch days — one InputPartition per chunkDays slice, so a
+    * catch-up batch spanning many days still fans out across the
+    * cluster. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DayOffset].day
+    val e = end.asInstanceOf[DayOffset].day
+    Iterator.iterate(s)(_ + chunkDays.toLong)
+      .takeWhile(_ < e)
+      .map(cs => ChunkPartition(cs, math.min(cs + chunkDays.toLong, e)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChunkReaderFactory(required, None, url, policy)
+
+  override def deserializeOffset(json: String): Offset =
+    DayOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
