@@ -305,4 +305,30 @@ class TrainPrepSpec extends SparkSpec {
     val msk = rows.values.map(_._2).sum.toDouble
     assert(msk / tot > 0.08 && msk / tot < 0.25, s"corpus mask rate ${msk / tot}")
   }
+
+  test("curation e2e: funnel monotone, split disjoint, totals consistent") {
+    val df = graft.queries.TrainPrep.curationE2e(spark, sf).collect()
+    assert(df.nonEmpty)
+    val nRaw = df.head.getAs[Long]("n_raw")
+    val nNd = df.head.getAs[Long]("n_nd_kept")
+    val nQ = df.head.getAs[Long]("n_q_kept")
+    // funnel constants are identical on every row and monotone non-increasing
+    assert(df.forall(r => r.getAs[Long]("n_raw") == nRaw &&
+      r.getAs[Long]("n_nd_kept") == nNd && r.getAs[Long]("n_q_kept") == nQ))
+    assert(nRaw >= nNd && nNd >= nQ && nQ > 0)
+    // the group-disjoint split audit is structurally zero
+    assert(df.forall(_.getAs[Long]("n_leaked_sources") == 0L))
+    // per-(split, shard) doc counts re-assemble the quality-kept total
+    assert(df.map(_.getAs[Long]("n_docs")).sum === nQ)
+    // stage ordering is pinned: the near-dup stage ran on RAW docs, so
+    // re-running the quality screen alone keeps MORE docs than n_q_kept
+    // whenever any near-dup was dropped (and equal otherwise)
+    import org.apache.spark.sql.functions._
+    val qAlone = graft.Tables.documents(spark, sf)
+      .filter(col("n_chars") >= 50 && col("n_chars") <= 5000 &&
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double") <= 0.1)
+      .count()
+    assert(qAlone >= nQ)
+  }
 }
