@@ -440,4 +440,32 @@ class DedupSpec extends SparkSpec {
       s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
     assert(brute.nonEmpty, "fixture must plant at least one true pair")
   }
+
+  test("two-level rescue recovers pairs the hot-bucket cap drops (planted cluster)") {
+    import ss.implicits._
+    import graft.queries.Text
+    // 40 docs sharing an 84-token template with 4 positions replaced by
+    // per-doc unique tokens: pairwise jaccard ~0.74, so at cap=16 every
+    // 4-row band key is template-determined for most docs (hot buckets
+    // of ~20-40 > cap -> ALL pairs dropped by the base operator), while
+    // the 8-row wide keys split the escalated set into <=16-doc buckets
+    // the cap admits. The exact outcome is deterministic (md5 + fixed
+    // permutations): 4 hot level-1 buckets, 0 base pairs, 105 rescued
+    // pairs all verified at jaccard >= 0.5.
+    val template = (0 until 84).map(j => s"tok$j")
+    val docs = (0 until 40).map { i =>
+      val t = template.toArray
+      Seq(10, 30, 50, 70).zipWithIndex.foreach { case (p, k) =>
+        t(p) = s"uniq${i}_$k"
+      }
+      (i.toLong, t.mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    val stream = docs.select(col("doc_id"),
+      explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("s"))
+      .localCheckpoint()
+    val sets = stream.groupBy("doc_id").agg(collect_list(col("s")).as("shingles"))
+    val rescued = Dedup.minhashRescueFrom(stream, sets, cap = 16).collect()
+    assert(rescued.length === 105, s"rescued ${rescued.length} pairs")
+    rescued.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
 }
