@@ -587,6 +587,16 @@ object Graph {
   // the harmonic sum Σ c_d/d is a FIXED d=1..CloseHops expression chain
   // (the Neyman wtot discipline), never a float aggregate — so the
   // doubles are identical in both engines regardless of row order.
+  //
+  // ERROR ENVELOPE (Eppstein–Wang, Hoeffding form): with k sampled
+  // sources the per-node mean-distance estimate sum_dist/n_src_reached
+  // satisfies P(|â(v) − a(v)| ≥ ε·Δ) ≤ 2·exp(−2kε²), Δ the (hop-capped)
+  // diameter — at k = CloseSources = 4 and 95% per-node confidence,
+  // ε = sqrt(ln(2/0.05)/(2k)) ≈ 0.68. Tightening is a k bump
+  // (k = Θ(log n/ε²) for uniform ε), not a plan change: the walk is
+  // already multi-source. GraphSpec asserts the envelope against an
+  // exact all-pairs BFS on the sf0.001 fixture (p95 of the realized
+  // gaps ≤ ε·Δ, max ≤ Δ).
   private val CloseSources = 4
   private val CloseHops = MaxHops
 

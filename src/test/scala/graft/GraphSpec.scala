@@ -558,4 +558,54 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got - brute) < 1e-9, s"$got vs brute $brute")
     assert(got >= -1.0 - 1e-12 && got <= 1.0 + 1e-12)
   }
+
+  test("sampled closeness is inside the Eppstein-Wang envelope of exact all-pairs BFS") {
+    import graft.queries.Graph
+    // exact all-pairs BFS on the sf0.001 fixture (~200 nodes), driver-
+    // side and fully independent of the estimator's Spark code path
+    val edges = Graph.coEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj(a); adj(b) = a :: adj(b)
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val maxHops = 6 // the operator's hop cap (Graph.MaxHops)
+    def bfs(s0: Long): Map[Long, Int] = {
+      val dist = scala.collection.mutable.Map(s0 -> 0)
+      var frontier = List(s0)
+      var d = 0
+      while (frontier.nonEmpty && d < maxHops) {
+        d += 1
+        frontier = frontier.flatMap(adj).distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      (dist - s0).toMap
+    }
+    val exact = nodes.map(v => v -> bfs(v)).toMap
+    val delta = exact.values.flatMap(_.values).max.toDouble // capped diameter
+    val exactMean = exact.collect { case (v, ds) if ds.nonEmpty =>
+      v -> ds.values.sum.toDouble / ds.size
+    }
+    val got = Graph.closeness(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("sum_dist").toDouble / r.getAs[Long]("n_src_reached")))
+      .toMap
+    assert(got.nonEmpty)
+    // documented envelope (scaladoc on q_gr_closeness): per-node
+    // Hoeffding at k=4 sources, 95% confidence ->
+    // eps = sqrt(ln(2/0.05) / (2k)) ~ 0.680 of the hop-capped diameter,
+    // allowing <= 5% of nodes outside (p95 assertion)
+    val eps = math.sqrt(math.log(2.0 / 0.05) / (2.0 * 4)) * delta
+    val gaps = got.toSeq
+      .flatMap { case (v, hat) => exactMean.get(v).map(a => math.abs(hat - a)) }
+      .sorted
+    assert(gaps.nonEmpty)
+    val p95 = gaps(math.min((gaps.size * 95) / 100, gaps.size - 1))
+    assert(p95 <= eps, s"p95 gap $p95 exceeds the documented envelope $eps " +
+      s"(capped diameter $delta)")
+    assert(gaps.last <= delta,
+      s"max gap ${gaps.last} exceeds the capped diameter $delta")
+  }
 }
