@@ -185,6 +185,10 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     val rawCol =
       if (includeRaw && obs.columns.contains("raw_payload")) col("raw_payload")
       else lit(null).cast("string")
+    // unit/frequency ride from meta_series (schemas.py:13-17); a
+    // warehouse written before they were registered renders them null
+    def metaOpt(c: String) =
+      if (meta.columns.contains(c)) col(c) else lit(null).cast("string")
     val joined = filtered
       .join(broadcast(OptionalFilters(meta,
         OptionalFilters.eqOpt(col("dataset_id"), r.first("dataset_id")))),
@@ -192,12 +196,18 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
       .orderBy("series_id", "observation_time")
       .select(col("series_id"), col("dataset_id"), col("description"),
         col("observation_time"), col("value"), col("quality_flag"),
-        rawCol.as("raw_payload"))
+        rawCol.as("raw_payload"),
+        metaOpt("unit").as("unit"), metaOpt("frequency").as("frequency"))
     // the reference pages the FLAT rows (LIMIT/OFFSET in DATA_QUERY),
     // then groups the page in the handler — same here, and the page is
     // what bounds the edge collect
     val page = joined.offset(offset).limit(limit).collect()
 
+    // field names AND order are the pydantic declaration order
+    // (schemas.py:6-19: SeriesResponse / DataPoint under
+    // response_model=list[SeriesResponse]); absent values render as
+    // JSON null exactly as pydantic serializes None — the golden
+    // fixture in QueryServerSpec pins this byte-for-byte
     val series = page.groupBy(r => r.getString(0)).toSeq.sortBy(_._1).map {
       case (sid, rows) =>
         val head = rows.head
@@ -214,6 +224,8 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
           "series_id" -> jsonStr(sid),
           "dataset_id" -> jsonStr(head.getString(1)),
           "description" -> jsonStr(head.getString(2)),
+          "unit" -> Option(head.getString(7)).map(jsonStr).getOrElse("null"),
+          "frequency" -> Option(head.getString(8)).map(jsonStr).getOrElse("null"),
           "points" -> points.mkString("[", ",", "]"))
     }
     Response(200, series.mkString("[", ",", "]"))

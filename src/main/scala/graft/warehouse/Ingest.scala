@@ -67,7 +67,8 @@ object Ingest {
         .withColumn("series_id",
           Normalize.makeSeriesId(lit(dataset), (keyCols.map(col) :+ col("metric")): _*))
         .select(col("series_id"), lit(dataset).as("dataset_id"),
-          col("metric").as("description"), lit(true).as("is_active"))
+          col("metric").as("description"), lit("UNKNOWN").as("unit"),
+          lit("intraday").as("frequency"), lit(true).as("is_active"))
       Upsert.insertIfAbsent(spark, wh.metaSeries, series, Seq("series_id"))
 
       // (4)+(5) normalize to observations and upsert on the composite PK

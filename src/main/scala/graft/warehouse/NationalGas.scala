@@ -230,7 +230,8 @@ object NationalGas {
                          extraSlugParts: Seq[String],
                          timeCol: String, valueCol: String,
                          qualityCol: Option[String],
-                         description: Column): Unit = {
+                         description: Column,
+                         frequency: String): Unit = {
     val slugParts = keyCols.map(col) ++ extraSlugParts.map(lit(_))
     val batch = long.cache()
     try {
@@ -245,8 +246,11 @@ object NationalGas {
         .withColumn("series_id",
           Normalize.makeSeriesId(lit(dataset), slugParts: _*))
         .withColumn("description", description)
+        // unit/frequency: the reference's autoregister defaults
+        // (series_autoregister.py:49-50,88-89,119-120,149-150)
         .select(col("series_id"), lit(dataset).as("dataset_id"),
-          col("description"), lit(true).as("is_active"))
+          col("description"), lit("UNKNOWN").as("unit"),
+          lit(frequency).as("frequency"), lit(true).as("is_active"))
       Upsert.insertIfAbsent(s, wh.metaSeries, series, Seq("series_id"))
 
       // (4)+(5) normalize + upsert: blank → skip, unparseable → skip
@@ -293,7 +297,8 @@ object NationalGas {
       timeCol = "periodFrom", valueCol = "value",
       qualityCol = Some("flowStatus"),
       description = concat(col("indicator"), lit(" at "), col("pointKey"),
-        lit(" ("), col("directionKey"), lit(")")))
+        lit(" ("), col("directionKey"), lit(")")),
+      frequency = "daily")
   }
 
   /** `ingest_dataset("INSTANTANEOUS_FLOW")`: series key (siteName,
@@ -306,7 +311,8 @@ object NationalGas {
       keyCols = Seq("siteName"), extraSlugParts = Seq("FLOWRATE"),
       timeCol = "applicableAt", valueCol = "flowRate",
       qualityCol = Some("qualityIndicator"),
-      description = concat(lit("Instantaneous Flow at "), col("siteName")))
+      description = concat(lit("Instantaneous Flow at "), col("siteName")),
+      frequency = "intraday")
   }
 
   /** `ingest_dataset("GAS_PUBLICATIONS", …)`: series key
@@ -322,6 +328,7 @@ object NationalGas {
       keyCols = Seq("publicationId"), extraSlugParts = Nil,
       timeCol = "applicableFor", valueCol = "value",
       qualityCol = Some("qualityIndicator"),
-      description = concat(lit("Publication "), col("publicationId")))
+      description = concat(lit("Publication "), col("publicationId")),
+      frequency = "daily")
   }
 }

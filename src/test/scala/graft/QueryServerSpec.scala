@@ -554,4 +554,35 @@ class QueryServerSpec extends SparkSpec {
       assert(http("GET", s"${srv.url}/v2/ingest/jobs/999")._1 === 404)
     }
   }
+
+  test("/v2/data golden response shape: schemas.py byte-for-byte, include_raw both ways") {
+    // The checked-in fixtures are the reference-shaped documents for
+    // SeriesResponse/DataPoint (schemas.py:6-19 under
+    // response_model=list[SeriesResponse]): pydantic field ORDER
+    // (series_id, dataset_id, description, unit, frequency, points;
+    // timestamp, value, quality_flag, raw_payload), None -> JSON null,
+    // UTC instants with the Z suffix, raw_payload spliced verbatim when
+    // include_raw=true and null otherwise. The ingest stub is
+    // deterministic, so the bodies are byte-stable.
+    def golden(name: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/$name").toURI)), "UTF-8")
+    withServer { (srv, wh) =>
+      val (st, body) = http("POST",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-01-01&to_date=2024-01-02")
+      assert(st === 202)
+      val jobId = "\"job_id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+      assert(await {
+        http("GET", s"${srv.url}/v2/ingest/jobs/$jobId")._2.contains("done")
+      })
+      val (s1, b1) = http("GET",
+        s"${srv.url}/v2/data?series_id=NG_GAS_QUALITY_STFERGUS_WOBBE")
+      assert(s1 === 200)
+      assert(b1 === golden("golden_v2_data.json"))
+      val (s2, b2) = http("GET",
+        s"${srv.url}/v2/data?series_id=NG_GAS_QUALITY_STFERGUS_WOBBE&include_raw=true")
+      assert(s2 === 200)
+      assert(b2 === golden("golden_v2_data_raw.json"))
+    }
+  }
 }
