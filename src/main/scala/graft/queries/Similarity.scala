@@ -2349,18 +2349,24 @@ object Similarity {
   private val PcaProdScale = 1e12
   private val PcaSumScale = 1e6
 
-  /** Driver-side top eigenpair shared by [[pca]] and [[pcaScores]],
-    * memoized per dataset fingerprint (the in-memory analogue of the
-    * Stage.ensure discipline — the result is 64 doubles + 2 scalars, so
-    * a driver map beats a parquet round-trip; a regenerated dataset gets
-    * a new tag and so a fresh derivation). */
-  private val eigenCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double, Double)]()
+  /** Driver-side PCA model shared by [[pca]], [[pcaScores]], [[pca2]]
+    * and [[reconErr]], memoized per dataset fingerprint (the in-memory
+    * analogue of the Stage.ensure discipline — the result is ~200
+    * doubles, so a driver map beats a parquet round-trip; a regenerated
+    * dataset gets a new tag and so a fresh derivation). Both
+    * eigenvectors are sign-pinned. */
+  private case class PcaModel(v1: Array[Double], lambda1: Double,
+                              ratio1: Double, v2: Array[Double],
+                              lambda2: Double, trace: Double,
+                              mu: Array[Double])
 
-  private def pcaEigen(s: SparkSession, d: String): (Array[Double], Double, Double) =
+  private val eigenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PcaModel]()
+
+  private def pcaEigen(s: SparkSession, d: String): PcaModel =
     eigenCache.computeIfAbsent(Tables.stageTag(d), _ => pcaEigenDerive(s, d))
 
-  private def pcaEigenDerive(s: SparkSession, d: String): (Array[Double], Double, Double) = {
+  private def pcaEigenDerive(s: SparkSession, d: String): PcaModel = {
     require(PcaDims <= PcaMaxDims,
       s"pca: $PcaDims dims exceeds the $PcaMaxDims-dim driver-matrix cap - the dims^2 " +
         "gram digest no longer fits driver arithmetic; block the matrix (per-block gram " +
@@ -2420,16 +2426,86 @@ object Similarity {
     var mi = 0
     (1 until PcaDims).foreach(i => if (math.abs(v(i)) > math.abs(v(mi))) mi = i)
     val sgn = if (v(mi) < 0.0) -1.0 else 1.0
-    (v.map(_ * sgn), lambda, lambda / trace)
+    val v1p = v.map(_ * sgn)
+    // SECOND component by orthogonalized power iteration: same rounds,
+    // same v0; each round applies cov, then removes the v1 component
+    // (w − (v1ᵀw)·v1 — sign-invariant, the oracle replays the pinned
+    // v1), then normalizes. The fixed operation order keeps every
+    // double bit-identical to the DuckDB replay, like the PC1 chain.
+    var u = Array.fill(PcaDims)(0.125)
+    for (_ <- 1 to PcaRounds) {
+      val w = Array.tabulate(PcaDims)(i => dotSeq(cov(i), u))
+      val d2 = dotSeq(v1p, w)
+      val o = Array.tabulate(PcaDims)(i => w(i) - d2 * v1p(i))
+      val nrm = math.sqrt(dotSeq(o, o))
+      u = o.map(_ / nrm)
+    }
+    val cu = Array.tabulate(PcaDims)(i => dotSeq(cov(i), u))
+    val lambda2 = dotSeq(u, cu)
+    var mi2 = 0
+    (1 until PcaDims).foreach(i => if (math.abs(u(i)) > math.abs(u(mi2))) mi2 = i)
+    val sgn2 = if (u(mi2) < 0.0) -1.0 else 1.0
+    PcaModel(v1p, lambda, lambda / trace, u.map(_ * sgn2), lambda2, trace, mu)
   }
 
   def pca(s: SparkSession, d: String): DataFrame = {
-    val (vs, lambda, ratio) = pcaEigen(s, d)
+    val m = pcaEigen(s, d)
     import s.implicits._
     (0 until PcaDims)
-      .map(i => (i.toLong, vs(i), lambda, ratio))
+      .map(i => (i.toLong, m.v1(i), m.lambda1, m.ratio1))
       .toDF("dim", "loading", "eigenvalue", "var_ratio")
       .orderBy("dim")
+  }
+
+  // --- q_sim_pca2 -------------------------------------------------------------
+  // SECOND PRINCIPAL COMPONENT via deflation (round-14 verdict item 8):
+  // the r14 gram machinery already holds the full covariance, so PC2
+  // costs zero extra scans — only more driver arithmetic on the 64x64
+  // matrix, replayed exactly by the oracle's CTE chain (orthogonalized
+  // power iteration per the [[pcaEigenDerive]] comment). cum_var_ratio
+  // is the rank-2 "how low-rank is this corpus" answer.
+  def pca2(s: SparkSession, d: String): DataFrame = {
+    val m = pcaEigen(s, d)
+    import s.implicits._
+    (0 until PcaDims)
+      .map(i => (i.toLong, m.v2(i), m.lambda2, m.lambda2 / m.trace,
+        (m.lambda1 + m.lambda2) / m.trace))
+      .toDF("dim", "loading2", "eigenvalue2", "var_ratio2", "cum_var_ratio")
+      .orderBy("dim")
+  }
+
+  // --- q_sim_recon_err ----------------------------------------------------------
+  // PER-VECTOR RANK-2 RECONSTRUCTION ERROR — the outlier screen an
+  // embedding-quality audit actually runs: err = ‖x−μ‖² − s1² − s2²
+  // (Pythagoras under the orthonormal PC basis), with s_k the centered
+  // projections. A vector the top-2 plane can't explain (high
+  // err_ratio vs the corpus mean) is a candidate mis-embedding /
+  // contamination. Centered vector materialized ONCE per row, three
+  // codegen'd sequential-fold vec_dots read it; the mean routes
+  // through 1e-9 fixed point so the ratio is order-stable. Scale: one
+  // scan + one 1-row digest crossJoined back (no collect).
+  def reconErr(s: SparkSession, d: String): DataFrame = {
+    val m = pcaEigen(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("c",
+        zip_with(col("v"), typedLit(m.mu.toSeq), (a, b) => a - b))
+    val s1 = Vectors.dot(col("c"), typedLit(m.v1.toSeq))
+    val s2 = Vectors.dot(col("c"), typedLit(m.v2.toSeq))
+    val scored = e.select(col("vec_id"), col("label"),
+        s1.as("pc1"), s2.as("pc2"),
+        (Vectors.dot(col("c"), col("c")) - s1 * s1 - s2 * s2).as("recon_err"))
+      .localCheckpoint() // digest + final projection both read it
+    val tot = scored.agg(count(lit(1)).as("n"),
+      sum(round(col("recon_err") * lit(1e9)).cast("long")).as("se"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("vec_id"), col("label"), col("pc1"), col("pc2"),
+        col("recon_err"),
+        (col("recon_err") /
+          ((col("se").cast("double") / lit(1e9)) / col("n").cast("double")))
+          .as("err_ratio"))
+      .orderBy("vec_id")
   }
 
   /** The shared CTE chain replaying the gram, covariance, power
@@ -2519,8 +2595,7 @@ object Similarity {
   private val PcaScoreScale = 1e9
 
   def pcaScores(s: SparkSession, d: String): DataFrame = {
-    val (vs, _, _) = pcaEigen(s, d)
-    val p = Vectors.dot(col("v"), typedLit(vs.toSeq))
+    val p = Vectors.dot(col("v"), typedLit(pcaEigen(s, d).v1.toSeq))
     Tables.embeddings(s, d)
       .select(col("label"), col("embedding").cast("array<double>").as("v"))
       .select(col("label"), p.as("p"))
@@ -2559,6 +2634,95 @@ object Similarity {
        |FROM agg
        |ORDER BY label""".stripMargin
   }
+
+  /** Deflation CTE chain appended after [[pcaIterCtes]]: pinned v1
+    * (vs1), orthogonalized power-iteration rounds u1..uR, lam2 and the
+    * pinned v2 (vs2) — the oracle twin of the PC2 block in
+    * [[pcaEigenDerive]]. */
+  private lazy val pca2Ctes: String = {
+    val fold = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, $PcaDims),
+         |      k -> $a[k] * $b[k])), (x, y) -> x + y)""".stripMargin
+    val rounds = (1 to PcaRounds).map { r =>
+      val prev = s"u${r - 1}"
+      s"""pw$r AS MATERIALIZED (
+         |  SELECT c.i, ${fold("c.row", "p.lst")} AS w
+         |  FROM cov c, $prev p),
+         |pwl$r AS MATERIALIZED (
+         |  SELECT list(w ORDER BY i) AS lst FROM pw$r),
+         |pd$r AS MATERIALIZED (
+         |  SELECT ${fold("v.lst", "w.lst")} AS d FROM vs1 v, pwl$r w),
+         |po$r AS MATERIALIZED (
+         |  SELECT list_transform(generate_series(1, $PcaDims),
+         |    k -> w.lst[k] - d.d * v.lst[k]) AS lst
+         |  FROM pwl$r w, pd$r d, vs1 v),
+         |pn$r AS MATERIALIZED (
+         |  SELECT sqrt(${fold("o.lst", "o.lst")}) AS nrm FROM po$r o),
+         |u$r AS MATERIALIZED (
+         |  SELECT list_transform(o.lst, x -> x / n.nrm) AS lst
+         |  FROM po$r o, pn$r n)""".stripMargin
+    }.mkString(",\n")
+    s"""vs1 AS MATERIALIZED (
+       |  SELECT list_transform(p.lst, x -> x * sg.sgn) AS lst
+       |  FROM v$PcaRounds p, sg),
+       |u0 AS MATERIALIZED (
+       |  SELECT list_transform(generate_series(1, $PcaDims),
+       |    i -> 0.125::DOUBLE) AS lst),
+       |$rounds,
+       |cu2 AS MATERIALIZED (
+       |  SELECT c.i, ${fold("c.row", "p.lst")} AS w
+       |  FROM cov c, u$PcaRounds p),
+       |lam2 AS MATERIALIZED (
+       |  SELECT ${fold("p.lst", "cul.lst")} AS lambda2
+       |  FROM u$PcaRounds p, (SELECT list(w ORDER BY i) AS lst FROM cu2) cul),
+       |sg2 AS MATERIALIZED (
+       |  SELECT CASE WHEN p.lst[(
+       |      SELECT i FROM generate_series(1, $PcaDims) g(i), u$PcaRounds q
+       |      ORDER BY abs(q.lst[i]) DESC, i LIMIT 1)] < 0.0
+       |    THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END AS sgn
+       |  FROM u$PcaRounds p),
+       |vs2 AS MATERIALIZED (
+       |  SELECT list_transform(p.lst, x -> x * sg2.sgn) AS lst
+       |  FROM u$PcaRounds p, sg2)""".stripMargin
+  }
+
+  lazy val pca2Sql: String =
+    s"""WITH $pcaIterCtes,
+       |$pca2Ctes
+       |SELECT (g.i - 1)::BIGINT AS dim, p.lst[g.i] * sg2.sgn AS loading2,
+       |  lam2.lambda2 AS eigenvalue2, lam2.lambda2 / tr.trace AS var_ratio2,
+       |  (lam.lambda + lam2.lambda2) / tr.trace AS cum_var_ratio
+       |FROM generate_series(1, $PcaDims) g(i), u$PcaRounds p, lam, lam2, tr, sg2
+       |ORDER BY dim""".stripMargin
+
+  lazy val reconErrSql: String =
+    s"""WITH $pcaIterCtes,
+       |$pca2Ctes,
+       |mul AS MATERIALIZED (SELECT list(mu ORDER BY i) AS lst FROM mu),
+       |cent AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(generate_series(1, $PcaDims),
+       |      k -> embedding[k]::DOUBLE - m.lst[k]) AS c
+       |  FROM embeddings, mul m),
+       |sc2 AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    ${Vectors.dotSql("c", "v1.lst")} AS pc1,
+       |    ${Vectors.dotSql("c", "v2l.lst")} AS pc2,
+       |    ${Vectors.dotSql("c", "c")} AS cc
+       |  FROM cent, vs1 v1, vs2 v2l),
+       |er AS MATERIALIZED (
+       |  SELECT vec_id, label, pc1, pc2,
+       |    cc - pc1 * pc1 - pc2 * pc2 AS recon_err
+       |  FROM sc2),
+       |tot AS MATERIALIZED (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(round(recon_err * 1e9) AS BIGINT)) AS BIGINT) AS se
+       |  FROM er)
+       |SELECT vec_id, label, pc1, pc2, recon_err,
+       |  recon_err / ((se::DOUBLE / 1e9) / n::DOUBLE) AS err_ratio
+       |FROM er, tot
+       |ORDER BY vec_id""".stripMargin
 
   // --- q_sim_centroid_drift ---------------------------------------------------
   // EMBEDDING-CENTROID DRIFT MONITOR: per-label centroid of snapshot A
@@ -2627,6 +2791,8 @@ object Similarity {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pca" -> (pca _),
+    "q_sim_pca2" -> (pca2 _),
+    "q_sim_recon_err" -> (reconErr _),
     "q_sim_pca_scores" -> (pcaScores _),
     "q_sim_centroid_drift" -> (centroidDrift _),
     "q_sim_linear_probe" -> (linearProbe _),
@@ -2659,6 +2825,8 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q_sim_pca" -> pcaSql,
+    "q_sim_pca2" -> pca2Sql,
+    "q_sim_recon_err" -> reconErrSql,
     "q_sim_pca_scores" -> pcaScoresSql,
     "q_sim_centroid_drift" -> centroidDriftSql,
     "q_sim_linear_probe" -> linearProbeSql,
