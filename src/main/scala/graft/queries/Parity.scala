@@ -98,6 +98,48 @@ object Parity {
     }.orderBy("obs_time", "site", "metric")
   }
 
+  // --- q_st_rest_ingest -------------------------------------------------------
+  // THE SCHEDULER LOOP END-TO-END: [[graft.streaming.Scheduler]]'s
+  // polling stream drained AvailableNow through multiple admission-
+  // controlled batches, each tick running the verified five-stage
+  // ingest DAG (foreachBatch -> Ingest.ingestWide -> LWW upsert), then
+  // the OBSERVATIONS table read back. The oracle is the closed-form
+  // stub replayed through the same series-id slug and second-grain
+  // time format — so the hash verifies the whole path: stream offsets,
+  // batch pivot, registration, normalization and upsert idempotence
+  // (a replayed batch that double-wrote would change row counts).
+  // Fresh warehouse + checkpoint per call: replays must recompute.
+  def streamingRestIngest(s: SparkSession, d: String): DataFrame = {
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = s"${tmpRoot("stream", d)}/rest_ingest_$runId"
+    withStreamSession(s, 8) { ss =>
+      val wh = graft.warehouse.Ingest.Warehouse(s"$root/wh")
+      val q = graft.streaming.Scheduler.gasIngestStream(
+        ss, wh, S1From, S1To, s"$root/cp",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        maxDaysPerBatch = 7)
+      q.awaitTermination()
+      ss.read.parquet(wh.observations)
+        .select("series_id", "observation_time", "value", "quality_flag")
+    }.orderBy("series_id", "observation_time")
+  }
+
+  lazy val streamingRestIngestSql: String = {
+    import graft.sources.v2.ChunkedRestSource.{Metrics, Sites}
+    val siteVals = Sites.map(x => s"('$x', ${x.hashCode}::BIGINT)").mkString(", ")
+    val metricVals = Metrics.map(x => s"('$x', ${x.hashCode}::BIGINT)").mkString(", ")
+    s"""WITH days AS (
+       |  SELECT (unnest(generate_series(DATE '$S1From', DATE '$S1To', INTERVAL 1 DAY)))::DATE AS day),
+       |sites(site, sh) AS (VALUES $siteVals),
+       |metrics(metric, mh) AS (VALUES $metricVals)
+       |SELECT 'NG_GAS_QUALITY_' || site || '_' || metric AS series_id,
+       |  make_timestamp((day - DATE '1970-01-01')::BIGINT * 86400 * 1000000) AS observation_time,
+       |  40.0 + (((((day - DATE '1970-01-01')::BIGINT * 31 + sh) * 31 + mh) % 1000 + 1000) % 1000) / 100.0 AS value,
+       |  NULL::VARCHAR AS quality_flag
+       |FROM days, sites, metrics
+       |ORDER BY series_id, observation_time""".stripMargin
+  }
+
   val chunkedRestSql: String = {
     import graft.sources.v2.ChunkedRestSource.{Metrics, Sites}
     // Java String.hashCode constants, precomputed here and embedded as
@@ -2761,6 +2803,7 @@ object Parity {
     "q_j5_slug_roundtrip" -> (slugRoundtrip _),
     "q_tz_per_series" -> (tzPerSeries _),
     "q_st_rest_poll" -> (streamingRestPoll _),
+    "q_st_rest_ingest" -> (streamingRestIngest _),
     "q_st_windowed" -> (streamingWindowed _),
     "q_st_chained" -> (streamingChained _),
     "q_st_dedup" -> (streamingDedup _),
@@ -2818,6 +2861,7 @@ object Parity {
     "q_j5_slug_roundtrip" -> slugRoundtripSql,
     "q_tz_per_series" -> tzPerSeriesSql,
     "q_st_rest_poll" -> chunkedRestSql,
+    "q_st_rest_ingest" -> streamingRestIngestSql,
     "q_st_windowed" -> streamingWindowedSql,
     "q_st_chained" -> streamingChainedSql,
     "q_st_dedup" -> streamingDedupSql,
