@@ -1175,6 +1175,207 @@ object Analytics {
        |ORDER BY k.user_id""".stripMargin
   }
 
+  // --- q_ag_dyadic_quantile / q_ag_dyadic_range --------------------------------
+  // DYADIC COUNTER TREE (Cormode–Muthukrishnan range-sum structure,
+  // public) — the QUANTILE/RANGE member of the mergeable-sketch family
+  // (HLL registers merge by MAX, Bloom words by OR, CMS counters by
+  // SUM — this tree merges by SUM too, and unlike GK/t-digest its
+  // state is plain integers, so merging is a relational aggregate and
+  // the replay is bit-exact). Values quantize to cents clamped to
+  // [0, 2^20); the tree keeps EXACT counts per (level, bucket) for
+  // levels 8..19 — Σ_l 2^(20−l) ≤ 8,190 counter rows at ANY corpus
+  // size (the resolution/state knob: one more level doubles the finest
+  // rows and halves the value resolution). Quantile = a 12-step
+  // top-down walk (at level l: if cum + node(l, x>>l) < target then
+  // x += 2^l) landing on the 256-cent bucket whose EXACT prefix rank
+  // brackets the target; an arbitrary aligned range count is the
+  // canonical set-bit decomposition — ≤ 12 node lookups instead of a
+  // scan, the structure's whole point once the domain outgrows one
+  // histogram. The walk runs driver-side over the collected digest
+  // (bounded ≤ 8,190 rows — the markov/pca capped-driver-artifact
+  // discipline, require-guarded); the oracle replays the identical
+  // walk as a generated 12-step CTE chain. All integers end to end.
+  private val DyadBits = 20
+  private val DyadMinLevel = 8 // finest stored level: 4096 buckets, 256-cent resolution
+  private val DyadMaxRows = 200000 // digest-collect guard
+
+  /** (level, bucket) → exact count over clamped cents; mergeable by SUM. */
+  private def dyadicTree(ev: DataFrame): DataFrame = {
+    val c = greatest(lit(0L),
+      least(round(col("value") * 100).cast("long"), lit((1L << DyadBits) - 1)))
+    ev.select(c.as("c"))
+      .select(posexplode(array((DyadMinLevel until DyadBits).map(l =>
+        shiftright(col("c"), l)): _*)))
+      .toDF("idx", "bucket")
+      .select((col("idx") + DyadMinLevel).as("level"), col("bucket"))
+      .groupBy("level", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  private val DyadQs = Seq(0.5, 0.9, 0.99)
+
+  def dyadicQuantile(s: SparkSession, d: String): DataFrame = {
+    val tree = dyadicTree(Tables.events(s, d))
+    val rows = tree.collect()
+    require(rows.length <= DyadMaxRows,
+      s"dyadic tree digest ${rows.length} rows exceeds the driver guard - " +
+        "raise DyadMinLevel (coarser tree) or aggregate per-group trees distributed")
+    val cnt = rows.map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    val n = rows.filter(_.getInt(0) == DyadBits - 1).map(_.getLong(2)).sum
+    import s.implicits._
+    DyadQs.map { q =>
+      val target = math.ceil(q * n).toLong
+      var x = 0L
+      var cum = 0L
+      var l = DyadBits - 1
+      while (l >= DyadMinLevel) {
+        val node = cnt.getOrElse((l.toLong, x >> l), 0L)
+        if (cum + node < target) { cum += node; x += (1L << l) }
+        l -= 1
+      }
+      val bucketN = cnt.getOrElse((DyadMinLevel.toLong, x >> DyadMinLevel), 0L)
+      (q, target, n, x, x + (1L << DyadMinLevel), cum, bucketN,
+        cum < target && target <= cum + bucketN)
+    }.toDF("q", "target_rank", "n", "lo_cents", "hi_cents",
+        "rank_below", "bucket_n", "contains")
+      .orderBy("q")
+  }
+
+  /** The identical walk as DuckDB CTEs: tree → per-quantile 12-step
+    * fold, generated mechanically like the PCA round chains (one FLAT
+    * CTE namespace — DuckDB 1.0 raises an internal binder error on
+    * UNION ALL arms that each open their own nested WITH here). */
+  lazy val dyadicQuantileSql: String = {
+    val levels = (DyadMinLevel until DyadBits)
+      .map(l => s"SELECT $l AS level, (c >> $l) AS bucket FROM cl")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    def walk(tag: String, qLit: String): String = {
+      val steps = (DyadMinLevel until DyadBits).reverse.zipWithIndex.map {
+        case (l, i) =>
+          val prev = s"w${i}_$tag"
+          val nd = s"coalesce((SELECT cnt FROM tree t WHERE t.level = $l " +
+            s"AND t.bucket = (p.x >> $l)), 0)"
+          s"""w${i + 1}_$tag AS MATERIALIZED (
+             |  SELECT p.x + CASE WHEN p.cum + $nd < p.target
+             |      THEN (1::BIGINT << $l) ELSE 0 END AS x,
+             |    p.cum + CASE WHEN p.cum + $nd < p.target THEN $nd ELSE 0 END AS cum,
+             |    p.target, p.n
+             |  FROM $prev p)"""
+            .stripMargin
+      }.mkString(",\n")
+      val last = s"w${DyadBits - DyadMinLevel}_$tag"
+      s"""w0_$tag AS MATERIALIZED (
+         |  SELECT 0::BIGINT AS x, 0::BIGINT AS cum,
+         |    CAST(ceil($qLit * n.n) AS BIGINT) AS target, n.n
+         |  FROM nn n),
+         |$steps,
+         |res_$tag AS MATERIALIZED (
+         |  SELECT CAST($qLit AS DOUBLE) AS q, target AS target_rank, n,
+         |    x AS lo_cents, x + ${1L << DyadMinLevel} AS hi_cents,
+         |    cum AS rank_below,
+         |    coalesce((SELECT cnt FROM tree t
+         |      WHERE t.level = $DyadMinLevel AND t.bucket = (x >> $DyadMinLevel)), 0) AS bucket_n
+         |  FROM $last)"""
+        .stripMargin
+    }
+    val tags = DyadQs.map(q => (s"q${(q * 100).toInt}", q.toString))
+    val chains = tags.map { case (t, q) => walk(t, q) }.mkString(",\n")
+    val arms = tags.map { case (t, _) =>
+      s"""SELECT q, target_rank, n, lo_cents, hi_cents, rank_below, bucket_n,
+         |  (rank_below < target_rank AND target_rank <= rank_below + bucket_n) AS contains
+         |FROM res_$t"""
+        .stripMargin
+    }.mkString("\n       |UNION ALL\n       |")
+    s"""WITH cl AS MATERIALIZED (
+       |  SELECT greatest(0, least(CAST(round(value * 100) AS BIGINT),
+       |    ${(1L << DyadBits) - 1})) AS c FROM events),
+       |tree AS MATERIALIZED (
+       |  SELECT level, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  $levels) GROUP BY level, bucket),
+       |nn AS MATERIALIZED (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tree
+       |  WHERE level = ${DyadBits - 1}),
+       |$chains
+       |$arms
+       |ORDER BY q""".stripMargin
+  }
+
+  // Range counts by canonical decomposition: count([0, y)) for a
+  // 256-aligned y is Σ over set bits j of y' = y >> 8 of node
+  // (8 + j, (y' >> j) − 1); a range is prefix(b) − prefix(a). The
+  // exact filter count rides along — equal by construction (exact
+  // counters), so the hash verifies the DECOMPOSITION arithmetic.
+  private val DyadRanges = Seq(
+    ("r1_low", 0L, 256L * 40),      // [0, 10240) cents
+    ("r2_mid", 256L * 100, 256L * 300),
+    ("r3_tail", 256L * 40, 1L << DyadBits)) // full-domain upper arm, nonzero mass
+
+  def dyadicRange(s: SparkSession, d: String): DataFrame = {
+    val tree = dyadicTree(Tables.events(s, d))
+    val rows = tree.collect()
+    require(rows.length <= DyadMaxRows, "dyadic tree digest exceeds driver guard")
+    val cnt = rows.map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    val total = rows.filter(_.getInt(0) == DyadBits - 1).map(_.getLong(2)).sum
+    def prefix(y: Long): Long =
+      // the full-domain prefix has its set bit ABOVE the stored levels
+      if (y >= (1L << DyadBits)) total
+      else {
+        val yp = y >> DyadMinLevel
+        (0 until (DyadBits - DyadMinLevel)).map { j =>
+          if (((yp >> j) & 1L) == 1L)
+            cnt.getOrElse(((DyadMinLevel + j).toLong, (yp >> j) - 1), 0L)
+          else 0L
+        }.sum
+      }
+    val ev = Tables.events(s, d).select(
+      greatest(lit(0L), least(round(col("value") * 100).cast("long"),
+        lit((1L << DyadBits) - 1))).as("c"))
+    import s.implicits._
+    val treeCounts = DyadRanges.map { case (id, a, b) =>
+      (id, a, b, prefix(b) - prefix(a))
+    }.toDF("range_id", "a_cents", "b_cents", "tree_count")
+    val exact = DyadRanges.map { case (id, a, b) =>
+      ev.filter(col("c") >= a && col("c") < b)
+        .agg(count(lit(1)).as("exact_count"))
+        .select(lit(id).as("range_id"), col("exact_count"))
+    }.reduce(_ unionByName _)
+    treeCounts.join(exact, Seq("range_id"))
+      .select("range_id", "a_cents", "b_cents", "tree_count", "exact_count")
+      .orderBy("range_id")
+  }
+
+  lazy val dyadicRangeSql: String = {
+    val levels = (DyadMinLevel until DyadBits)
+      .map(l => s"SELECT $l AS level, (c >> $l) AS bucket FROM cl")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    def prefixSql(y: Long): String =
+      if (y >= (1L << DyadBits))
+        s"(SELECT CAST(sum(cnt) AS BIGINT) FROM tree WHERE level = ${DyadBits - 1})"
+      else {
+        val yp = y >> DyadMinLevel
+        val terms = (0 until (DyadBits - DyadMinLevel)).flatMap { j =>
+          if (((yp >> j) & 1L) == 1L)
+            Some(s"coalesce((SELECT cnt FROM tree t WHERE t.level = ${DyadMinLevel + j} " +
+              s"AND t.bucket = ${(yp >> j) - 1}), 0)")
+          else None
+        }
+        if (terms.isEmpty) "0" else terms.mkString(" + ")
+      }
+    val arms = DyadRanges.map { case (id, a, b) =>
+      s"""SELECT '$id' AS range_id, $a AS a_cents, $b AS b_cents,
+         |  CAST((${prefixSql(b)}) - (${prefixSql(a)}) AS BIGINT) AS tree_count,
+         |  (SELECT count(*) FROM cl WHERE c >= $a AND c < $b) AS exact_count"""
+        .stripMargin
+    }.mkString("\n       |UNION ALL\n       |")
+    s"""WITH cl AS MATERIALIZED (
+       |  SELECT greatest(0, least(CAST(round(value * 100) AS BIGINT),
+       |    ${(1L << DyadBits) - 1})) AS c FROM events),
+       |tree AS MATERIALIZED (
+       |  SELECT level, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  $levels) GROUP BY level, bucket)
+       |$arms
+       |ORDER BY range_id""".stripMargin
+  }
+
   // --- q_ag_approx_percentile ---------------------------------------------
   // The OTHER workhorse sketch: approx_percentile (Greenwald–Khanna
   // quantile summary) BOUNDED by its own rank guarantee in-plan. The
@@ -4013,6 +4214,8 @@ object Analytics {
     "q_ag_approx_distinct" -> (approxDistinct _),
     "q_ag_hll_relational" -> (hllRelational _),
     "q_ag_cms" -> (cms _),
+    "q_ag_dyadic_quantile" -> (dyadicQuantile _),
+    "q_ag_dyadic_range" -> (dyadicRange _),
     "q_ag_approx_percentile" -> (approxPercentile _),
     "q_ag_incr_merge" -> (incrMerge _),
     "q_ag_incr_join" -> (incrJoin _),
@@ -4044,6 +4247,8 @@ object Analytics {
     "q_ag_cohens_d" -> cohensDSql,
     "q_ag_hll_relational" -> hllRelationalSql,
     "q_ag_cms" -> cmsSql,
+    "q_ag_dyadic_quantile" -> dyadicQuantileSql,
+    "q_ag_dyadic_range" -> dyadicRangeSql,
     "q_ag_topk_group" -> topkGroupSql,
     "q_ev_funnel" -> funnelSql,
     "q_ev_transitions" -> transitionsSql,

@@ -2504,4 +2504,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lambda >= (0 until 64).map(i => cov(i)(i)).max - 1e-9,
       "top eigenvalue must dominate every coordinate variance")
   }
+
+  test("dyadic tree: quantile brackets match exact sorted ranks; range = exact") {
+    import graft.queries.Analytics
+    import org.apache.spark.sql.functions._
+    val qs = Analytics.dyadicQuantile(spark, sf).collect()
+    assert(qs.length === 3)
+    // exact sorted cents, clamped like the tree
+    val cents = Tables.events(spark, sf)
+      .select(greatest(lit(0L), least(round(col("value") * 100).cast("long"),
+        lit((1L << 20) - 1))).as("c"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    qs.foreach { r =>
+      val q = r.getAs[Double]("q")
+      val target = math.ceil(q * n).toLong
+      assert(r.getAs[Long]("target_rank") === target)
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Boolean]("contains"))
+      // the exact order statistic at the target rank falls inside the
+      // returned 256-cent bucket (counters are exact, so the bracket
+      // is an exact rank statement, not an approximation)
+      val exactVal = cents((target - 1).toInt)
+      assert(exactVal >= r.getAs[Long]("lo_cents") &&
+        exactVal < r.getAs[Long]("hi_cents"),
+        s"q=$q exact=$exactVal bucket=[${r.getAs[Long]("lo_cents")}, ${r.getAs[Long]("hi_cents")})")
+      // rank_below is the exact count strictly below the bucket
+      assert(r.getAs[Long]("rank_below") === cents.count(_ < r.getAs[Long]("lo_cents")).toLong)
+    }
+    // range decomposition is exact, including the full-domain arm
+    val rg = Analytics.dyadicRange(spark, sf).collect()
+    assert(rg.nonEmpty)
+    rg.foreach(r => assert(r.getAs[Long]("tree_count") === r.getAs[Long]("exact_count")))
+  }
 }
