@@ -1376,6 +1376,99 @@ object Analytics {
        |ORDER BY range_id""".stripMargin
   }
 
+  // --- q_ag_dyadic_grouped ------------------------------------------------------
+  // PER-GROUP dyadic quantiles — the shape the structure actually runs
+  // at 100 TB: one grouped counter tree (groups × ≤ 8,190 integer
+  // rows, mergeable by SUM within each group), every group's p50/p90
+  // walked top-down over its own subtree. The oracle replays ALL walks
+  // simultaneously as ONE WITH RECURSIVE carrying (group, q, x, cum)
+  // state — 12 iterations regardless of group count, each step a
+  // scalar node lookup. Groups come from the data on both sides (no
+  // literal vocabulary); everything is integer-exact.
+  private val DyadGroupedQs = Seq(0.5, 0.9)
+
+  def dyadicGrouped(s: SparkSession, d: String): DataFrame = {
+    val c = greatest(lit(0L),
+      least(round(col("value") * 100).cast("long"), lit((1L << DyadBits) - 1)))
+    val tree = Tables.events(s, d)
+      .select(col("event_type").as("g"), c.as("c"))
+      .select(col("g"), posexplode(array((DyadMinLevel until DyadBits).map(l =>
+        shiftright(col("c"), l)): _*)))
+      .toDF("g", "idx", "bucket")
+      .select(col("g"), (col("idx") + DyadMinLevel).as("level"), col("bucket"))
+      .groupBy("g", "level", "bucket").agg(count(lit(1)).as("cnt"))
+    val rows = tree.collect()
+    require(rows.length <= DyadMaxRows,
+      s"grouped dyadic digest ${rows.length} rows exceeds the driver guard")
+    val cnt = rows.map(r =>
+      (r.getString(0), r.getInt(1).toLong, r.getLong(2)) -> r.getLong(3)).toMap
+    val ns = rows.filter(_.getInt(1) == DyadBits - 1)
+      .groupBy(_.getString(0)).map { case (g, rs) => g -> rs.map(_.getLong(3)).sum }
+    import s.implicits._
+    (for {
+      g <- ns.keys.toSeq.sorted
+      q <- DyadGroupedQs
+    } yield {
+      val n = ns(g)
+      val target = math.ceil(q * n).toLong
+      var x = 0L
+      var cum = 0L
+      var l = DyadBits - 1
+      while (l >= DyadMinLevel) {
+        val node = cnt.getOrElse((g, l.toLong, x >> l), 0L)
+        if (cum + node < target) { cum += node; x += (1L << l) }
+        l -= 1
+      }
+      val bucketN = cnt.getOrElse((g, DyadMinLevel.toLong, x >> DyadMinLevel), 0L)
+      (g, q, target, n, x, x + (1L << DyadMinLevel), cum, bucketN,
+        cum < target && target <= cum + bucketN)
+    }).toDF("g", "q", "target_rank", "n", "lo_cents", "hi_cents",
+        "rank_below", "bucket_n", "contains")
+      .orderBy("g", "q")
+  }
+
+  lazy val dyadicGroupedSql: String = {
+    val levels = (DyadMinLevel until DyadBits)
+      .map(l => s"SELECT g, $l AS level, (c >> $l) AS bucket FROM cl")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    val qVals = DyadGroupedQs.map(q => s"($q::DOUBLE)").mkString(", ")
+    val steps = DyadBits - DyadMinLevel
+    val nd = s"coalesce((SELECT cnt FROM tree t WHERE t.g = w.g " +
+      s"AND t.level = ${DyadBits - 1} - w.i " +
+      s"AND t.bucket = (w.x >> (${DyadBits - 1} - w.i))), 0)"
+    s"""WITH RECURSIVE cl AS MATERIALIZED (
+       |  SELECT event_type AS g,
+       |    greatest(0, least(CAST(round(value * 100) AS BIGINT),
+       |      ${(1L << DyadBits) - 1})) AS c FROM events),
+       |tree AS MATERIALIZED (
+       |  SELECT g, level, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |  $levels) GROUP BY g, level, bucket),
+       |ng AS MATERIALIZED (
+       |  SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM tree
+       |  WHERE level = ${DyadBits - 1} GROUP BY g),
+       |walk(i, g, q, x, cum, target, n) AS (
+       |  SELECT 0, ng.g, qs.q, 0::BIGINT, 0::BIGINT,
+       |    CAST(ceil(qs.q * ng.n) AS BIGINT), ng.n
+       |  FROM ng, (VALUES $qVals) qs(q)
+       |  UNION ALL
+       |  SELECT w.i + 1, w.g, w.q,
+       |    w.x + CASE WHEN w.cum + $nd < w.target
+       |      THEN (1::BIGINT << (${DyadBits - 1} - w.i)) ELSE 0::BIGINT END,
+       |    w.cum + CASE WHEN w.cum + $nd < w.target THEN $nd ELSE 0::BIGINT END,
+       |    w.target, w.n
+       |  FROM walk w WHERE w.i < $steps)
+       |SELECT g, q, target AS target_rank, n, x AS lo_cents,
+       |  x + ${1L << DyadMinLevel} AS hi_cents, cum AS rank_below,
+       |  coalesce((SELECT cnt FROM tree t WHERE t.g = walk.g
+       |    AND t.level = $DyadMinLevel
+       |    AND t.bucket = (walk.x >> $DyadMinLevel)), 0) AS bucket_n,
+       |  (cum < target AND target <= cum + coalesce((SELECT cnt FROM tree t
+       |    WHERE t.g = walk.g AND t.level = $DyadMinLevel
+       |    AND t.bucket = (walk.x >> $DyadMinLevel)), 0)) AS contains
+       |FROM walk WHERE i = $steps
+       |ORDER BY g, q""".stripMargin
+  }
+
   // --- q_ag_approx_percentile ---------------------------------------------
   // The OTHER workhorse sketch: approx_percentile (Greenwald–Khanna
   // quantile summary) BOUNDED by its own rank guarantee in-plan. The
@@ -4215,6 +4308,7 @@ object Analytics {
     "q_ag_hll_relational" -> (hllRelational _),
     "q_ag_cms" -> (cms _),
     "q_ag_dyadic_quantile" -> (dyadicQuantile _),
+    "q_ag_dyadic_grouped" -> (dyadicGrouped _),
     "q_ag_dyadic_range" -> (dyadicRange _),
     "q_ag_approx_percentile" -> (approxPercentile _),
     "q_ag_incr_merge" -> (incrMerge _),
@@ -4248,6 +4342,7 @@ object Analytics {
     "q_ag_hll_relational" -> hllRelationalSql,
     "q_ag_cms" -> cmsSql,
     "q_ag_dyadic_quantile" -> dyadicQuantileSql,
+    "q_ag_dyadic_grouped" -> dyadicGroupedSql,
     "q_ag_dyadic_range" -> dyadicRangeSql,
     "q_ag_topk_group" -> topkGroupSql,
     "q_ev_funnel" -> funnelSql,

@@ -2536,5 +2536,11 @@ class PipelineOpsSpec extends SparkSpec {
     val rg = Analytics.dyadicRange(spark, sf).collect()
     assert(rg.nonEmpty)
     rg.foreach(r => assert(r.getAs[Long]("tree_count") === r.getAs[Long]("exact_count")))
+    // grouped walk: every group's bracket holds and group ns re-assemble
+    val gq = Analytics.dyadicGrouped(spark, sf).collect()
+    assert(gq.nonEmpty)
+    gq.foreach(r => assert(r.getAs[Boolean]("contains")))
+    val perG = gq.filter(_.getAs[Double]("q") == 0.5)
+    assert(perG.map(_.getAs[Long]("n")).sum === n.toLong)
   }
 }
