@@ -103,4 +103,49 @@ class RestPollStreamSpec extends SparkSpec {
     assert(df.columns.toSeq.sorted === Seq("metric", "site"))
     assert(df.count() === 3L * 3 * 3)
   }
+
+  test("streaming drain over a REAL socket: retry storm per chunk, no replay across ticks") {
+    val fx = new GasFixtureServer
+    try {
+      // every chunk answers 503 then 429 then 200: the reader-path
+      // retry schedule must absorb the storm inside each micro-batch
+      for (d <- 1 to 9 by 2)
+        fx.script(f"2024-01-$d%02d") = scala.collection.mutable.Queue(503, 429)
+      val out = Files.createTempDirectory("rp_live_out").toString
+      val cp = Files.createTempDirectory("rp_live_cp").toString
+      def drain(to: String): Unit = {
+        val q = spark.readStream.format("graft.sources.v2.ChunkedRestSource")
+          .option("from", "2024-01-01").option("to", to)
+          .option("chunkDays", "2").option("maxDaysPerBatch", "4")
+          .option("url", fx.url)
+          .option("retryBaseMs", "1").option("retryRateLimitExtraMs", "2")
+          .option("throttleMs", "0")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain("2024-01-06")
+      assert(spark.read.parquet(out).count() === 6L * 9)
+      // second tick resumes mid-range over the live socket; chunks
+      // already landed are NOT re-fetched (call accounting proves it)
+      val callsAfterT1 = fx.calls.toMap
+      drain("2024-01-10")
+      assert(spark.read.parquet(out).count() === 10L * 9)
+      assert(spark.read.parquet(out)
+        .select("obs_time", "site", "metric").distinct().count() === 10L * 9)
+      for ((k, n) <- callsAfterT1)
+        assert(fx.calls(k) === n, s"chunk $k re-fetched after the checkpoint")
+      // streamed rows equal the batch read of the same window
+      val streamed = spark.read.parquet(out)
+        .orderBy("obs_time", "site", "metric").collect()
+      val batch = spark.read.format("graft.sources.v2.ChunkedRestSource")
+        .option("from", "2024-01-01").option("to", "2024-01-10")
+        .option("chunkDays", "2").load()
+        .orderBy("obs_time", "site", "metric").collect()
+      assert(streamed.toSeq === batch.toSeq)
+    } finally fx.stop()
+  }
 }
