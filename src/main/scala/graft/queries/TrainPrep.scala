@@ -1081,6 +1081,66 @@ object TrainPrep {
        |ORDER BY split, shard""".stripMargin
   }
 
+  // --- q_tp_fertility -----------------------------------------------------------
+  // TOKENIZER FERTILITY / COMPRESSION AUDIT — the per-language readout
+  // every tokenizer change ships with: BPE tokens per whitespace word
+  // (fertility; a language the vocab under-serves fragments into more
+  // pieces) and characters per BPE token (compression). Uses the SAME
+  // trained, fingerprint-cached tokenizer as q_tp_bpe and the
+  // vocab-first encode amortization (encode DISTINCT words once, join
+  // counts back — the production shape; per-occurrence folds cost
+  // occurrences x merges x symbols). Exact integer masses, one double
+  // division per ratio with nullif guards on both engines. Scale: the
+  // vocab encode + one doc-grain join + one lang-grain aggregation.
+  def fertility(s: SparkSession, d: String): DataFrame = {
+    val merges = trainedBpe(s, d)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.tokens(col("text")).as("t"))
+    val wordLens = docs.select(explode(col("t")).as("w")).distinct()
+      .select(col("w"), size(bpeEncode(col("w"), merges)).cast("long").as("wlen"))
+    val perDoc = docs.select(col("doc_id"), explode(col("t")).as("w"))
+      .join(wordLens, "w")
+      .groupBy("doc_id").agg(sum(col("wlen")).as("n_bpe"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("n_ws"),
+        sum(coalesce(col("n_bpe"), lit(0L))).as("n_bpe"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_ws"), col("n_bpe"),
+        col("n_chars"),
+        coalesce(col("n_bpe").cast("double") /
+          nullif(col("n_ws").cast("double"), lit(0.0)), lit(0.0)).as("fertility"),
+        coalesce(col("n_chars").cast("double") /
+          nullif(col("n_bpe").cast("double"), lit(0.0)), lit(0.0))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  lazy val fertilitySql: String =
+    s"""WITH $bpeCtesSql,
+       |dw AS (SELECT doc_id, t[u.i] AS w
+       |       FROM toks, unnest(generate_series(1, len(t))) u(i)),
+       |nb AS (SELECT dw.doc_id, sum(len(wenc.wtoks))::BIGINT AS n_bpe
+       |       FROM dw JOIN wenc USING (w) GROUP BY dw.doc_id),
+       |agg AS (
+       |  SELECT d.lang, count(*) AS n_docs,
+       |    CAST(sum(len(t.t)) AS BIGINT) AS n_ws,
+       |    CAST(sum(coalesce(nb.n_bpe, 0)) AS BIGINT) AS n_bpe,
+       |    CAST(sum(length(d.text)) AS BIGINT) AS n_chars
+       |  FROM documents d
+       |  JOIN toks t ON d.doc_id = t.doc_id
+       |  LEFT JOIN nb ON d.doc_id = nb.doc_id
+       |  GROUP BY d.lang)
+       |SELECT lang, n_docs, n_ws, n_bpe, n_chars,
+       |  coalesce(n_bpe::DOUBLE / nullif(n_ws::DOUBLE, 0.0), 0.0) AS fertility,
+       |  coalesce(n_chars::DOUBLE / nullif(n_bpe::DOUBLE, 0.0), 0.0)
+       |    AS chars_per_token
+       |FROM agg
+       |ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tp_curation_e2e" -> (curationE2e _),
     "q_tp_span_corruption" -> (spanCorruption _),
@@ -1089,6 +1149,7 @@ object TrainPrep {
     "q_tp_curation_funnel" -> (curationFunnel _),
     "q_llm_e2e" -> (llmPipeline _),
     "q_tp_bpe_vocab" -> (bpeVocab _),
+    "q_tp_fertility" -> (fertility _),
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
     "q_tp_shard_manifest" -> (shardManifest _),
@@ -1105,6 +1166,7 @@ object TrainPrep {
     "q_tp_curation_funnel" -> curationFunnelSql,
     "q_llm_e2e" -> llmPipelineSql,
     "q_tp_bpe_vocab" -> bpeVocabSql,
+    "q_tp_fertility" -> fertilitySql,
     "q_tp_pack" -> packSql,
     "q_tp_tfidf" -> tfidfSql,
     "q_tp_shard_manifest" -> shardManifestSql,
