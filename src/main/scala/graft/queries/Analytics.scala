@@ -1199,8 +1199,9 @@ object Analytics {
   private val DyadMinLevel = 8 // finest stored level: 4096 buckets, 256-cent resolution
   private val DyadMaxRows = 200000 // digest-collect guard
 
-  /** (level, bucket) → exact count over clamped cents; mergeable by SUM. */
-  private def dyadicTree(ev: DataFrame): DataFrame = {
+  /** (level, bucket) → exact count over clamped cents; mergeable by SUM
+    * (the streaming drain SUM-merges per-batch partials of this). */
+  private[graft] def dyadicTree(ev: DataFrame): DataFrame = {
     val c = greatest(lit(0L),
       least(round(col("value") * 100).cast("long"), lit((1L << DyadBits) - 1)))
     ev.select(c.as("c"))

@@ -896,6 +896,40 @@ object Parity {
   val streamingUpsertSql: String =
     "SELECT event_id, user_id, event_type, ts, value, props FROM events ORDER BY event_id"
 
+  // --- q_st_dyadic_merge ------------------------------------------------------
+  // STREAMING build of the dyadic counter tree: per-micro-batch partial
+  // trees land keyed by batchId (overwrite-idempotent against
+  // foreachBatch replays) and the serving read SUM-merges them — the
+  // hash against the BATCH tree oracle proves the mergeability claim
+  // across real batch boundaries (maxFilesPerTrigger forces a
+  // multi-batch drain). Fixed checkpoint + durable sink like
+  // q_st_upsert: a repeat call is a second scheduler tick over zero
+  // new files.
+  def streamingDyadicMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = tmpRoot("stream", d)
+    landOnce(ev, s"$root/src")
+    withStreamSession(s, 8) { ss =>
+      graft.streaming.MicroBatch.drainDyadicTree(ss, s"$root/src",
+        s"$root/cp_dy", s"$root/sink_dy", ev, maxFilesPerTrigger = Some(2))
+    }
+    s.read.parquet(s"$root/sink_dy")
+      .groupBy("level", "bucket").agg(sum(col("cnt")).as("cnt"))
+      .orderBy("level", "bucket")
+  }
+
+  lazy val streamingDyadicMergeSql: String = {
+    val levels = (8 until 20)
+      .map(l => s"SELECT $l AS level, (c >> $l) AS bucket FROM cl")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH cl AS MATERIALIZED (
+      |  SELECT greatest(0, least(CAST(round(value * 100) AS BIGINT),
+      |    ${(1L << 20) - 1})) AS c FROM events)
+      |SELECT level, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  $levels) GROUP BY level, bucket
+      |ORDER BY level, bucket""".stripMargin
+  }
+
   // --- q_st_cdc -------------------------------------------------------------
   // Streaming CDC APPLY, driver-verified: the event stream is an op-log
   // on the user key ('error' = DELETE, anything else = UPSERT), drained
@@ -2811,6 +2845,7 @@ object Parity {
     "q_st_neardup_v2" -> (streamingNeardupV2 _),
     "q_st_upsert" -> (streamingUpsert _),
     "q_st_cdc" -> (streamingCdc _),
+    "q_st_dyadic_merge" -> (streamingDyadicMerge _),
     "q_st_pattern" -> (streamingPattern _),
     "q_st_stream_join" -> (streamStreamJoin _),
     "q_st_semi_join" -> (streamSemiJoin _),
@@ -2862,6 +2897,7 @@ object Parity {
     "q_tz_per_series" -> tzPerSeriesSql,
     "q_st_rest_poll" -> chunkedRestSql,
     "q_st_rest_ingest" -> streamingRestIngestSql,
+    "q_st_dyadic_merge" -> streamingDyadicMergeSql,
     "q_st_windowed" -> streamingWindowedSql,
     "q_st_chained" -> streamingChainedSql,
     "q_st_dedup" -> streamingDedupSql,

@@ -108,6 +108,35 @@ object MicroBatch {
         .map(_.numRowsDroppedByWatermark).sum)
   }
 
+  /** Streaming build of the dyadic counter tree — the mergeable-sketch
+    * claim exercised LIVE: each micro-batch aggregates its OWN partial
+    * (level, bucket) tree and lands it under `sink/batch_id=<id>`;
+    * reading the sink and SUM-merging the partials reproduces the
+    * batch tree exactly (integer counters merge by SUM like CMS).
+    * foreachBatch is at-least-once and SUM is NOT idempotent, so the
+    * partials are keyed by batchId and written with OVERWRITE — a
+    * replayed batch rewrites its own directory instead of
+    * double-counting (the standard idempotent foreachBatch layout).
+    * At 100 TB each tick ships <= 8,190 counter rows; compaction of
+    * old partials is a layout concern, not a correctness one. */
+  def drainDyadicTree(spark: SparkSession, sourceDir: String,
+                      checkpoint: String, sinkPath: String,
+                      schemaFrom: DataFrame,
+                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q: StreamingQuery = readEvents(spark, sourceDir, schemaFrom,
+      maxFilesPerTrigger)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.queries.Analytics.dyadicTree(batch)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$sinkPath/batch_id=$id")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CDC APPLY — the incremental form of the batch op-log
     * apply (q_w11): each micro-batch carries upserts and deletes keyed
     * by user, and the sink must converge to "latest op per key wins,
