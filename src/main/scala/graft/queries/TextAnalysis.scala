@@ -118,15 +118,18 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }: _*)).getField("lang")
 
-  /** The DuckDB twin of [[langIdPred]] over a column named `text`. */
-  private[queries] lazy val langIdPredSql: String = {
+  /** The DuckDB twin of [[langIdPred]] over an arbitrary text expr. */
+  private[queries] def langIdPredSqlOf(t: String): String = {
     def occ(p: String) =
-      s"(length(text) - length(replace(text, '$p', ''))) // ${p.length}"
+      s"(length($t) - length(replace($t, '$p', ''))) // ${p.length}"
     val structs = markers.map { case (lang, pats) =>
       s"{'score': ${pats.map(occ).mkString(" + ")}, 'lang': '$lang'}"
     }.mkString("[", ", ", "]")
     s"list_max($structs).lang"
   }
+
+  /** [[langIdPredSqlOf]] over the `text` column (the common case). */
+  private[queries] lazy val langIdPredSql: String = langIdPredSqlOf("text")
 
   def langId(s: SparkSession, d: String): DataFrame = {
     val scores = markers.map { case (lang, pats) =>
@@ -2323,11 +2326,49 @@ object TextAnalysis {
        |FROM lcp
        |ORDER BY source""".stripMargin
 
+  // --- q_tx_lang_mix ------------------------------------------------------------
+  // CODE-SWITCHING / MIXED-LANGUAGE SCREEN: langid the FIRST and SECOND
+  // halves of each document independently and flag disagreement — the
+  // cheap detector for concatenation artifacts and mid-document
+  // language switches that a whole-doc langid averages away (a mixed
+  // doc pollutes monolingual training shards in both directions). Both
+  // halves classify with the SAME langIdPred single source of truth;
+  // the halving is integer character arithmetic, identical in both
+  // engines. Scale: two scan-side classifier projections, zero
+  // shuffles before the presentation sort.
+  def langMix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h1", expr("substring(text, 1, length(text) div 2)"))
+      .withColumn("h2",
+        expr("substring(text, length(text) div 2 + 1, length(text))"))
+      .select(col("doc_id"), col("lang"),
+        langIdPred(col("h1")).as("lang_first"),
+        langIdPred(col("h2")).as("lang_second"))
+      .withColumn("mixed", col("lang_first") =!= col("lang_second"))
+      .orderBy("doc_id")
+
+  lazy val langMixSql: String =
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    substr(text, 1, length(text) // 2) AS h1,
+       |    substr(text, length(text) // 2 + 1, length(text)) AS h2
+       |  FROM documents),
+       |cls AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    ${langIdPredSqlOf("h1")} AS lang_first,
+       |    ${langIdPredSqlOf("h2")} AS lang_second
+       |  FROM h)
+       |SELECT doc_id, lang, lang_first, lang_second,
+       |  (lang_first <> lang_second) AS mixed
+       |FROM cls
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tx_template_prefix" -> (templatePrefix _),
     "q_tx_boilerplate" -> (boilerplate _),
     "q_tx_source_overlap" -> (sourceOverlap _),
     "q_tx_langid_eval" -> (langIdEval _),
+    "q_tx_lang_mix" -> (langMix _),
     "q_tx_kappa" -> (kappa _),
     "q_tx_diversity" -> (diversity _),
     "q_tx_textrank" -> (textrank _),
@@ -2366,6 +2407,7 @@ object TextAnalysis {
     "q_tx_template_prefix" -> templatePrefixSql,
     "q_tx_source_overlap" -> sourceOverlapSql,
     "q_tx_langid_eval" -> langIdEvalSql,
+    "q_tx_lang_mix" -> langMixSql,
     "q_tx_kappa" -> kappaSql,
     "q_tx_diversity" -> diversitySql,
     "q_tx_textrank" -> textrankSql,
