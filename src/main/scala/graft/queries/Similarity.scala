@@ -2724,6 +2724,66 @@ object Similarity {
        |FROM er, tot
        |ORDER BY vec_id""".stripMargin
 
+  // --- q_sim_quantize_audit -----------------------------------------------------
+  // INT8 AFFINE QUANTIZATION AUDIT — the check run before shipping a
+  // quantized vector store: per-dimension (min, max) → scale
+  // (max−min)/255; each cell quantizes to round((x−min)/scale) and
+  // dequantizes to min + q·scale; the audit reports per-label mean/max
+  // absolute reconstruction error. Everything is order-stable: per-dim
+  // min/max are order-free, the quantize/dequantize chain is a fixed
+  // sequence of double ops (round of a NONNEGATIVE argument — Spark
+  // HALF_UP and DuckDB half-away agree there), the mean routes through
+  // 1e-9 fixed point, max is order-free. Degenerate dims (max = min)
+  // quantize to 0 with zero error by the when() guard. Scale: one
+  // 64-row dim-stats digest broadcast back into the scan (the
+  // train-broadcast-score shape), one label-grain aggregation.
+  def quantizeAudit(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "label", "dim", "x")
+    val stats = cells.groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("sc", (col("mx") - col("mn")) / lit(255.0))
+    val q = when(col("sc") === 0.0, lit(0.0))
+      .otherwise(round((col("x") - col("mn")) / col("sc")))
+    val err = abs(col("x") - (col("mn") + q * col("sc")))
+    cells.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("label"), err.as("e"))
+      .groupBy("label")
+      .agg(countDistinct(col("vec_id")).as("n_vecs"),
+        count(lit(1)).as("n_cells"),
+        sum(round(col("e") * lit(1e9)).cast("long")).as("se"),
+        max(col("e")).as("max_abs_err"))
+      .select(col("label"), col("n_vecs"), col("n_cells"),
+        ((col("se").cast("double") / lit(1e9)) /
+          col("n_cells").cast("double")).as("mean_abs_err"),
+        col("max_abs_err"))
+      .orderBy("label")
+  }
+
+  lazy val quantizeAuditSql: String =
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT vec_id, label, u.i AS dim, embedding[u.i]::DOUBLE AS x
+       |  FROM embeddings, unnest(generate_series(1, $PcaDims)) u(i)),
+       |stats AS MATERIALIZED (
+       |  SELECT dim, min(x) AS mn, max(x) AS mx,
+       |    (max(x) - min(x)) / 255.0 AS sc
+       |  FROM cells GROUP BY dim),
+       |er AS MATERIALIZED (
+       |  SELECT c.vec_id, c.label,
+       |    abs(c.x - (s.mn + (CASE WHEN s.sc = 0.0 THEN 0.0
+       |      ELSE round((c.x - s.mn) / s.sc) END) * s.sc)) AS e
+       |  FROM cells c JOIN stats s ON c.dim = s.dim)
+       |SELECT label, count(DISTINCT vec_id) AS n_vecs,
+       |  count(*) AS n_cells,
+       |  (CAST(sum(CAST(round(e * 1e9) AS BIGINT)) AS BIGINT)::DOUBLE / 1e9)
+       |    / count(*)::DOUBLE AS mean_abs_err,
+       |  max(e) AS max_abs_err
+       |FROM er
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   // --- q_sim_centroid_drift ---------------------------------------------------
   // EMBEDDING-CENTROID DRIFT MONITOR: per-label centroid of snapshot A
   // (even vec_ids) vs snapshot B (odd vec_ids) — cosine and L2 between
@@ -2793,6 +2853,7 @@ object Similarity {
     "q_sim_pca" -> (pca _),
     "q_sim_pca2" -> (pca2 _),
     "q_sim_recon_err" -> (reconErr _),
+    "q_sim_quantize_audit" -> (quantizeAudit _),
     "q_sim_pca_scores" -> (pcaScores _),
     "q_sim_centroid_drift" -> (centroidDrift _),
     "q_sim_linear_probe" -> (linearProbe _),
@@ -2827,6 +2888,7 @@ object Similarity {
     "q_sim_pca" -> pcaSql,
     "q_sim_pca2" -> pca2Sql,
     "q_sim_recon_err" -> reconErrSql,
+    "q_sim_quantize_audit" -> quantizeAuditSql,
     "q_sim_pca_scores" -> pcaScoresSql,
     "q_sim_centroid_drift" -> centroidDriftSql,
     "q_sim_linear_probe" -> linearProbeSql,
