@@ -894,7 +894,8 @@ object Dedup {
     * hot-bucket members that the level-1 complete buckets do NOT
     * already produce. */
   private[graft] def rescueCandidates(bands1: DataFrame, bands2: DataFrame,
-                                      cap: Int): DataFrame = {
+                                      cap: Int,
+                                      rescObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val bc = graft.functions.BoundedCollectFunctions.boundedCollect _
     val b1 = bands1.toDF("doc_id", "band_id", "band_key")
     val g1 = b1.groupBy("band_id", "band_key")
@@ -908,8 +909,12 @@ object Dedup {
     // must come from re-joining the band frame on the hot KEYS (few,
     // broadcast) — never from the truncated collect
     val hotKeys = g1.filter(size(col("ds")) > cap).select("band_id", "band_key")
-    val escalated = b1.join(broadcast(hotKeys), Seq("band_id", "band_key"))
+    val escalated0 = b1.join(broadcast(hotKeys), Seq("band_id", "band_key"))
       .select("doc_id").distinct()
+    // free counters on every production run (the observeCaps pattern):
+    // how much membership escaped to level 2 this tick
+    val escalated = rescObs.fold(escalated0)(o => escalated0.observe(o,
+      count(lit(1)).as("n_escalated_docs")))
     val cand2 = bands2.toDF("doc_id", "band_id", "band_key")
       .join(escalated, Seq("doc_id"))
       .groupBy("band_id", "band_key")
@@ -946,10 +951,11 @@ object Dedup {
   /** Rescue over an explicit shingle stream + sets with a caller cap —
     * the spec drives this with a planted hot cluster. */
   private[graft] def minhashRescueFrom(shingleStream: DataFrame,
-                                       sets: DataFrame, cap: Int): DataFrame = {
+                                       sets: DataFrame, cap: Int,
+                                       rescObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sig = minhashSignaturesFrom(shingleStream).localCheckpoint()
     val resc = rescueCandidates(
-      minhashBandsFrom(sig), minhashWideBandsFrom(sig), cap)
+      minhashBandsFrom(sig), minhashWideBandsFrom(sig), cap, rescObs)
     broadcast(resc)
       .join(sets.select(col("doc_id").as("da"), col("shingles").as("sha")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shingles").as("shb")), "db")

@@ -464,8 +464,12 @@ class DedupSpec extends SparkSpec {
       explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3))).as("s"))
       .localCheckpoint()
     val sets = stream.groupBy("doc_id").agg(collect_list(col("s")).as("shingles"))
-    val rescued = Dedup.minhashRescueFrom(stream, sets, cap = 16).collect()
+    val obs = new org.apache.spark.sql.Observation("rescue")
+    val rescued = Dedup.minhashRescueFrom(stream, sets, cap = 16,
+      rescObs = Some(obs)).collect()
     assert(rescued.length === 105, s"rescued ${rescued.length} pairs")
     rescued.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+    // the production-run counter: every planted doc escalated
+    assert(obs.get("n_escalated_docs") === 40L)
   }
 }
