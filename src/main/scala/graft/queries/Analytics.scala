@@ -2533,6 +2533,103 @@ object Analytics {
        |FROM stats
        |ORDER BY event_type""".stripMargin
 
+  // --- q_ag_did -------------------------------------------------------------
+  // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator run
+  // when assignment wasn't randomized per event: treatment = the
+  // deterministic user-hash bucket (the q_sm_split salt family), the
+  // period boundary a fixed calendar cutoff, and the effect is the
+  // interaction (treat_post − treat_pre) − (ctrl_post − ctrl_pre) of
+  // the four cell means. Moments are exact DECIMAL(38,0) cent sums
+  // per cell (the ttest discipline); the estimate and each cell's
+  // variance are fixed double chains over those exact integers, so
+  // both engines agree bit-for-bit. The parallel-trends SE is the
+  // four-cell variance sum (Welch style, independent cells). Scale:
+  // ONE map-side-combinable 4-group aggregation, then a 4-row digest.
+  private val DidCutoff = "2024-01-16 00:00:00"
+
+  def did(s: SparkSession, d: String): DataFrame = {
+    val treated = Hashes.md5Int32(concat(col("user_id").cast("string"),
+      lit("_did"))) % 2 === 0
+    val cells = Tables.events(s, d)
+      .select(
+        when(treated, lit("t")).otherwise(lit("c")).as("arm"),
+        when(col("ts") >= lit(DidCutoff).cast("timestamp"), lit("post"))
+          .otherwise(lit("pre")).as("period"),
+        round(col("value") * 100).cast("long").as("cv"))
+      .groupBy("arm", "period")
+      .agg(count(lit(1)).as("n"), sum(col("cv")).as("sc"),
+        sum((col("cv") * col("cv")).cast("decimal(38,0)")).as("q"))
+    val m = col("sc").cast("double") / col("n").cast("double") / 100.0
+    val v = (col("n").cast("decimal(38,0)") * col("q") -
+      col("sc").cast("decimal(38,0)") * col("sc")).cast("double") /
+      (col("n").cast("decimal(38,0)") * (col("n") - 1)).cast("double") / 10000.0
+    val digest = cells.select(col("arm"), col("period"), col("n"),
+      m.as("mean"), (v / col("n").cast("double")).as("var_mean"))
+    // max over exactly one non-null cell value: deterministic (never
+    // first(), which is arrival-ordered)
+    def cell(a: String, p: String, c: String) =
+      max(when(col("arm") === a && col("period") === p, col(c)))
+    digest.agg(
+        cell("t", "pre", "mean").as("m_t_pre"),
+        cell("t", "post", "mean").as("m_t_post"),
+        cell("c", "pre", "mean").as("m_c_pre"),
+        cell("c", "post", "mean").as("m_c_post"),
+        cell("t", "pre", "var_mean").as("v1"),
+        cell("t", "post", "var_mean").as("v2"),
+        cell("c", "pre", "var_mean").as("v3"),
+        cell("c", "post", "var_mean").as("v4"),
+        sum(col("n")).as("n_total"))
+      .select(lit("did_value").as("metric"), col("n_total"),
+        col("m_t_pre"), col("m_t_post"), col("m_c_pre"), col("m_c_post"),
+        ((col("m_t_post") - col("m_t_pre")) -
+          (col("m_c_post") - col("m_c_pre"))).as("did"),
+        sqrt(col("v1") + col("v2") + col("v3") + col("v4")).as("se"))
+      .withColumn("significant",
+        when(abs(col("did")) > lit(1.96) * col("se"), 1L).otherwise(0L))
+      .orderBy("metric")
+  }
+
+  lazy val didSql: String = {
+    val h = Hashes.md5Int32Sql("user_id::VARCHAR || '_did'")
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT CASE WHEN $h % 2 = 0 THEN 't' ELSE 'c' END AS arm,
+       |    CASE WHEN ts >= TIMESTAMP '$DidCutoff' THEN 'post' ELSE 'pre' END AS period,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+       |    sum(CAST(CAST(round(value * 100) AS BIGINT)
+       |      * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS q
+       |  FROM events GROUP BY 1, 2),
+       |digest AS MATERIALIZED (
+       |  SELECT arm, period, n,
+       |    sc::DOUBLE / n::DOUBLE / 100.0 AS mean,
+       |    ((CAST(CAST(n AS DECIMAL(38,0)) * q
+       |        - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE)
+       |      / CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)) / 10000.0)
+       |      / n::DOUBLE AS var_mean
+       |  FROM cells),
+       |wide AS MATERIALIZED (
+       |  SELECT
+       |    max(CASE WHEN arm = 't' AND period = 'pre' THEN mean END) AS m_t_pre,
+       |    max(CASE WHEN arm = 't' AND period = 'post' THEN mean END) AS m_t_post,
+       |    max(CASE WHEN arm = 'c' AND period = 'pre' THEN mean END) AS m_c_pre,
+       |    max(CASE WHEN arm = 'c' AND period = 'post' THEN mean END) AS m_c_post,
+       |    max(CASE WHEN arm = 't' AND period = 'pre' THEN var_mean END) AS v1,
+       |    max(CASE WHEN arm = 't' AND period = 'post' THEN var_mean END) AS v2,
+       |    max(CASE WHEN arm = 'c' AND period = 'pre' THEN var_mean END) AS v3,
+       |    max(CASE WHEN arm = 'c' AND period = 'post' THEN var_mean END) AS v4,
+       |    CAST(sum(n) AS BIGINT) AS n_total
+       |  FROM digest)
+       |SELECT 'did_value' AS metric, n_total, m_t_pre, m_t_post, m_c_pre,
+       |  m_c_post,
+       |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+       |  sqrt(v1 + v2 + v3 + v4) AS se,
+       |  CAST(CASE WHEN abs((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+       |    > 1.96 * sqrt(v1 + v2 + v3 + v4) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS significant
+       |FROM wide
+       |ORDER BY metric""".stripMargin
+  }
+
   // --- q_ag_ttest -----------------------------------------------------------
   // WELCH'S TWO-SAMPLE t-TEST on per-type mean values — the parametric
   // companion of the bootstrap CI (same question, closed form): are
@@ -4275,6 +4372,7 @@ object Analytics {
     "q_ev_stickiness" -> (stickiness _),
     "q_ev_funnel_time" -> (funnelTime _),
     "q_ag_ttest" -> (ttest _),
+    "q_ag_did" -> (did _),
     "q_ag_linreg" -> (linreg _),
     "q_ag_spearman" -> (spearman _),
     "q_ag_ks" -> (ks _),
@@ -4373,6 +4471,7 @@ object Analytics {
     "q_ev_stickiness" -> stickinessSql,
     "q_ev_funnel_time" -> funnelTimeSql,
     "q_ag_ttest" -> ttestSql,
+    "q_ag_did" -> didSql,
     "q_ag_linreg" -> linregSql,
     "q_ag_spearman" -> spearmanSql,
     "q_ag_ks" -> ksSql,
