@@ -2543,4 +2543,76 @@ class PipelineOpsSpec extends SparkSpec {
     val perG = gq.filter(_.getAs[Double]("q") == 0.5)
     assert(perG.map(_.getAs[Long]("n")).sum === n.toLong)
   }
+
+  test("did: 2x2 cell means and interaction match a driver-side brute recompute") {
+    import graft.queries.Analytics
+    import org.apache.spark.sql.functions._
+    val r = Analytics.did(spark, sf).collect()
+    assert(r.length === 1)
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id").cast("string").as("u"), col("ts"), col("value"))
+      .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(x: String): Long = {
+      md.reset()
+      java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val cells = rows.groupBy { w =>
+      (if (h32(w.getString(0) + "_did") % 2 == 0) "t" else "c",
+        if (!w.getTimestamp(1).before(cutoff)) "post" else "pre")
+    }.map { case (k, ws) =>
+      val cents = ws.map(w => math.round(w.getDouble(2) * 100))
+      k -> (cents.map(BigInt(_)).sum.toDouble / cents.length / 100.0)
+    }
+    val did = (cells(("t", "post")) - cells(("t", "pre"))) -
+      (cells(("c", "post")) - cells(("c", "pre")))
+    assert(math.abs(r.head.getAs[Double]("did") - did) < 1e-9)
+    assert(r.head.getAs[Long]("n_total") === rows.length.toLong)
+  }
+
+  test("fertility totals reconcile with the per-doc BPE query") {
+    val fert = graft.queries.TrainPrep.fertility(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_bpe")).toMap
+    val perDoc = graft.queries.TrainPrep.bpe(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe")).toMap
+    val langOf = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = perDoc.groupBy { case (id, _) => langOf(id) }
+      .map { case (l, m) => l -> m.values.sum }
+    assert(fert === byLang, s"fertility $fert vs per-doc rollup $byLang")
+  }
+
+  test("lang mix: flagged halves re-classify to different languages, brute-checked") {
+    import graft.queries.TextAnalysis
+    val got = TextAnalysis.langMix(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("mixed") ===
+        (r.getAs[String]("lang_first") != r.getAs[String]("lang_second")))
+    }
+    // sanity: the screen fires on some docs and not all
+    val nMixed = got.count(_.getAs[Boolean]("mixed"))
+    assert(nMixed > 0 && nMixed < got.length)
+  }
+
+  test("quantize audit: max reconstruction error is bounded by half the widest step") {
+    import graft.queries.Similarity
+    import org.apache.spark.sql.functions._
+    val audit = Similarity.quantizeAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    // widest per-dim quantization step across the corpus
+    val steps = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .toDF("dim", "x")
+      .groupBy("dim").agg(((max(col("x")) - min(col("x"))) / 255.0).as("sc"))
+      .collect().map(_.getAs[Double]("sc"))
+    val bound = steps.max / 2.0 + 1e-12
+    audit.foreach { r =>
+      assert(r.getAs[Double]("max_abs_err") <= bound,
+        s"label ${r.get(0)}: ${r.getAs[Double]("max_abs_err")} > $bound")
+      assert(r.getAs[Double]("mean_abs_err") >= 0.0)
+    }
+  }
 }
