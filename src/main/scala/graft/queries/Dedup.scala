@@ -1723,16 +1723,37 @@ object Dedup {
           col("entries_in_overflow"), col("docs_affected"), col("max_bucket"))
     }
     val key = concat_ws("|", col("band_id"), col("band_key"))
+    // r15: the RESCUE's own wide-band level is audited too — a wide
+    // bucket still hot after escalation is an identical-signature
+    // cluster the two-level escape cannot split (cluster-keeper
+    // territory); this row is how that residual mass is monitored.
+    def escalatedOf(bands: DataFrame): DataFrame = {
+      val hot = bands.groupBy("band_id", "band_key")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > MaxShingleDf).select("band_id", "band_key")
+      bands.join(broadcast(hot), Seq("band_id", "band_key"))
+        .select("doc_id").distinct()
+    }
     // one shingle scan serves both the df audit and the minhash banding
     val shingleStream = shingleRows(s, d).localCheckpoint()
+    val mhSig = minhashSignaturesFrom(shingleStream).localCheckpoint()
+    val mhBands = minhashBandsFrom(mhSig).localCheckpoint()
+    val shSig = simhashSignatures(s, d).localCheckpoint()
+    val shBands = simhashBands(shSig).localCheckpoint()
     one(shingleStream.select(col("s"), col("doc_id")),
       MaxShingleDf, "ngram_shingle")
-      .unionByName(one(
-        minhashBandsFrom(minhashSignaturesFrom(shingleStream))
-          .select(key, col("doc_id")),
+      .unionByName(one(mhBands.select(key, col("doc_id")),
         MaxShingleDf, "minhash_band"))
-      .unionByName(one(simhashBands(simhashSignatures(s, d)).select(key, col("doc_id")),
+      .unionByName(one(
+        minhashWideBandsFrom(mhSig).join(escalatedOf(mhBands), "doc_id")
+          .select(key, col("doc_id")),
+        MaxShingleDf, "minhash_wide"))
+      .unionByName(one(shBands.select(key, col("doc_id")),
         MaxShingleDf, "simhash_band"))
+      .unionByName(one(
+        simhashWideBands(shSig).join(escalatedOf(shBands), "doc_id")
+          .select(key, col("doc_id")),
+        MaxShingleDf, "simhash_wide"))
       .unionByName(one(embedBands(s, d).select(key, col("vec_id")),
         MaxEmbedBucket, "embed_band"))
       .unionByName(one(
@@ -1770,8 +1791,50 @@ object Dedup {
        |(WITH $minhashBandsCte,
        |${summary("minhash_band", MaxShingleDf, "doc_id")})
        |UNION ALL
+       |(WITH $minhashBandsCte,
+       |hot0 AS (SELECT band_id, band_key FROM bands GROUP BY 1, 2
+       |         HAVING count(*) > $MaxShingleDf),
+       |esc AS (SELECT DISTINCT bands.doc_id
+       |        FROM bands JOIN hot0 USING (band_id, band_key)),
+       |wideb AS (
+       |  SELECT sig.doc_id, b AS band_id,
+       |    array_to_string(sig[b*${RowsPerBand * 2}+1 : b*${RowsPerBand * 2}+${RowsPerBand * 2}], ',') AS band_key
+       |  FROM sig JOIN esc USING (doc_id),
+       |       unnest(generate_series(0, ${Bands / 2 - 1})) t(b)),
+       |m AS (SELECT band_id::VARCHAR || '|' || band_key::VARCHAR AS bucket,
+       |         doc_id AS member FROM wideb),
+       |sz AS (SELECT bucket, count(*) AS n FROM m GROUP BY bucket),
+       |ovf AS (SELECT bucket, n FROM sz WHERE n > $MaxShingleDf)
+       |SELECT 'minhash_wide' AS path,
+       |  (SELECT count(*) FROM sz)::BIGINT AS n_buckets,
+       |  (SELECT count(*) FROM ovf)::BIGINT AS n_overflow,
+       |  (SELECT coalesce(sum(n), 0) FROM ovf)::BIGINT AS entries_in_overflow,
+       |  (SELECT count(DISTINCT m.member) FROM m JOIN ovf ON m.bucket = ovf.bucket)::BIGINT AS docs_affected,
+       |  (SELECT coalesce(max(n), 0) FROM sz)::BIGINT AS max_bucket)
+       |UNION ALL
        |(WITH $simhashBandsCte,
        |${summary("simhash_band", MaxShingleDf, "doc_id")})
+       |UNION ALL
+       |(WITH $simhashBandsCte,
+       |hot0 AS (SELECT band_id, band_key FROM bands GROUP BY 1, 2
+       |         HAVING count(*) > $MaxShingleDf),
+       |esc AS (SELECT DISTINCT bands.doc_id
+       |        FROM bands JOIN hot0 USING (band_id, band_key)),
+       |wideb AS (
+       |  SELECT sh.doc_id, b AS band_id,
+       |    (simhash >> (b * ${SimBandBits * 2})) & ${(1L << (SimBandBits * 2)) - 1} AS band_key
+       |  FROM sh JOIN esc USING (doc_id),
+       |       unnest(generate_series(0, ${SimBands / 2 - 1})) t(b)),
+       |m AS (SELECT band_id::VARCHAR || '|' || band_key::VARCHAR AS bucket,
+       |         doc_id AS member FROM wideb),
+       |sz AS (SELECT bucket, count(*) AS n FROM m GROUP BY bucket),
+       |ovf AS (SELECT bucket, n FROM sz WHERE n > $MaxShingleDf)
+       |SELECT 'simhash_wide' AS path,
+       |  (SELECT count(*) FROM sz)::BIGINT AS n_buckets,
+       |  (SELECT count(*) FROM ovf)::BIGINT AS n_overflow,
+       |  (SELECT coalesce(sum(n), 0) FROM ovf)::BIGINT AS entries_in_overflow,
+       |  (SELECT count(DISTINCT m.member) FROM m JOIN ovf ON m.bucket = ovf.bucket)::BIGINT AS docs_affected,
+       |  (SELECT coalesce(max(n), 0) FROM sz)::BIGINT AS max_bucket)
        |UNION ALL
        |(WITH $embedBandsCte,
        |${summary("embed_band", MaxEmbedBucket, "vec_id")})
