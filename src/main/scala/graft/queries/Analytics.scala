@@ -145,7 +145,7 @@ object Analytics {
     * (f, t, p) cells as a DataFrame and make each round the
     * cells ⋈ pi_prev join + groupBy(t) sum — rounds × |cells| cluster
     * work, no driver matrix. */
-  private val MarkovMaxStates = 512
+  private[queries] val MarkovMaxStates = 512
 
   def markovStationary(s: SparkSession, d: String): DataFrame =
     markovStationaryOf(s, Tables.events(s, d), MarkovMaxStates)
@@ -1195,9 +1195,9 @@ object Analytics {
   // (bounded ≤ 8,190 rows — the markov/pca capped-driver-artifact
   // discipline, require-guarded); the oracle replays the identical
   // walk as a generated 12-step CTE chain. All integers end to end.
-  private val DyadBits = 20
-  private val DyadMinLevel = 8 // finest stored level: 4096 buckets, 256-cent resolution
-  private val DyadMaxRows = 200000 // digest-collect guard
+  private[queries] val DyadBits = 20
+  private[queries] val DyadMinLevel = 8 // finest stored level: 4096 buckets, 256-cent resolution
+  private[queries] val DyadMaxRows = 200000 // digest-collect guard
 
   /** (level, bucket) → exact count over clamped cents; mergeable by SUM
     * (the streaming drain SUM-merges per-batch partials of this). */

@@ -1096,7 +1096,7 @@ object Dedup {
   private val PlaneBands = 4
   private val PlaneBits = NumPlanes / PlaneBands
   private val EmbedDim = 64
-  private val MaxEmbedBucket = 1000
+  private[queries] val MaxEmbedBucket = 1000
 
   /** ±1.0 weight vector of hyperplane `p`, derived from md5 parity —
     * deterministic, engine-independent (computed in the JVM, embedded as

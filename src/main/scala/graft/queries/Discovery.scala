@@ -822,6 +822,183 @@ object Discovery {
        |GROUP BY source, len_bucket, n_class
        |ORDER BY source, len_bucket""".stripMargin
 
+  // --- q_ds_cap_registry ------------------------------------------------
+  // THE 100-TB QUESTION MADE EXECUTABLE: one observability row per
+  // bounded-state cap / require-guarded driver artifact in the engine,
+  // each with its LIVE value at this scale factor, the guard limit, the
+  // integer headroom (limit*100 div current — >100 means under the cap,
+  // <100 means the bound is actively engaged), and the NAMED fallback.
+  // A scale-up now has one query that says which guard trips first.
+  //
+  // `kind` is the guard's failure mode:
+  //   fail   — require() throws loudly, message names the distributed
+  //            alternative (driver artifacts: markov K² matrix, dyadic
+  //            digest, PCA gram);
+  //   switch — the engine degrades automatically above the limit
+  //            (graph node-state broadcast → keyed-shuffle rounds);
+  //   bound  — state is capped in-plan and the overflow is dropped,
+  //            MEASURED (q_dd_cap_audit) and, for the band paths,
+  //            RESCUED (q_dd_minhash_rescue / q_dd_simhash_rescue).
+  //
+  // Live values come from the SAME derivations the operators run — the
+  // dedup family reuses [[Dedup.capAudit]]'s bucket histograms verbatim
+  // (the audit cannot drift from the audited code), so this query's
+  // cost is capAudit + four tiny aggregates. Guards NOT here, and why:
+  //   - iterative-round convergence guards (labelprop ≤64 rounds, BFS
+  //     MaxHops, k-core/LSS round caps) — their live value is a runtime
+  //     iteration count whose DuckDB replay is the superlinear
+  //     recursive-CTE path this repo deliberately avoids at sf0.1;
+  //     their specs fire them directly instead (GraphSpec/DedupSpec);
+  //   - structural consistency requires (GramTri buffer shape, triangle
+  //     node-id < 2^31 packing) — input-domain contracts, spec-fired
+  //     (PropertySpec), with no meaningful "headroom" dimension;
+  //   - PcaDims ≤ PcaMaxDims is compile-time-constant vs constant; the
+  //     live dimension ships here (cap_pca_gram_dims) so a wider
+  //     embedding column is visible before anyone edits PcaDims.
+  private val capMeta: Seq[(String, String, String, String, Long, String)] = Seq(
+    ("ngram_shingle", "cap_dedup_shingle_df", "dedup", "bound",
+      Dedup.MaxShingleDf.toLong,
+      "hot shingles excluded set-wide; loss measured by q_dd_cap_audit"),
+    ("minhash_band", "cap_dedup_minhash_band", "dedup", "bound",
+      Dedup.MaxShingleDf.toLong,
+      "two-level wide-band rescue recovers dropped pairs (q_dd_minhash_rescue)"),
+    ("minhash_wide", "cap_dedup_minhash_wide", "dedup", "bound",
+      Dedup.MaxShingleDf.toLong,
+      "residual hot wide-bands are identical-signature clusters (cluster-keeper territory)"),
+    ("simhash_band", "cap_dedup_simhash_band", "dedup", "bound",
+      Dedup.MaxShingleDf.toLong,
+      "two-level wide-band rescue recovers dropped pairs (q_dd_simhash_rescue)"),
+    ("simhash_wide", "cap_dedup_simhash_wide", "dedup", "bound",
+      Dedup.MaxShingleDf.toLong,
+      "residual hot wide-bands are identical-signature clusters (cluster-keeper territory)"),
+    ("embed_band", "cap_dedup_embed_band", "dedup", "bound",
+      Dedup.MaxEmbedBucket.toLong,
+      "multi-index probing spreads candidates; loss measured by q_dd_cap_audit"),
+    ("sem_cluster", "cap_dedup_sem_cluster", "dedup", "bound",
+      Dedup.MaxSemCluster.toLong,
+      "mega-clusters generate no pairs (all kept); production adds a second k-means split level"))
+
+  def capRegistry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def row(current: DataFrame, name: String, family: String, kind: String,
+            limit: Long, fallback: String): DataFrame =
+      current.toDF("current_value")
+        .select(lit(name).as("cap_name"), lit(family).as("family"),
+          lit(kind).as("kind"), lit(limit).as("guard_limit"),
+          col("current_value").cast("long").as("current_value"),
+          lit(fallback).as("fallback"))
+
+    val dedupRows = Dedup.capAudit(s, d)
+      .select(col("path"), col("max_bucket").as("current_value"))
+      .join(broadcast(capMeta
+        .toDF("path", "cap_name", "family", "kind", "guard_limit", "fallback")),
+        Seq("path"))
+      .select("cap_name", "family", "kind", "guard_limit", "current_value",
+        "fallback")
+
+    val ev = Tables.events(s, d)
+    // markov driver-matrix cap: the states the K² digest would span —
+    // the same (f, next) window derivation markovStationaryOf guards on
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val markovStates = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(explode(array(col("event_type"), col("next_type"))).as("st"))
+      .agg(countDistinct(col("st")))
+    // dyadic digest: structurally ≤ 8,190 rows at DyadBits=20 (the
+    // require exists for a future resolution change, not this corpus)
+    val dyadRows = Analytics.dyadicTree(ev).agg(count(lit(1)))
+    val pcaDims = Tables.embeddings(s, d).agg(max(size(col("embedding"))))
+    val und = Graph.coEdges(s, d)
+    val graphNodes = und
+      .select(explode(array(col("a"), col("b"))).as("n"))
+      .agg(countDistinct(col("n")))
+    // serving/export edge collects are bounded BY CONSTRUCTION (limit
+    // before collect); the live value is the default page at this SF
+    val exportPage = ev.agg(least(lit(1000L), count(lit(1))))
+
+    dedupRows
+      .unionByName(row(markovStates, "cap_markov_states", "analytics", "fail",
+        Analytics.MarkovMaxStates.toLong,
+        "distributed power iteration: (f,t,p) cells JOIN pi_prev per round (Graph.pageRank shape)"))
+      .unionByName(row(dyadRows, "cap_dyadic_digest_rows", "analytics", "fail",
+        Analytics.DyadMaxRows.toLong,
+        "raise DyadMinLevel (coarser tree) or aggregate per-group trees distributed"))
+      .unionByName(row(pcaDims, "cap_pca_gram_dims", "similarity", "fail",
+        Similarity.PcaMaxDims.toLong,
+        "block the gram into per-tile aggregates or switch to distributed randomized SVD"))
+      .unionByName(row(graphNodes, "cap_graph_broadcast_nodes", "graph", "switch",
+        graft.queries.Graph.BroadcastNodeStateMax,
+        "keyed-shuffle rounds engage automatically above the limit (q_gr_connected_lss engine)"))
+      .unionByName(row(exportPage, "cap_export_page_rows", "serving", "bound",
+        graft.sources.Exports.MaxExportRows.toLong,
+        "uncapped exports ship a partitioned directory, never a driver collect"))
+      .select(col("cap_name"), col("family"), col("kind"), col("guard_limit"),
+        col("current_value"),
+        expr("guard_limit * 100L div nullif(current_value, 0L)")
+          .as("headroom_pct"),
+        col("fallback"))
+      .orderBy("cap_name")
+  }
+
+  lazy val capRegistrySql: String = {
+    val metaVals = capMeta.map { case (path, name, fam, kind, lim, fb) =>
+      s"('$path', '$name', '$fam', '$kind', CAST($lim AS BIGINT), '$fb')"
+    }.mkString(",\n       |    ")
+    s"""WITH audit AS MATERIALIZED (
+       |  SELECT path, max_bucket FROM (${Dedup.capAuditSql})),
+       |capmeta(path, cap_name, family, kind, guard_limit, fallback) AS (
+       |  VALUES $metaVals),
+       |${Graph.coEdgesSql},
+       |mpairs AS (
+       |  SELECT event_type AS f,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+       |  FROM events),
+       |allrows AS (
+       |  SELECT m.cap_name, m.family, m.kind, m.guard_limit,
+       |    a.max_bucket AS current_value, m.fallback
+       |  FROM audit a JOIN capmeta m USING (path)
+       |  UNION ALL
+       |  SELECT 'cap_markov_states', 'analytics', 'fail',
+       |    CAST(${Analytics.MarkovMaxStates} AS BIGINT),
+       |    (SELECT count(DISTINCT st)::BIGINT FROM (
+       |       SELECT f AS st FROM mpairs WHERE t IS NOT NULL
+       |       UNION ALL SELECT t FROM mpairs WHERE t IS NOT NULL)),
+       |    'distributed power iteration: (f,t,p) cells JOIN pi_prev per round (Graph.pageRank shape)'
+       |  UNION ALL
+       |  SELECT 'cap_dyadic_digest_rows', 'analytics', 'fail',
+       |    CAST(${Analytics.DyadMaxRows} AS BIGINT),
+       |    (SELECT count(*)::BIGINT FROM (
+       |       SELECT l, (c >> l) AS bucket FROM
+       |         (SELECT greatest(0, least(CAST(round(value * 100) AS BIGINT),
+       |            ${(1L << Analytics.DyadBits) - 1})) AS c FROM events) v,
+       |         unnest(generate_series(${Analytics.DyadMinLevel},
+       |            ${Analytics.DyadBits - 1})) t(l)
+       |       GROUP BY l, (c >> l))),
+       |    'raise DyadMinLevel (coarser tree) or aggregate per-group trees distributed'
+       |  UNION ALL
+       |  SELECT 'cap_pca_gram_dims', 'similarity', 'fail',
+       |    CAST(${Similarity.PcaMaxDims} AS BIGINT),
+       |    (SELECT max(len(embedding))::BIGINT FROM embeddings),
+       |    'block the gram into per-tile aggregates or switch to distributed randomized SVD'
+       |  UNION ALL
+       |  SELECT 'cap_graph_broadcast_nodes', 'graph', 'switch',
+       |    CAST(${graft.queries.Graph.BroadcastNodeStateMax} AS BIGINT),
+       |    (SELECT count(DISTINCT n)::BIGINT FROM (
+       |       SELECT a AS n FROM und UNION ALL SELECT b FROM und)),
+       |    'keyed-shuffle rounds engage automatically above the limit (q_gr_connected_lss engine)'
+       |  UNION ALL
+       |  SELECT 'cap_export_page_rows', 'serving', 'bound',
+       |    CAST(${graft.sources.Exports.MaxExportRows} AS BIGINT),
+       |    least(1000, (SELECT count(*) FROM events))::BIGINT,
+       |    'uncapped exports ship a partitioned directory, never a driver collect')
+       |SELECT cap_name, family, kind, guard_limit, current_value,
+       |  guard_limit * 100 // nullif(current_value, 0) AS headroom_pct,
+       |  fallback
+       |FROM allrows ORDER BY cap_name""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ds_tcloseness" -> (tcloseness _),
     "q_ds_ldiv" -> (ldiv _),
@@ -839,7 +1016,8 @@ object Discovery {
     "q_ds_variant_unpivot" -> (variantUnpivot _),
     "q_ds_dq_audit" -> (dqAudit _),
     "q_ds_freshness" -> (freshness _),
-    "q_ds_observe" -> (observeAudit _))
+    "q_ds_observe" -> (observeAudit _),
+    "q_ds_cap_registry" -> (capRegistry _))
 
   val oracles: Map[String, String] = Map(
     "q_ds_tcloseness" -> tclosenessSql,
@@ -858,5 +1036,6 @@ object Discovery {
     "q_ds_variant_unpivot" -> variantUnpivotSql,
     "q_ds_dq_audit" -> dqAuditSql,
     "q_ds_freshness" -> freshnessSql,
-    "q_ds_observe" -> observeAuditSql)
+    "q_ds_observe" -> observeAuditSql,
+    "q_ds_cap_registry" -> capRegistrySql)
 }

@@ -435,7 +435,7 @@ object Graph {
   }
 
   /** The same edge derivation as DuckDB CTEs (names basket/oko/und). */
-  private val coEdgesSql: String =
+  private[queries] val coEdgesSql: String =
     s"""basket AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        |oko AS MATERIALIZED (
@@ -1152,8 +1152,12 @@ object Graph {
   /** Per-node triangle counts (nodes in ≥ 1 triangle) — the
     * degree-oriented engine, shared by the q_gr_triangles surface and
     * the clustering-coefficient query. */
-  private[graft] def triangleCounts(s: SparkSession, d: String): DataFrame = {
-    val und = coEdges(s, d)
+  private[graft] def triangleCounts(s: SparkSession, d: String): DataFrame =
+    triangleCountsOf(coEdges(s, d))
+
+  /** Core over any undirected (a, b) edge frame; exposed so GraphSpec
+    * can fire the node-id packing guard with a planted ≥2³¹ id. */
+  private[graft] def triangleCountsOf(und: DataFrame): DataFrame = {
     // deg is node-grain (catalogue-sized) — broadcast, the edge list
     // never moves for the degree attach
     val deg = und.select(col("a").as("n"))

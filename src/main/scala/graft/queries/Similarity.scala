@@ -2343,9 +2343,9 @@ object Similarity {
   // holds |Σ round(x·y·1e12)| < 2⁶³ up to ~10⁹ rows of unit-scale
   // embeddings — past that, drop the scale a decade per 10× rows (the
   // comment on MarkovMaxStates makes the same knob explicit).
-  private val PcaDims = 64
+  private[queries] val PcaDims = 64
   private val PcaRounds = 8
-  private val PcaMaxDims = 256
+  private[queries] val PcaMaxDims = 256
   private val PcaProdScale = 1e12
   private val PcaSumScale = 1e6
 

@@ -185,10 +185,14 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     val rawCol =
       if (includeRaw && obs.columns.contains("raw_payload")) col("raw_payload")
       else lit(null).cast("string")
-    // unit/frequency ride from meta_series (schemas.py:13-17); a
-    // warehouse written before they were registered renders them null
-    def metaOpt(c: String) =
-      if (meta.columns.contains(c)) col(c) else lit(null).cast("string")
+    // unit/frequency ride from meta_series (schemas.py:13-17) — but
+    // SeriesResponse declares them REQUIRED str (pydantic would raise,
+    // never serialize None), so a warehouse written before they were
+    // registered falls back to the autoregister defaults
+    // (series_autoregister.py: "UNKNOWN" / "intraday") instead of null
+    def metaOpt(c: String, default: String) =
+      if (meta.columns.contains(c)) coalesce(col(c), lit(default))
+      else lit(default)
     val joined = filtered
       .join(broadcast(OptionalFilters(meta,
         OptionalFilters.eqOpt(col("dataset_id"), r.first("dataset_id")))),
@@ -197,7 +201,8 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
       .select(col("series_id"), col("dataset_id"), col("description"),
         col("observation_time"), col("value"), col("quality_flag"),
         rawCol.as("raw_payload"),
-        metaOpt("unit").as("unit"), metaOpt("frequency").as("frequency"))
+        metaOpt("unit", "UNKNOWN").as("unit"),
+        metaOpt("frequency", "intraday").as("frequency"))
     // the reference pages the FLAT rows (LIMIT/OFFSET in DATA_QUERY),
     // then groups the page in the handler — same here, and the page is
     // what bounds the edge collect
@@ -205,8 +210,10 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
 
     // field names AND order are the pydantic declaration order
     // (schemas.py:6-19: SeriesResponse / DataPoint under
-    // response_model=list[SeriesResponse]); absent values render as
-    // JSON null exactly as pydantic serializes None — the golden
+    // response_model=list[SeriesResponse]); Optional fields
+    // (quality_flag, raw_payload) render absent values as JSON null
+    // exactly as pydantic serializes None, while the required-str
+    // fields (unit, frequency) are backfilled above — the golden
     // fixture in QueryServerSpec pins this byte-for-byte
     val series = page.groupBy(r => r.getString(0)).toSeq.sortBy(_._1).map {
       case (sid, rows) =>

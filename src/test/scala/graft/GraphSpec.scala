@@ -608,4 +608,22 @@ class GraphSpec extends SparkSpec {
     assert(gaps.last <= delta,
       s"max gap ${gaps.last} exceeds the capped diameter $delta")
   }
+
+  test("triangle key packing guard fires loudly past 2^31 node ids") {
+    import ss.implicits._
+    // the wedge stream packs (dst, w) into one long (dst*2^32 + w) —
+    // injective only below 2^31; a key-domain change must fail loudly,
+    // never silently collide packed keys into phantom triangles
+    val big = (1L << 31) + 7L
+    val bad = Seq((1L, big), (1L, 2L), (2L, big)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      graft.queries.Graph.triangleCountsOf(bad).collect()
+    }
+    assert(err.getMessage.contains("2^31"), err.getMessage)
+    // under the bound the same shape counts its one triangle per node
+    val ok = graft.queries.Graph.triangleCountsOf(
+      Seq((1L, 3L), (1L, 2L), (2L, 3L)).toDF("a", "b")).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_triangles"))).toSet
+    assert(ok === Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }

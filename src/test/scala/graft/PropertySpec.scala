@@ -497,4 +497,41 @@ class PropertySpec extends SparkSpec {
     val meanRatio = ratios.sum / ratios.length
     assert(math.abs(meanRatio - 1.0) < 1e-6, s"mean err_ratio $meanRatio")
   }
+
+  test("dyadic tree digest is structurally bounded under the driver guard") {
+    import ss.implicits._
+    // cover EVERY finest-level bucket (cents i*256, i in 0..4095) plus
+    // out-of-range extremes that must clamp into buckets 0 and 4095:
+    // the digest then reaches its structural maximum,
+    // sum over l=8..19 of 2^(20-l) = 8,190 rows, far under DyadMaxRows
+    // (200,000) — the require guards a future DyadBits/DyadMinLevel
+    // change, not any possible corpus at the current geometry.
+    val vals = (0 until 4096).map(i => (i.toLong, (i * 256).toDouble / 100.0)) ++
+      Seq((9999L, -5.0), (10000L, 9.9e7))
+    val tree = graft.queries.Analytics.dyadicTree(vals.toDF("event_id", "value"))
+    assert(tree.count() === 8190L)
+  }
+
+  test("cap registry enumerates every guard with live headroom and named fallback") {
+    val rows = graft.queries.Discovery.capRegistry(spark, sf).collect()
+    val names = rows.map(_.getAs[String]("cap_name")).toSet
+    assert(names === Set(
+      "cap_dedup_shingle_df", "cap_dedup_minhash_band", "cap_dedup_minhash_wide",
+      "cap_dedup_simhash_band", "cap_dedup_simhash_wide", "cap_dedup_embed_band",
+      "cap_dedup_sem_cluster", "cap_markov_states", "cap_dyadic_digest_rows",
+      "cap_pca_gram_dims", "cap_graph_broadcast_nodes", "cap_export_page_rows"))
+    rows.foreach { r =>
+      val limit = r.getAs[Long]("guard_limit")
+      val cur = r.getAs[Long]("current_value")
+      assert(limit > 0 && cur >= 0, r.toString)
+      assert(r.getAs[String]("fallback").nonEmpty)
+      // headroom is integer percent of limit over current (null iff cur=0)
+      if (cur == 0L) assert(r.isNullAt(r.fieldIndex("headroom_pct")))
+      else assert(r.getAs[Long]("headroom_pct") === limit * 100L / cur)
+      // a live 'fail' guard over its limit would have thrown before this
+      // row ever materialized — the registry must agree
+      if (r.getAs[String]("kind") == "fail")
+        assert(cur <= limit, s"fail-kind guard over limit: $r")
+    }
+  }
 }

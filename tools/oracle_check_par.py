@@ -62,7 +62,10 @@ def check_one(out_dir, sf_dir, name, sql, q):
             return
         a, b = s[c].values, o[c].values
         if s[c].dtype == object:
-            eq = all((x == y) or (pd.isna(x) is True and pd.isna(y) is True)
+            # bool(): pd.isna returns numpy.bool_ for numpy scalars in
+            # object columns, and `np.bool_(True) is True` is False —
+            # identity comparison would flag matching nulls as mismatches
+            eq = all((x == y) or (bool(pd.isna(x)) and bool(pd.isna(y)))
                      for x, y in zip(a, b))
         else:
             eq = bool(((pd.isna(a) & pd.isna(b)) | (a == b)).all())
