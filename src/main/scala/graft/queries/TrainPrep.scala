@@ -688,6 +688,85 @@ object TrainPrep {
        |ORDER BY rank""".stripMargin
   }
 
+  // --- q_tp_bpe_roundtrip -----------------------------------------------------
+  // THE DECODE HALF OF THE TOKENIZER CONTRACT: detokenize the encoded
+  // stream and hash-verify decode(encode(w)) == w over the real corpus
+  // vocabulary. A bare concat of the emitted token STRINGS would pass
+  // for any segmentation (merges only ever concatenate adjacent
+  // symbols), so the round-trip goes through the CLOSED ID VOCABULARY
+  // instead — base characters of the corpus plus the trained merge
+  // symbols, each assigned an id by sort order (what a tokenizer
+  // ships): encode → token → id (LEFT join: a boundary bug that emits
+  // a symbol outside the closed vocabulary surfaces as an OOV null,
+  // not a silent pass) → id back to string → positional reassembly.
+  // q_tp_fertility and the token-budget samplers CONSUME encode; this
+  // row is what makes a count-preserving boundary corruption visible.
+  //
+  // 100 TB shape: vocab-first like q_tp_bpe (each DISTINCT word encodes
+  // once); the id table is alphabet+merges-sized, broadcast on both
+  // sides of the trip; the only shuffle is the word-grain groupBy. The
+  // row_number id assignment is a single-partition window over that
+  // token table — legal precisely because the token vocabulary is a
+  // model artifact (≤ alphabet + BpeRounds rows), never data-grain.
+  def bpeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = trainedBpe(s, d)
+    val words = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
+    val baseToks = words
+      .select(explode(filter(split(col("w"), ""), c => c =!= "")).as("tok"))
+      .distinct()
+    val tokTable = baseToks
+      .unionByName(merges.map { case (a, b) => a + b }.distinct.toDF("tok"))
+      .distinct()
+      .withColumn("tok_id", row_number().over(Window.orderBy("tok")))
+      .localCheckpoint() // tiny model artifact, read twice below
+    val stream = words
+      .select(col("w"), posexplode(bpeEncode(col("w"), merges)))
+      .toDF("w", "pos", "tok")
+    stream
+      .join(broadcast(tokTable), Seq("tok"), "left")
+      .drop("tok") // decode must go THROUGH the id, never the string
+      .join(broadcast(tokTable.select(col("tok_id"), col("tok").as("dtok"))),
+        Seq("tok_id"), "left")
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_toks"),
+        count(when(col("tok_id").isNull, 1)).as("n_oov"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("pos"), col("dtok")))),
+          x => x.getField("dtok"))).as("decoded"))
+      .select(col("w"), col("n_toks"), col("n_oov"),
+        (col("n_oov") === 0 && col("decoded") === col("w")).as("ok"))
+      .orderBy("w")
+  }
+
+  lazy val bpeRoundtripSql: String = {
+    val mergeUnion = (1 to BpeRounds)
+      .map(k => s"SELECT a || b AS tok FROM m$k").mkString(" UNION ALL ")
+    s"""WITH $bpeCtesSql,
+       |base AS (SELECT DISTINCT u.c AS tok
+       |         FROM vocab, unnest(string_split(w, '')) u(c)),
+       |toktable AS (
+       |  SELECT tok, row_number() OVER (ORDER BY tok) AS tok_id FROM (
+       |    SELECT DISTINCT tok FROM (
+       |      SELECT tok FROM base UNION ALL $mergeUnion))),
+       |stream AS (
+       |  SELECT w, u.i AS pos, wtoks[u.i] AS tok
+       |  FROM wenc, unnest(generate_series(1, len(wtoks))) u(i)),
+       |withid AS (
+       |  SELECT s.w, s.pos, t.tok_id FROM stream s
+       |  LEFT JOIN toktable t USING (tok)),
+       |dec AS (
+       |  SELECT i.w, count(*)::BIGINT AS n_toks,
+       |    count(CASE WHEN i.tok_id IS NULL THEN 1 END)::BIGINT AS n_oov,
+       |    string_agg(t.tok, '' ORDER BY i.pos) AS decoded
+       |  FROM withid i LEFT JOIN toktable t USING (tok_id)
+       |  GROUP BY i.w)
+       |SELECT w, n_toks, n_oov,
+       |  (n_oov = 0 AND decoded = w) AS ok
+       |FROM dec ORDER BY w""".stripMargin
+  }
+
   // --- q_llm_e2e ------------------------------------------------------------
   // The WHOLE curation pipeline composed, with per-document FATE
   // attribution — the q_wp_ingest_e2e of the LLM-data side: every doc
@@ -1149,6 +1228,7 @@ object TrainPrep {
     "q_tp_curation_funnel" -> (curationFunnel _),
     "q_llm_e2e" -> (llmPipeline _),
     "q_tp_bpe_vocab" -> (bpeVocab _),
+    "q_tp_bpe_roundtrip" -> (bpeRoundtrip _),
     "q_tp_fertility" -> (fertility _),
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
@@ -1166,6 +1246,7 @@ object TrainPrep {
     "q_tp_curation_funnel" -> curationFunnelSql,
     "q_llm_e2e" -> llmPipelineSql,
     "q_tp_bpe_vocab" -> bpeVocabSql,
+    "q_tp_bpe_roundtrip" -> bpeRoundtripSql,
     "q_tp_fertility" -> fertilitySql,
     "q_tp_pack" -> packSql,
     "q_tp_tfidf" -> tfidfSql,

@@ -328,14 +328,8 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     restUrl.foreach(u => reader = reader.option("url", u))
     val long = reader.load()
     val sited = if (siteIds.isEmpty) long else long.filter(col("site").isin(siteIds: _*))
-    // metric dimension is the declared source vocabulary — explicit pivot
-    // values keep the plan one-pass (no distinct pre-scan)
-    val wide = sited
-      .groupBy(col("obs_time").as("ts"), col("site"))
-      .pivot("metric", ChunkedRestSource.Metrics)
-      .agg(first(col("value")))
-      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
-    Ingest.ingestWide(spark, wh, wide, "GAS_QUALITY", "ts", Seq("site"))
+    Ingest.ingestWide(spark, wh, Ingest.gasWide(sited),
+      "GAS_QUALITY", "ts", Seq("site"))
   }
 
   /** Shared 202-accepted contract: enqueue `work` on the single ingest

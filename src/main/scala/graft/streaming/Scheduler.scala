@@ -53,16 +53,7 @@ object Scheduler {
         if (!batch.isEmpty) {
           // long (site, metric) rows → the wide API batch shape the
           // verified ingest DAG takes (QueryServer.runGasIngest's pivot)
-          // max(), never first(): the stub emits exactly one row per
-          // (ts, site, metric) cell, but first() is arrival-ordered —
-          // a live feed returning duplicates would make the pivot
-          // nondeterministic; max keeps it a pure function of the batch
-          val wide = batch
-            .groupBy(col("obs_time").as("ts"), col("site"))
-            .pivot("metric", graft.sources.v2.ChunkedRestSource.Metrics)
-            .agg(max(col("value")))
-            .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
-          Ingest.ingestWide(batch.sparkSession, wh, wide,
+          Ingest.ingestWide(batch.sparkSession, wh, Ingest.gasWide(batch),
             "GAS_QUALITY", "ts", Seq("site"))
         }
       }

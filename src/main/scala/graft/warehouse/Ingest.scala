@@ -80,6 +80,20 @@ object Ingest {
     } finally batch.unpersist()
   }
 
+  /** Pivot the chunked-REST long rows (obs_time, site, metric, value)
+    * to the wide API batch shape [[ingestWide]] takes — shared by the
+    * HTTP edge, the scheduler stream and the CLI so the pivot
+    * discipline cannot drift between entry points. max(), never
+    * first(): the stub emits exactly one row per (ts, site, metric)
+    * cell, but first() is arrival-ordered — a live feed returning
+    * duplicates would make the batch nondeterministic. Explicit pivot
+    * values keep the plan one-pass (no distinct pre-scan). */
+  def gasWide(long: DataFrame): DataFrame =
+    long.groupBy(col("obs_time").as("ts"), col("site"))
+      .pivot("metric", graft.sources.v2.ChunkedRestSource.Metrics)
+      .agg(max(col("value")))
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+
   /** Serving read: the reference client's `get_history` (SURVEY §3.3). */
   def getHistory(spark: SparkSession, wh: Warehouse, seriesId: String,
                  start: String, end: String): DataFrame =

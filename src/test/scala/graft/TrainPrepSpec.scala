@@ -331,4 +331,16 @@ class TrainPrepSpec extends SparkSpec {
       .count()
     assert(qAlone >= nQ)
   }
+
+  test("BPE decode round-trips every vocabulary word through the closed id table") {
+    val rows = graft.queries.TrainPrep.bpeRoundtrip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") === 0L,
+        s"word '${r.getAs[String]("w")}' emitted a token outside the closed vocabulary")
+      assert(r.getAs[Boolean]("ok"),
+        s"decode(encode(w)) != w for '${r.getAs[String]("w")}'")
+      assert(r.getAs[Long]("n_toks") >= 1L)
+    }
+  }
 }
