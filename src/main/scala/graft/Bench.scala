@@ -45,6 +45,49 @@ object Bench {
     val telemetrySeq = new java.util.concurrent.atomic.AtomicLong(0)
     val shuffleAcc = new java.util.concurrent.atomic.AtomicLong(0)
     val spillAcc = new java.util.concurrent.atomic.AtomicLong(0)
+    // PLAN FINGERPRINT per query: counts of join/exchange operator
+    // classes plus a hash of each scan's pushed filters and read
+    // schema, summed over every action in the query's window. Wall
+    // time is host-jitter-prone and shuffle bytes can stay flat while
+    // a pushdown is lost — the fingerprint is the deterministic
+    // signal that catches a silent broadcast→SMJ demotion or a scan
+    // that started reading extra columns, and it makes time-only
+    // bench-gate trips mechanically adjudicable (identical fingerprint
+    // ⇒ host/GC, different ⇒ plan change). bench_gate.py diffs these
+    // against the pins in tools/plan_fingerprints.json.
+    val fpAcc = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    def fpAdd(sig: String): Unit =
+      fpAcc.computeIfAbsent(sig,
+        _ => new java.util.concurrent.atomic.AtomicLong(0)).incrementAndGet()
+    def fpSnapshot(): Map[String, Long] = {
+      val it = fpAcc.entrySet().iterator()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.get() }
+      b.result()
+    }
+    def fpDelta(before: Map[String, Long]): String =
+      fpSnapshot().flatMap { case (k, v) =>
+        val d = v - before.getOrElse(k, 0L)
+        if (d > 0) Some(s"$k=$d") else None
+      }.toSeq.sorted.mkString(";")
+    def md5_8(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+    def fpNodeSigs(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      val name = p.getClass.getSimpleName
+      if (name.contains("Join") || name.contains("Exchange")) fpAdd(name)
+      p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          // pushed filters + read schema: the pruning surface. Hashed —
+          // the strings are long and may change legitimately per query
+          // edit; equality is all the gate needs. (Location paths are
+          // NOT included: staged substrates carry run-varying tmp dirs.)
+          fpAdd(s"Scan[pushed:${md5_8(f.metadata.getOrElse("PushedFilters", ""))}" +
+            s",schema:${md5_8(f.metadata.getOrElse("ReadSchema", ""))}]")
+        case _ => ()
+      }
+    }
     def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
     : Seq[org.apache.spark.sql.execution.SparkPlan] = {
       val inner = p match {
@@ -64,6 +107,7 @@ object Bench {
           nodes.flatMap(_.metrics.get("shuffleBytesWritten")).map(_.value).sum)
         spillAcc.addAndGet(
           nodes.flatMap(_.metrics.get("spillSize")).map(m => math.max(0L, m.value)).sum)
+        nodes.foreach(fpNodeSigs)
         telemetrySeq.incrementAndGet()
       }
       override def onFailure(f: String,
@@ -104,19 +148,28 @@ object Bench {
       }
     quiesce() // don't let warm-pass listener events bleed into pass 1
     shuffleAcc.set(0L); spillAcc.set(0L)
+    val planFp = scala.collection.mutable.Map[String, String]()
+    val fpSeen = scala.collection.mutable.Map[String, Set[String]]()
     for (_ <- 1 to runs; (name, fn) <- queries) {
       val shuffle0 = shuffleAcc.get()
       val spill0 = spillAcc.get()
+      val fp0 = fpSnapshot()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         quiesce()
+        val fp = fpDelta(fp0)
+        // distinct fingerprints across passes mark the query as
+        // plan-VOLATILE (AQE near-threshold flips) — the gate skips
+        // fingerprint equality for those instead of false-failing
+        fpSeen(name) = fpSeen.getOrElse(name, Set.empty) + fp
         if (dt < times.getOrElse(name, Double.MaxValue)) {
           // telemetry rides the BEST pass (bytes are plan-determined and
           // pass-stable; the best pass is the one the total reports)
           shuffleBytes(name) = shuffleAcc.get() - shuffle0
           spillBytes(name) = spillAcc.get() - spill0
+          planFp(name) = fp
         }
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
         passes(name) = dt :: passes.getOrElse(name, Nil)
@@ -163,8 +216,14 @@ object Bench {
     val qsSpill = queries.map { case (name, _) =>
       "\"" + name + "\":" + spillBytes.getOrElse(name, -1L)
     }.mkString("{", ",", "}")
+    val qsFp = queries.flatMap { case (name, _) =>
+      planFp.get(name).map(fp => s"${jstr(name)}:${jstr(fp)}")
+    }.mkString("{", ",", "}")
+    val fpVolatile = queries.collect {
+      case (name, _) if fpSeen.getOrElse(name, Set.empty).size > 1 => jstr(name)
+    }.mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean,"shuffle_bytes":$qsShuffle,"spill_bytes":$qsSpill,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean,"shuffle_bytes":$qsShuffle,"spill_bytes":$qsSpill,"plan_fp":$qsFp,"plan_fp_volatile":$fpVolatile,"errors":$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The per-query line grew past the driver's stdout tail window at 79
     // queries (round 3's BENCH parsed:null), so the LAST line is a compact

@@ -526,7 +526,46 @@ object MicroBatch {
     * map at processing time; rows process in (sig, micros, doc_id)
     * order so replays are deterministic.
     */
-  class NearDupProcessor(ttl: java.time.Duration)
+  /** Per-drain observability for [[NearDupProcessor]] — the streaming
+    * twin of the batch side's q_dd_cap_audit discipline: a skewed
+    * stream must be VISIBLE, not inferred. `admitted`/`suppressed`
+    * count the drain's dedup decisions; `shardAdmits` records one
+    * (shard, admitted) sample per shard per batch, so a hot shard
+    * (signature-space skew concentrating on one grouping key) shows up
+    * as an outlier in the per-shard distribution. Accumulators, so a
+    * task retry can over-count — observability semantics, never
+    * correctness (the admitted ROWS are exactly-once via the sink).
+    *
+    * What is deliberately NOT counted: TTL evictions. The state store
+    * expires map entries lazily with no eviction callback; the only way
+    * to count them is an O(state) `seen.iterator()` walk per batch,
+    * which would put scan cost into the hot path of the operator whose
+    * whole design is O(input) per batch. Unlike the batch band buckets
+    * there is no per-key blowup to watch for anyway: a map entry is one
+    * long per SIGNATURE (never a member list), so a hot signature costs
+    * suppression counts — visible here — not state growth. */
+  case class NearDupStats(
+      admitted: org.apache.spark.util.LongAccumulator,
+      suppressed: org.apache.spark.util.LongAccumulator,
+      shardAdmits: org.apache.spark.util.CollectionAccumulator[(Int, Long)]) {
+    /** Max admitted in any single (shard, batch) cell — the skew probe. */
+    def maxShardAdmits: Long = {
+      val it = shardAdmits.value.iterator()
+      var m = 0L
+      while (it.hasNext) m = math.max(m, it.next()._2)
+      m
+    }
+  }
+
+  object NearDupStats {
+    def apply(sc: org.apache.spark.SparkContext): NearDupStats =
+      NearDupStats(sc.longAccumulator("neardup.admitted"),
+        sc.longAccumulator("neardup.suppressed"),
+        sc.collectionAccumulator[(Int, Long)]("neardup.shardAdmits"))
+  }
+
+  class NearDupProcessor(ttl: java.time.Duration,
+                         stats: Option[NearDupStats] = None)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Int, (Int, String, java.sql.Timestamp, Long), (String, Long)] {
     import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
@@ -542,11 +581,17 @@ object MicroBatch {
         rows: Iterator[(Int, String, java.sql.Timestamp, Long)],
         timerValues: TimerValues): Iterator[(String, Long)] = {
       val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      var nSuppressed = 0L
       rows.toSeq.sortBy(r => (r._2, tsMicros(r._3), r._4)).foreach { case (_, sig, ts, docId) =>
         if (!seen.containsKey(sig)) {
           seen.updateValue(sig, tsMicros(ts))
           out += ((sig, docId))
-        }
+        } else nSuppressed += 1
+      }
+      stats.foreach { st =>
+        st.admitted.add(out.length.toLong)
+        st.suppressed.add(nSuppressed)
+        st.shardAdmits.add((shard, out.length.toLong))
       }
       out.iterator
     }
@@ -589,7 +634,8 @@ object MicroBatch {
     * ts) with non-null signatures; emits (sig, doc_id) per admitted
     * document. TTL is the dedup horizon (processing-time — the TTL
     * clock the state store natively supports). */
-  def neardupV2(docs: DataFrame, ttl: java.time.Duration)
+  def neardupV2(docs: DataFrame, ttl: java.time.Duration,
+                stats: Option[NearDupStats] = None)
   : org.apache.spark.sql.Dataset[(String, Long)] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val spark = docs.sparkSession
@@ -600,7 +646,7 @@ object MicroBatch {
       .map { case (docId, sig, ts) =>
         (math.floorMod(sig.hashCode, NearDupShards), sig, ts, docId) }
       .groupByKey(_._1)
-      .transformWithState(new NearDupProcessor(ttl),
+      .transformWithState(new NearDupProcessor(ttl, stats),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 

@@ -1213,6 +1213,63 @@ class StreamingSpec extends SparkSpec {
       s"TTL semantics broken; admitted = $admitted")
   }
 
+  test("streaming near-dup stats make a planted skewed tick visible") {
+    import ss.implicits._
+    // The batch dedup family measures its hot buckets (q_dd_cap_audit);
+    // this is the streaming drain's equivalent: NearDupStats counters
+    // must expose (a) the dedup decisions and (b) signature-space skew
+    // concentrating on one shard. Plant a tick with 20 DISTINCT
+    // signatures all hashing to one shard (the hot shard), one
+    // signature repeated 30x (29 in-batch suppressions), and 5
+    // scattered singletons on other shards.
+    def shardOf(sig: String): Int =
+      math.floorMod(sig.hashCode, graft.streaming.MicroBatch.NearDupShards)
+    val hotShard = 7
+    val hotShardSigs = Iterator.from(0).map(i => s"sig_$i")
+      .filter(s => shardOf(s) == hotShard).take(20).toSeq
+    val dupSig = Iterator.from(0).map(i => s"dup_$i")
+      .filter(s => shardOf(s) != hotShard).next()
+    val scattered = Iterator.from(0).map(i => s"sc_$i")
+      .filter(s => shardOf(s) != hotShard && shardOf(s) != shardOf(dupSig))
+      .map(s => (s, shardOf(s)))
+      .scanLeft((Set.empty[Int], Option.empty[String])) {
+        case ((seen, _), (s, sh)) =>
+          if (seen(sh)) (seen, None) else (seen + sh, Some(s))
+      }.flatMap(_._2).take(5).toSeq // 5 sigs on 5 DISTINCT other shards
+    def t(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000)
+    val rows = hotShardSigs.zipWithIndex.map { case (s, i) => (i.toLong, s, t(i.toLong)) } ++
+      (0 until 30).map(i => (100L + i, dupSig, t(50L + i))) ++
+      scattered.zipWithIndex.map { case (s, i) => (200L + i, s, t(90L + i)) }
+
+    val src = dir("ndstats-src")
+    val cp = dir("ndstats-cp")
+    val sink = dir("ndstats-sink")
+    rows.toDF("doc_id", "sig", "ts").write.mode("append").parquet(src)
+    val ssn = spark.newSession()
+    ssn.conf.set("spark.sql.shuffle.partitions", "4")
+    ssn.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stats = MicroBatch.NearDupStats(ssn.sparkContext)
+    val q = MicroBatch.neardupV2(
+      MicroBatch.readEvents(ssn, src,
+        Seq((1L, "x", t(0))).toDF("doc_id", "sig", "ts")),
+      java.time.Duration.ofHours(24), Some(stats))
+      .toDF("sig", "doc_id")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", cp)
+      .outputMode("append")
+      .start()
+    MicroBatch.drainAvailable(q)
+
+    assert(stats.admitted.value === 26L) // 20 hot-shard + 1 dup + 5 scattered
+    assert(stats.suppressed.value === 29L) // the dup signature's repeats
+    assert(stats.maxShardAdmits === 20L, // the hot shard stands out
+      s"shard admits: ${stats.shardAdmits.value}")
+    // and the sink carries exactly the admitted rows (stats are a
+    // side-channel, never a semantics change)
+    assert(spark.read.parquet(sink).count() === 26L)
+  }
+
   test("transformWithState restores a checkpoint under an EVOLVED state schema (avro)") {
     import ss.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}

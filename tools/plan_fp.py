@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Pin per-query plan fingerprints from a bench detail file.
+
+Usage: plan_fp.py BENCH_DETAIL.json [q1,q2,...]
+
+Extracts the "plan_fp" map Bench emits and writes (or selectively
+updates) tools/plan_fingerprints.json — the acknowledged plan state
+bench_gate.py diffs every run against. With a query list, only those
+entries are updated (the workflow after an INTENTIONAL plan change to
+specific queries); without one, the whole file is regenerated.
+Queries Bench marked plan_fp_volatile are never pinned — their plan
+legitimately flips run-to-run and the gate skips them.
+"""
+import json
+import os
+import sys
+
+
+def main() -> int:
+    if len(sys.argv) not in (2, 3):
+        print(__doc__)
+        return 2
+    detail = json.load(open(sys.argv[1]))
+    fps = detail.get("plan_fp", {})
+    volatile = set(detail.get("plan_fp_volatile", []))
+    only = set(sys.argv[2].split(",")) if len(sys.argv) == 3 else None
+    pins_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "plan_fingerprints.json")
+    pins = {}
+    if only is not None:
+        try:
+            pins = json.load(open(pins_path))
+        except OSError:
+            pass
+        missing = only - set(fps)
+        if missing:
+            print(f"not in detail: {sorted(missing)}")
+            return 1
+    n_vol = 0
+    for q, fp in sorted(fps.items()):
+        if only is not None and q not in only:
+            continue
+        if q in volatile:
+            pins.pop(q, None)
+            n_vol += 1
+            continue
+        pins[q] = fp
+    # drop pins for queries no longer in the suite (full regen only)
+    if only is None:
+        pins = {q: fp for q, fp in pins.items() if q in fps}
+    json.dump(dict(sorted(pins.items())), open(pins_path, "w"), indent=1)
+    print(f"pinned {len(pins)} fingerprints -> {pins_path}"
+          f" ({n_vol} volatile skipped)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
