@@ -767,6 +767,79 @@ object TrainPrep {
        |FROM dec ORDER BY w""".stripMargin
   }
 
+  // --- q_tp_sft_pack ----------------------------------------------------------
+  // SFT / INSTRUCTION-TUNING ASSEMBLY — the step between a curated
+  // corpus and a supervised fine-tune batch: pack each conversation
+  // into ONE chat-templated training sequence and emit the per-turn
+  // TOKEN AND CHARACTER SPANS plus the LOSS MASK the trainer consumes
+  // (loss only on assistant turns — the standard SFT masking rule;
+  // masking is span arithmetic over the token stream, so the spans ARE
+  // the operator, not the rendered string, which never materializes).
+  //
+  // Conversations are the `source` groups, turns the documents in
+  // doc_id order, roles alternating user/assistant. The template
+  // contributes fixed-width specials per turn — a role marker
+  // ("<|user|>\n" = 9 chars / "<|assistant|>\n" = 14) and a trailer
+  // ("\n<|end|>\n" = 9), each ONE token in the stream — so a turn
+  // occupies n_toks + 2 tokens, and every span is a prefix sum over
+  // the conversation's turns. The loss span opens AFTER the role
+  // marker and includes the end token (the model must learn to stop).
+  //
+  // 100 TB shape: one shuffle on the conversation key, then pure
+  // intra-partition window prefix sums — conversations are bounded
+  // (dialogue length), so partition skew is structurally capped; no
+  // global window, no collect, no string assembly at scale.
+  def sftPack(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy("source").orderBy("doc_id")
+    val wCum = Window.partitionBy("source").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val turns = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars_t"))
+      .withColumn("turn_idx", (row_number().over(wOrd) - 1).cast("long"))
+      .withColumn("role",
+        when(col("turn_idx") % 2 === 0, lit("user")).otherwise(lit("assistant")))
+    val hdrLen = when(col("role") === "user", lit(9L)).otherwise(lit(14L))
+    turns
+      .withColumn("tok_start",
+        coalesce(sum(col("n_toks") + lit(2L)).over(wCum), lit(0L)))
+      .withColumn("char_start",
+        coalesce(sum(hdrLen + col("n_chars_t") + lit(9L)).over(wCum), lit(0L)))
+      .select(col("source"), col("turn_idx"), col("doc_id"), col("role"),
+        col("n_toks"),
+        col("tok_start"),
+        (col("tok_start") + col("n_toks") + lit(2L)).as("tok_end"),
+        col("char_start"),
+        (col("char_start") + hdrLen + col("n_chars_t") + lit(9L)).as("char_end"),
+        (col("role") === "assistant").as("loss"))
+      .orderBy("source", "turn_idx")
+  }
+
+  lazy val sftPackSql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT source, doc_id, len(${TextAnalysis.tokensSql}) AS n_toks,
+       |    length(text) AS n_chars_t,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS turn_idx
+       |  FROM documents),
+       |r AS (SELECT *,
+       |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    CASE WHEN turn_idx % 2 = 0 THEN 9 ELSE 14 END AS hdr FROM t)
+       |SELECT source, turn_idx::BIGINT AS turn_idx, doc_id, role,
+       |  n_toks::BIGINT AS n_toks,
+       |  COALESCE(CAST(sum(n_toks + 2) OVER w AS BIGINT), 0) AS tok_start,
+       |  COALESCE(CAST(sum(n_toks + 2) OVER w AS BIGINT), 0) + n_toks + 2
+       |    AS tok_end,
+       |  COALESCE(CAST(sum(hdr + n_chars_t + 9) OVER w AS BIGINT), 0)
+       |    AS char_start,
+       |  COALESCE(CAST(sum(hdr + n_chars_t + 9) OVER w AS BIGINT), 0)
+       |    + hdr + n_chars_t + 9 AS char_end,
+       |  role = 'assistant' AS loss
+       |FROM r
+       |WINDOW w AS (PARTITION BY source ORDER BY turn_idx
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |ORDER BY source, turn_idx""".stripMargin
+
   // --- q_llm_e2e ------------------------------------------------------------
   // The WHOLE curation pipeline composed, with per-document FATE
   // attribution — the q_wp_ingest_e2e of the LLM-data side: every doc
@@ -1229,6 +1302,7 @@ object TrainPrep {
     "q_llm_e2e" -> (llmPipeline _),
     "q_tp_bpe_vocab" -> (bpeVocab _),
     "q_tp_bpe_roundtrip" -> (bpeRoundtrip _),
+    "q_tp_sft_pack" -> (sftPack _),
     "q_tp_fertility" -> (fertility _),
     "q_tp_pack" -> (pack _),
     "q_tp_tfidf" -> (tfidf _),
@@ -1247,6 +1321,7 @@ object TrainPrep {
     "q_llm_e2e" -> llmPipelineSql,
     "q_tp_bpe_vocab" -> bpeVocabSql,
     "q_tp_bpe_roundtrip" -> bpeRoundtripSql,
+    "q_tp_sft_pack" -> sftPackSql,
     "q_tp_fertility" -> fertilitySql,
     "q_tp_pack" -> packSql,
     "q_tp_tfidf" -> tfidfSql,

@@ -343,4 +343,36 @@ class TrainPrepSpec extends SparkSpec {
       assert(r.getAs[Long]("n_toks") >= 1L)
     }
   }
+
+  test("SFT pack spans are a brute per-conversation replay; loss only on assistant") {
+    val rows = graft.queries.TrainPrep.sftPack(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("turn_idx"),
+        r.getAs[String]("role"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+        r.getAs[Long]("char_start"), r.getAs[Long]("char_end"),
+        r.getAs[Boolean]("loss"), r.getAs[Long]("doc_id")))
+    assert(rows.nonEmpty)
+    // brute char widths straight off the raw text (codePointCount —
+    // Spark's length() counts code points, not UTF-16 units)
+    val docLen = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).codePointCount(0, r.getString(1).length).toLong).toMap
+    rows.groupBy(_._1).foreach { case (src, ts) =>
+      val ordered = ts.sortBy(_._2)
+      // roles alternate from user; spans tile the streams gaplessly
+      var tok = 0L
+      var ch = 0L
+      ordered.zipWithIndex.foreach { case ((_, idx, role, n, ts0, te, cs, ce, loss, docId), i) =>
+        assert(idx === i.toLong)
+        assert(role === (if (i % 2 == 0) "user" else "assistant"), s"$src/$i")
+        assert(loss === (role == "assistant"))
+        assert(ts0 === tok && cs === ch, s"span gap at $src/$i")
+        assert(te === ts0 + n + 2) // role marker + content + end marker
+        val hdr = if (role == "user") 9L else 14L
+        assert(ce === cs + hdr + docLen(docId) + 9L, s"char width at $src/$i")
+        tok = te; ch = ce
+      }
+    }
+  }
 }
