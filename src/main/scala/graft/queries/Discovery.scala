@@ -844,11 +844,14 @@ object Discovery {
   // dedup family reuses [[Dedup.capAudit]]'s bucket histograms verbatim
   // (the audit cannot drift from the audited code), so this query's
   // cost is capAudit + four tiny aggregates. Guards NOT here, and why:
-  //   - iterative-round convergence guards (labelprop ≤64 rounds, BFS
-  //     MaxHops, k-core/LSS round caps) — their live value is a runtime
-  //     iteration count whose DuckDB replay is the superlinear
-  //     recursive-CTE path this repo deliberately avoids at sf0.1;
-  //     their specs fire them directly instead (GraphSpec/DedupSpec);
+  //   - iterative-round convergence guards (CcMaxRounds, SccMaxRounds,
+  //     labelprop ≤64 rounds, LSS round cap) — their live value is a
+  //     runtime iteration count whose DuckDB replay is the superlinear
+  //     recursive-CTE path this repo deliberately avoids at sf0.1.
+  //     GraphSpec fires the connected cap directly (53-node path >
+  //     CcMaxRounds); the LSS cap is unfireable by construction
+  //     (large-star/small-star halves component height per round —
+  //     64 rounds covers ~2^64 nodes);
   //   - structural consistency requires (GramTri buffer shape, triangle
   //     node-id < 2^31 packing) — input-domain contracts, spec-fired
   //     (PropertySpec), with no meaningful "headroom" dimension;

@@ -626,4 +626,21 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_triangles"))).toSet
     assert(ok === Set((1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  test("connected-components round cap fires loudly when eccentricity exceeds it") {
+    import ss.implicits._
+    // min-label propagation moves one hop per round, so a 53-node path
+    // (eccentricity 52 from the min end) exhausts CcMaxRounds=50 with
+    // labels still moving - the guard must throw with the raise-the-cap
+    // message, never return a silently wrong partition
+    val chain = (1L to 52L).map(i => (i, i + 1)).toDF("a", "b")
+    val err = intercept[IllegalArgumentException] {
+      graft.queries.Graph.connectedOf(chain).collect()
+    }
+    assert(err.getMessage.contains("raise CcMaxRounds"), err.getMessage)
+    // a 40-node path (under the cap) converges to one component
+    val ok = graft.queries.Graph.connectedOf(
+      (1L to 39L).map(i => (i, i + 1)).toDF("a", "b")).collect()
+    assert(ok.length === 1 && ok.head.getAs[Long]("n_nodes") === 40L)
+  }
 }
