@@ -1853,6 +1853,140 @@ object Dedup {
        |ORDER BY path""".stripMargin
   }
 
+  // --- q_dd_scurve_audit ------------------------------------------------------
+  // THE LSH TUNING TABLE — the band-geometry S-curve made executable
+  // (capAudit's scaladoc calls its output "the number you tune band
+  // geometry with"; this row is that number). For the committed
+  // (b=Bands, r=RowsPerBand) geometry, per exact-Jaccard bucket over
+  // the reference pair population (pairs sharing ≥ 1 under-cap
+  // shingle — the same completeness precondition every shingle-family
+  // operator documents):
+  //   n_pairs, n_candidates (pairs the minhash banding actually
+  //   surfaced, cap semantics included), measured_rate,
+  //   expected_rate (mean over pairs of the per-pair theoretical
+  //   P(candidate | j) = 1 − (1 − j^r)^b, quantized to 1e6 before the
+  //   sum so the mean is order-free), and p_mid (the textbook curve at
+  //   the bucket midpoint).
+  // measured − expected is the cap/bucketing cost per similarity band;
+  // expected vs p_mid shows within-bucket skew. Re-banding decisions
+  // (wider rescue bands, more hashes) read straight off this table.
+  //
+  // Determinism: the power chain is UNROLLED multiplication with fixed
+  // associativity (((j·j)·j)·j — no pow(), whose libm bits differ),
+  // buckets are exact integer arithmetic ((common·20) div union,
+  // capped at 19), and the expected sum rides 1e6-quantized BIGINTs.
+  // Scale: the reference population and candidate set are the SAME
+  // bounded derivations the dedup operators run (no new candidate
+  // generator, no all-pairs anywhere); everything after is a 20-row
+  // digest.
+  private def powChain(c: Column, n: Int): Column =
+    (2 to n).foldLeft(c)((acc, _) => acc * c)
+  private def powChainSql(e: String, n: Int): String =
+    (2 to n).foldLeft(e)((acc, _) => s"($acc * $e)")
+
+  def scurveAudit(s: SparkSession, d: String): DataFrame = {
+    val ex = shingleRows(s, d).localCheckpoint()
+    val groups = ex.groupBy("s")
+      .agg(graft.functions.BoundedCollectFunctions
+        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
+      .localCheckpoint()
+    val hotS = groups.filter(size(col("ds")) > MaxShingleDf).select("s")
+    val commonRare = groups
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
+      .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("common_rare"))
+    val hotEx = ex.join(broadcast(hotS), Seq("s"))
+    val commonHot = commonRare.select("da", "db")
+      .join(hotEx.toDF("s", "da"), "da")
+      .join(hotEx.toDF("s", "db"), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common_hot"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ref = commonRare
+      .join(commonHot, Seq("da", "db"), "left")
+      .select(col("da"), col("db"),
+        (col("common_rare") + coalesce(col("common_hot"), lit(0L))).as("common"))
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .withColumn("uni", col("na") + col("nb") - col("common"))
+    // the candidate set EXACTLY as minhashLsh generates it (bands,
+    // bounded buckets, cap) — the audit must measure the real operator
+    val cand = minhashBands(s, d)
+      .groupBy("band_id", "band_key")
+      .agg(graft.functions.BoundedCollectFunctions
+        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
+      .select(explode(Dedup.pairsOf(col("ds"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
+      .withColumn("is_cand", lit(1L))
+    val j = col("common").cast("double") / col("uni").cast("double")
+    val pPair = lit(1.0) - powChain(lit(1.0) - powChain(j, RowsPerBand), Bands)
+    val sMid = (col("bucket") * 2 + 1).cast("double") / lit(40.0)
+    val pMid = lit(1.0) - powChain(lit(1.0) - powChain(sMid, RowsPerBand), Bands)
+    ref.join(cand, Seq("da", "db"), "left")
+      .select(
+        least(lit(19L), expr("(common * 20) div uni")).as("bucket"),
+        coalesce(col("is_cand"), lit(0L)).as("c"),
+        round(pPair * lit(1e6)).cast("long").as("pe"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c")).as("n_candidates"),
+        sum(col("pe")).as("pes"))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / lit(20.0)).as("s_lo"),
+        col("n_pairs"), col("n_candidates"),
+        (col("n_candidates").cast("double") / col("n_pairs").cast("double"))
+          .as("measured_rate"),
+        (col("pes").cast("double") / lit(1e6) / col("n_pairs").cast("double"))
+          .as("expected_rate"),
+        pMid.as("p_mid"))
+      .orderBy("bucket")
+  }
+
+  lazy val scurveAuditSql: String = {
+    val jSql = "(common::DOUBLE / uni::DOUBLE)"
+    val pPair = s"(1.0 - ${powChainSql(s"(1.0 - ${powChainSql(jSql, RowsPerBand)})", Bands)})"
+    val sMid = "((bucket * 2 + 1)::DOUBLE / 40.0)"
+    val pMid = s"(1.0 - ${powChainSql(s"(1.0 - ${powChainSql(sMid, RowsPerBand)})", Bands)})"
+    s"""WITH $minhashBandsCte,
+       |rex AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
+       |grp AS (
+       |  SELECT s FROM rex GROUP BY s
+       |  HAVING count(*) > 1 AND count(*) <= $MaxShingleDf),
+       |refp AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM rex a JOIN rex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN grp ON grp.s = a.s),
+       |jac AS (
+       |  SELECT da, db,
+       |    len(list_intersect(x.shingles, y.shingles))::BIGINT AS common,
+       |    (len(x.shingles) + len(y.shingles)
+       |      - len(list_intersect(x.shingles, y.shingles)))::BIGINT AS uni
+       |  FROM refp JOIN sh0 x ON da = x.doc_id JOIN sh0 y ON db = y.doc_id),
+       |bsz AS (
+       |  SELECT band_id, band_key FROM bands GROUP BY 1, 2
+       |  HAVING count(*) > 1 AND count(*) <= $MaxShingleDf),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN bsz ON bsz.band_id = a.band_id AND bsz.band_key = a.band_key),
+       |per AS (
+       |  SELECT least(19, (common * 20) // uni) AS bucket,
+       |    CASE WHEN cand.da IS NOT NULL THEN 1 ELSE 0 END AS c,
+       |    CAST(round($pPair * 1e6) AS BIGINT) AS pe
+       |  FROM jac LEFT JOIN cand ON cand.da = jac.da AND cand.db = jac.db)
+       |SELECT bucket::BIGINT AS bucket, bucket::DOUBLE / 20.0 AS s_lo,
+       |  count(*)::BIGINT AS n_pairs,
+       |  CAST(sum(c) AS BIGINT) AS n_candidates,
+       |  CAST(sum(c) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS measured_rate,
+       |  CAST(sum(pe) AS BIGINT)::DOUBLE / 1e6 / count(*)::DOUBLE
+       |    AS expected_rate,
+       |  $pMid AS p_mid
+       |FROM per GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
   // --- q_dd_substring_dup ---------------------------------------------------
   // EXACT substring duplication — the "Deduplicating Training Data
   // Makes Language Models Better" (Lee et al. 2021, public) method's
@@ -1977,6 +2111,7 @@ object Dedup {
     "q_dd_embed_lsh" -> (embedLsh _),
     "q_dd_semdedup" -> (semDedup _),
     "q_dd_cap_audit" -> (capAudit _),
+    "q_dd_scurve_audit" -> (scurveAudit _),
     "q_dd_incremental" -> (incremental _),
     "q_dd_hamming_join" -> (hammingJoin _))
 
@@ -1999,6 +2134,7 @@ object Dedup {
     "q_dd_embed_lsh" -> embedLshSql,
     "q_dd_semdedup" -> semDedupSql,
     "q_dd_cap_audit" -> capAuditSql,
+    "q_dd_scurve_audit" -> scurveAuditSql,
     "q_dd_incremental" -> incrementalSql,
     "q_dd_hamming_join" -> hammingJoinSql)
 }

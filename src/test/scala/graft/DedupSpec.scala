@@ -472,4 +472,31 @@ class DedupSpec extends SparkSpec {
     // the production-run counter: every planted doc escalated
     assert(obs.get("n_escalated_docs") === 40L)
   }
+
+  test("S-curve audit: textbook curve monotone, rates in range, ends separated") {
+    val rows = graft.queries.Dedup.scurveAudit(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("measured_rate"), r.getAs[Double]("expected_rate"),
+        r.getAs[Double]("p_mid"))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, m, e, p) =>
+      assert(n > 0)
+      assert(m >= 0.0 && m <= 1.0, s"measured out of range at $b")
+      assert(e >= 0.0 && e <= 1.0, s"expected out of range at $b")
+      assert(p >= 0.0 && p <= 1.0, s"p_mid out of range at $b")
+    }
+    // the theoretical S-curve is strictly increasing in similarity
+    rows.sliding(2).foreach {
+      case Array((b0, _, _, _, p0), (b1, _, _, _, p1)) =>
+        assert(p0 < p1, s"p_mid not increasing: $b0 -> $b1")
+      case _ => ()
+    }
+    // the curve separates the ends: low-similarity pairs are (almost)
+    // never candidates, high-similarity pairs (almost) always are
+    rows.find(_._1 == 0L).foreach { case (_, _, m, e, _) =>
+      assert(m < 0.01 && e < 0.01, s"bucket 0 not suppressed: $m / $e") }
+    rows.filter(r => r._1 >= 18L && r._2 >= 5L).foreach {
+      case (b, _, m, _, _) =>
+        assert(m > 0.9, s"high-similarity bucket $b under-surfaced: $m") }
+  }
 }
