@@ -74,6 +74,89 @@ object Similarity {
        |ORDER BY cosine DESC, vec_id
        |LIMIT $K""".stripMargin
 
+  // --- q_sim_filtered_topk --------------------------------------------------
+  // FILTERED VECTOR SEARCH — the production ANN shape vector databases
+  // are judged on: top-k under a metadata predicate (here `label`
+  // parity — the stand-in for lang/license/split constraints). The two
+  // strategies every deployment weighs:
+  //   PRE-filter  — the predicate rides INTO the cell scan next to the
+  //                 cell equality (both are attribute filters: with
+  //                 the corpus partitioned by cell and the metadata
+  //                 shredded, the scan prunes on both), ranking only
+  //                 qualifying vectors: the CORRECT top-k.
+  //   POST-filter — rank first, filter the k survivors: the cheap
+  //                 pipeline mistake, silently returning < k and
+  //                 missing qualifying vectors that sat below rank k.
+  // The output is the correct pre-filtered top-k with a per-row
+  // `in_postfilter` flag — the rows flagged false are exactly the
+  // results the post-filter strategy loses, making the recall cost of
+  // the lazy plan a verified number instead of folklore. Probe scope
+  // is the query's TRAINED Lloyd cell (q_sim_ivfpq_trained's coarse
+  // quantizer, not the label — q_sim_recall measures why).
+  // Scale: one partition-pruned cell scan feeding both strategies;
+  // TakeOrderedAndProject on both limits; the rank window runs over
+  // ≤ k rows, never the corpus.
+  def filteredTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", clusterOf(col("v")))
+    val q = e.filter(col("vec_id") === QueryId)
+      .select(col("v").as("qv"), col("cell").as("qcell"))
+    val pred = col("label") % 2 === 0
+    val cellScan = e.filter(col("vec_id") =!= QueryId)
+      .crossJoin(broadcast(q))
+      .filter(col("cell") === col("qcell"))
+      .select(col("vec_id"), col("label"),
+        Vectors.cosine(col("v"), col("qv")).as("cosine"))
+      .localCheckpoint() // both strategies read the one cell scan
+    val pre = cellScan.filter(pred)
+      .orderBy(col("cosine").desc, col("vec_id")).limit(K)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cosine").desc, col("vec_id")))
+          .cast("long"))
+    val post = cellScan
+      .orderBy(col("cosine").desc, col("vec_id")).limit(K)
+      .filter(pred)
+      .select(col("vec_id"), lit(true).as("in_postfilter"))
+    pre.join(post, Seq("vec_id"), "left")
+      .select(col("rank"), col("vec_id"), col("label"), col("cosine"),
+        coalesce(col("in_postfilter"), lit(false)).as("in_postfilter"))
+      .orderBy("rank")
+  }
+
+  // lazy: interpolates clusterOfSql, whose centroid tables are declared
+  // further down the object — a plain val here reads them empty (the
+  // documented object-init-order trap)
+  lazy val filteredTopKSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    ${clusterOfSql("embedding")} AS cell
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qemb, cell AS qcell FROM e
+       |      WHERE vec_id = $QueryId),
+       |scan AS MATERIALIZED (
+       |  SELECT b.vec_id, b.label,
+       |    ${Vectors.cosineSql("b.embedding", "q.qemb")} AS cosine
+       |  FROM e b, q WHERE b.vec_id <> $QueryId AND b.cell = q.qcell),
+       |pre AS (
+       |  SELECT vec_id, label, cosine, rank FROM (
+       |    SELECT vec_id, label, cosine,
+       |      row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM scan WHERE label % 2 = 0)
+       |  WHERE rank <= $K),
+       |post AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, label,
+       |      row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM scan)
+       |  WHERE rn <= $K AND label % 2 = 0)
+       |SELECT p.rank::BIGINT AS rank, p.vec_id, p.label, p.cosine,
+       |  (post.vec_id IS NOT NULL) AS in_postfilter
+       |FROM pre p LEFT JOIN post ON p.vec_id = post.vec_id
+       |ORDER BY rank""".stripMargin
+
   // --- q_sim_recall -------------------------------------------------------
   // The index EVALUATION harness: recall@k of the IVF path against the
   // exact brute-force baseline, per query, over a 20-query batch — the
@@ -2878,6 +2961,7 @@ object Similarity {
     "q_sim_recall_trained" -> (recallTrained _),
     "q_sim_mips" -> (mipsTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
+    "q_sim_filtered_topk" -> (filteredTopK _),
     "q_sim_kmeans_assign" -> (kmeansAssign _),
     "q_sim_kmeans_update" -> (kmeansUpdate _),
     "q_sim_silhouette" -> (silhouette _),
@@ -2913,6 +2997,7 @@ object Similarity {
     "q_sim_recall_trained" -> recallTrainedSql,
     "q_sim_mips" -> mipsTopKSql,
     "q_sim_ivf_topk" -> ivfTopKSql,
+    "q_sim_filtered_topk" -> filteredTopKSql,
     "q_sim_kmeans_assign" -> kmeansAssignSql,
     "q_sim_kmeans_update" -> kmeansUpdateSql,
     "q_sim_silhouette" -> silhouetteSql,

