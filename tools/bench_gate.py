@@ -97,9 +97,11 @@ def main() -> int:
     # fingerprint reference: committed pins first (the acknowledged
     # state), OLD's own plan_fp as fallback for un-pinned queries
     pins = load_json(FP_PINS_FILE, {})
+    ever_volatile = set(pins.pop("_volatile_ever", []))
     old_fp = {**old.get("plan_fp", {}), **pins}
     new_fp = new.get("plan_fp", {})
-    volatile = set(old.get("plan_fp_volatile", [])) \
+    volatile = ever_volatile \
+        | set(old.get("plan_fp_volatile", [])) \
         | set(new.get("plan_fp_volatile", [])) \
         | set(load_json(FLIPS_FILE, {}).keys())
     if retry:

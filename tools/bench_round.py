@@ -106,30 +106,23 @@ def main() -> int:
     retry_path = os.path.join(REPO, "bench_detail_targeted.json")
     print("== final gate with retry detail")
     rc = run_gate(old_path, new_path, retry_path)
-    if rc == 0:
-        # Fold the quiet-window retry into the snapshot for the
-        # quarantined queries: min(main, retry) is Bench's own best-of-N
-        # estimator over more passes, and it keeps a proven-jitter
-        # number from inflating the committed baseline (an inflated
-        # baseline masks a real regression next round). Merged queries
-        # are recorded under "retry_merged" — bytes/fingerprints stay
-        # from the main run (the retry's plan is byte-identical by the
-        # gate's own admission rule).
+    # Record the retry measurements NEXT TO the main numbers — never
+    # rewrite them. An earlier revision merged min(main, retry) into the
+    # snapshot; that estimator is biased LOW for time-BIMODAL queries
+    # (q_sim_jl swings 1.2↔3.5 s with identical plan and bytes), and a
+    # fluke-low committed baseline makes every honest later measurement
+    # read as a regression. The main run's best-of-N stands as the
+    # snapshot; "retry_times" preserves the quiet-window evidence for
+    # whoever audits a confirmed trip.
+    try:
         detail = json.load(open(new_path))
         retry_d = json.load(open(retry_path))
-        merged = []
-        for q in noise:
-            t = retry_d["queries"].get(q)
-            if t is not None and 0 <= t < detail["queries"][q]:
-                detail["queries"][q] = t
-                merged.append(q)
-        if merged:
-            detail["retry_merged"] = sorted(merged)
-            detail["value"] = round(
-                sum(t for t in detail["queries"].values() if t >= 0), 3)
-            json.dump(detail, open(new_path, "w"))
-            print(f"== merged retry times into bench_detail.json for "
-                  f"{merged} (total now {detail['value']} s)")
+        detail["retry_times"] = {
+            q: retry_d["queries"][q] for q in noise
+            if q in retry_d.get("queries", {})}
+        json.dump(detail, open(new_path, "w"))
+    except OSError:
+        pass
     return rc
 
 

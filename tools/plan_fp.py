@@ -26,21 +26,29 @@ def main() -> int:
     only = set(sys.argv[2].split(",")) if len(sys.argv) == 3 else None
     pins_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "plan_fingerprints.json")
-    pins = {}
-    if only is not None:
-        try:
-            pins = json.load(open(pins_path))
-        except OSError:
-            pass
+    try:
+        pins = json.load(open(pins_path))
+    except OSError:
+        pins = {}
+    if only is None:
+        # full regen: keep only the volatile ledger from the old file
+        pins = {"_volatile_ever": pins.get("_volatile_ever", [])}
+    else:
         missing = only - set(fps)
         if missing:
             print(f"not in detail: {sorted(missing)}")
             return 1
+    # volatility is a PROPERTY OF THE QUERY, not of one run: a query
+    # that flipped plans in ANY run stays exempt forever (a later run
+    # can land on one state by chance and would otherwise get pinned,
+    # then false-trip when it flips back). The union lives in the pins
+    # file under "_volatile_ever".
+    ever = set(pins.get("_volatile_ever", [])) | volatile
     n_vol = 0
     for q, fp in sorted(fps.items()):
         if only is not None and q not in only:
             continue
-        if q in volatile:
+        if q in ever:
             pins.pop(q, None)
             n_vol += 1
             continue
@@ -48,9 +56,10 @@ def main() -> int:
     # drop pins for queries no longer in the suite (full regen only)
     if only is None:
         pins = {q: fp for q, fp in pins.items() if q in fps}
+    pins["_volatile_ever"] = sorted(ever)
     json.dump(dict(sorted(pins.items())), open(pins_path, "w"), indent=1)
-    print(f"pinned {len(pins)} fingerprints -> {pins_path}"
-          f" ({n_vol} volatile skipped)")
+    print(f"pinned {len(pins) - 1} fingerprints -> {pins_path}"
+          f" ({n_vol} ever-volatile skipped)")
     return 0
 
 
