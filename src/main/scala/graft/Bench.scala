@@ -83,9 +83,31 @@ object Bench {
           // the strings are long and may change legitimately per query
           // edit; equality is all the gate needs. (Location paths are
           // NOT included: staged substrates carry run-varying tmp dirs.)
-          fpAdd(s"Scan[pushed:${md5_8(f.metadata.getOrElse("PushedFilters", ""))}" +
-            s",schema:${md5_8(f.metadata.getOrElse("ReadSchema", ""))}]")
-        case _ => ()
+          // Expression ids (`#123`, `scalar-subquery#45`) are stripped
+          // first: they grow monotonically per JVM, so a pushed filter
+          // referencing a subquery result (tpch q22's acctbal > avg)
+          // hashed differently EVERY pass and read as plan volatility
+          // when the plan was byte-identical modulo ids.
+          def noIds(s: String): String = s.replaceAll("#\\d+", "#")
+          fpAdd(s"Scan[pushed:${md5_8(noIds(f.metadata.getOrElse("PushedFilters", "")))}" +
+            s",schema:${md5_8(noIds(f.metadata.getOrElse("ReadSchema", "")))}]")
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          // partial-vs-final matters: a lost map-side combine (Partial
+          // disappearing) multiplies exchange volume at 100x while the
+          // operator count stays flat — make the MODE part of the sig
+          val modes = a.aggregateExpressions.map(_.mode.toString)
+            .distinct.sorted.mkString("+")
+          fpAdd(s"$name[${if (modes.isEmpty) "distinct" else modes}]")
+        case s: org.apache.spark.sql.execution.SortExec =>
+          // a TakeOrderedAndProject demotion shows up as a NEW global
+          // sort — global vs local is the load-bearing bit
+          fpAdd(s"SortExec[${if (s.global) "global" else "local"}]")
+        case _ =>
+          // Window / Generate (explode) / Limit placement (Local vs
+          // Global vs CollectLimit vs TakeOrderedAndProject): count by
+          // class name — a demotion changes which classes appear
+          if (name.contains("Window") || name.contains("Generate") ||
+            name.contains("Limit") || name.contains("TakeOrdered")) fpAdd(name)
       }
     }
     def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
@@ -222,8 +244,17 @@ object Bench {
     val fpVolatile = queries.collect {
       case (name, _) if fpSeen.getOrElse(name, Set.empty).size > 1 => jstr(name)
     }.mkString("[", ",", "]")
+    // For each volatile query, the DISTINCT fingerprints observed across
+    // passes — the raw evidence for adjudicating an AQE flip (which two
+    // physical states, which operator differs) without re-running.
+    val qsFpStates = queries.flatMap { case (name, _) =>
+      val seen = fpSeen.getOrElse(name, Set.empty)
+      if (seen.size > 1)
+        Some(s"${jstr(name)}:${seen.toSeq.sorted.map(jstr).mkString("[", ",", "]")}")
+      else None
+    }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean,"shuffle_bytes":$qsShuffle,"spill_bytes":$qsSpill,"plan_fp":$qsFp,"plan_fp_volatile":$fpVolatile,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean,"shuffle_bytes":$qsShuffle,"spill_bytes":$qsSpill,"plan_fp":$qsFp,"plan_fp_volatile":$fpVolatile,"plan_fp_states":$qsFpStates,"errors":$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The per-query line grew past the driver's stdout tail window at 79
     // queries (round 3's BENCH parsed:null), so the LAST line is a compact

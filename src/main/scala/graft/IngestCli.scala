@@ -43,7 +43,12 @@ object IngestCli {
 
   private def parseFlags(rest: Seq[String]): Map[String, String] =
     rest.grouped(2).map {
-      case Seq(k, v) if k.startsWith("--") && Known(k.drop(2)) =>
+      // a value may never look like a flag: grouped(2) pairs tokens
+      // positionally, so `--site-ids --url ...` would otherwise bind
+      // the literal "--url" as the site filter (silently landing 0
+      // rows) instead of failing loudly like every other malformed arg
+      case Seq(k, v) if k.startsWith("--") && Known(k.drop(2)) &&
+          !v.startsWith("--") =>
         k.drop(2) -> v
       case bad => throw new IllegalArgumentException(
         s"unrecognized arguments: ${bad.mkString(" ")}")

@@ -1886,9 +1886,16 @@ object Analytics {
     def estOf(cnt: Column, kth: Column): Column =
       when(cnt < KmvK, cnt.cast("double"))
         .otherwise(lit(estConst) / kth.cast("double"))
+    // Every sketch-derived side below is tiny BY CONSTRUCTION (K rows
+    // per set / one row per set or pair) at ANY corpus scale — the
+    // whole point of the sketch — so each gets an explicit broadcast:
+    // left to AQE the demotion happened at runtime and the fingerprint
+    // flipped an exchange run to run (scheduling race on the
+    // already-submitted state-side exchange). Only the exact-count
+    // joins against `hashed` (data-grain) keep their shuffles.
     val perSet = sketch.groupBy("t")
       .agg(count(lit(1)).as("n_sketch"), max(when(col("rk") === KmvK, col("h"))).as("kth"))
-      .join(hashed.groupBy("t").agg(countDistinct(col("u")).as("exact")), "t")
+      .join(broadcast(hashed.groupBy("t").agg(countDistinct(col("u")).as("exact"))), "t")
       .select(lit("set").as("kind"), col("t").as("t_a"), lit("").as("t_b"),
         col("n_sketch"), estOf(col("n_sketch"), col("kth")).as("est"),
         col("exact"))
@@ -1899,10 +1906,10 @@ object Analytics {
       .crossJoin(types.select(col("t").as("t_b")))
       .filter(col("t_a") < col("t_b"))
     val unionRows = tp
-      .join(sketch.select(col("t").as("t_a"), col("h").as("ha")), "t_a")
+      .join(broadcast(sketch.select(col("t").as("t_a"), col("h").as("ha"))), "t_a")
       .select(col("t_a"), col("t_b"), col("ha").as("h"))
       .union(tp
-        .join(sketch.select(col("t").as("t_b"), col("h").as("hb")), "t_b")
+        .join(broadcast(sketch.select(col("t").as("t_b"), col("h").as("hb"))), "t_b")
         .select(col("t_a"), col("t_b"), col("hb").as("h")))
       .distinct()
     val wp = Window.partitionBy("t_a", "t_b").orderBy("h")
@@ -1912,8 +1919,8 @@ object Analytics {
     val inA = sketch.select(col("t").as("t_a"), col("h"), lit(1).as("in_a"))
     val inB = sketch.select(col("t").as("t_b"), col("h"), lit(1).as("in_b"))
     val marked = unionSketch
-      .join(inA, Seq("t_a", "h"), "left")
-      .join(inB, Seq("t_b", "h"), "left")
+      .join(broadcast(inA), Seq("t_a", "h"), "left")
+      .join(broadcast(inB), Seq("t_b", "h"), "left")
     val exactPair = hashed.select(col("t").as("t_a"), col("u"))
       .join(hashed.select(col("t").as("t_b"), col("u")), Seq("u"))
       .filter(col("t_a") < col("t_b"))
@@ -1922,7 +1929,9 @@ object Analytics {
       .agg(count(lit(1)).as("n_sketch"),
         max(when(col("rk") === KmvK, col("h"))).as("kth"),
         sum(col("in_a") * col("in_b")).as("k_inter"))
-      .join(exactPair, Seq("t_a", "t_b"))
+      // exactPair's OUTPUT is pair-grain (tiny) even though its
+      // derivation shuffles data-grain rows — broadcast the result
+      .join(broadcast(exactPair), Seq("t_a", "t_b"))
       .select(lit("pair").as("kind"), col("t_a"), col("t_b"), col("n_sketch"),
         // Ratio denominator is the UNION-SKETCH size, capped at K: when
         // |A∪B| < K the union sketch IS the exact union (est_union =

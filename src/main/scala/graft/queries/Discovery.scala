@@ -842,8 +842,11 @@ object Discovery {
   //
   // Live values come from the SAME derivations the operators run — the
   // dedup family reuses [[Dedup.capAudit]]'s bucket histograms verbatim
-  // (the audit cannot drift from the audited code), so this query's
-  // cost is capAudit + four tiny aggregates. Guards NOT here, and why:
+  // (the audit cannot drift from the audited code), consumed through
+  // [[Dedup.capAuditRows]] (the driver-memoized audit RESULT, derived
+  // once per staged substrate) so this query's steady-state cost is the
+  // four tiny aggregates, not a second full banding pass. Guards NOT
+  // here, and why:
   //   - iterative-round convergence guards (CcMaxRounds, SccMaxRounds,
   //     labelprop ≤64 rounds, LSS round cap) — their live value is a
   //     runtime iteration count whose DuckDB replay is the superlinear
@@ -892,7 +895,7 @@ object Discovery {
           col("current_value").cast("long").as("current_value"),
           lit(fallback).as("fallback"))
 
-    val dedupRows = Dedup.capAudit(s, d)
+    val dedupRows = Dedup.capAuditRows(s, d)
       .select(col("path"), col("max_bucket").as("current_value"))
       .join(broadcast(capMeta
         .toDF("path", "cap_name", "family", "kind", "guard_limit", "fallback")),
@@ -919,7 +922,8 @@ object Discovery {
       .agg(countDistinct(col("n")))
     // serving/export edge collects are bounded BY CONSTRUCTION (limit
     // before collect); the live value is the default page at this SF
-    val exportPage = ev.agg(least(lit(1000L), count(lit(1))))
+    val exportPage = ev.agg(
+      least(lit(graft.sources.Exports.DefaultPageRows.toLong), count(lit(1))))
 
     dedupRows
       .unionByName(row(markovStates, "cap_markov_states", "analytics", "fail",
@@ -994,7 +998,7 @@ object Discovery {
        |  UNION ALL
        |  SELECT 'cap_export_page_rows', 'serving', 'bound',
        |    CAST(${graft.sources.Exports.MaxExportRows} AS BIGINT),
-       |    least(1000, (SELECT count(*) FROM events))::BIGINT,
+       |    least(${graft.sources.Exports.DefaultPageRows}, (SELECT count(*) FROM events))::BIGINT,
        |    'uncapped exports ship a partitioned directory, never a driver collect')
        |SELECT cap_name, family, kind, guard_limit, current_value,
        |  guard_limit * 100 // nullif(current_value, 0) AS headroom_pct,

@@ -86,9 +86,21 @@ object Graph {
   // join requirements under AQE. On a real cluster the equivalent win
   // is storage-side: BUCKET the edge table by src — the q_ly_bucketed
   // machinery — which removes the join-side exchange without a runtime
-  // repartition. Broadcasting ranks would also work but only while the
-  // node set fits an executor; edges-grain shuffle is the honest
-  // at-scale default.)
+  // repartition.)
+  //
+  // The NODE-GRAIN state (outdeg, ranks, per-round contributions) rides
+  // the same [[BroadcastNodeStateMax]] guarded switch as the other
+  // iterative ops: explicitly broadcast below the cap, keyed-shuffle
+  // rounds above it (the 100 TB shape — a rank vector over billions of
+  // nodes cannot sit on one executor). The explicit hint matters for
+  // plan DETERMINISM, not just speed: left to AQE, each round's
+  // state-side join was demoted to broadcast at runtime, and whether
+  // the already-submitted state-side exchange still ran was a
+  // scheduling race — the plan fingerprint flipped 12↔13 exchanges
+  // (15→28 MB shuffled) run to run. Statically hinted, the round plans
+  // exactly one exchange (the dst-grain aggregation) at every SF below
+  // the cap, and the registry's cap_graph_broadcast_nodes row names
+  // the switchover.
   def pageRank(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d).localCheckpoint()
     // out-degree at src grain; every node appears as a src by
@@ -96,13 +108,14 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val n = outdeg.count()
+    val bc = n <= BroadcastNodeStateMax
     val base = Teleport / n.toDouble
     var ranks = outdeg.select(col("src").as("node"),
       (lit(1.0) / n.toDouble).as("rank"))
     for (_ <- 1 to Rounds) {
       val contrib = e
-        .join(outdeg, "src")
-        .join(ranks, e("src") === ranks("node"))
+        .join(stateSide(outdeg, bc), "src")
+        .join(stateSide(ranks, bc), e("src") === ranks("node"))
         .select(col("dst"),
           round(col("rank") / col("outdeg").cast("double") * Fixed)
             .cast("long").cast("decimal(38,0)").as("c_fixed"))
@@ -111,7 +124,7 @@ object Graph {
       // keep-all-nodes: a node with no in-edges this round still holds
       // the teleport mass
       ranks = ranks.select(col("node"))
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(stateSide(contrib, bc), col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + lit(Damping) *
             (coalesce(col("in_fixed"), lit(0).cast("decimal(38,0)"))
@@ -180,6 +193,11 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodes = outdeg.select(col("src").as("node"))
+    // node-grain state rides the BroadcastNodeStateMax switch — see
+    // pageRank: statically hinted rounds are plan-deterministic (one
+    // dst-grain exchange each) where AQE's runtime demotion raced the
+    // state-side exchange submission and flipped the fingerprint
+    val bc = outdeg.count() <= BroadcastNodeStateMax
     val seedPred = expr(pprSeedExpr)
     val sCount = nodes.filter(seedPred).count()
     require(sCount > 0, "PPR needs a non-empty seed set")
@@ -189,15 +207,15 @@ object Graph {
         .as("rank"))
     for (_ <- 1 to Rounds) {
       val contrib = e
-        .join(outdeg, "src")
-        .join(ranks, e("src") === ranks("node"))
+        .join(stateSide(outdeg, bc), "src")
+        .join(stateSide(ranks, bc), e("src") === ranks("node"))
         .select(col("dst"),
           round(col("rank") / col("outdeg").cast("double") * Fixed)
             .cast("long").cast("decimal(38,0)").as("c_fixed"))
         .groupBy("dst")
         .agg(sum(col("c_fixed")).as("in_fixed"))
       ranks = ranks.select(col("node"))
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(stateSide(contrib, bc), col("node") === col("dst"), "left")
         .select(col("node"),
           (when(seedPred, lit(base)).otherwise(lit(0.0)) + lit(Damping) *
             (coalesce(col("in_fixed"), lit(0).cast("decimal(38,0)"))

@@ -485,16 +485,24 @@ object TextAnalysis {
       .localCheckpoint()
     val wdeg = e.groupBy("src").agg(sum(col("wt")).as("wdg"))
       .localCheckpoint()
+    // The rank vector and degree table are VOCABULARY-grain — sublinear
+    // in corpus size (Heaps' law), so broadcasting them into the
+    // edge-grain round joins is the correct strategy at every scale,
+    // and the explicit hint makes it plan-DETERMINISTIC: left to AQE
+    // the demotion happened at runtime and whether the state-side
+    // exchange had already been submitted was a scheduling race (the
+    // fingerprint flipped 12↔13 exchanges run to run). Each round now
+    // statically plans exactly one exchange, the dst-grain aggregation.
     var r = wdeg.select(col("src").as("word"), lit(1.0).as("v"))
     for (_ <- 1 to TrRounds) {
-      val contrib = e.join(wdeg, "src")
-        .join(r, e("src") === r("word"))
+      val contrib = e.join(broadcast(wdeg), "src")
+        .join(broadcast(r), e("src") === r("word"))
         .select(col("dst"),
           round(col("v") * (col("wt").cast("double") / col("wdg").cast("double"))
             * lit(1e12)).cast("long").cast("decimal(38,0)").as("q"))
         .groupBy("dst").agg(sum(col("q")).as("sq"))
       r = wdeg.select(col("src").as("word"))
-        .join(contrib, col("word") === col("dst"), "left")
+        .join(broadcast(contrib), col("word") === col("dst"), "left")
         .select(col("word"),
           (lit(0.15) + lit(0.85) *
             (coalesce(col("sq"), lit(0).cast("decimal(38,0)")).cast("double")

@@ -161,7 +161,7 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     * (`routes.py:57`); when false (the default) the payload column is
     * never even selected, so the parquet scan stays narrow. */
   private def data(r: Request): Response = {
-    val limit = r.first("limit").map(_.toInt).getOrElse(1000)
+    val limit = r.first("limit").map(_.toInt).getOrElse(graft.sources.Exports.DefaultPageRows)
     if (limit > 5000 || limit < 0)
       return Response(400, jsonObj("detail" -> jsonStr("limit must be in [0, 5000]")))
     val offset = math.max(0, r.first("offset").map(_.toInt).getOrElse(0))
@@ -508,7 +508,7 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     * export — the reference's StreamingResponse contract. */
   private def exportCsv(r: Request): Response = {
     val limit = math.min(
-      r.first("limit").map(_.toInt).getOrElse(1000),
+      r.first("limit").map(_.toInt).getOrElse(graft.sources.Exports.DefaultPageRows),
       graft.sources.Exports.MaxExportRows)
     val obs = spark.read.parquet(wh.observations)
     val filtered = OptionalFilters(obs,
@@ -531,7 +531,7 @@ final class QueryServer(spark: SparkSession, wh: Warehouse,
     * [1, 50000], payloads ordered ingested_at DESC (event_id tie-break
     * for a stable page — the second-grain stamp alone isn't an order). */
   private def rawPage(r: Request): Either[Response, Array[String]] = {
-    val limit = r.first("limit").map(_.toInt).getOrElse(1000)
+    val limit = r.first("limit").map(_.toInt).getOrElse(graft.sources.Exports.DefaultPageRows)
     if (limit < 1 || limit > 50000)
       return Left(Response(400,
         jsonObj("detail" -> jsonStr("limit must be in [1, 50000]"))))

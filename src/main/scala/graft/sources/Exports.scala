@@ -14,20 +14,26 @@ object Exports {
 
   val MaxExportRows = 50000 // export.py:16,38
 
+  /** Default page size when the caller omits `limit` — the single
+    * source for QueryServer's serving edges AND the cap registry's
+    * `cap_export_page_rows` live value (so a serving-default change
+    * can never leave the registry reporting a stale number). */
+  val DefaultPageRows = 1000 // routes.py:21 / export.py:17 default limit
+
   /** CSV export with header, reference-capped. */
-  def csv(df: DataFrame, path: String, limit: Int = 1000): Unit =
+  def csv(df: DataFrame, path: String, limit: Int = DefaultPageRows): Unit =
     df.limit(math.min(limit, MaxExportRows))
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(path)
 
   /** JSON-lines export, reference-capped. */
-  def json(df: DataFrame, path: String, limit: Int = 1000): Unit =
+  def json(df: DataFrame, path: String, limit: Int = DefaultPageRows): Unit =
     df.limit(math.min(limit, MaxExportRows))
       .coalesce(1)
       .write.mode("overwrite").json(path)
 
   /** In-process JSON array (the API-edge `top-N raw payloads` shape,
     * export.py:13-31) — bounded by the same cap, collected at the edge. */
-  def jsonArray(df: DataFrame, limit: Int = 1000): Seq[String] =
+  def jsonArray(df: DataFrame, limit: Int = DefaultPageRows): Seq[String] =
     df.limit(math.min(limit, MaxExportRows)).toJSON.collect().toSeq
 }

@@ -136,9 +136,16 @@ def main() -> int:
         if p1 > 0 and (p0 == 0 or p1 > SPILL_RATIO * p0):
             hard.append(f"SPILL {q}: {p0} B -> {p1} B")
         verdict = fp_verdict(q)
-        if verdict == "changed" and not shuf_trip:
+        if verdict == "changed":
+            # Emit the PLAN entry even when the same query also
+            # shuffle-trips: the runs where bytes moved are exactly the
+            # ones where the plan most likely changed, and the
+            # adjudication/re-pin workflow needs the fingerprint diff
+            # in hand (previously suppressed — the gate failed via SHUF
+            # but hid the plan evidence).
             hard.append(
-                f"PLAN  {q}: fingerprint changed\n"
+                f"PLAN  {q}: fingerprint changed"
+                + (" (with shuffle trip)" if shuf_trip else "") + "\n"
                 f"      pinned: {old_fp.get(q)}\n"
                 f"      now:    {new_fp.get(q)}\n"
                 f"      (intentional? re-pin: tools/plan_fp.py {sys.argv[2]})")

@@ -91,6 +91,16 @@ def main() -> int:
         print("bench reported errors — inspect bench_detail.json")
         return 2
     new_path = os.path.join(REPO, "bench_detail.json")
+    # coverage drift: README family table / SURVEY §8 inventory /
+    # SparkEntry.queries are three hand-maintained views of the same
+    # names — the snapshot fails if a query landed without its
+    # documentation row (fix: the named row by hand, or
+    # coverage_check.py --update for counts + the generated inventory)
+    print("== coverage check")
+    if subprocess.run([sys.executable,
+                       os.path.join(REPO, "tools", "coverage_check.py"),
+                       new_path]).returncode != 0:
+        return 1
     print(f"== gate vs {ref}")
     rc = run_gate(old_path, new_path)
     if rc != 3:

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Pin per-query plan fingerprints from a bench detail file.
 
-Usage: plan_fp.py BENCH_DETAIL.json [q1,q2,...]
+Usage: plan_fp.py BENCH_DETAIL.json [q1,q2,...] [--stabilize]
 
 Extracts the "plan_fp" map Bench emits and writes (or selectively
 updates) tools/plan_fingerprints.json — the acknowledged plan state
@@ -10,6 +10,14 @@ entries are updated (the workflow after an INTENTIONAL plan change to
 specific queries); without one, the whole file is regenerated.
 Queries Bench marked plan_fp_volatile are never pinned — their plan
 legitimately flips run-to-run and the gate skips them.
+
+--stabilize (requires a query list): acknowledges a deliberate
+plan-determinism FIX (join hints / scoped config forcing one physical
+state) by removing the listed queries from the persistent
+"_volatile_ever" ledger and pinning their now-deterministic
+fingerprint. Refuses any query the given detail still marks
+plan_fp_volatile — the fix must demonstrably hold within the run
+being pinned.
 """
 import json
 import os
@@ -17,13 +25,24 @@ import sys
 
 
 def main() -> int:
-    if len(sys.argv) not in (2, 3):
+    argv = list(sys.argv[1:])
+    stabilize = "--stabilize" in argv
+    if stabilize:
+        argv.remove("--stabilize")
+    if len(argv) not in (1, 2) or (stabilize and len(argv) != 2):
         print(__doc__)
         return 2
-    detail = json.load(open(sys.argv[1]))
+    detail = json.load(open(argv[0]))
     fps = detail.get("plan_fp", {})
     volatile = set(detail.get("plan_fp_volatile", []))
-    only = set(sys.argv[2].split(",")) if len(sys.argv) == 3 else None
+    only = set(argv[1].split(",")) if len(argv) == 2 else None
+    if stabilize:
+        still = sorted(only & volatile)
+        if still:
+            print(f"REFUSED: still plan_fp_volatile in this detail: {still}\n"
+                  "(the determinism fix must hold across the run being "
+                  "pinned — force the plan, re-run, then --stabilize)")
+            return 1
     pins_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "plan_fingerprints.json")
     try:
@@ -42,8 +61,13 @@ def main() -> int:
     # that flipped plans in ANY run stays exempt forever (a later run
     # can land on one state by chance and would otherwise get pinned,
     # then false-trip when it flips back). The union lives in the pins
-    # file under "_volatile_ever".
-    ever = set(pins.get("_volatile_ever", [])) | volatile
+    # file under "_volatile_ever". --stabilize is the ONLY exit: a
+    # verified determinism fix removes the listed queries from the
+    # ledger before the union.
+    ledger = set(pins.get("_volatile_ever", []))
+    if stabilize:
+        ledger -= only
+    ever = ledger | volatile
     n_vol = 0
     for q, fp in sorted(fps.items()):
         if only is not None and q not in only:
