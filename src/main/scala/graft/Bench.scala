@@ -218,6 +218,18 @@ object Bench {
       val mean = if (ps.isEmpty) -1.0 else ps.sum / ps.size
       "\"" + name + f"""\":$mean%.3f"""
     }.mkString("{", ",", "}")
+    // Targeted (BENCH_ONLY) triage runs additionally emit EVERY pass's
+    // wall time in run order — best/mean can't distinguish a bimodal
+    // cost (two clusters) from ordinary jitter, and bimodality needs
+    // different handling (never min-merge retries). Full runs stay
+    // compact.
+    val qsPasses = if (only.isEmpty) "" else {
+      val m = queries.map { case (name, _) =>
+        "\"" + name + "\":" + passes.getOrElse(name, Nil).reverse
+          .map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s""","queries_passes":$m"""
+    }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -254,7 +266,7 @@ object Bench {
       else None
     }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean,"shuffle_bytes":$qsShuffle,"spill_bytes":$qsSpill,"plan_fp":$qsFp,"plan_fp_volatile":$fpVolatile,"plan_fp_states":$qsFpStates,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","streaming_total":$streamingTotal%.3f,"n_runs":$runs,"queries":$qs,"queries_mean":$qsMean$qsPasses,"shuffle_bytes":$qsShuffle,"spill_bytes":$qsSpill,"plan_fp":$qsFp,"plan_fp_volatile":$fpVolatile,"plan_fp_states":$qsFpStates,"errors":$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The per-query line grew past the driver's stdout tail window at 79
     // queries (round 3's BENCH parsed:null), so the LAST line is a compact

@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.warehouse.{Ingest, NationalGas}
+import graft.warehouse.{Gie, Ingest, NationalGas}
 
 /** `scripts/run_ingestion.py` analog — the one-shot command-line
   * backfill for a single dataset (reference:
@@ -17,15 +17,17 @@ import graft.warehouse.{Ingest, NationalGas}
   * `ingest_dataset`, which has no such parameter — like the scheduler
   * import bug, this is parity with INTENT, verified by IngestCliSpec.)
   *
-  * Dataset dispatch mirrors `run_all.py:35-72` exactly, including the
-  * loud failure on an unknown id; each arm runs the SAME verified
-  * ingest path the HTTP edge uses — the CLI adds no third pipeline.
+  * Dataset dispatch mirrors `run_all.py:35-72`, including the loud
+  * failure on an unknown id, plus the two GIE arms the reference keeps
+  * scheduler-only (`gie/service.py:ingest_gie`); each arm runs the
+  * SAME verified ingest path the HTTP edge uses — the CLI adds no
+  * third pipeline.
   *
   * usage: IngestCli <warehouseRoot> <dataset_id>
   *          [--lookback-days N] [--as-of YYYY-MM-DD] [--url URL]
   *          [--site-ids a,b] [--operator-keys o] [--point-keys p]
   *          [--direction-keys d] [--indicators i]
-  *          [--publication-ids PUBOB37,...]
+  *          [--publication-ids PUBOB37,...] [--country NAME]
   * (`--as-of` pins the window end for reproducible backfills and
   * specs; production omits it and gets today, like the reference.)
   */
@@ -39,7 +41,7 @@ object IngestCli {
 
   private val Known = Set("lookback-days", "as-of", "url", "site-ids",
     "operator-keys", "point-keys", "direction-keys", "indicators",
-    "publication-ids")
+    "publication-ids", "country")
 
   private def parseFlags(rest: Seq[String]): Map[String, String] =
     rest.grouped(2).map {
@@ -96,6 +98,20 @@ object IngestCli {
         val pubs = list("publication-ids")
         require(pubs.nonEmpty, "publication_ids is required")
         NationalGas.ingestPublications(s, wh, from, to, pubs, url)
+      // The GIE arms are NOT in run_all.py's dispatch — the reference
+      // triggers them through `gie/service.py:ingest_gie(dataset,
+      // source, country)` from the scheduler only. The CLI exposes the
+      // same call (same Gie.ingest path the HTTP edge and scheduler
+      // use) so a one-shot GIE backfill doesn't need a running
+      // scheduler; dataset ids match the reference's AGSI/ALSI and the
+      // source tag is fixed per dataset exactly as `run_all`'s
+      // scheduler wiring fixes it.
+      case "AGSI" =>
+        Gie.ingest(s, wh, Gie.DatasetAgsi, Gie.SourceAgsi,
+          opts.get("country"), url)
+      case "ALSI" =>
+        Gie.ingest(s, wh, Gie.DatasetAlsi, Gie.SourceAlsi,
+          opts.get("country"), url)
       case other => // run_all.py:72's ValueError, verbatim contract
         throw new IllegalArgumentException(
           s"Unsupported dataset_id for API ingestion: $other")

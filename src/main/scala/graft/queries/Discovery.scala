@@ -838,7 +838,10 @@ object Discovery {
   //            (graph node-state broadcast → keyed-shuffle rounds);
   //   bound  — state is capped in-plan and the overflow is dropped,
   //            MEASURED (q_dd_cap_audit) and, for the band paths,
-  //            RESCUED (q_dd_minhash_rescue / q_dd_simhash_rescue).
+  //            RESCUED (q_dd_minhash_rescue / q_dd_simhash_rescue);
+  //   skew   — the guard is a BALANCE design point (streaming shard
+  //            layout): exceeding it degrades parallelism, never
+  //            correctness, and the fallback names the re-shard lever.
   //
   // Live values come from the SAME derivations the operators run — the
   // dedup family reuses [[Dedup.capAudit]]'s bucket histograms verbatim
@@ -861,6 +864,12 @@ object Discovery {
   //   - PcaDims ≤ PcaMaxDims is compile-time-constant vs constant; the
   //     live dimension ships here (cap_pca_gram_dims) so a wider
   //     embedding column is visible before anyone edits PcaDims.
+  // (max per-shard distinct signatures, total distinct signatures) per
+  // staged substrate — derived once (full minhash pass over documents),
+  // replayed as literals after; the Similarity.eigenCache discipline.
+  private val ndShardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   private val capMeta: Seq[(String, String, String, String, Long, String)] = Seq(
     ("ngram_shingle", "cap_dedup_shingle_df", "dedup", "bound",
       Dedup.MaxShingleDf.toLong,
@@ -903,6 +912,43 @@ object Discovery {
       .select("cap_name", "family", "kind", "guard_limit", "current_value",
         "fallback")
 
+    // streaming near-dup shard state: the 64-way signature-space shard
+    // (MicroBatch.NearDupShards) is the grouping key the map-state
+    // dedup operator scales on, so its guard is a BALANCE design point,
+    // not a correctness cap. Live value = the max per-shard DISTINCT
+    // signature count over the documents tick — exactly the per-shard
+    // map population a fresh single-batch drain admits (NearDupStats'
+    // shardAdmits; StreamingSpec pins the accumulators to this identity
+    // on a planted-skew stream), derived batch-side so the row stays a
+    // deterministic oracle query instead of a checkpoint-dependent
+    // drain. Shard key replays Java's String.hashCode (the exact
+    // neardupV2 key) as a 32-bit-wrapped fold — ASCII signatures, so
+    // UTF-16 chars == bytes in both engines. Limit = 2x the uniform
+    // share: past it one executor owns a double share of the dedup
+    // index and the scale-out flattens.
+    val (ndMax, ndTot) = ndShardCache.computeIfAbsent(Tables.stageTag(d), _ => {
+      val sigs = Tables.documents(s, d)
+        .select(Dedup.minhashSigCol(col("text")).as("sig"))
+        .filter(col("sig").isNotNull).distinct()
+        .withColumn("chars", split(col("sig"), ""))
+      val jhash = aggregate(
+        sequence(lit(1), size(col("chars"))), lit(0L),
+        (acc, i) => pmod(acc * lit(31L) +
+          ascii(element_at(col("chars"), i.cast("int"))).cast("long") +
+          lit(2147483648L), lit(4294967296L)) - lit(2147483648L))
+      val r = sigs.select(pmod(jhash, lit(64L)).as("shard"))
+        .groupBy("shard").agg(count(lit(1)).as("n"))
+        .agg(max(col("n")), sum(col("n"))).head()
+      (r.getLong(0), r.getLong(1))
+    })
+    val sigShard = s.range(1)
+      .select(lit("cap_streaming_neardup_shard").as("cap_name"),
+        lit("streaming").as("family"), lit("skew").as("kind"),
+        lit(2L * math.ceil(ndTot.toDouble / 64.0).toLong).as("guard_limit"),
+        lit(ndMax).as("current_value"),
+        lit("raise MicroBatch.NearDupShards (layout, not semantics: signatures re-hash) or salt the shard key")
+          .as("fallback"))
+
     val ev = Tables.events(s, d)
     // markov driver-matrix cap: the states the K² digest would span —
     // the same (f, next) window derivation markovStationaryOf guards on
@@ -941,6 +987,7 @@ object Discovery {
       .unionByName(row(exportPage, "cap_export_page_rows", "serving", "bound",
         graft.sources.Exports.MaxExportRows.toLong,
         "uncapped exports ship a partitioned directory, never a driver collect"))
+      .unionByName(sigShard)
       .select(col("cap_name"), col("family"), col("kind"), col("guard_limit"),
         col("current_value"),
         expr("guard_limit * 100L div nullif(current_value, 0L)")
@@ -962,6 +1009,22 @@ object Discovery {
        |  SELECT event_type AS f,
        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
        |  FROM events),
+       |ndsh AS MATERIALIZED (${graft.queries.Text.shingleSetsSql}),
+       |ndh AS (SELECT doc_id,
+       |  list_transform(shingles, t -> ${graft.queries.Hashes.md5Int32Sql("t")}) AS hs
+       |  FROM ndsh WHERE len(shingles) > 0),
+       |ndsig AS MATERIALIZED (
+       |  SELECT DISTINCT ${Dedup.minhashSigSqlOverHs} AS sig FROM ndh),
+       |ndshard AS MATERIALIZED (
+       |  SELECT (list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length(sig) + 1),
+       |          i -> CAST(unicode(substr(sig, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (acc, c) -> ((acc * 31 + c + 2147483648) % 4294967296
+       |                   + 4294967296) % 4294967296 - 2147483648)
+       |    % 64 + 64) % 64 AS shard
+       |  FROM ndsig),
+       |ndcnt AS (SELECT shard, count(*) AS n FROM ndshard GROUP BY shard),
        |allrows AS (
        |  SELECT m.cap_name, m.family, m.kind, m.guard_limit,
        |    a.max_bucket AS current_value, m.fallback
@@ -999,7 +1062,12 @@ object Discovery {
        |  SELECT 'cap_export_page_rows', 'serving', 'bound',
        |    CAST(${graft.sources.Exports.MaxExportRows} AS BIGINT),
        |    least(${graft.sources.Exports.DefaultPageRows}, (SELECT count(*) FROM events))::BIGINT,
-       |    'uncapped exports ship a partitioned directory, never a driver collect')
+       |    'uncapped exports ship a partitioned directory, never a driver collect'
+       |  UNION ALL
+       |  SELECT 'cap_streaming_neardup_shard', 'streaming', 'skew',
+       |    (SELECT CAST(2 * ceil(sum(n) / 64.0) AS BIGINT) FROM ndcnt),
+       |    (SELECT max(n)::BIGINT FROM ndcnt),
+       |    'raise MicroBatch.NearDupShards (layout, not semantics: signatures re-hash) or salt the shard key')
        |SELECT cap_name, family, kind, guard_limit, current_value,
        |  guard_limit * 100 // nullif(current_value, 0) AS headroom_pct,
        |  fallback

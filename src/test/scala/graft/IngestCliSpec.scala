@@ -1,10 +1,12 @@
 package graft
 
+import java.net.InetSocketAddress
 import java.nio.file.Files
 
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.functions._
 
-import graft.warehouse.Ingest
+import graft.warehouse.{Gie, Ingest, NationalGas}
 
 /** The `run_ingestion.py` CLI analog end-to-end: the one-shot backfill
   * must land exactly the [as-of − lookback, as-of] window through the
@@ -46,6 +48,112 @@ class IngestCliSpec extends SparkSpec {
     assert(series.forall(_.getAs[String]("series_id").contains("BACTON")))
   }
 
+  /** One-shot loopback JSON endpoint: serves `body` for every request
+    * (query string ignored — GIE appends dataset/country params) and
+    * counts calls, so a spec can pin that a CLI arm went over the REAL
+    * socket exactly once. */
+  private def serveJson(body: String): (String, HttpServer, () => Int) = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        calls.incrementAndGet()
+        val b = body.getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(200, b.length.toLong)
+        val os = x.getResponseBody
+        try os.write(b) finally os.close()
+      }
+    })
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}/api", server, () => calls.get())
+  }
+
+  test("ENTSOG arm lands the re-applied window and registers the key series") {
+    val root = Files.createTempDirectory("cli").toString
+    val wh = Ingest.Warehouse(s"$root/wh")
+    IngestCli.run(Seq(wh.root, "ENTSOG", "--lookback-days", "2",
+      "--as-of", "2024-03-05", "--indicators", "Physical Flow"), spark)
+    // series key is (indicator, pointKey, directionKey) — operators
+    // collapse into it: 1 indicator x 2 points x 2 directions
+    val series = spark.read.parquet(wh.metaSeries).collect()
+    assert(series.length === 4)
+    assert(series.forall(_.getAs[String]("dataset_id") === "ENTSOG"))
+    val obs = spark.read.parquet(wh.observations)
+    // 4 series x 3 days minus the 2 unparseable "n/a" keys the stub
+    // plants on day index 1 for point ITP-00091 (both operators serve
+    // "n/a", so the key never lands) = 10
+    assert(obs.count() === 10)
+    val (lo, hi) = {
+      val r = obs.agg(min(to_date(col("observation_time"))).cast("string"),
+        max(to_date(col("observation_time"))).cast("string")).head()
+      (r.getString(0), r.getString(1))
+    }
+    assert(lo === "2024-03-03", s"window start $lo")
+    assert(hi === "2024-03-05", s"window end $hi")
+  }
+
+  test("ENTSOG arm over the loopback socket equals the stub ingest") {
+    val root = Files.createTempDirectory("cli").toString
+    // single operator so every (series, time) key has ONE candidate:
+    // with two operators the within-batch LWW tie-break hashes content
+    // INCLUDING ingestion_time, so the winner is stable within a run
+    // (the retry/idempotence contract) but legitimately differs across
+    // runs — row-for-row equality is only a valid assertion key-unique
+    val payload = NationalGas.fetchEntsog("2024-03-03", "2024-03-05",
+      operatorKeys = Seq("UK-TSO-0001"), indicators = Seq("Physical Flow"))
+    val (url, server, calls) = serveJson(payload)
+    try {
+      val whLive = Ingest.Warehouse(s"$root/live")
+      IngestCli.run(Seq(whLive.root, "ENTSOG", "--lookback-days", "2",
+        "--as-of", "2024-03-05", "--indicators", "Physical Flow",
+        "--url", url), spark)
+      val whStub = Ingest.Warehouse(s"$root/stub")
+      IngestCli.run(Seq(whStub.root, "ENTSOG", "--lookback-days", "2",
+        "--as-of", "2024-03-05", "--operator-keys", "UK-TSO-0001",
+        "--indicators", "Physical Flow"), spark)
+      assert(calls() === 1, "one fetch over the socket")
+      def landed(wh: Ingest.Warehouse) =
+        spark.read.parquet(wh.observations).drop("ingestion_time")
+      assert(landed(whLive).count() > 0)
+      assert(landed(whLive).exceptAll(landed(whStub)).isEmpty &&
+        landed(whStub).exceptAll(landed(whLive)).isEmpty,
+        "live-socket landing must equal the stub landing row-for-row")
+    } finally server.stop(0)
+  }
+
+  test("GIE AGSI arm over the loopback socket: window, series, delete-reload") {
+    val root = Files.createTempDirectory("cli").toString
+    val (url, server, calls) = serveJson(Gie.stubPayload(Gie.DatasetAgsi, None))
+    try {
+      val wh = Ingest.Warehouse(s"$root/wh")
+      IngestCli.run(Seq(wh.root, "AGSI", "--url", url), spark)
+      assert(calls() === 1, "one fetch over the socket")
+      val daily = spark.read.parquet(Gie.dailyPath(wh))
+      val (lo, hi) = {
+        val r = daily.agg(min(col("value_date")).cast("string"),
+          max(col("value_date")).cast("string")).head()
+        (r.getString(0), r.getString(1))
+      }
+      assert(lo === "2024-02-01", s"window start $lo")
+      assert(hi === "2024-02-03", s"window end $hi")
+      val series = spark.read.parquet(Gie.seriesPath(wh))
+      assert(series.count() > 0)
+      assert(series.collect().forall(_.getAs[String]("source") === Gie.SourceAgsi))
+      // the live landing equals a stub-mode CLI run bit-for-bit
+      val nDaily = daily.count()
+      val whStub = Ingest.Warehouse(s"$root/stub")
+      IngestCli.run(Seq(whStub.root, "AGSI"), spark)
+      val stubDaily = spark.read.parquet(Gie.dailyPath(whStub))
+      assert(daily.exceptAll(stubDaily).isEmpty &&
+        stubDaily.exceptAll(daily).isEmpty)
+      // re-run is the reference's delete-then-reload: same rows, not 2x
+      // (re-read after the swap — the pre-rerun frame's files are gone)
+      IngestCli.run(Seq(wh.root, "AGSI", "--url", url), spark)
+      assert(spark.read.parquet(Gie.dailyPath(wh)).count() === nDaily)
+    } finally server.stop(0)
+  }
+
   test("unsupported dataset id and bad flags fail loudly, run_all.py-style") {
     val root = Files.createTempDirectory("cli").toString
     val e1 = intercept[IllegalArgumentException] {
@@ -61,5 +169,13 @@ class IngestCliSpec extends SparkSpec {
       IngestCli.run(Seq(s"$root/wh", "GAS_QUALITY", "--bogus", "1"), spark)
     }
     assert(e3.getMessage.contains("unrecognized arguments"), e3.getMessage)
+    // an omitted value must fail loudly, never bind the next flag as a
+    // value (--site-ids would otherwise filter on the literal "--url"
+    // and silently land 0 rows)
+    val e4 = intercept[IllegalArgumentException] {
+      IngestCli.run(Seq(s"$root/wh", "GAS_QUALITY",
+        "--site-ids", "--url", "http://127.0.0.1:1/x"), spark)
+    }
+    assert(e4.getMessage.contains("unrecognized arguments"), e4.getMessage)
   }
 }

@@ -191,7 +191,11 @@ def main() -> int:
     if still_open:
         noise_path = os.path.join(
             os.path.dirname(os.path.abspath(sys.argv[2])), "bench_noise.json")
-        json.dump({"queries": still_open}, open(noise_path, "w"), indent=1)
+        # "notes" is a hand-maintained mechanism ledger (e.g. q_sim_jl's
+        # JIT-ramp root cause) — carry it across rewrites, never drop it
+        notes = (load_json(noise_path, {}) or {}).get("notes", {})
+        json.dump({"queries": still_open, "notes": notes},
+                  open(noise_path, "w"), indent=1)
         print(f"gate: {len(still_open)} time-only trip(s) quarantined -> "
               f"{noise_path}; re-measure and re-invoke with the retry "
               "detail (exit 3)")

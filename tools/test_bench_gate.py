@@ -73,6 +73,37 @@ def main():
                        pins={"q_a": "BHJ=1"})
     check("volatile fp exempt", rc == 0, out)
 
+    # planted SORT DEMOTION under the widened taxonomy: a top-k that was
+    # TakeOrderedAndProject degrading to a global sort + separate limit
+    # is invisible to join/exchange counts and to shuffle bytes — the
+    # new sort/limit node classes must hard-trip it
+    rc, out = run_gate(
+        detail(base),
+        detail(base, fp={"q_a": "GlobalLimitExec=1;SortExec[global]=1"}),
+        pins={"q_a": "TakeOrderedAndProjectExec=1"})
+    check("sort demotion trips", rc == 1 and "PLAN  q_a" in out, out)
+
+    # planted LOST PARTIAL AGGREGATE: Partial+Final collapsing to a
+    # Complete-mode aggregate multiplies exchange volume at scale while
+    # operator counts stay flat — the aggregate MODE classes catch it
+    rc, out = run_gate(
+        detail(base),
+        detail(base, fp={"q_a": "HashAggregateExec[Complete]=1;ShuffleExchangeExec=1"}),
+        pins={"q_a": "HashAggregateExec[Final]=1;HashAggregateExec[Partial]=1;"
+                     "ShuffleExchangeExec=1"})
+    check("lost partial agg trips", rc == 1 and "PLAN  q_a" in out, out)
+
+    # PLAN diff must stay visible when the same query ALSO shuffle-trips
+    # (previously suppressed exactly when the plan most likely changed)
+    rc, out = run_gate(
+        detail(base),
+        detail(base, shuffle={"q_a": 1000000, "q_b": 1000},
+               fp={"q_a": "SortMergeJoinExec=1"}),
+        pins={"q_a": "BroadcastHashJoinExec=1"})
+    check("plan diff shown beside shuffle trip",
+          rc == 1 and "SHUF  q_a" in out and "PLAN  q_a" in out
+          and "with shuffle trip" in out, out)
+
     # time-only trip with flat bytes -> quarantine exit 3
     rc, out = run_gate(detail(base), detail({"q_a": 2.0, "q_b": 2.0}))
     check("time trip quarantined", rc == 3 and "quarantined" in out, out)
