@@ -16,6 +16,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // Shuffle-partition stress rehearsal (SCALE.md): a plan that only
+    // works because 32 partitions fit one executor wave shows up when
+    // the same queries run at 256 — runtime conf, so the override
+    // composes with the standard session construction.
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     // Warm the JVM/codegen/FS-cache once so the alphabetically-first query
     // doesn't absorb session startup; standard bench hygiene, not a skip.
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())

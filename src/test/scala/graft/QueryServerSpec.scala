@@ -585,4 +585,53 @@ class QueryServerSpec extends SparkSpec {
       assert(b2 === golden("golden_v2_data_raw.json"))
     }
   }
+
+  test("pre-migration warehouse (meta without unit/frequency) serves the golden body") {
+    // The DOCUMENTED deviation from the reference (QueryServer.data):
+    // SeriesResponse declares unit/frequency REQUIRED str, so pydantic
+    // would 500 on a meta row missing them — this engine instead
+    // backfills the autoregister defaults ("UNKNOWN"/"intraday") at the
+    // serving edge. Pin that fallback byte-for-byte for BOTH degraded
+    // shapes: columns ABSENT entirely (a warehouse written before the
+    // columns existed) and columns present but NULL. Because the gas
+    // autoregister writes exactly those defaults, the rendered body
+    // must equal the registered-meta golden — the assertion that breaks
+    // if the serving fallback and the autoregister defaults ever drift
+    // apart.
+    def golden(name: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource(s"/$name").toURI)), "UTF-8")
+    withServer { (srv, wh) =>
+      val (st, body) = http("POST",
+        s"${srv.url}/v2/ingest/gas?from_date=2024-01-01&to_date=2024-01-02")
+      assert(st === 202)
+      val jobId = "\"job_id\":(\\d+)".r.findFirstMatchIn(body).get.group(1)
+      assert(await {
+        http("GET", s"${srv.url}/v2/ingest/jobs/$jobId")._2.contains("done")
+      })
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      def swapMeta(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val tmp = s"${wh.root}/meta_$tag"
+        df.write.parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(wh.metaSeries), true)
+        assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(wh.metaSeries)))
+      }
+      val meta = spark.read.parquet(wh.metaSeries).localCheckpoint()
+      swapMeta(meta.drop("unit", "frequency"), "pre")
+      val (s1, b1) = http("GET",
+        s"${srv.url}/v2/data?series_id=NG_GAS_QUALITY_STFERGUS_WOBBE")
+      assert(s1 === 200)
+      assert(b1 === golden("golden_v2_data.json"))
+      swapMeta(meta
+        .withColumn("unit", org.apache.spark.sql.functions.lit(null).cast("string"))
+        .withColumn("frequency", org.apache.spark.sql.functions.lit(null).cast("string")),
+        "nul")
+      val (s2, b2) = http("GET",
+        s"${srv.url}/v2/data?series_id=NG_GAS_QUALITY_STFERGUS_WOBBE")
+      assert(s2 === 200)
+      assert(b2 === golden("golden_v2_data.json"))
+    }
+  }
 }
