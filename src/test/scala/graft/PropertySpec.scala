@@ -519,7 +519,8 @@ class PropertySpec extends SparkSpec {
       "cap_dedup_shingle_df", "cap_dedup_minhash_band", "cap_dedup_minhash_wide",
       "cap_dedup_simhash_band", "cap_dedup_simhash_wide", "cap_dedup_embed_band",
       "cap_dedup_sem_cluster", "cap_markov_states", "cap_dyadic_digest_rows",
-      "cap_pca_gram_dims", "cap_graph_broadcast_nodes", "cap_export_page_rows"))
+      "cap_pca_gram_dims", "cap_graph_broadcast_nodes", "cap_export_page_rows",
+      "cap_streaming_neardup_shard"))
     rows.foreach { r =>
       val limit = r.getAs[Long]("guard_limit")
       val cur = r.getAs[Long]("current_value")
