@@ -44,6 +44,42 @@ class VectorExpressionSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("fused vec_cosine is bit-identical to the composed dot/norm form") {
+    // the contract every oracle twin leans on: the single-traversal
+    // expression must produce the EXACT bits of
+    // vec_dot(a,b) / (sqrt(vec_dot(a,a)) * sqrt(vec_dot(b,b)))
+    val a = vecs.toDF("ia", "va")
+    val b = vecs.toDF("ib", "vb")
+    val composed = VectorFunctions.vecDot(col("va"), col("vb")) /
+      (VectorFunctions.vecNorm(col("va")) * VectorFunctions.vecNorm(col("vb")))
+    val pairs = a.crossJoin(b).limit(2000)
+      .select(
+        VectorFunctions.vecCosine(col("va"), col("vb")).as("fused"),
+        composed.as("ref"))
+    assert(pairs.filter(col("fused") =!= col("ref")).isEmpty)
+    // length mismatch follows the composed form too (cross term stops
+    // at min length, each norm runs over its own full array)
+    val mixed = a.crossJoin(b).limit(500)
+      .select(col("va"), slice(col("vb"), 1, 17).as("vs"))
+    val composedMixed = VectorFunctions.vecDot(col("va"), col("vs")) /
+      (VectorFunctions.vecNorm(col("va")) * VectorFunctions.vecNorm(col("vs")))
+    assert(mixed
+      .select(VectorFunctions.vecCosine(col("va"), col("vs")).as("fused"),
+        composedMixed.as("ref"))
+      .filter(col("fused") =!= col("ref")).isEmpty)
+  }
+
+  test("vec_cosine participates in whole-stage codegen and is SQL-callable") {
+    val plan = vecs.select(VectorFunctions.vecCosine(col("v"), col("v")).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vec_cosine"), s"no codegen span:\n$plan")
+    vecs.createOrReplaceTempView("vx_cos")
+    val n = spark.sql(
+      "SELECT vec_cosine(v, v) AS c FROM vx_cos WHERE vec_cosine(v, v) > 0.5")
+      .count()
+    assert(n > 0)
+  }
+
   test("gram_tri equals the declarative explode+sum digest, incl. negative products") {
     import ss.implicits._
     // negatives and half-way points exercise the HALF_UP emulation
