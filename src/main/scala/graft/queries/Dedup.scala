@@ -494,8 +494,21 @@ object Dedup {
   /** (doc_id, sig array<long>) — the relational (codegen'd, explode +
     * groupBy-min) signature build shared by the banding, the cap audit
     * and the incremental dedup's staged index. */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    minhashSignaturesFrom(shingleRows(s, d))
+  // Staged like shingleRows, and for the same reason: the signature
+  // table is doc-grain and consumed by the banding, the cap audit, the
+  // incremental index AND the rescue paths — at 100 TB the ingest tick
+  // writes it once next to the shingle table and every dedup analytic
+  // reads the materialization. Values are exact integers, so the
+  // parquet round-trip is bit-lossless and every oracle stays valid.
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.Tables.stageTag(d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_text_$tag/minhash_sigs"
+    graft.Stage.ensure(root) { tmp =>
+      minhashSignaturesFrom(shingleRows(s, d)).repartition(8, col("doc_id"))
+        .write.parquet(tmp)
+    }
+    s.read.parquet(root)
+  }
 
   /** Signature build over an existing (doc_id, s) shingle stream — lets
     * callers that already staged the stream (the cap audit) reuse it
@@ -754,8 +767,19 @@ object Dedup {
   private val SimBandBits = SimBits / SimBands
 
   /** (doc_id, simhash BIGINT) signatures. */
-  private def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    simhashSignaturesOf(Tables.documents(s, d))
+  // Staged per substrate (see minhashSignatures): the 32-bit vote
+  // aggregation explodes tokens x bits — worth paying once per ingest
+  // tick, not once per consumer (banding, all-pairs spec reference,
+  // rescue, cap audit all read it). Long values: bit-lossless parquet.
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.Tables.stageTag(d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_text_$tag/simhash_sigs"
+    graft.Stage.ensure(root) { tmp =>
+      simhashSignaturesOf(Tables.documents(s, d)).repartition(8, col("doc_id"))
+        .write.parquet(tmp)
+    }
+    s.read.parquet(root)
+  }
 
   private[graft] def simhashSignaturesOf(docs: DataFrame): DataFrame = {
     val tok = docs
@@ -952,8 +976,16 @@ object Dedup {
     * the spec drives this with a planted hot cluster. */
   private[graft] def minhashRescueFrom(shingleStream: DataFrame,
                                        sets: DataFrame, cap: Int,
-                                       rescObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val sig = minhashSignaturesFrom(shingleStream).localCheckpoint()
+                                       rescObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    minhashRescueWithSig(
+      minhashSignaturesFrom(shingleStream), sets, cap, rescObs)
+
+  /** Rescue body over a prebuilt signature frame — the production entry
+    * feeds the STAGED signature table here instead of re-deriving. */
+  private[graft] def minhashRescueWithSig(sigIn: DataFrame,
+                                          sets: DataFrame, cap: Int,
+                                          rescObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val sig = sigIn.localCheckpoint()
     val resc = rescueCandidates(
       minhashBandsFrom(sig), minhashWideBandsFrom(sig), cap, rescObs)
     broadcast(resc)
@@ -968,16 +1000,19 @@ object Dedup {
   }
 
   def minhashRescue(s: SparkSession, d: String): DataFrame =
-    minhashRescueFrom(shingleRows(s, d), shingleSets(s, d), MaxShingleDf)
+    minhashRescueWithSig(minhashSignatures(s, d), shingleSets(s, d), MaxShingleDf)
 
-  private[graft] def simhashRescueOver(docs: DataFrame, cap: Int): DataFrame = {
-    val sh = simhashSignaturesOf(docs).localCheckpoint() // bands + wide + verify
+  private[graft] def simhashRescueOver(docs: DataFrame, cap: Int): DataFrame =
+    simhashRescueWithSig(simhashSignaturesOf(docs), cap)
+
+  private[graft] def simhashRescueWithSig(sigIn: DataFrame, cap: Int): DataFrame = {
+    val sh = sigIn.localCheckpoint() // bands + wide + verify
     val resc = rescueCandidates(simhashBands(sh), simhashWideBands(sh), cap)
     hammingPairs(resc.select(col("da").as("doc_a"), col("db").as("doc_b")), sh)
   }
 
   def simhashRescue(s: SparkSession, d: String): DataFrame =
-    simhashRescueOver(Tables.documents(s, d), MaxShingleDf)
+    simhashRescueWithSig(simhashSignatures(s, d), MaxShingleDf)
 
   lazy val minhashRescueSql: String = {
     val wideRows = RowsPerBand * 2
@@ -1734,9 +1769,11 @@ object Dedup {
       bands.join(broadcast(hot), Seq("band_id", "band_key"))
         .select("doc_id").distinct()
     }
-    // one shingle scan serves both the df audit and the minhash banding
+    // one shingle scan serves the df audit; signatures come from the
+    // SAME staged table every operator reads (minhashSignatures — the
+    // by-construction coupling now lives in the staging function)
     val shingleStream = shingleRows(s, d).localCheckpoint()
-    val mhSig = minhashSignaturesFrom(shingleStream).localCheckpoint()
+    val mhSig = minhashSignatures(s, d).localCheckpoint()
     val mhBands = minhashBandsFrom(mhSig).localCheckpoint()
     val shSig = simhashSignatures(s, d).localCheckpoint()
     val shBands = simhashBands(shSig).localCheckpoint()
