@@ -154,6 +154,46 @@ class IngestCliSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("GAS_PUBLICATIONS arm: window, per-publication series, blank skip") {
+    val root = Files.createTempDirectory("cli").toString
+    val wh = Ingest.Warehouse(s"$root/wh")
+    IngestCli.run(Seq(wh.root, "GAS_PUBLICATIONS", "--lookback-days", "2",
+      "--as-of", "2024-05-03", "--publication-ids", "PUBOB37,PUBOB40"), spark)
+    val series = spark.read.parquet(wh.metaSeries).collect()
+    assert(series.length === 2) // one per publication id
+    assert(series.forall(_.getAs[String]("dataset_id") === "GAS_PUBLICATIONS"))
+    val obs = spark.read.parquet(wh.observations)
+    // 2 pubs x 3 days minus the blank-like value the stub plants on the
+    // first pub's first day (transformer blank -> skip)
+    assert(obs.count() === 5)
+    val (lo, hi) = {
+      val r = obs.agg(min(to_date(col("observation_time"))).cast("string"),
+        max(to_date(col("observation_time"))).cast("string")).head()
+      (r.getString(0), r.getString(1))
+    }
+    assert(lo === "2024-05-01" && hi === "2024-05-03", s"window [$lo, $hi]")
+    // missing publication_ids fails loudly like run_all's client contract
+    val e = intercept[IllegalArgumentException] {
+      IngestCli.run(Seq(s"$root/wh2", "GAS_PUBLICATIONS"), spark)
+    }
+    assert(e.getMessage.contains("publication_ids is required"))
+  }
+
+  test("INSTANTANEOUS_FLOW arm: per-site FLOWRATE series, null flow kept") {
+    val root = Files.createTempDirectory("cli").toString
+    val wh = Ingest.Warehouse(s"$root/wh")
+    IngestCli.run(Seq(wh.root, "INSTANTANEOUS_FLOW"), spark)
+    val series = spark.read.parquet(wh.metaSeries).collect()
+    assert(series.length === 3) // one FLOWRATE series per site
+    assert(series.forall(_.getAs[String]("series_id").endsWith("_FLOWRATE")))
+    val obs = spark.read.parquet(wh.observations)
+    // 3 sites x 2 times = 6 keys; the stub's one null flowRate row
+    // (block 1, Easington, 05:00) is dropped by the normalize value
+    // filter but the KEY survives via block 0's valid reading, and the
+    // two stub blocks collapse by LWW on (series, time)
+    assert(obs.count() === 6)
+  }
+
   test("unsupported dataset id and bad flags fail loudly, run_all.py-style") {
     val root = Files.createTempDirectory("cli").toString
     val e1 = intercept[IllegalArgumentException] {
