@@ -124,16 +124,11 @@ object Dedup {
     // cluster this is persist-to-storage of the shingle table (what a
     // real pipeline stages anyway); locally localCheckpoint pins it.
     val ex = shingleRows(s, d).localCheckpoint()
-    // ONE bounded-collect pass classifies every shingle: groups of size
-    // <= cap are COMPLETE doc lists (rare), size cap+1 is the overflow
-    // marker (hot). The custom aggregate keeps at most cap+1 elements at
-    // every stage, so a web-scale stop-shingle costs O(cap) memory
-    // instead of OOMing the collect (checkpointed: both the rare and hot
-    // consumers read this one materialization).
-    val groups = ex.groupBy("s")
-      .agg(graft.functions.BoundedCollectFunctions
-        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
-      .localCheckpoint()
+    // The bounded-collect classification of every shingle (rare groups
+    // = COMPLETE doc lists, size cap+1 = hot overflow marker) is the
+    // staged [[shingleGroups]] table — built once per substrate, read
+    // here and by the containment join and the S-curve audit.
+    val groups = shingleGroups(s, d)
     // The HOT side (df > cap) is a handful of DISTINCT values by
     // definition, so it broadcasts; `ex` never shuffles for the split.
     val hotS = groups.filter(size(col("ds")) > MaxShingleDf).select("s")
@@ -215,10 +210,7 @@ object Dedup {
 
   def containment(s: SparkSession, d: String): DataFrame = {
     val ex = shingleRows(s, d).localCheckpoint()
-    val groups = ex.groupBy("s")
-      .agg(graft.functions.BoundedCollectFunctions
-        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
-      .localCheckpoint()
+    val groups = shingleGroups(s, d) // staged substrate — see its scaladoc
     val hotS = groups.filter(size(col("ds")) > MaxShingleDf).select("s")
     val commonRare = groups
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
@@ -436,6 +428,33 @@ object Dedup {
       shingleRows(s, d).groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > MaxShingleDf).select("s")
         .coalesce(1)
+        .write.parquet(tmp)
+    }
+    s.read.parquet(root)
+  }
+
+  /** (s, ds array<doc_id>) — every shingle with its cap-bounded doc
+    * list (complete for rare groups, truncated at cap+1 as the hot
+    * overflow marker). The shared candidate-generation substrate of
+    * the Jaccard join, the containment join and the S-curve audit:
+    * all three previously re-ran the same shingle-grain shuffle +
+    * bounded collect. Staged per dataset fingerprint like the minhash/
+    * simhash signature tables — at 100 TB the ingest tick writes this
+    * inverted-index materialization beside the shingle table and every
+    * shingle-family analytic reads it. Safe to stage: rare groups
+    * (<= cap) are COMPLETE doc lists and [[pairsOf]] is order-
+    * insensitive (emits da < db regardless of array layout), while hot
+    * groups participate only through their SIZE (> cap), so which
+    * cap+1 members the collect kept never reaches any output. */
+  private def shingleGroups(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.Tables.stageTag(d)
+    val root =
+      s"${sys.props("java.io.tmpdir")}/graft_text_$tag/shingle_groups_3_$MaxShingleDf"
+    graft.Stage.ensure(root) { tmp =>
+      shingleRows(s, d).groupBy("s")
+        .agg(graft.functions.BoundedCollectFunctions
+          .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
+        .repartition(8, col("s"))
         .write.parquet(tmp)
     }
     s.read.parquet(root)
@@ -1944,10 +1963,7 @@ object Dedup {
 
   def scurveAudit(s: SparkSession, d: String): DataFrame = {
     val ex = shingleRows(s, d).localCheckpoint()
-    val groups = ex.groupBy("s")
-      .agg(graft.functions.BoundedCollectFunctions
-        .boundedCollect(col("doc_id"), MaxShingleDf + 1).as("ds"))
-      .localCheckpoint()
+    val groups = shingleGroups(s, d) // staged substrate — see its scaladoc
     val hotS = groups.filter(size(col("ds")) > MaxShingleDf).select("s")
     val commonRare = groups
       .filter(size(col("ds")) > 1 && size(col("ds")) <= MaxShingleDf)
