@@ -66,6 +66,50 @@ object Stage {
     }
   }
 
+  /** [[ensure]] for a BUCKETED parquet artifact. The build writes
+    * bucket-id-named files (Spark's bucketBy committer, via a
+    * throwaway external table name) under the staged temp dir; the
+    * dir publishes atomically as `root` exactly like [[ensure]]; each
+    * JVM then registers `table` as an EXTERNAL bucketed table over
+    * `root`, so every reader's scan reports the bucket hash
+    * distribution — and, because the frame is pre-partitioned on the
+    * bucket hash (one file per bucket) and written sorted, the sort
+    * order too. Joins and aggregations clustered on `bucketCol` then
+    * plan ZERO exchanges over this artifact: the shuffle happened
+    * once at stage time. This welds [[graft.core.Layout.writeBucketed]]
+    * ("pay the shuffle once at write, join shuffle-free forever
+    * after") to the cross-process staging protocol above — at 100 TB
+    * the ingest tick publishes the clustered materialization and
+    * every analytic joins it co-located.
+    *
+    * Cross-JVM note: the FILES are shared through `root` like every
+    * staged artifact; only the catalog registration (metadata, no
+    * data motion) repeats per session. Bucket file names carry the
+    * bucket id, which is how a fresh session's scan re-derives row
+    * placement from the shared files. */
+  def ensureBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                          root: String, table: String, schemaDdl: String,
+                          bucketCol: String, buckets: Int)
+                         (frame: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    ensure(root) { tmp =>
+      val bld = s"${table}_build_${java.util.UUID.randomUUID.toString.take(8)}"
+      frame
+        .repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+        .write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .option("path", tmp).saveAsTable(bld)
+      spark.sql(s"DROP TABLE $bld"): Unit // external: files stay for the publish
+    }
+    val lock = locks.computeIfAbsent(s"table:$table", _ => new Object)
+    lock.synchronized {
+      if (!spark.catalog.tableExists(table))
+        spark.sql(s"CREATE TABLE $table ($schemaDdl) USING parquet " +
+          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+          s"INTO $buckets BUCKETS LOCATION '$root'"): Unit
+    }
+    spark.table(table)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

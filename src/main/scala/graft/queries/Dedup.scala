@@ -329,7 +329,11 @@ object Dedup {
   // bound shrinks (spec-measured), so the staged form undercuts the
   // counting formulation at every scale.
   def prefixJoin(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(s, d).localCheckpoint()
+    // NOT localCheckpointed: a checkpoint erases the staged table's
+    // bucket distribution (LogicalRDD reports UnknownPartitioning) and
+    // the whole point is the exchange-free self-join on s below; the
+    // two consumers re-scan the 8-bucket materialization instead.
+    val ex = shingleRows(s, d)
     val prefix = prefixRows(s, d)
     val cand = prefix.toDF("s", "da", "na")
       .join(prefix.toDF("s", "db", "nb"), "s")
@@ -351,7 +355,14 @@ object Dedup {
     // shuffle bytes at sf0.1 — and loses map-side combine.
     val cdocs = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id"))).distinct()
-    val exC = ex.join(cdocs, "doc_id") // AQE broadcasts when small
+    // cdocs is the cap-bounded candidate-doc set — STATICALLY hinted as
+    // the build side: unhinted, AQE may broadcast the (smaller-looking)
+    // bucketed shingle scan instead, which streams cdocs and DESTROYS
+    // the scan's s-bucket distribution right before the self-join on s.
+    // With cdocs built, ex's HashPartitioning(s, 8) survives the
+    // broadcast join and the shared-shingle self-join plans ZERO
+    // exchanges off the bucketed table.
+    val exC = ex.join(broadcast(cdocs), "doc_id")
     val hotS = hotShingles(s, d)
     val exCr = exC.join(hotS, Seq("s"), "left_anti")
     val sharedRare = exCr.select(col("doc_id").as("da"), col("s"))
@@ -388,8 +399,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val tag = graft.Tables.stageTag(d)
     val root =
-      s"${sys.props("java.io.tmpdir")}/graft_text_$tag/prefix_active_3"
-    graft.Stage.ensure(root) { tmp =>
+      s"${sys.props("java.io.tmpdir")}/graft_text_$tag/prefix_active_b3"
+    // Bucketed on s like the shingle table it derives from: the
+    // query-time candidate SELF-join on s — the quadratic heart of
+    // PPJoin — then plans zero exchanges (the shuffle happened here,
+    // once per substrate).
+    graft.Stage.ensureBucketedTable(s, root, s"graft_prefix_3_$tag",
+      "s STRING, doc_id BIGINT, n BIGINT", "s", 8) {
       val ex = shingleRows(s, d)
       val dfq = ex.groupBy("s").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
@@ -409,10 +425,7 @@ object Dedup {
       val active = pref.groupBy("s").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("s")
       pref.join(active, "s")
-        .repartition(8, col("s"))
-        .write.parquet(tmp)
     }
-    s.read.parquet(root)
   }
 
   /** Globally-hot shingles (df > MaxShingleDf) — a tiny, provably
@@ -2246,22 +2259,27 @@ object Text {
     * STAGED once per dataset fingerprint (the `Graph.coEdges` /
     * `minMaxStage` pattern): re-deriving it per query repeated the
     * tokenize + explode + window pass over every document in each.
-    * Staged it is one doc_id-clustered parquet read per consumer, and
-    * the fingerprint tag means a regenerated dataset can never reuse a
-    * stale shingle table. At 100 TB this staging IS the design: the
-    * shingle table is written once per ingest tick and every dedup
-    * analytic reads the materialization, not the derivation. */
+    * The staged form is a BUCKETED external table clustered on the
+    * shingle ([[graft.Stage.ensureBucketedTable]]): every s-grain
+    * consumer — the candidate self-join on shared shingles, the
+    * doc-freq aggregations, the group/hot classifications — reads
+    * co-located buckets and plans ZERO exchanges over this table,
+    * while doc-grain consumers (sizes, shingle sets) shuffle exactly
+    * as they did off a plain parquet read (a read-back never reports
+    * partitioning it wasn't declared to have). The fingerprint tag
+    * means a regenerated dataset can never reuse a stale shingle
+    * table. At 100 TB this staging IS the design: the shingle table
+    * is the largest intermediate in the whole pipeline, and writing
+    * it clustered once per ingest tick is what keeps every dedup
+    * analytic from re-shuffling petabytes. */
   def shingleRows(s: SparkSession, d: String, n: Int = 3): DataFrame =
     if (n != 3) shingleRowsDerive(s, d, n)
     else {
       val tag = graft.Tables.stageTag(d)
       val root =
-        s"${sys.props("java.io.tmpdir")}/graft_text_$tag/shingle_rows_3"
-      graft.Stage.ensure(root) { tmp =>
-        shingleRowsDerive(s, d, 3).repartition(8, col("doc_id"))
-          .write.parquet(tmp)
-      }
-      s.read.parquet(root)
+        s"${sys.props("java.io.tmpdir")}/graft_text_$tag/shingle_rows_b3"
+      graft.Stage.ensureBucketedTable(s, root, s"graft_shingles_3_$tag",
+        "doc_id BIGINT, s STRING", "s", 8)(shingleRowsDerive(s, d, 3))
     }
 
   private def shingleRowsDerive(s: SparkSession, d: String, n: Int): DataFrame = {
