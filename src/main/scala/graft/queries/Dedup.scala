@@ -123,7 +123,7 @@ object Dedup {
     // explode+window+distinct pipeline would execute four times. On a
     // cluster this is persist-to-storage of the shingle table (what a
     // real pipeline stages anyway); locally localCheckpoint pins it.
-    val ex = shingleRows(s, d).localCheckpoint()
+    val ex = shingleRows(s, d) // staged table: no checkpoint needed
     // The bounded-collect classification of every shingle (rare groups
     // = COMPLETE doc lists, size cap+1 = hot overflow marker) is the
     // staged [[shingleGroups]] table — built once per substrate, read
@@ -152,7 +152,8 @@ object Dedup {
       .join(hotEx.toDF("s", "da"), "da")
       .join(hotEx.toDF("s", "db"), Seq("db", "s"))
       .groupBy("da", "db").agg(count(lit(1)).as("common_hot"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleRowsByDoc(s, d) // forward twin: zero-exchange rollup
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Candidate-keyed joins on da/db: unhinted — AQE broadcasts the tiny
     // local sides; at corpus scale both sides are too big to broadcast
     // and these become bounded shuffle joins on the candidate set.
@@ -209,7 +210,7 @@ object Dedup {
   val ContainTau = 0.7
 
   def containment(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(s, d).localCheckpoint()
+    val ex = shingleRows(s, d) // staged table: no checkpoint needed
     val groups = shingleGroups(s, d) // staged substrate — see its scaladoc
     val hotS = groups.filter(size(col("ds")) > MaxShingleDf).select("s")
     val commonRare = groups
@@ -222,7 +223,8 @@ object Dedup {
       .join(hotEx.toDF("s", "da"), "da")
       .join(hotEx.toDF("s", "db"), Seq("db", "s"))
       .groupBy("da", "db").agg(count(lit(1)).as("common_hot"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleRowsByDoc(s, d) // forward twin: zero-exchange rollup
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // materialized once: BOTH direction branches read it, and without
     // the pin the whole candidate/intersection join tree would execute
     // twice (measured 1.8× the Jaccard twin's cost before the pin)
@@ -1276,7 +1278,9 @@ object Dedup {
   private[queries] val EvalMod = 25
 
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(s, d).localCheckpoint() // built once, used twice
+    // forward (doc-bucketed) twin: the per-doc rollup below plans zero
+    // exchanges; both uses re-scan the 8-bucket materialization
+    val ex = shingleRowsByDoc(s, d)
     val evalShingles = ex.filter(col("doc_id") % EvalMod === 0)
       .select(col("s")).distinct()
       .withColumn("hit", lit(1L))
@@ -1329,7 +1333,8 @@ object Dedup {
   private val BloomK = 3
 
   def bloomProbe(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(s, d).localCheckpoint() // built once, used thrice
+    // forward (doc-bucketed) twin — see contamination
+    val ex = shingleRowsByDoc(s, d)
     val evalSh = ex.filter(col("doc_id") % EvalMod === 0).select("s")
     val posCols = (0 until BloomK).map(i =>
       pmod(Hashes.md5Int32Seeded(col("s"), i), lit(BloomBits)))
@@ -1975,7 +1980,7 @@ object Dedup {
     (2 to n).foldLeft(e)((acc, _) => s"($acc * $e)")
 
   def scurveAudit(s: SparkSession, d: String): DataFrame = {
-    val ex = shingleRows(s, d).localCheckpoint()
+    val ex = shingleRows(s, d) // staged table: no checkpoint needed
     val groups = shingleGroups(s, d) // staged substrate — see its scaladoc
     val hotS = groups.filter(size(col("ds")) > MaxShingleDf).select("s")
     val commonRare = groups
@@ -1988,7 +1993,8 @@ object Dedup {
       .join(hotEx.toDF("s", "da"), "da")
       .join(hotEx.toDF("s", "db"), Seq("db", "s"))
       .groupBy("da", "db").agg(count(lit(1)).as("common_hot"))
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleRowsByDoc(s, d) // forward twin: zero-exchange rollup
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ref = commonRare
       .join(commonHot, Seq("da", "db"), "left")
       .select(col("da"), col("db"),
@@ -2282,6 +2288,23 @@ object Text {
         "doc_id BIGINT, s STRING", "s", 8)(shingleRowsDerive(s, d, 3))
     }
 
+  /** Doc-clustered twin of the staged shingle table — the FORWARD index
+    * to [[shingleRows]]'s inverted (s-bucketed) layout. Doc-grain
+    * consumers (per-doc sizes, shingle-set assembly, the contamination
+    * screens' per-doc rollups) aggregate on doc_id with ZERO exchanges
+    * off this table, while s-grain consumers read the inverted twin.
+    * Materializing BOTH layouts of the pipeline's largest intermediate
+    * is the standard forward/inverted index pair: each costs one
+    * staged shuffle per ingest tick and saves that shuffle in every
+    * query on its side of the grain. */
+  private[queries] def shingleRowsByDoc(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.Tables.stageTag(d)
+    val root =
+      s"${sys.props("java.io.tmpdir")}/graft_text_$tag/shingle_rows_d3"
+    graft.Stage.ensureBucketedTable(s, root, s"graft_shingles_d3_$tag",
+      "doc_id BIGINT, s STRING", "doc_id", 8)(shingleRows(s, d))
+  }
+
   private def shingleRowsDerive(s: SparkSession, d: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = graft.Tables.documents(s, d)
@@ -2300,7 +2323,8 @@ object Text {
   /** doc_id + distinct 3-shingle set for the documents table (docs with
     * no complete shingle are absent — callers filter on len>0 anyway). */
   def shingleSets(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).groupBy("doc_id").agg(collect_list(col("s")).as("shingles"))
+    shingleRowsByDoc(s, d).groupBy("doc_id")
+      .agg(collect_list(col("s")).as("shingles"))
 
   val shingleSetsSql: String =
     s"""SELECT doc_id, list_distinct(
