@@ -418,11 +418,12 @@ object Graph {
     * materialization, not the derivation. */
   private[graft] def coEdges(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_graph_$tag/co_edges"
-    graft.Stage.ensure(root) { tmp =>
-      coEdgesDerive(s, d).repartition(8, col("a")).write.parquet(tmp)
-    }
-    s.read.parquet(root)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_graph_$tag/co_edges_b"
+    // Bucketed on the source node ([[graft.Stage.ensureBucketedTable]]):
+    // edge joins and aggregations keyed on `a` read co-located buckets
+    // and plan zero exchanges over the staged edge list.
+    graft.Stage.ensureBucketedTable(s, root, s"graft_co_edges_$tag",
+      "a BIGINT, b BIGINT", "a", 8)(coEdgesDerive(s, d))
   }
 
   /** The capped (order, part) basket frame — input to BOTH the
@@ -431,17 +432,19 @@ object Graph {
     * built from it. */
   private[graft] def cappedBasket(s: SparkSession, d: String): DataFrame = {
     val tag = Tables.stageTag(d)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_graph_$tag/basket"
-    graft.Stage.ensure(root) { tmp =>
+    val root = s"${sys.props("java.io.tmpdir")}/graft_graph_$tag/basket_b"
+    // Bucketed on the order key: the basket SELF-join (wedge/co-count
+    // generation — the quadratic step of both the edge derivation and
+    // the item-item recommender) plans zero exchanges off this table.
+    graft.Stage.ensureBucketedTable(s, root, s"graft_basket_$tag",
+      "ok BIGINT, pk BIGINT", "ok", 8) {
       val basket = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val okOrders = basket.groupBy("ok").agg(count(lit(1)).as("bs"))
         .filter(col("bs") <= MaxBasket).select("ok")
-      basket.join(okOrders, "ok").repartition(8, col("ok"))
-        .write.parquet(tmp)
+      basket.join(okOrders, "ok")
     }
-    s.read.parquet(root)
   }
 
   private def coEdgesDerive(s: SparkSession, d: String): DataFrame = {
