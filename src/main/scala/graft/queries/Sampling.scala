@@ -807,7 +807,70 @@ object Sampling {
        |ORDER BY rank""".stripMargin
   }
 
+  // --- q_sm_soft_dedup ------------------------------------------------------
+  // DEDUP-AWARE SAMPLING WEIGHTS (soft dedup): instead of hard-dropping
+  // near-duplicates, weight every document by 1/|its near-dup cluster|
+  // so each cluster contributes ONE document's worth of probability
+  // mass — the reweighting the data-pruning literature applies when
+  // duplicates carry signal (popular ≠ redundant) but must not
+  // dominate the mixture. Clusters are the SAME capped MinHash-LSH
+  // components q_dd_cluster_keeper ships (one derivation, two
+  // consumers); unclustered docs form singletons at weight 1. `kept`
+  // is the deterministic one-in-expectation sampler over those
+  // weights: accept iff md5_32(doc_id) < 2^32/|cluster| — content-
+  // hashed like every sampler here (reproducible across runs, engines
+  // and scale-ups; E[kept per cluster] = 1), and the comparison is one
+  // IEEE division both engines replay bit-identically. Scale: the
+  // cluster table is the bounded LSH derivation (no new candidate
+  // generator), sizes aggregate at cluster grain, and the acceptance
+  // test is a scan-side projection — the only fact-grain shuffle is
+  // the one cluster-size join.
+  def softDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val (labels, _) = Dedup.connectedComponents(edges)
+    val docs = Tables.documents(s, d).select("doc_id")
+    val lab = docs.join(
+        labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+    val sizes = lab.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"),
+        (Hashes.md5Int32(col("doc_id").cast("string")).cast("double") <
+          lit(4294967296.0) / col("cluster_size").cast("double")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: interpolates Dedup.minhashLshSql across objects (init order)
+  lazy val softDedupSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.minhashLshSql}) q),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u FROM edges),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM nodes
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |lab0 AS (SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN lab0 l ON d.doc_id = l.doc_id),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM lab GROUP BY cluster)
+       |SELECT lab.doc_id, lab.cluster, sz.cluster_size,
+       |  1.0 / sz.cluster_size AS weight,
+       |  ${Hashes.md5Int32Sql("lab.doc_id::VARCHAR")} < 4294967296.0 / sz.cluster_size AS kept
+       |FROM lab JOIN sz USING (cluster)
+       |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sm_soft_dedup" -> (softDedup _),
     "q_sm_kcenter" -> (kcenter _),
     "q_sm_weighted" -> (weighted _),
     "q_sm_temperature" -> (temperature _),
@@ -825,6 +888,7 @@ object Sampling {
     "q_sm_token_budget_bpe" -> (tokenBudgetBpe _))
 
   val oracles: Map[String, String] = Map(
+    "q_sm_soft_dedup" -> softDedupSql,
     "q_sm_kcenter" -> kcenterSql,
     "q_sm_weighted" -> weightedSql,
     "q_sm_temperature" -> temperatureSql,

@@ -2641,4 +2641,39 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("mean_abs_err") >= 0.0)
     }
   }
+
+  test("soft dedup: total coverage, unit mass per cluster, deterministic sampler") {
+    val rows = Sampling.softDedup(spark, sf).collect()
+    // totality: one row per document, singletons included
+    assert(rows.length ===
+      Tables.documents(spark, sf).count().toInt)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === rows.length)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, rs) =>
+      val k = rs.head.getAs[Long]("cluster_size")
+      // size column is consistent with actual membership
+      assert(rs.length.toLong === k, s"cluster $c size mismatch")
+      // each cluster carries exactly one document of probability mass
+      val mass = rs.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"cluster $c mass $mass")
+      // weights uniform within the cluster
+      assert(rs.forall(r => r.getAs[Double]("weight") == 1.0 / k))
+    }
+    // clusters agree with the shipped cluster-keeper labels
+    val keeper = Dedup.clusterKeeper(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    rows.foreach { r =>
+      val d0 = r.getAs[Long]("doc_id")
+      keeper.get(d0).foreach(c => assert(r.getAs[Long]("cluster") === c))
+      if (!keeper.contains(d0)) // singleton: own cluster at weight 1
+        assert(r.getAs[Long]("cluster") === d0 &&
+          r.getAs[Double]("weight") === 1.0)
+    }
+    // the acceptance test is pure content hash: bit-stable across runs
+    val again = Sampling.softDedup(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // singletons are always kept (u < 2^32/1 is a tautology)
+    rows.filter(_.getAs[Long]("cluster_size") == 1L)
+      .foreach(r => assert(r.getAs[Boolean]("kept")))
+  }
 }
