@@ -1118,6 +1118,30 @@ class PlanSpec extends SparkSpec {
       s"no shuffle belongs in a per-doc projection:\n${psc.take(1200)}")
   }
 
+  test("bucketed staging: grain-aligned consumers plan zero exchanges on the bucket key") {
+    // forward (doc-bucketed) twin: the contamination rollup aggregates
+    // on doc_id straight off the bucketed scan — no exchange on doc_id
+    // anywhere in the executed plan, at any SF
+    val cont = Dedup.contamination(spark, sf)
+    cont.collect()
+    val pc = cont.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(pc.contains("Bucketed: true"),
+      s"contamination should read the doc-bucketed forward twin:\n${pc.take(1500)}")
+    assert(!"hashpartitioning\\(doc_id#".r.findFirstIn(pc).isDefined,
+      s"doc-grain rollup must not re-shuffle the doc-bucketed table:\n${pc.take(2000)}")
+    // inverted (s-bucketed) side: novelty's shingle-grain aggregation
+    // reads co-located buckets — no exchange on s
+    val nov = Dedup.novelty(spark, sf)
+    nov.collect()
+    val pn = nov.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(pn.contains("Bucketed: true"),
+      s"novelty should read the s-bucketed shingle table:\n${pn.take(1500)}")
+    assert(!"hashpartitioning\\(s#".r.findFirstIn(pn).isDefined,
+      s"shingle-grain aggregation must not re-shuffle the s-bucketed table:\n${pn.take(2000)}")
+  }
+
   private implicit class Let[A](a: A) {
     def let[B](f: A => B): B = f(a)
   }
