@@ -1321,23 +1321,41 @@ object Similarity {
     def wArr(m: Int, k: Int) = array(pqWeights(m, k).map(lit): _*)
     val dvCols = for { m <- 0 until PqM; k <- 0 until PqK } yield
       Vectors.dot(slice(col("v"), m * PqSub + 1, PqSub), wArr(m, k)).as(s"dv_${m}_$k")
+    // The query LUT (dot(q_sub, w)) and per-cell dot(qv, cent) folds are
+    // projected on the ONE-ROW side BEFORE the crossJoin: Catalyst has
+    // no cross-row CSE, so computing them after the join re-ran 64+8
+    // dot products per DATA row for values that depend only on qv.
     val qlCols = for { m <- 0 until PqM; k <- 0 until PqK } yield
       Vectors.dot(slice(col("qv"), m * PqSub + 1, PqSub), wArr(m, k)).as(s"ql_${m}_$k")
     val qcCols = (0 until NumCentroids).map { cid =>
       Vectors.dot(col("qv"), array(cents(cid).map(lit): _*)).as(s"qc_$cid") }
-    val staged = e.crossJoin(broadcast(q))
+    val qPre = q.select(col("qv") +: (qlCols ++ qcCols): _*)
+    val staged = e.crossJoin(broadcast(qPre))
       .withColumn("cell", lloydBest(col("v"), cents).getField("cid").cast("long"))
       .select(Seq(col("vec_id"), col("cell"), col("v"), col("qv")) ++
-        dvCols ++ qlCols ++ qcCols: _*)
+        dvCols ++
+        (for { m <- 0 until PqM; k <- 0 until PqK } yield col(s"ql_${m}_$k")) ++
+        (0 until NumCentroids).map(cid => col(s"qc_$cid")): _*)
     // residual encode: argmax_k dot(v_sub − cent_sub, w_k)
-    //                = argmax_k (dv_m_k − const(cell, m, k)), ties → lowest k
-    def codeFor(m: Int) = element_at(
-      array((0 until NumCentroids).map { cid =>
-        -array_max(array((0 until PqK).map { k =>
-          struct((col(s"dv_${m}_$k") - lit(centSubDot(cid)(m)(k))).as("score"),
-            lit(-k).as("nk"))
-        }: _*)).getField("nk")
-      }: _*), (col("cell") + 1).cast("int"))
+    //                = argmax_k (dv_m_k − const(cell, m, k)), ties → lowest k.
+    // const(cell, m, k) is SELECTED per row (element_at over the
+    // per-cell literal array) instead of expanding the whole argmax
+    // once per cell and element_at-picking one afterwards: the
+    // expanded form built NumCentroids×PqK struct branches per
+    // subspace (~4k expression nodes), whose generated processNext()
+    // failed janino compilation — the projection silently fell back to
+    // INTERPRETED eval (the "ERROR CodeGenerator" in any verify log),
+    // which is why this query cost >1 s for 2,000 rows. Same doubles
+    // (identical subtract-const per row), same (score, −k) tie-break,
+    // 8× fewer nodes, and whole-stage codegen compiles again.
+    def constSel(m: Int, k: Int) = element_at(
+      array((0 until NumCentroids).map(cid => lit(centSubDot(cid)(m)(k))): _*),
+      (col("cell") + 1).cast("int"))
+    def codeFor(m: Int) =
+      -array_max(array((0 until PqK).map { k =>
+        struct((col(s"dv_${m}_$k") - constSel(m, k)).as("score"),
+          lit(-k).as("nk"))
+      }: _*)).getField("nk")
     val qDotCent = element_at(
       array((0 until NumCentroids).map(cid => col(s"qc_$cid")): _*),
       (col("cell") + 1).cast("int"))
@@ -1543,27 +1561,36 @@ object Similarity {
     val dvCols = for { m <- 0 until PqM; k <- 0 until PqK } yield
       Vectors.dot(slice(col("v"), m * PqSub + 1, PqSub),
         array(cbs(m)(k).map(lit): _*)).as(s"dv_${m}_$k")
+    // query-side folds on the ONE-ROW side before the crossJoin (no
+    // cross-row CSE — same reasoning as residualAdcScores)
     val qlCols = for { m <- 0 until PqM; k <- 0 until PqK } yield
       Vectors.dot(slice(col("qv"), m * PqSub + 1, PqSub),
         array(cbs(m)(k).map(lit): _*)).as(s"ql_${m}_$k")
     val qcCols = (0 until NumCentroids).map { cid =>
       Vectors.dot(col("qv"), array(cents(cid).map(lit): _*)).as(s"qc_$cid") }
+    val qPre = q.select(col("qv") +: (qlCols ++ qcCols): _*)
     val staged = e.filter(col("vec_id") =!= QueryId)
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(qPre))
       .withColumn("cell", lloydBest(col("v"), cents).getField("cid").cast("long"))
       .filter(array_contains(probe, col("cell")))
       .select(Seq(col("vec_id"), col("cell"), col("v"), col("qv")) ++
-        dvCols ++ qlCols ++ qcCols: _*)
-    // residual L2 encode: argmin_k cw·cw − 2·(dv − const(cell,m,k))
-    def codeFor(m: Int) = element_at(
-      array((0 until NumCentroids).map { cid =>
-        array_min(array((0 until PqK).map { k =>
-          struct((lit(dotConst(cbs(m)(k), cbs(m)(k))) - lit(2.0) *
-            (col(s"dv_${m}_$k") -
-              lit(dotConst(cents(cid).slice(m * PqSub, (m + 1) * PqSub), cbs(m)(k)))))
-            .as("dd"), lit(k).as("k"))
-        }: _*)).getField("k")
-      }: _*), (col("cell") + 1).cast("int"))
+        dvCols ++
+        (for { m <- 0 until PqM; k <- 0 until PqK } yield col(s"ql_${m}_$k")) ++
+        (0 until NumCentroids).map(cid => col(s"qc_$cid")): _*)
+    // residual L2 encode: argmin_k cw·cw − 2·(dv − const(cell,m,k)).
+    // const(cell,m,k) selected per row via element_at over the
+    // per-cell literal array — the expanded per-cell argmin blew the
+    // janino method limit and dropped the projection to interpreted
+    // eval (see residualAdcScores). Identical doubles and tie-break.
+    def centCbSel(m: Int, k: Int) = element_at(
+      array((0 until NumCentroids).map(cid =>
+        lit(dotConst(cents(cid).slice(m * PqSub, (m + 1) * PqSub), cbs(m)(k)))): _*),
+      (col("cell") + 1).cast("int"))
+    def codeFor(m: Int) =
+      array_min(array((0 until PqK).map { k =>
+        struct((lit(dotConst(cbs(m)(k), cbs(m)(k))) - lit(2.0) *
+          (col(s"dv_${m}_$k") - centCbSel(m, k))).as("dd"), lit(k).as("k"))
+      }: _*)).getField("k")
     val qDotCent = element_at(
       array((0 until NumCentroids).map(cid => col(s"qc_$cid")): _*),
       (col("cell") + 1).cast("int"))
