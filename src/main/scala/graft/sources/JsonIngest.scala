@@ -69,12 +69,20 @@ object JsonIngest {
 
   /** Zero-loss raw landing (W1, `raw_ingestor.py:8-54`): every input row
     * serialized whole into a JSON payload column with lineage metadata.
-    * NaN→null sanitization comes free from `to_json`. */
-  def landRaw(df: DataFrame, datasetId: String, seriesHintCol: Option[String] = None): DataFrame =
+    * NaN→null sanitization comes free from `to_json`.
+    *
+    * `payloadCol` names an ALREADY-SERIALIZED payload column to reuse:
+    * the ingest DAG consumes the same batch's JSON three times (raw
+    * landing, field discovery, per-observation payload), and without
+    * the reuse each consumer re-ran the full-row `to_json` per pass
+    * over the cached batch — serialize once, reference thereafter. */
+  def landRaw(df: DataFrame, datasetId: String, seriesHintCol: Option[String] = None,
+              payloadCol: Option[String] = None): DataFrame =
     df.select(
       uuid().as("event_id"),
       lit(datasetId).as("dataset_id"),
       seriesHintCol.map(col).getOrElse(lit(null).cast("string")).as("series_hint"),
-      to_json(struct(df.columns.map(col): _*)).as("raw_payload"),
+      payloadCol.map(col).getOrElse(
+        to_json(struct(df.columns.map(col): _*))).as("raw_payload"),
       current_timestamp().as("ingested_at"))
 }

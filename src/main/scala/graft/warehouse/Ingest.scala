@@ -41,15 +41,20 @@ object Ingest {
     */
   def ingestWide(spark: SparkSession, wh: Warehouse, wide: DataFrame,
                  dataset: String, timeCol: String, keyCols: Seq[String]): Unit = {
-    val batch = wide.cache()
+    // the full-row JSON payload is serialized ONCE into the cached
+    // batch: raw landing, field discovery and the per-observation
+    // payload all consume it, and each used to re-run the to_json per
+    // pass over the cache (3 serializations of every batch per ingest)
+    val batch = wide.withColumn("__raw_payload",
+      to_json(struct(wide.columns.map(col).toIndexedSeq: _*))).cache()
     try {
       // (1) zero-loss raw landing (W1)
-      JsonIngest.landRaw(batch, dataset, keyCols.headOption)
+      JsonIngest.landRaw(batch, dataset, keyCols.headOption, Some("__raw_payload"))
         .write.mode("append").parquet(wh.rawEvents)
 
       // (2) field discovery — on THIS batch only, merged incrementally
       // (the reference rescans all history per ingest, field_discovery.py:21)
-      mergeFieldCatalog(spark, wh, batch, dataset)
+      mergeFieldCatalog(spark, wh, batch, dataset, Some("__raw_payload"))
 
       // (3) series auto-register: distinct (keys × numeric metric) not yet
       // in the catalog (series_autoregister.py as one anti-join append).
@@ -58,8 +63,7 @@ object Ingest {
       // unpivot as an id column, so /v2/data?include_raw=true can serve
       // each point's payload back (routes.py:57). NaN→null sanitization
       // comes free from to_json, same as landRaw.
-      val withRaw = batch.withColumn("raw_payload",
-        to_json(struct(batch.columns.map(col).toIndexedSeq: _*)))
+      val withRaw = batch.withColumnRenamed("__raw_payload", "raw_payload")
       val unpivoted = Normalize.unpivotNumeric(withRaw,
         idCols = (timeCol +: keyCols) :+ "raw_payload")
       val series = unpivoted
@@ -111,9 +115,11 @@ object Ingest {
     * `.backup`/`.staging` — a raw probe would read that as "no catalog"
     * and replace ALL history with this batch's increment. */
   private[warehouse] def mergeFieldCatalog(spark: SparkSession, wh: Warehouse,
-                                           batch: DataFrame, dataset: String): Unit = {
+                                           batch: DataFrame, dataset: String,
+                                           payloadCol: Option[String] = None): Unit = {
     val increment = FieldDiscovery.discover(
-      JsonIngest.landRaw(batch, dataset).select("dataset_id", "raw_payload"))
+      JsonIngest.landRaw(batch, dataset, None, payloadCol)
+        .select("dataset_id", "raw_payload"))
     val merged =
       if (Upsert.tableExists(spark, wh.fieldCatalog))
         FieldDiscovery.merge(spark.read.parquet(wh.fieldCatalog), increment)

@@ -233,12 +233,16 @@ object NationalGas {
                          description: Column,
                          frequency: String): Unit = {
     val slugParts = keyCols.map(col) ++ extraSlugParts.map(lit(_))
-    val batch = long.cache()
+    // full-row JSON serialized ONCE into the cached batch (see
+    // Ingest.ingestWide — raw landing, discovery and the observation
+    // payload all reuse it instead of re-running to_json per consumer)
+    val batch = long.withColumn("__raw_payload",
+      to_json(struct(long.columns.map(col).toIndexedSeq: _*))).cache()
     try {
       // (1) zero-loss raw landing + (2) field discovery
-      JsonIngest.landRaw(batch, dataset)
+      JsonIngest.landRaw(batch, dataset, None, Some("__raw_payload"))
         .write.mode("append").parquet(wh.rawEvents)
-      Ingest.mergeFieldCatalog(s, wh, batch, dataset)
+      Ingest.mergeFieldCatalog(s, wh, batch, dataset, Some("__raw_payload"))
 
       // (3) series registration: distinct key tuple → slug → anti-join
       val keyed = keyCols.foldLeft(batch)((df, c) => df.filter(col(c).isNotNull))
@@ -256,8 +260,7 @@ object NationalGas {
       // (4)+(5) normalize + upsert: blank → skip, unparseable → skip
       // (transformer.py:80-86), lenient time parse, raw payload per row
       val obs = keyed
-        .withColumn("raw_payload",
-          to_json(struct(long.columns.map(col).toIndexedSeq: _*)))
+        .withColumnRenamed("__raw_payload", "raw_payload")
         .withColumn("series_id",
           Normalize.makeSeriesId(lit(dataset), slugParts: _*))
         .withColumn("observation_time", try_to_timestamp(col(timeCol)))
