@@ -33,6 +33,7 @@ object Tables {
     graft.functions.HeavyHittersFunctions.register(spark)
     graft.functions.MinhashFunctions.register(spark)
     graft.functions.GramTriFunctions.register(spark)
+    graft.functions.ByteFunctions.register(spark)
   }
 
   /** Staged-artifact tag for SF dir `d`: the sanitized path plus a

@@ -248,5 +248,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"), MinhashFunctions.info, MinhashFunctions.builder))
     ext.injectFunction((
       FunctionIdentifier("gram_tri"), GramTriFunctions.info, GramTriFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("byte_at"), ByteFunctions.info, ByteFunctions.builder))
   }
 }

@@ -101,8 +101,11 @@ object Avi {
 
   // ------------------------------------------------------------- parse
 
+  // codegen'd bounds-checked array read; same value (incl. NULL→0 out
+  // of range / null pos) as the old conv(hex(substr(...))) string
+  // chain, which dominated the frame folds' wall time — see ByteAt
   private def u8(bin: Column, pos: Column): Column =
-    coalesce(conv(hex(bin.substr(pos.cast("int"), lit(1))), 16, 10).cast("long"), lit(0L))
+    coalesce(graft.functions.ByteFunctions.byteAt(bin, pos.cast("long")), lit(0L))
 
   private def le(bin: Column, pos: Column, width: Int): Column =
     (0 until width).map(i => u8(bin, pos + i) * (1L << (8 * i)))

@@ -77,9 +77,11 @@ object Wav {
   // ------------------------------------------------------------- parse
 
   /** Unsigned byte at 1-based `pos` of binary column `bin` (0 past
-    * the end, so a truncated header parses as zeros, never errors). */
+    * the end, so a truncated header parses as zeros, never errors).
+    * Codegen'd array read; same value as the old conv(hex(substr(...)))
+    * string chain — see [[graft.functions.ByteAt]]. */
   private def u8(bin: Column, pos: Column): Column =
-    coalesce(conv(hex(bin.substr(pos.cast("int"), lit(1))), 16, 10).cast("long"), lit(0L))
+    coalesce(graft.functions.ByteFunctions.byteAt(bin, pos.cast("long")), lit(0L))
 
   /** Little-endian unsigned integer of `width` bytes at 1-based `pos`. */
   private def le(bin: Column, pos: Column, width: Int): Column =

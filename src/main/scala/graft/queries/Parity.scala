@@ -1854,6 +1854,7 @@ object Parity {
   // position-weighted checksum proves x order. The header-blind oracle
   // replays the same arithmetic from character codes — any layout bug
   // (flip, channel order, stride, pad inclusion) breaks the hash.
+  private[graft] def aviDecodeMediaProbe(s: SparkSession, d: String): DataFrame = aviDecodeMedia(s, d)
   private def aviDecodeMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
