@@ -3165,15 +3165,23 @@ object Analytics {
       .select(col("l_returnflag").as("g"),
         round(col("l_quantity")).cast("long").as("x"),
         round(col("l_extendedprice") * 100).cast("long").as("y"))
+    // ONE fact-grain pass: the (g, x, y) pair digest is computed once
+    // and BOTH tie-rank digests derive from it (sum of pair counts per
+    // (g, v) ≡ the row count per (g, v) — same BIGINT, same ranks), so
+    // the lineitem scan + map-side combine run once instead of three
+    // times. localCheckpoint pins the digest for its three consumers
+    // (xd, yd, the moment join) — also the self-join attribute-dedup
+    // guard (see q_t21_theil_sen).
+    val pairs = rows.groupBy("g", "x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     def rankDigest(v: String): DataFrame = {
       val wEx = Window.partitionBy("g").orderBy(v)
         .rowsBetween(Window.unboundedPreceding, -1)
-      rows.groupBy("g", v).agg(count(lit(1)).as("t"))
+      pairs.groupBy("g", v).agg(sum(col("c")).as("t"))
         .withColumn("cb", coalesce(sum(col("t")).over(wEx), lit(0L)))
         .select(col("g"), col(v),
           (lit(2L) * col("cb") + col("t") + lit(1L)).as(s"r$v"))
     }
-    val pairs = rows.groupBy("g", "x", "y").agg(count(lit(1)).as("c"))
     val m = pairs
       .join(rankDigest("x"), Seq("g", "x"))
       .join(rankDigest("y"), Seq("g", "y"))
