@@ -34,6 +34,7 @@ object Tables {
     graft.functions.MinhashFunctions.register(spark)
     graft.functions.GramTriFunctions.register(spark)
     graft.functions.ByteFunctions.register(spark)
+    graft.functions.DibFunctions.register(spark)
   }
 
   /** Staged-artifact tag for SF dir `d`: the sanitized path plus a

@@ -250,5 +250,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("gram_tri"), GramTriFunctions.info, GramTriFunctions.builder))
     ext.injectFunction((
       FunctionIdentifier("byte_at"), ByteFunctions.info, ByteFunctions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("dib_row_sums"),
+      DibFunctions.rowSumsInfo, DibFunctions.rowSumsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("dib_ahash"),
+      DibFunctions.aHashInfo, DibFunctions.aHashBuilder))
   }
 }

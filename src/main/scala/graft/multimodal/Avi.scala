@@ -234,30 +234,21 @@ object Avi {
     val stride = expr("((width * 3 + 3) DIV 4) * 4")
     val dibRow = col("height") - 1 - col("y") // bottom-up storage
     val rowOff = col("frame_off") + dibRow * stride
-    val zero = struct(lit(0L).as("b"), lit(0L).as("g"), lit(0L).as("r"),
-      lit(0L).as("w"))
-    val fold = aggregate(
-      sequence(lit(0L), col("width") - 1), zero,
-      (acc, x) => {
-        val base = rowOff + x * 3
-        val b = u8(p, base)
-        val g = u8(p, base + 1)
-        val r = u8(p, base + 2)
-        struct((acc.getField("b") + b).as("b"),
-          (acc.getField("g") + g).as("g"),
-          (acc.getField("r") + r).as("r"),
-          (acc.getField("w") + (x + 1) * (b + g + r)).as("w"))
-      })
+    // fused codegen fold (see graft.functions.DibRowSums) — the former
+    // aggregate() HOF was CodegenFallback: one interpreted fold-tree
+    // eval per image row, byte accessor re-run per element. Identical
+    // integer arithmetic, same accumulation order, one JVM loop.
+    val fold = graft.functions.DibFunctions.dibRowSums(p, rowOff, col("width"))
     frameRows(media)
       .filter(col("frame_len") === stride * col("height"))
       .withColumn("y", explode(sequence(lit(0L), col("height") - 1)))
       .withColumn("_sums", fold)
       .select(col("media_id"), col("frame_idx"), col("y"),
         col("width"), col("height"),
-        col("_sums").getField("b").as("sum_b"),
-        col("_sums").getField("g").as("sum_g"),
-        col("_sums").getField("r").as("sum_r"),
-        col("_sums").getField("w").as("wsum"))
+        col("_sums").getItem(0).as("sum_b"),
+        col("_sums").getItem(1).as("sum_g"),
+        col("_sums").getItem(2).as("sum_r"),
+        col("_sums").getItem(3).as("wsum"))
   }
 
   /** Nearest-neighbor RESIZE of each decoded DIB frame to outW×outH —
@@ -301,25 +292,17 @@ object Avi {
   def frameAHash(media: DataFrame): DataFrame = {
     val p = col("payload")
     val stride = expr("((width * 3 + 3) DIV 4) * 4")
-    def lumaAt(i: Column): Column = {
-      val x = pmod(i, col("width"))
-      val r = ((i - x) / col("width")).cast("long")
-      val base = col("frame_off") + r * stride + x * 3
-      u8(p, base) + u8(p, base + 1) + u8(p, base + 2)
-    }
     val npix = col("width") * col("height")
-    val total = aggregate(sequence(lit(0L), npix - 1), lit(0L),
-      (acc, i) => acc + lumaAt(i))
-    val bits = aggregate(sequence(lit(0L), npix - 1), lit(0L),
-      (acc, i) => acc +
-        when(lumaAt(i) * npix >= col("total"),
-          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L)))
+    // fused codegen two-pass fold (see graft.functions.DibAHash) — the
+    // former total/bits aggregate() HOFs were CodegenFallback and
+    // dominated q_mm_frame_neardup's wall time. Same luma addressing,
+    // same cross-multiplied threshold, same little-endian bit packing.
     frameRows(media)
       .filter(col("frame_len") === stride * col("height") &&
         col("width") * col("height") <= 63)
       .withColumn("npix", npix)
-      .withColumn("total", total)
-      .withColumn("ahash", bits)
+      .withColumn("ahash", graft.functions.DibFunctions.dibAHash(
+        p, col("frame_off"), col("width"), col("height")))
       .select("media_id", "frame_idx", "width", "height", "npix", "ahash")
   }
 }
