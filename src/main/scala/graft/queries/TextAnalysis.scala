@@ -912,23 +912,36 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
       .withColumn("is_stop", col("w").isin(RakeStops: _*))
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // clustered ONCE on the phrase key and pinned with cache() — an
+    // InMemoryRelation PRESERVES hash partitioning where localCheckpoint
+    // erases it (the labelprop lesson), so the two (doc_id, pid)
+    // aggregations and both phrase-key joins below plan ZERO exchanges:
+    // the word-grain rows shuffle once here instead of four times.
     val members = tk
       .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
       .filter(!col("is_stop"))
       .select("doc_id", "pid", "pos", "w")
-      .localCheckpoint()
+      .repartition(col("doc_id"), col("pid"))
+      .cache()
     val phrases = members.groupBy("doc_id", "pid")
       .agg(count(lit(1)).as("plen"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ").as("phrase"))
+    // both phrase-key joins are MERGE-hinted: the sides are already
+    // co-partitioned off the cached repartition (zero exchange, local
+    // sorts only), and phrase-grain data GROWS with the corpus — AQE
+    // would happily demote these to runtime broadcasts at this SF,
+    // which is the wrong 100× plan AND a per-pass fingerprint coin-flip
+    // (the same static-say-what-you-mean lesson as the pagerank fix)
     val wordScores = members
-      .join(phrases.select("doc_id", "pid", "plen"), Seq("doc_id", "pid"))
+      .join(phrases.select("doc_id", "pid", "plen").hint("merge"),
+        Seq("doc_id", "pid"))
       .groupBy("w").agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .withColumn("score_u", expr("deg * 1000000 DIV freq"))
     val phraseScores = members
       .join(broadcast(wordScores.select("w", "score_u")), "w")
       .groupBy("doc_id", "pid").agg(sum(col("score_u")).as("score_micros"))
-    phrases.join(phraseScores, Seq("doc_id", "pid"))
+    phrases.join(phraseScores.hint("merge"), Seq("doc_id", "pid"))
       .groupBy("phrase")
       .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n_occurrences"),
         max(col("score_micros")).as("score_micros"))
@@ -1733,7 +1746,10 @@ object TextAnalysis {
     * (query_id, doc_id, score_fixed, n_terms, rank), unlimited. */
   private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tf = bm25Tf(docs)
+    // pinned: tf feeds df/stats here plus dl and the scoring join in
+    // bm25Score — five consumers; unpinned, each re-ran the token
+    // explode + (doc, term) aggregation over the raw text
+    val tf = bm25Tf(docs).localCheckpoint()
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = tf.agg(sum("tf").as("tok_total"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
@@ -1842,8 +1858,10 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
     val oldDocs = docs.filter(col("doc_id") % 5 =!= 0)
     val newDocs = docs.filter(col("doc_id") % 5 === 0) // the landed tick
-    val tfOld = bm25Tf(oldDocs)
-    val tfNew = bm25Tf(newDocs)
+    // pinned like bm25Ranked's tf: each digest has three consumers
+    // below (tf union, df add, corpus totals) plus bm25Score's reads
+    val tfOld = bm25Tf(oldDocs).localCheckpoint()
+    val tfNew = bm25Tf(newDocs).localCheckpoint()
     // tf: pure append (doc sets disjoint by construction)
     val tf = tfOld.unionByName(tfNew)
     // df: term-wise add of the two digests — never re-derived from tf
